@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's core operator: a fuzzy similarity join with four-way
+  * bucket classification (reference /root/reference/main.py:197-230,
+  * `find_matches`, driven by main.py:559-560 / 474-475).
+  *
+  * Contract (column names are the engine's API):
+  *   - search side: `search_val` (string probe), any other columns carried.
+  *   - data side:   `match_val` (string candidate), `data_id` (stable id).
+  *   - output:      input columns + `distance` (int) + `bucket` (string).
+  *
+  * Bucket semantics, faithful to the reference:
+  *   - exact:     distance == 0
+  *   - best:      0 < d <= T and d == min over (0, T]   (exact matches do NOT
+  *                reset the best distance — main.py:206-215's `elif`)
+  *   - potential: 0 < d <= T and d > that min
+  *   - poor_best: only when NO candidate has 0 < d <= T: every row at the
+  *                global min distance — including d == 0 rows, so a row can
+  *                appear in both `exact` and `poor_best` (main.py:218-228
+  *                rescans the full list with best_distance = inf). We emit one
+  *                output row per bucket membership.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - The probe set is broadcast; scoring is a BroadcastNestedLoopJoin that
+  *     streams the data side with NO shuffle and full codegen (built-in
+  *     `levenshtein`).
+  *   - Per-probe minima are a groupBy over the probe key: partial (map-side)
+  *     aggregation reduces each task's output to |probes| rows, so the only
+  *     shuffle in the whole plan moves O(|probes| × tasks) rows. The minima
+  *     are then broadcast back — the big side is never shuffled and never
+  *     cached.
+  *   - This deliberately recomputes the scoring map stage once per
+  *     consumer (minima + final join) instead of exchanging the full scored
+  *     set for a window: at 100 TB, one extra embarrassingly-parallel map
+  *     pass is far cheaper than shuffling the scored pairs.
+  *   - [[fuzzyMatchPruned]] is the large-scale path: length-band candidate
+  *     generation (|len(a)-len(b)| <= T is necessary for d <= T) turns the
+  *     nested loop into a BroadcastHashJoin on length, with a residual full
+  *     scan only for probes that found nothing — mirroring the reference's
+  *     own two-pass structure. Results are identical to [[fuzzyMatch]].
+  */
+object FuzzyJoin {
+
+  /** Cross-score every (probe, candidate) pair. Probe side is broadcast. */
+  def score(search: DataFrame, data: DataFrame): DataFrame =
+    data.crossJoin(broadcast(search))
+      .withColumn("distance", Distance.dist(col("search_val"), col("match_val")))
+
+  /** Classify scored pairs into buckets (possibly >1 per row, see above). */
+  def classify(scored: DataFrame, threshold: Int): DataFrame = {
+    val d = col("distance")
+    val mins = scored.groupBy("search_val").agg(
+      min(when(d > 0 && d <= threshold, d)).as("min_pos"),
+      min(d).as("min_all"))
+    scored.join(broadcast(mins), "search_val")
+      .withColumn("bucket", explode(array_compact(array(
+        when(d === 0, lit("exact")),
+        when(d > 0 && d <= threshold && d === col("min_pos"), lit("best")),
+        when(d > 0 && d <= threshold && d > col("min_pos"), lit("potential")),
+        when(col("min_pos").isNull && d === col("min_all"), lit("poor_best"))))))
+      .drop("min_pos", "min_all")
+  }
+
+  /** Faithful full-scan fuzzy match. Default threshold 3 = the reference's
+    * hardcoded literal (main.py:475, 560); unlike the reference, the
+    * parameter is live (SURVEY.md §7.4.5). */
+  def fuzzyMatch(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame =
+    classify(score(search, data), threshold)
+
+  /** Length-band pruned fuzzy match — identical output to [[fuzzyMatch]].
+    *
+    * Candidate generation: a probe of normalized length L can only be within
+    * threshold T of candidates with normalized length in [L-T, L+T], so the
+    * probe side explodes into 2T+1 length keys and the join becomes a
+    * BroadcastHashJoin on exact length — the data side is scanned once,
+    * unshuffled, and only in-band pairs pay the Levenshtein.
+    *
+    * poor_best candidates can be any length (global min > T), so probes with
+    * no in-band 0<d<=T hit fall back to one full scan restricted to just
+    * those residual probes (typically a small fraction), exactly mirroring
+    * the reference's own fallback second pass (main.py:220-228).
+    */
+  def fuzzyMatchPruned(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame = {
+    val d = col("distance")
+    val bands = search
+      .withColumn("s_norm", Normalize.norm(col("search_val")))
+      .withColumn("m_len", explode(sequence(
+        greatest(length(col("s_norm")) - threshold, lit(0)),
+        length(col("s_norm")) + threshold)))
+    val dataN = data
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+      .withColumn("m_len", length(col("m_norm")))
+
+    val inBand = dataN.join(broadcast(bands), "m_len")
+      .withColumn("distance", levenshtein(col("s_norm"), col("m_norm")))
+      .filter(d <= threshold)
+      .drop("m_len", "s_norm", "m_norm")
+
+    val minsPos = inBand.filter(d > 0)
+      .groupBy("search_val").agg(min(d).as("min_pos"))
+
+    val classified = inBand.join(broadcast(minsPos), Seq("search_val"), "left")
+      .withColumn("bucket", explode(array_compact(array(
+        when(d === 0, lit("exact")),
+        when(d > 0 && d === col("min_pos"), lit("best")),
+        when(d > 0 && d > col("min_pos"), lit("potential"))))))
+      .drop("min_pos")
+
+    // Residual probes: no candidate with 0 < d <= T anywhere -> poor_best
+    // via a full scan over just these probes (plus their exact rows, already
+    // emitted above; the reference duplicates d=0 rows into poor_best too).
+    val residual = search.join(
+      minsPos.select("search_val").distinct(), Seq("search_val"), "left_anti")
+    val scoredR = score(residual, data)
+    val minsR = scoredR.groupBy("search_val").agg(min(d).as("min_all"))
+    val poorBest = scoredR.join(broadcast(minsR), "search_val")
+      .filter(d === col("min_all"))
+      .withColumn("bucket", lit("poor_best"))
+      .drop("min_all")
+
+    classified.unionByName(poorBest)
+  }
+
+  /** O1 (main.py:476-477, 560-561): the reference stable-sorts the potential
+    * bucket by distance; pandas' Timsort stability becomes an explicit
+    * `data_id` tiebreak here for determinism. */
+  def sortedPotentials(classified: DataFrame): DataFrame =
+    classified.filter(col("bucket") === "potential")
+      .orderBy(col("search_val"), col("distance"), col("data_id"))
+}

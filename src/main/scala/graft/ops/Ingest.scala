@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources. Reference surface (SURVEY.md §2.1): single-file scan (S1) and
+  * folder scan + union-all with schema alignment by name (S2). The harness
+  * data is Parquet (TESTDATA.md), so scans are vectorized-columnar and column
+  * pruning / predicate pushdown come from Catalyst for free.
+  */
+object Ingest {
+
+  /** S1: read one table of a scale-factor directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark rejects
+    * by default; `nanosAsLong` reads it as a long we convert explicitly (see
+    * [[eventsWithTs]]). The conf is a no-op for every other table.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with `ts` as a proper timestamp column (microsecond precision —
+    * truncated from nanos with integer division so the oracle can reproduce
+    * it exactly) plus `ts_ms` (epoch millis) for arithmetic that must be
+    * engine-portable. */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** S2 (reference /root/reference/main.py:692-696): union-all over many
+    * files/tables, aligning columns by NAME and null-filling the gaps —
+    * pandas `concat(ignore_index=True)` semantics. `unionByName` with
+    * `allowMissingColumns=true` is the exact Spark equivalent and is a
+    * metadata-only plan node (no shuffle). */
+  def unionAllByName(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Folder scan: glob every parquet under `dir`. For homogeneous folders
+    * prefer the single multi-path scan (one job, partition-parallel) over a
+    * reduce of unions. */
+  def folder(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/*.parquet")
+  }
+}

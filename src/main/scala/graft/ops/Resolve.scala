@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The resolution write-path (SURVEY.md §2.9). The reference mutates the
+  * search table in place (`df_search.at[idx, "sku"] = new_sku`,
+  * /root/reference/main.py:539) and appends kept/replaced rows to an Excel
+  * sink one at a time (main.py:521-553). The Spark idiom for point updates is
+  * a decisions table joined back:
+  *
+  *   decisions(row_id, action, new_val)   action in {confirm, skip, keep, replace}
+  *
+  * `replace` swaps the value (R1), `keep`/`replace` rows flow to the sink
+  * (R2), `confirm`/`skip` only advance. One join + one append write replaces
+  * the reference's per-row read-modify-append loop.
+  */
+object Resolve {
+
+  /** W2/P3 (main.py:584-592): stamp a deterministic 1-based row id. The
+    * reference relies on pandas' implicit positional index; Spark requires an
+    * explicit order. A global row_number is a single-partition sort at scale —
+    * fine for probe-sized tables (the search side), not for fact tables. */
+  def withRowId(df: DataFrame, orderCols: String*): DataFrame =
+    df.withColumn("row_id",
+      row_number().over(Window.orderBy(orderCols.map(col): _*)))
+
+  /** R1: apply decisions; rows without a decision default to `skip`. */
+  def applyDecisions(search: DataFrame, decisions: DataFrame, valueCol: String): DataFrame =
+    search.join(decisions, Seq("row_id"), "left")
+      .withColumn("resolved_val",
+        when(col("action") === "replace", col("new_val")).otherwise(col(valueCol)))
+      .withColumn("action", coalesce(col("action"), lit("skip")))
+      .drop("new_val")
+
+  /** R2: the subset that the sink receives. */
+  def sinkRows(resolved: DataFrame): DataFrame =
+    resolved.filter(col("action").isin("keep", "replace"))
+
+  /** S3/S4: one append write for the whole batch (vs per-row xlsx overlay
+    * appends in the reference, main.py:530-535). */
+  def writeSink(resolved: DataFrame, path: String): Unit =
+    sinkRows(resolved).write.mode("append").parquet(path)
+}

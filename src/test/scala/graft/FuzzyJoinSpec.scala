@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.FuzzyJoin
+
+/** Bucket truth table from the reference semantics
+  * (/root/reference/main.py:197-230) + full-vs-pruned equivalence. */
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8-char strings so cross-probe distances all exceed the threshold (3)
+  private val data = Seq(
+    (1L, "abcdefgh"),    // exact for probe1
+    (2L, "abcdefgx"),    // d=1 from abcdefgh
+    (3L, "abcdefxy"),    // d=2 from abcdefgh
+    (4L, "aaaabbbx"),    // d=1 from aaaabbbb
+    (5L, "aaaabbxx"),    // d=2 from aaaabbbb (tie with 6)
+    (6L, "aaaabbyy"),    // d=2 from aaaabbbb (tie with 5)
+    (7L, "kkkkmmmm"),    // exact-only probe's sole neighbor
+    (8L, "zzzzzzzzzzzzzzzz") // far from everything
+  ).toDF("data_id", "match_val")
+
+  private val search = Seq("abcdefgh", "aaaabbbb", "kkkkmmmm", "qqqqrrrr").toDF("search_val")
+
+  private def buckets(df: DataFrame): Map[(String, String), Set[Long]] =
+    df.select("search_val", "bucket", "data_id").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+  private lazy val full = buckets(FuzzyJoin.fuzzyMatch(search, data, 3))
+
+  test("exact bucket: d == 0") {
+    assert(full(("abcdefgh", "exact")) === Set(1L))
+    assert(full(("kkkkmmmm", "exact")) === Set(7L))
+  }
+
+  test("best bucket: min over (0, T], exact does not reset it") {
+    assert(full(("abcdefgh", "best")) === Set(2L)) // d=1, despite exact d=0 present
+  }
+
+  test("best keeps ALL ties at the min") {
+    assert(full(("aaaabbbb", "best")) === Set(4L))
+    assert(full(("aaaabbbb", "potential")) === Set(5L, 6L)) // tied d=2, not best
+  }
+
+  test("potential = (0,T] minus best") {
+    assert(full(("abcdefgh", "potential")) === Set(3L))
+  }
+
+  test("poor_best fallback: only when nothing in (0,T]; keeps global-min ties") {
+    // qqqqrrrr: nothing within 3; all global-min ties are kept (every 8-char
+    // candidate is at d=8)
+    val pb = full(("qqqqrrrr", "poor_best"))
+    assert(pb === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(!full.contains(("qqqqrrrr", "best")))
+    assert(!full.contains(("qqqqrrrr", "potential")))
+  }
+
+  test("a probe with ONLY an exact match duplicates it into poor_best (main.py:218-228)") {
+    // kkkkmmmm: d=0 exists but no 0<d<=3, so fallback scans all incl. d=0
+    assert(full(("kkkkmmmm", "poor_best")) === Set(7L))
+    assert(full(("kkkkmmmm", "exact")) === Set(7L))
+  }
+
+  test("pruned variant is row-identical to the full scan") {
+    val f = FuzzyJoin.fuzzyMatch(search, data, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    val p = FuzzyJoin.fuzzyMatchPruned(search, data, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    assert(f.exceptAll(p).isEmpty && p.exceptAll(f).isEmpty)
+  }
+
+  test("duplicate probe rows are scored per-row like the reference loop") {
+    val dupSearch = Seq("abcdefgh", "abcdefgh").toDF("search_val")
+    val out = FuzzyJoin.fuzzyMatch(dupSearch, data, 3)
+    val exact = out.filter($"bucket" === "exact").count()
+    assert(exact === 2) // one output row per probe row
+  }
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and hash-compare (columns sorted by name,
+rows sorted, values stringified with float rounding guard).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, hashlib
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    def cell(v):
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+    return h.hexdigest(), len(df)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+        if name not in oracle:
+            print(f"{name:28s} rows={len(got):7d}  (no oracle: rows-only check)"
+                  + ("  EMPTY!" if len(got) == 0 else ""))
+            continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{name:28s} ORACLE SQL ERROR: {e}")
+            failures += 1
+            continue
+        gh, gn = canon(got)
+        wh, wn = canon(want)
+        ok = gh == wh
+        if not ok:
+            failures += 1
+        print(f"{name:28s} rows={gn:7d} oracle_rows={wn:7d} "
+              f"schema={'OK' if sorted(got.columns)==sorted(want.columns) else 'MISMATCH'} "
+              f"hash={'OK' if ok else 'MISMATCH'}")
+        if not ok and sorted(got.columns) == sorted(want.columns) and gn == wn:
+            g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+            w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
+            for i in range(min(len(g), 200000)):
+                if tuple(map(str, g.iloc[i])) != tuple(map(str, w.iloc[i])):
+                    print(f"   first diff at sorted row {i}:")
+                    print(f"   got : {list(g.iloc[i])}")
+                    print(f"   want: {list(w.iloc[i])}")
+                    break
+    print("FAILURES:", failures)
+    return failures
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
