@@ -1,0 +1,396 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ext.{Dedup, Events, SimSearch, TextAnalysis}
+import graft.ops.Ingest
+
+/** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
+  * similarity search, text analysis, event analysis, multimodal plumbing.
+  * Same oracle conventions as SparkEntry (exact integer/decimal arithmetic,
+  * portable md5 hashing, round(6) on genuinely-floating values, total ORDER
+  * BY).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.table(s, dir, name)
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup family ----
+
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_dups"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
+
+    "q21_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "q22_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardBlocked(docs(s, dir), "doc_id", "text", "source", minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "q24_embed_neardup" -> ((s, dir) =>
+      SimSearch.nearDupPairs(corpus(s, dir), minCos = 0.45)
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- similarity search ----
+
+    "q30_knn_brute" -> ((s, dir) =>
+      SimSearch.knnBrute(probes(s, dir), corpus(s, dir), k = 5)
+        .orderBy("probe_id", "rnk")),
+
+    "q31_knn_ivf" -> ((s, dir) =>
+      SimSearch.knnIvf(probes(s, dir), corpus(s, dir), "label", k = 5)
+        .orderBy("probe_id", "rnk")),
+
+    // ---- text analysis ----
+
+    "q40_lang_id" -> ((s, dir) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val d = docs(s, dir).withColumn("toks", tk)
+      val scored = Seq("en", "es", "fr", "de", "zh").foldLeft(d) { (df, lang) =>
+        df.withColumn(s"s_$lang", TextAnalysis.stopwordHits(col("toks"), lang))
+      }
+      scored.withColumn("pred_lang", TextAnalysis.predictLang(
+        col("s_en"), col("s_es"), col("s_fr"), col("s_de"), col("s_zh")))
+        .select("doc_id", "lang", "pred_lang", "s_en", "s_es", "s_fr", "s_de", "s_zh")
+        .orderBy("doc_id")
+    }),
+
+    "q41_quality_score" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("sum_len", TextAnalysis.sumTokenLengths(col("toks")))
+        .withColumn("alpha", TextAnalysis.alphaChars(col("text")))
+        .withColumn("stop_en", TextAnalysis.stopwordHits(col("toks"), "en"))
+      d.withColumn("avg_tok_len",
+        when(col("n_tok") > 0, col("sum_len").cast("double") / col("n_tok")).otherwise(0.0))
+        .withColumn("alpha_ratio",
+          when(length(col("text")) > 0,
+            col("alpha").cast("double") / length(col("text"))).otherwise(0.0))
+        .withColumn("stop_ratio",
+          when(col("n_tok") > 0, col("stop_en").cast("double") / col("n_tok")).otherwise(0.0))
+        .withColumn("quality", round(
+          least(lit(1.0), col("n_tok").cast("double") / 100.0) * 0.25
+            + col("alpha_ratio") * 0.25
+            + least(lit(1.0), col("avg_tok_len") / 8.0) * 0.25
+            + least(lit(1.0), col("stop_ratio") * 5.0) * 0.25, 6))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("avg_tok_len"), 6).as("avg_tok_len"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q42_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("ws_tokens", size(TextAnalysis.tokens(col("text"))))
+        .withColumn("bpeish_tokens", TextAnalysis.bpeishCount(col("text")))
+        .select("doc_id", "ws_tokens", "bpeish_tokens")
+        .orderBy("doc_id")),
+
+    "q43_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("keep_id")),
+
+    "q44_word_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("word"))
+        .limit(20)),
+
+    // ---- event analysis ----
+
+    "q51_sessionize" -> ((s, dir) =>
+      Events.sessionStats(Ingest.eventsWithTs(s, dir))
+        .orderBy("user_id")),
+
+    // ---- multimodal plumbing (expression-level stub features; the batched
+    //      mapPartitions decoder is exercised in MultimodalSpec) ----
+
+    "q60_multimodal_features" -> ((s, dir) =>
+      docs(s, dir).join(emb(s, dir), col("doc_id") === col("vec_id"))
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("byte_len"),
+          ascii(substring(col("text"), 1, 1)).as("head_byte"),
+          (col("n_chars") * lit(2654435761L) % lit(2147483647L)).as("checksum"),
+          size(col("embedding")).as("dim"), col("label"))
+        .orderBy("doc_id")),
+  )
+
+  // ------------------------------------------------------------------
+  // Oracle SQL
+  // ------------------------------------------------------------------
+
+  private val toksSql =
+    "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** shared CTE: distinct 3-token shingles per doc */
+  private val shinglesCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(t)-1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  private def stopList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hits(lang: String): String =
+    s"len(list_filter(t, x -> list_contains(${stopList(lang)}, x)))"
+
+  private val coefValues = Dedup.minhashCoeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+
+  /** DuckDB cosine with explicit DOUBLE[] casts: the float kernel sums in
+    * float, but Spark's aggregate HOF folds in double — DOUBLE[] makes the
+    * engines bit-identical (verified empirically). */
+  private val cosSql =
+    """(list_inner_product(CAST(pe AS DOUBLE[]), CAST(e AS DOUBLE[]))
+      | / (sqrt(list_inner_product(CAST(pe AS DOUBLE[]), CAST(pe AS DOUBLE[])))
+      |    * sqrt(list_inner_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q21_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, sh,
+         |         ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm
+         |  FROM sh),
+         |coef(i, a, b) AS (VALUES $coefValues),
+         |sigs AS (
+         |  SELECT doc_id, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
+         |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, c.i),
+         |bandkeys AS (
+         |  SELECT doc_id, i % ${Dedup.bands} AS band,
+         |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
+         |  FROM sigs GROUP BY doc_id, i % ${Dedup.bands}),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+         |       round(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 6) AS jaccard
+         |FROM pairs p
+         |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sizes za ON za.doc_id = p.doc_a
+         |JOIN sizes zb ON zb.doc_id = p.doc_b
+         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q22_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS w
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+         |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
+         |votes AS (
+         |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+         |  GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q24_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_inner_product(a.emb, b.emb)
+        |         / (sqrt(list_inner_product(a.emb, a.emb))
+        |            * sqrt(list_inner_product(b.emb, b.emb))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+        |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q30_knn_brute" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT pr.probe_id, e.vec_id, $cosSql AS cos
+         |  FROM probes pr CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) e),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q31_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT label AS cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+         |      SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS pos
+         |      FROM embeddings)
+         |    GROUP BY label, pos) GROUP BY cell),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |assigned AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT pr.probe_id, pr.pe, c.cell,
+         |           row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+         |             (list_inner_product(CAST(pr.pe AS DOUBLE[]), c.centroid)
+         |              / (sqrt(list_inner_product(CAST(pr.pe AS DOUBLE[]), CAST(pr.pe AS DOUBLE[])))
+         |                 * sqrt(list_inner_product(c.centroid, c.centroid)))) DESC, c.cell) AS crnk
+         |    FROM probes pr CROSS JOIN cents c) WHERE crnk = 1),
+         |scored AS (
+         |  SELECT a.probe_id, a.cell, e.vec_id,
+         |         (list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |          / (sqrt(list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(a.pe AS DOUBLE[])))
+         |             * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))) AS cos
+         |  FROM assigned a JOIN embeddings e ON e.label = a.cell),
+         |ranked AS (
+         |  SELECT probe_id, cell, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, cell, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q40_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         ${hits("en")} AS s_en, ${hits("es")} AS s_es, ${hits("fr")} AS s_fr,
+         |         ${hits("de")} AS s_de, ${hits("zh")} AS s_zh
+         |  FROM toks)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_de >= s_zh THEN 'de'
+         |       ELSE 'zh' END AS pred_lang,
+         |  s_en, s_es, s_fr, s_de, s_zh
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q41_quality_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $toksSql AS t FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         len(t) AS n_tok,
+         |         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+         |         length(text) AS n_chars_txt,
+         |         ${hits("en")} AS stop_en
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, n_tok,
+         |    CASE WHEN n_tok > 0 THEN CAST(sum_len AS DOUBLE) / n_tok ELSE 0.0 END AS avg_tok_len,
+         |    CASE WHEN n_chars_txt > 0 THEN CAST(alpha AS DOUBLE) / n_chars_txt ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN n_tok > 0 THEN CAST(stop_en AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio
+         |  FROM m)
+         |SELECT doc_id, n_tok,
+         |  round(avg_tok_len, 6) AS avg_tok_len,
+         |  round(alpha_ratio, 6) AS alpha_ratio,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(least(1.0, n_tok / 100.0) * 0.25 + alpha_ratio * 0.25
+         |        + least(1.0, avg_tok_len / 8.0) * 0.25
+         |        + least(1.0, stop_ratio * 5.0) * 0.25, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q42_token_count" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+         |       min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "q44_word_freq" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+        |         WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flags),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         max(ts_ms) - min(ts_ms) AS dur_ms
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, max(session_id) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       max(dur_ms) AS longest_ms
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q60_multimodal_features" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  ascii(substring(text, 1, 1)) AS head_byte,
+        |  (n_chars * 2654435761) % 2147483647 AS checksum,
+        |  len(embedding) AS dim, label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

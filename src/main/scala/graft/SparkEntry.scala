@@ -44,8 +44,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     classified(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (reference
+    * surface here; extension operators in [[ExtQueries]]). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ExtQueries.queries ++ Map(
 
     // J1-J4 + A1-A5: the reference's fuzzy similarity join, full scan.
     "q01_fuzzy_classify" -> ((s, dir) =>
@@ -184,7 +185,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = ExtQueries.oracleSql ++ {
     val norm = (e: String) => Normalize.normSql(e)
     val fuzzyClassifySql =
       s"""WITH search AS (SELECT DISTINCT p_name AS search_val FROM part),

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines:
+  *
+  *   - exact:       hash-groupBy on the dedup key (one shuffle, partial aggs)
+  *   - MinHash+LSH: shingle -> minhash signature -> banded bucket join ->
+  *                  exact-Jaccard verification of candidates only
+  *   - SimHash:     64-bit-ish (60-bit) weighted bit-vote signature
+  *   - n-gram Jaccard: exact set similarity via shingle equi-join (blocked)
+  *
+  * Scale shape: every pairwise step is an EQUI-join (band bucket, shingle,
+  * block key) — never a cross join — so Catalyst plans shuffled hash /
+  * sort-merge joins that scale horizontally. The signature computations are
+  * map-side (groupBy with partial aggregation on the doc key).
+  *
+  * All hashes are the portable md5-based [[TextAnalysis.h60]] so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) + multiplicity per key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  // ---- MinHash + LSH ----
+
+  /** 2^31 - 1; all minhash arithmetic stays below 2^62 (no overflow). */
+  val P: Long = 2147483647L
+
+  /** 16 fixed (a, b) hash coefficients — 4 bands x 4 rows. Chosen odd, < P.
+    * Single source of truth: the oracle SQL is generated from these. */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1234567891L, 987654321L),
+    (1664525L, 1013904223L), (22695477L, 1L),
+    (134775813L, 1L), (214013L, 2531011L),
+    (69069L, 362437L), (1812433253L, 1L),
+    (48271L, 11L), (16807L, 7L),
+    (1103515489L, 104729L), (999999937L, 65537L),
+    (735632791L, 524287L), (65537L, 8191L),
+    (92717L, 127L), (741103597L, 887L))
+
+  val bands = 4
+  val rowsPerBand = 4
+
+  /** (doc_id, sh): distinct k-token shingles per document. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
+      .distinct()
+
+  /** (doc_id, i, sig): minhash signature rows. One explode by the coefficient
+    * table, then a partial-aggregated min per (doc, i). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val coeffs = array(minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    sh.withColumn("hm", TextAnalysis.h60(col("sh")) % P)
+      .withColumn("c", explode(coeffs))
+      .groupBy(col("doc_id"), col("c.i").as("i"))
+      .agg(min((col("c.a") * col("hm") + col("c.b")) % P).as("sig"))
+  }
+
+  /** (doc_id, band, band_key): md5 over the band's sigs in row order. */
+  def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.withColumn("band", col("i") % bands)
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig").cast("string")), ",")).as("band_key"))
+
+  /** Candidate pairs: same band bucket, doc_a < doc_b, distinct. */
+  def candidatePairs(bandKeyDf: DataFrame): DataFrame = {
+    val a = bandKeyDf.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bandKeyDf.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets, computed ONLY for the given pairs via
+    * shingle equi-joins (never materializes the cross product). */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidate pairs with verified
+    * Jaccard >= minJaccard. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingled(docs, idCol, textCol)
+    val pairs = candidatePairs(bandKeys(minhashSignatures(sh)))
+    verifyJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 60-bit simhash: per bit, a weighted vote over token occurrences (weight
+    * = term frequency); bit set iff the vote is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", TextAnalysis.h60(col("tok")))
+    tf.withColumn("i", explode(sequence(lit(0), lit(59))))
+      // shiftright/shiftleft with a *column* bit count only exist at the
+      // expression layer (the Scala functions API takes literal Ints)
+      .withColumn("vote",
+        col("w") * (expr("shiftright(h, cast(i as int))").bitwiseAND(lit(1L)) * 2 - 1))
+      .groupBy("doc_id", "i").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(i as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  // ---- blocked exact n-gram Jaccard ----
+
+  /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.
+    * source); the pair generation itself goes through the shingle equi-join,
+    * so only pairs with at least one common shingle are scored. */
+  def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("blk"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("blk"), col("sh")), Seq("blk", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

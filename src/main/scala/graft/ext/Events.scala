@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analysis over the `events` table (batch shape; the streaming
+  * twins live in graft.streaming.StreamOps).
+  *
+  * All timestamp arithmetic uses `ts_ms` (epoch millis, integer-truncated
+  * from the source's nanosecond column) so the DuckDB oracle — which reads
+  * the nanos directly and truncates with epoch_ms() — lands on identical
+  * integers.
+  */
+object Events {
+
+  val sessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapMs`. Classic two-window shape: the boundary
+    * flag via lag, the session id via a running sum. Shuffles once by
+    * user_id; within-user data is sorted once and reused by both windows. */
+  def sessionize(events: DataFrame, gapMs: Long = sessionGapMs): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > gapMs, 1)
+          .when(lag("ts_ms", 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats: session count, events, longest session. */
+  def sessionStats(events: DataFrame, gapMs: Long = sessionGapMs): DataFrame =
+    sessionize(events, gapMs)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_ms") - min("ts_ms")).as("dur_ms"))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("dur_ms").as("longest_ms"))
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads as opaque BINARY columns with
+  * typed metadata, and batched per-partition feature extraction.
+  *
+  * STUB NOTICE: no image/audio codecs exist in this container, so
+  * [[decodeStub]] is a clearly-marked deterministic fake over the raw bytes.
+  * Everything around it — the binary column plumbing, the typed schema, the
+  * batched mapPartitions shape (decoder state initialized once per
+  * partition, not per row, exactly where a JNI codec handle would go) — is
+  * real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, byte_len: Int, head_byte: Int,
+                           checksum: Long, width: Int, height: Int)
+
+  /** Attach a binary payload column. In production this is the image/audio
+    * bytes column of the source table; the harness synthesizes it from text
+    * (UTF-8 bytes) since the test tables carry no real media. */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** STUB decode: deterministic fake "media header parse" over the bytes.
+    * A real implementation replaces the body with a codec call; the
+    * signature and the partition-batched driver below stay. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Long, Int, Int) = {
+    val len = payload.length
+    val head = if (len > 0) payload(0) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum = (sum * 131 + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+    val width = (len % 640) + 1
+    val height = (head % 480) + 1
+    (len, head, sum, width, height)
+  }
+
+  /** Batched feature extraction: one "decoder" per partition (where codec
+    * init/native handles would live), rows streamed through it. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (JNI handle, model, ...)
+      rows.map { r =>
+        val (len, head, sum, w, h) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, len, head, sum, w, h)
+      }
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  *   - cosine/dot via `zip_with`+`aggregate` higher-order functions: codegen,
+  *     no UDF, no serialization round-trip;
+  *   - brute-force top-k: broadcast probes x streamed corpus, two-phase
+  *     top-k (per-partition heap, then exact final rank) so no full sort and
+  *     no single-partition bottleneck at scale;
+  *   - IVF-style partitioned search: centroid per coarse cell (here: the
+  *     `label` column; at 100 TB, a k-means assignment produced upstream),
+  *     probes search only their nearest cell — the scan shrinks by the cell
+  *     count while recall depends on cell quality.
+  */
+object SimSearch {
+
+  /** Sum over zipped products in DOUBLE (floats upcast per element — the
+    * DuckDB oracle does the same, so values agree to float-rounding, guarded
+    * by round()). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  case class Scored(probe_id: Long, vec_id: Long, cos: Double)
+
+  /** Brute-force cosine top-k per probe.
+    *
+    * Phase 1 (distributed): score all pairs (broadcast nested-loop: probes
+    * broadcast, corpus streamed — no shuffle), keep a per-partition top-k per
+    * probe with a local fold. Phase 2 (tiny): exact rank over the <=
+    * k x partitions survivors. Identical result to a global window rank with
+    * tiebreak (cos desc, vec_id asc), but the full scored set is never
+    * shuffled or sorted.
+    */
+  def knnBrute(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val scored = corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("p_embedding"), col("embedding")).as("cos"))
+      .as[Scored]
+
+    val partial: Dataset[Scored] = scored.mapPartitions { it =>
+      val best = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[Scored]]
+      // min-heap per probe: worst survivor on top (order: lower cos first,
+      // then higher vec_id first, so the heap evicts exactly the element the
+      // final (cos desc, vec_id asc) rank would drop)
+      val ord = Ordering.by[Scored, (Double, Long)](s => (-s.cos, s.vec_id))
+      it.foreach { s =>
+        val q = best.getOrElseUpdate(s.probe_id,
+          scala.collection.mutable.PriorityQueue.empty[Scored](ord))
+        if (q.size < k) q.enqueue(s)
+        else if (ord.lt(s, q.head)) { q.dequeue(); q.enqueue(s) }
+      }
+      best.valuesIterator.flatMap(_.iterator)
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    partial.toDF()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Per-cell centroids: element-wise mean, rounded to 6 dp so engine
+    * summation-order drift cannot leak into downstream comparisons. */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => round(x.getField("m"), 6)).as("centroid"))
+
+  /** IVF search: assign each probe to its nearest centroid (cos desc, cell
+    * asc tiebreak), then brute-force ONLY within that cell. */
+  def knnIvf(probes: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val cents = centroids(corpus, cellCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("ccos"), col("cell"))
+    val assigned = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("p_embedding"), col("centroid")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("probe_id"), col("p_embedding"), col("cell"))
+
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    corpus.withColumnRenamed(cellCol, "cell")
+      .join(broadcast(assigned), "cell")
+      .withColumn("cos", cosine(col("p_embedding"), col("embedding")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("cell"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** All pairs with cosine >= minCos (near-dup detection over embeddings).
+    * Pairwise here (fine to ~10^4 vectors); the 100 TB path blocks by an
+    * LSH/IVF cell first so the join is an equi-join on the cell key. */
+  def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+}

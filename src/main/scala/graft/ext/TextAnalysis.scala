@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * portable hashing, language-ID heuristic, quality scoring, fingerprints.
+  *
+  * Everything here is built-in Catalyst expressions / higher-order functions
+  * (whole-stage codegen, no UDFs) and every function has an exact DuckDB SQL
+  * equivalent so the oracle can hash-match — including the hash function,
+  * which is md5-based rather than Spark's xxhash64 precisely so both engines
+  * compute identical values.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (matches DuckDB
+    * `list_filter(string_split(text,' '), x -> length(x)>0)`). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** k-token shingles joined by single spaces; empty array when < k tokens
+    * (mirrors DuckDB `range(1, len-1)` emptiness). */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, base-16 -> long.
+    * DuckDB twin: CAST(CONCAT('0x', substring(md5(x),1,15)) AS BIGINT). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def h60Sql(e: String): String =
+    s"CAST(CONCAT('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "en"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** count of tokens that are stopwords of `lang` */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(stopwords(lang).map(lit): _*), t)))
+
+  /** argmax over language scores with a fixed precedence tiebreak
+    * (en > es > fr > de > zh), expressed as a CASE chain so DuckDB computes
+    * the identical decision. */
+  def predictLang(sEn: Column, sEs: Column, sFr: Column, sDe: Column, sZh: Column): Column =
+    when(sEn >= sEs && sEn >= sFr && sEn >= sDe && sEn >= sZh, "en")
+      .when(sEs >= sFr && sEs >= sDe && sEs >= sZh, "es")
+      .when(sFr >= sDe && sFr >= sZh, "fr")
+      .when(sDe >= sZh, "de")
+      .otherwise("zh")
+
+  // ---- quality scoring ----
+
+  /** sum of token lengths via the `aggregate` HOF (codegen, no UDF). */
+  def sumTokenLengths(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  /** alphabetic-character count of the lowercased text */
+  def alphaChars(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z]", ""))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, single other
+    * non-space chars. */
+  def bpeishCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct token
+    * set — robust to token order, catches shuffled near-copies. */
+  def fingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+}

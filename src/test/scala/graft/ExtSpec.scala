@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Events, Multimodal, SimSearch, TextAnalysis}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens drops empties; shingles need >= k tokens") {
+    val df = Seq("a b  c", "a b", "").toDF("text")
+      .select(TextAnalysis.tokens($"text").as("t"))
+      .withColumn("sh", TextAnalysis.shingles($"t", 3))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) === Seq("a", "b", "c"))
+    assert(rows(0).getSeq[String](1) === Seq("a b c"))
+    assert(rows(1).getSeq[String](1).isEmpty)
+    assert(rows(2).getSeq[String](0).isEmpty)
+  }
+
+  test("h60 is the md5-derived 60-bit value (portable across engines)") {
+    // first 15 hex chars of md5('abc') = 900150983cd24fb -> 648541476951500027
+    val v = Seq("abc").toDF("s").select(TextAnalysis.h60($"s")).head.getLong(0)
+    assert(v === 648541476951500027L)
+  }
+
+  test("lang prediction: argmax with fixed precedence tiebreak") {
+    val df = Seq("the cat sat on the mat", "el gato de la casa y el perro")
+      .toDF("text").withColumn("t", TextAnalysis.tokens($"text"))
+    val scored = df.select(
+      TextAnalysis.predictLang(
+        TextAnalysis.stopwordHits($"t", "en"), TextAnalysis.stopwordHits($"t", "es"),
+        TextAnalysis.stopwordHits($"t", "fr"), TextAnalysis.stopwordHits($"t", "de"),
+        TextAnalysis.stopwordHits($"t", "zh")).as("pred"))
+    assert(scored.collect().map(_.getString(0)).toSeq === Seq("en", "es"))
+  }
+
+  test("fingerprint is order-insensitive over the token bag") {
+    val df = Seq("b a c", "c b a", "a b d").toDF("text")
+      .select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nearDups = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // 1-token diff
+    (3L, "completely different words about spark query engines and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: representative min id + multiplicity") {
+    val out = Dedup.exact(nearDups, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(nearDups, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup -> jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical signatures; near dups are close") {
+    val sig = Dedup.simhash(nearDups, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(1L) === sig(4L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+  }
+}
+
+class SimSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.1f, 0.9f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  private val probes = corpus.filter($"vec_id" === 0L)
+    .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
+
+  test("cosine HOF computes the expected value") {
+    val c = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(SimSearch.cosine($"a", $"b")).head.getDouble(0)
+    assert(math.abs(c) < 1e-12)
+  }
+
+  test("knnBrute: correct order, self first") {
+    val out = SimSearch.knnBrute(probes, corpus, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(2)).toSeq
+    assert(out === Seq(0L, 1L, 3L)) // self, near, then the closer of the y-axis pair
+  }
+
+  test("knnBrute two-phase equals a global window rank") {
+    val full = corpus.crossJoin(broadcast(probes))
+      .select($"probe_id", $"vec_id",
+        SimSearch.cosine($"p_embedding", $"embedding").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), $"vec_id")
+    val expected = full.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"probe_id", $"rnk", $"vec_id").collect().toSet
+    val got = SimSearch.knnBrute(probes, corpus, k = 3)
+      .select($"probe_id", $"rnk", $"vec_id").collect().toSet
+    assert(got === expected)
+  }
+
+  test("knnIvf searches only the probe's cell") {
+    val out = SimSearch.knnIvf(probes, corpus, "label", k = 3).collect()
+    assert(out.forall(_.getInt(1) === 0)) // probe 0's cell is label 0
+    assert(out.map(_.getLong(3)).toSet === Set(0L, 1L)) // only cell-0 vectors
+  }
+}
+
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gap sessionization: 30-min gap starts a new session") {
+    val min = 60000L
+    val ev = Seq(
+      (1L, 100L, 0L * min), (2L, 100L, 10L * min), (3L, 100L, 50L * min),
+      (4L, 200L, 0L * min)
+    ).toDF("event_id", "user_id", "ts_ms")
+    val stats = Events.sessionStats(ev).orderBy("user_id").collect()
+    assert(stats(0).getLong(1) === 2L) // user 100: sessions {0,10} and {50}
+    assert(stats(0).getLong(2) === 3L)
+    assert(stats(0).getLong(3) === 10L * min) // longest = first session
+    assert(stats(1).getLong(1) === 1L)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decodeStub is deterministic and total") {
+    val a = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    val b = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    assert(a === b)
+    assert(Multimodal.decodeStub(Array.emptyByteArray)._1 === 0)
+  }
+
+  test("batched mapPartitions feature extraction plumbs binary -> typed rows") {
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(out(0).byte_len === 5 && out(0).head_byte === 'h'.toInt)
+    assert(out(1).byte_len === 0 && out(1).head_byte === 0)
+  }
+}

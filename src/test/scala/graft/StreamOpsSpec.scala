@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming hourly counts over a MemoryStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.toMemorySink(
+      StreamOps.hourlyCounts(events), "hourly_test", OutputMode.Update())
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Timestamp]("hour_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(out(0).getAs[Long]("n_events") === 2L)
+      assert(out(1).getAs[String]("event_type") === "view")
+    } finally q.stop()
+  }
+
+  test("stateful session counting via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.toMemorySink(
+      StreamOps.sessionCounts(in.toDS()).toDF(), "sessions_test", OutputMode.Update())
+    try {
+      val min = 60000L
+      in.addData(StreamOps.Ev(7L, 0L), StreamOps.Ev(7L, 10 * min))
+      q.processAllAvailable()
+      in.addData(StreamOps.Ev(7L, 50 * min)) // > 30 min gap -> second session
+      q.processAllAvailable()
+      val out = spark.table("sessions_test")
+        .groupBy("user_id").max("n_sessions").collect()
+      assert(out.head.getLong(1) === 2L)
+    } finally q.stop()
+  }
+}
