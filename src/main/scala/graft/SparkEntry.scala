@@ -81,14 +81,20 @@ object SparkEntry {
         .orderBy("src", "entity_id")
     }),
 
-    // R1-R3: decisions join + coalesce update + sink filter.
+    // R1-R3: decisions join + coalesce update + sink filter. The decision
+    // ("replace with the lowest-data_id best match") is a single argmin
+    // aggregate over the scored pairs — min_by with a (distance, data_id)
+    // struct key — rather than the full classify+window pipeline: one
+    // groupBy, no second scoring pass, no rank exchange. Same rows as
+    // filtering bucket='best' and taking rn=1 (the oracle still does that).
     "q05_resolve" -> ((s, dir) => {
       val search = Resolve.withRowId(probes(s, dir), "search_val")
-      val best = classified(s, dir).filter(col("bucket") === "best")
-      val w = Window.partitionBy("search_val").orderBy("data_id")
-      val decisions = best
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("search_val"), lit("replace").as("action"), col("match_val").as("new_val"))
+      val d = col("distance")
+      val decisions = FuzzyJoin.score(probes(s, dir), candidates(s, dir))
+        .filter(d > 0 && d <= T)
+        .groupBy("search_val")
+        .agg(min_by(col("match_val"), struct(d, col("data_id"))).as("new_val"))
+        .withColumn("action", lit("replace"))
       val joined = search.join(decisions, Seq("search_val"), "left")
         .withColumn("action", coalesce(col("action"), lit("keep")))
       Resolve.sinkRows(

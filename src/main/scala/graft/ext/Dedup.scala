@@ -46,31 +46,40 @@ object Dedup {
   val bands = 4
   val rowsPerBand = 4
 
-  /** (doc_id, sh): distinct k-token shingles per document. */
+  /** (doc_id, sh): distinct k-token shingles per document. Dedup happens
+    * per-row INSIDE the shingle kernel ([[graft.functions.TextKernels]]) —
+    * shingle sets live inside their document row, so a cross-partition
+    * `distinct()` (full shuffle of every shingle) would buy nothing, and the
+    * fused codegen expression beats the interpreted HOF chain ~50x. */
   def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k)).as("sh"))
-      .distinct()
+      explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("sh"))
 
-  /** (doc_id, i, sig): minhash signature rows. One explode by the coefficient
-    * table, then a partial-aggregated min per (doc, i). */
+  /** Wide minhash signatures: (doc_id, sig_0 .. sig_15). All 16 permutation
+    * minima are computed as parallel `min` aggregates in ONE groupBy(doc_id)
+    * — map-side partial aggregation shrinks each task to |docs| rows before
+    * the only shuffle. (An earlier shape exploded a 16-row coefficient table
+    * per shingle and shuffled (doc, i) pairs — 16x the shuffle volume.) */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val coeffs = array(minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
-    }: _*)
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hm") + lit(b)) % P).as(s"sig_$i")
+    }
     sh.withColumn("hm", TextAnalysis.h60(col("sh")) % P)
-      .withColumn("c", explode(coeffs))
-      .groupBy(col("doc_id"), col("c.i").as("i"))
-      .agg(min((col("c.a") * col("hm") + col("c.b")) % P).as("sig"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band, band_key): md5 over the band's sigs in row order. */
-  def bandKeys(sigs: DataFrame): DataFrame =
-    sigs.withColumn("band", col("i") % bands)
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
-          x => x.getField("sig").cast("string")), ",")).as("band_key"))
+  /** (doc_id, band, band_key): md5 over the band's sigs in signature-index
+    * order. Band j holds signatures {j, j+bands, j+2·bands, ...} (i % bands
+    * == j), matching the oracle's GROUP BY i % bands with ORDER BY i. */
+  def bandKeys(sigsWide: DataFrame): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"sig_${j + bands * r}").cast("string"))
+      struct(lit(j).as("band"), md5(concat_ws(",", sigCols: _*)).as("band_key"))
+    }
+    sigsWide.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+  }
 
   /** Candidate pairs: same band bucket, doc_a < doc_b, distinct. */
   def candidatePairs(bandKeyDf: DataFrame): DataFrame = {
@@ -135,8 +144,7 @@ object Dedup {
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, minJaccard: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))).as("sh"))
-      .distinct()
+      explode(graft.functions.TextExprs.distinctShingles(col(textCol), 3)).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("blk"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("blk"), col("sh")), Seq("blk", "sh"))

@@ -44,9 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Cross-score every (probe, candidate) pair. Probe side is broadcast. */
+  /** Cross-score every (probe, candidate) pair. Probe side is broadcast; the
+    * data side is spread to full parallelism first (a small single-split scan
+    * would otherwise pin the whole O(n·m) Levenshtein scoring to one core —
+    * no-op on inputs that already have enough splits). */
   def score(search: DataFrame, data: DataFrame): DataFrame =
-    data.crossJoin(broadcast(search))
+    Partitioning.spread(data).crossJoin(broadcast(search))
       .withColumn("distance", Distance.dist(col("search_val"), col("match_val")))
 
   /** Classify scored pairs into buckets (possibly >1 per row, see above). */
@@ -90,7 +93,7 @@ object FuzzyJoin {
       .withColumn("m_len", explode(sequence(
         greatest(length(col("s_norm")) - threshold, lit(0)),
         length(col("s_norm")) + threshold)))
-    val dataN = data
+    val dataN = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
 

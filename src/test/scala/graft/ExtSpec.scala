@@ -42,6 +42,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("DistinctWordShingles kernel == HOF composition (incl. edge cases)") {
+    val texts = Seq(
+      "a b c d e", "a b  c", "a b", "", "x", "  ", "a a a a",
+      "the cat the cat the cat", "one two three one two three",
+      "tab\tis one token here", "trailing space ")
+    val df = texts.toDF("text")
+    val viaHof = df.select(col("text"), array_distinct(
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+    val viaKernel = df.select(col("text"),
+      graft.functions.TextExprs.distinctShingles(col("text"), 3).as("sh"))
+    assert(viaHof.collect().toSeq.map(r => (r.getString(0), r.getSeq[String](1))) ===
+      viaKernel.collect().toSeq.map(r => (r.getString(0), r.getSeq[String](1))))
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -91,10 +105,31 @@ class SimSearchSpec extends SparkTestBase {
   private val probes = corpus.filter($"vec_id" === 0L)
     .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
 
-  test("cosine HOF computes the expected value") {
+  test("cosine expression computes the expected value") {
     val c = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
       .select(SimSearch.cosine($"a", $"b")).head.getDouble(0)
     assert(math.abs(c) < 1e-12)
+  }
+
+  test("fused vector expressions == HOF formulation, bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pairs = df.crossJoin(df.select($"id".as("id2"), $"v".as("v2")))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = pairs.select(
+      SimSearch.dot($"v", $"v2").as("d1"), hofDot($"v", $"v2").as("d2"),
+      SimSearch.cosine($"v", $"v2").as("c1"),
+      (hofDot($"v", $"v2") / (sqrt(hofDot($"v", $"v")) * sqrt(hofDot($"v2", $"v2")))).as("c2"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
   }
 
   test("knnBrute: correct order, self first") {
