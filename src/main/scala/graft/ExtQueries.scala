@@ -53,6 +53,10 @@ object ExtQueries {
       SimSearch.nearDupPairs(corpus(s, dir), minCos = 0.45)
         .orderBy("vec_a", "vec_b")),
 
+    "q25_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // ---- similarity search ----
 
     "q30_knn_brute" -> ((s, dir) =>
@@ -61,6 +65,10 @@ object ExtQueries {
 
     "q31_knn_ivf" -> ((s, dir) =>
       SimSearch.knnIvf(probes(s, dir), corpus(s, dir), "label", k = 5)
+        .orderBy("probe_id", "rnk")),
+
+    "q32_knn_lsh" -> ((s, dir) =>
+      SimSearch.knnLsh(probes(s, dir), corpus(s, dir), k = 5)
         .orderBy("probe_id", "rnk")),
 
     // ---- text analysis ----
@@ -168,6 +176,31 @@ object ExtQueries {
   private val coefValues = Dedup.minhashCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
 
+  /** shared CTE chain ending in sigs(doc_id, simhash) — the q22 signature */
+  private val simhashCtes =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS w
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+       |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
+       |votes AS (
+       |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+       |  GROUP BY doc_id, i),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** LSH hyperplane literals (dim 64, 8 planes) rendered from the same
+    * constants the Spark side uses — see [[SimSearch.lshPlanes]]. */
+  private val lshBucketSql: String => String = { emb =>
+    SimSearch.lshPlanes(8, 64).zipWithIndex.map { case (cs, p) =>
+      val lst = cs.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST($emb AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** DuckDB cosine with explicit DOUBLE[] casts: the float kernel sums in
     * float, but Spark's aggregate HOF folds in double — DOUBLE[] makes the
     * engines bit-identical (verified empirically). */
@@ -216,18 +249,22 @@ object ExtQueries {
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q22_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tf AS (
-         |  SELECT doc_id, tok, count(*) AS w
-         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
-         |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
-         |votes AS (
-         |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
-         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
-         |  GROUP BY doc_id, i)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "q25_simhash_neardup" ->
+      s"""WITH $simhashCtes,
+         |bands AS (
+         |  SELECT doc_id, simhash, j, (simhash >> CAST(15 * j AS INT)) & 32767 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q23_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
@@ -302,6 +339,26 @@ object ExtQueries {
          |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
          |  FROM scored)
          |SELECT probe_id, cell, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q32_knn_lsh" ->
+      s"""WITH sigc AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(${lshBucketSql("embedding")} AS INT) AS bucket
+         |  FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, bucket FROM sigc WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT pr.probe_id, pr.bucket, e.vec_id,
+         |         (list_inner_product(CAST(pr.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |          / (sqrt(list_inner_product(CAST(pr.pe AS DOUBLE[]), CAST(pr.pe AS DOUBLE[])))
+         |             * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))) AS cos
+         |  FROM probes pr JOIN sigc e USING (bucket)),
+         |ranked AS (
+         |  SELECT probe_id, bucket, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, bucket, rnk, vec_id, round(cos, 6) AS cosine
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     "q40_lang_id" ->

@@ -136,6 +136,36 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Near-dup pairs by simhash hamming distance, found WITHOUT a cross
+    * join: the 60-bit signature splits into `maxHamming + 1` bands
+    * (pigeonhole: hamming <= maxHamming forces at least one identical
+    * band), candidates come from a band equi-join, and the exact
+    * `bit_count(xor)` check runs only on candidates. Standard Manku/Jain/
+    * Sarma near-duplicate detection shape; every join is an equi-join, so
+    * the plan scales horizontally. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandW = 60 / nBands
+    val mask = (1L << bandW) - 1
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * bandW).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.band_val"))
+    val cand = banded
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        col("band"), col("band_val")), Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   // ---- blocked exact n-gram Jaccard ----
 
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.

@@ -104,6 +104,46 @@ object SimSearch {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Hyperplane coefficients for [[knnLsh]], derived from the portable
+    * md5 hash so the DuckDB oracle regenerates the identical planes:
+    * c(p, i) = (h60("hp<p>_<i>") % 2001 - 1000) / 1000  in [-1, 1]. */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map(p => Array.tabulate(dim)(i =>
+      (TextAnalysis.h60Local(s"hp${p}_$i") % 2001 - 1000) / 1000.0))
+
+  /** Sign-bit bucket id: bit p set iff dot(v, plane_p) > 0. The dot goes
+    * through the codegen'd [[graft.functions.DotProduct]] against a LITERAL
+    * coefficient array — a sequential left-to-right double fold, so the
+    * sign decision is deterministic and engine-portable (a distributed
+    * per-dimension aggregation would sum in partition order and could flip
+    * a near-zero sign). */
+  def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (cs, p) =>
+      when(graft.functions.VectorExprs.dot(emb, typedlit(cs.toSeq)) > 0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate kNN: probes search only their own
+    * random-hyperplane bucket. With nPlanes=8 the corpus shards into <=256
+    * buckets, cutting the scan ~256x at the cost of recall near bucket
+    * boundaries — the scale path when brute force is too big, one notch
+    * below [[knnIvf]] in recall but requiring no clustering column. */
+  def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val planes = lshPlanes(nPlanes, dim)
+    val c = graft.ops.Partitioning.spread(corpus)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    val p = probes.withColumn("bucket", lshBucket(col("p_embedding"), planes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    c.join(broadcast(p), "bucket")
+      .withColumn("cos", cosine(col("p_embedding"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("bucket"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** All pairs with cosine >= minCos (near-dup detection over embeddings).
     * Pairwise here (fine to ~10^4 vectors); the 100 TB path blocks by an
     * LSH/IVF cell first so the join is an equi-join on the cell key. */

@@ -35,6 +35,14 @@ object TextAnalysis {
   def h60Sql(e: String): String =
     s"CAST(CONCAT('0x', substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Driver-side twin of [[h60]] for generating portable constants (e.g.
+    * LSH hyperplane coefficients) that BOTH engines can also derive. */
+  def h60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   // ---- language ID (n-gram/stopword heuristic) ----
 
   val stopwords: Map[String, Seq[String]] = Map(

@@ -90,6 +90,21 @@ class DedupSpec extends SparkTestBase {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
   }
+
+  test("simhashNearDup: banded candidates + exact hamming verify == brute force") {
+    val got = Dedup.simhashNearDup(nearDups, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference over the signatures
+    val sig = Dedup.simhash(nearDups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ida, sa) <- sig; (idb, sb) <- sig if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    assert(got === expected)
+    assert(got.contains((1L, 4L, 0))) // exact dup: hamming 0
+  }
 }
 
 class SimSearchSpec extends SparkTestBase {
@@ -155,6 +170,19 @@ class SimSearchSpec extends SparkTestBase {
     val out = SimSearch.knnIvf(probes, corpus, "label", k = 3).collect()
     assert(out.forall(_.getInt(1) === 0)) // probe 0's cell is label 0
     assert(out.map(_.getLong(3)).toSet === Set(0L, 1L)) // only cell-0 vectors
+  }
+
+  test("knnLsh: probe searches only its own hyperplane bucket; self ranks first") {
+    val out = SimSearch.knnLsh(probes, corpus, k = 4, nPlanes = 4).collect()
+    assert(out.nonEmpty)
+    val probeBucket = out.head.getInt(1)
+    assert(out.forall(_.getInt(1) === probeBucket))
+    // every returned vector must really be in the probe's bucket
+    val planes = SimSearch.lshPlanes(4, 2)
+    val buckets = corpus.withColumn("b", SimSearch.lshBucket($"embedding", planes))
+      .select("vec_id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out.map(_.getLong(3)).forall(v => buckets(v) === probeBucket))
+    assert(out.minBy(_.getInt(2)).getLong(3) === 0L) // self is rank 1
   }
 }
 
