@@ -131,6 +131,15 @@ object ExtQueries {
         .orderBy(desc("cnt"), col("word"))
         .limit(20)),
 
+    // Winnowing document fingerprint (rolling-hash k-grams, window-min
+    // selection) — the robust near-copy detector for substring overlap.
+    "q45_winnow" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("sel", graft.functions.TextExprs.winnow(col("text"), 5, 4))
+        .select(col("doc_id"), size(col("sel")).as("n_selected"),
+          md5(array_join(transform(col("sel"), _.cast("string")), ",")).as("fp_md5"))
+        .orderBy("doc_id")),
+
     // ---- event analysis ----
 
     "q51_sessionize" -> ((s, dir) =>
@@ -418,6 +427,34 @@ object ExtQueries {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS word FROM documents)
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q45_winnow" -> {
+      val terms = (0 until 5).map(j =>
+        s"CAST(ascii(substring(s, CAST(i + $j AS INT), 1)) AS BIGINT) * ${graft.functions.Winnow.pow(4 - j)}")
+        .mkString("(", " + ", s") % ${graft.functions.Winnow.P}")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+         |gidx AS (
+         |  SELECT doc_id, s, unnest(range(1, greatest(length(s) - 5 + 2, 1))) AS i FROM t),
+         |gh AS (SELECT doc_id, i, $terms AS gh FROM gidx),
+         |gm AS (SELECT doc_id, max(i) AS m FROM gh GROUP BY doc_id),
+         |win AS (
+         |  SELECT doc_id, m, unnest(range(1, greatest(m - 4 + 1, 1) + 1)) AS p FROM gm),
+         |wmin AS (
+         |  SELECT w.doc_id, w.p, min(g.gh) AS h
+         |  FROM win w JOIN gh g
+         |    ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND least(w.p + 3, w.m)
+         |  GROUP BY w.doc_id, w.p),
+         |seld AS (SELECT DISTINCT doc_id, h FROM wmin),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_sel,
+         |         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS fp
+         |  FROM seld GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_sel, 0) AS INT) AS n_selected,
+         |       coalesce(a.fp, md5('')) AS fp_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q51_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -75,4 +75,86 @@ object TextExprs {
   /** Column API for [[DistinctWordShingles]]. */
   def distinctShingles(text: Column, k: Int = 3): Column =
     bridge.column(DistinctWordShingles(bridge.expression(text), k))
+
+  /** Column API for [[WinnowFingerprint]]. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
+}
+
+/** Winnowing constants shared with the oracle-SQL generator. */
+object Winnow {
+  val B = 257L
+  val P = 1000000007L
+
+  /** B^e mod P, for rendering the per-gram polynomial in oracle SQL. */
+  def pow(e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r = r * B % P; i += 1 }
+    r
+  }
+
+  /** Document fingerprint by winnowing (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003): Rabin-Karp rolling hash over lowercase char k-grams (O(1) per
+    * slide), then each window of `w` consecutive gram hashes selects its
+    * minimum (rightmost on ties); the fingerprint is the sorted distinct
+    * selected hash set. Guarantees any shared substring of length >= k+w-1
+    * contributes at least one common fingerprint hash. */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val s = text.toLowerCase
+    val n = s.length
+    if (n < k) return Array.empty[Long]
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    val topPow = pow(k - 1)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * B + s.charAt(j)) % P; j += 1 }
+    hs(0) = h
+    var i = 1
+    while (i < m) {
+      h = ((h - s.charAt(i - 1) * topPow % P + P) % P * B + s.charAt(i + k - 1)) % P
+      hs(i) = h
+      i += 1
+    }
+    val numWin = math.max(1, m - w + 1)
+    val sel = new java.util.TreeSet[java.lang.Long]
+    var p = 0
+    while (p < numWin) {
+      val hi = math.min(p + w, m)
+      var best = p
+      var q = p + 1
+      while (q < hi) { if (hs(q) <= hs(best)) best = q; q += 1 } // rightmost min
+      sel.add(hs(best))
+      p += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+}
+
+/** `winnow_fingerprint(text, k, w)`: sorted distinct winnowing-selected
+  * gram hashes as ARRAY<BIGINT>; empty array for texts shorter than k. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Winnow.winnow(input.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Winnow.winnow($c.toString(), $k, $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

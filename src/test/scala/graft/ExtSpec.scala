@@ -43,6 +43,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(0) !== fps(2))
   }
 
+  test("winnow fingerprint: overlap guarantee, short-text empty, sorted distinct") {
+    import graft.functions.Winnow
+    // any shared substring of length >= k + w - 1 (= 8) must share a hash
+    val a = Winnow.winnow("xxxx COMMON-SEGMENT yyyy", 5, 4).toSet
+    val b = Winnow.winnow("zz COMMON-SEGMENT qqqqqq", 5, 4).toSet
+    assert(a.intersect(b).nonEmpty)
+    // disjoint alphabets -> disjoint fingerprints
+    val c = Winnow.winnow("aaaaabbbbbccccc", 5, 4).toSet
+    val d = Winnow.winnow("111112222233333", 5, 4).toSet
+    assert(c.intersect(d).isEmpty)
+    // shorter than k -> empty; case-insensitive; output sorted distinct
+    assert(Winnow.winnow("abcd", 5, 4).isEmpty)
+    assert(Winnow.winnow("HELLO WORLD", 5, 4).toSeq === Winnow.winnow("hello world", 5, 4).toSeq)
+    val s = Winnow.winnow("the quick brown fox jumps over the lazy dog", 5, 4).toSeq
+    assert(s === s.distinct.sorted)
+  }
+
   test("DistinctWordShingles kernel == HOF composition (incl. edge cases)") {
     val texts = Seq(
       "a b c d e", "a b  c", "a b", "", "x", "  ", "a a a a",

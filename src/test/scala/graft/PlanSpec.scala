@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression tests: the scale properties the engine is
+  * designed around (pushdown, pruning, broadcast, no accidental shuffles)
+  * asserted against the actual executed plans, so a refactor that silently
+  * degrades the plan fails CI — not just the benchmark.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q10: shipdate filter is pushed to the parquet scan; unused columns pruned") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment"), "scan must not read columns the query never touches")
+  }
+
+  test("q01 fuzzy join: broadcast nested loop on the probe side, never sort-merge") {
+    val p = plan("q01_fuzzy_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q11 star join: dimension tables broadcast") {
+    val p = plan("q11_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q12 top-k: plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q12_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q20 exact dedup: single shuffle with map-side partial aggregation") {
+    val p = plan("q20_dedup_exact")
+    assert(p.contains("partial_"), "groupBy must plan partial (map-side) aggregation")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      "exact dedup should shuffle once (plus at most the final sort)")
+  }
+
+  test("q30 knn: corpus is never globally sorted") {
+    val p = plan("q30_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("vector kernel stays inside whole-stage codegen") {
+    // AQE wraps stages in codegen only at materialization; execute first,
+    // then look for our expression inside a starred (*(n) = codegen) node.
+    val df = SparkEntry.queries("q24_embed_neardup")(spark, dir)
+    df.collect() // materialize THIS QueryExecution (count() would clone it)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("vec_cosine") && l.contains("*(")),
+      s"vec_cosine must appear inside a WholeStageCodegen stage:\n$p")
+  }
+}
