@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, WinnowFingerprint}
+
+/** Registers the engine's native expressions as SQL functions, so
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works anywhere the library is
+  * on the classpath:
+  *
+  * {{{
+  * SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  *   - `vec_dot(a, b)`                      ARRAY<FLOAT|DOUBLE> dot product
+  *   - `vec_cosine(a, b)`                   fused cosine similarity
+  *   - `distinct_word_shingles(text[, k])`  distinct k-token shingles (k=3)
+  *   - `winnow_fingerprint(text[, k, w])`   winnowing hash set (k=5, w=4)
+  *
+  * The integer parameters must be literals (they parameterize generated
+  * code, not per-row data).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("distinct_word_shingles"),
+      new ExpressionInfo(classOf[DistinctWordShingles].getName, "distinct_word_shingles"),
+      (es: Seq[Expression]) => DistinctWordShingles(es.head,
+        if (es.length > 1) litInt(es(1), "shingle size k") else 3)))
+
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      (es: Seq[Expression]) => WinnowFingerprint(es.head,
+        if (es.length > 1) litInt(es(1), "gram size k") else 5,
+        if (es.length > 2) litInt(es(2), "window w") else 4)))
+  }
+}

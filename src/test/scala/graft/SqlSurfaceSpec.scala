@@ -1,0 +1,46 @@
+package graft
+
+/** The SQL face of the engine: GraftExtensions registers the native
+  * expressions as SQL functions (session built with
+  * spark.sql.extensions=graft.GraftExtensions — see SparkTestBase). */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  test("vec_dot / vec_cosine callable from SQL") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("distinct_word_shingles callable from SQL, default and explicit k") {
+    val r = spark.sql(
+      """SELECT distinct_word_shingles('a b c d') AS s3,
+        |       distinct_word_shingles('a b c d', 2) AS s2""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
+  }
+
+  test("winnow_fingerprint callable from SQL; non-literal k rejected") {
+    val n = spark.sql("SELECT size(winnow_fingerprint('the quick brown fox')) AS n")
+      .head().getInt(0)
+    assert(n > 0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprint('abc', length('xx'))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("full fuzzy classify expressible in ONE SQL statement over the engine's functions") {
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet").createOrReplaceTempView("part_v")
+    val out = spark.sql(
+      """WITH search AS (SELECT DISTINCT p_name AS sv FROM part_v),
+        |scored AS (
+        |  SELECT sv, p_name AS mv,
+        |         levenshtein(regexp_replace(lower(sv), '[^a-zA-Z0-9]', ''),
+        |                     regexp_replace(lower(p_name), '[^a-zA-Z0-9]', '')) AS d
+        |  FROM search CROSS JOIN part_v)
+        |SELECT sv, min(d) AS min_d FROM scored GROUP BY sv""".stripMargin)
+    assert(out.count() > 0)
+  }
+}
