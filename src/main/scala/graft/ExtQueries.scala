@@ -57,6 +57,10 @@ object ExtQueries {
       Dedup.simhashNearDup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    "q26_embed_neardup_lsh" -> ((s, dir) =>
+      SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45)
+        .orderBy("vec_a", "vec_b")),
+
     // ---- similarity search ----
 
     "q30_knn_brute" -> ((s, dir) =>
@@ -201,14 +205,13 @@ object ExtQueries {
        |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** LSH hyperplane literals (dim 64, 8 planes) rendered from the same
-    * constants the Spark side uses — see [[SimSearch.lshPlanes]]. */
-  private val lshBucketSql: String => String = { emb =>
-    SimSearch.lshPlanes(8, 64).zipWithIndex.map { case (cs, p) =>
+  /** LSH hyperplane literals (dim 64) rendered from the same constants the
+    * Spark side uses — see [[SimSearch.lshPlanes]]. */
+  private def lshBucketSql(emb: String, nPlanes: Int = 8): String =
+    SimSearch.lshPlanes(nPlanes, 64).zipWithIndex.map { case (cs, p) =>
       val lst = cs.mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(CAST($emb AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-  }
 
   /** DuckDB cosine with explicit DOUBLE[] casts: the float kernel sums in
     * float, but Spark's aggregate HOF folds in double — DOUBLE[] makes the
@@ -305,6 +308,38 @@ object ExtQueries {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
         |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q26_embed_neardup_lsh" -> {
+      // 3 tables x 2 planes; table l buckets on planes 2l, 2l+1
+      val tableBucket = (l: Int) =>
+        SimSearch.lshPlanes(6, 64).slice(2 * l, 2 * l + 2).zipWithIndex.map { case (cs, p) =>
+          val lst = cs.mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      s"""WITH sigc AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         ${tableBucket(0)} AS b0, ${tableBucket(1)} AS b1, ${tableBucket(2)} AS b2
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigc a JOIN sigc b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b2 = b.b2 AND a.vec_id < b.vec_id),
+         |v AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         list_inner_product(x.emb, y.emb)
+         |         / (sqrt(list_inner_product(x.emb, x.emb))
+         |            * sqrt(list_inner_product(y.emb, y.emb))) AS cos
+         |  FROM cand c
+         |  JOIN sigc x ON x.vec_id = c.vec_a
+         |  JOIN sigc y ON y.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+         |FROM v WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q30_knn_brute" ->
       s"""WITH probes AS (

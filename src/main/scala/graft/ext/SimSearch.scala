@@ -145,13 +145,47 @@ object SimSearch {
   }
 
   /** All pairs with cosine >= minCos (near-dup detection over embeddings).
-    * Pairwise here (fine to ~10^4 vectors); the 100 TB path blocks by an
-    * LSH/IVF cell first so the join is an equi-join on the cell key. */
+    * Exact but pairwise — fine to ~10^4 vectors; the 100 TB path is
+    * [[nearDupPairsBlocked]]. */
   def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
     val a = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Scale path for embedding near-dup: OR-amplified hyperplane LSH.
+    * `tables` independent hash tables, each bucketing on `planesPerTable`
+    * sign bits; a pair is a candidate if it collides in ANY table (standard
+    * AND-OR amplification — per-plane survival 1 - theta/pi, per-table
+    * p^k, overall recall 1 - (1 - p^k)^L). Candidate generation is an
+    * EQUI-join on (table, bucket) — shuffle-partitionable, no broadcast of
+    * the corpus — followed by the exact cosine check on candidates only.
+    * Tune k up (smaller buckets, cheaper join) and L up (recall) for the
+    * target threshold; k=2/L=3 gives ~86% recall at cos 0.45. */
+  def nearDupPairsBlocked(corpus: DataFrame, minCos: Double,
+                          tables: Int = 3, planesPerTable: Int = 2): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val planes = lshPlanes(tables * planesPerTable, dim)
+    val keyed = graft.ops.Partitioning.spread(corpus)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map { l =>
+          val sub = planes.slice(l * planesPerTable, (l + 1) * planesPerTable)
+          struct(lit(l).as("tbl"), lshBucket(col("embedding"), sub).as("bucket"))
+        }: _*)).as("t"))
+      .select(col("vec_id"), col("embedding"), col("t.tbl"), col("t.bucket"))
+    val cand = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))

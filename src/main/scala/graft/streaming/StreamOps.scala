@@ -53,6 +53,56 @@ object StreamOps {
       }
   }
 
+  case class EvT(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionBuf(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Event-time session windows with bounded state: sessions close either
+    * when a later event arrives past the gap (emitted immediately) or when
+    * the WATERMARK passes session end + gap (EventTimeTimeout fires and the
+    * state is evicted). This is the production shape for unbounded streams —
+    * unlike processing-time timeouts it needs no wall-clock-driven empty
+    * batches, and state size is bounded by the number of users active within
+    * one watermark horizon. */
+  def sessionWindows(events: Dataset[EvT],
+                     gapMs: Long = 30 * 60 * 1000L,
+                     watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EvT], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(b => SessionOut(user, b.start, b.end, b.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var buf = state.getOption
+            sorted.foreach { t =>
+              buf match {
+                case Some(b) if t - b.end > gapMs =>
+                  closed += SessionOut(user, b.start, b.end, b.n)
+                  buf = Some(SessionBuf(t, t, 1))
+                case Some(b) =>
+                  buf = Some(b.copy(end = math.max(b.end, t), n = b.n + 1))
+                case None =>
+                  buf = Some(SessionBuf(t, t, 1))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -189,6 +189,23 @@ class SimSearchSpec extends SparkTestBase {
     assert(out.map(_.getLong(3)).toSet === Set(0L, 1L)) // only cell-0 vectors
   }
 
+  test("nearDupPairsBlocked: subset of exact pairs; identical duplicates always collide") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(rnd.nextFloat())
+    val rows = (0L until 40L).map { i =>
+      if (i == 1L) (i, base.clone) // exact duplicate of vec 0
+      else if (i == 0L) (i, base)
+      else (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    val exact = SimSearch.nearDupPairs(c, minCos = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = SimSearch.nearDupPairsBlocked(c, minCos = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact), "LSH blocking must never invent pairs")
+    assert(blocked.contains((0L, 1L)), "identical vectors share every bucket")
+  }
+
   test("knnLsh: probe searches only its own hyperplane bucket; self ranks first") {
     val out = SimSearch.knnLsh(probes, corpus, k = 4, nPlanes = 4).collect()
     assert(out.nonEmpty)

@@ -31,6 +31,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time session windows: gap close + watermark timeout eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.EvT]
+    val q = StreamOps.toMemorySink(
+      StreamOps.sessionWindows(in.toDS(), gapMs = 30 * 60000L, watermark = "5 minutes").toDF(),
+      "sessw_test", OutputMode.Append())
+    val base = 1000L // minutes; keep clear of epoch-0 watermark edge cases
+    def ts(min: Long) = StreamOps.EvT(_: Long, new Timestamp((base + min) * 60000L))
+    try {
+      // user 1: burst at t0..t10; user 2: single event at t5
+      in.addData(ts(0)(1L), ts(10)(1L), ts(5)(2L))
+      q.processAllAvailable()
+      // user 1 returns at t120 -> closes their first session by gap;
+      // watermark advances to t115, past user 2's timeout (t5+30=t35)
+      in.addData(ts(120)(1L))
+      q.processAllAvailable()
+      in.addData(ts(125)(1L)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val out = spark.table("sessw_test")
+        .orderBy("user_id", "start_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 60000L - base, r.getLong(2) / 60000L - base, r.getLong(3)))
+      assert(out.contains((1L, 0L, 10L, 2L)), s"user 1 first session closed by gap: ${out.toSeq}")
+      assert(out.contains((2L, 5L, 5L, 1L)), s"user 2 session closed by timeout: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
