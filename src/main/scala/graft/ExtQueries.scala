@@ -150,6 +150,19 @@ object ExtQueries {
       Events.sessionStats(Ingest.eventsWithTs(s, dir))
         .orderBy("user_id")),
 
+    // Session-path analysis: top event-type transitions (bigrams) per user
+    // timeline — one shuffle (by user) + one aggregation + top-k.
+    "q52_event_bigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Ingest.eventsWithTs(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("event_type"), col("next_type"))
+        .limit(20)
+    }),
+
     // ---- multimodal plumbing (expression-level stub features; the batched
     //      mapPartitions decoder is exercised in MultimodalSpec) ----
 
@@ -512,6 +525,17 @@ object ExtQueries {
         |       CAST(sum(n_events) AS BIGINT) AS n_events,
         |       max(dur_ms) AS longest_ms
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q52_event_bigrams" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_type
+        |  FROM ev)
+        |SELECT event_type, next_type, count(*) AS cnt
+        |FROM b WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY cnt DESC, event_type, next_type LIMIT 20""".stripMargin,
 
     "q60_multimodal_features" ->
       """SELECT doc_id,

@@ -97,9 +97,13 @@ object FuzzyJoin {
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
 
+    // Banded (Ukkonen) distance with early exit: the 3-arg levenshtein
+    // computes only the +-threshold diagonal band and returns -1 when the
+    // distance exceeds it — O(T·min(|s|,|t|)) instead of O(|s|·|t|) per
+    // pair, exact for every row this path keeps.
     val inBand = dataN.join(broadcast(bands), "m_len")
-      .withColumn("distance", levenshtein(col("s_norm"), col("m_norm")))
-      .filter(d <= threshold)
+      .withColumn("distance", levenshtein(col("s_norm"), col("m_norm"), threshold))
+      .filter(d >= 0 && d <= threshold)
       .drop("m_len", "s_norm", "m_norm")
 
     val minsPos = inBand.filter(d > 0)
