@@ -178,6 +178,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy("hour_epoch", "event_type")),
 
+    // Distinct aggregation (two-phase: partial distinct then merge).
+    "q16_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Multi-dimensional aggregation: ROLLUP over the pricing summary dims.
+    "q17_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // Semi-structured: JSON prop extraction + aggregation.
     "q15_props_stats" -> ((s, dir) =>
       t(s, dir, "events")
@@ -301,6 +317,16 @@ object SparkEntry {
           |FROM events
           |GROUP BY 1, 2
           |ORDER BY hour_epoch, event_type""".stripMargin,
+      "q16_distinct_users" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q17_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
       "q15_props_stats" ->
         """SELECT event_type, COUNT(*) AS n,
           |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
