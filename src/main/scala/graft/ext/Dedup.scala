@@ -119,21 +119,23 @@ object Dedup {
   // ---- SimHash ----
 
   /** 60-bit simhash: per bit, a weighted vote over token occurrences (weight
-    * = term frequency); bit set iff the vote is positive. */
+    * = term frequency); bit set iff the vote is positive.
+    *
+    * All 60 bit-votes are parallel `sum` aggregates in ONE groupBy(doc_id)
+    * with map-side partials — an earlier shape exploded a 60-row bit index
+    * per token, pushing 60x the rows through an extra (doc, i) shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("h", TextAnalysis.h60(col("tok")))
-    tf.withColumn("i", explode(sequence(lit(0), lit(59))))
-      // shiftright/shiftleft with a *column* bit count only exist at the
-      // expression layer (the Scala functions API takes literal Ints)
-      .withColumn("vote",
-        col("w") * (expr("shiftright(h, cast(i as int))").bitwiseAND(lit(1L)) * 2 - 1))
-      .groupBy("doc_id", "i").agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(i as int))")).otherwise(0L))
-        .as("simhash"))
+    val voteAggs = (0 until 60).map { i =>
+      sum(col("w") * (shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)).as(s"v_$i")
+    }
+    tf.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by simhash hamming distance, found WITHOUT a cross
