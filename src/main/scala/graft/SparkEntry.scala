@@ -95,7 +95,7 @@ object SparkEntry {
         .groupBy("search_val")
         .agg(min_by(col("match_val"), struct(d, col("data_id"))).as("new_val"))
         .withColumn("action", lit("replace"))
-      val joined = search.join(decisions, Seq("search_val"), "left")
+      val joined = search.join(broadcast(decisions), Seq("search_val"), "left")
         .withColumn("action", coalesce(col("action"), lit("keep")))
       Resolve.sinkRows(
         joined.withColumn("resolved_val",

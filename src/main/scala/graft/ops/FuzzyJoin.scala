@@ -120,7 +120,7 @@ object FuzzyJoin {
     // via a full scan over just these probes (plus their exact rows, already
     // emitted above; the reference duplicates d=0 rows into poor_best too).
     val residual = search.join(
-      minsPos.select("search_val").distinct(), Seq("search_val"), "left_anti")
+      broadcast(minsPos.select("search_val").distinct()), Seq("search_val"), "left_anti")
     val scoredR = score(residual, data)
     val minsR = scoredR.groupBy("search_val").agg(min(d).as("min_all"))
     val poorBest = scoredR.join(broadcast(minsR), "search_val")
