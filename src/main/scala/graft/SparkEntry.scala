@@ -178,6 +178,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy("hour_epoch", "event_type")),
 
+    // Sliding event-time windows (1h window, 30min slide): each event lands
+    // in two overlapping windows; Spark's window() generator handles the
+    // fan-out before the aggregation shuffle.
+    "q18_sliding_window" -> ((s, dir) =>
+      Ingest.eventsWithTs(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
     // Distinct aggregation (two-phase: partial distinct then merge).
     "q16_distinct_users" -> ((s, dir) =>
       t(s, dir, "events")
@@ -317,6 +328,18 @@ object SparkEntry {
           |FROM events
           |GROUP BY 1, 2
           |ORDER BY hour_epoch, event_type""".stripMargin,
+      "q18_sliding_window" ->
+        """WITH ev AS (
+          |  SELECT CAST(epoch_ms(ts) // 1000 AS BIGINT) AS es, event_type, value FROM events),
+          |w AS (
+          |  SELECT event_type, value, es,
+          |         unnest([es - (es % 1800), es - (es % 1800) - 1800]) AS ws
+          |  FROM ev)
+          |SELECT ws AS win_start, event_type, COUNT(*) AS n_events,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM w WHERE es >= ws AND es < ws + 3600
+          |GROUP BY ws, event_type
+          |ORDER BY win_start, event_type""".stripMargin,
       "q16_distinct_users" ->
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
