@@ -112,6 +112,23 @@ object SparkEntry {
         .select("display_index", "search_val")
         .orderBy("display_index")),
 
+    // The reference's main() end-to-end shape (main.py:688-696 + 556-581):
+    // a search table probed against a FOLDER UNION of data tables, fuzzy
+    // classified. Search = supplier names; data = part ∪ supplier names
+    // (ids disambiguated by source offset).
+    "q07_fuzzy_vs_union" -> ((s, dir) => {
+      val search = t(s, dir, "supplier")
+        .select(col("s_name").as("search_val")).distinct()
+      val dataUnion = Ingest.unionAllByName(Seq(
+        t(s, dir, "part").select(col("p_partkey").as("data_id"),
+          col("p_name").as("match_val"), lit("part").as("src")),
+        t(s, dir, "supplier").select((col("s_suppkey") + 1000000L).as("data_id"),
+          col("s_name").as("match_val"), lit("supplier").as("src"))))
+      FuzzyJoin.fuzzyMatch(search, dataUnion, T)
+        .select("search_val", "match_val", "data_id", "src", "distance", "bucket")
+        .orderBy("search_val", "bucket", "distance", "data_id", "match_val")
+    }),
+
     // ---- star-schema coverage (Spark aggregation/join/window/top-k) ----
 
     // TPC-H Q1 shape: filter -> groupBy -> exact decimal aggregates.
@@ -286,6 +303,33 @@ object SparkEntry {
         """SELECT CAST(row_number() OVER (ORDER BY search_val) AS INT) AS display_index, search_val
           |FROM (SELECT DISTINCT p_name AS search_val FROM part)
           |ORDER BY display_index""".stripMargin,
+      "q07_fuzzy_vs_union" ->
+        s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
+           |data AS (
+           |  SELECT p_partkey AS data_id, p_name AS match_val, 'part' AS src FROM part
+           |  UNION ALL
+           |  SELECT s_suppkey + 1000000, s_name, 'supplier' FROM supplier),
+           |scored AS (
+           |  SELECT s.search_val, d.match_val, d.data_id, d.src,
+           |         levenshtein(${norm("s.search_val")}, ${norm("d.match_val")}) AS distance
+           |  FROM search s CROSS JOIN data d),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos,
+           |         min(distance) AS min_all
+           |  FROM scored GROUP BY search_val),
+           |joined AS (SELECT sc.*, m.min_pos, m.min_all FROM scored sc JOIN mins m USING (search_val))
+           |SELECT search_val, match_val, data_id, src, distance, 'exact' AS bucket FROM joined WHERE distance = 0
+           |UNION ALL
+           |SELECT search_val, match_val, data_id, src, distance, 'best' FROM joined
+           |  WHERE distance > 0 AND distance <= $T AND distance = min_pos
+           |UNION ALL
+           |SELECT search_val, match_val, data_id, src, distance, 'potential' FROM joined
+           |  WHERE distance > 0 AND distance <= $T AND distance > min_pos
+           |UNION ALL
+           |SELECT search_val, match_val, data_id, src, distance, 'poor_best' FROM joined
+           |  WHERE min_pos IS NULL AND distance = min_all
+           |ORDER BY search_val, bucket, distance, data_id, match_val""".stripMargin,
       "q10_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
