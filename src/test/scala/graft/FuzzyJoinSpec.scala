@@ -76,4 +76,29 @@ class FuzzyJoinSpec extends SparkTestBase {
     val exact = out.filter($"bucket" === "exact").count()
     assert(exact === 2) // one output row per probe row
   }
+
+  test("empty inputs: no search rows / no data rows yield empty results, no crash") {
+    val noSearch = spark.emptyDataFrame.selectExpr("cast(null as string) as search_val").limit(0)
+    val noData = spark.emptyDataFrame
+      .selectExpr("cast(null as long) as data_id", "cast(null as string) as match_val").limit(0)
+    assert(FuzzyJoin.fuzzyMatch(noSearch, data, 3).count() === 0)
+    assert(FuzzyJoin.fuzzyMatch(search, noData, 3).count() === 0)
+    assert(FuzzyJoin.fuzzyMatchPruned(noSearch, data, 3).count() === 0)
+    assert(FuzzyJoin.fuzzyMatchPruned(search, noData, 3).count() === 0)
+  }
+
+  test("null match values score null distance and fall out of every bucket") {
+    val withNull = data.unionByName(Seq((9L, null.asInstanceOf[String])).toDF("data_id", "match_val"))
+    val out = FuzzyJoin.fuzzyMatch(search, withNull, 3)
+    assert(out.filter($"data_id" === 9L).count() === 0)
+    // non-null rows unaffected
+    assert(buckets(out)(("abcdefgh", "exact")) === Set(1L))
+  }
+
+  test("normalization collapse: all-symbol strings normalize to empty and match each other exactly") {
+    val symData = Seq((1L, "///---")).toDF("data_id", "match_val")
+    val symSearch = Seq("!!!").toDF("search_val")
+    val out = buckets(FuzzyJoin.fuzzyMatch(symSearch, symData, 3))
+    assert(out(("!!!", "exact")) === Set(1L)) // both normalize to ""
+  }
 }
