@@ -144,6 +144,15 @@ object ExtQueries {
           md5(array_join(transform(col("sel"), _.cast("string")), ",")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split: hash-bucket assignment is stable
+    // across runs/engines/partitionings (unlike df.sample's RNG).
+    "q46_hash_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split", TextAnalysis.split3(col("doc_id"), "split-v1"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+        .orderBy("source", "split")),
+
     // ---- event analysis ----
 
     "q51_sessionize" -> ((s, dir) =>
@@ -503,6 +512,16 @@ object ExtQueries {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q46_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id,
+         |         ${TextAnalysis.h60Sql("'split-v1:' || CAST(doc_id AS VARCHAR)")} % 100 AS hb
+         |  FROM documents)
+         |SELECT source,
+         |       CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n, min(doc_id) AS first_id
+         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "q51_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

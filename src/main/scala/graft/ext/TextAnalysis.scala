@@ -86,4 +86,21 @@ object TextAnalysis {
     * set — robust to token order, catches shuffled near-copies. */
   def fingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  // ---- deterministic sampling / splitting ----
+
+  /** Stable per-row bucket in [0, buckets): hash of a salted key. Unlike
+    * `df.sample()` (partition-order-dependent RNG), this is reproducible
+    * across runs, engines, and repartitioning — the right primitive for
+    * train/val/test splits and mixture sampling in data pipelines. */
+  def hashBucket(key: Column, salt: String, buckets: Int = 100): Column =
+    h60(concat(lit(salt + ":"), key.cast("string"))) % buckets
+
+  /** Named split by hash-bucket thresholds, e.g. 80/10/10. */
+  def split3(key: Column, salt: String, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }
