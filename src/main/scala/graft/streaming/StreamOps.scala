@@ -103,6 +103,24 @@ object StreamOps {
       }
   }
 
+  /** File-source streaming ingestion of events: a LANDING DIRECTORY of
+    * parquet files becomes an unbounded stream (new files picked up per
+    * trigger, `maxFilesPerTrigger` for rate control — file sources stream
+    * directories, not single files). The nanosecond timestamp handling
+    * matches [[graft.ops.Ingest.eventsWithTs]], so the same downstream
+    * transforms serve batch and streaming. */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession, landingDir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(landingDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

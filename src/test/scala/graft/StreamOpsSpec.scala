@@ -57,6 +57,30 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events parquet equals the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    // file sources stream a directory; stage the single file into one
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events-000.parquet"))
+    val streamed = StreamOps.hourlyCounts(
+      StreamOps.eventsFileStream(spark, landing.toString))
+    val q = StreamOps.toMemorySink(streamed, "hourly_file_test", OutputMode.Update())
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_file_test")
+        .groupBy("hour_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+      val expected = graft.ops.Ingest.eventsWithTs(spark, dir)
+        .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+          org.apache.spark.sql.functions.col("ts")).as("hour_start"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .count().withColumnRenamed("count", "n_events")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
