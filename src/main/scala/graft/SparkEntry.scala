@@ -133,6 +133,17 @@ object SparkEntry {
         .orderBy("search_val", "bucket", "distance", "data_id", "match_val")
     }),
 
+    // Distributed top-k string similarity search (radius-first with exact
+    // fallback — see FuzzyJoin.topK). Probes = supplier names, corpus =
+    // part names.
+    "q08_fuzzy_topk" -> ((s, dir) => {
+      val search = t(s, dir, "supplier").select(col("s_name").as("search_val")).distinct()
+      val data = t(s, dir, "part").select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+      FuzzyJoin.topK(search, data, k = 5)
+        .select("search_val", "rnk", "match_val", "data_id", "distance")
+        .orderBy("search_val", "rnk")
+    }),
+
     // ---- star-schema coverage (Spark aggregation/join/window/top-k) ----
 
     // TPC-H Q1 shape: filter -> groupBy -> exact decimal aggregates.
@@ -334,6 +345,19 @@ object SparkEntry {
            |SELECT search_val, match_val, data_id, src, distance, 'poor_best' FROM joined
            |  WHERE min_pos IS NULL AND distance = min_all
            |ORDER BY search_val, bucket, distance, data_id, match_val""".stripMargin,
+      "q08_fuzzy_topk" ->
+        s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val, p.p_partkey AS data_id,
+           |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
+           |  FROM search s CROSS JOIN part p),
+           |ranked AS (
+           |  SELECT search_val, match_val, data_id, distance,
+           |         CAST(row_number() OVER (PARTITION BY search_val ORDER BY distance, data_id) AS INT) AS rnk
+           |  FROM scored)
+           |SELECT search_val, rnk, match_val, data_id, distance
+           |FROM ranked WHERE rnk <= 5
+           |ORDER BY search_val, rnk""".stripMargin,
       "q10_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -137,4 +137,45 @@ object FuzzyJoin {
   def sortedPotentials(classified: DataFrame): DataFrame =
     classified.filter(col("bucket") === "potential")
       .orderBy(col("search_val"), col("distance"), col("data_id"))
+
+  /** Distributed top-k string similarity search, radius-first:
+    *
+    * Phase 1 prunes with the length band at `radius` (banded levenshtein,
+    * early exit). A probe whose band already holds >= k candidates has its
+    * EXACT global top-k there — any out-of-band candidate is > radius away,
+    * strictly worse than all k in-band hits. Phase 2 full-scans only the
+    * residual probes (usually a small fraction), mirroring the staged
+    * search of incremental top-k similarity systems. Result is identical
+    * to ranking the full cross product.
+    *
+    * Ranking is deterministic: (distance asc, data_id asc) row_number.
+    */
+  def topK(search: DataFrame, data: DataFrame, k: Int, radius: Int = 3): DataFrame = {
+    val d = col("distance")
+    val bands = search
+      .withColumn("s_norm", Normalize.norm(col("search_val")))
+      .withColumn("m_len", explode(sequence(
+        greatest(length(col("s_norm")) - radius, lit(0)),
+        length(col("s_norm")) + radius)))
+    val dataN = Partitioning.spread(data)
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+      .withColumn("m_len", length(col("m_norm")))
+    val inBand = dataN.join(broadcast(bands), "m_len")
+      .withColumn("distance", levenshtein(col("s_norm"), col("m_norm"), radius))
+      .filter(d >= 0)
+      .drop("m_len", "s_norm", "m_norm")
+
+    val filled = inBand.groupBy("search_val").agg(count(lit(1)).as("n_band"))
+      .filter(col("n_band") >= k).select("search_val")
+    val residual = search.join(broadcast(filled), Seq("search_val"), "left_anti")
+
+    val candidates = inBand.join(broadcast(filled), "search_val")
+      .unionByName(score(residual, data))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("search_val").orderBy(d.asc, col("data_id").asc)
+    candidates
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -77,6 +77,23 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(exact === 2) // one output row per probe row
   }
 
+  test("topK radius-first == brute-force rank over the full cross product") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // mix: abcdefgh fills its band (>=2 within radius 3); qqqqrrrr needs the fallback
+    val k = 2
+    val got = FuzzyJoin.topK(search, data, k, radius = 3)
+      .select("search_val", "rnk", "data_id", "distance")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("search_val").orderBy(col("distance").asc, col("data_id").asc)
+    val expected = FuzzyJoin.score(search, data)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("search_val", "rnk", "data_id", "distance")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === expected)
+    assert(got.size === 4 * k) // every probe gets exactly k results
+  }
+
   test("empty inputs: no search rows / no data rows yield empty results, no crash") {
     val noSearch = spark.emptyDataFrame.selectExpr("cast(null as string) as search_val").limit(0)
     val noData = spark.emptyDataFrame
