@@ -172,6 +172,21 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // As-of join: attribute every event to the user's latest purchase at
+    // or before it (union-sort implementation, one shuffle — see
+    // graft.ops.AsOfJoin).
+    "q53_asof_attribution" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ms").agg(max("event_id").as("p_event_id"))
+      graft.ops.AsOfJoin.asof(ev, purchases, "user_id", "ts_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"),
+          col("__r_p_event_id").as("last_purchase_id"),
+          (col("ts_ms") - col("__r_ts")).as("ms_since_purchase"))
+        .orderBy("event_id")
+    }),
+
     // ---- multimodal plumbing (expression-level stub features; the batched
     //      mapPartitions decoder is exercised in MultimodalSpec) ----
 
@@ -555,6 +570,19 @@ object ExtQueries {
         |FROM b WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type
         |ORDER BY cnt DESC, event_type, next_type LIMIT 20""".stripMargin,
+
+    "q53_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |pur AS (
+        |  SELECT user_id, ts_ms, max(event_id) AS p_event_id
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
+        |SELECT e.event_id, e.user_id, e.ts_ms, e.event_type,
+        |       p.p_event_id AS last_purchase_id,
+        |       e.ts_ms - p.ts_ms AS ms_since_purchase
+        |FROM ev e ASOF LEFT JOIN pur p
+        |  ON e.user_id = p.user_id AND e.ts_ms >= p.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
 
     "q60_multimodal_features" ->
       """SELECT doc_id,
