@@ -221,6 +221,18 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("win_start", "event_type")),
 
+    // Exact percentiles (linear interpolation — same definition as DuckDB
+    // quantile_cont, so the oracle hash-matches to 6 dp).
+    "q19_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
     // Distinct aggregation (two-phase: partial distinct then merge).
     "q16_distinct_users" -> ((s, dir) =>
       t(s, dir, "events")
@@ -415,6 +427,13 @@ object SparkEntry {
       "q16_distinct_users" ->
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q19_percentiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+          |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+          |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+          |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q17_rollup" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
