@@ -52,4 +52,46 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** STUB resize: deterministic fake downscale — real codecs replace the
+    * body; the partition-batched shape, output schema (fixed-size thumbnail
+    * bytes + dimensions), and size accounting are what production keeps. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): (Int, Int, Array[Byte]) = {
+    val out = new Array[Byte](math.max(1, targetW * targetH / 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (payload.isEmpty) 0 else payload(i % payload.length)
+      i += 1
+    }
+    (targetW, targetH, out)
+  }
+
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, thumb) = resizeStub(r.payload, targetW, targetH)
+        ResizedMedia(r.doc_id, w, h, thumb)
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: treat the payload as a "video" of fixed-size
+    * frames and emit every `stride`-th one — a flatMap row explosion, the
+    * shape real video sampling has (one input row fans out to many frame
+    * rows; downstream repartitions by frame for decode parallelism). */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length / frameBytes
+      (0 until n by stride).map { f =>
+        Frame(r.doc_id, f, r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
 }

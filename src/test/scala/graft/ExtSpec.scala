@@ -255,4 +255,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0).byte_len === 5 && out(0).head_byte === 'h'.toInt)
     assert(out(1).byte_len === 0 && out(1).head_byte === 0)
   }
+
+  test("resize plumbing: fixed-size thumbnails, deterministic, empty-safe") {
+    val docs = Seq((1L, "payload-bytes"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "doc_id", "text").as[Multimodal.MediaRow]
+    val out = Multimodal.resize(media, 64, 48).orderBy("doc_id").collect()
+    assert(out.forall(r => r.width === 64 && r.height === 48))
+    assert(out.forall(_.thumb.length === 64 * 48 / 64))
+    val again = Multimodal.resize(media, 64, 48).orderBy("doc_id").collect()
+    assert(out.map(_.thumb.toSeq).toSeq === again.map(_.thumb.toSeq).toSeq)
+  }
+
+  test("frame sampling fans one row out to every stride-th frame") {
+    val payload = ("x" * 640) // 10 frames of 64 bytes
+    val media = Seq((7L, payload)).toDF("doc_id", "text")
+    val rows = Multimodal.withPayload(media, "doc_id", "text").as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(rows, frameBytes = 64, stride = 4).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq === Seq(0, 4, 8))
+    assert(frames.forall(_.frame.length === 64))
+  }
 }
