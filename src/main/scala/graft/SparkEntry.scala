@@ -135,10 +135,15 @@ object SparkEntry {
 
     // Distributed top-k string similarity search (radius-first with exact
     // fallback — see FuzzyJoin.topK). Probes = supplier names, corpus =
-    // part names.
+    // part ∪ supplier names: every probe finds its k nearest within the
+    // length band (nearby supplier ids), so the exact fallback scan stays
+    // empty — the radius phase does the work.
     "q08_fuzzy_topk" -> ((s, dir) => {
       val search = t(s, dir, "supplier").select(col("s_name").as("search_val")).distinct()
-      val data = t(s, dir, "part").select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+      val data = Ingest.unionAllByName(Seq(
+        t(s, dir, "part").select(col("p_partkey").as("data_id"), col("p_name").as("match_val")),
+        t(s, dir, "supplier").select((col("s_suppkey") + 1000000L).as("data_id"),
+          col("s_name").as("match_val"))))
       FuzzyJoin.topK(search, data, k = 5)
         .select("search_val", "rnk", "match_val", "data_id", "distance")
         .orderBy("search_val", "rnk")
@@ -359,10 +364,14 @@ object SparkEntry {
            |ORDER BY search_val, bucket, distance, data_id, match_val""".stripMargin,
       "q08_fuzzy_topk" ->
         s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
+           |data AS (
+           |  SELECT p_partkey AS data_id, p_name AS match_val FROM part
+           |  UNION ALL
+           |  SELECT s_suppkey + 1000000, s_name FROM supplier),
            |scored AS (
-           |  SELECT s.search_val, p.p_name AS match_val, p.p_partkey AS data_id,
-           |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
-           |  FROM search s CROSS JOIN part p),
+           |  SELECT s.search_val, d.match_val, d.data_id,
+           |         levenshtein(${norm("s.search_val")}, ${norm("d.match_val")}) AS distance
+           |  FROM search s CROSS JOIN data d),
            |ranked AS (
            |  SELECT search_val, match_val, data_id, distance,
            |         CAST(row_number() OVER (PARTITION BY search_val ORDER BY distance, data_id) AS INT) AS rnk

@@ -129,7 +129,7 @@ object SimSearch {
     * boundaries — the scale path when brute force is too big, one notch
     * below [[knnIvf]] in recall but requiring no clustering column. */
   def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val planes = lshPlanes(nPlanes, dim)
     val c = graft.ops.Partitioning.spread(corpus)
       .withColumn("bucket", lshBucket(col("embedding"), planes))
@@ -168,7 +168,7 @@ object SimSearch {
     * target threshold; k=2/L=3 gives ~86% recall at cos 0.45. */
   def nearDupPairsBlocked(corpus: DataFrame, minCos: Double,
                           tables: Int = 3, planesPerTable: Int = 2): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val planes = lshPlanes(tables * planesPerTable, dim)
     val keyed = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id"), col("embedding"),

@@ -165,17 +165,24 @@ object FuzzyJoin {
       .filter(d >= 0)
       .drop("m_len", "s_norm", "m_norm")
 
-    val filled = inBand.groupBy("search_val").agg(count(lit(1)).as("n_band"))
-      .filter(col("n_band") >= k).select("search_val")
-    val residual = search.join(broadcast(filled), Seq("search_val"), "left_anti")
+    // One exchange computes both the per-probe candidate count and the
+    // rank: a probe with n_band >= k has its exact top-k right here.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("search_val")
+    val wOrd = w.orderBy(d.asc, col("data_id").asc)
+    val ranked = inBand
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(wOrd))
+    val filledTopK = ranked.filter(col("n_band") >= k && col("rnk") <= k).drop("n_band")
 
-    val candidates = inBand.join(broadcast(filled), "search_val")
-      .unionByName(score(residual, data))
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("search_val").orderBy(d.asc, col("data_id").asc)
-    candidates
-      .withColumn("rnk", row_number().over(w))
+    // Fallback: probes with fewer than k in-band hits get one exact full
+    // scan (the band join is re-evaluated once to list the filled probes —
+    // at scale, prefer persisting `ranked` over a third scan of `data`).
+    val filledProbes = filledTopK.filter(col("rnk") === 1).select("search_val")
+    val residual = search.join(broadcast(filledProbes), Seq("search_val"), "left_anti")
+    val fallbackTopK = score(residual, data)
+      .withColumn("rnk", row_number().over(wOrd))
       .filter(col("rnk") <= k)
+
+    filledTopK.unionByName(fallbackTopK)
   }
 }
