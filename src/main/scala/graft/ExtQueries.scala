@@ -153,6 +153,19 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
         .orderBy("source", "split")),
 
+    // Reproducible mixture sampling: per-source keep-rates via hash
+    // buckets (data mixing for training sets; same stability argument as
+    // q46 — rates are exact in expectation and the SAME rows are kept on
+    // every run and engine).
+    "q47_mixture_sample" -> ((s, dir) => {
+      val rate = typedlit(Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25))
+      docs(s, dir)
+        .withColumn("keep_pct", coalesce(rate(col("source")), lit(10)))
+        .filter(TextAnalysis.hashBucket(col("doc_id"), "mix-v1") < col("keep_pct"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
+        .orderBy("source")
+    }),
+
     // ---- event analysis ----
 
     "q51_sessionize" -> ((s, dir) =>
@@ -170,6 +183,19 @@ object ExtQueries {
         .groupBy("event_type", "next_type").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("event_type"), col("next_type"))
         .limit(20)
+    }),
+
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per day offset (two aggregations, one equi-join on user).
+    "q54_retention_cohort" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(firstDay, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }),
 
     // As-of join: attribute every event to the user's latest purchase at
@@ -538,6 +564,17 @@ object ExtQueries {
          |       count(*) AS n, min(doc_id) AS first_id
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
+    "q47_mixture_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id,
+         |         CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+         |                     WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END AS keep_pct,
+         |         ${TextAnalysis.h60Sql("'mix-v1:' || CAST(doc_id AS VARCHAR)")} % 100 AS hb
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
+         |FROM b WHERE hb < keep_pct
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "q51_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
         |flags AS (
@@ -583,6 +620,14 @@ object ExtQueries {
         |FROM ev e ASOF LEFT JOIN pur p
         |  ON e.user_id = p.user_id AND e.ts_ms >= p.ts_ms
         |ORDER BY e.event_id""".stripMargin,
+
+    "q54_retention_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT f.cohort_day, CAST(e.day - f.cohort_day AS INT) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q60_multimodal_features" ->
       """SELECT doc_id,
