@@ -43,6 +43,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(0) !== fps(2))
   }
 
+  test("h60Local (driver-side constant generator) == the engine's h60 expression") {
+    val samples = Seq("", "a", "abc", "hp0_63", "mix-v1:123", "Ünïcode ♞", "x" * 100)
+    val engine = samples.toDF("s")
+      .select(TextAnalysis.h60(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(engine === samples.map(TextAnalysis.h60Local))
+  }
+
+  test("winnow: randomized overlap guarantee (shared substring >= k+w-1 shares a hash)") {
+    import graft.functions.Winnow
+    val rnd = new scala.util.Random(99)
+    def randStr(n: Int, alphabet: String) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 40).foreach { _ =>
+      val common = randStr(8 + rnd.nextInt(10), "abcdef ")  // >= k + w - 1 = 8
+      val a = randStr(rnd.nextInt(12), "uvwxyz") + common + randStr(rnd.nextInt(12), "uvwxyz")
+      val b = randStr(rnd.nextInt(12), "mnopqr") + common + randStr(rnd.nextInt(12), "mnopqr")
+      val fa = Winnow.winnow(a, 5, 4).toSet
+      val fb = Winnow.winnow(b, 5, 4).toSet
+      assert(fa.intersect(fb).nonEmpty, s"no shared hash for common='$common' a='$a' b='$b'")
+    }
+  }
+
+  test("DistinctWordShingles kernel == HOF composition on random strings") {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "ab cd  e"
+    val texts = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.toDF("text")
+    val viaHof = df.select(array_distinct(
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val viaKernel = df.select(
+      graft.functions.TextExprs.distinctShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(viaHof === viaKernel)
+  }
+
   test("winnow fingerprint: overlap guarantee, short-text empty, sorted distinct") {
     import graft.functions.Winnow
     // any shared substring of length >= k + w - 1 (= 8) must share a hash
