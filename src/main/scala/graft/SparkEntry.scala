@@ -61,9 +61,12 @@ object SparkEntry {
         .orderBy("search_val", "bucket", "distance", "data_id", "match_val")),
 
     // F2 + F4/F5: visual alignment trace + diff splices (UDFs; no SQL
-    // equivalent -> rows-only check, unit-tested in DistanceSpec).
+    // equivalent -> rows-only check, unit-tested in DistanceSpec). The
+    // classification underneath uses the pruned engine (identical rows).
     "q03_visual_diff" -> ((s, dir) => {
-      val best = classified(s, dir).filter(col("bucket") === "best")
+      val best = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
+        .select("search_val", "match_val", "data_id", "distance", "bucket")
+        .filter(col("bucket") === "best")
       best
         .withColumn("vis", Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
         .withColumn("splices", Distance.diffSplicesUdf(col("search_val"), col("match_val")))

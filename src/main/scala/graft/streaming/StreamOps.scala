@@ -121,6 +121,17 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming exact dedup on an id column:
+    * `dropDuplicatesWithinWatermark` keeps the FIRST arrival of each id and
+    * drops later duplicates arriving within the watermark horizon, while
+    * the state store evicts ids once the watermark passes them — bounded
+    * state, unlike a plain `dropDuplicates(id)` whose state grows forever.
+    * The ingestion-side twin of the batch `Dedup.exact`. */
+  def dedupStream(rows: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

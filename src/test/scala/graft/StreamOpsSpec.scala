@@ -81,6 +81,25 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival, drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val base = 1000L * 60000L
+    def row(id: Long, min: Long, v: String) = (id, new Timestamp(base + min * 60000L), v)
+    val df = in.toDF().toDF("doc_id", "ts", "payload")
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupStream(df, "doc_id", "ts"), "dedup_test", OutputMode.Append())
+    try {
+      in.addData(row(1L, 0, "first"), row(1L, 1, "dup-same-batch"), row(2L, 0, "b"))
+      q.processAllAvailable()
+      in.addData(row(1L, 5, "dup-next-batch"), row(3L, 6, "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").collect()
+        .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+      assert(out === Seq((1L, "first"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
