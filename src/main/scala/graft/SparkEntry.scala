@@ -63,6 +63,9 @@ object SparkEntry {
     // F2 + F4/F5: visual alignment trace + diff splices (UDFs; no SQL
     // equivalent -> rows-only check, unit-tested in DistanceSpec). The
     // classification underneath uses the pruned engine (identical rows).
+    // Array outputs are projected to driver-hashable scalars: the symbol
+    // trace as a '1'/'0' string, the splices as their JSON encoding (the
+    // full arrays stay asserted in DistanceSpec).
     "q03_visual_diff" -> ((s, dir) => {
       val best = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
         .select("search_val", "match_val", "data_id", "distance", "bucket")
@@ -71,8 +74,26 @@ object SparkEntry {
         .withColumn("vis", Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
         .withColumn("splices", Distance.diffSplicesUdf(col("search_val"), col("match_val")))
         .select(col("search_val"), col("match_val"), col("distance"),
-          col("vis._1").as("vis_distance"), col("vis._2").as("symbols"), col("splices"))
+          col("vis._1").as("vis_distance"),
+          array_join(col("vis._2").cast("array<string>"), "").as("symbols_str"),
+          to_json(col("splices")).as("splices_json"))
         .orderBy("search_val", "match_val", "distance")
+    }),
+
+    // F2 hash-proven subset: the visual-trace distance equals the plain
+    // normalized Levenshtein (both run unit-cost DP over the same cleaned
+    // strings), which DuckDB can recompute — so this slice of the trace IS
+    // oracle-checkable end-to-end, not just unit-tested.
+    "q09_visual_distance" -> ((s, dir) => {
+      val best = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
+        .filter(col("bucket") === "best")
+        .select("search_val", "match_val", "distance")
+        .distinct() // same pair can win via several data_ids; trace is per pair
+      best
+        .withColumn("vis", Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
+        .select(col("search_val"), col("match_val"), col("distance"),
+          col("vis._1").as("vis_distance"))
+        .orderBy("search_val", "match_val")
     }),
 
     // S2/U1: union-all with schema alignment by name + null fill.
@@ -264,7 +285,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"),
-          (sum(col("k").cast("long")).cast("double") / count(col("k"))).as("avg_k"))
+          round(sum(col("k").cast("long")).cast("double") / count(col("k")), 6).as("avg_k"))
         .orderBy("event_type")),
   )
 
@@ -300,6 +321,22 @@ object SparkEntry {
       "q01_fuzzy_classify" -> fuzzyClassifySql,
       "q02_fuzzy_pruned" -> fuzzyClassifySql,
       // q03_visual_diff: UDF trace output, not SQL-expressible (rows-only).
+      // q09 proves the trace's distance channel: vis_distance must equal the
+      // normalized Levenshtein DuckDB computes itself on the 'best' pairs.
+      "q09_visual_distance" ->
+        s"""WITH search AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val,
+           |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
+           |  FROM search s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val)
+           |SELECT DISTINCT sc.search_val, sc.match_val, sc.distance, sc.distance AS vis_distance
+           |FROM scored sc JOIN mins m USING (search_val)
+           |WHERE sc.distance > 0 AND sc.distance <= $T AND sc.distance = m.min_pos
+           |ORDER BY search_val, match_val""".stripMargin,
       "q04_union_catalog" ->
         """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
           |       CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS VARCHAR) AS s_name,
@@ -455,10 +492,10 @@ object SparkEntry {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
       "q15_props_stats" ->
         """SELECT event_type, COUNT(*) AS n,
-          |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+          |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
           |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-          |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(CAST(json_extract(props, '$.k') AS INT)) AS avg_k
+          |  round(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin,
