@@ -32,6 +32,19 @@ object SimSearch {
 
   case class Scored(probe_id: Long, vec_id: Long, cos: Double)
 
+  /** Dimension of `colName` from the corpus' first row — the one driver-side
+    * probe the LSH paths need (plane count is a plan-time constant). Loud,
+    * actionable errors replace the bare NoSuchElementException/NPE an empty
+    * or null-leading corpus used to throw. */
+  def embeddingDim(corpus: DataFrame, colName: String = "embedding"): Int = {
+    val rows = corpus.select(size(col(colName))).limit(1).collect()
+    require(rows.nonEmpty,
+      s"cannot derive embedding dimension: corpus has no rows")
+    require(!rows(0).isNullAt(0),
+      s"cannot derive embedding dimension: first '$colName' value is null")
+    rows(0).getInt(0)
+  }
+
   /** Brute-force cosine top-k per probe.
     *
     * Phase 1 (distributed): score all pairs (broadcast nested-loop: probes
@@ -128,9 +141,9 @@ object SimSearch {
     * buckets, cutting the scan ~256x at the cost of recall near bucket
     * boundaries — the scale path when brute force is too big, one notch
     * below [[knnIvf]] in recall but requiring no clustering column. */
-  def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = lshPlanes(nPlanes, dim)
+  def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+             dim: Option[Int] = None): DataFrame = {
+    val planes = lshPlanes(nPlanes, dim.getOrElse(embeddingDim(corpus)))
     val c = graft.ops.Partitioning.spread(corpus)
       .withColumn("bucket", lshBucket(col("embedding"), planes))
     val p = probes.withColumn("bucket", lshBucket(col("p_embedding"), planes))
@@ -145,9 +158,16 @@ object SimSearch {
   }
 
   /** All pairs with cosine >= minCos (near-dup detection over embeddings).
-    * Exact but pairwise — fine to ~10^4 vectors; the 100 TB path is
-    * [[nearDupPairsBlocked]]. */
-  def nearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+    * Exact but pairwise — this is the RECALL ORACLE for
+    * [[nearDupPairsBlocked]], not a scale path: O(n^2) cosine evaluations.
+    * The size guard makes reaching it by accident at scale a loud error
+    * instead of a cluster-melting plan; raise `maxRows` only for a
+    * deliberate offline recall study. */
+  def nearDupPairs(corpus: DataFrame, minCos: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"nearDupPairs is the exact all-pairs recall oracle (O(n^2) = ~${n * n / 2} " +
+        s"cosine evals for $n rows > maxRows=$maxRows); use nearDupPairsBlocked at scale")
     val a = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -167,9 +187,9 @@ object SimSearch {
     * Tune k up (smaller buckets, cheaper join) and L up (recall) for the
     * target threshold; k=2/L=3 gives ~86% recall at cos 0.45. */
   def nearDupPairsBlocked(corpus: DataFrame, minCos: Double,
-                          tables: Int = 3, planesPerTable: Int = 2): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = lshPlanes(tables * planesPerTable, dim)
+                          tables: Int = 3, planesPerTable: Int = 2,
+                          dim: Option[Int] = None): DataFrame = {
+    val planes = lshPlanes(tables * planesPerTable, dim.getOrElse(embeddingDim(corpus)))
     val keyed = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until tables).map { l =>

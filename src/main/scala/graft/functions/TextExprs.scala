@@ -100,19 +100,25 @@ object Winnow {
     * selected hash set. Guarantees any shared substring of length >= k+w-1
     * contributes at least one common fingerprint hash. */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
-    val s = text.toLowerCase
-    val n = s.length
+    // Code POINTS, not UTF-16 code units: the oracle's per-character
+    // ascii(substring(s, i, 1)) sees one value per code point, so a
+    // supplementary-plane char (emoji) must contribute ONE hash term here
+    // too — charAt() would split it into two surrogates (and shift every
+    // gram index after it). Locale.ROOT for the same reason as
+    // Distance.clean.
+    val cps = text.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    val n = cps.length
     if (n < k) return Array.empty[Long]
     val m = n - k + 1
     val hs = new Array[Long](m)
     val topPow = pow(k - 1)
     var h = 0L
     var j = 0
-    while (j < k) { h = (h * B + s.charAt(j)) % P; j += 1 }
+    while (j < k) { h = (h * B + cps(j)) % P; j += 1 }
     hs(0) = h
     var i = 1
     while (i < m) {
-      h = ((h - s.charAt(i - 1) * topPow % P + P) % P * B + s.charAt(i + k - 1)) % P
+      h = ((h - cps(i - 1) * topPow % P + P) % P * B + cps(i + k - 1)) % P
       hs(i) = h
       i += 1
     }

@@ -22,8 +22,12 @@ object Distance {
   def dist(s: Column, t: Column): Column =
     levenshtein(Normalize.norm(s), Normalize.norm(t))
 
+  /** Locale.ROOT keeps lowercasing identical to Spark `lower` / DuckDB
+    * `lower` / Python `str.lower` — a Turkish-style default locale would
+    * map 'I' to dotless 'ı' (then stripped), silently diverging from the
+    * q09 oracle. */
   private def clean(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
 
   /** Full DP matrix, unit costs. Only used by the trace UDF; the scoring path
     * uses the built-in expression. */
