@@ -61,6 +61,24 @@ object ExtQueries {
       SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45)
         .orderBy("vec_a", "vec_b")),
 
+    // Cluster formation: the union of all three near-dup pair channels
+    // (MinHash-LSH text, SimHash text, LSH embedding — doc_id == vec_id in
+    // this corpus) collapsed to connected components. This answers the
+    // question pair lists can't: "which rows do I drop" — keep
+    // cluster_rep (= min id), drop the rest.
+    "q27_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+        .select("doc_a", "doc_b")
+        .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
+        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      val cc = Dedup.connectedComponents(pairs)
+      cc.join(cc.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size")), "cluster_rep")
+        .select("doc_id", "cluster_rep", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
 
     "q30_knn_brute" -> ((s, dir) =>
@@ -276,6 +294,15 @@ object ExtQueries {
       s"(CASE WHEN list_inner_product(CAST($emb AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Table `l` of the OR-amplified embedding LSH buckets on planes 2l,
+    * 2l+1 (3 tables x 2 planes) — shared by the q26/q27 oracles; rendered
+    * from the same constants as [[SimSearch.lshPlanes]]. */
+  private def embTableBucket(l: Int): String =
+    SimSearch.lshPlanes(6, 64).slice(2 * l, 2 * l + 2).zipWithIndex.map { case (cs, p) =>
+      val lst = cs.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB cosine with explicit DOUBLE[] casts: the float kernel sums in
     * float, but Spark's aggregate HOF folds in double — DOUBLE[] makes the
     * engines bit-identical (verified empirically). */
@@ -379,15 +406,9 @@ object ExtQueries {
         |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q26_embed_neardup_lsh" -> {
-      // 3 tables x 2 planes; table l buckets on planes 2l, 2l+1
-      val tableBucket = (l: Int) =>
-        SimSearch.lshPlanes(6, 64).slice(2 * l, 2 * l + 2).zipWithIndex.map { case (cs, p) =>
-          val lst = cs.mkString("[", ", ", "]")
-          s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString("(", " + ", ")")
       s"""WITH sigc AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |         ${tableBucket(0)} AS b0, ${tableBucket(1)} AS b1, ${tableBucket(2)} AS b2
+         |         ${embTableBucket(0)} AS b0, ${embTableBucket(1)} AS b1, ${embTableBucket(2)} AS b2
          |  FROM embeddings),
          |cand AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -409,6 +430,105 @@ object ExtQueries {
          |SELECT vec_a, vec_b, round(cos, 6) AS cosine
          |FROM v WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // Connected components over the union of the q21/q25/q26 pair channels.
+    // The recursive CTE computes full reachability over the symmetrized
+    // edges; min over the reachable set = the component representative.
+    "q27_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, sh,
+         |         ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm
+         |  FROM sh),
+         |coef(i, a, b) AS (VALUES $coefValues),
+         |mh_sigs AS (
+         |  SELECT doc_id, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
+         |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, c.i),
+         |bk0 AS (
+         |  SELECT doc_id, i % ${Dedup.bands} AS band,
+         |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
+         |  FROM mh_sigs GROUP BY doc_id, i % ${Dedup.bands}),
+         |bk AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |           count(*) OVER (PARTITION BY band, band_key) AS bucket_n
+         |    FROM bk0)
+         |  WHERE bucket_n <= 1000),
+         |mh_cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM mh_cand p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  GROUP BY p.doc_a, p.doc_b),
+         |mh_pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM mh_cand p
+         |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes za ON za.doc_id = p.doc_a
+         |  JOIN sizes zb ON zb.doc_id = p.doc_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS w
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+         |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
+         |votes AS (
+         |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+         |  GROUP BY doc_id, i),
+         |sh_sigs AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |sh_bands AS (
+         |  SELECT doc_id, simhash, j, (simhash >> CAST(15 * j AS INT)) & 32767 AS bv
+         |  FROM sh_sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |sh_pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh_bands a JOIN sh_bands b
+         |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sigc AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         ${embTableBucket(0)} AS b0, ${embTableBucket(1)} AS b1, ${embTableBucket(2)} AS b2
+         |  FROM embeddings),
+         |eb_cand AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM sigc a JOIN sigc b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b2 = b.b2 AND a.vec_id < b.vec_id),
+         |eb_pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM eb_cand c
+         |  JOIN sigc x ON x.vec_id = c.doc_a
+         |  JOIN sigc y ON y.vec_id = c.doc_b
+         |  WHERE list_inner_product(x.emb, y.emb)
+         |        / (sqrt(list_inner_product(x.emb, x.emb))
+         |           * sqrt(list_inner_product(y.emb, y.emb))) >= 0.45),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM mh_pairs
+         |  UNION SELECT doc_a, doc_b FROM sh_pairs
+         |  UNION SELECT doc_a, doc_b FROM eb_pairs),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM allp
+         |  UNION SELECT doc_b, doc_a FROM allp),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |rep AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY cluster_rep)
+         |SELECT r.doc_id, r.cluster_rep, c.cluster_size
+         |FROM rep r JOIN cs c USING (cluster_rep)
+         |ORDER BY doc_id""".stripMargin,
 
     "q30_knn_brute" ->
       s"""WITH probes AS (

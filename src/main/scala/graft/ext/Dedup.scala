@@ -180,6 +180,62 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---- cluster formation: pairs -> connected components ----
+
+  /** Duplicate-pair sets become actionable only as CLUSTERS: "which rows do
+    * I drop" needs one representative per connected component (keep min id,
+    * SURVEY.md §7.5). Input: undirected duplicate pairs (`aCol`, `bCol`).
+    * Output: one row per node that appears in any pair —
+    * (doc_id, cluster_rep) with cluster_rep = min id of the component.
+    *
+    * Distributed min-label propagation with path compression (the
+    * alternating-join shape of Kiveris et al.'s MapReduce connected
+    * components, without GraphX):
+    *
+    *   rep(v) := v
+    *   repeat:  rep(v) := min over {rep(v)} ∪ {rep(u) : (v,u) ∈ E}   (spread)
+    *            rep(v) := rep(rep(v))                                 (hop)
+    *
+    * Each round is two equi-joins + one groupBy — all shuffle-partitionable,
+    * no broadcast of anything proportional to the corpus. The compression
+    * hop gives O(log n) rounds on long paths instead of O(diameter); near-dup
+    * graphs (small dense clusters) typically converge in 2-3 rounds.
+    *
+    * `localCheckpoint` (eager) after candidate generation and per round
+    * truncates the iterative lineage — without it, round k's plan would
+    * re-run the upstream pair generation (LSH pipelines) k times. On a real
+    * cluster, configure `spark.checkpoint.dir` and swap in reliable
+    * `checkpoint` for executor-loss tolerance.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("rep")).localCheckpoint()
+    var done = labels.isEmpty
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // spread: min rep over self and neighbors
+      val nbrRep = sym.join(labels.select(col("node").as("dst"), col("rep")), "dst")
+        .select(col("src").as("node"), col("rep"))
+      val prop = labels.unionByName(nbrRep).groupBy("node").agg(min("rep").as("rep"))
+      // hop: rep(v) -> rep(rep(v)); every rep value is itself a node, so the
+      // inner self-join preserves all rows
+      val compressed = prop
+        .join(prop.select(col("node").as("rep"), col("rep").as("rep2")), "rep")
+        .select(col("node"), col("rep2").as("rep"))
+        .localCheckpoint()
+      // labels only ever decrease; scan stops at the first changed row
+      done = compressed.join(labels.withColumnRenamed("rep", "prev"), "node")
+        .filter(col("rep") =!= col("prev")).limit(1).count() == 0
+      labels = compressed
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   // ---- blocked exact n-gram Jaccard ----
 
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.

@@ -159,6 +159,25 @@ class DedupSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.contains((1L, 4L, 0))) // exact dup: hamming 0
   }
+
+  test("connectedComponents: min-label over chained pairs, disjoint clusters kept apart") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (never a direct 1-4 pair),
+    // {7,9}, and node 5 paired with itself-only edge 5-6
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents: empty pair set -> empty output; long path converges") {
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+    // a 12-node path exercises >1 propagate+compress round
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(got.size === 12 && got.values.forall(_ == 1L))
+  }
 }
 
 class SimSearchSpec extends SparkTestBase {
