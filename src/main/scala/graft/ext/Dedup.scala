@@ -214,7 +214,14 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("rep")).localCheckpoint()
-    var done = labels.isEmpty
+    // Convergence probe: labels only ever decrease, so the exact decimal
+    // sum of reps strictly decreases until the fixpoint — one scan of the
+    // checkpointed labels per round, no join of old vs new label sets.
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = if (labels.isEmpty) null else repSum(labels)
+    var done = prevSum == null
     var iter = 0
     while (!done && iter < maxIter) {
       // spread: min rep over self and neighbors
@@ -227,9 +234,9 @@ object Dedup {
         .join(prop.select(col("node").as("rep"), col("rep").as("rep2")), "rep")
         .select(col("node"), col("rep2").as("rep"))
         .localCheckpoint()
-      // labels only ever decrease; scan stops at the first changed row
-      done = compressed.join(labels.withColumnRenamed("rep", "prev"), "node")
-        .filter(col("rep") =!= col("prev")).limit(1).count() == 0
+      val s = repSum(compressed)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = compressed
       iter += 1
     }
