@@ -42,4 +42,25 @@ object Resolve {
     * appends in the reference, main.py:530-535). */
   def writeSink(resolved: DataFrame, path: String): Unit =
     sinkRows(resolved).write.mode("append").parquet(path)
+
+  /** R3: dual config-gated sinks. The reference's settings declare two
+    * independent output gates — `out_1` "Output DataFrame1" (the search
+    * side) and `out_2` "Output DataFrame2" (the data side) — persisted via
+    * the GUI/config (/root/reference/main.py:331-336, 663-670) but never
+    * consumed by its write loop; the port implements what the flags
+    * declare. Each gate independently enables its sink: out1 appends the
+    * kept/replaced resolved search rows to `path1`, out2 appends the
+    * data-side rows chosen by `replace` decisions (join on the resolved
+    * value) to `path2`. Both off = no write at all. */
+  def writeSinks(resolved: DataFrame, data: DataFrame, valueCol: String,
+                 out1: Boolean, out2: Boolean,
+                 path1: String, path2: String): Unit = {
+    if (out1) writeSink(resolved, path1)
+    if (out2) {
+      val chosen = resolved.filter(col("action") === "replace")
+        .select(col("resolved_val")).distinct()
+      data.join(chosen, data(valueCol) === col("resolved_val"), "left_semi")
+        .write.mode("append").parquet(path2)
+    }
+  }
 }

@@ -45,4 +45,25 @@ class ResolveSpec extends SparkTestBase {
     assert(sunk.count() === 4)
     assert(sunk.filter(col("action") === "skip").count() === 0)
   }
+
+  test("writeSinks: out_1/out_2 gates write and skip independently (R3)") {
+    val resolved = Resolve.applyDecisions(search, decisions, "sku")
+    val data = Seq((10L, "beta-2"), (11L, "other")).toDF("data_id", "match_val")
+
+    def run(out1: Boolean, out2: Boolean): (Boolean, Boolean, Long, Long) = {
+      val dir = Files.createTempDirectory("graft-dual").toString
+      val (p1, p2) = (dir + "/out1", dir + "/out2")
+      Resolve.writeSinks(resolved, data, "match_val", out1, out2, p1, p2)
+      val e1 = Files.exists(java.nio.file.Paths.get(p1))
+      val e2 = Files.exists(java.nio.file.Paths.get(p2))
+      (e1, e2,
+        if (e1) spark.read.parquet(p1).count() else 0L,
+        if (e2) spark.read.parquet(p2).count() else 0L)
+    }
+
+    assert(run(out1 = true, out2 = false) === ((true, false, 2L, 0L)))
+    assert(run(out1 = false, out2 = true) === ((false, true, 0L, 1L))) // only beta-2 row
+    assert(run(out1 = true, out2 = true) === ((true, true, 2L, 1L)))
+    assert(run(out1 = false, out2 = false) === ((false, false, 0L, 0L)))
+  }
 }
