@@ -140,10 +140,10 @@ object SparkEntry {
     // a search table probed against a FOLDER UNION of data tables, fuzzy
     // classified. Search = supplier names; data = part ∪ supplier names
     // (ids disambiguated by source offset). This probe side is 10x larger
-    // than q01's, so it runs on the PRUNED engine (result-identical to the
-    // full scan — q02 proves that equivalence against the same oracle
-    // shape): in-band candidates collapse to same-length pairs and the
-    // out-of-band part names never pay a Levenshtein.
+    // than q01's — exactly the regime where the plain length-band key skews
+    // (~30 distinct lengths x thousands of probes per band) — so it runs on
+    // the Q-GRAM REFINED engine: candidate key (length, prefix q-gram),
+    // result-identical to the full scan (same oracle shape as q01/q02).
     "q07_fuzzy_vs_union" -> ((s, dir) => {
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
@@ -152,7 +152,7 @@ object SparkEntry {
           col("p_name").as("match_val"), lit("part").as("src")),
         t(s, dir, "supplier").select((col("s_suppkey") + 1000000L).as("data_id"),
           col("s_name").as("match_val"), lit("supplier").as("src"))))
-      FuzzyJoin.fuzzyMatchPruned(search, dataUnion, T)
+      FuzzyJoin.fuzzyMatchPrunedQgram(search, dataUnion, T)
         .select("search_val", "match_val", "data_id", "src", "distance", "bucket")
         .orderBy("search_val", "bucket", "distance", "data_id", "match_val")
     }),

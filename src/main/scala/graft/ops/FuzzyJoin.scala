@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's core operator: a fuzzy similarity join with four-way
@@ -106,6 +106,16 @@ object FuzzyJoin {
       .filter(d >= 0 && d <= threshold)
       .drop("m_len", "s_norm", "m_norm")
 
+    classifyBanded(search, data, inBand, threshold)
+  }
+
+  /** Shared tail of the pruned engines: bucket classification of in-band
+    * scored rows + the residual poor_best full scan (see [[fuzzyMatchPruned]]
+    * for semantics). `inBand` must hold every (probe row, candidate) pair
+    * with 0 <= distance <= threshold, exactly once. */
+  private def classifyBanded(search: DataFrame, data: DataFrame,
+                             inBand: DataFrame, threshold: Int): DataFrame = {
+    val d = col("distance")
     val minsPos = inBand.filter(d > 0)
       .groupBy("search_val").agg(min(d).as("min_pos"))
 
@@ -129,6 +139,86 @@ object FuzzyJoin {
       .drop("min_all")
 
     classified.unionByName(poorBest)
+  }
+
+  /** Length-band + q-gram prefix refined fuzzy match — identical output to
+    * [[fuzzyMatch]]/[[fuzzyMatchPruned]]; the candidate key for the large
+    * probe-set regime.
+    *
+    * The plain length band has only ~|lengths| distinct keys, so when the
+    * probe side is large every data row joins against ALL probes in its
+    * band — the band key skews. This variant refines the key to
+    * (length, prefix q-gram), Ed-Join style (Xiao/Wang/Lin, VLDB'08):
+    *
+    *   If ed(s,t) <= T and both normalized lengths >= q(T+1), the
+    *   lexicographically-smallest SHARED distinct q-gram of s and t lies
+    *   within the first qT+1 sorted distinct q-grams of BOTH. (>=1 gram
+    *   occurrence of s survives into t since each edit destroys <= q of
+    *   s's len-q+1 > qT occurrences; in either string, every distinct gram
+    *   sorting below the smallest shared one is unshared, and T edits
+    *   destroy/create <= qT occurrences, so <= qT distinct types precede it.)
+    *
+    * So long probes emit (band length x <= qT+1 prefix grams) keys, long
+    * data rows emit (length x <= qT+1 prefix grams), and the candidate join
+    * is an equi-join on the composite key — fine-grained, skew-resistant,
+    * still exact. Pairs where either side is shorter than q(T+1) fall back
+    * to the plain band key (cheap: short strings). A pair can collide on
+    * several prefix grams, so candidates dedupe per probe ROW (internal id,
+    * preserving the reference's per-row scoring of duplicate probes) before
+    * classification.
+    */
+  def fuzzyMatchPrunedQgram(search: DataFrame, data: DataFrame,
+                            threshold: Int = 3, q: Int = 2): DataFrame = {
+    val d = col("distance")
+    val prefixLen = q * threshold + 1
+    val shortMax = q * (threshold + 1) - 1 // gram-count bound vacuous at/below
+
+    val s = search
+      .withColumn("__pid", monotonically_increasing_id())
+      .withColumn("s_norm", Normalize.norm(col("search_val")))
+      .withColumn("s_len", length(col("s_norm")))
+    val dataN = Partitioning.spread(data)
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+      .withColumn("m_len", length(col("m_norm")))
+
+    // The prefixLen lexicographically-smallest distinct q-grams. Runs once
+    // per input ROW (not per pair), so the interpreted HOF chain is off the
+    // hot path; only called on strings with length >= q.
+    def prefixGrams(src: String): Column = expr(
+      s"slice(array_sort(array_distinct(transform(" +
+        s"sequence(1, length($src) - ${q - 1}), i -> substring($src, i, $q)))), 1, $prefixLen)")
+
+    def scoreBand(probes: DataFrame, dataSide: DataFrame, key: Seq[String]): DataFrame =
+      dataSide.join(broadcast(probes), key)
+        .withColumn("distance", levenshtein(col("s_norm"), col("m_norm"), threshold))
+        .filter(d >= 0 && d <= threshold)
+
+    // A: short probes vs any in-band data — plain band key.
+    val sShort = s.filter(col("s_len") <= shortMax)
+      .withColumn("m_len", explode(sequence(
+        greatest(col("s_len") - threshold, lit(0)), col("s_len") + threshold)))
+      .drop("s_len")
+    val chanA = scoreBand(sShort, dataN, Seq("m_len"))
+
+    // B: long probes vs short in-band data — plain band key on the (small)
+    // short-data slice only.
+    val sLong = s.filter(col("s_len") > shortMax)
+    val sLongBand = sLong.withColumn("m_len", explode(sequence(
+        col("s_len") - threshold, col("s_len") + threshold)))
+    val chanB = scoreBand(sLongBand.filter(col("m_len") <= shortMax).drop("s_len"),
+      dataN.filter(col("m_len") <= shortMax), Seq("m_len"))
+
+    // C: long vs long — composite (length, prefix gram) key.
+    val sGram = sLongBand.filter(col("m_len") > shortMax)
+      .withColumn("gram", explode(prefixGrams("s_norm"))).drop("s_len")
+    val dGram = dataN.filter(col("m_len") > shortMax)
+      .withColumn("gram", explode(prefixGrams("m_norm")))
+    val chanC = scoreBand(sGram, dGram, Seq("m_len", "gram"))
+      .dropDuplicates("__pid", "data_id").drop("gram")
+
+    val inBand = chanA.unionByName(chanB).unionByName(chanC)
+      .drop("m_len", "s_norm", "m_norm", "__pid")
+    classifyBanded(search, data, inBand, threshold)
   }
 
   /** O1 (main.py:476-477, 560-561): the reference stable-sorts the potential
@@ -167,16 +257,19 @@ object FuzzyJoin {
 
     // One exchange computes both the per-probe candidate count and the
     // rank: a probe with n_band >= k has its exact top-k right here.
+    // `ranked` feeds both the filled-probe top-k and the residual-probe
+    // list; persisting it caches the band join + window once instead of
+    // scanning `data` a third time for the fallback's anti-join.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("search_val")
     val wOrd = w.orderBy(d.asc, col("data_id").asc)
     val ranked = inBand
       .withColumn("n_band", count(lit(1)).over(w))
       .withColumn("rnk", row_number().over(wOrd))
+      .persist()
     val filledTopK = ranked.filter(col("n_band") >= k && col("rnk") <= k).drop("n_band")
 
     // Fallback: probes with fewer than k in-band hits get one exact full
-    // scan (the band join is re-evaluated once to list the filled probes —
-    // at scale, prefer persisting `ranked` over a third scan of `data`).
+    // scan of just those probes.
     val filledProbes = filledTopK.filter(col("rnk") === 1).select("search_val")
     val residual = search.join(broadcast(filledProbes), Seq("search_val"), "left_anti")
     val fallbackTopK = score(residual, data)

@@ -70,6 +70,27 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(f.exceptAll(p).isEmpty && p.exceptAll(f).isEmpty)
   }
 
+  test("q-gram refined variant is row-identical to the full scan (incl. short strings)") {
+    // lengths straddle the short/long routing boundary q(T+1)-1 = 7:
+    // "ab" (2), "abcdef" (6) go through the band-only channels; the 8-char
+    // fixtures exercise the (length, prefix-gram) composite key; the
+    // mixed pair (8-char probe vs 6-char candidate) crosses channels.
+    val mixData = data.unionByName(Seq(
+      (20L, "ab"), (21L, "abcd"), (22L, "abcdef"), (23L, "abcdefg")).toDF("data_id", "match_val"))
+    val mixSearch = search.unionByName(Seq("abc", "abcdefg").toDF("search_val"))
+    val f = FuzzyJoin.fuzzyMatch(mixSearch, mixData, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    val g = FuzzyJoin.fuzzyMatchPrunedQgram(mixSearch, mixData, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    assert(f.exceptAll(g).isEmpty && g.exceptAll(f).isEmpty)
+  }
+
+  test("q-gram variant scores duplicate probe rows per-row (internal pair dedup is per probe ROW)") {
+    val dupSearch = Seq("abcdefgh", "abcdefgh").toDF("search_val")
+    val out = FuzzyJoin.fuzzyMatchPrunedQgram(dupSearch, data, 3)
+    assert(out.filter($"bucket" === "exact").count() === 2)
+  }
+
   test("duplicate probe rows are scored per-row like the reference loop") {
     val dupSearch = Seq("abcdefgh", "abcdefgh").toDF("search_val")
     val out = FuzzyJoin.fuzzyMatch(dupSearch, data, 3)

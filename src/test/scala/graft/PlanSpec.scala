@@ -34,6 +34,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q07 q-gram fuzzy join: candidate generation is a hash equi-join on the (length, gram) key") {
+    val p = plan("q07_fuzzy_vs_union")
+    assert(p.contains("BroadcastHashJoin [m_len"),
+      "refined candidate key must plan a hash EQUI-join, not a nested loop")
+    assert(p.contains("gram"), "composite key must include the prefix q-gram")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q20 exact dedup: single shuffle with map-side partial aggregation") {
     val p = plan("q20_dedup_exact")
     assert(p.contains("partial_"), "groupBy must plan partial (map-side) aggregation")
