@@ -45,6 +45,21 @@ object SimSearch {
     rows(0).getInt(0)
   }
 
+  /** A caller-supplied dim is validated against the data (DotProduct
+    * truncates to min(array lengths), so a wrong dim would silently bucket
+    * differently from an oracle deriving planes from the true width). The
+    * probe is one limit(1) scan; an empty corpus with an explicit dim is
+    * allowed (nothing to mis-bucket). */
+  private def resolveDim(corpus: DataFrame, dim: Option[Int]): Int = dim match {
+    case None => embeddingDim(corpus)
+    case Some(d) =>
+      val rows = corpus.select(size(col("embedding"))).limit(1).collect()
+      if (rows.nonEmpty && !rows(0).isNullAt(0))
+        require(d == rows(0).getInt(0),
+          s"supplied dim=$d != corpus embedding dimension ${rows(0).getInt(0)}")
+      d
+  }
+
   /** Brute-force cosine top-k per probe.
     *
     * Phase 1 (distributed): score all pairs (broadcast nested-loop: probes
@@ -143,7 +158,7 @@ object SimSearch {
     * below [[knnIvf]] in recall but requiring no clustering column. */
   def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
              dim: Option[Int] = None): DataFrame = {
-    val planes = lshPlanes(nPlanes, dim.getOrElse(embeddingDim(corpus)))
+    val planes = lshPlanes(nPlanes, resolveDim(corpus, dim))
     val c = graft.ops.Partitioning.spread(corpus)
       .withColumn("bucket", lshBucket(col("embedding"), planes))
     val p = probes.withColumn("bucket", lshBucket(col("p_embedding"), planes))
@@ -164,10 +179,14 @@ object SimSearch {
     * instead of a cluster-melting plan; raise `maxRows` only for a
     * deliberate offline recall study. */
   def nearDupPairs(corpus: DataFrame, minCos: Double, maxRows: Long = 100000L): DataFrame = {
-    val n = corpus.count()
+    // Bounded probe: scan at most maxRows+1 rows to decide, instead of a
+    // full count() that would execute the whole upstream pipeline twice.
+    val lim = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = corpus.limit(lim).count()
     require(n <= maxRows,
-      s"nearDupPairs is the exact all-pairs recall oracle (O(n^2) = ~${n * n / 2} " +
-        s"cosine evals for $n rows > maxRows=$maxRows); use nearDupPairsBlocked at scale")
+      s"nearDupPairs is the exact all-pairs recall oracle (O(n^2) > " +
+        s"${BigInt(maxRows) * BigInt(maxRows) / 2} cosine evals beyond maxRows=$maxRows); " +
+        "use nearDupPairsBlocked at scale")
     val a = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -189,7 +208,7 @@ object SimSearch {
   def nearDupPairsBlocked(corpus: DataFrame, minCos: Double,
                           tables: Int = 3, planesPerTable: Int = 2,
                           dim: Option[Int] = None): DataFrame = {
-    val planes = lshPlanes(tables * planesPerTable, dim.getOrElse(embeddingDim(corpus)))
+    val planes = lshPlanes(tables * planesPerTable, resolveDim(corpus, dim))
     val keyed = graft.ops.Partitioning.spread(corpus)
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until tables).map { l =>

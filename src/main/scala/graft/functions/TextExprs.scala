@@ -104,9 +104,11 @@ object Winnow {
     // ascii(substring(s, i, 1)) sees one value per code point, so a
     // supplementary-plane char (emoji) must contribute ONE hash term here
     // too — charAt() would split it into two surrogates (and shift every
-    // gram index after it). Locale.ROOT for the same reason as
-    // Distance.clean.
-    val cps = text.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    // gram index after it). Lowercasing is per code point
+    // (Character.toLowerCase) rather than String.toLowerCase: full-string
+    // case mapping can change the code-point COUNT (e.g. U+0130 -> 'i' +
+    // U+0307), while DuckDB lower() maps code points 1:1.
+    val cps = text.codePoints().map(Character.toLowerCase _).toArray
     val n = cps.length
     if (n < k) return Array.empty[Long]
     val m = n - k + 1
