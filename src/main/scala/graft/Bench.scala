@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   *   - FIXED sorted query order — Map iteration order shifted between
   *     rounds when queries were added, reshuffling which query paid shared
   *     warm-up costs;
-  *   - per-query warm-up run(s) + median of `reps` timed runs — the first
-  *     execution of each unique plan pays one-time Janino codegen (2-8s on
-  *     complex plans), which used to dominate sub-second queries;
+  *   - warm-up ROUND(s) + `reps` timed ROUNDS, per-query median across
+  *     rounds. Rounds are interleaved (every query once per round, not N
+  *     consecutive reps per query) so a host-noise burst lands on ONE rep
+  *     of many queries instead of all reps of one query — consecutive-rep
+  *     medians still disagreed 2-3x between bench invocations on this VM.
+  *     The warm round absorbs one-time Janino codegen (2-8s on complex
+  *     plans), which used to dominate sub-second queries;
   *   - a failing query is EXCLUDED from the total and reported under
   *     "errors" with a nonzero "n_err" — previously a broken query silently
-  *     contributed its time-to-failure, so a regression could "improve" the
-  *     number.
+  *     contributed its time-to-failure, so a regression could "improve"
+  *     the number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,28 +37,34 @@ object Bench {
     // Untimed global warmup: session init, file listing, common codegen.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (try {
-          (0 until warm).foreach(_ => fn(spark, sfDir).count())
-          val times = (0 until reps).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          Right(times(times.length / 2))
-        } catch {
-          case e: Throwable =>
-            Left(e.toString.linesIterator.next().take(200).replace("\"", "'"))
-        })
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      if (errors.contains(name)) None
+      else try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.linesIterator.next().take(200).replace("\"", "'")
+          None
       }
 
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(m)) => k -> m }
-    val qs = ok.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errs.size},"reps":$reps,"sf":"$sfDir"}""")
+    for (_ <- 0 until warm; (name, fn) <- named) run(name, fn)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until reps; (name, fn) <- named)
+      run(name, fn).foreach(t => samples(name) = samples(name) :+ t)
+
+    val medians = named.flatMap { case (name, _) =>
+      val ts = samples(name).sorted
+      if (ts.isEmpty) None else Some(name -> ts(ts.length / 2))
+    }
+    val qs = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
