@@ -212,8 +212,12 @@ object Dedup {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("rep")).localCheckpoint()
+    // Initialization already performs the first spread — rep(v) = min over
+    // {v} ∪ N(v) is one groupBy over the symmetric edges — so star-shaped
+    // near-dup clusters start fully converged and the loop only confirms.
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("rep"))
+      .localCheckpoint()
     // Convergence probe: labels only ever decrease, so the exact decimal
     // sum of reps strictly decreases until the fixpoint — one scan of the
     // checkpointed labels per round, no join of old vs new label sets.

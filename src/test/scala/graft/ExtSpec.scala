@@ -193,6 +193,20 @@ class SimSearchSpec extends SparkTestBase {
   private val probes = corpus.filter($"vec_id" === 0L)
     .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
 
+  test("nearDupPairs size guard trips loudly past maxRows; dim mismatch errors loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      SimSearch.nearDupPairs(corpus, minCos = 0.5, maxRows = 3)
+    }
+    assert(e1.getMessage.contains("nearDupPairsBlocked"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimSearch.knnLsh(probes, corpus, k = 2, dim = Some(64)) // data is dim 2
+    }
+    assert(e2.getMessage.contains("dim=64"))
+    // matching explicit dim and empty-corpus-with-dim both work
+    assert(SimSearch.knnLsh(probes, corpus, k = 2, dim = Some(2)).count() > 0)
+    assert(SimSearch.nearDupPairsBlocked(corpus.limit(0), minCos = 0.5, dim = Some(2)).count() === 0)
+  }
+
   test("cosine expression computes the expected value") {
     val c = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
       .select(SimSearch.cosine($"a", $"b")).head.getDouble(0)
