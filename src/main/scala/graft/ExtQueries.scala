@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.{Dedup, Events, SimSearch, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, SimSearch, TextAnalysis}
 import graft.ops.Ingest
 
 /** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
@@ -184,6 +184,35 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Repetition-based quality signals (the Gopher-rule family): token
+    // uniqueness ratio, most-frequent-token share, duplicate-bigram
+    // fraction. Bigram stats are MAP-ONLY (codegen'd distinct-shingle
+    // kernel vs token count); the top-token share reuses the simhash tf
+    // shape (one partial-agg shuffle).
+    "q49_repetition" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("n_bigram", greatest(col("n_tok") - 1, lit(0)))
+        .withColumn("n_uniq_bigram",
+          size(graft.functions.TextExprs.distinctShingles(col("text"), 2)))
+      val top = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .groupBy("doc_id").agg(max("w").as("top_w"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          round(when(col("n_tok") > 0,
+            col("n_uniq").cast("double") / col("n_tok")).otherwise(0.0), 6).as("uniq_ratio"),
+          round(when(col("n_tok") > 0 && col("top_w").isNotNull,
+            col("top_w").cast("double") / col("n_tok")).otherwise(0.0), 6).as("top_frac"),
+          round(when(col("n_bigram") > 0,
+            lit(1.0) - col("n_uniq_bigram").cast("double") / col("n_bigram"))
+            .otherwise(0.0), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event analysis ----
 
     "q51_sessionize" -> ((s, dir) =>
@@ -243,6 +272,19 @@ object ExtQueries {
           (col("n_chars") * lit(2654435761L) % lit(2147483647L)).as("checksum"),
           size(col("embedding")).as("dim"), col("label"))
         .orderBy("doc_id")),
+
+    // The partition-batched binary decoder end-to-end: binary payload
+    // column -> mapPartitions feature extraction (decoder state per
+    // partition, where a real codec handle lives) -> typed feature schema.
+    // The decode body is the documented deterministic stub, which the
+    // oracle reproduces BYTE-for-byte (hex expansion of the UTF-8 blob),
+    // so the whole plumbing path is hash-checked, not just unit-tested.
+    "q61_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.withPayload(docs(s, dir), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -701,6 +743,25 @@ object ExtQueries {
          |FROM b WHERE hb < keep_pct
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    "q49_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS w
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+         |top AS (SELECT doc_id, max(w) AS top_w FROM tf GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq,
+         |         greatest(len(t) - 1, 0) AS n_bigram,
+         |         len(list_distinct(list_transform(range(1, len(t)),
+         |             i -> t[i] || ' ' || t[i+1]))) AS n_uniq_bigram
+         |  FROM toks)
+         |SELECT b.doc_id, CAST(b.n_tok AS INT) AS n_tok,
+         |  round(CASE WHEN b.n_tok > 0 THEN CAST(b.n_uniq AS DOUBLE) / b.n_tok ELSE 0.0 END, 6) AS uniq_ratio,
+         |  round(CASE WHEN b.n_tok > 0 AND t.top_w IS NOT NULL THEN CAST(t.top_w AS DOUBLE) / b.n_tok ELSE 0.0 END, 6) AS top_frac,
+         |  round(CASE WHEN b.n_bigram > 0 THEN 1.0 - CAST(b.n_uniq_bigram AS DOUBLE) / b.n_bigram ELSE 0.0 END, 6) AS dup_bigram_frac
+         |FROM bg b LEFT JOIN top t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q51_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
         |flags AS (
@@ -763,5 +824,26 @@ object ExtQueries {
         |  len(embedding) AS dim, label
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Byte-exact twin of Multimodal.decodeStub: expand the UTF-8 blob to a
+    // byte list via hex digits, then the same 131-polynomial rolling hash.
+    "q61_media_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(0, n), i ->
+        |           CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |              + strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT), 1)) - 1 AS BIGINT)) AS bl
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS byte_len,
+        |  CAST(coalesce(bl[1], 0) AS INT) AS head_byte,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bl),
+        |              (acc, x) -> (acc * 131 + x) % 2147483647) AS checksum,
+        |  CAST(n % 640 + 1 AS INT) AS width,
+        |  CAST(coalesce(bl[1], 0) % 480 + 1 AS INT) AS height
+        |FROM bytes ORDER BY doc_id""".stripMargin,
   )
 }
