@@ -21,6 +21,12 @@ object ExtQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** The embedding dimension the generated oracle SQL bakes into its LSH
+    * plane literals. The engine-side queries pass the same constant as the
+    * explicit dim, so a corpus with a different width fails LOUDLY in
+    * SimSearch.resolveDim instead of silently diverging from the oracle. */
+  val oracleDim = 64
+
   private def probes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
@@ -58,7 +64,7 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")),
 
     "q26_embed_neardup_lsh" -> ((s, dir) =>
-      SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45)
+      SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45, dim = Some(oracleDim))
         .orderBy("vec_a", "vec_b")),
 
     // Cluster formation: the union of all three near-dup pair channels
@@ -71,7 +77,8 @@ object ExtQueries {
       val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
         .select("doc_a", "doc_b")
         .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
-        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45)
+        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
+            dim = Some(oracleDim))
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       val cc = Dedup.connectedComponents(pairs)
       cc.join(cc.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size")), "cluster_rep")
@@ -90,7 +97,7 @@ object ExtQueries {
         .orderBy("probe_id", "rnk")),
 
     "q32_knn_lsh" -> ((s, dir) =>
-      SimSearch.knnLsh(probes(s, dir), corpus(s, dir), k = 5)
+      SimSearch.knnLsh(probes(s, dir), corpus(s, dir), k = 5, dim = Some(oracleDim))
         .orderBy("probe_id", "rnk")),
 
     // ---- text analysis ----
@@ -331,7 +338,7 @@ object ExtQueries {
   /** LSH hyperplane literals (dim 64) rendered from the same constants the
     * Spark side uses — see [[SimSearch.lshPlanes]]. */
   private def lshBucketSql(emb: String, nPlanes: Int = 8): String =
-    SimSearch.lshPlanes(nPlanes, 64).zipWithIndex.map { case (cs, p) =>
+    SimSearch.lshPlanes(nPlanes, oracleDim).zipWithIndex.map { case (cs, p) =>
       val lst = cs.mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(CAST($emb AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -340,7 +347,7 @@ object ExtQueries {
     * 2l+1 (3 tables x 2 planes) — shared by the q26/q27 oracles; rendered
     * from the same constants as [[SimSearch.lshPlanes]]. */
   private def embTableBucket(l: Int): String =
-    SimSearch.lshPlanes(6, 64).slice(2 * l, 2 * l + 2).zipWithIndex.map { case (cs, p) =>
+    SimSearch.lshPlanes(6, oracleDim).slice(2 * l, 2 * l + 2).zipWithIndex.map { case (cs, p) =>
       val lst = cs.mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($lst AS DOUBLE[])) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
