@@ -132,6 +132,32 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: the streaming twin of the batch as-of
+    * attribution (q53, [[graft.ops.AsOfJoin]]) under a bounded lookback.
+    * An exact as-of over unbounded streams would need unbounded state (any
+    * past purchase could be "the latest"); the production pattern bounds
+    * the horizon: event e joins purchases p of the same user with
+    * p_ts in [e.ts - horizon, e.ts]. Watermarks on BOTH sides plus the
+    * interval condition let the engine size and EVICT join state — purchase
+    * state is dropped once the watermark passes p_ts + horizon, event state
+    * once matches can no longer arrive. `leftOuter` keeps unattributed
+    * events (emitted when their horizon closes). */
+  def attributionStream(events: DataFrame, purchases: DataFrame,
+                        horizon: String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val ev = events.withWatermark("ts", watermark)
+    val pur = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    ev.join(pur,
+      col("user_id") === col("p_user_id")
+        && col("p_ts") <= col("ts")
+        && col("p_ts") >= col("ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .drop("p_user_id")
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

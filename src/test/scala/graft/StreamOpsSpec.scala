@@ -100,6 +100,42 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval attribution: in-horizon purchase joins, out-of-horizon and unmatched emit null") {
+    implicit val sqlCtx = spark.sqlContext
+    val evIn = MemoryStream[(Long, Long, Timestamp)]
+    val purIn = MemoryStream[(Long, Long, Timestamp)]
+    val base = 1000L * 60000L // keep clear of epoch-0 watermark edge cases
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val events = evIn.toDF().toDF("event_id", "user_id", "ts")
+    val purchases = purIn.toDF().toDF("purchase_id", "user_id", "ts")
+    val q = StreamOps.toMemorySink(
+      StreamOps.attributionStream(events, purchases,
+        horizon = "1 hour", watermark = "5 minutes"),
+      "attr_test", OutputMode.Append())
+    try {
+      // user 1: purchase at t10, events at t30 (in horizon) and t100 (71min
+      // later -> outside the 1h horizon); user 2: event, no purchase at all
+      purIn.addData((500L, 1L, ts(10)))
+      evIn.addData((1L, 1L, ts(30)), (2L, 1L, ts(100)), (3L, 2L, ts(31)))
+      q.processAllAvailable()
+      // advance both watermarks far past every horizon so the outer side
+      // emits the null rows (needs one batch to move the watermark and one
+      // to apply it)
+      purIn.addData((501L, 9L, ts(500)))
+      evIn.addData((9L, 9L, ts(500)))
+      q.processAllAvailable()
+      purIn.addData((502L, 9L, ts(600)))
+      evIn.addData((10L, 9L, ts(600)))
+      q.processAllAvailable()
+      val out = spark.table("attr_test")
+        .select("event_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(out(1L) === 500L, s"in-horizon event attributes: $out")
+      assert(out(2L) === -1L, s"out-of-horizon event emits null: $out")
+      assert(out(3L) === -1L, s"user without purchases emits null: $out")
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
