@@ -111,11 +111,13 @@ object SparkEntry {
     // struct key — rather than the full classify+window pipeline: one
     // groupBy, no second scoring pass, no rank exchange. Same rows as
     // filtering bucket='best' and taking rn=1 (the oracle still does that).
+    // Scoring runs on the BANDED pairs: the argmin only ranges over
+    // 0 < d <= T, and every such pair is in-band — no cross product.
     "q05_resolve" -> ((s, dir) => {
       val search = Resolve.withRowId(probes(s, dir), "search_val")
       val d = col("distance")
-      val decisions = FuzzyJoin.score(probes(s, dir), candidates(s, dir))
-        .filter(d > 0 && d <= T)
+      val decisions = FuzzyJoin.scoreBanded(probes(s, dir), candidates(s, dir), T)
+        .filter(d > 0)
         .groupBy("search_val")
         .agg(min_by(col("match_val"), struct(d, col("data_id"))).as("new_val"))
         .withColumn("action", lit("replace"))

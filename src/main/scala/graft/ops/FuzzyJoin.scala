@@ -86,7 +86,18 @@ object FuzzyJoin {
     * those residual probes (typically a small fraction), exactly mirroring
     * the reference's own fallback second pass (main.py:220-228).
     */
-  def fuzzyMatchPruned(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame = {
+  def fuzzyMatchPruned(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame =
+    classifyBanded(search, data, scoreBanded(search, data, threshold), threshold)
+
+  /** Every (probe row, candidate) pair with 0 <= distance <= threshold,
+    * exactly once, WITHOUT the full cross product: length-band candidate
+    * generation (|len(a)-len(b)| <= T is necessary for d <= T) makes the
+    * join a hash equi-join on normalized length, and the banded (Ukkonen)
+    * 3-arg levenshtein computes only the +-threshold diagonal —
+    * O(T·min(|s|,|t|)) per pair, returning -1 (filtered) past the band.
+    * The building block for every threshold-bounded consumer: bucket
+    * classification, top-k's radius phase, argmin decisions (q05). */
+  def scoreBanded(search: DataFrame, data: DataFrame, threshold: Int): DataFrame = {
     val d = col("distance")
     val bands = search
       .withColumn("s_norm", Normalize.norm(col("search_val")))
@@ -96,17 +107,10 @@ object FuzzyJoin {
     val dataN = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
-
-    // Banded (Ukkonen) distance with early exit: the 3-arg levenshtein
-    // computes only the +-threshold diagonal band and returns -1 when the
-    // distance exceeds it — O(T·min(|s|,|t|)) instead of O(|s|·|t|) per
-    // pair, exact for every row this path keeps.
-    val inBand = dataN.join(broadcast(bands), "m_len")
+    dataN.join(broadcast(bands), "m_len")
       .withColumn("distance", levenshtein(col("s_norm"), col("m_norm"), threshold))
       .filter(d >= 0 && d <= threshold)
       .drop("m_len", "s_norm", "m_norm")
-
-    classifyBanded(search, data, inBand, threshold)
   }
 
   /** Shared tail of the pruned engines: bucket classification of in-band
