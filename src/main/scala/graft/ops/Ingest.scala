@@ -45,4 +45,30 @@ object Ingest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/*.parquet")
   }
+
+  /** S2 widened to mixed formats: the reference's data_folder holds
+    * arbitrary tabular files (xlsx there; parquet/csv/json here — Excel
+    * earns no first-class path at scale, convert it at landing). One
+    * multi-path scan PER FORMAT — partition-parallel, with pushdown where
+    * the format supports it — then one union by name with null fill, so a
+    * folder mixing formats and schemas reads like the reference's concat.
+    * The file listing is a driver-side metadata operation only. */
+  def folderMixed(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).filter(_.isFile).map(_.getPath.toString)
+    def grp(ext: String) = files.filter(_.toLowerCase.endsWith(ext)).toSeq
+    val perFormat = Seq(
+      Some(grp(".parquet")).filter(_.nonEmpty).map { ps =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(ps: _*)
+      },
+      Some(grp(".csv")).filter(_.nonEmpty).map(ps =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(ps: _*)),
+      Some(grp(".json")).filter(_.nonEmpty).map(ps =>
+        spark.read.json(ps: _*))
+    ).flatten
+    require(perFormat.nonEmpty, s"no parquet/csv/json files under $dir")
+    unionAllByName(perFormat)
+  }
 }
