@@ -86,6 +86,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The operation every pipeline actually runs on top of q27: the
+    // SURVIVING corpus — docs in no duplicate cluster plus one
+    // representative (min id) per cluster. One anti-join of the corpus
+    // against the non-representative cluster members.
+    "q28_dedup_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+        .select("doc_a", "doc_b")
+        .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
+        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
+            dim = Some(oracleDim))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      val drop = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      d.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
 
     "q30_knn_brute" -> ((s, dir) =>
@@ -360,6 +379,100 @@ object ExtQueries {
       | / (sqrt(list_inner_product(CAST(pe AS DOUBLE[]), CAST(pe AS DOUBLE[])))
       |    * sqrt(list_inner_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])))))""".stripMargin
 
+  /** Shared oracle chain for q27/q28: the three pair channels, the
+    * recursive reachability closure, and rep(doc_id, cluster_rep). */
+  private def clusterRepCtes: String =
+    s"""$shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, sh,
+         |         ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm
+         |  FROM sh),
+         |coef(i, a, b) AS (VALUES $coefValues),
+         |mh_sigs AS (
+         |  SELECT doc_id, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
+         |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, c.i),
+         |bk0 AS (
+         |  SELECT doc_id, i % ${Dedup.bands} AS band,
+         |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
+         |  FROM mh_sigs GROUP BY doc_id, i % ${Dedup.bands}),
+         |bk AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |           count(*) OVER (PARTITION BY band, band_key) AS bucket_n
+         |    FROM bk0)
+         |  WHERE bucket_n <= 1000),
+         |mh_cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM mh_cand p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  GROUP BY p.doc_a, p.doc_b),
+         |mh_pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM mh_cand p
+         |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes za ON za.doc_id = p.doc_a
+         |  JOIN sizes zb ON zb.doc_id = p.doc_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS w
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+         |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
+         |votes AS (
+         |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+         |  GROUP BY doc_id, i),
+         |sh_sigs AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |sh_bands AS (
+         |  SELECT doc_id, simhash, j, (simhash >> CAST(15 * j AS INT)) & 32767 AS bv
+         |  FROM sh_sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |sh_pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh_bands a JOIN sh_bands b
+         |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sigc AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         ${embTableBucket(0)} AS b0, ${embTableBucket(1)} AS b1, ${embTableBucket(2)} AS b2
+         |  FROM embeddings),
+         |eb_cand AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM sigc a JOIN sigc b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id, b.vec_id
+         |  FROM sigc a JOIN sigc b ON a.b2 = b.b2 AND a.vec_id < b.vec_id),
+         |eb_pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM eb_cand c
+         |  JOIN sigc x ON x.vec_id = c.doc_a
+         |  JOIN sigc y ON y.vec_id = c.doc_b
+         |  WHERE list_inner_product(x.emb, y.emb)
+         |        / (sqrt(list_inner_product(x.emb, x.emb))
+         |           * sqrt(list_inner_product(y.emb, y.emb))) >= 0.45),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM mh_pairs
+         |  UNION SELECT doc_a, doc_b FROM sh_pairs
+         |  UNION SELECT doc_a, doc_b FROM eb_pairs),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM allp
+         |  UNION SELECT doc_b, doc_a FROM allp),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |rep AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS text_md5
@@ -484,100 +597,22 @@ object ExtQueries {
     // The recursive CTE computes full reachability over the symmetrized
     // edges; min over the reachable set = the component representative.
     "q27_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |hashed AS (
-         |  SELECT doc_id, sh,
-         |         ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm
-         |  FROM sh),
-         |coef(i, a, b) AS (VALUES $coefValues),
-         |mh_sigs AS (
-         |  SELECT doc_id, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
-         |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, c.i),
-         |bk0 AS (
-         |  SELECT doc_id, i % ${Dedup.bands} AS band,
-         |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
-         |  FROM mh_sigs GROUP BY doc_id, i % ${Dedup.bands}),
-         |bk AS (
-         |  SELECT doc_id, band, band_key FROM (
-         |    SELECT doc_id, band, band_key,
-         |           count(*) OVER (PARTITION BY band, band_key) AS bucket_n
-         |    FROM bk0)
-         |  WHERE bucket_n <= 1000),
-         |mh_cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-         |  FROM mh_cand p
-         |  JOIN sh sa ON sa.doc_id = p.doc_a
-         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
-         |  GROUP BY p.doc_a, p.doc_b),
-         |mh_pairs AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM mh_cand p
-         |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-         |  JOIN sizes za ON za.doc_id = p.doc_a
-         |  JOIN sizes zb ON zb.doc_id = p.doc_b
-         |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5),
-         |tf AS (
-         |  SELECT doc_id, tok, count(*) AS w
-         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
-         |h AS (SELECT doc_id, tok, w, ${TextAnalysis.h60Sql("tok")} AS h FROM tf),
-         |votes AS (
-         |  SELECT doc_id, i, sum(w * (((h >> CAST(i AS INT)) & 1) * 2 - 1)) AS v
-         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
-         |  GROUP BY doc_id, i),
-         |sh_sigs AS (
-         |  SELECT doc_id,
-         |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM votes GROUP BY doc_id),
-         |sh_bands AS (
-         |  SELECT doc_id, simhash, j, (simhash >> CAST(15 * j AS INT)) & 32767 AS bv
-         |  FROM sh_sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
-         |sh_pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh_bands a JOIN sh_bands b
-         |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |sigc AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |         ${embTableBucket(0)} AS b0, ${embTableBucket(1)} AS b1, ${embTableBucket(2)} AS b2
-         |  FROM embeddings),
-         |eb_cand AS (
-         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-         |  FROM sigc a JOIN sigc b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id, b.vec_id
-         |  FROM sigc a JOIN sigc b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id, b.vec_id
-         |  FROM sigc a JOIN sigc b ON a.b2 = b.b2 AND a.vec_id < b.vec_id),
-         |eb_pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM eb_cand c
-         |  JOIN sigc x ON x.vec_id = c.doc_a
-         |  JOIN sigc y ON y.vec_id = c.doc_b
-         |  WHERE list_inner_product(x.emb, y.emb)
-         |        / (sqrt(list_inner_product(x.emb, x.emb))
-         |           * sqrt(list_inner_product(y.emb, y.emb))) >= 0.45),
-         |allp AS (
-         |  SELECT doc_a, doc_b FROM mh_pairs
-         |  UNION SELECT doc_a, doc_b FROM sh_pairs
-         |  UNION SELECT doc_a, doc_b FROM eb_pairs),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM allp
-         |  UNION SELECT doc_b, doc_a FROM allp),
-         |reach(node, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
-         |rep AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $clusterRepCtes,
          |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY cluster_rep)
          |SELECT r.doc_id, r.cluster_rep, c.cluster_size
          |FROM rep r JOIN cs c USING (cluster_rep)
          |ORDER BY doc_id""".stripMargin,
+
+    // The operation every pipeline actually runs on top of q27: the
+    // SURVIVING corpus — docs in no duplicate cluster, plus one
+    // representative (min id) per cluster.
+    "q28_dedup_keep" ->
+      s"""WITH RECURSIVE $clusterRepCtes
+         |SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+         |FROM documents d LEFT JOIN rep r USING (doc_id)
+         |WHERE r.doc_id IS NULL OR r.cluster_rep = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
 
     "q30_knn_brute" ->
       s"""WITH probes AS (
