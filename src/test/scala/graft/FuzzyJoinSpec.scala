@@ -85,6 +85,26 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(f.exceptAll(g).isEmpty && g.exceptAll(f).isEmpty)
   }
 
+  test("q-gram variant == full scan on randomized strings (repetitive + mixed alphabets, all lengths)") {
+    // Adversarial for the prefix-filter theorem: low-distinct-gram
+    // repetitive strings ('ababab', 'aaaa'), digit-heavy strings whose
+    // grams sort before letters, symbols that normalize away, and lengths
+    // straddling the short/long routing boundary.
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "ab1", "a", "abcde0", "ab-!x")
+    def randStr() = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until rnd.nextInt(14)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    val dataR = (1L to 60L).map(i => (i, randStr())).toDF("data_id", "match_val")
+    val searchR = (0 until 25).map(_ => randStr()).distinct.toDF("search_val")
+    val f = FuzzyJoin.fuzzyMatch(searchR, dataR, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    val g = FuzzyJoin.fuzzyMatchPrunedQgram(searchR, dataR, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    assert(f.exceptAll(g).isEmpty && g.exceptAll(f).isEmpty)
+  }
+
   test("q-gram variant scores duplicate probe rows per-row (internal pair dedup is per probe ROW)") {
     val dupSearch = Seq("abcdefgh", "abcdefgh").toDF("search_val")
     val out = FuzzyJoin.fuzzyMatchPrunedQgram(dupSearch, data, 3)
