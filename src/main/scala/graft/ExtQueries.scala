@@ -105,6 +105,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark-contamination screen: src0 plays the eval set, every other
+    // source the training corpus; per eval doc, the fraction of its
+    // distinct 3-token shingles found anywhere in the training side.
+    "q29_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
 
     "q30_knn_brute" -> ((s, dir) =>
@@ -613,6 +623,22 @@ object ExtQueries {
          |WHERE r.doc_id IS NULL OR r.cluster_rep = d.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+
+    "q29_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |tr AS (SELECT DISTINCT sh FROM sh0 WHERE source <> 'src0'),
+         |te AS (SELECT doc_id, sh FROM sh0 WHERE source = 'src0'),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM te JOIN tr USING (sh) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q30_knn_brute" ->
       s"""WITH probes AS (

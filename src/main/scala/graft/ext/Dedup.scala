@@ -247,6 +247,33 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  // ---- cross-corpus contamination check ----
+
+  /** Benchmark-contamination detection: for every document of `test`, the
+    * fraction of its distinct k-token shingles that appear ANYWHERE in
+    * `train` — the standard n-gram-overlap screen run before training to
+    * keep eval sets out of the corpus (and after, to audit a mixture).
+    *
+    * Shape: both sides shingle map-only (codegen kernel), the train side
+    * collapses to DISTINCT shingles (one groupBy with partial aggs — at
+    * 100 TB this is the big but shuffle-partitionable step), and the
+    * overlap is a shingle equi-join counted per test doc. No pairwise
+    * doc × doc work anywhere: cost scales with |shingles|, not
+    * |test| × |train|.
+    */
+  def contamination(test: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val testSh = shingled(test, idCol, textCol, k)
+    val trainSh = shingled(train, idCol, textCol, k).select("sh").distinct()
+    val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = testSh.join(trainSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contamination"))
+  }
+
   // ---- blocked exact n-gram Jaccard ----
 
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.

@@ -160,6 +160,19 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 4L, 0))) // exact dup: hamming 0
   }
 
+  test("contamination: exact shingle-overlap fraction against the train side") {
+    val test = Seq((1L, "the quick brown fox jumps high"), // 4 shingles, 2 in train
+      (2L, "totally novel eval content here now")).toDF("doc_id", "text") // 0 hits
+    val train = Seq((10L, "the quick brown fox runs away")).toDF("doc_id", "text")
+    val got = Dedup.contamination(test, train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: shingles {the quick brown, quick brown fox, brown fox jumps,
+    // fox jumps high}; train has {the quick brown, quick brown fox, ...}
+    assert(got(0) === ((1L, 4L, 2L, 0.5)))
+    assert(got(1) === ((2L, 4L, 0L, 0.0)))
+  }
+
   test("connectedComponents: min-label over chained pairs, disjoint clusters kept apart") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (never a direct 1-4 pair),
     // {7,9}, and node 5 paired with itself-only edge 5-6
