@@ -19,4 +19,20 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Bucketed materialization for co-located joins: write `df` as a table
+    * hash-bucketed (and sorted) by `key`, so every future equi-join or
+    * aggregation on `key` between same-bucketed tables plans WITHOUT a
+    * shuffle — the join's exchange is paid ONCE at write time instead of
+    * once per downstream query. The scale lever for fact-to-fact joins
+    * repeated across a pipeline (events ⋈ purchases by user, docs ⋈
+    * features by doc_id): at 100 TB, re-shuffling both sides per query
+    * dominates everything; two tables bucketed by the same key into the
+    * same count join map-side. Requires a metastore table (`saveAsTable`) —
+    * plain parquet paths carry no bucket metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

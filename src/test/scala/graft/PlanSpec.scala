@@ -54,6 +54,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("bucketed tables co-locate: the equi-join on the bucket key plans ZERO exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.ops.Partitioning.writeBucketed(
+      (1L to 100L).map(i => (i, s"u$i")).toDF("user_id", "name"), "bt_users", "user_id", 4)
+    graft.ops.Partitioning.writeBucketed(
+      (1L to 300L).map(i => (i % 100 + 1, i)).toDF("user_id", "event_id"), "bt_events", "user_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: with broadcast allowed, the tiny test
+      // table would be broadcast and hide whether bucketing co-locates
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_events").join(spark.table("bt_users"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucket-aligned join + agg must not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bt_users")
+      spark.sql("DROP TABLE IF EXISTS bt_events")
+    }
+  }
+
   test("vector kernel stays inside whole-stage codegen") {
     // AQE wraps stages in codegen only at materialization; execute first,
     // then look for our expression inside a starred (*(n) = codegen) node.
