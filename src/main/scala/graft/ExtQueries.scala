@@ -220,6 +220,28 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per document by smoothed
+    // tf·idf. Two partial-agg shuffles (tf, df) + one broadcast-sized join
+    // (df table = vocabulary) + per-doc top-k window. Ranking uses the
+    // ROUNDED score so an engine-libm ulp difference in ln() cannot flip
+    // rank order between the engine and the oracle.
+    "q50_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tf = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("score",
+          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Repetition-based quality signals (the Gopher-rule family): token
     // uniqueness ratio, most-frequent-token share, duplicate-bigram
     // fraction. Bigram stats are MAP-ONLY (codegen'd distinct-shingle
@@ -810,6 +832,25 @@ object ExtQueries {
          |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
          |FROM b WHERE hb < keep_pct
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, term, tf, df, score
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q49_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
