@@ -47,9 +47,17 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          errors(name) = e.toString.linesIterator.next().take(200).replace("\"", "'")
+          errors(name) = e.toString.linesIterator.next().take(200)
           None
       }
+
+    // Minimal JSON string escaping: backslash, quote, control chars.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
     for (_ <- 0 until warm; (name, fn) <- named) run(name, fn)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -57,12 +65,16 @@ object Bench {
     for (_ <- 0 until reps; (name, fn) <- named)
       run(name, fn).foreach(t => samples(name) = samples(name) :+ t)
 
+    // A query that failed in ANY round is excluded from the medians/total
+    // even if earlier reps produced samples — partial timings of a broken
+    // query are exactly the ambiguous signal this harness exists to kill.
     val medians = named.flatMap { case (name, _) =>
       val ts = samples(name).sorted
-      if (ts.isEmpty) None else Some(name -> ts(ts.length / 2))
+      if (ts.isEmpty || errors.contains(name)) None
+      else Some(name -> ts(ts.length / 2))
     }
-    val qs = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

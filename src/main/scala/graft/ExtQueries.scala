@@ -34,6 +34,19 @@ object ExtQueries {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
 
+  /** The three near-dup pair channels q27/q28 cluster over — ONE
+    * definition so the two queries (and the shared oracle CTE chain) can
+    * never desynchronize on a threshold tweak. */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+      .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
+      .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
+          dim = Some(oracleDim))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup family ----
@@ -73,14 +86,7 @@ object ExtQueries {
     // question pair lists can't: "which rows do I drop" — keep
     // cluster_rep (= min id), drop the rest.
     "q27_dedup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
-        .select("doc_a", "doc_b")
-        .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
-        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
-            dim = Some(oracleDim))
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      val cc = Dedup.connectedComponents(pairs)
+      val cc = Dedup.connectedComponents(dupPairs(s, dir))
       cc.join(cc.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size")), "cluster_rep")
         .select("doc_id", "cluster_rep", "cluster_size")
         .orderBy("doc_id")
@@ -91,16 +97,9 @@ object ExtQueries {
     // representative (min id) per cluster. One anti-join of the corpus
     // against the non-representative cluster members.
     "q28_dedup_keep" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
-        .select("doc_a", "doc_b")
-        .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
-        .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
-            dim = Some(oracleDim))
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      val drop = Dedup.connectedComponents(pairs)
+      val drop = Dedup.connectedComponents(dupPairs(s, dir))
         .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
-      d.join(drop, Seq("doc_id"), "left_anti")
+      docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
@@ -227,15 +226,17 @@ object ExtQueries {
     // rank order between the engine and the oracle.
     "q50_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val nDocs = d.count()
+      // corpus size folded into the plan (1-row broadcast), not a separate
+      // eager count() job at DataFrame-construction time
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
       val tf = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), col("term"))
-      tf.join(broadcast(df_), "term")
+      tf.join(broadcast(df_), "term").crossJoin(broadcast(nDocs))
         .withColumn("score",
-          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))

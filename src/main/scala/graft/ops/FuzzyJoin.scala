@@ -177,11 +177,16 @@ object FuzzyJoin {
     val prefixLen = q * threshold + 1
     val shortMax = q * (threshold + 1) - 1 // gram-count bound vacuous at/below
 
+    // Internal row identities on BOTH sides: a pair can collide on several
+    // prefix grams, and the dedup must collapse exactly those — not
+    // distinct probe rows with equal text (reference scores per row) and
+    // not distinct data rows sharing a data_id value.
     val s = search
       .withColumn("__pid", monotonically_increasing_id())
       .withColumn("s_norm", Normalize.norm(col("search_val")))
       .withColumn("s_len", length(col("s_norm")))
     val dataN = Partitioning.spread(data)
+      .withColumn("__did", monotonically_increasing_id())
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
 
@@ -218,10 +223,10 @@ object FuzzyJoin {
     val dGram = dataN.filter(col("m_len") > shortMax)
       .withColumn("gram", explode(prefixGrams("m_norm")))
     val chanC = scoreBand(sGram, dGram, Seq("m_len", "gram"))
-      .dropDuplicates("__pid", "data_id").drop("gram")
+      .dropDuplicates("__pid", "__did").drop("gram")
 
     val inBand = chanA.unionByName(chanB).unionByName(chanC)
-      .drop("m_len", "s_norm", "m_norm", "__pid")
+      .drop("m_len", "s_norm", "m_norm", "__pid", "__did")
     classifyBanded(search, data, inBand, threshold)
   }
 
@@ -263,7 +268,10 @@ object FuzzyJoin {
     // rank: a probe with n_band >= k has its exact top-k right here.
     // `ranked` feeds both the filled-probe top-k and the residual-probe
     // list; persisting it caches the band join + window once instead of
-    // scanning `data` a third time for the fallback's anti-join.
+    // scanning `data` a third time for the fallback's anti-join. The cache
+    // cannot be unpersisted here (construction is lazy); it is released by
+    // the ContextCleaner once the plan is unreachable — callers looping
+    // over many topK plans in one session should unpersist explicitly.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("search_val")
     val wOrd = w.orderBy(d.asc, col("data_id").asc)
     val ranked = inBand

@@ -52,7 +52,9 @@ object Ingest {
     * multi-path scan PER FORMAT — partition-parallel, with pushdown where
     * the format supports it — then one union by name with null fill, so a
     * folder mixing formats and schemas reads like the reference's concat.
-    * The file listing is a driver-side metadata operation only. */
+    * The file LISTING is driver-side metadata only, but schema INFERENCE
+    * for csv/json costs one extra pass over those files — at scale, pass
+    * explicit schemas (or convert to parquet at landing) instead. */
   def folderMixed(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

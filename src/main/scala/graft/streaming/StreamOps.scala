@@ -132,16 +132,19 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Stream-stream interval join: the streaming twin of the batch as-of
-    * attribution (q53, [[graft.ops.AsOfJoin]]) under a bounded lookback.
-    * An exact as-of over unbounded streams would need unbounded state (any
-    * past purchase could be "the latest"); the production pattern bounds
-    * the horizon: event e joins purchases p of the same user with
-    * p_ts in [e.ts - horizon, e.ts]. Watermarks on BOTH sides plus the
-    * interval condition let the engine size and EVICT join state — purchase
-    * state is dropped once the watermark passes p_ts + horizon, event state
-    * once matches can no longer arrive. `leftOuter` keeps unattributed
-    * events (emitted when their horizon closes). */
+  /** Stream-stream INTERVAL join: event e pairs with EVERY purchase p of
+    * the same user with p_ts in [e.ts - horizon, e.ts] — one output row per
+    * in-horizon purchase (multi-touch attribution), NOT the single
+    * latest-purchase row the batch as-of (q53, [[graft.ops.AsOfJoin]])
+    * emits. An exact streaming as-of would need unbounded state (any past
+    * purchase could be "the latest") plus a second stateful per-event
+    * argmax; pipelines that need last-touch semantics aggregate
+    * max_by(purchase_id, p_ts) per event downstream. Watermarks on BOTH
+    * sides plus the interval condition let the engine size and EVICT join
+    * state — purchase state is dropped once the watermark passes
+    * p_ts + horizon, event state once matches can no longer arrive.
+    * `leftOuter` keeps untouched events (emitted when their horizon
+    * closes). */
   def attributionStream(events: DataFrame, purchases: DataFrame,
                         horizon: String = "1 hour",
                         watermark: String = "10 minutes"): DataFrame = {

@@ -111,6 +111,21 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(out.filter($"bucket" === "exact").count() === 2)
   }
 
+  test("q-gram variant keeps distinct data rows that share a data_id value") {
+    // long strings (channel C) with a repeated data_id: the internal pair
+    // dedup must collapse multi-gram collisions of the SAME rows only,
+    // never two different rows that happen to share an id
+    val dupIdData = Seq((1L, "abcdefgh"), (1L, "abcdefgx"), (1L, "abcdefgh"))
+      .toDF("data_id", "match_val")
+    val s1 = Seq("abcdefgh").toDF("search_val")
+    val f = FuzzyJoin.fuzzyMatch(s1, dupIdData, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    val g = FuzzyJoin.fuzzyMatchPrunedQgram(s1, dupIdData, 3)
+      .select("search_val", "match_val", "data_id", "distance", "bucket")
+    assert(f.exceptAll(g).isEmpty && g.exceptAll(f).isEmpty)
+    assert(g.filter($"bucket" === "exact").count() === 2) // both identical rows kept
+  }
+
   test("duplicate probe rows are scored per-row like the reference loop") {
     val dupSearch = Seq("abcdefgh", "abcdefgh").toDF("search_val")
     val out = FuzzyJoin.fuzzyMatch(dupSearch, data, 3)

@@ -113,9 +113,10 @@ class StreamOpsSpec extends SparkTestBase {
         horizon = "1 hour", watermark = "5 minutes"),
       "attr_test", OutputMode.Append())
     try {
-      // user 1: purchase at t10, events at t30 (in horizon) and t100 (71min
-      // later -> outside the 1h horizon); user 2: event, no purchase at all
-      purIn.addData((500L, 1L, ts(10)))
+      // user 1: purchases at t10 AND t20, events at t30 (both in horizon ->
+      // interval fan-out: one row per purchase) and t100 (81/91min later ->
+      // outside the 1h horizon); user 2: event, no purchase at all
+      purIn.addData((500L, 1L, ts(10)), (510L, 1L, ts(20)))
       evIn.addData((1L, 1L, ts(30)), (2L, 1L, ts(100)), (3L, 2L, ts(31)))
       q.processAllAvailable()
       // advance both watermarks far past every horizon so the outer side
@@ -129,10 +130,12 @@ class StreamOpsSpec extends SparkTestBase {
       q.processAllAvailable()
       val out = spark.table("attr_test")
         .select("event_id", "purchase_id").collect()
-        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-      assert(out(1L) === 500L, s"in-horizon event attributes: $out")
-      assert(out(2L) === -1L, s"out-of-horizon event emits null: $out")
-      assert(out(3L) === -1L, s"user without purchases emits null: $out")
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(out(1L) === Set(500L, 510L),
+        s"interval semantics: one row PER in-horizon purchase: $out")
+      assert(out(2L) === Set(-1L), s"out-of-horizon event emits null: $out")
+      assert(out(3L) === Set(-1L), s"user without purchases emits null: $out")
     } finally q.stop()
   }
 
