@@ -54,6 +54,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
+    val p = plan("q29_contamination")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"contamination must never plan pairwise doc work:\n$p")
+    assert(p.contains("partial_"), "shingle counts must partial-aggregate map-side")
+  }
+
+  test("q50 tf-idf: vocabulary (df) joins broadcast, no sort-merge") {
+    val p = plan("q50_tfidf")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "the 1-row n_docs join must broadcast")
+  }
+
   test("bucketed tables co-locate: the equi-join on the bucket key plans ZERO exchanges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
