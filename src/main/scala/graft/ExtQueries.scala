@@ -220,10 +220,15 @@ object ExtQueries {
     }),
 
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
-    // tf·idf. Two partial-agg shuffles (tf, df) + one broadcast-sized join
-    // (df table = vocabulary) + per-doc top-k window. Ranking uses the
-    // ROUNDED score so an engine-libm ulp difference in ln() cannot flip
-    // rank order between the engine and the oracle.
+    // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
+    // term + per-doc top-k window. The df table is the distinct vocabulary
+    // — at web scale that's 10^8-10^9 terms (typos, URLs, code tokens), so
+    // it must never carry a broadcast hint; tf is already partitioned by
+    // (doc_id, term) and the term join re-partitions both sides by the
+    // join key, which AQE will downgrade to a broadcast on its own iff the
+    // vocabulary measures small at runtime. Ranking uses the ROUNDED score
+    // so an engine-libm ulp difference in ln() cannot flip rank order
+    // between the engine and the oracle.
     "q50_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
       // corpus size folded into the plan (1-row broadcast), not a separate
@@ -234,7 +239,7 @@ object ExtQueries {
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), col("term"))
-      tf.join(broadcast(df_), "term").crossJoin(broadcast(nDocs))
+      tf.join(df_, "term").crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
         .withColumn("rnk", row_number().over(w))

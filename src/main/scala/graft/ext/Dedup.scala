@@ -201,23 +201,29 @@ object Dedup {
     * hop gives O(log n) rounds on long paths instead of O(diameter); near-dup
     * graphs (small dense clusters) typically converge in 2-3 rounds.
     *
-    * `localCheckpoint` (eager) after candidate generation and per round
-    * truncates the iterative lineage — without it, round k's plan would
-    * re-run the upstream pair generation (LSH pipelines) k times. On a real
-    * cluster, configure `spark.checkpoint.dir` and swap in reliable
-    * `checkpoint` for executor-loss tolerance.
+    * Lineage is truncated (eagerly checkpointed) after candidate generation
+    * and per round — without that, round k's plan would re-run the upstream
+    * pair generation (LSH pipelines) k times. By default this is
+    * `localCheckpoint` (executor-local blocks — fast, but lost with an
+    * executor); pass `checkpointDir` to switch every truncation to a
+    * RELIABLE `checkpoint` into that directory (HDFS/object store on a real
+    * cluster), which survives executor loss at the price of a write+read of
+    * the labels per round. Local single-JVM behavior is identical.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val sym = truncate(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // Initialization already performs the first spread — rep(v) = min over
     // {v} ∪ N(v) is one groupBy over the symmetric edges — so star-shaped
     // near-dup clusters start fully converged and the loop only confirms.
-    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("node"), least(col("src"), col("mn")).as("rep"))
-      .localCheckpoint()
+    var labels = truncate(sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("rep")))
     // Convergence probe: labels only ever decrease, so the exact decimal
     // sum of reps strictly decreases until the fixpoint — one scan of the
     // checkpointed labels per round, no join of old vs new label sets.
@@ -234,10 +240,9 @@ object Dedup {
       val prop = labels.unionByName(nbrRep).groupBy("node").agg(min("rep").as("rep"))
       // hop: rep(v) -> rep(rep(v)); every rep value is itself a node, so the
       // inner self-join preserves all rows
-      val compressed = prop
+      val compressed = truncate(prop
         .join(prop.select(col("node").as("rep"), col("rep").as("rep2")), "rep")
-        .select(col("node"), col("rep2").as("rep"))
-        .localCheckpoint()
+        .select(col("node"), col("rep2").as("rep")))
       val s = repSum(compressed)
       done = s.compareTo(prevSum) == 0
       prevSum = s

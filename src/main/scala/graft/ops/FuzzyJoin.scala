@@ -248,8 +248,14 @@ object FuzzyJoin {
     * to ranking the full cross product.
     *
     * Ranking is deterministic: (distance asc, data_id asc) row_number.
+    *
+    * `onCache` receives the internal persisted DataFrame so a caller
+    * looping over many topK plans in one session can `unpersist()` each
+    * once consumed, instead of accumulating cached band joins until the
+    * ContextCleaner collects them.
     */
-  def topK(search: DataFrame, data: DataFrame, k: Int, radius: Int = 3): DataFrame = {
+  def topK(search: DataFrame, data: DataFrame, k: Int, radius: Int = 3,
+           onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val d = col("distance")
     val bands = search
       .withColumn("s_norm", Normalize.norm(col("search_val")))
@@ -269,15 +275,15 @@ object FuzzyJoin {
     // `ranked` feeds both the filled-probe top-k and the residual-probe
     // list; persisting it caches the band join + window once instead of
     // scanning `data` a third time for the fallback's anti-join. The cache
-    // cannot be unpersisted here (construction is lazy); it is released by
-    // the ContextCleaner once the plan is unreachable — callers looping
-    // over many topK plans in one session should unpersist explicitly.
+    // cannot be unpersisted here (construction is lazy); it is handed to
+    // `onCache` so the caller can release it once the result is consumed.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("search_val")
     val wOrd = w.orderBy(d.asc, col("data_id").asc)
     val ranked = inBand
       .withColumn("n_band", count(lit(1)).over(w))
       .withColumn("rnk", row_number().over(wOrd))
       .persist()
+    onCache(ranked)
     val filledTopK = ranked.filter(col("n_band") >= k && col("rnk") <= k).drop("n_band")
 
     // Fallback: probes with fewer than k in-band hits get one exact full

@@ -35,6 +35,10 @@ object StreamOps {
     * `processAllAvailable` from ever settling. At scale, bound state growth
     * with an event-time watermark + `flatMapGroupsWithState(EventTimeTimeout)`
     * instead — timeouts then fire only as the watermark advances. */
+  @deprecated("NoTimeout state never evicts — on an unbounded stream this " +
+    "grows without bound. Kept only as the mapGroupsWithState test/demo " +
+    "twin; use sessionWindows (EventTimeTimeout, watermark-bounded state) " +
+    "for any real stream.", "0.5")
   def sessionCounts(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -184,6 +184,16 @@ class DedupSpec extends SparkTestBase {
       7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: reliable checkpointDir variant == localCheckpoint result") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("connectedComponents: empty pair set -> empty output; long path converges") {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
     // a 12-node path exercises >1 propagate+compress round

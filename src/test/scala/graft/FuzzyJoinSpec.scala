@@ -150,6 +150,19 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got.size === 4 * k) // every probe gets exactly k results
   }
 
+  test("topK onCache handle releases the internal cache in a loop") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val handles = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to 3).foreach { _ =>
+      FuzzyJoin.topK(search, data, 2, radius = 3, onCache = handles += _).count()
+    }
+    assert(handles.size === 3)
+    handles.foreach(_.unpersist(blocking = true))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"persisted RDDs outlived the loop after explicit release: $leaked")
+  }
+
   test("empty inputs: no search rows / no data rows yield empty results, no crash") {
     val noSearch = spark.emptyDataFrame.selectExpr("cast(null as string) as search_val").limit(0)
     val noData = spark.emptyDataFrame

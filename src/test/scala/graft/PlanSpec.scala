@@ -61,10 +61,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), "shingle counts must partial-aggregate map-side")
   }
 
-  test("q50 tf-idf: vocabulary (df) joins broadcast, no sort-merge") {
-    val p = plan("q50_tfidf")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("CartesianProduct"), "the 1-row n_docs join must broadcast")
+  test("q50 tf-idf: the vocabulary (df) join is NOT a forced broadcast") {
+    // With auto-broadcast off, only explicit hints can still broadcast. The
+    // term join must fall back to a shuffled join (the vocabulary is
+    // unbounded at scale — never hint it), while the 1-row n_docs
+    // crossJoin keeps its explicit broadcast hint.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q50_tfidf")
+      assert(!p.contains("BroadcastHashJoin"),
+        "vocabulary join must not force a build-side broadcast:\n" + p)
+      assert(!p.contains("CartesianProduct"), "the 1-row n_docs join must broadcast")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "the hinted 1-row n_docs crossJoin should still broadcast")
+    }
   }
 
   test("bucketed tables co-locate: the equi-join on the bucket key plans ZERO exchanges") {

@@ -142,8 +142,11 @@ class StreamOpsSpec extends SparkTestBase {
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
-    val q = StreamOps.toMemorySink(
-      StreamOps.sessionCounts(in.toDS()).toDF(), "sessions_test", OutputMode.Update())
+    // The deprecated NoTimeout variant IS the subject under test here (the
+    // mapGroupsWithState demo twin); production callers use sessionWindows.
+    val sessions: org.apache.spark.sql.DataFrame =
+      (StreamOps.sessionCounts(in.toDS()): @scala.annotation.nowarn("cat=deprecation")).toDF()
+    val q = StreamOps.toMemorySink(sessions, "sessions_test", OutputMode.Update())
     try {
       val min = 60000L
       in.addData(StreamOps.Ev(7L, 0L), StreamOps.Ev(7L, 10 * min))
