@@ -107,10 +107,13 @@ object ExtQueries {
     // Benchmark-contamination screen: src0 plays the eval set, every other
     // source the training corpus; per eval doc, the fraction of its
     // distinct 3-token shingles found anywhere in the training side.
+    // The hot-shingle guard is ON (train-df cap 5): boilerplate shingles
+    // neither count as contamination nor skew the overlap join.
     "q29_contamination" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.contamination(d.filter(col("source") === "src0"),
-        d.filter(col("source") =!= "src0"), "doc_id", "text")
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        maxTrainDf = Some(5L))
         .orderBy("doc_id")
     }),
 
@@ -659,7 +662,8 @@ object ExtQueries {
          |         unnest(list_transform(range(1, len(t)-1),
          |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
          |  FROM toks WHERE len(t) >= 3),
-         |tr AS (SELECT DISTINCT sh FROM sh0 WHERE source <> 'src0'),
+         |tr AS (SELECT sh FROM sh0 WHERE source <> 'src0'
+         |       GROUP BY sh HAVING count(*) <= 5),
          |te AS (SELECT doc_id, sh FROM sh0 WHERE source = 'src0'),
          |tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
          |hit AS (SELECT doc_id, count(*) AS n_hit FROM te JOIN tr USING (sh) GROUP BY doc_id)

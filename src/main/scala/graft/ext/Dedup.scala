@@ -265,11 +265,29 @@ object Dedup {
     * overlap is a shingle equi-join counted per test doc. No pairwise
     * doc × doc work anywhere: cost scales with |shingles|, not
     * |test| × |train|.
+    *
+    * `maxTrainDf` is the hot-shingle (stop-shingle) guard: a shingle
+    * appearing in MORE than that many distinct train documents is dropped
+    * from the train side before the overlap join. Two birds: boilerplate
+    * n-grams (headers, licenses, navigation chrome) stop counting as
+    * contamination, and the join loses exactly its skewed keys — a
+    * boilerplate shingle in millions of train docs otherwise fans every
+    * matching test shingle out against a single hot join key. Costs one
+    * aggregate over the train shingles, which replaces (not adds to) the
+    * `distinct()` the unguarded path needs anyway.
     */
   def contamination(test: DataFrame, train: DataFrame, idCol: String,
-                    textCol: String, k: Int = 3): DataFrame = {
+                    textCol: String, k: Int = 3,
+                    maxTrainDf: Option[Long] = None): DataFrame = {
     val testSh = shingled(test, idCol, textCol, k)
-    val trainSh = shingled(train, idCol, textCol, k).select("sh").distinct()
+    val trainSh0 = shingled(train, idCol, textCol, k)
+    // shingled() emits per-doc DISTINCT shingles, so count(*) per shingle
+    // IS its train document frequency.
+    val trainSh = maxTrainDf match {
+      case Some(cap) => trainSh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      case None => trainSh0.select("sh").distinct()
+    }
     val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = testSh.join(trainSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))

@@ -167,9 +167,11 @@ object FuzzyJoin {
     * is an equi-join on the composite key — fine-grained, skew-resistant,
     * still exact. Pairs where either side is shorter than q(T+1) fall back
     * to the plain band key (cheap: short strings). A pair can collide on
-    * several prefix grams, so candidates dedupe per probe ROW (internal id,
-    * preserving the reference's per-row scoring of duplicate probes) before
-    * classification.
+    * several prefix grams; multiplicity is collapsed STRUCTURALLY — each
+    * pair survives only on its lexicographically-smallest shared prefix
+    * gram — so per-row scoring of duplicate probe rows is preserved with no
+    * row-identity column (nothing depends on `monotonically_increasing_id`
+    * stability under task retry) and no dedup shuffle.
     */
   def fuzzyMatchPrunedQgram(search: DataFrame, data: DataFrame,
                             threshold: Int = 3, q: Int = 2): DataFrame = {
@@ -177,16 +179,10 @@ object FuzzyJoin {
     val prefixLen = q * threshold + 1
     val shortMax = q * (threshold + 1) - 1 // gram-count bound vacuous at/below
 
-    // Internal row identities on BOTH sides: a pair can collide on several
-    // prefix grams, and the dedup must collapse exactly those — not
-    // distinct probe rows with equal text (reference scores per row) and
-    // not distinct data rows sharing a data_id value.
     val s = search
-      .withColumn("__pid", monotonically_increasing_id())
       .withColumn("s_norm", Normalize.norm(col("search_val")))
       .withColumn("s_len", length(col("s_norm")))
     val dataN = Partitioning.spread(data)
-      .withColumn("__did", monotonically_increasing_id())
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
 
@@ -217,16 +213,29 @@ object FuzzyJoin {
     val chanB = scoreBand(sLongBand.filter(col("m_len") <= shortMax).drop("s_len"),
       dataN.filter(col("m_len") <= shortMax), Seq("m_len"))
 
-    // C: long vs long — composite (length, prefix gram) key.
+    // C: long vs long — composite (length, prefix gram) key. A pair
+    // colliding on g shared prefix grams appears g times in the join
+    // output; keeping only the collision on the SMALLEST shared gram (both
+    // sides' full prefix sets ride along for one array_intersect per
+    // candidate) restores exactly-once semantics deterministically — a
+    // filter, not a dedup shuffle, and immune to row-id instability under
+    // task retry. The distance is scored only on the surviving candidate.
     val sGram = sLongBand.filter(col("m_len") > shortMax)
-      .withColumn("gram", explode(prefixGrams("s_norm"))).drop("s_len")
+      .withColumn("s_grams", prefixGrams("s_norm"))
+      .withColumn("gram", explode(col("s_grams"))).drop("s_len")
     val dGram = dataN.filter(col("m_len") > shortMax)
-      .withColumn("gram", explode(prefixGrams("m_norm")))
-    val chanC = scoreBand(sGram, dGram, Seq("m_len", "gram"))
-      .dropDuplicates("__pid", "__did").drop("gram")
+      .withColumn("m_grams", prefixGrams("m_norm"))
+      .withColumn("gram", explode(col("m_grams")))
+    val candC = dGram.join(broadcast(sGram), Seq("m_len", "gram"))
+      .filter(col("gram") === array_min(array_intersect(col("s_grams"), col("m_grams"))))
+      .drop("s_grams", "m_grams")
+    val chanC = candC
+      .withColumn("distance", levenshtein(col("s_norm"), col("m_norm"), threshold))
+      .filter(d >= 0 && d <= threshold)
+      .drop("gram")
 
     val inBand = chanA.unionByName(chanB).unionByName(chanC)
-      .drop("m_len", "s_norm", "m_norm", "__pid", "__did")
+      .drop("m_len", "s_norm", "m_norm")
     classifyBanded(search, data, inBand, threshold)
   }
 

@@ -173,6 +173,35 @@ class DedupSpec extends SparkTestBase {
     assert(got(1) === ((2L, 4L, 0L, 0.0)))
   }
 
+  test("contamination hot-shingle guard drops boilerplate above the train-df cap") {
+    // Every train doc shares the same license-header shingle chain
+    // ("all rights reserved ..."); only doc 20 shares REAL content with the
+    // eval doc. Unguarded, the boilerplate counts as contamination for
+    // eval doc 2; with maxTrainDf below the boilerplate's df (4 docs), only
+    // the genuine overlap remains.
+    val boiler = "all rights reserved by owner"
+    val train = Seq(
+      (10L, s"$boiler alpha beta"), (11L, s"$boiler gamma delta"),
+      (12L, s"$boiler epsilon zeta"), (13L, s"$boiler eta theta"),
+      (20L, "unique shared payload content here")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "unique shared payload content here"), // 3 shingles, all in doc 20
+      (2L, s"$boiler")).toDF("doc_id", "text")    // 3 shingles, boilerplate only
+    def run(cap: Option[Long]) = Dedup.contamination(
+        test, train, "doc_id", "text", maxTrainDf = cap)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // boilerplate shingles ("all rights reserved" etc.) sit in 4 train docs
+    val unguarded = run(None)
+    assert(unguarded(0) === ((1L, 3L, 3L, 1.0)))
+    assert(unguarded(1) === ((2L, 3L, 3L, 1.0)), "unguarded: boilerplate counts as hits")
+    val guarded = run(Some(3L))
+    assert(guarded(0) === ((1L, 3L, 3L, 1.0)), "guard must not touch genuine low-df overlap")
+    assert(guarded(1) === ((2L, 3L, 0L, 0.0)), "guard must zero out boilerplate-only overlap")
+    // cap at exactly the boilerplate df keeps it (guard drops STRICTLY above)
+    assert(run(Some(4L))(1) === ((2L, 3L, 3L, 1.0)))
+  }
+
   test("connectedComponents: min-label over chained pairs, disjoint clusters kept apart") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (never a direct 1-4 pair),
     // {7,9}, and node 5 paired with itself-only edge 5-6
