@@ -131,6 +131,24 @@ object ExtQueries {
       SimSearch.knnLsh(probes(s, dir), corpus(s, dir), k = 5, dim = Some(oracleDim))
         .orderBy("probe_id", "rnk")),
 
+    // k-means cell assignment: the operator that PRODUCES knnIvf's coarse
+    // cells on a corpus that has none (real corpora don't). Hash-seeded,
+    // 2 Lloyd rounds, round(6) centroid arithmetic — deterministic enough
+    // for the unrolled SQL oracle to reproduce the assignment exactly.
+    "q33_kmeans_assign" -> ((s, dir) =>
+      SimSearch.kmeansAssign(corpus(s, dir), k = 8, iters = 2)
+        .orderBy("vec_id")),
+
+    // The full at-scale ANN path: q33's kmeans produces the cells, knnIvf
+    // searches only each probe's nearest cell — the pipeline the harness
+    // `label` column (q31) previously stood in for.
+    "q34_knn_ivf_kmeans" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cells = SimSearch.kmeansAssign(c, k = 8, iters = 2).select("vec_id", "cell")
+      SimSearch.knnIvf(probes(s, dir), c.drop("label").join(cells, "vec_id"), "cell", k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // ---- text analysis ----
 
     "q40_lang_id" -> ((s, dir) => {
@@ -419,6 +437,38 @@ object ExtQueries {
     """(list_inner_product(CAST(pe AS DOUBLE[]), CAST(e AS DOUBLE[]))
       | / (sqrt(list_inner_product(CAST(pe AS DOUBLE[]), CAST(pe AS DOUBLE[])))
       |    * sqrt(list_inner_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])))))""".stripMargin
+
+  /** Unrolled Lloyd k-means CTE chain shared by the q33/q34 oracles —
+    * mirrors [[SimSearch.kmeansAssign]] constant for constant: e (DOUBLE[]
+    * corpus) → hash-seeded c0 → iters × [assignment a_i vs c_i → rounded
+    * means c_(i+1)] → final assignment af(vec_id, emb, cell, cos). */
+  private def kmeansCtes(k: Int = 8, iters: Int = 2): String = {
+    def cosD(a: String, b: String) =
+      s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+    def assign(name: String, centTable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, emb, cell, cos FROM (
+         |    SELECT e.vec_id, e.emb, c.cell, ${cosD("e.emb", "c.centroid")} AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosD("e.emb", "c.centroid")} DESC, c.cell) AS rnk
+         |    FROM e CROSS JOIN $centTable c) WHERE rnk = 1)"""
+    def means(name: String, from: String) =
+      s"""$name AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, avg(v) AS m FROM (
+         |      SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM $from)
+         |    GROUP BY cell, pos) GROUP BY cell)"""
+    val rounds = (0 until iters)
+      .map(i => assign(s"a$i", s"c$i") + ",\n" + means(s"c${i + 1}", s"a$i"))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sd AS (SELECT vec_id, emb,
+       |       row_number() OVER (ORDER BY ${TextAnalysis.h60Sql("'km' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |       FROM e),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, emb AS centroid FROM sd WHERE rn <= $k),
+       |$rounds,
+       |${assign("af", s"c$iters")}"""
+  }
 
   /** Shared oracle chain for q27/q28: the three pair channels, the
     * recursive reachability closure, and rep(doc_id, cluster_rep). */
@@ -734,6 +784,43 @@ object ExtQueries {
          |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
          |  FROM scored)
          |SELECT probe_id, bucket, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q33_kmeans_assign" ->
+      s"""WITH ${kmeansCtes()}
+         |SELECT vec_id, CAST(cell AS INT) AS cell, round(cos, 6) AS cosine
+         |FROM af ORDER BY vec_id""".stripMargin,
+
+    // q34 = q31's IVF search with the `label` stand-in replaced by the
+    // q33 kmeans cells: recompute rounded per-cell means from the final
+    // assignment, send each probe to its best cell, rank within the cell.
+    "q34_knn_ivf_kmeans" ->
+      s"""WITH ${kmeansCtes()},
+         |cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, avg(v) AS m FROM (
+         |      SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM af)
+         |    GROUP BY cell, pos) GROUP BY cell),
+         |probes AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 10),
+         |assigned AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT pr.probe_id, pr.pe, c.cell,
+         |           row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+         |             (list_inner_product(pr.pe, c.centroid)
+         |              / (sqrt(list_inner_product(pr.pe, pr.pe))
+         |                 * sqrt(list_inner_product(c.centroid, c.centroid)))) DESC, c.cell) AS crnk
+         |    FROM probes pr CROSS JOIN cents c) WHERE crnk = 1),
+         |scored AS (
+         |  SELECT a.probe_id, a.cell, f.vec_id,
+         |         (list_inner_product(a.pe, f.emb)
+         |          / (sqrt(list_inner_product(a.pe, a.pe))
+         |             * sqrt(list_inner_product(f.emb, f.emb)))) AS cos
+         |  FROM assigned a JOIN af f ON f.cell = a.cell),
+         |ranked AS (
+         |  SELECT probe_id, cell, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(cell AS INT) AS cell, rnk, vec_id, round(cos, 6) AS cosine
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     "q40_lang_id" ->

@@ -132,6 +132,74 @@ object SimSearch {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Lloyd k-means over the embedding column — the upstream operator that
+    * PRODUCES the coarse cells [[knnIvf]] searches (a real corpus has no
+    * pre-clustered column). Deterministic and engine-portable by
+    * construction, so an unrolled SQL oracle reproduces it exactly:
+    *
+    *   - seeding: the k corpus rows ranked smallest by the portable
+    *     (h60("km" + id), id) hash order — no RNG; seed cell c (0-based
+    *     rank) starts as that row's embedding;
+    *   - assignment: cell = argmax cosine(embedding, centroid), smallest
+    *     cell on ties, evaluated against LITERAL centroid arrays — k fused
+    *     codegen'd cosines per row, MAP-ONLY. There is never an n × k
+    *     shuffle: the classic crossJoin-then-window assignment would
+    *     exchange every (row, centroid) pair, this shape exchanges nothing;
+    *   - update: element-wise mean per cell in one posexplode groupBy
+    *     (map-side partials), each coordinate ROUNDED to 6 dp so engine
+    *     summation-order drift cannot leak into the next round's argmax;
+    *     the k × dim result is collected to the driver — bounded by k·dim
+    *     like every k-means implementation, independent of corpus size.
+    *
+    * Per round: one map-only pass + one aggregation pass over the corpus
+    * (`iters` rounds, then one final map-only assignment) — persist the
+    * corpus upstream when it comes from cold storage. Cells that lose all
+    * members disappear without re-seeding, keeping cell ids stable.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"k-means needs k >= 2, got $k")
+    require(iters >= 1, s"k-means needs iters >= 1, got $iters")
+
+    // argmax over literal centroids: max of struct(cos, -cell) is
+    // lexicographic, so equal cosines fall to the SMALLEST cell — the same
+    // (cos DESC, cell ASC) rank order the SQL oracle spells out.
+    def best(cents: Seq[(Int, Array[Double])]): Column = {
+      val scored = cents.map { case (c, arr) =>
+        struct(cosine(col(embCol), typedlit(arr.toSeq)).as("cos"),
+          lit(-c).as("negc"))
+      }
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    }
+
+    def meanCentroids(assigned: DataFrame): Seq[(Int, Array[Double])] =
+      assigned.select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x.getField("m"), 6)).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+
+    var cents: Seq[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__h", TextAnalysis.h60(concat(lit("km"), col(idCol).cast("string"))))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+      .toSeq
+
+    for (_ <- 1 to iters)
+      cents = meanCentroids(corpus.withColumn("cell", best(cents).getField("negc") * -1))
+
+    corpus.withColumn("__best", best(cents))
+      .select(col(idCol), (col("__best.negc") * -1).as("cell"),
+        round(col("__best.cos"), 6).as("cosine"))
+  }
+
   /** Hyperplane coefficients for [[knnLsh]], derived from the portable
     * md5 hash so the DuckDB oracle regenerates the identical planes:
     * c(p, i) = (h60("hp<p>_<i>") % 2001 - 1000) / 1000  in [-1, 1]. */

@@ -286,6 +286,42 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansAssign separates two obvious clusters; cells cover all rows") {
+    // two tight direction clusters: x-axis-ish (0,1) and y-axis-ish (2,3)
+    val got = SimSearch.kmeansAssign(corpus, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L) === got(1L), "x-axis vectors must share a cell")
+    assert(got(2L) === got(3L), "y-axis vectors must share a cell")
+    assert(got(0L) !== got(2L), "the two direction clusters must separate")
+  }
+
+  test("kmeansAssign is deterministic across runs and robust to cluster collapse") {
+    val a = SimSearch.kmeansAssign(corpus, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = SimSearch.kmeansAssign(corpus, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a === b)
+    // identical vectors: every row lands in one surviving cell, no crash
+    // even though the other seeds' cells empty out after round 1
+    val same = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val collapsed = SimSearch.kmeansAssign(same, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(collapsed.length === 3)
+    assert(collapsed.map(_._2).distinct.length === 1, "all rows share the one surviving cell")
+    assert(collapsed.forall(_._3 === 1.0), "cosine to the collapsed centroid is 1")
+  }
+
+  test("kmeansAssign cells feed knnIvf: search stays within the probe's cell") {
+    val cells = SimSearch.kmeansAssign(corpus, k = 2, iters = 2).select("vec_id", "cell")
+    val withCells = corpus.drop("label").join(cells, "vec_id")
+    val out = SimSearch.knnIvf(probes, withCells, "cell", k = 2)
+      .orderBy("rnk").collect()
+    // probe 0 lives in the x-axis cell {0, 1}: exactly those two, self first
+    assert(out.map(_.getLong(3)).toSeq === Seq(0L, 1L))
+  }
+
   test("knnBrute: correct order, self first") {
     val out = SimSearch.knnBrute(probes, corpus, k = 3)
       .orderBy("rnk").collect().map(_.getLong(2)).toSeq
