@@ -240,6 +240,23 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Portable-HLL approximate distinct 3-token shingles per source (the
+    // cardinality a dedup pipeline actually tracks), with the exact count
+    // alongside: the estimate's registers are bit-reproducible across
+    // engines, and its shuffle carries <= 512 register rows per source vs
+    // every distinct shingle for the exact path.
+    "q48_approx_distinct" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextExprs.distinctShingles(col("text"), 3)).as("sh"))
+      val exact = sh.groupBy("source").agg(countDistinct("sh").as("n_exact"))
+      graft.ext.Sketches.approxDistinct(sh, Seq("source"), col("sh"))
+        .join(exact, "source")
+        .withColumn("rel_err",
+          round(abs(col("approx_distinct") - col("n_exact")) / col("n_exact"), 6))
+        .select("source", "n_exact", "approx_distinct", "rel_err")
+        .orderBy("source")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
     // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
     // term + per-doc top-k window. The df table is the distinct vocabulary
@@ -929,6 +946,44 @@ object ExtQueries {
          |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
          |FROM b WHERE hb < keep_pct
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors Sketches.approxDistinct register for register: h60 hash,
+    // integer-exact harmonic sum (BIGINT shifts), the identical
+    // driver-rendered numerator constant, linear-counting fallback.
+    "q48_approx_distinct" -> {
+      val m = graft.ext.Sketches.HLL_M
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+         |  FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT source, tok, ${TextAnalysis.h60Sql("tok")} AS h FROM tok),
+         |r AS (
+         |  SELECT source, h % $m AS bucket,
+         |         max(CASE WHEN h // $m > 0 THEN 52 - length(bin(h // $m)) ELSE 52 END) AS max_rho
+         |  FROM h GROUP BY source, bucket),
+         |a AS (
+         |  SELECT source, count(*) AS n_buckets,
+         |         sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_nonempty
+         |  FROM r GROUP BY source),
+         |est AS (
+         |  SELECT source,
+         |         CAST(s_nonempty + ($m - n_buckets) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS s,
+         |         $m - n_buckets AS zeros
+         |  FROM a),
+         |fin AS (
+         |  SELECT source,
+         |         round(CASE WHEN ${graft.ext.Sketches.HLL_NUMERATOR} / s <= ${2.5 * m}
+         |                     AND zeros > 0
+         |                    THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |                    ELSE ${graft.ext.Sketches.HLL_NUMERATOR} / s END, 6) AS approx_distinct
+         |  FROM est),
+         |ex AS (SELECT source, count(DISTINCT tok) AS n_exact FROM tok GROUP BY source)
+         |SELECT f.source, e.n_exact, f.approx_distinct,
+         |       round(abs(f.approx_distinct - e.n_exact) / e.n_exact, 6) AS rel_err
+         |FROM fin f JOIN ex e USING (source) ORDER BY source""".stripMargin
+    },
 
     "q50_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
