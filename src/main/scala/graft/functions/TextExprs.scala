@@ -22,6 +22,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** The `prefixLen` lexicographically-smallest DISTINCT character q-grams
+    * of `text` (all of them when fewer exist) — the Ed-Join prefix set the
+    * q-gram fuzzy join keys on. Compiled twin of the HOF chain
+    * `slice(array_sort(array_distinct(transform(sequence(1, len-q+1),
+    * i -> substring(s, i, q)))), 1, prefixLen)`, which runs interpreted
+    * (tree-walk + closure per gram) and dominated the q-gram join's setup
+    * cost. Iterates code POINTS to mirror `substring`/`length` semantics on
+    * non-ASCII input; in the fuzzy join the input is normalize()d ASCII.
+    */
+  def prefixQGrams(text: UTF8String, q: Int, prefixLen: Int): ArrayData = {
+    if (text == null) return null
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - q + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // Sort UTF8Strings, not java.lang.Strings: UTF8 binary order (what the
+    // HOF chain's array_sort uses) and UTF-16 code-unit order disagree on
+    // supplementary-plane characters.
+    val sorted = new java.util.TreeSet[UTF8String]
+    var i = 0
+    while (i < m) {
+      sorted.add(UTF8String.fromString(new String(cps, i, q)))
+      i += 1
+    }
+    val out = new Array[Any](math.min(prefixLen, sorted.size))
+    val it = sorted.iterator()
+    var p = 0
+    while (p < out.length) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
   def distinctShingles(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
     val toks = text.toString.split(" ").filter(_.nonEmpty)
@@ -76,9 +106,36 @@ object TextExprs {
   def distinctShingles(text: Column, k: Int = 3): Column =
     bridge.column(DistinctWordShingles(bridge.expression(text), k))
 
+  /** Column API for [[PrefixQGrams]]. */
+  def prefixQGrams(text: Column, q: Int, prefixLen: Int): Column =
+    bridge.column(PrefixQGrams(bridge.expression(text), q, prefixLen))
+
   /** Column API for [[WinnowFingerprint]]. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
+}
+
+/** `prefix_qgrams(text, q, prefixLen)`: the prefixLen smallest distinct
+  * character q-grams, sorted — see [[TextKernels.prefixQGrams]]. */
+case class PrefixQGrams(child: Expression, q: Int, prefixLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "prefix_qgrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.prefixQGrams(input.asInstanceOf[UTF8String], q, prefixLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.prefixQGrams($c, $q, $prefixLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Winnowing constants shared with the oracle-SQL generator. */

@@ -186,12 +186,12 @@ object FuzzyJoin {
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .withColumn("m_len", length(col("m_norm")))
 
-    // The prefixLen lexicographically-smallest distinct q-grams. Runs once
-    // per input ROW (not per pair), so the interpreted HOF chain is off the
-    // hot path; only called on strings with length >= q.
-    def prefixGrams(src: String): Column = expr(
-      s"slice(array_sort(array_distinct(transform(" +
-        s"sequence(1, length($src) - ${q - 1}), i -> substring($src, i, $q)))), 1, $prefixLen)")
+    // The prefixLen lexicographically-smallest distinct q-grams, via the
+    // compiled kernel (the equivalent HOF chain ran interpreted — a
+    // tree-walk + closure per gram per row — and dominated setup cost on
+    // large probe sets; TextAnalysisSpec proves the kernel == the chain).
+    def prefixGrams(src: String): Column =
+      graft.functions.TextExprs.prefixQGrams(col(src), q, prefixLen)
 
     def scoreBand(probes: DataFrame, dataSide: DataFrame, key: Seq[String]): DataFrame =
       dataSide.join(broadcast(probes), key)

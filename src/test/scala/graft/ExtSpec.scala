@@ -80,6 +80,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaHof === viaKernel)
   }
 
+  test("PrefixQGrams kernel == HOF chain (random strings incl. supplementary chars)") {
+    val rnd = new scala.util.Random(11)
+    // repetitive ASCII (many duplicate grams), accents, and an emoji to
+    // exercise the UTF8-binary sort order and code-point indexing
+    val alphabet = "aab01xé😀"
+    val texts = (0 until 80).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) :+
+      "" :+ "a" :+ "aaaa" :+ "😀😀z"
+    val df = texts.toDF("text")
+    val q = 2
+    val prefixLen = 7
+    val viaHof = df.selectExpr(
+      s"slice(array_sort(array_distinct(transform(" +
+        s"sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q)))), 1, $prefixLen) AS g")
+      .collect().map(r => Option(r.getSeq[String](0)).getOrElse(Seq.empty)).toSeq
+    val viaKernel = df.select(
+      graft.functions.TextExprs.prefixQGrams(col("text"), q, prefixLen).as("g"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    // compare only in-domain strings (>= q code points): on shorter input
+    // the HOF chain's sequence(1, len-q+1) flips to a DESCENDING range and
+    // emits junk — the fuzzy join never calls it there; the kernel must
+    // return the sane empty array instead
+    viaHof.zip(viaKernel).zip(texts).foreach { case ((h, k), t) =>
+      if (t.codePointCount(0, t.length) >= q)
+        assert(h === k, s"mismatch for '$t': $h vs $k")
+      else
+        assert(k.isEmpty, s"kernel must be empty for short '$t': $k")
+    }
+  }
+
   test("winnow fingerprint: overlap guarantee, short-text empty, sorted distinct") {
     import graft.functions.Winnow
     // any shared substring of length >= k + w - 1 (= 8) must share a hash
