@@ -149,6 +149,24 @@ object ExtQueries {
         .orderBy("probe_id", "rnk")
     }),
 
+    // The LARGE-K assignment strategy (maxLiteralK = 0 forces the
+    // broadcast-centroid join + max(struct) argmax every assignment pass),
+    // hash-checked against the SAME oracle as q33: the two physical
+    // strategies must be result-identical, and this is the plan shape that
+    // survives the k ~ 10^4-10^5 coarse cells a real 100 TB IVF wants,
+    // where the fused literal expression would fall out of codegen.
+    "q35_kmeans_join" -> ((s, dir) =>
+      SimSearch.kmeansAssign(corpus(s, dir), k = 8, iters = 2, maxLiteralK = 0)
+        .orderBy("vec_id")),
+
+    // Multi-probe IVF: each probe searches its TWO nearest cells — the
+    // standard recall knob for probes near cell boundaries (nprobe=1 misses
+    // cross-boundary neighbors by construction). Oracle unrolled with
+    // crnk <= 2 the same way.
+    "q36_ivf_multiprobe" -> ((s, dir) =>
+      SimSearch.knnIvf(probes(s, dir), corpus(s, dir), "label", k = 5, nprobe = 2)
+        .orderBy("probe_id", "rnk")),
+
     // ---- text analysis ----
 
     "q40_lang_id" -> ((s, dir) => {
@@ -254,6 +272,22 @@ object ExtQueries {
         .withColumn("rel_err",
           round(abs(col("approx_distinct") - col("n_exact")) / col("n_exact"), 6))
         .select("source", "n_exact", "approx_distinct", "rel_err")
+        .orderBy("source")
+    }),
+
+    // Mergeable-sketch form of q48: per-(source, shard) register VECTORS,
+    // merged across shards, estimated from the merged vectors. Register max
+    // is associative, so the merged estimate EQUALS q48's single-shot
+    // estimate over the union — which is exactly what the oracle computes.
+    // This is the shape real pipelines persist: sketch per day/shard/engine,
+    // combine later without touching the data again.
+    "q55_hll_merge" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("source"), (col("doc_id") % 4).as("shard"),
+        explode(graft.functions.TextExprs.distinctShingles(col("text"), 3)).as("sh"))
+      val perShard = graft.ext.Sketches.hllRegisters(sh, Seq("source", "shard"), col("sh"))
+      graft.ext.Sketches.hllMergeAgg(perShard, Seq("source"))
+        .withColumn("approx_distinct", graft.ext.Sketches.hllEstimate("hll_registers"))
+        .select("source", "approx_distinct")
         .orderBy("source")
     }),
 
@@ -808,6 +842,47 @@ object ExtQueries {
          |SELECT vec_id, CAST(cell AS INT) AS cell, round(cos, 6) AS cosine
          |FROM af ORDER BY vec_id""".stripMargin,
 
+    // Same oracle as q33 on purpose: q35 runs the broadcast-centroid JOIN
+    // assignment strategy, which must be result-identical to the fused
+    // literal strategy the oracle mirrors.
+    "q35_kmeans_join" ->
+      s"""WITH ${kmeansCtes()}
+         |SELECT vec_id, CAST(cell AS INT) AS cell, round(cos, 6) AS cosine
+         |FROM af ORDER BY vec_id""".stripMargin,
+
+    // q31's IVF unrolled at nprobe = 2: the top-2 cells per probe (crnk <=
+    // 2), ranked over the UNION of both cells' members.
+    "q36_ivf_multiprobe" ->
+      s"""WITH cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT label AS cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+         |      SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS pos
+         |      FROM embeddings)
+         |    GROUP BY label, pos) GROUP BY cell),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |assigned AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT pr.probe_id, pr.pe, c.cell,
+         |           row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+         |             (list_inner_product(CAST(pr.pe AS DOUBLE[]), c.centroid)
+         |              / (sqrt(list_inner_product(CAST(pr.pe AS DOUBLE[]), CAST(pr.pe AS DOUBLE[])))
+         |                 * sqrt(list_inner_product(c.centroid, c.centroid)))) DESC, c.cell) AS crnk
+         |    FROM probes pr CROSS JOIN cents c) WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT a.probe_id, a.cell, e.vec_id,
+         |         (list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |          / (sqrt(list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(a.pe AS DOUBLE[])))
+         |             * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))) AS cos
+         |  FROM assigned a JOIN embeddings e ON e.label = a.cell),
+         |ranked AS (
+         |  SELECT probe_id, cell, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, cell, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
     // q34 = q31's IVF search with the `label` stand-in replaced by the
     // q33 kmeans cells: recompute rounded per-cell means from the final
     // assignment, send each probe to its best cell, rank within the cell.
@@ -983,6 +1058,39 @@ object ExtQueries {
          |SELECT f.source, e.n_exact, f.approx_distinct,
          |       round(abs(f.approx_distinct - e.n_exact) / e.n_exact, 6) AS rel_err
          |FROM fin f JOIN ex e USING (source) ORDER BY source""".stripMargin
+    },
+
+    // Shard-merge twin of q48: merged register vectors == the global
+    // registers exactly (max is associative), so the oracle is simply the
+    // single-shot estimate over all shingles per source.
+    "q55_hll_merge" -> {
+      val m = graft.ext.Sketches.HLL_M
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+         |  FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT source, tok, ${TextAnalysis.h60Sql("tok")} AS h FROM tok),
+         |r AS (
+         |  SELECT source, h % $m AS bucket,
+         |         max(CASE WHEN h // $m > 0 THEN 52 - length(bin(h // $m)) ELSE 52 END) AS max_rho
+         |  FROM h GROUP BY source, bucket),
+         |a AS (
+         |  SELECT source, count(*) AS n_buckets,
+         |         sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_nonempty
+         |  FROM r GROUP BY source),
+         |est AS (
+         |  SELECT source,
+         |         CAST(s_nonempty + ($m - n_buckets) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS s,
+         |         $m - n_buckets AS zeros
+         |  FROM a)
+         |SELECT source,
+         |       round(CASE WHEN ${graft.ext.Sketches.HLL_NUMERATOR} / s <= ${2.5 * m}
+         |                   AND zeros > 0
+         |                  THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |                  ELSE ${graft.ext.Sketches.HLL_NUMERATOR} / s END, 6) AS approx_distinct
+         |FROM est ORDER BY source""".stripMargin
     },
 
     "q50_tfidf" ->

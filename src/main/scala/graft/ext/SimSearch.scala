@@ -69,10 +69,20 @@ object SimSearch {
     * tiebreak (cos desc, vec_id asc), but the full scored set is never
     * shuffled or sorted.
     */
-  def knnBrute(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** The kNN probe side is broadcast; a corpus-sized probe set must go
+    * through [[nearDupPairsBlocked]] (all-pairs regime) instead. Bounded
+    * decision scan — see [[graft.ops.Guards]]. */
+  private def guardProbes(probes: DataFrame, maxProbeRows: Long): DataFrame =
+    graft.ops.Guards.requireBroadcastable(probes, "kNN probe side",
+      "nearDupPairsBlocked (embedding self-join regime) or batch the probes",
+      maxProbeRows)
+
+  def knnBrute(probes: DataFrame, corpus: DataFrame, k: Int,
+               maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
-    val scored = graft.ops.Partitioning.spread(corpus).crossJoin(broadcast(probes))
+    val scored = graft.ops.Partitioning.spread(corpus)
+      .crossJoin(broadcast(guardProbes(probes, maxProbeRows)))
       .select(col("probe_id"), col("vec_id"),
         cosine(col("p_embedding"), col("embedding")).as("cos"))
       .as[Scored]
@@ -109,16 +119,26 @@ object SimSearch {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => round(x.getField("m"), 6)).as("centroid"))
 
-  /** IVF search: assign each probe to its nearest centroid (cos desc, cell
-    * asc tiebreak), then brute-force ONLY within that cell. */
-  def knnIvf(probes: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+  /** IVF search: assign each probe to its `nprobe` nearest centroids (cos
+    * desc, cell asc tiebreak), then brute-force ONLY within those cells.
+    *
+    * `nprobe` is the standard IVF recall knob: a probe sitting near a cell
+    * boundary has true neighbors in the adjacent cell, and nprobe=1 misses
+    * them by construction. Searching the top-p cells multiplies the scanned
+    * fraction by p (still cells/p-fold below brute force) and recovers the
+    * boundary losses — each corpus row lives in exactly one cell, so the
+    * union of searched cells never scores a pair twice and needs no dedup. */
+  def knnIvf(probes: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
+             nprobe: Int = 1,
+             maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    require(nprobe >= 1, s"knnIvf needs nprobe >= 1, got $nprobe")
     val cents = centroids(corpus, cellCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("ccos"), col("cell"))
-    val assigned = probes.crossJoin(broadcast(cents))
+    val assigned = guardProbes(probes, maxProbeRows).crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("p_embedding"), col("centroid")))
       .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
+      .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("p_embedding"), col("cell"))
 
     val w2 = org.apache.spark.sql.expressions.Window
@@ -141,10 +161,13 @@ object SimSearch {
     *     (h60("km" + id), id) hash order — no RNG; seed cell c (0-based
     *     rank) starts as that row's embedding;
     *   - assignment: cell = argmax cosine(embedding, centroid), smallest
-    *     cell on ties, evaluated against LITERAL centroid arrays — k fused
-    *     codegen'd cosines per row, MAP-ONLY. There is never an n × k
-    *     shuffle: the classic crossJoin-then-window assignment would
-    *     exchange every (row, centroid) pair, this shape exchanges nothing;
+    *     cell on ties — via [[assignCells]], which picks between the fused
+    *     LITERAL-centroid map (k <= maxLiteralK, zero exchanges) and the
+    *     broadcast-centroid join argmax (large k) by centroid count. There
+    *     is never an n × k shuffle: the classic crossJoin-then-window
+    *     assignment would exchange every (row, centroid) pair; the literal
+    *     shape exchanges nothing and the join shape exchanges n
+    *     partial-aggregated rows;
     *   - update: element-wise mean per cell in one posexplode groupBy
     *     (map-side partials), each coordinate ROUNDED to 6 dp so engine
     *     summation-order drift cannot leak into the next round's argmax;
@@ -156,21 +179,60 @@ object SimSearch {
     * corpus upstream when it comes from cold storage. Cells that lose all
     * members disappear without re-seeding, keeping cell ids stable.
     */
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
-                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(k >= 2, s"k-means needs k >= 2, got $k")
-    require(iters >= 1, s"k-means needs iters >= 1, got $iters")
+  /** At or below this k, assignment fuses the centroids into ONE literal
+    * expression (zero-shuffle map); above it, the fused expression tree —
+    * O(k·dim) literals — would blow past whole-stage codegen's 64KB method
+    * limit (interpreted fallback, ballooning plan construction), so the
+    * argmax moves to a broadcast-centroid join (see [[kmeansAssign]]). */
+  val maxLiteralCentroids = 128
 
-    // argmax over literal centroids: max of struct(cos, -cell) is
-    // lexicographic, so equal cosines fall to the SMALLEST cell — the same
-    // (cos DESC, cell ASC) rank order the SQL oracle spells out.
-    def best(cents: Seq[(Int, Array[Double])]): Column = {
+  /** One assignment pass: per corpus row, the (cell, cos) of its nearest
+    * centroid — cos desc, SMALLEST cell on ties, the same rank order the
+    * SQL oracle spells out. Two result-identical physical strategies:
+    *
+    *   - literal (k <= maxLiteralK): max of k struct(cos vs LITERAL
+    *     centroid, -cell) — lexicographic, fused into whole-stage codegen,
+    *     MAP-ONLY (zero exchanges);
+    *   - join (k > maxLiteralK): the centroids become a k-row BROADCAST
+    *     table, the argmax a max(struct(cos, -cell)) groupBy over the
+    *     broadcast nested-loop product. Partial (map-side) aggregation
+    *     collapses each row's k candidates before the exchange, so the one
+    *     shuffle carries n rows — never the n × k product — and the plan
+    *     survives the k ~ 10^4-10^5 coarse cells a real 100 TB IVF wants.
+    *
+    * Both compute the identical double cosine against identical rounded
+    * centroid values, so the chosen cells are bit-equal (pinned by
+    * ExtSpec). */
+  private def assignCells(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+                          idCol: String, embCol: String, maxLiteralK: Int): DataFrame =
+    if (cents.size <= maxLiteralK) {
       val scored = cents.map { case (c, arr) =>
         struct(cosine(col(embCol), typedlit(arr.toSeq)).as("cos"),
           lit(-c).as("negc"))
       }
-      if (scored.size == 1) scored.head else greatest(scored: _*)
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      corpus.select(col(idCol), col(embCol), best.as("__best"))
+        .select(col(idCol), col(embCol),
+          (col("__best.negc") * -1).as("cell"), col("__best.cos").as("cos"))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centDf = cents.map { case (c, a) => (c, a.toSeq) }.toDF("__cell", "__centroid")
+      corpus.select(col(idCol), col(embCol))
+        .crossJoin(broadcast(centDf))
+        .groupBy(col(idCol), col(embCol))
+        .agg(max(struct(cosine(col(embCol), col("__centroid")).as("cos"),
+          (-col("__cell")).as("negc"))).as("__best"))
+        .select(col(idCol), col(embCol),
+          (col("__best.negc") * -1).as("cell"), col("__best.cos").as("cos"))
     }
+
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   maxLiteralK: Int = maxLiteralCentroids): DataFrame = {
+    require(k >= 2, s"k-means needs k >= 2, got $k")
+    require(iters >= 1, s"k-means needs iters >= 1, got $iters")
+    val base = corpus.select(col(idCol), col(embCol))
 
     def meanCentroids(assigned: DataFrame): Seq[(Int, Array[Double])] =
       assigned.select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
@@ -182,22 +244,36 @@ object SimSearch {
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).toSeq
 
-    var cents: Seq[(Int, Array[Double])] = corpus
+    val seedRows = base
       .select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
       .withColumn("__h", TextAnalysis.h60(concat(lit("km"), col(idCol).cast("string"))))
       .orderBy(col("__h"), col(idCol))
       .limit(k)
       .collect()
-      .zipWithIndex
+    require(seedRows.nonEmpty, "k-means needs a non-empty corpus")
+    seedRows.foreach(r => require(!r.isNullAt(1),
+      s"k-means seeding hit a null '$embCol' (id ${r.get(0)}) — filter nulls upstream"))
+    var cents: Seq[(Int, Array[Double])] = seedRows.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
       .toSeq
 
     for (_ <- 1 to iters)
-      cents = meanCentroids(corpus.withColumn("cell", best(cents).getField("negc") * -1))
+      cents = meanCentroids(assignCells(base, cents, idCol, embCol, maxLiteralK))
 
-    corpus.withColumn("__best", best(cents))
-      .select(col(idCol), (col("__best.negc") * -1).as("cell"),
-        round(col("__best.cos"), 6).as("cosine"))
+    assignCells(base, cents, idCol, embCol, maxLiteralK)
+      .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The end-to-end ANN path as ONE call: [[kmeansAssign]] produces the
+    * coarse cells, [[knnIvf]] searches each probe's `nprobe` best ones.
+    * Runs the corpus through k-means (iters + 1 passes) and then the IVF
+    * search — persist `corpus` upstream when it comes from cold storage. */
+  def knnIvfAuto(probes: DataFrame, corpus: DataFrame, k: Int, cells: Int,
+                 iters: Int = 2, nprobe: Int = 1,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(corpus, cells, iters, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    knnIvf(probes, corpus.select(col(idCol), col(embCol)).join(assigned, idCol), "cell", k, nprobe)
   }
 
   /** Hyperplane coefficients for [[knnLsh]], derived from the portable
@@ -225,11 +301,13 @@ object SimSearch {
     * boundaries — the scale path when brute force is too big, one notch
     * below [[knnIvf]] in recall but requiring no clustering column. */
   def knnLsh(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
-             dim: Option[Int] = None): DataFrame = {
+             dim: Option[Int] = None,
+             maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
     val planes = lshPlanes(nPlanes, resolveDim(corpus, dim))
     val c = graft.ops.Partitioning.spread(corpus)
       .withColumn("bucket", lshBucket(col("embedding"), planes))
-    val p = probes.withColumn("bucket", lshBucket(col("p_embedding"), planes))
+    val p = guardProbes(probes, maxProbeRows)
+      .withColumn("bucket", lshBucket(col("p_embedding"), planes))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     c.join(broadcast(p), "bucket")

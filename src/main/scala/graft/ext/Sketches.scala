@@ -41,28 +41,88 @@ object Sketches {
   val HLL_NUMERATOR: Double =
     0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1L << 52).toDouble
 
-  /** HLL approximate distinct count of `value` per `keys` group.
+  /** Sparse register set per key group: (keys..., __bucket, __max_rho) —
+    * one row per NON-EMPTY register. h60 supplies 60 hash bits: low 9 =
+    * register index, high 51 = the pattern word w; rho = leading zeros of w
+    * within 51 bits + 1 = 52 - bitlen(w) (52 when w = 0, so rho is always
+    * >= 1 for a present bucket — 0 unambiguously means "empty register").
     *
-    * h60 supplies 60 hash bits: low 9 = register index, high 51 = the
-    * pattern word w; rho = leading zeros of w within 51 bits + 1
-    * = 52 - bitlen(w) (52 when w = 0). Registers below the linear-counting
-    * threshold (raw <= 2.5m with empty registers) fall back to
-    * m * ln(m / empty) per the original paper.
-    */
-  def approxDistinct(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    * The input is PROJECTED to keys + value first, so internal working
+    * columns can never silently shadow (and corrupt) a caller column of the
+    * same name. */
+  private def sparseRegisters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     val m = HLL_M
     val keyCols = keys.map(col)
-    val registers = df
-      .withColumn("__h", TextAnalysis.h60(value.cast("string")))
+    df.select((keyCols :+ value.cast("string").as("__graft_hll_v")): _*)
+      .withColumn("__h", TextAnalysis.h60(col("__graft_hll_v")))
       .withColumn("__w", expr(s"__h div $m"))
       .withColumn("__rho",
         when(col("__w") > 0, lit(52) - length(bin(col("__w")))).otherwise(lit(52)))
       .groupBy((keyCols :+ (col("__h") % m).as("__bucket")): _*)
-      .agg(max("__rho").as("max_rho"))
-    registers
+      .agg(max("__rho").as("__max_rho"))
+  }
+
+  /** DENSE register vector per key group: keys + `hll_registers`
+    * (ARRAY<INT>, m = 512 slots, slot j = max rho of bucket j, 0 = empty) —
+    * the PERSISTABLE, MERGEABLE sketch form. Real pipelines materialize
+    * these per day/shard/engine and combine later: register max is
+    * associative and commutative, so merge(registers(A), registers(B)) ==
+    * registers(A ∪ B) EXACTLY (pinned in ExtSpec), and an estimate over
+    * merged vectors equals the estimate over the union. Shuffle carries
+    * <= m register rows per group, independent of cardinality. */
+  def hllRegisters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val m = HLL_M
+    val keyCols = keys.map(col)
+    sparseRegisters(df, keys, value)
+      .groupBy(keyCols: _*)
+      .agg(map_from_entries(collect_list(
+        struct(col("__bucket").cast("int"), col("__max_rho").cast("int")))).as("__m"))
+      .select((keyCols :+ transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0))).as("hll_registers")): _*)
+  }
+
+  /** Element-wise max of two register vectors — the sketch union. */
+  def hllMerge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Merge register vectors ACROSS ROWS per key group (e.g. daily sketches
+    * -> monthly): posexplode to (key, slot) rows, max per slot, rebuild.
+    * The shuffle carries <= m rows per input row — register-sized, never
+    * data-sized. */
+  def hllMergeAgg(df: DataFrame, keys: Seq[String],
+                  regCol: String = "hll_registers"): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select((keyCols :+ posexplode(col(regCol)).as(Seq("__pos", "__rho"))): _*)
+      .groupBy((keyCols :+ col("__pos")): _*).agg(max("__rho").as("__rho"))
+      .groupBy(keyCols: _*)
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__rho")))),
+        x => x.getField("__rho")).as(regCol))
+  }
+
+  /** Estimate from a dense register vector (column `regCol`), identical
+    * math to the grouped path: exact-integer harmonic sum (empty slot
+    * contributes 2^52; slot rho contributes 2^(52-rho)), linear-counting
+    * fallback below 2.5m with empty registers. */
+  def hllEstimate(regCol: String): Column = {
+    val m = HLL_M
+    val s = expr(s"aggregate($regCol, CAST(0 AS BIGINT), " +
+      "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 52 - r))")
+    val zeros = expr(s"size(filter($regCol, r -> r = 0))")
+    val raw = lit(HLL_NUMERATOR) / s.cast("double")
+    round(when(raw <= 2.5 * m && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw), 6)
+  }
+
+  /** HLL approximate distinct count of `value` per `keys` group, in one
+    * shot (collapses the registers without materializing the dense vector;
+    * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).
+    * Estimate math is slot-for-slot identical to [[hllEstimate]]. */
+  def approxDistinct(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val m = HLL_M
+    val keyCols = keys.map(col)
+    sparseRegisters(df, keys, value)
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("__n_buckets"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - max_rho)")).as("__s_nonempty"))
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - __max_rho)")).as("__s_nonempty"))
       .withColumn("__s",
         col("__s_nonempty") + (lit(m) - col("__n_buckets")) * lit(1L << 52))
       .withColumn("__zeros", lit(m) - col("__n_buckets"))

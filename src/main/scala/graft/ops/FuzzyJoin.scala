@@ -67,11 +67,21 @@ object FuzzyJoin {
       .drop("min_pos", "min_all")
   }
 
+  /** The probe side of every fuzzy engine is broadcast (see the scale-design
+    * note above); `guard` makes pointing one at a CORPUS a loud error naming
+    * the near-dup operators built for that regime, instead of a
+    * driver-melting broadcast. Bounded scan — see [[Guards]]. */
+  private def guard(search: DataFrame, maxProbeRows: Long): DataFrame =
+    Guards.requireBroadcastable(search, "fuzzy-join probe side (search_val)",
+      "MinHash-LSH / SimHash near-dup (graft.ext.Dedup) for string self-dedup, " +
+        "or batch the probe set", maxProbeRows)
+
   /** Faithful full-scan fuzzy match. Default threshold 3 = the reference's
     * hardcoded literal (main.py:475, 560); unlike the reference, the
     * parameter is live (SURVEY.md §7.4.5). */
-  def fuzzyMatch(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame =
-    classify(score(search, data), threshold)
+  def fuzzyMatch(search: DataFrame, data: DataFrame, threshold: Int = 3,
+                 maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame =
+    classify(score(guard(search, maxProbeRows), data), threshold)
 
   /** Length-band pruned fuzzy match — identical output to [[fuzzyMatch]].
     *
@@ -86,8 +96,11 @@ object FuzzyJoin {
     * those residual probes (typically a small fraction), exactly mirroring
     * the reference's own fallback second pass (main.py:220-228).
     */
-  def fuzzyMatchPruned(search: DataFrame, data: DataFrame, threshold: Int = 3): DataFrame =
-    classifyBanded(search, data, scoreBanded(search, data, threshold), threshold)
+  def fuzzyMatchPruned(search: DataFrame, data: DataFrame, threshold: Int = 3,
+                       maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    val s = guard(search, maxProbeRows)
+    classifyBanded(s, data, scoreBanded(s, data, threshold), threshold)
+  }
 
   /** Every (probe row, candidate) pair with 0 <= distance <= threshold,
     * exactly once, WITHOUT the full cross product: length-band candidate
@@ -174,7 +187,9 @@ object FuzzyJoin {
     * stability under task retry) and no dedup shuffle.
     */
   def fuzzyMatchPrunedQgram(search: DataFrame, data: DataFrame,
-                            threshold: Int = 3, q: Int = 2): DataFrame = {
+                            threshold: Int = 3, q: Int = 2,
+                            maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    guard(search, maxProbeRows)
     val d = col("distance")
     val prefixLen = q * threshold + 1
     val shortMax = q * (threshold + 1) - 1 // gram-count bound vacuous at/below
@@ -264,7 +279,9 @@ object FuzzyJoin {
     * ContextCleaner collects them.
     */
   def topK(search: DataFrame, data: DataFrame, k: Int, radius: Int = 3,
-           onCache: DataFrame => Unit = _ => ()): DataFrame = {
+           onCache: DataFrame => Unit = _ => (),
+           maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    guard(search, maxProbeRows)
     val d = col("distance")
     val bands = search
       .withColumn("s_norm", Normalize.norm(col("search_val")))

@@ -16,8 +16,21 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Size-statistics probe, NOT df.rdd.getNumPartitions: the RDD conversion
+    // forced eager PHYSICAL planning of every scored pipeline (each input
+    // planned twice) and pinned an AQE-opaque RDD boundary into the plan.
+    // Optimized-plan stats are driver-side metadata — no job, no physical
+    // plan, no boundary: file relations report their on-disk bytes, so an
+    // input smaller than one scan split per core (i.e. one that cannot fill
+    // the cluster by byte-based splitting) is repartitioned up, and a real
+    // multi-split input passes through untouched — same decision the
+    // partition-count probe made, for metadata cost.
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * target) df.repartition(target) else df
   }
 
   /** Bucketed materialization for co-located joins: write `df` as a table
