@@ -44,7 +44,13 @@ object Bench {
       else try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        // Each rep constructs its query fresh, so an internal persist
+        // (topK's ranked join) would register a NEW cache entry per rep —
+        // release between runs (untimed: caching is per-plan, so no rep
+        // ever reuses a previous rep's cache anyway).
+        spark.catalog.clearCache()
+        Some(t)
       } catch {
         case e: Throwable =>
           errors(name) = e.toString.linesIterator.next().take(200)

@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist internally (topK's ranked band join) hand the
+      // handle to their caller for release; this harness constructs each
+      // query fresh per run, so the uniform release point is here — without
+      // it, 50+ cached plans accumulate across the dump.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -205,20 +205,57 @@ object Dedup {
     * and per round — without that, round k's plan would re-run the upstream
     * pair generation (LSH pipelines) k times. By default this is
     * `localCheckpoint` (executor-local blocks — fast, but lost with an
-    * executor); pass `checkpointDir` to switch every truncation to a
-    * RELIABLE `checkpoint` into that directory (HDFS/object store on a real
-    * cluster), which survives executor loss at the price of a write+read of
-    * the labels per round. Local single-JVM behavior is identical.
+    * executor); pass `checkpointDir` to make every truncation a MANAGED
+    * reliable snapshot: each round writes parquet under that directory
+    * (HDFS/object store on a real cluster) and deletes the previous round's
+    * file once the new one is readable, so a long run holds at most two
+    * label snapshots plus the edge set — unlike `df.checkpoint()`, which
+    * both globally mutates the SparkContext checkpoint dir and leaks one
+    * snapshot per round (the ContextCleaner only removes checkpoint files
+    * under `spark.cleaner.referenceTracking.cleanCheckpoints=true`, default
+    * off). The FINAL round's file backs the returned DataFrame and stays on
+    * disk; the caller owns deleting the directory once done with the
+    * result. Give each concurrent run its own directory. Local single-JVM
+    * results are identical either way.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    def write(df: DataFrame, name: String): DataFrame = {
+      val path = s"${checkpointDir.get}/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def delete(name: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(s"${checkpointDir.get}/$name")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    var labelStep = 0
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(_) =>
+        val out = write(df, s"graft-cc-labels-$labelStep")
+        if (labelStep > 0) delete(s"graft-cc-labels-${labelStep - 1}")
+        labelStep += 1
+        out
+    }
+    // The symmetrization union references the pair pipeline TWICE (one
+    // branch per direction); without a persist, materializing the edge
+    // snapshot would run the entire upstream pair generation — three LSH
+    // channels in the dedup pipeline — twice. The cache lives only until
+    // the snapshot is readable (both snapshot forms are eager), then is
+    // released: no persisted state outlives the call.
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = truncate(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      .persist()
+    val symPlan = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // The edge set is joined EVERY round, so it gets its own snapshot,
+    // deleted only after the loop (the rolling label delete must not
+    // touch it).
+    val sym =
+      if (checkpointDir.isDefined) write(symPlan, "graft-cc-edges")
+      else symPlan.localCheckpoint()
+    e0.unpersist(blocking = false)
     // Initialization already performs the first spread — rep(v) = min over
     // {v} ∪ N(v) is one groupBy over the symmetric edges — so star-shaped
     // near-dup clusters start fully converged and the loop only confirms.
@@ -249,6 +286,9 @@ object Dedup {
       labels = compressed
       iter += 1
     }
+    // The returned labels read their own final snapshot; the edges are no
+    // longer referenced by anything downstream.
+    if (checkpointDir.isDefined) delete("graft-cc-edges")
     labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
@@ -275,18 +315,40 @@ object Dedup {
     * matching test shingle out against a single hot join key. Costs one
     * aggregate over the train shingles, which replaces (not adds to) the
     * `distinct()` the unguarded path needs anyway.
+    *
+    * An ABSOLUTE cap's meaning shifts with corpus scale (df <= 5 means
+    * "boilerplate" at 10^3 train docs and "practically unique" at 10^9),
+    * and genuinely contaminated content duplicated across many train
+    * shards — the strongest contamination signal — is itself high-df.
+    * `maxTrainDfFrac` expresses the cap as a FRACTION of the train corpus
+    * (cap = ceil(frac · |train|), folded into the plan as a 1-row
+    * broadcast, no eager count), which keeps "boilerplate" meaning
+    * boilerplate as the corpus grows. Pass at most one of the two; run
+    * once more unguarded when auditing heavily-duplicated true
+    * contamination.
     */
   def contamination(test: DataFrame, train: DataFrame, idCol: String,
                     textCol: String, k: Int = 3,
-                    maxTrainDf: Option[Long] = None): DataFrame = {
+                    maxTrainDf: Option[Long] = None,
+                    maxTrainDfFrac: Option[Double] = None): DataFrame = {
+    require(maxTrainDf.isEmpty || maxTrainDfFrac.isEmpty,
+      "pass at most one of maxTrainDf / maxTrainDfFrac")
+    maxTrainDfFrac.foreach(f => require(f > 0 && f <= 1,
+      s"maxTrainDfFrac must be in (0, 1], got $f"))
     val testSh = shingled(test, idCol, textCol, k)
     val trainSh0 = shingled(train, idCol, textCol, k)
     // shingled() emits per-doc DISTINCT shingles, so count(*) per shingle
     // IS its train document frequency.
-    val trainSh = maxTrainDf match {
-      case Some(cap) => trainSh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    val trainSh = (maxTrainDf, maxTrainDfFrac) match {
+      case (Some(cap), _) => trainSh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("sh")
-      case None => trainSh0.select("sh").distinct()
+      case (_, Some(frac)) =>
+        val nTrain = train.agg(count(lit(1)).as("__n_train"))
+        trainSh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nTrain))
+          .filter(col("df") <= ceil(col("__n_train") * frac))
+          .select("sh")
+      case _ => trainSh0.select("sh").distinct()
     }
     val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = testSh.join(trainSh, "sh")

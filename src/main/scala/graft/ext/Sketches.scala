@@ -41,25 +41,26 @@ object Sketches {
   val HLL_NUMERATOR: Double =
     0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1L << 52).toDouble
 
-  /** Sparse register set per key group: (keys..., __bucket, __max_rho) —
-    * one row per NON-EMPTY register. h60 supplies 60 hash bits: low 9 =
+  /** Sparse register set per key group: (keys..., bucket, max rho) — one
+    * row per NON-EMPTY register. h60 supplies 60 hash bits: low 9 =
     * register index, high 51 = the pattern word w; rho = leading zeros of w
     * within 51 bits + 1 = 52 - bitlen(w) (52 when w = 0, so rho is always
     * >= 1 for a present bucket — 0 unambiguously means "empty register").
     *
     * The input is PROJECTED to keys + value first, so internal working
-    * columns can never silently shadow (and corrupt) a caller column of the
-    * same name. */
+    * columns can never silently shadow (and corrupt) a caller DATA column;
+    * the internals carry a `__graft_hll_` prefix so even a KEY column with
+    * a generic internal-looking name (`__h`, `max_rho`) stays intact. */
   private def sparseRegisters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     val m = HLL_M
     val keyCols = keys.map(col)
     df.select((keyCols :+ value.cast("string").as("__graft_hll_v")): _*)
-      .withColumn("__h", TextAnalysis.h60(col("__graft_hll_v")))
-      .withColumn("__w", expr(s"__h div $m"))
-      .withColumn("__rho",
-        when(col("__w") > 0, lit(52) - length(bin(col("__w")))).otherwise(lit(52)))
-      .groupBy((keyCols :+ (col("__h") % m).as("__bucket")): _*)
-      .agg(max("__rho").as("__max_rho"))
+      .withColumn("__graft_hll_h", TextAnalysis.h60(col("__graft_hll_v")))
+      .withColumn("__graft_hll_w", expr(s"__graft_hll_h div $m"))
+      .withColumn("__graft_hll_rho",
+        when(col("__graft_hll_w") > 0, lit(52) - length(bin(col("__graft_hll_w")))).otherwise(lit(52)))
+      .groupBy((keyCols :+ (col("__graft_hll_h") % m).as("__graft_hll_bucket")): _*)
+      .agg(max("__graft_hll_rho").as("__graft_hll_maxrho"))
   }
 
   /** DENSE register vector per key group: keys + `hll_registers`
@@ -76,9 +77,9 @@ object Sketches {
     sparseRegisters(df, keys, value)
       .groupBy(keyCols: _*)
       .agg(map_from_entries(collect_list(
-        struct(col("__bucket").cast("int"), col("__max_rho").cast("int")))).as("__m"))
+        struct(col("__graft_hll_bucket").cast("int"), col("__graft_hll_maxrho").cast("int")))).as("__graft_hll_m"))
       .select((keyCols :+ transform(sequence(lit(0), lit(m - 1)),
-        i => coalesce(element_at(col("__m"), i), lit(0))).as("hll_registers")): _*)
+        i => coalesce(element_at(col("__graft_hll_m"), i), lit(0))).as("hll_registers")): _*)
   }
 
   /** Element-wise max of two register vectors — the sketch union. */
@@ -91,11 +92,11 @@ object Sketches {
   def hllMergeAgg(df: DataFrame, keys: Seq[String],
                   regCol: String = "hll_registers"): DataFrame = {
     val keyCols = keys.map(col)
-    df.select((keyCols :+ posexplode(col(regCol)).as(Seq("__pos", "__rho"))): _*)
-      .groupBy((keyCols :+ col("__pos")): _*).agg(max("__rho").as("__rho"))
+    df.select((keyCols :+ posexplode(col(regCol)).as(Seq("__graft_hll_pos", "__graft_hll_rho"))): _*)
+      .groupBy((keyCols :+ col("__graft_hll_pos")): _*).agg(max("__graft_hll_rho").as("__graft_hll_rho"))
       .groupBy(keyCols: _*)
-      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__rho")))),
-        x => x.getField("__rho")).as(regCol))
+      .agg(transform(array_sort(collect_list(struct(col("__graft_hll_pos"), col("__graft_hll_rho")))),
+        x => x.getField("__graft_hll_rho")).as(regCol))
   }
 
   /** Estimate from a dense register vector (column `regCol`), identical
@@ -121,16 +122,16 @@ object Sketches {
     val keyCols = keys.map(col)
     sparseRegisters(df, keys, value)
       .groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("__n_buckets"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - __max_rho)")).as("__s_nonempty"))
-      .withColumn("__s",
-        col("__s_nonempty") + (lit(m) - col("__n_buckets")) * lit(1L << 52))
-      .withColumn("__zeros", lit(m) - col("__n_buckets"))
-      .withColumn("__raw", lit(HLL_NUMERATOR) / col("__s").cast("double"))
+      .agg(count(lit(1)).as("__graft_hll_nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - __graft_hll_maxrho)")).as("__graft_hll_sne"))
+      .withColumn("__graft_hll_s",
+        col("__graft_hll_sne") + (lit(m) - col("__graft_hll_nb")) * lit(1L << 52))
+      .withColumn("__graft_hll_zeros", lit(m) - col("__graft_hll_nb"))
+      .withColumn("__graft_hll_raw", lit(HLL_NUMERATOR) / col("__graft_hll_s").cast("double"))
       .withColumn("approx_distinct", round(
-        when(col("__raw") <= 2.5 * m && col("__zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
-          .otherwise(col("__raw")), 6))
+        when(col("__graft_hll_raw") <= 2.5 * m && col("__graft_hll_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__graft_hll_zeros")))
+          .otherwise(col("__graft_hll_raw")), 6))
       .select((keyCols :+ col("approx_distinct")): _*)
   }
 }

@@ -230,6 +230,19 @@ class DedupSpec extends SparkTestBase {
     assert(guarded(1) === ((2L, 3L, 0L, 0.0)), "guard must zero out boilerplate-only overlap")
     // cap at exactly the boilerplate df keeps it (guard drops STRICTLY above)
     assert(run(Some(4L))(1) === ((2L, 3L, 3L, 1.0)))
+
+    // RELATIVE cap: 5 train docs, frac 0.6 -> cap ceil(3) == absolute 3;
+    // frac 0.8 -> cap 4 keeps the boilerplate. Same rows as the absolute
+    // runs, so the cap's meaning tracks corpus size instead of drifting.
+    def runFrac(f: Double) = Dedup.contamination(
+        test, train, "doc_id", "text", maxTrainDfFrac = Some(f))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(runFrac(0.6).toSeq === guarded.toSeq)
+    assert(runFrac(0.8)(1) === ((2L, 3L, 3L, 1.0)))
+    val e = intercept[IllegalArgumentException](Dedup.contamination(
+      test, train, "doc_id", "text", maxTrainDf = Some(3L), maxTrainDfFrac = Some(0.5)))
+    assert(e.getMessage.contains("at most one"))
   }
 
   test("connectedComponents: min-label over chained pairs, disjoint clusters kept apart") {
@@ -247,10 +260,20 @@ class DedupSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
-      .as[(Long, Long)].collect().toMap
+    val result = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    val got = result.as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+    // Managed cleanup: a long run must not accumulate one snapshot per
+    // round — after the call only the FINAL label snapshot (which backs
+    // the returned DataFrame) may remain; edges + intermediate rounds are
+    // deleted as soon as their successor materializes.
+    val left = new java.io.File(dir).list().toSeq
+    assert(left.count(_.startsWith("graft-cc-labels-")) === 1,
+      s"exactly the final label snapshot should remain, got: $left")
+    assert(!left.exists(_.contains("edges")), s"edge snapshot must be deleted: $left")
+    // the survivor still backs the result
+    assert(result.count() === 8)
   }
 
   test("connectedComponents: empty pair set -> empty output; long path converges") {
@@ -394,6 +417,73 @@ class SimSearchSpec extends SparkTestBase {
     assert(blocked.contains((0L, 1L)), "identical vectors share every bucket")
   }
 
+  test("kmeansAssign: broadcast-join argmax == fused literal argmax, bit-for-bit") {
+    // 60 random dim-8 vectors, k = 5: enough cells/rows that a tiebreak or
+    // numeric divergence between the two strategies would surface
+    val rnd = new scala.util.Random(23)
+    val big = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    for (c <- Seq(corpus.drop("label"), big)) {
+      val lit_ = SimSearch.kmeansAssign(c, k = if (c eq big) 5 else 2, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val join = SimSearch.kmeansAssign(c, k = if (c eq big) 5 else 2, iters = 2,
+          maxLiteralK = 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(join === lit_, "assignment strategies must be result-identical")
+    }
+  }
+
+  test("kmeansAssign fails loudly on an empty corpus") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.kmeansAssign(empty, k = 2)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
+
+  test("knnIvf multi-probe recovers the boundary neighbor nprobe=1 misses") {
+    // cell 0 hugs the x-axis, cell 1 the diagonal; the probe sits between:
+    // its best cell is 1, but the TRUE 2nd-nearest vector (0.95, 0.05)
+    // lives in cell 0 — invisible at nprobe=1, recovered at nprobe=2.
+    val c = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.95f, 0.05f), 0),
+      (2L, Array(0.7f, 0.7f), 1), (3L, Array(0.72f, 0.68f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val p = Seq((100L, Array(0.9f, 0.4f))).toDF("probe_id", "p_embedding")
+    val brute = SimSearch.knnBrute(p, c, k = 2)
+      .collect().map(_.getLong(2)).toSet
+    val one = SimSearch.knnIvf(p, c, "label", k = 2, nprobe = 1)
+      .collect().map(_.getLong(3)).toSet
+    val two = SimSearch.knnIvf(p, c, "label", k = 2, nprobe = 2)
+      .collect().map(_.getLong(3)).toSet
+    assert(brute === Set(3L, 1L))
+    assert(one === Set(3L, 2L), "single-probe stays inside cell 1")
+    assert(two === brute, "two probes recover the exact top-2")
+    assert((two & brute).size >= (one & brute).size, "recall never degrades with nprobe")
+  }
+
+  test("knnIvfAuto == manual kmeansAssign -> join -> knnIvf composition") {
+    val auto = SimSearch.knnIvfAuto(probes, corpus, k = 2, cells = 2)
+      .select($"probe_id", $"rnk", $"vec_id").collect().toSet
+    val cells = SimSearch.kmeansAssign(corpus, k = 2, iters = 2).select("vec_id", "cell")
+    val manual = SimSearch.knnIvf(probes,
+        corpus.drop("label").join(cells, "vec_id"), "cell", k = 2)
+      .select($"probe_id", $"rnk", $"vec_id").collect().toSet
+    assert(auto === manual)
+  }
+
+  test("kNN probe-side broadcast guard trips loudly, naming the self-join alternative") {
+    for (f <- Seq[() => org.apache.spark.sql.DataFrame](
+      () => SimSearch.knnBrute(probes, corpus, k = 2, maxProbeRows = 0),
+      () => SimSearch.knnIvf(probes, corpus, "label", k = 2, maxProbeRows = 0),
+      () => SimSearch.knnLsh(probes, corpus, k = 2, maxProbeRows = 0))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("nearDupPairsBlocked"))
+    }
+    // at the default ceiling the small probe set passes untouched
+    assert(SimSearch.knnBrute(probes, corpus, k = 2).count() === 2)
+  }
+
   test("knnLsh: probe searches only its own hyperplane bucket; self ranks first") {
     val out = SimSearch.knnLsh(probes, corpus, k = 4, nPlanes = 4).collect()
     assert(out.nonEmpty)
@@ -429,6 +519,47 @@ class SketchesSpec extends SparkTestBase {
     val a = Sketches.approxDistinct(base, Seq("g"), $"v").head.getDouble(1)
     val b = Sketches.approxDistinct(dup, Seq("g"), $"v").head.getDouble(1)
     assert(a === b)
+  }
+
+  test("register vectors merge EXACTLY: merge(regs(A), regs(B)) == regs(A ∪ B)") {
+    val a = (1 to 600).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (400 to 1000).map(i => ("g", s"v$i")).toDF("g", "v") // overlaps A
+    val regA = Sketches.hllRegisters(a, Seq("g"), $"v")
+    val regB = Sketches.hllRegisters(b, Seq("g"), $"v")
+    val regU = Sketches.hllRegisters(a.union(b), Seq("g"), $"v")
+      .head.getSeq[Int](1)
+    // column-form merge of the two vectors
+    val merged = regA.join(regB.withColumnRenamed("hll_registers", "r2"), "g")
+      .select(Sketches.hllMerge($"hll_registers", $"r2").as("m"))
+      .head.getSeq[Int](0)
+    assert(merged === regU, "element-wise max must equal the union's registers")
+    // aggregate-form merge across rows (sharded sketches -> one)
+    val aggMerged = Sketches.hllMergeAgg(regA.unionByName(regB), Seq("g"))
+      .head.getSeq[Int](1)
+    assert(aggMerged === regU)
+    // and the estimate over merged registers == the single-shot estimate
+    val est = a.union(b).select(lit("g").as("g"), $"v")
+    val oneShot = Sketches.approxDistinct(est, Seq("g"), $"v").head.getDouble(1)
+    val viaReg = regU match { case r =>
+      Seq(Tuple1(r)).toDF("hll_registers")
+        .select(Sketches.hllEstimate("hll_registers")).head.getDouble(0)
+    }
+    assert(viaReg === oneShot, "register-vector estimate must match the grouped path")
+  }
+
+  test("internal-name collisions: caller columns named like HLL internals survive") {
+    // a KEY literally named __h / max_rho and a data column named __rho
+    // previously risked being clobbered by withColumn internals
+    val df = (1 to 500).map(i => ("k1", i.toDouble, s"v$i")).toDF("__h", "max_rho", "v")
+    val got = Sketches.approxDistinct(df, Seq("__h"), $"v").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("k1"))
+    val clean = (1 to 500).map(i => ("k1", s"v$i")).toDF("g", "v")
+    val want = Sketches.approxDistinct(clean, Seq("g"), $"v").head.getDouble(1)
+    assert(got.head.getDouble(1) === want)
+    // same via the register path
+    val reg = Sketches.hllRegisters(df, Seq("__h"), $"v")
+      .select(Sketches.hllEstimate("hll_registers")).head.getDouble(0)
+    assert(reg === want)
   }
 }
 

@@ -187,4 +187,21 @@ class FuzzyJoinSpec extends SparkTestBase {
     val out = buckets(FuzzyJoin.fuzzyMatch(symSearch, symData, 3))
     assert(out(("!!!", "exact")) === Set(1L)) // both normalize to ""
   }
+
+  test("probe-side broadcast guard: every fuzzy engine refuses a corpus-sized probe set") {
+    // maxProbeRows below the (4-row) search table stands in for "probe side
+    // at corpus scale" — the guard's decision scan is bounded, so the test
+    // also proves the limit path executes
+    for (f <- Seq[() => DataFrame](
+      () => FuzzyJoin.fuzzyMatch(search, data, 3, maxProbeRows = 2),
+      () => FuzzyJoin.fuzzyMatchPruned(search, data, 3, maxProbeRows = 2),
+      () => FuzzyJoin.fuzzyMatchPrunedQgram(search, data, 3, maxProbeRows = 2),
+      () => FuzzyJoin.topK(search, data, 2, maxProbeRows = 2))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("MinHash"),
+        "the error must point at the scale-safe near-dup operators")
+    }
+    // at the default ceiling the probe set passes and results are unchanged
+    assert(buckets(FuzzyJoin.fuzzyMatch(search, data, 3))(("abcdefgh", "exact")) === Set(1L))
+  }
 }

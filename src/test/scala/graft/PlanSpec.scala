@@ -102,6 +102,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q35 large-k assignment: partial argmax collapses the n x k product before ONE hash exchange") {
+    val p = plan("q35_kmeans_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must be the broadcast side of the scoring product")
+    assert(p.contains("partial_max"),
+      "the argmax must partial-aggregate map-side (the exchange then carries n rows, not n x k)")
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx === 1,
+      s"exactly the one post-partial-agg shuffle expected, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("vector kernel stays inside whole-stage codegen") {
     // AQE wraps stages in codegen only at materialization; execute first,
     // then look for our expression inside a starred (*(n) = codegen) node.
