@@ -291,6 +291,30 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Incremental dedup: today's batch (src0) against the standing corpus
+    // (everything else) — cross-corpus MinHash band join, never a corpus
+    // self-join. The per-batch shape of the q21 operator.
+    "q56_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshAgainst(d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "doc_id", "text", minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Count-min frequency sketch audited against exact counts: estimates
+    // for the top-20 words. cms_est >= cnt always (each counter
+    // upper-bounds the true count); the counter table is depth x width
+    // regardless of vocabulary size, and counters merge by SUM across
+    // shards/days — the frequency sibling of the q48/q55 HLL family.
+    "q57_countmin" -> ((s, dir) => {
+      val w = docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      val counters = graft.ext.Sketches.cmsCounters(w, Nil, col("word"))
+      val top = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("word")).limit(20)
+      graft.ext.Sketches.cmsEstimate(top, counters, col("word"))
+        .orderBy(desc("cnt"), col("word"))
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
     // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
     // term + per-doc top-k window. The df table is the distinct vocabulary
@@ -1091,6 +1115,80 @@ object ExtQueries {
          |                  THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
          |                  ELSE ${graft.ext.Sketches.HLL_NUMERATOR} / s END, 6) AS approx_distinct
          |FROM est ORDER BY source""".stripMargin
+    },
+
+    // Cross-corpus twin of the q21 oracle: band keys per doc (side-
+    // independent), bucket cap applied WITHIN each side, pairs restricted
+    // to new (src0) x corpus (rest).
+    "q56_incremental_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |hashed AS (
+         |  SELECT doc_id, source, sh, ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm
+         |  FROM sh),
+         |coef(i, a, b) AS (VALUES $coefValues),
+         |sigs AS (
+         |  SELECT doc_id, source, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
+         |  FROM hashed CROSS JOIN coef c GROUP BY doc_id, source, c.i),
+         |bk0 AS (
+         |  SELECT doc_id, source, i % ${Dedup.bands} AS band,
+         |         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS band_key
+         |  FROM sigs GROUP BY doc_id, source, i % ${Dedup.bands}),
+         |bkN AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |           count(*) OVER (PARTITION BY band, band_key) AS n
+         |    FROM bk0 WHERE source = 'src0') WHERE n <= 1000),
+         |bkC AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT doc_id, band, band_key,
+         |           count(*) OVER (PARTITION BY band, band_key) AS n
+         |    FROM bk0 WHERE source <> 'src0') WHERE n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bkN a JOIN bkC b ON a.band = b.band AND a.band_key = b.band_key),
+         |szN AS (SELECT doc_id, count(*) AS n FROM sh WHERE source = 'src0' GROUP BY doc_id),
+         |szC AS (SELECT doc_id, count(*) AS n FROM sh WHERE source <> 'src0' GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM cand p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+         |       round(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 6) AS jaccard
+         |FROM cand p
+         |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN szN za ON za.doc_id = p.doc_a
+         |JOIN szC zb ON zb.doc_id = p.doc_b
+         |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // Counter-for-counter mirror of Sketches.cmsCounters/cmsEstimate: h60
+    // row-salted bucket hash, exact integer counters, min over depth rows.
+    "q57_countmin" -> {
+      val (d_, w_) = (graft.ext.Sketches.CMS_DEPTH, graft.ext.Sketches.CMS_WIDTH)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (SELECT unnest(t) AS word FROM toks),
+         |exact AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         |top AS (SELECT word, cnt FROM exact ORDER BY cnt DESC, word LIMIT 20),
+         |r AS (SELECT unnest(range(0, $d_)) AS i),
+         |cnts AS (
+         |  SELECT i, ${TextAnalysis.h60Sql("CAST(i AS VARCHAR) || ':' || word")} % $w_ AS bucket,
+         |         count(*) AS c
+         |  FROM w CROSS JOIN r GROUP BY 1, 2),
+         |est AS (
+         |  SELECT t.word, t.cnt, min(coalesce(c.c, 0)) AS cms_est
+         |  FROM top t CROSS JOIN r
+         |  LEFT JOIN cnts c ON c.i = r.i
+         |    AND c.bucket = ${TextAnalysis.h60Sql("CAST(r.i AS VARCHAR) || ':' || t.word")} % $w_
+         |  GROUP BY t.word, t.cnt)
+         |SELECT word, cnt, CAST(cms_est AS BIGINT) AS cms_est FROM est
+         |ORDER BY cnt DESC, word""".stripMargin
     },
 
     "q50_tfidf" ->

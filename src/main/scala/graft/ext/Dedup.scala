@@ -91,10 +91,16 @@ object Dedup {
     * dedup ON the band key rather than pairwise scoring. No test-data
     * bucket approaches the default cap, so results are unchanged at
     * harness scale (and the oracle applies the same cap). */
-  def candidatePairs(bandKeyDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  /** Drop band buckets larger than `maxBucket` — the self/cross-join skew
+    * guard (see [[candidatePairs]]). */
+  private def capBuckets(bandKeyDf: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
-    val capped = bandKeyDf.withColumn("bucket_n", count(lit(1)).over(w))
+    bandKeyDf.withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucket)
+  }
+
+  def candidatePairs(bandKeyDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val capped = capBuckets(bandKeyDf, maxBucket)
     val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -125,6 +131,44 @@ object Dedup {
     val sh = shingled(docs, idCol, textCol)
     val pairs = candidatePairs(bandKeys(minhashSignatures(sh)))
     verifyJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cross-corpus (INCREMENTAL) MinHash near-dup: (new doc, corpus doc)
+    * pairs with verified Jaccard >= minJaccard — the operation a rolling
+    * pipeline runs per batch: dedup TODAY'S crawl against the standing
+    * corpus WITHOUT ever self-joining the corpus (that regime is
+    * [[minhashLsh]] on the corpus itself). Both sides run the same
+    * signature/band kernel; candidates come from an equi-join of the new
+    * batch's band keys against the corpus's — never new × corpus — with
+    * the bucket skew cap applied per side; exact-Jaccard verification
+    * touches candidate pairs only. Incremental cost ∝ new-batch shingles +
+    * collided buckets, independent of the corpus's internal similarity.
+    * Output: (doc_a = new id, doc_b = corpus id, jaccard). */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, minJaccard: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val shN = shingled(newDocs, idCol, textCol)
+    val shC = shingled(corpus, idCol, textCol)
+    val bkN = capBuckets(bandKeys(minhashSignatures(shN)), maxBucket)
+    val bkC = capBuckets(bandKeys(minhashSignatures(shC)), maxBucket)
+    val cand = bkN.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .join(bkC.select(col("doc_id").as("doc_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(shN.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shC.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(shN.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+        .withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(shC.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+        .withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -266,7 +310,7 @@ object Dedup {
     // checkpointed labels per round, no join of old vs new label sets.
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
     var prevSum = if (labels.isEmpty) null else repSum(labels)
     var done = prevSum == null
     var iter = 0

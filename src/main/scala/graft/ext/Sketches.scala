@@ -113,6 +113,61 @@ object Sketches {
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw), 6)
   }
 
+  // ---- count-min sketch (frequency estimation) ----
+
+  /** Count-min depth: independent hash rows; the estimate takes the min. */
+  val CMS_DEPTH = 4
+
+  /** Count-min width: counters per row. Overestimate bias ~ N/width per
+    * row before the min; depth rows drive the tail down exponentially. */
+  val CMS_WIDTH = 1024
+
+  /** Count-min sketch counters (Cormode/Muthukrishnan, J.Alg 2005) of
+    * `value` occurrences per `keys` group: one row per NON-ZERO counter —
+    * (keys..., cms_row, cms_bucket, cms_cnt), cms_bucket =
+    * h60(row ":" value) % width. ONE groupBy with map-side partials; the
+    * shuffle carries <= depth·width counter rows per key group, never the
+    * values — the frequency-sketch sibling of [[hllRegisters]]. Counters
+    * MERGE BY SUM ([[cmsMergeAgg]]): sketch per day/shard, add later, and
+    * the merged sketch equals the sketch of the union exactly. The
+    * portable h60 hash makes every counter engine-reproducible. */
+  def cmsCounters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select((keyCols :+ value.cast("string").as("__graft_cms_v")): _*)
+      .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
+      .withColumn("cms_bucket", TextAnalysis.h60(
+        concat(col("cms_row").cast("string"), lit(":"), col("__graft_cms_v"))) % CMS_WIDTH)
+      .groupBy((keyCols :+ col("cms_row") :+ col("cms_bucket")): _*)
+      .agg(count(lit(1)).as("cms_cnt"))
+  }
+
+  /** Merge counter tables ACROSS sketches per key group: counters add.
+    * merge(cms(A), cms(B)) == cms(A ++ B) exactly (multiset union —
+    * counts, unlike HLL's distinct, are additive). */
+  def cmsMergeAgg(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy((keys.map(col) :+ col("cms_row") :+ col("cms_bucket")): _*)
+      .agg(sum("cms_cnt").as("cms_cnt"))
+
+  /** Point frequency estimates for `probe`'s rows: min over the depth rows
+    * of the matching counters (absent counter = 0). Never underestimates
+    * the true count (each counter upper-bounds it). `probe` rows must be
+    * distinct — they become the group key of the final fold; columns named
+    * cms_row/cms_bucket/cms_cnt are reserved. The probe side is typically
+    * tiny (the items being audited); the counter side is bounded by
+    * depth·width per key group, so the join broadcasts naturally. */
+  def cmsEstimate(probe: DataFrame, counters: DataFrame, value: Column,
+                  keys: Seq[String] = Nil): DataFrame = {
+    val probeCols = probe.columns.map(col).toSeq
+    probe
+      .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
+      .withColumn("cms_bucket", TextAnalysis.h60(
+        concat(col("cms_row").cast("string"), lit(":"), value.cast("string"))) % CMS_WIDTH)
+      .join(counters, keys ++ Seq("cms_row", "cms_bucket"), "left")
+      .na.fill(0L, Seq("cms_cnt"))
+      .groupBy(probeCols: _*)
+      .agg(min("cms_cnt").as("cms_est"))
+  }
+
   /** HLL approximate distinct count of `value` per `keys` group, in one
     * shot (collapses the registers without materializing the dense vector;
     * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).

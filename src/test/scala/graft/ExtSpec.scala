@@ -167,6 +167,26 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashLshAgainst: cross-corpus pairs only, == the self-join restricted to the cut") {
+    // new batch = docs 1,3; corpus = docs 2,4. The cross-corpus result must
+    // be exactly the self-join pairs that CROSS the cut (reoriented
+    // new -> corpus), with the same jaccard values — and never pair two
+    // corpus docs (2,4 side) or two new docs with each other.
+    val newDocs = nearDups.filter($"doc_id".isin(1L, 3L))
+    val corpus = nearDups.filter($"doc_id".isin(2L, 4L))
+    val got = Dedup.minhashLshAgainst(newDocs, corpus, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val self = Dedup.minhashLsh(nearDups, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossCut = self.collect {
+      case (a, b, j) if Set(1L, 3L)(a) && Set(2L, 4L)(b) => (a, b, j)
+      case (a, b, j) if Set(1L, 3L)(b) && Set(2L, 4L)(a) => (b, a, j)
+    }.toSet
+    assert(got === crossCut)
+    assert(got.contains((1L, 4L, 1.0)), "exact dup across the cut")
+    assert(got.forall { case (a, b, _) => Set(1L, 3L)(a) && Set(2L, 4L)(b) })
+  }
+
   test("simhash: identical docs get identical signatures; near dups are close") {
     val sig = Dedup.simhash(nearDups, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -545,6 +565,31 @@ class SketchesSpec extends SparkTestBase {
         .select(Sketches.hllEstimate("hll_registers")).head.getDouble(0)
     }
     assert(viaReg === oneShot, "register-vector estimate must match the grouped path")
+  }
+
+  test("count-min: never underestimates; exact for frequent items at this load; merge == union") {
+    // 200 distinct words, zipf-ish: word w_i appears i times (N = 20100
+    // occurrences over width 1024 -> expected row collision load ~20/cell)
+    val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"w$i")).map(Tuple1(_))
+    val df = rows.toDF("v")
+    val counters = Sketches.cmsCounters(df, Nil, $"v")
+    val exact = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val est = Sketches.cmsEstimate(exact, counters, $"v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length === 200)
+    assert(est.forall { case (_, cnt, e) => e >= cnt },
+      "a count-min estimate can never be below the true count")
+    // the heaviest item's estimate is tight here (collision mass is small)
+    val heavy = est.find(_._1 === "w200").get
+    assert(heavy._3 - heavy._2 <= 25, s"w200 overestimate too large: $heavy")
+
+    // merging two shards' counters by sum == counters over the union
+    val (sh1, sh2) = (rows.take(10000).toDF("v"), rows.drop(10000).toDF("v"))
+    val merged = Sketches.cmsMergeAgg(
+      Sketches.cmsCounters(sh1, Nil, $"v").unionByName(Sketches.cmsCounters(sh2, Nil, $"v")),
+      Nil).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = counters.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
   test("internal-name collisions: caller columns named like HLL internals survive") {
