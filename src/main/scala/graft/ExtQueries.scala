@@ -315,6 +315,29 @@ object ExtQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // Bloom pre-filter audit: a bit-position Bloom filter over the train
+    // shingle set, membership-tested by every eval shingle, against the
+    // exact overlap. No false negatives ever (n_bloom_hits >= n_hit row by
+    // row); false positives at the design rate. This is the cheap
+    // first-pass screen real pipelines run before the exact contamination
+    // join — the filter table is k·|train shingles| positions, mergeable
+    // by union across corpus shards.
+    "q58_bloom_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val trainSh = Dedup.shingled(d.filter(col("source") =!= "src0"), "doc_id", "text")
+        .select("sh").distinct()
+      val bits = graft.ext.Sketches.bloomBits(trainSh, Nil, col("sh"))
+      val testSh = Dedup.shingled(d.filter(col("source") === "src0"), "doc_id", "text")
+      val mem = graft.ext.Sketches.bloomMightContain(testSh, bits, col("sh"))
+      val exact = testSh.join(trainSh, "sh").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      mem.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_might_contain"), 1L).otherwise(0L)).as("n_bloom_hits"))
+        .join(exact, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+        .select("doc_id", "n_shingles", "n_hit", "n_bloom_hits")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
     // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
     // term + per-doc top-k window. The df table is the distinct vocabulary
@@ -1189,6 +1212,38 @@ object ExtQueries {
          |  GROUP BY t.word, t.cnt)
          |SELECT word, cnt, CAST(cms_est AS BIGINT) AS cms_est FROM est
          |ORDER BY cnt DESC, word""".stripMargin
+    },
+
+    // Bit-for-bit mirror of Sketches.bloomBits/bloomMightContain: position
+    // = h60(i ":" shingle) % 2^18, membership = all k positions set.
+    "q58_bloom_screen" -> {
+      val (k_, m_) = (graft.ext.Sketches.BLOOM_K, graft.ext.Sketches.BLOOM_BITS)
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |tr AS (SELECT DISTINCT sh FROM sh0 WHERE source <> 'src0'),
+         |ks AS (SELECT unnest(range(0, $k_)) AS i),
+         |bits AS (
+         |  SELECT DISTINCT ${TextAnalysis.h60Sql("CAST(i AS VARCHAR) || ':' || sh")} % $m_ AS bloom_pos
+         |  FROM tr CROSS JOIN ks),
+         |te AS (SELECT doc_id, sh FROM sh0 WHERE source = 'src0'),
+         |mem AS (
+         |  SELECT te.doc_id, te.sh, count(b.bloom_pos) = $k_ AS might
+         |  FROM te CROSS JOIN ks
+         |  LEFT JOIN bits b
+         |    ON b.bloom_pos = ${TextAnalysis.h60Sql("CAST(i AS VARCHAR) || ':' || te.sh")} % $m_
+         |  GROUP BY te.doc_id, te.sh),
+         |tot AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |         CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+         |  FROM mem GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM te JOIN tr USING (sh) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit, t.n_bloom_hits
+         |FROM tot t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
     },
 
     "q50_tfidf" ->

@@ -168,6 +168,54 @@ object Sketches {
       .agg(min("cms_cnt").as("cms_est"))
   }
 
+  // ---- Bloom filter (set membership) ----
+
+  /** Bloom hash count. */
+  val BLOOM_K = 3
+
+  /** Bloom bit-space size (2^18). At n distinct members the false-positive
+    * rate is (1 - e^(-k·n/m))^k — ~2.4% at n = 30k, k = 3; size m up with
+    * the member count. */
+  val BLOOM_BITS: Int = 1 << 18
+
+  /** SET bit positions of the Bloom filter over `value` per `keys` group,
+    * as a (keys..., bloom_pos) table — one row per set bit, at most m per
+    * group, typically k·|distinct values| before saturation. The
+    * TABLE-form sketch merges by `unionByName(...).distinct()` (bit OR),
+    * and membership ([[bloomMightContain]]) is an equi-join — both
+    * shuffle-partitionable, nothing driver-sized. Bit i of a value =
+    * h60(i ":" value) % m, so the filter is engine-reproducible
+    * bit-for-bit. The classic pre-filter: run the cheap no-false-negative
+    * membership join first, pay the exact check only on survivors. */
+  def bloomBits(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select((keyCols :+ value.cast("string").as("__graft_bloom_v")): _*)
+      .withColumn("__graft_bloom_i", explode(array((0 until BLOOM_K).map(lit(_)): _*)))
+      .select((keyCols :+ (TextAnalysis.h60(concat(col("__graft_bloom_i").cast("string"),
+        lit(":"), col("__graft_bloom_v"))) % BLOOM_BITS).as("bloom_pos")): _*)
+      .distinct()
+  }
+
+  /** Membership test: `probe` rows + `bloom_might_contain` (true iff ALL k
+    * of the value's bit positions are set in `bits`). Never a false
+    * negative; false positives at the filter's design rate. The probe
+    * explodes k rows per input, joins the bit table on (keys, bloom_pos),
+    * and folds back — one equi-join, no broadcast requirement either way.
+    * `probe` rows must be distinct (they become the fold's group key);
+    * bloom_pos/bloom_might_contain are reserved names. */
+  def bloomMightContain(probe: DataFrame, bits: DataFrame, value: Column,
+                        keys: Seq[String] = Nil): DataFrame = {
+    val probeCols = probe.columns.map(col).toSeq
+    probe
+      .withColumn("__graft_bloom_i", explode(array((0 until BLOOM_K).map(lit(_)): _*)))
+      .withColumn("bloom_pos", TextAnalysis.h60(concat(col("__graft_bloom_i").cast("string"),
+        lit(":"), value.cast("string"))) % BLOOM_BITS)
+      .join(bits.withColumn("__graft_bloom_hit", lit(1)),
+        keys ++ Seq("bloom_pos"), "left")
+      .groupBy(probeCols: _*)
+      .agg((count(col("__graft_bloom_hit")) === BLOOM_K).as("bloom_might_contain"))
+  }
+
   /** HLL approximate distinct count of `value` per `keys` group, in one
     * shot (collapses the registers without materializing the dense vector;
     * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).

@@ -592,6 +592,27 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("bloom: no false negatives ever; merge by union == filter over the union") {
+    val members = (1 to 2000).map(i => Tuple1(s"m$i")).toDF("v")
+    val bits = Sketches.bloomBits(members, Nil, $"v")
+    // every member tests positive
+    val memberHits = Sketches.bloomMightContain(members, bits, $"v")
+    assert(memberHits.filter(!$"bloom_might_contain").count() === 0,
+      "a Bloom filter can never reject a member")
+    // non-members mostly test negative (fp rate ~(1-e^-kn/m)^k ~ 1e-6 here)
+    val others = (1 to 2000).map(i => Tuple1(s"x$i")).toDF("v")
+    val fp = Sketches.bloomMightContain(others, bits, $"v")
+      .filter($"bloom_might_contain").count()
+    assert(fp <= 5, s"false-positive count implausibly high: $fp")
+    // sharded build: union of the shards' bit tables == whole filter
+    val (s1, s2) = ((1 to 1000).map(i => Tuple1(s"m$i")).toDF("v"),
+      (1001 to 2000).map(i => Tuple1(s"m$i")).toDF("v"))
+    val mergedBits = Sketches.bloomBits(s1, Nil, $"v")
+      .unionByName(Sketches.bloomBits(s2, Nil, $"v")).distinct()
+    assert(mergedBits.collect().map(_.getLong(0)).toSet ===
+      bits.collect().map(_.getLong(0)).toSet)
+  }
+
   test("internal-name collisions: caller columns named like HLL internals survive") {
     // a KEY literally named __h / max_rho and a data column named __rho
     // previously risked being clobbered by withColumn internals
