@@ -37,13 +37,15 @@ object ExtQueries {
   /** The three near-dup pair channels q27/q28 cluster over — ONE
     * definition so the two queries (and the shared oracle CTE chain) can
     * never desynchronize on a threshold tweak. */
-  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def dupPairs(s: SparkSession, dir: String,
+                       onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val d = docs(s, dir)
-    Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+    Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5, onCache = onCache)
       .select("doc_a", "doc_b")
-      .unionByName(Dedup.simhashNearDup(d, "doc_id", "text").select("doc_a", "doc_b"))
+      .unionByName(Dedup.simhashNearDup(d, "doc_id", "text", onCache = onCache)
+        .select("doc_a", "doc_b"))
       .unionByName(SimSearch.nearDupPairsBlocked(corpus(s, dir), minCos = 0.45,
-          dim = Some(oracleDim))
+          dim = Some(oracleDim), onCache = onCache)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
   }
 
@@ -86,7 +88,11 @@ object ExtQueries {
     // question pair lists can't: "which rows do I drop" — keep
     // cluster_rep (= min id), drop the rest.
     "q27_dedup_clusters" -> ((s, dir) => {
-      val cc = Dedup.connectedComponents(dupPairs(s, dir))
+      // CC materializes eagerly during construction, so the channel caches
+      // are released before the query plan is even returned.
+      val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val cc = Dedup.connectedComponents(dupPairs(s, dir, handles += _))
+      handles.foreach(_.unpersist(blocking = false))
       cc.join(cc.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size")), "cluster_rep")
         .select("doc_id", "cluster_rep", "cluster_size")
         .orderBy("doc_id")
@@ -97,8 +103,10 @@ object ExtQueries {
     // representative (min id) per cluster. One anti-join of the corpus
     // against the non-representative cluster members.
     "q28_dedup_keep" -> ((s, dir) => {
-      val drop = Dedup.connectedComponents(dupPairs(s, dir))
+      val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val drop = Dedup.connectedComponents(dupPairs(s, dir, handles += _))
         .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      handles.foreach(_.unpersist(blocking = false))
       docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")

@@ -99,8 +99,17 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
   }
 
-  def candidatePairs(bandKeyDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val capped = capBuckets(bandKeyDf, maxBucket)
+  /** The self-join's two branches would each re-run the whole signature
+    * pipeline (Catalyst has no cross-branch common-subexpression reuse),
+    * so the capped band-key table — SIGNATURE-sized: bands x |docs| rows,
+    * never corpus-text-sized, safe to persist at any scale — is cached for
+    * the join. The handle goes to `onCache` for explicit release (the topK
+    * pattern); harnesses that construct queries fresh per run can
+    * `spark.catalog.clearCache()` between runs instead. */
+  def candidatePairs(bandKeyDf: DataFrame, maxBucket: Int = 1000,
+                     onCache: DataFrame => Unit = _ => ()): DataFrame = {
+    val capped = capBuckets(bandKeyDf, maxBucket).persist()
+    onCache(capped)
     val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -127,9 +136,10 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidate pairs with verified
     * Jaccard >= minJaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 minJaccard: Double = 0.5): DataFrame = {
+                 minJaccard: Double = 0.5,
+                 onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
-    val pairs = candidatePairs(bandKeys(minhashSignatures(sh)))
+    val pairs = candidatePairs(bandKeys(minhashSignatures(sh)), onCache = onCache)
     verifyJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -202,16 +212,22 @@ object Dedup {
     * Sarma near-duplicate detection shape; every join is an equi-join, so
     * the plan scales horizontally. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val nBands = maxHamming + 1
     val bandW = 60 / nBands
     val mask = (1L << bandW) - 1
     val sig = simhash(docs, idCol, textCol)
+    // Persisted for the same reason as candidatePairs: both self-join
+    // branches would otherwise recompute the full simhash pipeline (two
+    // groupBys over every token). Signature-sized: nBands rows per doc.
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("simhash"), j * bandW).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.band_val"))
+      .persist()
+    onCache(banded)
     val cand = banded
       .select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
       .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),

@@ -353,15 +353,21 @@ object SimSearch {
     * target threshold; k=2/L=3 gives ~86% recall at cos 0.45. */
   def nearDupPairsBlocked(corpus: DataFrame, minCos: Double,
                           tables: Int = 3, planesPerTable: Int = 2,
-                          dim: Option[Int] = None): DataFrame = {
+                          dim: Option[Int] = None,
+                          onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val planes = lshPlanes(tables * planesPerTable, resolveDim(corpus, dim))
+    // Bucket table only — (vec_id, tbl, bucket), ID-sized, no embeddings —
+    // persisted because both self-join branches would otherwise recompute
+    // every plane dot product (Catalyst has no cross-branch reuse).
     val keyed = graft.ops.Partitioning.spread(corpus)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         explode(array((0 until tables).map { l =>
           val sub = planes.slice(l * planesPerTable, (l + 1) * planesPerTable)
           struct(lit(l).as("tbl"), lshBucket(col("embedding"), sub).as("bucket"))
         }: _*)).as("t"))
-      .select(col("vec_id"), col("embedding"), col("t.tbl"), col("t.bucket"))
+      .select(col("vec_id"), col("t.tbl"), col("t.bucket"))
+      .persist()
+    onCache(keyed)
     val cand = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("tbl", "bucket"))
