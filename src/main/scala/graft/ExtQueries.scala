@@ -346,6 +346,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: docs -> fixed-token-budget training bins (greedy
+    // start-offset packing in deterministic hash order, per salt bucket).
+    // Bins tile each bucket's token stream in 512-token stripes; the
+    // per-bin totals are pinned by the oracle's identical window sum.
+    "q59_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      TextAnalysis.packSequences(d, "doc_id", "n_tok", budget = 512L, buckets = 8)
+        .groupBy("pack_bucket", "pack_bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pack_bucket", "pack_bin")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
     // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
     // term + per-doc top-k window. The df table is the distinct vocabulary
@@ -1253,6 +1267,28 @@ object ExtQueries {
          |FROM tot t LEFT JOIN hit h USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // Window-for-window mirror of TextAnalysis.packSequences: same hash
+    // bucket, same (h, id) pack order, same integer-division bin.
+    "q59_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_tok,
+         |         ${TextAnalysis.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM toks),
+         |b AS (SELECT doc_id, n_tok, hh, CAST(hh % 8 AS INT) AS pack_bucket FROM h),
+         |c AS (
+         |  SELECT doc_id, n_tok, pack_bucket,
+         |         sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY hh, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |bins AS (
+         |  SELECT pack_bucket, (cum - n_tok) // 512 AS pack_bin, n_tok, doc_id
+         |  FROM c)
+         |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+         |FROM bins GROUP BY pack_bucket, pack_bin
+         |ORDER BY pack_bucket, pack_bin""".stripMargin,
 
     "q50_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
@@ -102,5 +102,41 @@ object TextAnalysis {
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Deterministic SEQUENCE PACKING for LLM pretraining: assign every doc
+    * a (pack_bucket, pack_bin) so each bin's token total fills `budget`
+    * with greedy start-offset packing — the step that turns a document
+    * corpus into fixed-length training sequences.
+    *
+    * Docs are salted into `buckets` independent packing streams by the
+    * portable hash, and each stream packs in its deterministic (hash, id)
+    * order with a per-bucket running token sum:
+    * bin = (cumsum - n_tok) div budget — a doc joins the bin its START
+    * offset falls in, so bins tile the token stream in budget-sized
+    * stripes: every non-final bin's last doc crosses its stripe boundary
+    * (bins 0..k jointly hold >= (k+1)·budget tokens), and no bin exceeds
+    * budget + one document (the greedy packing bound; a doc larger than
+    * the budget gets a stripe to itself).
+    *
+    * Scale shape: ONE shuffle by pack_bucket + a per-bucket sort over
+    * (id, n_tok) METADATA rows — no global sort, no single partition.
+    * Parallelism and per-task sort size are both governed by `buckets`:
+    * raise it to ~2-3x total cores (or higher for very large corpora).
+    * Same-bucket assignment is independent of `buckets` only through the
+    * hash, so pick it per pipeline version, not per run. */
+  def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pack_bucket").orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("__h", h60(concat(lit("pack:"), col(idCol).cast("string"))))
+      .withColumn("pack_bucket", (col("__h") % buckets).cast("int"))
+      .withColumn("__cum", sum(col(nTokCol)).over(w))
+      .withColumn("pack_bin", expr(s"(__cum - $nTokCol) div $budget"))
+      .drop("__h", "__cum")
   }
 }

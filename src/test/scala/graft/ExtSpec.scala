@@ -127,6 +127,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s === s.distinct.sorted)
   }
 
+  test("packSequences: stripe-tiling fill + greedy bound; deterministic under repartitioning") {
+    val docs = (1L to 200L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "n_tok", budget = 100L, buckets = 4)
+    val bins = packed.groupBy("pack_bucket", "pack_bin")
+      .agg(sum("n_tok").as("tot")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    bins.groupBy(_._1).foreach { case (bk, rows) =>
+      // stripe-tiling fill guarantee: bins 0..k jointly cover (k+1)·budget
+      val sorted = rows.sortBy(_._2)
+      val lastBin = sorted.last._2
+      var cum = 0L
+      sorted.foreach { case (_, bin, tot) =>
+        cum += tot
+        if (bin != lastBin)
+          assert(cum >= (bin + 1) * 100L,
+            s"bucket $bk bins 0..$bin cover only $cum tokens")
+      }
+      // bins are consecutive stripes — no gaps
+      assert(sorted.map(_._2).toSeq === (0L to lastBin).toSeq)
+    }
+    // greedy start-offset bound: a bin never exceeds budget + one doc
+    val maxTok = 10L + 36L
+    bins.foreach { case (_, _, tot) => assert(tot < 100L + maxTok) }
+    // partition-order independence (window order is (hash, id), not input)
+    val packed2 = TextAnalysis.packSequences(
+      docs.repartition(7), "doc_id", "n_tok", 100L, 4)
+    assert(packed.collect().toSet === packed2.collect().toSet)
+    // an oversized doc gets a bin of its own; the stream continues after it
+    val big = Seq((1L, 500L), (2L, 10L), (3L, 10L)).toDF("doc_id", "n_tok")
+    val bp = TextAnalysis.packSequences(big, "doc_id", "n_tok", 100L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bp.size === 3)
+  }
+
   test("DistinctWordShingles kernel == HOF composition (incl. edge cases)") {
     val texts = Seq(
       "a b c d e", "a b  c", "a b", "", "x", "  ", "a a a a",
