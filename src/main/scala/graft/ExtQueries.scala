@@ -360,6 +360,25 @@ object ExtQueries {
         .orderBy("pack_bucket", "pack_bin")
     }),
 
+    // C4-style line-level dedup: delete every segment occurring >= 2 times
+    // corpus-wide (ALL occurrences, as C4 does), reassemble documents from
+    // the kept segments in order. Segments here are fixed 10-token chunks
+    // (the corpus is single-line); real corpora pass split(text, "\n").
+    // One explode + one hash-frequency groupBy + one unhinted equi-join +
+    // one reassembly groupBy.
+    "q62_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val segs = TextAnalysis.segmentsFixed(TextAnalysis.tokens(col("text")), 10)
+      val dd = Dedup.lineDedup(d, "doc_id", segs, minCount = 2)
+      d.select(col("doc_id"))
+        .join(dd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
     // tf·idf. Two partial-agg shuffles (tf, df) + a SHUFFLED equi-join on
     // term + per-doc top-k window. The df table is the distinct vocabulary
@@ -1289,6 +1308,30 @@ object ExtQueries {
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
          |FROM bins GROUP BY pack_bucket, pack_bin
          |ORDER BY pack_bucket, pack_bin""".stripMargin,
+
+    // Chunk-for-chunk mirror of segmentsFixed + lineDedup: same 10-token
+    // slices, same h60 frequency counting, same ordered reassembly.
+    "q62_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |seg AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+         |  FROM toks, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+         |  WHERE len(t) > 0),
+         |hseg AS (SELECT doc_id, pos, seg, ${TextAnalysis.h60Sql("seg")} AS h FROM seg),
+         |freq AS (SELECT h, count(*) AS seg_n FROM hseg GROUP BY h),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_seg,
+         |         CAST(count(*) FILTER (WHERE seg_n < 2) AS BIGINT) AS n_kept,
+         |         coalesce(string_agg(seg, ' ' ORDER BY pos)
+         |                  FILTER (WHERE seg_n < 2), '') AS kept_text
+         |  FROM hseg JOIN freq USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_seg, 0) AS n_seg,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       md5(coalesce(a.kept_text, '')) AS kept_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q50_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -419,6 +419,54 @@ object Dedup {
         round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contamination"))
   }
 
+  // ---- line/segment-level corpus dedup (C4-style) ----
+
+  /** Line-level dedup as the public C4 pipeline does it (Raffel et al. 2020
+    * §2.2, "Exploring the Limits of Transfer Learning…": discard every line
+    * that occurs more than once in the corpus): count each segment
+    * corpus-wide and delete ALL occurrences of any segment appearing
+    * `minCount`+ times, then reassemble each document from its kept
+    * segments in original order.
+    *
+    * `segs` is the segmentation expression (`array<string>`, document
+    * order): `split(text, "\n")` for real corpora;
+    * [[TextAnalysis.segmentsFixed]] for single-line corpora.
+    *
+    * Returns (doc_id, n_seg, n_kept, kept_text) — one row per doc that had
+    * at least one segment; callers left-join from the corpus if they need
+    * segment-less docs too.
+    *
+    * Scale shape: posexplode is map-only; the frequency table is ONE
+    * groupBy on the 60-bit segment hash with map-side partials (shuffle
+    * rows ∝ distinct segments, ~16 bytes each — the string itself never
+    * shuffles for counting); membership is a shuffled equi-join on the
+    * hash with NO broadcast hint, because the segment vocabulary at web
+    * scale is 10^9+ rows (AQE may still downgrade when it measures small);
+    * reassembly is one groupBy(doc_id). A hot segment ("&nbsp;", cookie
+    * banners) is exactly the high-count row this removes, and its
+    * frequency row is 1 row post-aggregation — no join skew. Hash
+    * collisions (60-bit) conflate segment counts at ~n²/2⁶¹ odds; the
+    * oracle applies the identical hash so parity is exact. */
+  def lineDedup(docs: DataFrame, idCol: String, segs: org.apache.spark.sql.Column,
+                minCount: Long = 2): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 would delete every segment, got $minCount")
+    val seg = docs
+      .select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("h", TextAnalysis.h60(col("seg")))
+    val freq = seg.groupBy("h").agg(count(lit(1)).as("seg_n"))
+    val keep = col("seg_n") < minCount
+    seg.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the `when` leaves on deleted
+        // segments, so one pass builds the filtered, order-restored text
+        array_join(transform(
+          array_sort(collect_list(when(keep, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), " ").as("kept_text"))
+  }
+
   // ---- blocked exact n-gram Jaccard ----
 
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.

@@ -89,6 +89,19 @@ object TextAnalysis {
 
   // ---- deterministic sampling / splitting ----
 
+  /** Fixed-width segmentation: non-overlapping `w`-token chunks re-joined
+    * by single spaces, in document order (last chunk may be short). The
+    * segmenter feeding [[Dedup.lineDedup]] when a corpus has no newline
+    * structure to split on; real corpora pass `split(text, "\n")` instead.
+    * Map-only. DuckDB twin: slice + array_to_string over the same range. */
+  def segmentsFixed(toks: Column, w: Int): Column = {
+    require(w > 0, s"segment width must be positive, got $w")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Stable per-row bucket in [0, buckets): hash of a salted key. Unlike
     * `df.sample()` (partition-order-dependent RNG), this is reproducible
     * across runs, engines, and repartitioning — the right primitive for

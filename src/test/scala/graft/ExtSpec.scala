@@ -174,6 +174,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaHof.collect().toSeq.map(r => (r.getString(0), r.getSeq[String](1))) ===
       viaKernel.collect().toSeq.map(r => (r.getString(0), r.getSeq[String](1))))
   }
+
+  test("segmentsFixed: non-overlapping chunks, ragged tail, empty-safe") {
+    val df = Seq("a b c d e f g", "a b", "").toDF("text")
+      .select(TextAnalysis.segmentsFixed(TextAnalysis.tokens($"text"), 3).as("seg"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("a b c", "d e f", "g"))
+    assert(rows(1) === Seq("a b"))
+    assert(rows(2).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.segmentsFixed(TextAnalysis.tokens($"text"), 0)
+    }
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -328,6 +340,37 @@ class DedupSpec extends SparkTestBase {
     assert(!left.exists(_.contains("edges")), s"edge snapshot must be deleted: $left")
     // the survivor still backs the result
     assert(result.count() === 8)
+  }
+
+  test("lineDedup deletes ALL occurrences of repeated segments, keeps order") {
+    // segments are whole-text lines here (split on \n, the real-corpus mode)
+    val docs = Seq(
+      (1L, "unique alpha\nshared boilerplate\nunique beta"),
+      (2L, "shared boilerplate\nunique gamma"),
+      (3L, "only unique content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", split($"text", "\n"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 3L, 2L, "unique alpha unique beta"))) // both copies of the shared line gone
+    assert(out(1) === ((2L, 2L, 1L, "unique gamma")))
+    assert(out(2) === ((3L, 1L, 1L, "only unique content here")))
+  }
+
+  test("lineDedup: doc of only repeated segments keeps empty text; minCount honored") {
+    val docs = Seq(
+      (1L, "dup line"), (2L, "dup line"), (3L, "dup line")
+    ).toDF("doc_id", "text")
+    val all = Dedup.lineDedup(docs, "doc_id", split($"text", "\n"))
+      .orderBy("doc_id").collect()
+    assert(all.forall(r => r.getLong(2) === 0L && r.getString(3) === ""))
+    // minCount=4: tripled line survives
+    val loose = Dedup.lineDedup(docs, "doc_id", split($"text", "\n"), minCount = 4)
+      .orderBy("doc_id").collect()
+    assert(loose.forall(r => r.getLong(2) === 1L && r.getString(3) === "dup line"))
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(docs, "doc_id", split($"text", "\n"), minCount = 1)
+    }
   }
 
   test("connectedComponents: empty pair set -> empty output; long path converges") {
