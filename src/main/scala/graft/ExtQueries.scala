@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.{Dedup, Events, Multimodal, SimSearch, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, SimSearch, Sketches, TextAnalysis}
 import graft.ops.Ingest
 
 /** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
@@ -377,6 +377,25 @@ object ExtQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Mergeable equi-width histogram quantile sketch: per-shard counter
+    // tables summed into one corpus sketch, quantiles interpolated from the
+    // merged cumulative counts. The ONE data-sized pass is histCounts'
+    // groupBy (map-side partials; shuffle carries <= 128 counter rows per
+    // shard group); the merge and the quantile extraction run on
+    // sketch-sized data regardless of corpus scale. The deterministic
+    // integer/IEEE math is the point — percentile_approx's GK sketch can't
+    // be hash-matched across engines, this can.
+    "q63_hist_quantiles" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+        .withColumn("shard", col("l_orderkey") % 4)
+      val perShard = Sketches.histCounts(li, Seq("l_returnflag", "shard"),
+        col("l_extendedprice"), lo = 900.0, hi = 105000.0)
+      val merged = Sketches.histMergeAgg(perShard, Seq("l_returnflag"))
+      Sketches.histQuantiles(merged, Seq("l_returnflag"),
+        lo = 900.0, hi = 105000.0, qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99))
+        .orderBy("l_returnflag", "q")
     }),
 
     // TF-IDF keyword extraction: top-3 terms per document by smoothed
@@ -1332,6 +1351,41 @@ object ExtQueries {
          |       md5(coalesce(a.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Counter-for-counter mirror of histCounts + histMergeAgg +
+    // histQuantiles: same clamped floor bucketing, same ceil(q·N) rank,
+    // same in-bucket linear interpolation. The shard split and re-merge is
+    // a no-op on counts by construction (they add), so the oracle skips it.
+    "q63_hist_quantiles" -> {
+      val (lo, hi) = (900.0, 105000.0)
+      val b = Sketches.HIST_BUCKETS
+      val w = (hi - lo) / b
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - $lo) / $w),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket,
+         |         count(*) AS hist_cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (
+         |  SELECT l_returnflag, hist_bucket, hist_cnt,
+         |         sum(hist_cnt) OVER (PARTITION BY l_returnflag ORDER BY hist_bucket
+         |                             ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(hist_cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM h),
+         |qs(q) AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE)),
+         |pick AS (
+         |  SELECT l_returnflag, q, r, min(hist_bucket) AS hist_bucket
+         |  FROM (SELECT c.*, qs.q, greatest(CAST(ceil(qs.q * c.n) AS BIGINT), 1) AS r
+         |        FROM c CROSS JOIN qs)
+         |  WHERE cum >= r GROUP BY 1, 2, 3)
+         |SELECT p.l_returnflag, p.q,
+         |       round($lo + $w * (p.hist_bucket +
+         |             CAST(p.r - (c.cum - c.hist_cnt) AS DOUBLE) / c.hist_cnt), 6)
+         |         AS quantile_est
+         |FROM pick p JOIN c ON c.l_returnflag = p.l_returnflag
+         |                  AND c.hist_bucket = p.hist_bucket
+         |ORDER BY p.l_returnflag, p.q""".stripMargin
+    },
 
     "q50_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -216,6 +216,81 @@ object Sketches {
       .agg((count(col("__graft_bloom_hit")) === BLOOM_K).as("bloom_might_contain"))
   }
 
+  // ---- equi-width histogram (mergeable quantile sketch) ----
+
+  /** Histogram bucket count. Quantile error is bounded by one bucket width
+    * of the value range — 1/HIST_BUCKETS of (hi-lo) — independent of row
+    * count; size up for tighter tails. */
+  val HIST_BUCKETS = 128
+
+  /** Equi-width histogram counters of `value` per `keys` group over
+    * [lo, hi): one row per NON-EMPTY bucket — (keys..., hist_bucket,
+    * hist_cnt), bucket = floor((x-lo)/w) clamped to the edge buckets, so
+    * out-of-range values are counted, never dropped. ONE groupBy with
+    * map-side partials; the shuffle carries <= `buckets` counter rows per
+    * key group, never the values — the quantile-sketch sibling of
+    * [[hllRegisters]]/[[cmsCounters]]. Counters MERGE BY SUM
+    * ([[histMergeAgg]]): sketch per day/shard/engine, add later, and the
+    * merged sketch equals the sketch of the union exactly (counts are
+    * additive). Everything is integer/IEEE-deterministic, so a SQL oracle
+    * reproduces every counter and every interpolated quantile bit-for-bit —
+    * the role `percentile_approx` (GK sketch) can't play across engines. */
+  def histCounts(df: DataFrame, keys: Seq[String], value: Column,
+                 lo: Double, hi: Double, buckets: Int = HIST_BUCKETS): DataFrame = {
+    require(hi > lo, s"histCounts needs hi > lo, got [$lo, $hi)")
+    require(buckets >= 2, s"histCounts needs >= 2 buckets, got $buckets")
+    val w = (hi - lo) / buckets
+    val keyCols = keys.map(col)
+    df.select((keyCols :+ value.cast("double").as("__graft_hist_v")): _*)
+      .select((keyCols :+ least(greatest(
+        floor((col("__graft_hist_v") - lit(lo)) / lit(w)), lit(0L)),
+        lit(buckets - 1L)).cast("int").as("hist_bucket")): _*)
+      .groupBy((keyCols :+ col("hist_bucket")): _*)
+      .agg(count(lit(1)).as("hist_cnt"))
+  }
+
+  /** Merge histogram counter tables ACROSS sketches per key group:
+    * counters add. merge(hist(A), hist(B)) == hist(A ++ B) exactly. */
+  def histMergeAgg(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy((keys.map(col) :+ col("hist_bucket")): _*)
+      .agg(sum("hist_cnt").as("hist_cnt"))
+
+  /** Quantile estimates from histogram counters: for each q in `qs`, rank
+    * r = ceil(q·N) (clamped to >= 1), the answer bucket is the first whose
+    * cumulative count reaches r, and the estimate interpolates linearly
+    * inside it: lo + w·(bucket + (r - cum_prev)/cnt). Runs entirely on
+    * SKETCH-SIZED data — the window partitions carry <= `buckets` rows per
+    * key group, so the quantile extraction costs nothing at any corpus
+    * scale; the single data-sized pass already happened in [[histCounts]].
+    * Returns (keys..., q, quantile_est). */
+  def histQuantiles(hist: DataFrame, keys: Seq[String],
+                    lo: Double, hi: Double, qs: Seq[Double],
+                    buckets: Int = HIST_BUCKETS): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val w = (hi - lo) / buckets
+    val keyCols = keys.map(col)
+    val win = Window.partitionBy(keys.map(col): _*).orderBy("hist_bucket")
+    val cum = hist
+      .withColumn("__graft_hist_cum", sum("hist_cnt").over(win))
+      .withColumn("__graft_hist_n",
+        sum("hist_cnt").over(Window.partitionBy(keys.map(col): _*)))
+    cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__graft_hist_r",
+        greatest(ceil(col("q") * col("__graft_hist_n")), lit(1L)))
+      .filter(col("__graft_hist_cum") >= col("__graft_hist_r"))
+      .groupBy((keyCols :+ col("q")): _*)
+      .agg(min(struct(col("hist_bucket"), col("__graft_hist_cum"),
+        col("hist_cnt"), col("__graft_hist_r"))).as("__graft_hist_pick"))
+      .select((keyCols :+ col("q") :+ round(lit(lo) +
+        lit(w) * (col("__graft_hist_pick.hist_bucket") +
+          (col("__graft_hist_pick.__graft_hist_r") -
+            (col("__graft_hist_pick.__graft_hist_cum") - col("__graft_hist_pick.hist_cnt"))).cast("double") /
+            col("__graft_hist_pick.hist_cnt")), 6).as("quantile_est")): _*)
+  }
+
   /** HLL approximate distinct count of `value` per `keys` group, in one
     * shot (collapses the registers without materializing the dense vector;
     * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).

@@ -690,6 +690,32 @@ class SketchesSpec extends SparkTestBase {
       bits.collect().map(_.getLong(0)).toSet)
   }
 
+  test("histogram sketch: shard-merge == whole; quantile within one bucket width; clamped edges") {
+    val vals = (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val (lo, hi) = (0.0, 10000.0)
+    val whole = Sketches.histCounts(vals, Seq("g"), $"v", lo, hi)
+    // counters add: per-shard sketches summed == the union's sketch
+    val sharded = vals.withColumn("shard", ($"v".cast("long") % 3).cast("int"))
+    val merged = Sketches.histMergeAgg(
+      Sketches.histCounts(sharded, Seq("g", "shard"), $"v", lo, hi), Seq("g"))
+    assert(merged.collect().map(r => (r.getInt(1), r.getLong(2))).toSet ===
+      whole.collect().map(r => (r.getInt(1), r.getLong(2))).toSet)
+    // estimates land within one bucket width (10000/128 ~ 78.1) of exact
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val est = Sketches.histQuantiles(whole, Seq("g"), lo, hi, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val w = (hi - lo) / Sketches.HIST_BUCKETS
+    qs.foreach { q =>
+      val exact = q * 10000 // uniform 1..10000
+      assert(math.abs(est(q) - exact) <= w, s"q=$q est=${est(q)} exact=$exact")
+    }
+    // out-of-range values are clamped into the edge buckets, never dropped
+    val wild = Seq(("g", -50.0), ("g", 1e9)).toDF("g", "v")
+    val h = Sketches.histCounts(wild, Seq("g"), $"v", lo, hi)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(h === Map(0 -> 1L, (Sketches.HIST_BUCKETS - 1) -> 1L))
+  }
+
   test("internal-name collisions: caller columns named like HLL internals survive") {
     // a KEY literally named __h / max_rho and a data column named __rho
     // previously risked being clobbered by withColumn internals
