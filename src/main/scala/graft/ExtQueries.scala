@@ -379,6 +379,30 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: the standard curation pass before training-data
+    // release. Sequential ordered redaction (email -> ip -> bare digit
+    // runs) with per-pattern counts measured at each pattern's position in
+    // the chain, so digits inside an already-redacted email are never
+    // double-counted as IDs. Map-only codegen'd regexp chain — no shuffle
+    // at any corpus scale. The customer rows exercise every pattern (the
+    // contact string is constructed IN the query from real columns); the
+    // document rows prove the zero-match identity path.
+    "q64_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(lit("doc").as("kind"),
+        col("doc_id").as("id"), col("text").as("txt"))
+      val c = t(s, dir, "customer").select(lit("cust").as("kind"),
+        col("c_custkey").as("id"),
+        concat(col("c_name"), lit(" mailto:cust"),
+          col("c_custkey").cast("string"), lit("@example.com from 10.0."),
+          (col("c_custkey") % 256).cast("string"), lit(".7")).as("txt"))
+      val u = d.unionByName(c)
+      val counts = TextAnalysis.piiCounts(col("txt"))
+      u.select(Seq(col("kind"), col("id")) ++
+        counts.map { case (n, cc) => cc.as(s"n_$n") } :+
+        md5(TextAnalysis.piiScrubbed(col("txt"))).as("clean_md5"): _*)
+        .orderBy("kind", "id")
+    }),
+
     // Mergeable equi-width histogram quantile sketch: per-shard counter
     // tables summed into one corpus sketch, quantiles interpolated from the
     // merged cumulative counts. The ONE data-sized pass is histCounts'
@@ -1351,6 +1375,28 @@ object ExtQueries {
          |       md5(coalesce(a.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
+    // the previous stage's text then replaces globally ('g' — DuckDB
+    // defaults to first-match-only, Spark to global).
+    "q64_pii_scrub" -> {
+      val Seq(em, ip, id) = TextAnalysis.piiPatterns.map(_._2)
+      s"""WITH inp AS (
+         |  SELECT 'doc' AS kind, doc_id AS id, text AS txt FROM documents
+         |  UNION ALL
+         |  SELECT 'cust', c_custkey,
+         |         c_name || ' mailto:cust' || CAST(c_custkey AS VARCHAR) ||
+         |         '@example.com from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7'
+         |  FROM customer),
+         |s1 AS (SELECT kind, id, len(regexp_extract_all(txt, '$em')) AS n_email,
+         |              regexp_replace(txt, '$em', '<EMAIL>', 'g') AS t FROM inp),
+         |s2 AS (SELECT kind, id, n_email, len(regexp_extract_all(t, '$ip')) AS n_ip,
+         |              regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM s1),
+         |s3 AS (SELECT kind, id, n_email, n_ip, len(regexp_extract_all(t, '$id')) AS n_id,
+         |              regexp_replace(t, '$id', '<ID>', 'g') AS t FROM s2)
+         |SELECT kind, id, n_email, n_ip, n_id, md5(t) AS clean_md5
+         |FROM s3 ORDER BY kind, id""".stripMargin
+    },
 
     // Counter-for-counter mirror of histCounts + histMergeAgg +
     // histQuantiles: same clamped floor bucketing, same ceil(q·N) rank,

@@ -87,6 +87,37 @@ object TextAnalysis {
   def fingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
 
+  // ---- PII scrubbing ----
+
+  /** PII redaction patterns, applied IN ORDER: (name, regex, replacement).
+    * Order matters — emails are matched before bare digit runs so an
+    * address's digits are attributed to the email pattern, not double-
+    * redacted as IDs. The regexes stick to the syntax subset Java regex
+    * and RE2 (DuckDB) interpret identically (classes, bounded repeats,
+    * \b, \d), so a SQL oracle reproduces every redaction decision. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id", "\\d{6,}", "<ID>"))
+
+  /** Sequentially scrubbed text: each pattern is replaced (globally) in
+    * the output of the previous one. Pure codegen'd regexp_replace chain —
+    * map-only at any scale. */
+  def piiScrubbed(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, tok)) =>
+      regexp_replace(acc, re, tok) }
+
+  /** Per-pattern redaction counts, measured at each pattern's position in
+    * the sequential chain (the email count sees raw text; the ID count
+    * sees text with emails/IPs already tokenized — matching exactly what
+    * [[piiScrubbed]] replaces). Returns (name -> count column). */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val staged = piiPatterns.scanLeft(c) { case (acc, (_, re, tok)) =>
+      regexp_replace(acc, re, tok) }
+    piiPatterns.zip(staged).map { case ((name, re, _), stage) =>
+      name -> regexp_count(stage, lit(re)) }
+  }
+
   // ---- deterministic sampling / splitting ----
 
   /** Fixed-width segmentation: non-overlapping `w`-token chunks re-joined

@@ -35,6 +35,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(scored.collect().map(_.getString(0)).toSeq === Seq("en", "es"))
   }
 
+  test("PII scrub: ordered redaction, staged counts, zero-match identity") {
+    val rows = Seq(
+      "contact bob.smith+x@corp.example.org or 10.20.30.40 ref 123456789",
+      "id 12345 is too short but 999999 is not",
+      "plain text with no pii at all")
+    val df = rows.toDF("txt").select(
+      TextAnalysis.piiScrubbed($"txt").as("clean"),
+      struct(TextAnalysis.piiCounts($"txt").map { case (n, c) => c.as(n) }: _*).as("n"))
+    val got = df.collect()
+    // email matched BEFORE its digits could count as an ID; ip and the
+    // 9-digit run each redacted once
+    assert(got(0).getString(0) === "contact <EMAIL> or <IP> ref <ID>")
+    assert(got(0).getStruct(1).toSeq === Seq(1, 1, 1))
+    // sub-6-digit runs survive; 6-digit runs do not
+    assert(got(1).getString(0) === "id 12345 is too short but <ID> is not")
+    assert(got(1).getStruct(1).toSeq === Seq(0, 0, 1))
+    // no-match text is byte-identical
+    assert(got(2).getString(0) === rows(2))
+    assert(got(2).getStruct(1).toSeq === Seq(0, 0, 0))
+  }
+
   test("fingerprint is order-insensitive over the token bag") {
     val df = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))
