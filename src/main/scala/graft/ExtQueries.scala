@@ -175,6 +175,15 @@ object ExtQueries {
       SimSearch.knnIvf(probes(s, dir), corpus(s, dir), "label", k = 5, nprobe = 2)
         .orderBy("probe_id", "rnk")),
 
+    // SemDeDup: semantic (embedding-space) dedup with k-means clusters
+    // bounding the pairwise work — the member of the dedup family that
+    // catches paraphrases exact/MinHash/SimHash text dedup can't see.
+    // Within-cell min-id survivor rule; cells from the same deterministic
+    // k-means as q33, so the oracle reuses its unrolled CTE chain.
+    "q65_semantic_dedup" -> ((s, dir) =>
+      SimSearch.semDedup(corpus(s, dir), k = 8, tau = 0.45)
+        .orderBy("vec_id")),
+
     // ---- text analysis ----
 
     "q40_lang_id" -> ((s, dir) => {
@@ -980,6 +989,22 @@ object ExtQueries {
       s"""WITH ${kmeansCtes()}
          |SELECT vec_id, CAST(cell AS INT) AS cell, round(cos, 6) AS cosine
          |FROM af ORDER BY vec_id""".stripMargin,
+
+    // q33's k-means CTE chain feeding the within-cell near-pair join and
+    // the min-id survivor rule — removed = any vec with a smaller-id
+    // same-cell neighbor at cosine >= 0.45.
+    "q65_semantic_dedup" ->
+      s"""WITH ${kmeansCtes()},
+         |removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE (list_inner_product(a.emb, b.emb)
+         |         / (sqrt(list_inner_product(a.emb, a.emb))
+         |            * sqrt(list_inner_product(b.emb, b.emb)))) >= 0.45)
+         |SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+         |       (r.vec_id IS NULL) AS kept
+         |FROM af LEFT JOIN removed r ON af.vec_id = r.vec_id
+         |ORDER BY af.vec_id""".stripMargin,
 
     // q31's IVF unrolled at nprobe = 2: the top-2 cells per probe (crnk <=
     // 2), ranked over the UNION of both cells' members.

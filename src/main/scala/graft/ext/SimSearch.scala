@@ -276,6 +276,40 @@ object SimSearch {
     knnIvf(probes, corpus.select(col(idCol), col(embCol)).join(assigned, idCol), "cell", k, nprobe)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means clusters bound the pairwise work, then within each cluster
+    * every item with a higher-precedence near-twin (cosine >= `tau`) is
+    * dropped. Precedence is the deterministic greedy min-id rule (keep the
+    * lowest id of each near pair — the same survivor convention as the
+    * text-dedup keep-list), rather than the paper's centroid-distance
+    * ordering, so the decision is engine-reproducible with no float
+    * tiebreak.
+    *
+    * Shape at scale: the only pairwise step is a self-equi-join ON THE
+    * CELL KEY — cost ∝ Σ|cell|², never corpus², and k is the knob that
+    * bounds it (pick k so cells stay ~10^4 rows at 100 TB). Everything
+    * else is the k-means passes (map-only assignment) and one distinct +
+    * one anti-join, all shuffle-partitionable.
+    *
+    * Returns every corpus row with its cell and a `kept` verdict. */
+  def semDedup(corpus: DataFrame, k: Int, tau: Double, iters: Int = 2,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               maxLiteralK: Int = maxLiteralCentroids): DataFrame = {
+    require(tau > 0 && tau <= 1, s"semDedup needs tau in (0, 1], got $tau")
+    val assigned = kmeansAssign(corpus, k, iters, idCol, embCol, maxLiteralK)
+      .select(col(idCol), col("cell"))
+    val emb = corpus.select(col(idCol), col(embCol)).join(assigned, idCol)
+    val removed = emb.select(col("cell"), col(idCol).as("__id_a"), col(embCol).as("__ea"))
+      .join(emb.select(col("cell"), col(idCol).as("__id_b"), col(embCol).as("__eb")), "cell")
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosine(col("__ea"), col("__eb")) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__removed", lit(true))
+    emb.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("__removed"), lit(true)).as("kept"))
+  }
+
   /** Hyperplane coefficients for [[knnLsh]], derived from the portable
     * md5 hash so the DuckDB oracle regenerates the identical planes:
     * c(p, i) = (h60("hp<p>_<i>") % 2001 - 1000) / 1000  in [-1, 1]. */

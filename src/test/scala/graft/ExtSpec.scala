@@ -467,6 +467,19 @@ class SimSearchSpec extends SparkTestBase {
     assert(got(0L) !== got(2L), "the two direction clusters must separate")
   }
 
+  test("semDedup: min-id survives within a cell; cross-cell twins both survive") {
+    // cell X: 0 and 1 are near-twins (cos ~ 0.994) -> 1 removed, 0 kept;
+    // cell Y: 2 and 3 likewise -> 3 removed. tau=0.9 keeps the orthogonal
+    // cross-cell pairs irrelevant.
+    val got = SimSearch.semDedup(corpus, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+    // at an unreachable threshold nothing is removed
+    val none = SimSearch.semDedup(corpus, k = 2, tau = 0.9999)
+    assert(none.filter(!col("kept")).count() === 0)
+    intercept[IllegalArgumentException] { SimSearch.semDedup(corpus, k = 2, tau = 0.0) }
+  }
+
   test("kmeansAssign is deterministic across runs and robust to cluster collapse") {
     val a = SimSearch.kmeansAssign(corpus, k = 2, iters = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
