@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.{Dedup, Events, Multimodal, SimSearch, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Retrieval, SimSearch, Sketches, TextAnalysis}
 import graft.ops.Ingest
 
 /** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
@@ -387,6 +387,29 @@ object ExtQueries {
           md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
         .orderBy("doc_id")
     }),
+
+    // Okapi BM25 top-20 retrieval: the indexing/search half of a data
+    // pipeline (contamination lookups, quality-by-query audits). The term
+    // filter is pushed below the tf groupBy so the shuffle carries only
+    // query-term hits; per-term contributions sum as DECIMAL so the score
+    // is aggregation-order-independent (see Retrieval.bm25).
+    "q66_bm25" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("doc_id"))
+      Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("spark", "query", "window"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select("doc_id", "score", "rnk")
+        .orderBy("rnk")
+    }),
+
+    // Inverted-index materialization: per-term df, collection frequency,
+    // and the doc_id-sorted postings list (md5'd — the repo's portable
+    // array convention). minDf=2 drops the hapax tail.
+    "q67_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 2L)
+        .orderBy("term")),
 
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
@@ -1400,6 +1423,44 @@ object ExtQueries {
          |       md5(coalesce(a.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Term-for-term BM25 mirror: same +1-smoothed idf, same rounded
+    // per-term DECIMAL contributions, same (score DESC, doc_id) rank.
+    // The global row_number is fine here (top-20 of a bounded scored set);
+    // the engine side plans it the same way.
+    "q66_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |                    * tf * (1.2 + 1.0)
+         |                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |              AS DECIMAL(20,6)) AS c
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |sc AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+         |r AS (SELECT doc_id, score,
+         |             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc)
+         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // tf mirror + one grouped fold; postings compared via md5 of the
+    // doc_id-sorted comma join (the portable array convention).
+    "q67_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, sum(tf) AS cf,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |         AS postings_md5
+         |FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
     // the previous stage's text then replaces globally ('g' — DuckDB

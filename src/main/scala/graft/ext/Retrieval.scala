@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Retrieval-infrastructure operators: BM25 relevance scoring and inverted
+  * index (postings) materialization — the indexing/search half of a
+  * training-data pipeline (contamination lookups, quality-by-query audits,
+  * nearest-query corpus slicing).
+  *
+  * Both operators share the tf/df shape of the TF-IDF family (q50): one
+  * partial-agg shuffle for tf, one for df/postings, never a doc×term
+  * product. All floating scores round to 6 decimals and aggregate as
+  * DECIMAL so sums are order-independent and the DuckDB oracle reproduces
+  * every score bit-for-bit.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Robertson et al., TREC-3; the Lucene-style +1 smoothed
+    * idf: ln(1 + (N - df + 0.5)/(df + 0.5))) of every document against a
+    * LITERAL query-term set.
+    *
+    * Per-term contributions are rounded to 6 decimals and summed as
+    * DECIMAL(20,6) — float addition is non-associative, so a double sum's
+    * value would depend on aggregation order across partitions; the
+    * decimal sum is exact and engine-portable.
+    *
+    * Shape at scale: the term filter lands directly on the exploded token
+    * stream (pushed below the tf groupBy, so the shuffle carries only
+    * query-term hits), df is |query|-bounded, and the doc-length table
+    * joins on the doc key. The df/corpus-stats join sides are constant-
+    * sized (≤ |query| rows + 1 row), safely broadcast.
+    *
+    * Returns (idCol, score DECIMAL) for every document containing at
+    * least one query term. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val dl = toks.select(col(idCol), size(col("__toks")).as("dl"))
+    val hits = toks
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__contrib", round(
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(DecimalType(20, 6)))
+      .groupBy(col(idCol))
+      .agg(sum("__contrib").as("score"))
+  }
+
+  /** Inverted index: one row per term — document frequency, collection
+    * frequency, and the doc_id-sorted postings list (as a comma-joined
+    * string plus its md5, the repo's engine-portable array convention).
+    * `minDf` drops the hapax tail (at web scale most of the vocabulary),
+    * keeping the materialized index dense.
+    *
+    * Shape at scale: tf's (doc, term) partial-agg shuffle, then ONE
+    * groupBy(term) building df/cf/postings together. Postings lists are
+    * per-term rows — the natural storage layout for a distributed index;
+    * a skew-hot stopword term's row grows with its df, which is exactly
+    * the signal `minDf`'s sibling cap (a stopword list or a max-df guard,
+    * cf. Dedup.contamination's maxTrainDf) exists to cut. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_join(transform(array_sort(collect_list(col(idCol))),
+          _.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        md5(col("postings")).as("postings_md5"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Multimodal, SimSearch, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Retrieval, SimSearch, Sketches, TextAnalysis}
 
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
@@ -763,6 +763,57 @@ class SketchesSpec extends SparkTestBase {
     val reg = Sketches.hllRegisters(df, Seq("__h"), $"v")
       .select(Sketches.hllEstimate("hll_registers")).head.getDouble(0)
     assert(reg === want)
+  }
+}
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark query"),      // heavy on a rare-ish term
+    (2L, "the the the the the the spark"),// long doc, one hit
+    (3L, "query window"),                 // short doc, two distinct hits
+    (4L, "the and of")                    // no query terms
+  ).toDF("doc_id", "text")
+
+  test("bm25: no-hit docs absent; rarity and tf both push scores the right way") {
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("spark", "query", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "doc 4 has no query term")
+    assert(got(1L) > got(2L), "tf=3 short doc must outscore tf=1 long doc")
+    assert(got(3L) > got(2L), "two distinct rare terms beat one hit in a long doc")
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("bm25 score is partitioning-invariant (decimal contribution sum)") {
+    val a = Retrieval.bm25(docs, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val b = Retrieval.bm25(docs.repartition(7), "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException] { Retrieval.bm25(docs, "doc_id", "text", Nil) }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(docs, "doc_id", "text", Seq("a", "a")) }
+  }
+
+  test("inverted index: df/cf exact, postings sorted, minDf prunes the hapax tail") {
+    val got = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+      .sortBy(_._1)
+    val byTerm = got.map(t => t._1 -> t).toMap
+    assert(byTerm("spark") === ("spark", 2L, 4L, md5Hex("1,2")))
+    assert(byTerm("query") === ("query", 2L, 2L, md5Hex("1,3")))
+    assert(byTerm("the")   === ("the", 2L, 7L, md5Hex("2,4")))
+    assert(byTerm("window")._2 === 1L)
+    // minDf=2 drops the df=1 tail (window, and, of)
+    val pruned = Retrieval.invertedIndex(docs, "doc_id", "text", minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(pruned === Set("spark", "query", "the"))
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 }
 
