@@ -388,6 +388,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout audit: Morton-interleave (o_custkey, order-day) and
+    // report each fixed-width z-stripe's row count + per-dimension min-max
+    // box — the file-level skipping index a zordered write produces. Tight
+    // boxes on BOTH dims from one data copy is the point (a sort by
+    // custkey alone leaves date boxes spanning the full range). Map-only z
+    // computation + one partial-agg groupBy.
+    "q68_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ckey"),
+          // rebased to the dataset epoch so the day dimension actually
+          // varies in its low bits (a 1970 epoch pins the high bits and
+          // collapses the curve into a couple of stripes)
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("oday"))
+      graft.ops.Partitioning.zorderStats(o, "ckey", "oday", bits = 14)
+        .orderBy("stripe")
+    }),
+
     // Okapi BM25 top-20 retrieval: the indexing/search half of a data
     // pipeline (contamination lookups, quality-by-query audits). The term
     // filter is pushed below the tf groupBy so the shuffle carries only
@@ -1423,6 +1440,25 @@ object ExtQueries {
          |       md5(coalesce(a.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Bit-for-bit Morton mirror: the same 2x14 shift/mask terms, the same
+    // data-adaptive integer stripe division.
+    "q68_zorder" -> {
+      val bits = 14
+      val terms = (0 until bits).map(i =>
+        s"(((ckey >> $i) & 1) << ${2 * i}) + (((oday >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey AS ckey,
+         |         CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS oday
+         |  FROM orders),
+         |z AS (SELECT ckey, oday, $terms AS zv FROM o),
+         |zm AS (SELECT max(zv) AS zmax FROM z)
+         |SELECT zv // (zmax // 64 + 1) AS stripe, count(*) AS n,
+         |       min(ckey) AS min_ckey, max(ckey) AS max_ckey,
+         |       min(oday) AS min_oday, max(oday) AS max_oday
+         |FROM z CROSS JOIN zm GROUP BY 1 ORDER BY stripe""".stripMargin
+    },
 
     // Term-for-term BM25 mirror: same +1-smoothed idf, same rounded
     // per-term DECIMAL contributions, same (score DESC, doc_id) rank.

@@ -33,6 +33,63 @@ object Partitioning {
     if (bytes < BigInt(maxSplit) * target) df.repartition(target) else df
   }
 
+  /** Z-value (Morton code) of two non-negative integer columns, `bits`
+    * bits each: bit i of `x` lands at position 2i, of `y` at 2i+1, so
+    * sorting by the z-value interleaves locality in BOTH dimensions.
+    * Pure integer shift/mask arithmetic composed as one fixed expression
+    * (2·bits terms) — codegen'd, map-only, and reproducible in any engine.
+    * Precondition: 0 <= x, y < 2^bits (caller clamps or scales; violations
+    * interleave garbage high bits, they do not error). */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"zValue needs 1 <= bits <= 31, got $bits")
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the z-value of (x, y): range-partition on z
+    * into `files` output files, sort within each. The data-layout step
+    * that makes BOTH `x` range scans and `y` range scans prune well from
+    * ONE copy of the data — each output file covers a compact z-range,
+    * i.e. a small rectangle in (x, y) space, so parquet/engine min-max
+    * stats on either column skip most files. The shuffle is paid once at
+    * write time (same economics as [[writeBucketed]]). */
+  def writeZOrdered(df: DataFrame, path: String,
+                    x: String, y: String, bits: Int, files: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", zValue(col(x), col(y), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Layout AUDIT for a z-order clustering: assign rows to equal-width
+    * z-range stripes and report each stripe's row count and per-dimension
+    * min-max box. Tight boxes == good data-skipping; the stripe stats are
+    * exactly what a file-level min-max index would hold after
+    * [[writeZOrdered]]. Stripe width adapts to the OCCUPIED z-range
+    * (width = max(z) div stripes + 1, folded into the plan as a 1-row
+    * broadcast — no sampling, no driver collect, so an oracle reproduces
+    * every stripe id), because the fixed 4^bits space is mostly empty
+    * whenever the dimensions don't fill their bit budget. One map-only z
+    * computation + one partial-agg groupBy. */
+  def zorderStats(df: DataFrame, x: String, y: String,
+                  bits: Int, stripes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stripes >= 1, s"zorderStats needs >= 1 stripes, got $stripes")
+    val z = df.withColumn("__z", zValue(col(x), col(y), bits))
+    val zm = z.agg(max("__z").as("__zmax"))
+    z.crossJoin(broadcast(zm))
+      .groupBy(expr(s"__z div (__zmax div $stripes + 1)").as("stripe"))
+      .agg(count(lit(1)).as("n"),
+        min(x).as(s"min_$x"), max(x).as(s"max_$x"),
+        min(y).as(s"min_$y"), max(y).as(s"max_$y"))
+  }
+
   /** Bucketed materialization for co-located joins: write `df` as a table
     * hash-bucketed (and sorted) by `key`, so every future equi-join or
     * aggregation on `key` between same-bucketed tables plans WITHOUT a

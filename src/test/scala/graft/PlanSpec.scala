@@ -102,6 +102,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("zValue interleaves bits; zorderStats boxes both dims tighter than a 1-D sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-computed Morton codes: x=3 (011), y=5 (101) -> 100111 = 39
+    val z = Seq((3, 5), (0, 0), (7, 7)).toDF("x", "y")
+      .select(graft.ops.Partitioning.zValue(col("x"), col("y"), 3)).as[Long].collect()
+    assert(z.toSeq === Seq(39L, 0L, 63L))
+    // a full 32x32 grid in 16 stripes: every z-stripe's (x, y) box must be
+    // compact in BOTH dims — the whole point vs sorting by x alone, whose
+    // chunks span the entire y range
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y))).toDF("x", "y")
+    val stats = graft.ops.Partitioning.zorderStats(grid, "x", "y", bits = 5, stripes = 16)
+      .collect()
+    assert(stats.map(_.getLong(1)).sum === 1024L)
+    stats.foreach { r =>
+      val (xs, ys) = (r.getInt(3) - r.getInt(2), r.getInt(5) - r.getInt(4))
+      assert(xs <= 15 && ys <= 15,
+        s"stripe ${r.getLong(0)} box ${xs}x$ys not compact — interleaving broken")
+    }
+  }
+
   test("q35 large-k assignment: partial argmax collapses the n x k product before ONE hash exchange") {
     val p = plan("q35_kmeans_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
