@@ -275,6 +275,41 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Temperature-weighted corpus mixing (mT5-style): per-source rates
+    // DERIVED in-plan from corpus shares (w ∝ n^alpha), then the q47
+    // hash-threshold keep decision. This corpus is uniform by source so
+    // every rate lands equal — the skewed-shares behavior (tail sources
+    // upsampled) is pinned in ExtSpec on a crafted fixture; the oracle
+    // here hash-proves the share -> rate -> keep math end-to-end.
+    "q69_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(docs(s, dir), "source", "doc_id",
+        alpha = 0.5, nTarget = 120, salt = "tmix-v1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          min("mix_rate").as("mix_rate"))
+        .orderBy("source")),
+
+    // C4/Gopher-style composite quality filter: the verdict stage that
+    // consumes the q49-family signals. Every signal is rounded before its
+    // threshold compare (the rank-stability rule applied to predicates),
+    // and the output carries the per-rule flags so downstream audits can
+    // attribute every drop. Map-only.
+    "q70_quality_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("uniq_ratio", round(
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6))
+        .withColumn("mean_len", round(
+          TextAnalysis.sumTokenLengths(col("toks")).cast("double") / col("n_tok"), 6))
+      d.select(col("doc_id"),
+        (col("n_tok") >= 25 && col("n_tok") <= 90).as("len_ok"),
+        (col("uniq_ratio") >= 0.40).as("uniq_ok"),
+        (col("mean_len") >= 4.0 && col("mean_len") <= 5.0).as("mlen_ok"))
+        .withColumn("keep", col("len_ok") && col("uniq_ok") && col("mlen_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Portable-HLL approximate distinct 3-token shingles per source (the
     // cardinality a dedup pipeline actually tracks), with the exact count
     // alongside: the estimate's registers are bit-reproducible across
@@ -1196,6 +1231,40 @@ object ExtQueries {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Share -> pow-weight -> rate -> hash-threshold mirror. The rate is
+    // rounded to 6 decimals in both engines before the (double-space)
+    // threshold compare, so libm pow ulp differences can't flip a row.
+    "q69_temperature_mix" ->
+      s"""WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |z AS (SELECT sum(pow(n, 0.5)) AS z FROM g),
+         |r AS (SELECT source, round(least(1.0, pow(n, 0.5) / z * 120 / n), 6) AS mix_rate
+         |      FROM g CROSS JOIN z),
+         |kept AS (
+         |  SELECT d.source, d.doc_id, r.mix_rate
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE (${TextAnalysis.h60Sql("'tmix-v1:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |        < mix_rate * 1000000)
+         |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id,
+         |       min(mix_rate) AS mix_rate
+         |FROM kept GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Rule-for-rule filter mirror: same rounded signals, same thresholds.
+    "q70_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(tk) AS n_tok,
+         |         round(len(list_distinct(tk)) * 1.0 / len(tk), 6) AS uniq_ratio,
+         |         round(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+         |               * 1.0 / len(tk), 6) AS mean_len
+         |  FROM t)
+         |SELECT doc_id,
+         |       (n_tok >= 25 AND n_tok <= 90) AS len_ok,
+         |       (uniq_ratio >= 0.40) AS uniq_ok,
+         |       (mean_len >= 4.0 AND mean_len <= 5.0) AS mlen_ok,
+         |       ((n_tok >= 25 AND n_tok <= 90) AND uniq_ratio >= 0.40
+         |        AND (mean_len >= 4.0 AND mean_len <= 5.0)) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q46_hash_split" ->
       s"""WITH b AS (

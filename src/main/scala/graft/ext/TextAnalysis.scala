@@ -148,6 +148,37 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Temperature-weighted corpus mixing (the multilingual-LM standard,
+    * e.g. mT5 §3.1): per-group sampling rates DERIVED from corpus shares —
+    * weight w_g ∝ n_g^alpha (alpha < 1 upsamples the tail), target_g =
+    * w_g · nTarget, keep-rate_g = min(1, target_g / n_g) — then the same
+    * deterministic hash-threshold keep decision as [[hashBucket]] (same
+    * rows survive on every run, engine, and partitioning; no RNG).
+    *
+    * Rates are computed IN-PLAN: one count per group (partial-agg), a
+    * 1-row total, both broadcast back onto the stream — no driver
+    * collect. The rate is rounded to 6 decimals before thresholding so a
+    * pow() ulp difference between engine libms cannot flip a row's keep
+    * decision. Returns the input rows that survive, plus their group's
+    * `mix_rate`. */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double, nTarget: Long, salt: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
+    require(nTarget > 0, s"nTarget must be positive, got $nTarget")
+    val perGroup = df.groupBy(groupCol).agg(count(lit(1)).as("__mix_n"))
+    val total = perGroup.agg(
+      sum(pow(col("__mix_n"), alpha)).as("__mix_z")) // small: one row per group
+    val rates = perGroup.crossJoin(broadcast(total))
+      .withColumn("mix_rate", round(least(lit(1.0),
+        pow(col("__mix_n"), alpha) / col("__mix_z") * nTarget / col("__mix_n")), 6))
+      .select(col(groupCol), col("mix_rate"))
+    df.join(broadcast(rates), groupCol)
+      // double-space compare on purpose: a long cast would TRUNCATE in
+      // Spark but ROUND in DuckDB on the same rate product
+      .filter(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) % 1000000 <
+        col("mix_rate") * 1000000)
+  }
+
   /** Deterministic SEQUENCE PACKING for LLM pretraining: assign every doc
     * a (pack_bucket, pack_bin) so each bin's token total fills `budget`
     * with greedy start-offset packing — the step that turns a document

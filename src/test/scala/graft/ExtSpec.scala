@@ -56,6 +56,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2).getStruct(1).toSeq === Seq(0, 0, 0))
   }
 
+  test("temperatureMix: alpha < 1 upsamples the tail; deterministic under repartition") {
+    // head source 900 docs, tail 100: at alpha=0.5 the weights are
+    // 30/(30+10)=0.75 vs 0.25, so targets are 150 vs 50 of nTarget=200 —
+    // keep-rates 0.166667 (head) vs 0.5 (tail): the tail is upsampled
+    // 3x relative to proportional sampling
+    val docs = ((1 to 900).map(i => ("head", i.toLong)) ++
+      (1 to 100).map(i => ("tail", 1000L + i))).toDF("source", "doc_id")
+    val got = TextAnalysis.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.5, nTarget = 200, salt = "t")
+    val rates = got.groupBy("source").agg(min("mix_rate").as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rates("head")._1 === 0.166667)
+    assert(rates("tail")._1 === 0.5)
+    // hash-threshold keeps land near the targets (exact values are pinned
+    // by the deterministic hash, bounds just document the regime)
+    assert(math.abs(rates("head")._2 - 150) < 30, s"head kept ${rates("head")._2}")
+    assert(math.abs(rates("tail")._2 - 50) < 15, s"tail kept ${rates("tail")._2}")
+    // identical keep decisions regardless of partitioning
+    val again = TextAnalysis.temperatureMix(docs.repartition(13), "source", "doc_id",
+      alpha = 0.5, nTarget = 200, salt = "t")
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted ===
+      got.select("doc_id").collect().map(_.getLong(0)).sorted)
+    // alpha = 1 degenerates to proportional sampling: equal rates
+    val prop = TextAnalysis.temperatureMix(docs, "source", "doc_id",
+      alpha = 1.0, nTarget = 200, salt = "t")
+      .select("mix_rate").distinct().collect()
+    assert(prop.length === 1 && prop(0).getDouble(0) === 0.2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureMix(docs, "source", "doc_id", 0.0, 10, "t") }
+  }
+
   test("fingerprint is order-insensitive over the token bag") {
     val df = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))
