@@ -50,8 +50,12 @@ object Sketches {
     * The input is PROJECTED to keys + value first, so internal working
     * columns can never silently shadow (and corrupt) a caller DATA column;
     * the internals carry a `__graft_hll_` prefix so even a KEY column with
-    * a generic internal-looking name (`__h`, `max_rho`) stays intact. */
-  private def sparseRegisters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    * a generic internal-looking name (`__h`, `max_rho`) stays intact.
+    *
+    * Public because the sparse form is also the STREAMING sketch state
+    * ([[graft.streaming.StreamOps.hllRegisterStream]]): the same groupBy is
+    * a legal streaming aggregation whose state is the sketch itself. */
+  def sparseRegisters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     val m = HLL_M
     val keyCols = keys.map(col)
     df.select((keyCols :+ value.cast("string").as("__graft_hll_v")): _*)

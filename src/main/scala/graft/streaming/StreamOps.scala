@@ -165,6 +165,24 @@ object StreamOps {
       .drop("p_user_id")
   }
 
+  /** Streaming HLL distinct-count maintenance: the SAME sparse-register
+    * groupBy as the batch sketch ([[graft.ext.Sketches.sparseRegisters]]),
+    * run as a streaming aggregation in Update mode. The state store holds
+    * the sketch itself — at most 512 register rows per key group,
+    * INDEPENDENT of the stream's cardinality — which is what makes
+    * streaming distinct-count viable where exact streaming
+    * `count(DISTINCT)` state would grow with every new value. No watermark
+    * needed: register max is idempotent and commutative, so late or
+    * replayed rows can only re-assert existing state, never corrupt it,
+    * and the streamed registers equal the batch sketch of everything seen
+    * (StreamOpsSpec pins stream == batch). Estimate with
+    * [[graft.ext.Sketches.hllEstimate]]-equivalent math over the latest
+    * register rows (see the spec), or fold the sink table through
+    * [[graft.ext.Sketches.hllMergeAgg]]. */
+  def hllRegisterStream(rows: DataFrame, keys: Seq[String],
+                        value: org.apache.spark.sql.Column): DataFrame =
+    graft.ext.Sketches.sparseRegisters(rows, keys, value)
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

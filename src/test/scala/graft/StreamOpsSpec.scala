@@ -31,6 +31,34 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: incremental state == batch sketch of everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, String)]
+    val rows = in.toDF().toDF("g", "v")
+    val q = StreamOps.toMemorySink(
+      StreamOps.hllRegisterStream(rows, Seq("g"), col("v")),
+      "hll_stream_test", OutputMode.Update())
+    try {
+      val batch1 = (1 to 400).map(i => ("g1", s"v$i"))
+      val batch2 = (200 to 700).map(i => ("g1", s"v$i")) // overlaps batch 1
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update-mode sink appends each register's updates; keep the latest
+      // (= max, registers only grow)
+      val streamed = spark.table("hll_stream_test")
+        .groupBy("g", "__graft_hll_bucket")
+        .agg(max("__graft_hll_maxrho").as("__graft_hll_maxrho"))
+      val batch = graft.ext.Sketches.sparseRegisters(
+        (batch1 ++ batch2).toDF("g", "v"), Seq("g"), col("v"))
+      val s = streamed.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val b = batch.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(s === b, "streamed register state must equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("event-time session windows: gap close + watermark timeout eviction") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.EvT]
