@@ -102,6 +102,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q63 histogram sketch: counters partial-aggregate map-side before the one data-sized exchange") {
+    val p = plan("q63_hist_quantiles")
+    assert(p.contains("partial_count"),
+      "histCounts must plan map-side partial counts — the shuffle carries counter rows, not values")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q65 semantic dedup: the pairwise step is an equi-join on the cell key, never a nested loop over the corpus pair space") {
+    val p = plan("q65_semantic_dedup")
+    // the only nested-loop join allowed is the k-row centroid broadcast
+    // from kmeansAssign's assignment passes; the doc-pair join must be a
+    // hash/sort-merge equi-join on cell, and the verdict a left join on id
+    assert(p.contains("LeftOuter"),
+      "the kept verdict must come from a left join against the removed set")
+    assert(!p.contains("CartesianProduct"),
+      "no unkeyed pair product anywhere in semantic dedup:\n" + p)
+  }
+
+  test("q66 bm25: the query-term filter sits below the tf aggregate; stats joins broadcast") {
+    val p = plan("q66_bm25")
+    // the term IN (...) filter must run on the exploded token stream BEFORE
+    // the first aggregation, so the tf shuffle carries only query-term hits
+    assert(p.contains("spark,query,window") || p.contains("spark, query, window"),
+      "the literal term set must appear as a filter:\n" + p)
+    assert(!p.contains("SortMergeJoin [term"),
+      "the <= |query|-row df table should broadcast, not shuffle the tf side")
+  }
+
+  test("q69 temperature mix: rates fold in as broadcasts, the stream is never shuffled") {
+    val p = plan("q69_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the group->rate table must broadcast onto the document stream")
+    assert(!p.contains("SortMergeJoin"),
+      "no data-sized shuffle belongs in the mixing decision:\n" + p)
+  }
+
   test("zValue interleaves bits; zorderStats boxes both dims tighter than a 1-D sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
