@@ -159,6 +159,37 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("writeZOrdered: every output file covers a compact rectangle, so min-max stats skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toDF("x", "y")
+      graft.ops.Partitioning.writeZOrdered(grid, dir, "x", "y", bits = 6, files = 16)
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(boxes.map(_.getLong(5)).sum === 4096L)
+      // 16 perfect Morton chunks of a 64x64 grid are 16x16 squares; allow
+      // slack for range-partitioner boundary placement but require that no
+      // file smears across a full dimension (what a 1-D sort would do)
+      boxes.filter(_.getLong(5) >= 64).foreach { r =>
+        val (xs, ys) = (r.getInt(2) - r.getInt(1), r.getInt(4) - r.getInt(3))
+        assert(xs <= 31 && ys <= 31,
+          s"file box ${xs}x$ys too wide for z-clustering (n=${r.getLong(5)})")
+      }
+      // the skipping payoff: a narrow x-slice predicate overlaps only a
+      // minority of the file boxes — with a y-sorted layout it would hit ALL
+      val touched = boxes.count(r => r.getInt(1) <= 3 && r.getInt(2) >= 0)
+      assert(touched <= boxes.length / 2,
+        s"x in [0,3] should overlap a minority of file boxes, hit $touched/${boxes.length}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q35 large-k assignment: partial argmax collapses the n x k product before ONE hash exchange") {
     val p = plan("q35_kmeans_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
