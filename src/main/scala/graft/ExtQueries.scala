@@ -423,6 +423,44 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Skew-salted equi-join: the big side's rows spread across 8 salt
+    // shards by a row-identity hash, the small side replicated per salt —
+    // the join key becomes (key, salt) so one hot key's rows land on 8
+    // reducers instead of one. Result-identical to the plain join (the
+    // oracle IS the plain join); the salt is deterministic h60, not RNG.
+    "q71_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      val price = col("l_extendedprice").cast(DecimalType(12, 4))
+      val disc = col("l_discount").cast(DecimalType(6, 4))
+      graft.ops.JoinOps.saltedEquiJoin(li, orders, "o_orderkey",
+        concat(col("o_orderkey"), lit(":"), col("l_linenumber")), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Bloom runtime-filtered join: non-matching probe rows die MAP-SIDE
+    // against a 32 KB literal bitmask (zero false negatives; the exact
+    // join removes the false positives), so the probe shuffle carries
+    // ~the matching fraction of lineitem instead of all of it. Result-
+    // identical to the plain join — the oracle is the plain join.
+    "q72_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      val hot = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val price = col("l_extendedprice").cast(DecimalType(12, 4))
+      val disc = col("l_discount").cast(DecimalType(6, 4))
+      graft.ops.JoinOps.bloomFilteredJoin(li, hot, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Z-order layout audit: Morton-interleave (o_custkey, order-day) and
     // report each fixed-width z-stripe's row count + per-dimension min-max
     // box — the file-level skipping index a zordered write produces. Tight
@@ -1509,6 +1547,27 @@ object ExtQueries {
          |       md5(coalesce(a.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // The PLAIN joins: salting and Bloom filtering are physical-plan
+    // techniques that must not change a single output row.
+    "q71_salted_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q72_bloom_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // Bit-for-bit Morton mirror: the same 2x14 shift/mask terms, the same
     // data-adaptive integer stripe division.

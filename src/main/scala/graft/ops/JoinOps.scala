@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-join techniques: skew salting and Bloom runtime filtering —
+  * result-identical to the plain equi-join (specs + oracle queries pin it),
+  * different physics at 100 TB.
+  */
+object JoinOps {
+
+  /** Skew-safe inner equi-join: the BIG side's rows are salted into
+    * `salts` shards by a hash of `rowKey` (any expression unique-ish per
+    * row — NOT the join key: the whole point is spreading one hot join
+    * key's rows across shards), and the SMALL side is replicated once per
+    * salt, so the shuffle key becomes (key, salt) and a hot key's rows
+    * land on `salts` reducers instead of one.
+    *
+    * Result is EXACTLY the plain inner join (every big row matches its
+    * key's small rows in precisely its own salt shard). Deterministic —
+    * the salt is the portable h60 hash, not RNG — so retries and engines
+    * agree. Use when a key's row count exceeds what one task should hold
+    * and the small side is too big to broadcast outright (else AQE's
+    * skew-join or a plain broadcast already solves it); the cost is
+    * materializing the small side `salts` times into the shuffle. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     rowKey: Column, salts: Int): DataFrame = {
+    require(salts >= 2, s"salting needs >= 2 shards, got $salts")
+    require(!big.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
+      "__graft_salt is reserved")
+    val saltedBig = big.withColumn("__graft_salt",
+      pmod(graft.ext.TextAnalysis.h60(rowKey.cast("string")), lit(salts)).cast("int"))
+    val replicatedSmall = small.withColumn("__graft_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "__graft_salt"))
+      .drop("__graft_salt")
+  }
+
+  /** Driver-side Bloom bitmask over `build`'s `key` values: BLOOM_BITS
+    * bits packed into BLOOM_BITS/64 longs (32 KB at the default 2^18) —
+    * bounded by the filter geometry, NEVER by the build side's row count,
+    * the same driver-state contract as k-means centroids. The bit
+    * positions come from [[graft.ext.Sketches.bloomBits]], so the mask is
+    * engine-reproducible bit-for-bit. */
+  def bloomMask(build: DataFrame, key: Column): Array[Long] = {
+    val mask = new Array[Long](graft.ext.Sketches.BLOOM_BITS / 64)
+    graft.ext.Sketches.bloomBits(build, Nil, key)
+      .collect().foreach { r =>
+        val pos = r.getLong(0)
+        mask((pos >> 6).toInt) |= (1L << (pos & 63))
+      }
+    mask
+  }
+
+  /** MAP-ONLY Bloom membership predicate against a [[bloomMask]]: true iff
+    * all BLOOM_K of the value's bit positions are set. The mask rides the
+    * plan as one literal array (broadcast with the task binary), so the
+    * probe side is reduced before any exchange — no join, no shuffle, no
+    * fold. Never a false negative. */
+  def bloomKeep(value: Column, mask: Array[Long]): Column = {
+    require(mask.length == graft.ext.Sketches.BLOOM_BITS / 64,
+      s"mask length ${mask.length} != ${graft.ext.Sketches.BLOOM_BITS / 64}")
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftRight
+    // variable-distance shift: functions.shiftright only takes a literal
+    // Int distance, so reach the Catalyst expression through the bridge
+    def shr(v: Column, bits: Column): Column =
+      bridge.column(ShiftRight(bridge.expression(v), bridge.expression(bits)))
+    val lits = typedlit(mask.toSeq)
+    (0 until graft.ext.Sketches.BLOOM_K).map { i =>
+      val pos = graft.ext.TextAnalysis.h60(
+        concat(lit(s"$i:"), value.cast("string"))) % graft.ext.Sketches.BLOOM_BITS
+      (shr(element_at(lits, (pos / 64).cast("int") + 1), (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom runtime-filtered inner equi-join: kill non-matching probe rows
+    * MAP-SIDE with [[bloomKeep]] before the exact join — the classic
+    * semi-join reduction. With a selective build side, the probe shuffle
+    * carries the ~matching fraction (plus the filter's false-positive
+    * rate) instead of the whole table; the exact join then removes the
+    * false positives, so the result is EXACTLY the plain join. This is
+    * the engine-portable form of Spark's own runtime row-level filters
+    * (spark.sql.optimizer.runtime.bloomFilter), usable when the build
+    * side crosses query or engine boundaries. */
+  def bloomFilteredJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame =
+    probe.filter(bloomKeep(col(key), bloomMask(build, col(key))))
+      .join(build, key)
+}

@@ -797,6 +797,51 @@ class SketchesSpec extends SparkTestBase {
   }
 }
 
+class JoinOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.ops.JoinOps
+
+  // heavy skew: key 1 owns 5000 of 5100 big-side rows
+  private val big = ((1 to 5000).map(i => (1L, i.toLong)) ++
+    (1 to 100).map(i => ((i % 10 + 2).toLong, 10000L + i))).toDF("k", "row_id")
+  private val small = (1L to 12L).map(k => (k, s"name_$k")).toDF("k", "name")
+
+  test("saltedEquiJoin == plain join on a skewed key; salt spreads the hot key") {
+    val plain = big.join(small, "k")
+    val salted = JoinOps.saltedEquiJoin(big, small, "k", $"row_id", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.columns.sorted === plain.columns.sorted)
+    val a = salted.select("k", "row_id", "name").collect().map(_.toSeq).toSet
+    assert(a === plain.select("k", "row_id", "name").collect().map(_.toSeq).toSet)
+    // the hot key's rows really do land in multiple shards
+    val shards = big.filter($"k" === 1L)
+      .select(pmod(graft.ext.TextAnalysis.h60($"row_id".cast("string")), lit(8)))
+      .distinct().count()
+    assert(shards === 8L, "h60 salting must spread the hot key across all shards")
+    intercept[IllegalArgumentException] {
+      JoinOps.saltedEquiJoin(big, small, "k", $"row_id", salts = 1) }
+  }
+
+  test("bloomKeep: zero false negatives; bloomFilteredJoin == plain join") {
+    val build = small.filter($"k" <= 4L)
+    val mask = JoinOps.bloomMask(build, $"k")
+    // every matching probe row survives the mask
+    val matching = big.filter($"k" <= 4L)
+    assert(matching.filter(!JoinOps.bloomKeep($"k", mask)).count() === 0,
+      "a Bloom mask can never reject a true member")
+    // end-to-end equality with the plain join
+    val plain = big.join(build, "k").select("k", "row_id", "name")
+      .collect().map(_.toSeq).toSet
+    val filtered = JoinOps.bloomFilteredJoin(big, build, "k")
+      .select("k", "row_id", "name").collect().map(_.toSeq).toSet
+    assert(filtered === plain)
+    // and the mask genuinely filters: keys far outside the build set die
+    val misses = (100L to 1099L).toDF("k")
+      .filter(JoinOps.bloomKeep($"k", mask)).count()
+    assert(misses <= 5, s"false-positive rate implausibly high: $misses/1000")
+  }
+}
+
 class RetrievalSpec extends SparkTestBase {
   import spark.implicits._
 
