@@ -289,6 +289,16 @@ object ExtQueries {
           min("mix_rate").as("mix_rate"))
         .orderBy("source")),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis): longer
+    // docs proportionally more likely, hash-derived keys so the SAME 50
+    // docs are drawn on every run and engine. Top-k by rounded key —
+    // TakeOrderedAndProject, never a global sort.
+    "q73_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(docs(s, dir), "doc_id",
+        col("n_chars").cast("double"), k = 50, salt = "ws-v1")
+        .select("doc_id", "n_chars", "sample_key")
+        .orderBy(desc("sample_key"), col("doc_id"))),
+
     // C4/Gopher-style composite quality filter: the verdict stage that
     // consumes the q49-family signals. Every signal is rounded before its
     // threshold compare (the rank-stability rule applied to predicates),
@@ -1286,6 +1296,18 @@ object ExtQueries {
          |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id,
          |       min(mix_rate) AS mix_rate
          |FROM kept GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Key-for-key A-ES mirror: same hash uniform, same u^(1/w) rounded to
+    // 6 decimals, same (key DESC, doc_id) total order under the LIMIT.
+    "q73_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, n_chars,
+         |         round(pow((${TextAnalysis.h60Sql("'ws-v1:' || CAST(doc_id AS VARCHAR)")}
+         |                    + 1.0) / pow(2, 60),
+         |                   1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, sample_key FROM keyed
+         |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
 
     // Rule-for-rule filter mirror: same rounded signals, same thresholds.
     "q70_quality_filter" ->

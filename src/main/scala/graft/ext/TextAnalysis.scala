@@ -148,6 +148,32 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, Inf.Proc.Lett. 97(5)): each row gets the key
+    * u^(1/w) — u a hash-derived uniform in (0, 1], w the row's weight —
+    * and the global top-k by key IS a weighted sample without
+    * replacement. The per-item-weight complement of [[temperatureMix]]'s
+    * per-group rates (quality-weighted doc selection, importance
+    * sampling).
+    *
+    * Scale shape: the key is map-only; top-k plans TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. Determinism: u comes
+    * from the portable h60 (no RNG — reruns, retries, and engines agree);
+    * the key is rounded to 6 decimals BEFORE ranking with the row id as
+    * tiebreak, so a pow() ulp difference can't reorder the boundary.
+    * Rows with weight <= 0 are excluded (a zero-weight item is
+    * unsampleable by definition; negative weights are meaningless). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (h60(concat(lit(salt + ":"), col(idCol).cast("string"))).cast("double") + 1.0) /
+      math.pow(2, 60)
+    df.filter(weight > 0)
+      .withColumn("sample_key", round(pow(u, lit(1.0) / weight.cast("double")), 6))
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Temperature-weighted corpus mixing (the multilingual-LM standard,
     * e.g. mT5 §3.1): per-group sampling rates DERIVED from corpus shares —
     * weight w_g ∝ n_g^alpha (alpha < 1 upsamples the tail), target_g =

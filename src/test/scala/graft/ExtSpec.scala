@@ -56,6 +56,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2).getStruct(1).toSeq === Seq(0, 0, 0))
   }
 
+  test("weightedSample: weight drives inclusion; deterministic; top-k never global-sorts") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one item outweighs 200 peers 10000:1 — u^(1/10000) ~ 1 beats
+    // everything, so it must be drawn into any k >= 1 sample
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) :+ (999L, 10000.0))
+      .toDF("doc_id", "w")
+    val got = TextAnalysis.weightedSample(df, "doc_id", col("w"), k = 10, salt = "s")
+    assert(got.collect().map(_.getLong(0)).contains(999L))
+    // deterministic under repartition
+    val a = got.collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.weightedSample(df.repartition(7), "doc_id", col("w"), 10, "s")
+      .collect().map(_.getLong(0)).sorted
+    assert(a === b)
+    // non-positive weights are unsampleable
+    val withZero = df.withColumn("w", when(col("doc_id") <= 100, lit(0.0)).otherwise(col("w")))
+    val kept = TextAnalysis.weightedSample(withZero, "doc_id", col("w"), 300, "s")
+    assert(kept.filter(col("doc_id") <= 100).count() === 0)
+    // plan shape: per-partition heaps, not a global sort
+    val p = TextAnalysis.weightedSample(df, "doc_id", col("w"), 10, "s")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("temperatureMix: alpha < 1 upsamples the tail; deterministic under repartition") {
     // head source 900 docs, tail 100: at alpha=0.5 the weights are
     // 30/(30+10)=0.75 vs 0.25, so targets are 150 vs 50 of nTarget=200 —
