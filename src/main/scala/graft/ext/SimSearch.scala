@@ -276,6 +276,21 @@ object SimSearch {
     knnIvf(probes, corpus.select(col(idCol), col(embCol)).join(assigned, idCol), "cell", k, nprobe)
   }
 
+  /** Recall@k audit: per probe, the fraction of the EXACT top-k recovered
+    * by an approximate search — the quality metric every production ANN
+    * deployment monitors when tuning cells/nprobe/planes. Both inputs are
+    * (probe_id, vec_id, ...) top-k tables (from [[knnBrute]] /
+    * [[knnIvf]] / [[knnLsh]]); the audit is one equi-join + one groupBy
+    * on id-sized rows. Run it on a probe SAMPLE at scale — the exact side
+    * is the expensive one, and a few thousand probes bound recall tightly. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("probe_id"), col("vec_id"))
+      .join(approx.select(col("probe_id"), col("vec_id"), lit(1).as("__hit")),
+        Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"), count("__hit").as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("k"), 6))
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters bound the pairwise work, then within each cluster
     * every item with a higher-precedence near-twin (cosine >= `tau`) is

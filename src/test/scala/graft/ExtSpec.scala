@@ -521,6 +521,17 @@ class SimSearchSpec extends SparkTestBase {
     assert(got(0L) !== got(2L), "the two direction clusters must separate")
   }
 
+  test("recallAtK: identical results score 1.0, disjoint score 0.0, partial counts hits") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("probe_id", "vec_id")
+    val same = SimSearch.recallAtK(exact, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(same === Map(1L -> 1.0, 2L -> 1.0))
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L)).toDF("probe_id", "vec_id")
+    val got = SimSearch.recallAtK(approx, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
   test("semDedup: min-id survives within a cell; cross-cell twins both survive") {
     // cell X: 0 and 1 are near-twins (cos ~ 0.994) -> 1 removed, 0 kept;
     // cell Y: 2 and 3 likewise -> 3 removed. tau=0.9 keeps the orthogonal
