@@ -50,6 +50,23 @@ object Partitioning {
     }.reduce(_ + _)
   }
 
+  /** N-dimensional Morton code: bit i of column j lands at position
+    * i·n + j (round-robin interleave), so a z-sort clusters locality
+    * across ALL n dimensions from one key. 2-D [[zValue]] is the n = 2
+    * special case (identical bit layout). Same precondition per column:
+    * 0 <= value < 2^bits. n·bits must fit a signed long. */
+  def zValueN(cols: Seq[org.apache.spark.sql.Column],
+              bits: Int): org.apache.spark.sql.Column = {
+    require(cols.size >= 2, s"zValueN needs >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"${cols.size} cols x $bits bits exceeds a signed long")
+    import org.apache.spark.sql.functions._
+    val n = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ + _)
+  }
+
   /** Write `df` clustered by the z-value of (x, y): range-partition on z
     * into `files` output files, sort within each. The data-layout step
     * that makes BOTH `x` range scans and `y` range scans prune well from

@@ -159,6 +159,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("zValueN: n = 2 matches zValue bit-for-bit; 3-D codes cluster all three dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val two = Seq((3, 5), (7, 0), (31, 17)).toDF("x", "y")
+      .select(graft.ops.Partitioning.zValue(col("x"), col("y"), 5).as("a"),
+        graft.ops.Partitioning.zValueN(Seq(col("x"), col("y")), 5).as("b"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 3-D: x=1,y=0,z=1, bits=2 -> positions 0 (x0) and 2 (z0) -> 5
+    val three = Seq((1, 0, 1)).toDF("x", "y", "z")
+      .select(graft.ops.Partitioning.zValueN(Seq(col("x"), col("y"), col("z")), 2))
+      .head.getLong(0)
+    assert(three === 5L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Partitioning.zValueN(Seq(col("x")), 5) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Partitioning.zValueN(Seq(col("x"), col("y"), col("z")), 22) }
+  }
+
   test("writeZOrdered: every output file covers a compact rectangle, so min-max stats skip") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
