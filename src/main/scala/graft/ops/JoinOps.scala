@@ -28,8 +28,12 @@ object JoinOps {
     require(salts >= 2, s"salting needs >= 2 shards, got $salts")
     require(!big.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
       "__graft_salt is reserved")
+    // null-safe: a null rowKey must not null the salt (the row would then
+    // silently vanish from an inner join the plain join keeps) — all such
+    // rows land deterministically in one shard instead
     val saltedBig = big.withColumn("__graft_salt",
-      pmod(graft.ext.TextAnalysis.h60(rowKey.cast("string")), lit(salts)).cast("int"))
+      pmod(graft.ext.TextAnalysis.h60(coalesce(rowKey.cast("string"), lit(""))),
+        lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "__graft_salt"))
@@ -44,7 +48,11 @@ object JoinOps {
     * engine-reproducible bit-for-bit. */
   def bloomMask(build: DataFrame, key: Column): Array[Long] = {
     val mask = new Array[Long](graft.ext.Sketches.BLOOM_BITS / 64)
-    graft.ext.Sketches.bloomBits(build, Nil, key)
+    // null build keys produce null bit positions; dropping them is correct
+    // (null never equi-joins) and prevents getLong's null->0 from setting
+    // bit 0 spuriously
+    graft.ext.Sketches.bloomBits(build.filter(key.isNotNull), Nil, key)
+      .filter(col("bloom_pos").isNotNull)
       .collect().foreach { r =>
         val pos = r.getLong(0)
         mask((pos >> 6).toInt) |= (1L << (pos & 63))

@@ -854,6 +854,9 @@ class JoinOpsSpec extends SparkTestBase {
     assert(shards === 8L, "h60 salting must spread the hot key across all shards")
     intercept[IllegalArgumentException] {
       JoinOps.saltedEquiJoin(big, small, "k", $"row_id", salts = 1) }
+    // a null rowKey must not lose the row (the plain join keeps it)
+    val withNull = Seq((1L, Some(7L)), (1L, None)).toDF("k", "row_id")
+    assert(JoinOps.saltedEquiJoin(withNull, small, "k", $"row_id", 4).count() === 2)
   }
 
   test("bloomKeep: zero false negatives; bloomFilteredJoin == plain join") {
