@@ -427,6 +427,34 @@ object ExtQueries {
         .orderBy("pack_bucket", "pack_bin")
     }),
 
+    // The END-TO-END curation pipeline in one query: quality gate (q70's
+    // rules) -> temperature-weighted mixing over the SURVIVORS' source
+    // shares (q69's operator) -> sequence packing of the kept docs into
+    // 512-token training bins (q59's operator). Each stage is map-only or
+    // one partial-agg shuffle; the whole chain is deterministic end to
+    // end, and the oracle reproduces every stage decision — the
+    // composition proof that the curation operators actually stack.
+    "q75_curation_pipeline" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("uniq_ratio", round(
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6))
+        .withColumn("mean_len", round(
+          TextAnalysis.sumTokenLengths(col("toks")).cast("double") / col("n_tok"), 6))
+        .filter(col("n_tok") >= 25 && col("n_tok") <= 90 &&
+          col("uniq_ratio") >= 0.40 &&
+          col("mean_len") >= 4.0 && col("mean_len") <= 5.0)
+        .select("doc_id", "source", "n_tok")
+      val mixed = TextAnalysis.temperatureMix(gated, "source", "doc_id",
+        alpha = 0.5, nTarget = 120, salt = "pipe-v1")
+      TextAnalysis.packSequences(mixed, "doc_id", "n_tok", budget = 512L, buckets = 4)
+        .groupBy("pack_bucket", "pack_bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pack_bucket", "pack_bin")
+    }),
+
     // C4-style line-level dedup: delete every segment occurring >= 2 times
     // corpus-wide (ALL occurrences, as C4 does), reassemble documents from
     // the kept segments in order. Segments here are fixed 10-token chunks
@@ -1579,6 +1607,48 @@ object ExtQueries {
          |FROM tot t LEFT JOIN hit h USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // Stage-for-stage pipeline mirror: q70's gate thresholds, q69's
+    // share -> rate -> hash-threshold keep over the gated survivors,
+    // q59's pack-order window — chained in one CTE sequence.
+    "q75_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+         |         round(len(list_distinct(tk)) * 1.0 / len(tk), 6) AS uniq_ratio,
+         |         round(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+         |               * 1.0 / len(tk), 6) AS mean_len
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, source, n_tok FROM s
+         |  WHERE n_tok >= 25 AND n_tok <= 90 AND uniq_ratio >= 0.40
+         |    AND mean_len >= 4.0 AND mean_len <= 5.0),
+         |g AS (SELECT source, count(*) AS n FROM gated GROUP BY 1),
+         |z AS (SELECT sum(pow(n, 0.5)) AS z FROM g),
+         |r AS (SELECT source, round(least(1.0, pow(n, 0.5) / z * 120 / n), 6) AS mix_rate
+         |      FROM g CROSS JOIN z),
+         |kept AS (
+         |  SELECT d.doc_id, d.n_tok
+         |  FROM gated d JOIN r USING (source)
+         |  WHERE (${TextAnalysis.h60Sql("'pipe-v1:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |        < mix_rate * 1000000),
+         |h AS (
+         |  SELECT doc_id, n_tok,
+         |         ${TextAnalysis.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM kept),
+         |b AS (SELECT doc_id, n_tok, hh, CAST(hh % 4 AS INT) AS pack_bucket FROM h),
+         |c AS (
+         |  SELECT doc_id, n_tok, pack_bucket,
+         |         sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY hh, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |bins AS (
+         |  SELECT pack_bucket, (cum - n_tok) // 512 AS pack_bin, n_tok, doc_id
+         |  FROM c)
+         |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+         |FROM bins GROUP BY pack_bucket, pack_bin
+         |ORDER BY pack_bucket, pack_bin""".stripMargin,
 
     // Window-for-window mirror of TextAnalysis.packSequences: same hash
     // bucket, same (h, id) pack order, same integer-division bin.
