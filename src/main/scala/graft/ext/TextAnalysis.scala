@@ -186,7 +186,9 @@ object TextAnalysis {
     * collect. The rate is rounded to 6 decimals before thresholding so a
     * pow() ulp difference between engine libms cannot flip a row's keep
     * decision. Returns the input rows that survive, plus their group's
-    * `mix_rate`. */
+    * `mix_rate`. Rows with a NULL group are excluded (null never
+    * equi-joins its rate row); assign an explicit 'unknown' group
+    * upstream if they should participate. */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, nTarget: Long, salt: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")

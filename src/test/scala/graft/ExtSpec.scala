@@ -815,6 +815,31 @@ class SketchesSpec extends SparkTestBase {
     assert(h === Map(0 -> 1L, (Sketches.HIST_BUCKETS - 1) -> 1L))
   }
 
+  test("histogram quantile error bounded by one bucket width on random data (seeded)") {
+    // the rank-r element and the interpolated estimate share the chosen
+    // bucket, so |est - exact| < bucket width always — not just on the
+    // uniform fixture above
+    val rnd = new scala.util.Random(42)
+    val (lo, hi) = (-50.0, 150.0)
+    val w = (hi - lo) / Sketches.HIST_BUCKETS
+    (1 to 6).foreach { round_ =>
+      val n = 200 + rnd.nextInt(800)
+      // mix of uniform and clumped mass so buckets are non-uniform
+      val vals = Seq.fill(n)(if (rnd.nextBoolean()) lo + rnd.nextDouble() * (hi - lo)
+        else 42.0 + rnd.nextDouble())
+      val hist = Sketches.histCounts(vals.map(("g", _)).toDF("g", "v"), Seq("g"), $"v", lo, hi)
+      val qs = Seq(0.1, 0.5, 0.9)
+      val est = Sketches.histQuantiles(hist, Seq("g"), lo, hi, qs).collect()
+        .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      val sorted = vals.sorted
+      qs.foreach { q =>
+        val exact = sorted(math.ceil(q * n).toInt - 1)
+        assert(math.abs(est(q) - exact) <= w + 1e-9,
+          s"round=$round_ n=$n q=$q est=${est(q)} exact=$exact")
+      }
+    }
+  }
+
   test("internal-name collisions: caller columns named like HLL internals survive") {
     // a KEY literally named __h / max_rho and a data column named __rho
     // previously risked being clobbered by withColumn internals
