@@ -302,6 +302,26 @@ object ExtQueries {
           min("mix_rate").as("mix_rate"))
         .orderBy("source")),
 
+    // Unigram log-prob quality score (the KenLM-perplexity stand-in):
+    // docs full of corpus-common tokens score high, rare-token noise
+    // scores low. Per-token log-probs sum as DECIMAL (order-free); the
+    // frequency join is unhinted (web-scale vocabulary rule).
+    "q76_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_scored", "avg_logp")
+        .orderBy("doc_id")),
+
+    // Exact-quota stratified sample: exactly 5 docs per source in
+    // deterministic hash order — the eval-set constructor (expected-rate
+    // sampling can't promise exact strata sizes).
+    "q77_exact_quota" -> ((s, dir) =>
+      TextAnalysis.exactQuotaSample(docs(s, dir), "source", "doc_id",
+        quota = 5, salt = "eq-v1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("source")),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis): longer
     // docs proportionally more likely, hash-derived keys so the SAME 50
     // docs are drawn on every run and engine. Top-k by rounded key —
@@ -1380,6 +1400,31 @@ object ExtQueries {
          |SELECT source, count(*) AS n_kept, min(doc_id) AS first_id,
          |       min(mix_rate) AS mix_rate
          |FROM kept GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Token-for-token unigram mirror: same corpus frequencies, same
+    // rounded DECIMAL log-prob sum, same mean.
+    "q76_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS ctf FROM tok GROUP BY 1),
+         |total AS (SELECT sum(ctf) AS n_total FROM freq),
+         |lp AS (
+         |  SELECT tok.doc_id,
+         |         CAST(round(ln(CAST(ctf AS DOUBLE) / n_total), 6) AS DECIMAL(20,6)) AS lp
+         |  FROM tok JOIN freq USING (term) CROSS JOIN total)
+         |SELECT doc_id, count(*) AS n_scored,
+         |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Rank-for-rank quota mirror: same (hash, id) order, same cutoff.
+    "q77_exact_quota" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY
+         |           ${TextAnalysis.h60Sql("'eq-v1:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT source, count(*) AS n, min(doc_id) AS first_id, max(doc_id) AS last_id
+         |FROM r WHERE rnk <= 5 GROUP BY source ORDER BY source""".stripMargin,
 
     // Key-for-key A-ES mirror: same hash uniform, same u^(1/w) rounded to
     // 6 decimals, same (key DESC, doc_id) total order under the LIMIT.

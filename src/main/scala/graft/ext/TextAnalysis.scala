@@ -148,6 +148,59 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Unigram log-probability quality score — the deterministic stand-in
+    * for the KenLM-perplexity filter every major corpus pipeline runs
+    * (CCNet, Gopher): score(doc) = mean over tokens of ln(tf_corpus/N),
+    * where the unigram "model" is the corpus itself (or any reference
+    * corpus passed as `model`). Gibberish and OCR noise score far below
+    * fluent text.
+    *
+    * Shape at scale: one tf groupBy over the model corpus (partial-agg),
+    * a 1-row total, and an UNHINTED equi-join of the doc tokens to the
+    * frequency table on term — the same web-scale-vocabulary rule as
+    * tf-idf (never force-broadcast a 10^9-term table; AQE downgrades on
+    * toy data). Per-token log-probs round to 6 decimals and sum as
+    * DECIMAL, so the per-doc score never depends on aggregation order.
+    * Tokens absent from the model are dropped (a smoothing constant is
+    * the caller's upstream choice); `n_scored` reports how many scored. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     model: Option[DataFrame] = None): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val modelTok = model match {
+      case None => tok
+      case Some(m) => m.select(explode(tokens(col(textCol))).as("term"))
+    }
+    val freq = modelTok.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val total = freq.agg(sum("ctf").as("n_total"))
+    tok.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", round(log(col("ctf").cast("double") / col("n_total")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum("__lp").as("sum_logp"))
+      .withColumn("avg_logp",
+        round(col("sum_logp").cast("double") / col("n_scored"), 6))
+  }
+
+  /** EXACT-quota stratified sampling: precisely `quota` rows per group
+    * (or the whole group when smaller), chosen in deterministic hash
+    * order — the eval-set constructor, where "about 5%" ([[temperatureMix]]'s
+    * expected-rate regime) isn't acceptable and the count must be exact.
+    * One window rank per group over (hash, id); the sort is bounded by
+    * the GROUP's row count — fine for eval-sized strata, and at
+    * corpus-sized groups pre-filter with a hash threshold slightly above
+    * the target rate, then exact-rank the survivors. */
+  def exactQuotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                       quota: Int, salt: String): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))), col(keyCol))
+    df.withColumn("__graft_qrnk", row_number().over(w))
+      .filter(col("__graft_qrnk") <= quota)
+      .drop("__graft_qrnk")
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis 2006, Inf.Proc.Lett. 97(5)): each row gets the key
     * u^(1/w) — u a hash-derived uniform in (0, 1], w the row's weight —

@@ -56,6 +56,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2).getStruct(1).toSeq === Seq(0, 0, 0))
   }
 
+  test("unigramLogProb: fluent (common-token) docs outscore rare-token noise; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the the the cat sat"),   // common tokens
+      (2L, "zqx jvw pfft glorp nnn"), // hapax noise
+      (3L, "the cat")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > got(2L), s"common-token doc must outscore noise: $got")
+    assert(got(3L) > got(2L))
+    // an external reference model scores only its known tokens
+    val model = Seq((0L, "the cat the cat")).toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text", Some(model))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scored(1L) === 4L, "3x'the' + 1x'cat' known to the model")
+    assert(!scored.contains(2L), "no model token -> no score row")
+    // decimal sums: identical under repartition
+    val a = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val b = TextAnalysis.unigramLogProb(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    assert(a === b)
+  }
+
+  test("exactQuotaSample: exactly quota rows per group; short groups keep all; deterministic") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 3).map(i => ("tiny", 200L + i))).toDF("g", "id")
+    val got = TextAnalysis.exactQuotaSample(df, "g", "id", quota = 10, salt = "s")
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "tiny" -> 3L))
+    val again = TextAnalysis.exactQuotaSample(df.repartition(9), "g", "id", 10, "s")
+    assert(again.select("id").collect().map(_.getLong(0)).sorted ===
+      got.select("id").collect().map(_.getLong(0)).sorted)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.exactQuotaSample(df, "g", "id", 0, "s") }
+  }
+
   test("weightedSample: weight drives inclusion; deterministic; top-k never global-sorts") {
     import org.apache.spark.sql.functions.{col, lit}
     // one item outweighs 200 peers 10000:1 — u^(1/10000) ~ 1 beats
