@@ -45,7 +45,13 @@ object JoinOps {
     * bounded by the filter geometry, NEVER by the build side's row count,
     * the same driver-state contract as k-means centroids. The bit
     * positions come from [[graft.ext.Sketches.bloomBits]], so the mask is
-    * engine-reproducible bit-for-bit. */
+    * engine-reproducible bit-for-bit.
+    *
+    * EAGER by design: the mask must materialize before the probe plan can
+    * embed it as a literal (Spark's own runtime filters execute the same
+    * build-side subquery eagerly). One build-side scan + a <= 32 KB
+    * collect at CONSTRUCTION time — persist the build side upstream if it
+    * also feeds the exact join. */
   def bloomMask(build: DataFrame, key: Column): Array[Long] = {
     val mask = new Array[Long](graft.ext.Sketches.BLOOM_BITS / 64)
     // null build keys produce null bit positions; dropping them is correct
