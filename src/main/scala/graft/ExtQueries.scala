@@ -555,12 +555,22 @@ object ExtQueries {
     // query-term hits; per-term contributions sum as DECIMAL so the score
     // is aggregation-order-independent (see Retrieval.bm25).
     "q66_bm25" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("score"), col("doc_id"))
-      Retrieval.bm25(docs(s, dir), "doc_id", "text",
+      // Top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+      // heaps), NOT a global row_number window: an unpartitioned window
+      // moves the whole scored set to one partition, which at web scale
+      // (a common query term matching billions of docs) is the bottleneck.
+      // The rank is stamped AFTER the limit, over the surviving <= 20
+      // rows; partitionBy(lit(0)) keeps the (trivially single-group)
+      // window warning-free. Ordering happens on the exact DECIMAL score
+      // (ties broken by doc_id); the double cast is output formatting.
+      val top = Retrieval.bm25(docs(s, dir), "doc_id", "text",
         Seq("spark", "query", "window"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 20)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(desc("score"), col("doc_id"))
+      top.withColumn("rnk", row_number().over(w))
+        .withColumn("score", col("score").cast("double"))
         .select("doc_id", "score", "rnk")
         .orderBy("rnk")
     }),
@@ -1688,7 +1698,8 @@ object ExtQueries {
          |                          ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM b),
          |bins AS (
-         |  SELECT pack_bucket, (cum - n_tok) // 512 AS pack_bin, n_tok, doc_id
+         |  SELECT pack_bucket, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_bin,
+         |         n_tok, doc_id
          |  FROM c)
          |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
@@ -1710,7 +1721,8 @@ object ExtQueries {
          |                          ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM b),
          |bins AS (
-         |  SELECT pack_bucket, (cum - n_tok) // 512 AS pack_bin, n_tok, doc_id
+         |  SELECT pack_bucket, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_bin,
+         |         n_tok, doc_id
          |  FROM c)
          |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
@@ -1805,7 +1817,8 @@ object ExtQueries {
          |r AS (SELECT doc_id, score,
          |             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
          |      FROM sc)
-         |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+         |SELECT doc_id, CAST(score AS DOUBLE) AS score, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     // tf mirror + one grouped fold; postings compared via md5 of the
     // doc_id-sorted comma join (the portable array convention).
@@ -1814,7 +1827,7 @@ object ExtQueries {
          |tf AS (
          |  SELECT doc_id, term, count(*) AS tf
          |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
-         |SELECT term, count(*) AS df, sum(tf) AS cf,
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
          |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          |         AS postings_md5
          |FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,

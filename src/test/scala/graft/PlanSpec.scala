@@ -128,6 +128,8 @@ class PlanSpec extends SparkTestBase {
       "the literal term set must appear as a filter:\n" + p)
     assert(!p.contains("SortMergeJoin [term"),
       "the <= |query|-row df table should broadcast, not shuffle the tf side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan per-partition heaps, not a global-window sort:\n" + p)
   }
 
   test("q69 temperature mix: rates fold in as broadcasts, the stream is never shuffled") {

@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate: run Verify's parquet
 dumps against the DuckDB oracle SQL and hash-compare (columns sorted by name,
-rows sorted, values stringified with float rounding guard).
+rows sorted, values stringified EXACTLY as-is — no float rounding collapse).
+
+Driver parity notes (round 6 lesson): the driver stringifies raw values, so
+an oracle-side HUGEINT/DECIMAL that lands in pandas as float64 prints "3.0"
+where Spark's int64 prints "3" — a hash MISMATCH. The old %.9g formatting
+here collapsed 3.0 -> 3 and masked exactly that class of bug. Values are now
+hashed via plain str(), and pandas dtypes are compared too, so a type-skewed
+oracle FAILS locally the same way it fails the driver.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
@@ -13,14 +20,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    def cell(v):
-        if isinstance(v, float):
-            return f"{v:.9g}"
-        return str(v)
     h = hashlib.sha256()
     for row in df.itertuples(index=False):
-        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+        h.update(("|".join(str(v) for v in row) + "\n").encode())
     return h.hexdigest(), len(df)
+
+def dtypes_of(df):
+    # Compare numpy KIND (i/u/f/b/O/M), not exact width: int32 vs int64
+    # stringify identically in both engines (driver passes them), but
+    # int vs float is exactly the "3" vs "3.0" skew the driver fails on.
+    def kind(dt):
+        k = getattr(dt, "kind", "O")
+        return "i" if k == "u" else k
+    return {c: kind(df[c].dtype) for c in df.columns}
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -47,12 +59,19 @@ def main(sf_dir, out_dir):
             continue
         gh, gn = canon(got)
         wh, wn = canon(want)
-        ok = gh == wh
+        dt_ok = dtypes_of(got) == dtypes_of(want)
+        ok = gh == wh and dt_ok
         if not ok:
             failures += 1
         print(f"{name:28s} rows={gn:7d} oracle_rows={wn:7d} "
               f"schema={'OK' if sorted(got.columns)==sorted(want.columns) else 'MISMATCH'} "
-              f"hash={'OK' if ok else 'MISMATCH'}")
+              f"dtypes={'OK' if dt_ok else 'MISMATCH'} "
+              f"hash={'OK' if gh == wh else 'MISMATCH'}")
+        if not dt_ok:
+            gd, wd = dtypes_of(got), dtypes_of(want)
+            for c in sorted(set(gd) | set(wd)):
+                if gd.get(c) != wd.get(c):
+                    print(f"   dtype {c}: got={gd.get(c)} want={wd.get(c)}")
         if not ok and sorted(got.columns) == sorted(want.columns) and gn == wn:
             g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
             w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
