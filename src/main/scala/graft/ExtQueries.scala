@@ -163,12 +163,12 @@ object ExtQueries {
     // The full at-scale ANN path: q33's kmeans produces the cells, knnIvf
     // searches only each probe's nearest cell — the pipeline the harness
     // `label` column (q31) previously stood in for.
-    "q34_knn_ivf_kmeans" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val cells = SimSearch.kmeansAssign(c, k = 8, iters = 2).select("vec_id", "cell")
-      SimSearch.knnIvf(probes(s, dir), c.drop("label").join(cells, "vec_id"), "cell", k = 5)
-        .orderBy("probe_id", "rnk")
-    }),
+    // The ONE-CALL end-to-end ANN path (kmeansAssign + knnIvf composed
+    // inside knnIvfAuto) — hash-pinning the auto path's internal join
+    // plumbing against the same oracle the manual composition matched.
+    "q34_knn_ivf_kmeans" -> ((s, dir) =>
+      SimSearch.knnIvfAuto(probes(s, dir), corpus(s, dir), k = 5, cells = 8, iters = 2)
+        .orderBy("probe_id", "rnk")),
 
     // The LARGE-K assignment strategy (maxLiteralK = 0 forces the
     // broadcast-centroid join + max(struct) argmax every assignment pass),
@@ -321,6 +321,41 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"),
           max("doc_id").as("last_id"))
         .orderBy("source")),
+
+    // BM25 against a query TABLE: three queries scored in ONE pass over
+    // the corpus (the batch-retrieval form a contamination audit runs).
+    // Contributions are computed once per (doc, term) and fanned out to
+    // every query containing the term; top-5 per query via a window
+    // PARTITIONED by query_id (parallel across queries — no global sort).
+    "q78_bm25_queries" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1, "spark"), (1, "query"),
+        (2, "window"), (2, "stream"),
+        (3, "data"), (3, "table"), (3, "join"))
+        .toDF("query_id", "term")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      Retrieval.bm25Queries(docs(s, dir), "doc_id", "text", q)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .withColumn("score", col("score").cast("double"))
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // 3-D z-order audit: Morton-interleave (custkey, order-day, price-kilo)
+    // and report each stripe's row count + THREE min-max boxes from one
+    // layout key — the N-D generalization of q68 (same adaptive-stripe
+    // audit, same map-only + one-groupBy plan, zValueN key).
+    "q79_zorder3" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ckey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("oday"),
+          floor(col("o_totalprice") / 1000).cast("int").as("pkilo"))
+      graft.ops.Partitioning.zorderStatsN(o, Seq("ckey", "oday", "pkilo"), bits = 16)
+        .orderBy("stripe")
+    }),
 
     // Weighted sampling without replacement (Efraimidis-Spirakis): longer
     // docs proportionally more likely, hash-derived keys so the SAME 50
@@ -1792,6 +1827,64 @@ object ExtQueries {
          |       min(oday) AS min_oday, max(oday) AS max_oday
          |FROM z CROSS JOIN zm GROUP BY 1 ORDER BY stripe""".stripMargin
     },
+
+    // The q68 audit unrolled for THREE dimensions: bit i of column j lands
+    // at position 3i + j (zValueN's round-robin layout). Shifts run on
+    // BIGINT — positions reach 47 and would overflow INT32 arithmetic.
+    "q79_zorder3" -> {
+      val bits = 16
+      val terms = (0 until bits).flatMap(i => Seq(
+        s"(((CAST(ckey AS BIGINT) >> $i) & 1) << ${3 * i})",
+        s"(((CAST(oday AS BIGINT) >> $i) & 1) << ${3 * i + 1})",
+        s"(((CAST(pkilo AS BIGINT) >> $i) & 1) << ${3 * i + 2})"))
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey AS ckey,
+         |         CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS oday,
+         |         CAST(floor(o_totalprice / 1000) AS INT) AS pkilo
+         |  FROM orders),
+         |z AS (SELECT ckey, oday, pkilo, $terms AS zv FROM o),
+         |zm AS (SELECT max(zv) AS zmax FROM z)
+         |SELECT zv // (zmax // 64 + 1) AS stripe, count(*) AS n,
+         |       min(ckey) AS min_ckey, max(ckey) AS max_ckey,
+         |       min(oday) AS min_oday, max(oday) AS max_oday,
+         |       min(pkilo) AS min_pkilo, max(pkilo) AS max_pkilo
+         |FROM z CROSS JOIN zm GROUP BY 1 ORDER BY stripe""".stripMargin
+    },
+
+    // Query-table BM25 mirror: same per-(doc, term) rounded DECIMAL
+    // contribution as q66, fanned to each query by the term join, ranked
+    // per query. The VALUES CTE is the oracle's copy of the literal query
+    // table.
+    "q78_bm25_queries" ->
+      s"""WITH q(query_id, term) AS (
+         |  VALUES (1, 'spark'), (1, 'query'),
+         |         (2, 'window'), (2, 'stream'),
+         |         (3, 'data'), (3, 'table'), (3, 'join')),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |                    * tf * (1.2 + 1.0)
+         |                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |              AS DECIMAL(20,6)) AS c
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |sc AS (SELECT q.query_id, contrib.doc_id, sum(c) AS score
+         |       FROM contrib JOIN q USING (term) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc)
+         |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
+         |       CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // Term-for-term BM25 mirror: same +1-smoothed idf, same rounded
     // per-term DECIMAL contributions, same (score DESC, doc_id) rank.

@@ -17,6 +17,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
+  /** The shared Okapi scoring expression: +1-smoothed idf × the k1/b
+    * saturation term, rounded to 6 decimals and cast DECIMAL(20,6) so the
+    * downstream per-document sum is order-independent and engine-portable.
+    * Expects columns tf, df, dl, n_docs, avgdl in scope. */
+  private def contribCol(k1: Double, b: Double): Column =
+    round(
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+      6).cast(DecimalType(20, 6))
+
   /** Okapi BM25 (Robertson et al., TREC-3; the Lucene-style +1 smoothed
     * idf: ln(1 + (N - df + 0.5)/(df + 0.5))) of every document against a
     * LITERAL query-term set.
@@ -49,13 +60,48 @@ object Retrieval {
     tf.join(broadcast(df_), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("__contrib", round(
-        col("__idf") * col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-        6).cast(DecimalType(20, 6)))
+      .withColumn("__contrib", contribCol(k1, b))
       .groupBy(col(idCol))
+      .agg(sum("__contrib").as("score"))
+  }
+
+  /** BM25 of every document against a query TABLE — the batch-retrieval
+    * form a real audit runs (thousands of contamination lookups or
+    * quality-by-query probes in one pass, vs [[bm25]]'s single literal
+    * term set).
+    *
+    * `queries` is (query_id, term), one row per query term; duplicate
+    * (query_id, term) rows are collapsed so a sloppy query table cannot
+    * double-count a term. Scoring is per (query_id, doc): each document's
+    * per-term contribution (identical arithmetic to [[bm25]]) fans out to
+    * every query containing that term via one equi-join on term, then sums
+    * per query — a term shared by many queries is scored ONCE per document
+    * and reused.
+    *
+    * Shape at scale: the token stream joins the distinct-term table
+    * UNHINTED (the tf-idf/vocab-join house rule — a thousand-query term
+    * table is broadcast-sized and AQE will pick that at runtime, but
+    * nothing melts if it isn't), tf/df aggregate on (doc, term) partials,
+    * and the corpus-stats side is 1 row. Top-k per query belongs
+    * DOWNSTREAM (partition the rank window by query_id). */
+  def bm25Queries(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val dl = toks.select(col(idCol), size(col("__toks")).as("dl"))
+    val hits = toks
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .join(q.select("term").distinct(), "term")
+    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    tf.join(df_, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", contribCol(k1, b))
+      .join(q, "term")
+      .groupBy(col("query_id"), col(idCol))
       .agg(sum("__contrib").as("score"))
   }
 

@@ -243,7 +243,8 @@ object TextAnalysis {
     * equi-joins its rate row); assign an explicit 'unknown' group
     * upstream if they should participate. */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
-                     alpha: Double, nTarget: Long, salt: String): DataFrame = {
+                     alpha: Double, nTarget: Long, salt: String,
+                     maxBroadcastGroups: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
     require(nTarget > 0, s"nTarget must be positive, got $nTarget")
     val perGroup = df.groupBy(groupCol).agg(count(lit(1)).as("__mix_n"))
@@ -253,7 +254,12 @@ object TextAnalysis {
       .withColumn("mix_rate", round(least(lit(1.0),
         pow(col("__mix_n"), alpha) / col("__mix_z") * nTarget / col("__mix_n")), 6))
       .select(col(groupCol), col("mix_rate"))
-    df.join(broadcast(rates), groupCol)
+    // The rate table has one row PER GROUP — source/language-sized for the
+    // typical call, but the API accepts any groupCol, and per-domain mixing
+    // over 10^8 domains must NOT broadcast. broadcastIfSmall probes the
+    // bounded prefix and falls back to an unhinted (shuffled) join; the
+    // result is identical either way, only the plan changes.
+    df.join(graft.ops.Guards.broadcastIfSmall(rates, maxBroadcastGroups), groupCol)
       // double-space compare on purpose: a long cast would TRUNCATE in
       // Spark but ROUND in DuckDB on the same rate product
       .filter(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) % 1000000 <

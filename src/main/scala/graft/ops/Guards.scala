@@ -36,4 +36,19 @@ object Guards {
         "for an offline run")
     df
   }
+
+  /** The soft sibling of [[requireBroadcastable]] for operators that are
+    * CORRECT either way and only want the broadcast as a plan choice:
+    * returns `broadcast(df)` when the same bounded `limit(max+1)` probe
+    * fits, and `df` UNHINTED otherwise — the downstream join degrades to
+    * a shuffled join instead of melting the driver. Use where the small
+    * side's cardinality is data-dependent (per-GROUP rate tables, derived
+    * dimension slices) rather than structurally bounded. */
+  def broadcastIfSmall(df: DataFrame,
+                       maxRows: Long = MaxBroadcastRows): DataFrame = {
+    val lim = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (df.limit(lim).count() <= maxRows)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

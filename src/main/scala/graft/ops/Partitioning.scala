@@ -75,9 +75,20 @@ object Partitioning {
     * stats on either column skip most files. The shuffle is paid once at
     * write time (same economics as [[writeBucketed]]). */
   def writeZOrdered(df: DataFrame, path: String,
-                    x: String, y: String, bits: Int, files: Int = 64): Unit = {
+                    x: String, y: String, bits: Int, files: Int = 64): Unit =
+    writeZOrderedN(df, path, Seq(x, y), bits, files)
+
+  /** N-dimensional [[writeZOrdered]]: cluster on the [[zValueN]] key so
+    * range scans on ANY of the `cols` prune well from one data copy.
+    * The 2-D entry point is the n = 2 special case (identical z key).
+    * Dimensional honesty: each added dimension splits the same bit
+    * budget, so per-dimension box tightness falls as n grows — 3-4
+    * dimensions is the practical ceiling before min-max skipping decays
+    * toward a plain hash layout. */
+  def writeZOrderedN(df: DataFrame, path: String,
+                     cols: Seq[String], bits: Int, files: Int = 64): Unit = {
     import org.apache.spark.sql.functions._
-    df.withColumn("__z", zValue(col(x), col(y), bits))
+    df.withColumn("__z", zValueN(cols.map(col), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -95,16 +106,23 @@ object Partitioning {
     * whenever the dimensions don't fill their bit budget. One map-only z
     * computation + one partial-agg groupBy. */
   def zorderStats(df: DataFrame, x: String, y: String,
-                  bits: Int, stripes: Int = 64): DataFrame = {
+                  bits: Int, stripes: Int = 64): DataFrame =
+    zorderStatsN(df, Seq(x, y), bits, stripes)
+
+  /** N-dimensional [[zorderStats]]: the same adaptive-stripe audit over a
+    * [[zValueN]] key, reporting every dimension's min-max box per stripe.
+    * Same plan shape regardless of n — one map-only z expression, a 1-row
+    * broadcast for the occupied range, one partial-agg groupBy. */
+  def zorderStatsN(df: DataFrame, cols: Seq[String],
+                   bits: Int, stripes: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     require(stripes >= 1, s"zorderStats needs >= 1 stripes, got $stripes")
-    val z = df.withColumn("__z", zValue(col(x), col(y), bits))
+    val z = df.withColumn("__z", zValueN(cols.map(col), bits))
     val zm = z.agg(max("__z").as("__zmax"))
+    val boxes = cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
     z.crossJoin(broadcast(zm))
       .groupBy(expr(s"__z div (__zmax div $stripes + 1)").as("stripe"))
-      .agg(count(lit(1)).as("n"),
-        min(x).as(s"min_$x"), max(x).as(s"max_$x"),
-        min(y).as(s"min_$y"), max(y).as(s"max_$y"))
+      .agg(count(lit(1)).as("n"), boxes: _*)
   }
 
   /** Bucketed materialization for co-located joins: write `df` as a table

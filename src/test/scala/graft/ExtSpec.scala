@@ -150,6 +150,27 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.temperatureMix(docs, "source", "doc_id", 0.0, 10, "t") }
   }
 
+  test("temperatureMix: a high-cardinality group falls back to a shuffled rate join") {
+    // per-domain-scale mixing: when the group count exceeds the broadcast
+    // ceiling, the rates table must join UNHINTED (shuffled) instead of
+    // broadcasting a driver-melting build side — with identical results.
+    val docs = (1 to 500).map(i => (s"domain_$i", i.toLong)).toDF("source", "doc_id")
+    val small = TextAnalysis.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.5, nTarget = 100, salt = "hc")
+    // auto-broadcast off so the plan shows only what the HINT forces —
+    // at real scale the stats-driven auto path stays available either way
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val big = TextAnalysis.temperatureMix(docs, "source", "doc_id",
+        alpha = 0.5, nTarget = 100, salt = "hc", maxBroadcastGroups = 10)
+      val p = big.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin [source"),
+        "over-ceiling group cardinality must not broadcast the rates table:\n" + p)
+      assert(big.select("doc_id").collect().map(_.getLong(0)).sorted ===
+        small.select("doc_id").collect().map(_.getLong(0)).sorted,
+        "plan choice must not change the kept set")
+    }
+  }
+
   test("fingerprint is order-insensitive over the token bag") {
     val df = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))

@@ -132,6 +132,21 @@ class PlanSpec extends SparkTestBase {
       "top-20 must plan per-partition heaps, not a global-window sort:\n" + p)
   }
 
+  test("q78 query-table bm25: the term joins are NOT forced broadcasts") {
+    // Same rule as the q50 vocabulary join: a query-term table is usually
+    // broadcast-sized and AQE will pick that at runtime, but the join must
+    // stay UNHINTED so a million-query audit degrades to a shuffled join
+    // instead of a driver-melting forced broadcast. Only the 1-row
+    // corpus-stats crossJoin keeps its explicit hint.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q78_bm25_queries")
+      assert(!p.contains("BroadcastHashJoin"),
+        "term/query joins must not force a build-side broadcast:\n" + p)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "the hinted 1-row stats crossJoin should still broadcast:\n" + p)
+    }
+  }
+
   test("q69 temperature mix: rates fold in as broadcasts, the stream is never shuffled") {
     val p = plan("q69_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),
@@ -178,6 +193,48 @@ class PlanSpec extends SparkTestBase {
       graft.ops.Partitioning.zValueN(Seq(col("x")), 5) }
     intercept[IllegalArgumentException] {
       graft.ops.Partitioning.zValueN(Seq(col("x"), col("y"), col("z")), 22) }
+  }
+
+  test("writeZOrderedN: 3-D layout boxes all three dims; stats audit agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    try {
+      val grid = (0 until 16).flatMap(x => (0 until 16).flatMap(y =>
+        (0 until 16).map(z => (x, y, z)))).toDF("x", "y", "z")
+      graft.ops.Partitioning.writeZOrderedN(grid, dir, Seq("x", "y", "z"),
+        bits = 4, files = 8)
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"),
+          max("y").as("y1"), min("z").as("z0"), max("z").as("z1"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(boxes.map(_.getLong(7)).sum === 4096L)
+      // 8 perfect Morton chunks of a 16^3 cube are its 8 octants (8x8x8).
+      // Range-partitioner boundaries are SAMPLED, so a file may straddle an
+      // octant edge and smear — but a MAJORITY of files must be compact in
+      // all three dims; a 1-D sort smears two dims full-range in EVERY file.
+      val compact = boxes.count { r =>
+        Seq(r.getInt(2) - r.getInt(1), r.getInt(4) - r.getInt(3),
+          r.getInt(6) - r.getInt(5)).forall(_ <= 11)
+      }
+      assert(compact >= boxes.length / 2,
+        s"only $compact/${boxes.length} files have compact 3-D boxes")
+      // the stripe audit is DETERMINISTIC (width = zmax div 8 + 1 = 512 =
+      // exactly one octant), so every stripe box must be a perfect 8^3 cube
+      val stats = graft.ops.Partitioning.zorderStatsN(grid, Seq("x", "y", "z"),
+        bits = 4, stripes = 8).collect()
+      assert(stats.map(_.getLong(1)).sum === 4096L)
+      stats.foreach { r =>
+        val spans = Seq(r.getInt(3) - r.getInt(2), r.getInt(5) - r.getInt(4),
+          r.getInt(7) - r.getInt(6))
+        assert(spans.forall(_ <= 7),
+          s"stripe ${r.getLong(0)} box spans $spans not an octant")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("writeZOrdered: every output file covers a compact rectangle, so min-max stats skip") {
