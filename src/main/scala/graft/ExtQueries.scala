@@ -357,6 +357,15 @@ object ExtQueries {
         .orderBy("stripe")
     }),
 
+    // Exact-substring duplicated spans (Lee et al. 2021 ExactSubstr,
+    // re-expressed distributed): docs containing a >= 5-token span whose
+    // 3-token windows all repeat somewhere in the corpus — the boilerplate/
+    // license-block duplication MinHash misses. Window keyed by md5;
+    // gaps-and-islands run detection partitioned per doc.
+    "q80_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
+        .orderBy("doc_id")),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis): longer
     // docs proportionally more likely, hash-derived keys so the SAME 50
     // docs are drawn on every run and engine. Top-k by rounded key —
@@ -1885,6 +1894,32 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Window-for-window ExactSubstr mirror: same 1-based 3-token windows
+    // as the shingle CTEs, md5-keyed, same gaps-and-islands run detection
+    // (i - row_number() is offset-invariant, so 0- vs 1-based positions
+    // agree). Aggregate sums cast to BIGINT (DuckDB HUGEINT promotion).
+    "q80_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+         |  FROM toks WHERE len(t) >= 3),
+         |wh AS (
+         |  SELECT doc_id, i, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+         |  FROM w),
+         |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+         |d AS (SELECT wh.doc_id, wh.i FROM wh JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM d),
+         |runs AS (SELECT doc_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_windows,
+         |         CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
+         |  FROM runs GROUP BY 1)
+         |SELECT doc_id, n_dup_windows, max_span_tokens
+         |FROM per WHERE max_span_tokens >= 5 ORDER BY doc_id""".stripMargin,
 
     // Term-for-term BM25 mirror: same +1-smoothed idf, same rounded
     // per-term DECIMAL contributions, same (score DESC, doc_id) rank.

@@ -467,6 +467,57 @@ object Dedup {
           s => s.getField("seg")), " ").as("kept_text"))
   }
 
+  // ---- exact-substring duplicated spans (ExactSubstr-style) ----
+
+  /** Duplicated-SPAN detection, the distributed re-expression of the
+    * suffix-array ExactSubstr pass of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): find
+    * documents containing a long token span that also occurs elsewhere in
+    * the corpus (boilerplate, license blocks, syndicated paragraphs —
+    * duplication MinHash misses when the rest of the doc differs).
+    *
+    * Detection: a k-token window whose md5 occurs >= 2 times corpus-wide
+    * (any doc, any position — same-doc self-repetition counts, as in the
+    * original) is `duplicated`; a run of r CONSECUTIVE duplicated window
+    * starts within a doc witnesses a duplicated span of r + k - 1 tokens.
+    * Runs are found per doc with the gaps-and-islands pattern
+    * (pos - row_number() is constant within a consecutive run). This
+    * over-approximates true ExactSubstr — consecutive windows may match
+    * DIFFERENT remote locations — which is the standard trade accepted by
+    * distributed reimplementations; raise `k` to tighten.
+    *
+    * Returns (idCol, n_dup_windows, max_span_tokens) for docs whose
+    * longest span reaches `minSpan` tokens — the drop/scrub candidates.
+    *
+    * Scale shape: the window stream is token-linear, keyed by md5 (128-bit
+    * — collision-negligible where a 60-bit key at 100 TB is not, and the
+    * shuffle carries a 32-char key instead of a k-token string). One
+    * frequency groupBy with map-side partials, one unhinted equi-join of
+    * the stream to the duplicated-key subset (vocabulary rule), then
+    * per-doc windows PARTITIONED by doc — state bounded by doc length,
+    * never corpus size. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, minSpan: Int = 5): DataFrame = {
+    require(k >= 2, s"duplicatedSpans needs window size k >= 2, got $k")
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    val win = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))
+          .as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), md5(col("w")).as("wh"))
+    val dup = win.groupBy("wh").agg(count(lit(1)).as("__wn"))
+      .filter(col("__wn") >= 2).select("wh")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    win.join(dup, "wh")
+      .withColumn("__isl", col("pos") - row_number().over(ord))
+      .groupBy(col(idCol), col("__isl")).agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg(sum("__run").as("n_dup_windows"),
+        (max("__run") + (k - 1)).as("max_span_tokens"))
+      .filter(col("max_span_tokens") >= minSpan)
+  }
+
   // ---- blocked exact n-gram Jaccard ----
 
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.

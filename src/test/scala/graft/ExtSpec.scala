@@ -509,6 +509,32 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("duplicatedSpans finds cross-doc spans, honors minSpan, counts self-repeats") {
+    // docs 1 and 2 share the 6-token span "a b c d e f" (4 duplicated
+    // 3-gram windows -> span 4 + 2 = 6); doc 3 is clean; doc 4 repeats its
+    // own phrase twice (self-repetition counts, as in ExactSubstr)
+    val docs = Seq(
+      (1L, "a b c d e f x1 y1 z1"),
+      (2L, "p q a b c d e f r s"),
+      (3L, "one two three four five six seven"),
+      (4L, "w1 u v w u v w w2 w3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minSpan = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 4's "u v w" occurs twice -> two duplicated windows, but they are
+    // NOT consecutive starts (positions 1 and 4): islands of 1 -> span 3,
+    // filtered by minSpan=5
+    assert(got.toSeq === Seq((1L, 4L, 6L), (2L, 4L, 6L)))
+    // minSpan=3 lets doc 4's isolated windows through
+    val loose = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minSpan = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq === Seq((1L, 4L, 6L), (2L, 4L, 6L), (4L, 2L, 3L)))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minSpan = 2) }
+  }
+
   test("connectedComponents: empty pair set -> empty output; long path converges") {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
     // a 12-node path exercises >1 propagate+compress round
