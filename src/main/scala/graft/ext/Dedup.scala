@@ -500,9 +500,12 @@ object Dedup {
                       k: Int = 3, minSpan: Int = 5): DataFrame = {
     require(k >= 2, s"duplicatedSpans needs window size k >= 2, got $k")
     require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    // wordShingles is the codegen'd kernel (one pass, no intermediate
+    // arrays) — this stream is evaluated twice (frequency pass + join
+    // pass), so interpreted HOF lambdas here would double their cost
     val win = docs
       .select(col(idCol),
-        posexplode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), k))
+        posexplode(graft.functions.TextExprs.wordShingles(col(textCol), k))
           .as(Seq("pos", "w")))
       .select(col(idCol), col("pos"), md5(col("w")).as("wh"))
     val dup = win.groupBy("wh").agg(count(lit(1)).as("__wn"))

@@ -52,6 +52,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL k-token shingles in positional order (the non-distinct sibling of
+    * [[distinctShingles]] — duplicatedSpans needs every window START, so
+    * dedup would break run detection). Same tokenization, same space join,
+    * same empty-below-k contract. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val m = toks.length - k + 1
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def distinctShingles(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
     val toks = text.toString.split(" ").filter(_.nonEmpty)
@@ -101,10 +127,37 @@ case class DistinctWordShingles(child: Expression, k: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** `word_shingles(text, k)`: ALL k-token shingles in positional order —
+  * the non-distinct sibling of [[DistinctWordShingles]] for positional
+  * window operators (duplicated-span detection). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Column API for [[DistinctWordShingles]]. */
   def distinctShingles(text: Column, k: Int = 3): Column =
     bridge.column(DistinctWordShingles(bridge.expression(text), k))
+
+  /** Column API for [[WordShingles]]. */
+  def wordShingles(text: Column, k: Int = 3): Column =
+    bridge.column(WordShingles(bridge.expression(text), k))
 
   /** Column API for [[PrefixQGrams]]. */
   def prefixQGrams(text: Column, q: Int, prefixLen: Int): Column =

@@ -216,6 +216,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaHof === viaKernel)
   }
 
+  test("WordShingles kernel == HOF composition (positional, non-distinct)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab cd  e"
+    val texts = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) :+
+      "" :+ "a b" :+ "x x x x x"
+    val df = texts.toDF("text")
+    val viaHof = df.select(
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val viaKernel = df.select(
+      graft.functions.TextExprs.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(viaHof === viaKernel)
+  }
+
   test("PrefixQGrams kernel == HOF chain (random strings incl. supplementary chars)") {
     val rnd = new scala.util.Random(11)
     // repetitive ASCII (many duplicate grams), accents, and an emoji to
