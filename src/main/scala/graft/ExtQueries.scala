@@ -366,6 +366,31 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 (lexical)
+    // fused with brute-force cosine top-20 of probe 0 (vector) by
+    // 1/(60 + rank) sums — rank-only fusion needs no score calibration.
+    // Both rank lists are k-bounded, so fusion is id-sized work.
+    "q81_rrf_fusion" -> ((s, dir) => {
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(desc("score"), col("doc_id"))
+      val bm = Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("spark", "query", "window"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(w0))
+        .select("doc_id", "rnk")
+      val knn = SimSearch.knnBrute(
+        probes(s, dir).filter(col("probe_id") === 0), corpus(s, dir), k = 20)
+        .select(col("vec_id").as("doc_id"), col("rnk"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(desc("rrf_score"), col("doc_id"))
+      Retrieval.rrfFuse(Seq(bm, knn), "doc_id", "rnk")
+        .orderBy(desc("rrf_score"), col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(wf))
+        .withColumn("rrf_score", col("rrf_score").cast("double"))
+        .select("doc_id", "rrf_score", "n_lists", "rnk")
+        .orderBy("rnk")
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis): longer
     // docs proportionally more likely, hash-derived keys so the SAME 50
     // docs are drawn on every run and engine. Top-k by rounded key —
@@ -1894,6 +1919,52 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Rank-for-rank RRF mirror: the q66 BM25 chain and the q30 brute-kNN
+    // chain produce the two rank lists; contributions round to 6 then sum
+    // as DECIMAL exactly like the engine. Output casts per house rules
+    // (score DOUBLE, counts BIGINT, rank INT).
+    "q81_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |                    * tf * (1.2 + 1.0)
+         |                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |              AS DECIMAL(20,6)) AS c
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |sc AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+         |bm AS (
+         |  SELECT doc_id, rnk FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |    FROM sc) WHERE rnk <= 20),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id, $cosSql AS cos
+         |  FROM probes pr CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) e),
+         |knn AS (
+         |  SELECT doc_id, rnk FROM (
+         |    SELECT vec_id AS doc_id,
+         |           row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+         |    FROM scored) WHERE rnk <= 20),
+         |u AS (
+         |  SELECT doc_id, CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(10,6)) AS c FROM bm
+         |  UNION ALL
+         |  SELECT doc_id, CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(10,6)) AS c FROM knn),
+         |f AS (SELECT doc_id, sum(c) AS s, count(*) AS n_lists FROM u GROUP BY 1),
+         |r AS (SELECT doc_id, s, n_lists,
+         |             row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM f)
+         |SELECT doc_id, CAST(s AS DOUBLE) AS rrf_score,
+         |       CAST(n_lists AS BIGINT) AS n_lists, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     // Window-for-window ExactSubstr mirror: same 1-based 3-token windows
     // as the shingle CTEs, md5-keyed, same gaps-and-islands run detection

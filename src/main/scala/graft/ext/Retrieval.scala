@@ -105,6 +105,33 @@ object Retrieval {
       .agg(sum("__contrib").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): fuse
+    * any number of top-k rankings of the same id space into one list by
+    * summing 1/(c + rank) per id — the standard glue between lexical
+    * (BM25) and vector (kNN) retrieval in hybrid search, using only RANKS,
+    * so incomparable score scales never need calibration.
+    *
+    * Each input is a (idCol, rankCol) table. Contributions round to 6
+    * decimals and sum as DECIMAL — order-free, engine-portable (the house
+    * float-sum rule). Returns (idCol, rrf_score DECIMAL, n_lists).
+    *
+    * Shape at scale: a unionByName of k-bounded rank tables + ONE groupBy
+    * — the inputs are top-k results (thousands of rows), so this is
+    * id-sized work regardless of corpus scale; rank the fused output with
+    * orderBy+limit downstream, as everywhere else. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 1, s"rrf constant must be >= 1, got $c")
+    rankings.map(r =>
+      r.select(col(idCol),
+        round(lit(1.0) / (lit(c) + col(rankCol)), 6)
+          .cast(DecimalType(10, 6)).as("__rrf")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum("__rrf").as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+
   /** Inverted index: one row per term — document frequency, collection
     * frequency, and the doc_id-sorted postings list (as a comma-joined
     * string plus its md5, the repo's engine-portable array convention).

@@ -1052,6 +1052,21 @@ class RetrievalSpec extends SparkTestBase {
     assert(pruned === Set("spark", "query", "the"))
   }
 
+  test("rrfFuse: sums 1/(c+rank) per id; single-list ids score once") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rnk")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(a, b), "id", "rnk", c = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1).doubleValue(), r.getLong(2))).toMap
+    // 11 appears in both lists: round(1/62,6) + round(1/61,6)
+    assert(got(11L) === ((0.016129 + 0.016393, 2L)))
+    assert(got(10L) === ((0.016393, 1L)))
+    assert(got(12L) === ((0.015873, 1L)))
+    assert(got(13L) === ((0.016129, 1L)))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil, "id", "rnk") }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), "id", "rnk", c = 0) }
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
