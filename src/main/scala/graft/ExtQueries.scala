@@ -366,6 +366,21 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Pack MATERIALIZATION: q59's bin assignments turned into the actual
+    // training sequences — per bin, members concatenated in (hash, id)
+    // pack order. Per-bin state bounded by the 512-token budget (+1 doc);
+    // sequences compared via md5 (the long-string convention).
+    "q82_pack_texts" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val packed = TextAnalysis.packSequences(d, "doc_id", "n_tok",
+        budget = 512, buckets = 8)
+      TextAnalysis.materializePacks(packed, "doc_id", "text", "n_tok")
+        .select(col("pack_bucket"), col("pack_bin"), col("n_docs"),
+          col("n_tokens"), md5(col("seq_text")).as("seq_md5"))
+        .orderBy("pack_bucket", "pack_bin")
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 (lexical)
     // fused with brute-force cosine top-20 of probe 0 (vector) by
     // 1/(60 + rank) sums — rank-only fusion needs no score calibration.
@@ -1919,6 +1934,30 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The q59 chain carrying text through, finished by an ORDER BY-ed
+    // string_agg — the same (hh, doc_id) pack order, md5'd.
+    "q82_pack_texts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |h AS (
+         |  SELECT doc_id, text, n_tok,
+         |         ${TextAnalysis.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM toks),
+         |b AS (SELECT doc_id, text, n_tok, hh, CAST(hh % 8 AS INT) AS pack_bucket FROM h),
+         |c AS (
+         |  SELECT doc_id, text, n_tok, hh, pack_bucket,
+         |         sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY hh, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |bins AS (
+         |  SELECT pack_bucket, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_bin,
+         |         doc_id, text, n_tok, hh
+         |  FROM c)
+         |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(text, ' ' ORDER BY hh, doc_id)) AS seq_md5
+         |FROM bins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Rank-for-rank RRF mirror: the q66 BM25 chain and the q30 brute-kNN
     // chain produce the two rank lists; contributions round to 6 then sum

@@ -301,4 +301,28 @@ object TextAnalysis {
       .withColumn("pack_bin", expr(s"(__cum - $nTokCol) div $budget"))
       .drop("__h", "__cum")
   }
+
+  /** Materialize [[packSequences]]' bin assignments into the actual
+    * training sequences: per (pack_bucket, pack_bin), the member documents
+    * concatenated in the SAME deterministic (hash, id) pack order, plus
+    * doc/token counts. The final step turning a document corpus into
+    * fixed-budget training rows.
+    *
+    * Scale shape: one groupBy on the bin key; per-bin state is bounded by
+    * the token BUDGET (+ one overflowing document), never by corpus size —
+    * the `collect_list` here is the rare safe one, the same bounded-by-
+    * construction argument as lineDedup's per-doc reassembly. The pack
+    * order is recomputed from the portable hash (stateless — callers need
+    * not thread the internal sort key through), so a rerun, a retry, or
+    * another engine concatenates byte-identical sequences. */
+  def materializePacks(packed: DataFrame, idCol: String, textCol: String,
+                       nTokCol: String, sep: String = " "): DataFrame =
+    packed
+      .withColumn("__h", h60(concat(lit("pack:"), col(idCol).cast("string"))))
+      .groupBy(col("pack_bucket"), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokCol).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__h"), col(idCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("seq_text"))
 }

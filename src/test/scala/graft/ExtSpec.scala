@@ -313,6 +313,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(bp.size === 3)
   }
 
+  test("materializePacks: sequences byte-identical under repartition; counts agree") {
+    val docs = (1L to 60L).map(i => (i, s"d$i w$i", 2L)).toDF("doc_id", "text", "n_tok")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "n_tok", budget = 10L, buckets = 2)
+    val mat = TextAnalysis.materializePacks(packed, "doc_id", "text", "n_tok")
+      .orderBy("pack_bucket", "pack_bin").collect()
+    // every doc lands in exactly one sequence; token counts add up
+    assert(mat.map(_.getLong(2)).sum === 60L)
+    assert(mat.map(_.getLong(3)).sum === 120L)
+    // each sequence holds exactly its n_docs texts in pack order
+    mat.foreach { r =>
+      assert(r.getString(4).split(" ").length === r.getLong(2) * 2,
+        s"bin (${r.getInt(0)},${r.getLong(1)}) text/count mismatch")
+    }
+    // the pack order is recomputed from the hash, so ANY input partitioning
+    // concatenates byte-identical sequences
+    val mat2 = TextAnalysis.materializePacks(
+      TextAnalysis.packSequences(docs.repartition(13), "doc_id", "n_tok", 10L, 2),
+      "doc_id", "text", "n_tok").orderBy("pack_bucket", "pack_bin").collect()
+    assert(mat.map(_.getString(4)).toSeq === mat2.map(_.getString(4)).toSeq)
+  }
+
   test("DistinctWordShingles kernel == HOF composition (incl. edge cases)") {
     val texts = Seq(
       "a b c d e", "a b  c", "a b", "", "x", "  ", "a a a a",
