@@ -366,6 +366,17 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Contiguous global ids 0..n-1 with NO global sort: the two-phase
+    // bucket-offset pattern (local rank per hash bucket + in-plan prefix
+    // sum of bucket counts, broadcast back). Deterministic hash order —
+    // the id assignment doubles as the corpus's reproducible training
+    // shuffle.
+    "q83_contiguous_ids" -> ((s, dir) =>
+      graft.ops.Partitioning.contiguousIds(
+        docs(s, dir).select("doc_id"), "doc_id", buckets = 16)
+        .select("doc_id", "global_id")
+        .orderBy("doc_id")),
+
     // Pack MATERIALIZATION: q59's bin assignments turned into the actual
     // training sequences — per bin, members concatenated in (hash, id)
     // pack order. Per-bin state bounded by the 512-token budget (+1 doc);
@@ -1934,6 +1945,27 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Bucket-for-bucket mirror of Partitioning.contiguousIds: same hash
+    // buckets, same (hh, doc_id) local rank, same prefix-sum offsets.
+    // global_id cast BIGINT (window-sum HUGEINT promotion).
+    "q83_contiguous_ids" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${TextAnalysis.h60Sql("'gid:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |b AS (SELECT doc_id, hh, CAST(hh % 16 AS INT) AS bk FROM h),
+         |l AS (
+         |  SELECT doc_id, bk,
+         |         row_number() OVER (PARTITION BY bk ORDER BY hh, doc_id) AS r
+         |  FROM b),
+         |n AS (SELECT bk, count(*) AS cnt FROM l GROUP BY bk),
+         |o AS (
+         |  SELECT bk, coalesce(sum(cnt) OVER (ORDER BY bk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM n)
+         |SELECT l.doc_id, CAST(o.off + l.r - 1 AS BIGINT) AS global_id
+         |FROM l JOIN o USING (bk) ORDER BY doc_id""".stripMargin,
 
     // The q59 chain carrying text through, finished by an ORDER BY-ed
     // string_agg — the same (hh, doc_id) pack order, md5'd.

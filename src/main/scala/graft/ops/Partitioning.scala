@@ -125,6 +125,42 @@ object Partitioning {
       .agg(count(lit(1)).as("n"), boxes: _*)
   }
 
+  /** Contiguous, deterministic GLOBAL ids 0..n-1 without a global sort —
+    * the scale-safe alternative to an unpartitioned `row_number()` (which
+    * moves the whole table to ONE partition) and to
+    * `monotonically_increasing_id` (non-contiguous, partitioning-
+    * dependent). The training-shard sequencer: stable example ids across
+    * reruns, retries, and engines.
+    *
+    * Two-phase bucket-offset pattern: rows hash into `buckets` streams
+    * (the portable h60 — no RNG), rank LOCALLY per bucket (window state
+    * bounded by bucket size), then each bucket's starting offset is the
+    * prefix sum of bucket COUNTS — a bucket-cardinality-sized table,
+    * computed in-plan and broadcast back. global_id = offset + local rank.
+    * The id order is (hash, id) — i.e. assignment doubles as a
+    * deterministic global shuffle of the corpus, which is what a training
+    * pipeline wants anyway. */
+  def contiguousIds(df: DataFrame, idCol: String, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(buckets >= 1, s"contiguousIds needs >= 1 buckets, got $buckets")
+    val h = graft.ext.TextAnalysis.h60(concat(lit("gid:"), col(idCol).cast("string")))
+    val local = df.withColumn("__h", h)
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+      .withColumn("__r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__b")
+          .orderBy("__h", idCol)))
+    // prefix-sum the per-bucket counts: `buckets` rows, partitionBy(lit(0))
+    // keeps the (trivially single-group) window warning-free
+    val offsets = local.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn("global_id", col("__off") + col("__r") - 1)
+      .drop("__h", "__b", "__r", "__off")
+  }
+
   /** Bucketed materialization for co-located joins: write `df` as a table
     * hash-bucketed (and sorted) by `key`, so every future equi-join or
     * aggregation on `key` between same-bucketed tables plans WITHOUT a

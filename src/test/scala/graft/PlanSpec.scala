@@ -195,6 +195,29 @@ class PlanSpec extends SparkTestBase {
       graft.ops.Partitioning.zValueN(Seq(col("x"), col("y"), col("z")), 22) }
   }
 
+  test("contiguousIds: ids are 0..n-1, partitioning-invariant, and never a global-sort plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 300L).map(i => i -> s"v$i").toDF("id", "v")
+    val got = graft.ops.Partitioning.contiguousIds(df, "id", buckets = 8)
+    val ids = got.select("global_id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 300L).toSeq, "ids must be contiguous 0..n-1")
+    // payload columns survive untouched
+    assert(got.columns.toSet === Set("id", "v", "global_id"))
+    // deterministic under any input partitioning
+    val again = graft.ops.Partitioning.contiguousIds(df.repartition(11), "id", 8)
+    assert(got.select("id", "global_id").collect().toSet ===
+      again.select("id", "global_id").collect().toSet)
+    // the data-sized rank window is PARTITIONED by the hash bucket (only
+    // the 8-row offset prefix-sum runs single-group), and the offsets fold
+    // back as a broadcast — no global sort anywhere
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(__b"),
+      "local rank must partition by the hash bucket:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the buckets-row offset table must broadcast back:\n" + p)
+  }
+
   test("writeZOrderedN: 3-D layout boxes all three dims; stats audit agrees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
