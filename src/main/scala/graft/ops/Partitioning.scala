@@ -161,6 +161,27 @@ object Partitioning {
       .drop("__h", "__b", "__r", "__off")
   }
 
+  /** Training-shard writer: assign [[contiguousIds]] and write exactly
+    * `rowsPerShard` consecutive examples per shard directory
+    * (`shard=<k>/`), each shard one file, rows in global-id order. The
+    * last mile of a curation pipeline — downstream trainers address
+    * examples as (shard, offset), and because the ids are deterministic
+    * hash-order, a rerun writes byte-identical shards.
+    *
+    * One extra shuffle (repartition by shard) beyond the id assignment;
+    * shard size is the file-size knob — pick rowsPerShard so a shard is
+    * ~100 MB-1 GB at your row width. */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+                  rowsPerShard: Long, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    contiguousIds(df, idCol, buckets)
+      .withColumn("shard", expr(s"global_id div $rowsPerShard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "global_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Bucketed materialization for co-located joins: write `df` as a table
     * hash-bucketed (and sorted) by `key`, so every future equi-join or
     * aggregation on `key` between same-bucketed tables plans WITHOUT a

@@ -218,6 +218,36 @@ class PlanSpec extends SparkTestBase {
       "the buckets-row offset table must broadcast back:\n" + p)
   }
 
+  test("writeShards: fixed-size shard dirs, one file each, contiguous ids in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      val df = (1L to 100L).map(i => i -> s"doc$i").toDF("id", "v")
+      graft.ops.Partitioning.writeShards(df, dir, "id", rowsPerShard = 10, buckets = 4)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length === 10, shardDirs.map(_.getName).mkString(","))
+      shardDirs.foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"${d.getName} must hold exactly one file")
+      }
+      val back = spark.read.parquet(dir)
+      assert(back.count() === 100L)
+      // every shard holds its exact contiguous id block
+      val blocks = back.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("global_id").as("lo"), max("global_id").as("hi"))
+        .collect().map(r => (r.getAs[Any]("shard").toString.toLong,
+          r.getLong(1), r.getLong(2), r.getLong(3)))
+      blocks.foreach { case (s, n, lo, hi) =>
+        assert(n === 10L && lo === s * 10 && hi === s * 10 + 9,
+          s"shard $s block [$lo,$hi] n=$n")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeZOrderedN: 3-D layout boxes all three dims; stats audit agrees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
