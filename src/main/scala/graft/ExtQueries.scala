@@ -366,6 +366,20 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // BATCH contamination: three benchmarks screened against the train
+    // corpus in ONE pass — the expensive train-shingle df table is built
+    // once and shared (per-benchmark calls would rebuild it 3x). Same
+    // stop-shingle guard as q29.
+    "q84_contamination_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benches = Seq("src0", "src1", "src2")
+      Dedup.contaminationBatch(
+        d.filter(col("source").isin(benches: _*)),
+        d.filter(!col("source").isin(benches: _*)),
+        "source", "doc_id", "text", maxTrainDf = Some(5L))
+        .orderBy("source", "doc_id")
+    }),
+
     // Contiguous global ids 0..n-1 with NO global sort: the two-phase
     // bucket-offset pattern (local rank per hash bucket + in-plan prefix
     // sum of bucket counts, broadcast back). Deterministic hash order —
@@ -1945,6 +1959,28 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The q29 chain with a (benchmark, doc) group key and a shared train
+    // side — mirror of Dedup.contaminationBatch.
+    "q84_contamination_batch" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, source,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |tr AS (SELECT sh FROM sh0 WHERE source NOT IN ('src0', 'src1', 'src2')
+         |       GROUP BY sh HAVING count(*) <= 5),
+         |te AS (SELECT source, doc_id, sh FROM sh0
+         |       WHERE source IN ('src0', 'src1', 'src2')),
+         |tot AS (SELECT source, doc_id, count(*) AS n_shingles FROM te GROUP BY 1, 2),
+         |hit AS (SELECT source, doc_id, count(*) AS n_hit
+         |        FROM te JOIN tr USING (sh) GROUP BY 1, 2)
+         |SELECT t.source, t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6)
+         |         AS contamination
+         |FROM tot t LEFT JOIN hit h USING (source, doc_id)
+         |ORDER BY source, doc_id""".stripMargin,
 
     // Bucket-for-bucket mirror of Partitioning.contiguousIds: same hash
     // buckets, same (hh, doc_id) local rank, same prefix-sum offsets.

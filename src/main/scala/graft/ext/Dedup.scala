@@ -390,12 +390,30 @@ object Dedup {
   def contamination(test: DataFrame, train: DataFrame, idCol: String,
                     textCol: String, k: Int = 3,
                     maxTrainDf: Option[Long] = None,
-                    maxTrainDfFrac: Option[Double] = None): DataFrame = {
+                    maxTrainDfFrac: Option[Double] = None): DataFrame =
+    contaminationBatch(test.withColumn("__bench", lit(0)), train, "__bench",
+      idCol, textCol, k, maxTrainDf, maxTrainDfFrac)
+      .drop("__bench")
+
+  /** The BATCH form of [[contamination]]: screen MANY benchmarks against
+    * the train corpus in ONE pass — `test` carries a `benchCol` tag and
+    * every aggregate groups by (benchmark, doc). The expensive side (the
+    * train-shingle DISTINCT/df table) is built ONCE and shared by every
+    * benchmark, where per-benchmark calls would rebuild it N times —
+    * the same one-pass economics as [[Retrieval.bm25Queries]] vs per-query
+    * scoring. All scale properties of the single-benchmark form carry
+    * over unchanged (shingle equi-join, no pairwise doc work, the
+    * maxTrainDf/maxTrainDfFrac stop-shingle guard). */
+  def contaminationBatch(test: DataFrame, train: DataFrame, benchCol: String,
+                         idCol: String, textCol: String, k: Int = 3,
+                         maxTrainDf: Option[Long] = None,
+                         maxTrainDfFrac: Option[Double] = None): DataFrame = {
     require(maxTrainDf.isEmpty || maxTrainDfFrac.isEmpty,
       "pass at most one of maxTrainDf / maxTrainDfFrac")
     maxTrainDfFrac.foreach(f => require(f > 0 && f <= 1,
       s"maxTrainDfFrac must be in (0, 1], got $f"))
-    val testSh = shingled(test, idCol, textCol, k)
+    val testSh = test.select(col(benchCol).as("__bench"), col(idCol).as("doc_id"),
+      explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("sh"))
     val trainSh0 = shingled(train, idCol, textCol, k)
     // shingled() emits per-doc DISTINCT shingles, so count(*) per shingle
     // IS its train document frequency.
@@ -410,12 +428,13 @@ object Dedup {
           .select("sh")
       case _ => trainSh0.select("sh").distinct()
     }
-    val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val totals = testSh.groupBy("__bench", "doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = testSh.join(trainSh, "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq("doc_id"), "left")
+      .groupBy("__bench", "doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("__bench", "doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+      .select(col("__bench").as(benchCol), col("doc_id"), col("n_shingles"),
+        col("n_hit"),
         round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contamination"))
   }
 
