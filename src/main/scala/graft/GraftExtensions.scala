@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, WinnowFingerprint}
+import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, WinnowFingerprint, WordShingles}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works anywhere the library is
@@ -17,6 +17,7 @@ import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, Winn
   *   - `vec_dot(a, b)`                      ARRAY<FLOAT|DOUBLE> dot product
   *   - `vec_cosine(a, b)`                   fused cosine similarity
   *   - `distinct_word_shingles(text[, k])`  distinct k-token shingles (k=3)
+  *   - `word_shingles(text[, k])`           ALL k-token shingles, positional (k=3)
   *   - `winnow_fingerprint(text[, k, w])`   winnowing hash set (k=5, w=4)
   *
   * The integer parameters must be literals (they parameterize generated
@@ -42,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("distinct_word_shingles"),
       new ExpressionInfo(classOf[DistinctWordShingles].getName, "distinct_word_shingles"),
       (es: Seq[Expression]) => DistinctWordShingles(es.head,
+        if (es.length > 1) litInt(es(1), "shingle size k") else 3)))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) => WordShingles(es.head,
         if (es.length > 1) litInt(es(1), "shingle size k") else 3)))
 
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),

@@ -21,6 +21,14 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
   }
 
+  test("word_shingles callable from SQL: positional, repeats kept") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b a b a') AS s3,
+        |       word_shingles('a b a b a', 2) AS s2""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a b a", "b a b", "a b a"))
+    assert(r.getSeq[String](1) === Seq("a b", "b a", "a b", "b a"))
+  }
+
   test("winnow_fingerprint callable from SQL; non-literal k rejected") {
     val n = spark.sql("SELECT size(winnow_fingerprint('the quick brown fox')) AS n")
       .head().getInt(0)
