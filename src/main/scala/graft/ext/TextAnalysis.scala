@@ -242,28 +242,43 @@ object TextAnalysis {
     * `mix_rate`. Rows with a NULL group are excluded (null never
     * equi-joins its rate row); assign an explicit 'unknown' group
     * upstream if they should participate. */
-  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
-                     alpha: Double, nTarget: Long, salt: String,
-                     maxBroadcastGroups: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+  /** The per-group rate table [[temperatureMix]] derives and joins — split
+    * out so callers can materialize rates once (a periodic batch pass) and
+    * reuse them, e.g. against a STREAM
+    * ([[graft.streaming.StreamOps.mixStream]]). One partial-agg count per
+    * group + a 1-row broadcast total; returns (groupCol, mix_rate). */
+  def temperatureRates(df: DataFrame, groupCol: String,
+                       alpha: Double, nTarget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
     require(nTarget > 0, s"nTarget must be positive, got $nTarget")
     val perGroup = df.groupBy(groupCol).agg(count(lit(1)).as("__mix_n"))
     val total = perGroup.agg(
       sum(pow(col("__mix_n"), alpha)).as("__mix_z")) // small: one row per group
-    val rates = perGroup.crossJoin(broadcast(total))
+    perGroup.crossJoin(broadcast(total))
       .withColumn("mix_rate", round(least(lit(1.0),
         pow(col("__mix_n"), alpha) / col("__mix_z") * nTarget / col("__mix_n")), 6))
       .select(col(groupCol), col("mix_rate"))
+  }
+
+  /** The deterministic keep predicate shared by the batch and streaming
+    * mixers: portable-hash threshold against a `mix_rate` column.
+    * Double-space compare on purpose: a long cast would TRUNCATE in Spark
+    * but ROUND in DuckDB on the same rate product. */
+  def mixKeep(keyCol: String, salt: String): Column =
+    h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) % 1000000 <
+      col("mix_rate") * 1000000
+
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double, nTarget: Long, salt: String,
+                     maxBroadcastGroups: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    val rates = temperatureRates(df, groupCol, alpha, nTarget)
     // The rate table has one row PER GROUP — source/language-sized for the
     // typical call, but the API accepts any groupCol, and per-domain mixing
     // over 10^8 domains must NOT broadcast. broadcastIfSmall probes the
     // bounded prefix and falls back to an unhinted (shuffled) join; the
     // result is identical either way, only the plan changes.
     df.join(graft.ops.Guards.broadcastIfSmall(rates, maxBroadcastGroups), groupCol)
-      // double-space compare on purpose: a long cast would TRUNCATE in
-      // Spark but ROUND in DuckDB on the same rate product
-      .filter(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))) % 1000000 <
-        col("mix_rate") * 1000000)
+      .filter(mixKeep(keyCol, salt))
   }
 
   /** Deterministic SEQUENCE PACKING for LLM pretraining: assign every doc

@@ -183,6 +183,20 @@ object StreamOps {
                         value: org.apache.spark.sql.Column): DataFrame =
     graft.ext.Sketches.sparseRegisters(rows, keys, value)
 
+  /** Streaming curation-on-ingest: apply the temperature-mix keep decision
+    * to an ARRIVING document stream against a STATIC rates table (from
+    * [[graft.ext.TextAnalysis.temperatureRates]], re-derived periodically
+    * by a batch pass — rates need global group counts a stream cannot
+    * know; stream-static join is the standard pattern). Map-only on the
+    * stream with ZERO streaming state: the rates side broadcasts per
+    * micro-batch and the keep predicate is the same deterministic hash
+    * threshold as the batch mixer, so the kept set equals the batch
+    * operator's given the same rates (StreamOpsSpec pins stream == batch). */
+  def mixStream(rows: DataFrame, rates: DataFrame, groupCol: String,
+                keyCol: String, salt: String): DataFrame =
+    rows.join(broadcast(rates), groupCol)
+      .filter(graft.ext.TextAnalysis.mixKeep(keyCol, salt))
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -59,6 +59,36 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming temperature mix against static rates == batch mixer's kept set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = ((1 to 90).map(i => ("head", i.toLong)) ++
+      (1 to 10).map(i => ("tail", 100L + i))).toDF("source", "doc_id")
+    val rates = graft.ext.TextAnalysis.temperatureRates(docs, "source",
+      alpha = 0.5, nTarget = 40)
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.mixStream(in.toDF().toDF("source", "doc_id"), rates,
+        "source", "doc_id", "mx"),
+      "mix_stream_test", OutputMode.Append())
+    try {
+      // arrival order/batching must not matter: deliver in two odd slices
+      val all = ((1 to 90).map(i => ("head", i.toLong)) ++
+        (1 to 10).map(i => ("tail", 100L + i)))
+      in.addData(all.take(37): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(37): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream_test")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val batch = graft.ext.TextAnalysis.temperatureMix(docs, "source",
+        "doc_id", alpha = 0.5, nTarget = 40, salt = "mx")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(streamed.toSeq === batch.toSeq,
+        "streamed kept set must equal the batch mixer's")
+    } finally q.stop()
+  }
+
   test("event-time session windows: gap close + watermark timeout eviction") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.EvT]
