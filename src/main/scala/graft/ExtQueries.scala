@@ -366,6 +366,20 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Priority-aware survivor selection over the q27 clusters: keep the
+    // LONGEST member of each near-dup cluster (n_chars priority, min id
+    // on ties) instead of the arbitrary min-id rep — "keep the best copy".
+    "q85_dedup_keep_best" -> ((s, dir) => {
+      val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val clusters = Dedup.connectedComponents(dupPairs(s, dir, handles += _))
+        .select("doc_id", "cluster_rep")
+      val res = Dedup.keepBest(clusters,
+        docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .orderBy("doc_id")
+      handles.foreach(_.unpersist(blocking = false))
+      res
+    }),
+
     // BATCH contamination: three benchmarks screened against the train
     // corpus in ONE pass — the expensive train-shingle df table is built
     // once and shared (per-benchmark calls would rebuild it 3x). Same
@@ -1959,6 +1973,24 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The q27 cluster chain + a per-cluster argmax on (n_chars, -doc_id) —
+    // mirror of Dedup.keepBest's max(struct) survivor rule.
+    "q85_dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterRepCtes,
+         |pri AS (
+         |  SELECT r.doc_id, r.cluster_rep, d.n_chars
+         |  FROM rep r JOIN documents d USING (doc_id)),
+         |best AS (
+         |  SELECT cluster_rep, doc_id AS keep_id FROM (
+         |    SELECT cluster_rep, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_rep
+         |                              ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM pri) WHERE rn = 1)
+         |SELECT p.doc_id, p.cluster_rep, p.n_chars,
+         |       p.doc_id = b.keep_id AS keep
+         |FROM pri p JOIN best b USING (cluster_rep)
+         |ORDER BY doc_id""".stripMargin,
 
     // The q29 chain with a (benchmark, doc) group key and a shared train
     // side — mirror of Dedup.contaminationBatch.

@@ -486,6 +486,31 @@ object Dedup {
           s => s.getField("seg")), " ").as("kept_text"))
   }
 
+  // ---- priority-aware survivor selection ----
+
+  /** Priority-aware dedup survivor selection: given near-dup CLUSTERS
+    * (from [[connectedComponents]]: (idCol, cluster_rep)) and a per-doc
+    * priority (quality score, length, recency, source rank), keep the
+    * HIGHEST-priority member of each cluster — min id on ties — instead of
+    * the arbitrary min-id representative. "Keep the best copy" is what
+    * production pipelines actually run; min-id is only the default when no
+    * priority exists. Float priorities must be rounded upstream (the
+    * rank-stability rule) so ties are engine-portable.
+    *
+    * Returns (idCol, cluster_rep, priCol, keep) for every clustered doc.
+    * One equi-join on id + one groupBy(cluster) argmax via max(struct) —
+    * id-sized work, map-side partials, no window over the corpus. */
+  def keepBest(clusters: DataFrame, priority: DataFrame, idCol: String,
+               priCol: String): DataFrame = {
+    val scored = clusters.join(priority.select(col(idCol), col(priCol)), idCol)
+    val best = scored.groupBy("cluster_rep")
+      .agg(max(struct(col(priCol).as("p"), (-col(idCol)).as("ni"))).as("__b"))
+      .select(col("cluster_rep"), (-col("__b.ni")).as("__keep_id"))
+    scored.join(best, "cluster_rep")
+      .select(col(idCol), col("cluster_rep"), col(priCol),
+        (col(idCol) === col("__keep_id")).as("keep"))
+  }
+
   // ---- exact-substring duplicated spans (ExactSubstr-style) ----
 
   /** Duplicated-SPAN detection, the distributed re-expression of the

@@ -546,6 +546,18 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("keepBest: highest priority survives, min id on ties, one keeper per cluster") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_rep")
+    val pri = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.keepBest(clusters, pri, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // cluster 1: docs 2 and 3 tie at priority 9 -> min id 2 survives
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false))
+  }
+
   test("duplicatedSpans finds cross-doc spans, honors minSpan, counts self-repeats") {
     // docs 1 and 2 share the 6-token span "a b c d e f" (4 duplicated
     // 3-gram windows -> span 4 + 2 = 6); doc 3 is clean; doc 4 repeats its
