@@ -366,6 +366,16 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Incremental ANN ingest: the 100 "new" vectors assigned to centroids
+    // built from the 400 "seen" ones — no k-means rerun, no driver-side
+    // centroid collect, batch-sized shuffle.
+    "q86_assign_new" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cents = SimSearch.centroids(c.filter(col("vec_id") < 400), "label")
+      SimSearch.assignNew(c.filter(col("vec_id") >= 400), cents)
+        .orderBy("vec_id")
+    }),
+
     // Priority-aware survivor selection over the q27 clusters: keep the
     // LONGEST member of each near-dup cluster (n_chars priority, min id
     // on ties) instead of the arbitrary min-id rep — "keep the best copy".
@@ -1973,6 +1983,30 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The q31 centroid CTE restricted to the seen half, then a per-new-
+    // vector argmax (cos desc, cell asc) — mirror of SimSearch.assignNew.
+    "q86_assign_new" ->
+      s"""WITH cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT label AS cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+         |      SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS pos
+         |      FROM embeddings WHERE vec_id < 400)
+         |    GROUP BY label, pos) GROUP BY cell),
+         |scored AS (
+         |  SELECT e.vec_id, c.cell,
+         |         (list_inner_product(CAST(e.ee AS DOUBLE[]), c.centroid)
+         |          / (sqrt(list_inner_product(CAST(e.ee AS DOUBLE[]), CAST(e.ee AS DOUBLE[])))
+         |             * sqrt(list_inner_product(c.centroid, c.centroid)))) AS cos
+         |  FROM (SELECT vec_id, embedding AS ee FROM embeddings WHERE vec_id >= 400) e
+         |  CROSS JOIN cents c),
+         |r AS (
+         |  SELECT vec_id, cell, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cell, round(cos, 6) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // The q27 cluster chain + a per-cluster argmax on (n_chars, -doc_id) —
     // mirror of Dedup.keepBest's max(struct) survivor rule.

@@ -227,6 +227,29 @@ object SimSearch {
           (col("__best.negc") * -1).as("cell"), col("__best.cos").as("cos"))
     }
 
+  /** INCREMENTAL cell assignment: assign a NEW batch of vectors to FIXED
+    * existing centroids (a (cell, centroid) table from [[centroids]] or a
+    * persisted index) without re-running k-means — the embedding-side twin
+    * of [[Dedup.minhashLshAgainst]]'s new-vs-seen ingest economics: per-
+    * batch cost tracks the batch, the index is never rebuilt.
+    *
+    * Fully in-plan (the centroid table never collects to the driver):
+    * broadcast join + map-side-partial max(struct) argmax — the same plan
+    * shape as the large-k assignment path, so it survives the
+    * 10^4-10^5-cell regime; the one shuffle carries batch rows, never the
+    * batch × cells product. Ties break to the smallest cell (the house
+    * rank order); cosine rounds to 6 for engine portability. */
+  def assignNew(newDocs: DataFrame, cents: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    newDocs.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cents.select(col("cell").as("__cell"),
+        col("centroid").as("__centroid"))))
+      .groupBy(col(idCol), col(embCol))
+      .agg(max(struct(cosine(col(embCol), col("__centroid")).as("cos"),
+        (-col("__cell")).as("negc"))).as("__best"))
+      .select(col(idCol), (col("__best.negc") * -1).as("cell"),
+        round(col("__best.cos"), 6).as("cosine"))
+
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
                    idCol: String = "vec_id", embCol: String = "embedding",
                    maxLiteralK: Int = maxLiteralCentroids): DataFrame = {
