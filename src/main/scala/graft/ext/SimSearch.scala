@@ -130,9 +130,19 @@ object SimSearch {
     * union of searched cells never scores a pair twice and needs no dedup. */
   def knnIvf(probes: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
              nprobe: Int = 1,
-             maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+             maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame =
+    knnIvfWith(probes, corpus.withColumnRenamed(cellCol, "cell"),
+      centroids(corpus, cellCol), k, nprobe, maxProbeRows)
+
+  /** [[knnIvf]] against PRECOMPUTED centroids — the search half of a
+    * persisted index ([[writeIvfIndex]]/[[readIvfIndex]]): centroids are
+    * derived once at build time and reused by every query, instead of
+    * re-aggregated per search. `corpus` must already carry a `cell`
+    * column aligned with `cents` (cell, centroid). */
+  def knnIvfWith(probes: DataFrame, corpus: DataFrame, cents: DataFrame,
+                 k: Int, nprobe: Int = 1,
+                 maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
     require(nprobe >= 1, s"knnIvf needs nprobe >= 1, got $nprobe")
-    val cents = centroids(corpus, cellCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("ccos"), col("cell"))
     val assigned = guardProbes(probes, maxProbeRows).crossJoin(broadcast(cents))
@@ -143,7 +153,7 @@ object SimSearch {
 
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
-    corpus.withColumnRenamed(cellCol, "cell")
+    corpus
       .join(broadcast(assigned), "cell")
       .withColumn("cos", cosine(col("p_embedding"), col("embedding")))
       .withColumn("rnk", row_number().over(w2))
@@ -286,6 +296,31 @@ object SimSearch {
     assignCells(base, cents, idCol, embCol, maxLiteralK)
       .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** BUILD-ONCE IVF index persistence: cluster the corpus, write the
+    * assigned vectors PARTITIONED BY CELL plus the centroid table. The
+    * search-many economics: every subsequent query reads the cells-sized
+    * centroid table and scans only its probes' cells (cell-partitioned
+    * layout → partition pruning on the cell join/filter), instead of
+    * re-running k-means and re-aggregating centroids per query. The
+    * centroids written are the per-cell means of the FINAL assignment —
+    * exactly what [[knnIvf]] derives internally, so a search against the
+    * persisted index equals the direct path (SimSearchSpec pins it). */
+  def writeIvfIndex(corpus: DataFrame, path: String, cells: Int, iters: Int = 2,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val assigned = kmeansAssign(corpus, cells, iters, idCol, embCol)
+      .select(col(idCol), col("cell"))
+    val indexed = corpus.select(col(idCol), col(embCol)).join(assigned, idCol)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids(indexed, "cell")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read a [[writeIvfIndex]] index back as (vectors-with-cell,
+    * centroids) — feed both to [[knnIvfWith]]. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/vectors"), spark.read.parquet(s"$path/centroids"))
 
   /** The end-to-end ANN path as ONE call: [[kmeansAssign]] produces the
     * coarse cells, [[knnIvf]] searches each probe's `nprobe` best ones.

@@ -606,6 +606,37 @@ class SimSearchSpec extends SparkTestBase {
   private val probes = corpus.filter($"vec_id" === 0L)
     .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
 
+  test("IVF index persistence: search against the written index == direct knnIvf; assignNew ties to smallest cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      val big = (0 until 40).map { i =>
+        val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+        (i.toLong, Array(base(0) + i * 0.001f, base(1)), i % 2)
+      }.toDF("vec_id", "embedding", "label")
+      SimSearch.writeIvfIndex(big, dir, cells = 2, iters = 2)
+      // cell-partitioned layout on disk
+      assert(new java.io.File(s"$dir/vectors").listFiles()
+        .count(_.getName.startsWith("cell=")) === 2)
+      val (vecs, cents) = SimSearch.readIvfIndex(spark, dir)
+      val p = big.filter($"vec_id" === 0L)
+        .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
+      val viaIndex = SimSearch.knnIvfWith(p, vecs, cents, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val assigned = SimSearch.kmeansAssign(big, k = 2, iters = 2).select("vec_id", "cell")
+      val direct = SimSearch.knnIvf(p, big.select("vec_id", "embedding")
+        .join(assigned, "vec_id"), "cell", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      assert(viaIndex.toSet === direct.toSet)
+      // assignNew: an equidistant vector ties to the SMALLEST cell
+      val tied = Seq((99L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+      val twoCells = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "centroid")
+      val got = SimSearch.assignNew(tied, twoCells).head()
+      assert(got.getInt(1) === 0, "cos tie must break to the smallest cell")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("nearDupPairs size guard trips loudly past maxRows; dim mismatch errors loudly") {
     val e1 = intercept[IllegalArgumentException] {
       SimSearch.nearDupPairs(corpus, minCos = 0.5, maxRows = 3)
