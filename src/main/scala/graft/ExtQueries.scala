@@ -366,6 +366,16 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Grouped top-k via the k-bounded aggregate: per-source 5 longest
+    // docs. Unlike a per-group rank window (whole group -> one reducer),
+    // partial aggregation caps every partition's contribution at k rows
+    // per group BEFORE the shuffle — the TakeOrderedAndProject economics,
+    // per group.
+    "q87_grouped_topk" -> ((s, dir) =>
+      graft.ops.TopK.groupedTopK(docs(s, dir), Seq("source"),
+        col("n_chars"), col("doc_id"), k = 5)
+        .orderBy("source", "rnk")),
+
     // Incremental ANN ingest: the 100 "new" vectors assigned to centroids
     // built from the 400 "seen" ones — no k-means rerun, no driver-side
     // centroid collect, batch-sized shuffle.
@@ -1983,6 +1993,18 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Rank-for-rank mirror of TopK.groupedTopK's (score DESC, id ASC)
+    // order; the oracle can afford the window the engine avoids.
+    "q87_grouped_topk" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT source, CAST(rnk AS INT) AS rnk, doc_id AS id,
+         |       CAST(n_chars AS DOUBLE) AS score
+         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     // The q31 centroid CTE restricted to the seen half, then a per-new-
     // vector argmax (cos desc, cell asc) — mirror of SimSearch.assignNew.

@@ -195,6 +195,38 @@ class PlanSpec extends SparkTestBase {
       graft.ops.Partitioning.zValueN(Seq(col("x"), col("y"), col("z")), 22) }
   }
 
+  test("groupedTopK: matches the window formulation; buffers stay k-bounded; ties by id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).map(i => (s"g${i % 7}", i, (i % 13).toDouble))
+      .toDF("g", "id", "sc")
+    val got = graft.ops.TopK.groupedTopK(df, Seq("g"), col("sc"), col("id"), k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("sc"), col("id"))
+    val want = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      .select(col("g"), col("rnk").cast("int"), col("id"), col("sc"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // aggregator semantics directly: k-bounded buffer, (score desc, id asc)
+    val agg = new graft.ops.TopK.TopKAgg(2)
+    val filled = Seq(3.0 -> 1L, 1.0 -> 2L, 3.0 -> 0L, 5.0 -> 9L)
+      .foldLeft(agg.zero) { case (b, (s, i)) =>
+        agg.reduce(b, graft.ops.TopK.ScoredId(s, i)) }
+    assert(filled.map(x => (x.s, x.id)) === Seq((5.0, 9L), (3.0, 0L)))
+    val merged = agg.merge(filled, Seq(graft.ops.TopK.ScoredId(4.0, 7L)))
+    assert(merged.map(x => (x.s, x.id)) === Seq((5.0, 9L), (4.0, 7L)))
+  }
+
+  test("q87 grouped top-k: k-bounded PARTIAL aggregation before the shuffle, no rank window") {
+    val p = plan("q87_grouped_topk").toLowerCase
+    assert(p.contains("partial_topkagg") || p.contains("partial_scalaaggregator")
+      || (p.contains("partial_") && p.contains("topkagg")),
+      "the top-k aggregate must run a map-side partial phase:\n" + p)
+    assert(!p.contains("window"),
+      "grouped top-k must never fall back to a per-group rank window:\n" + p)
+  }
+
   test("contiguousIds: ids are 0..n-1, partitioning-invariant, and never a global-sort plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
