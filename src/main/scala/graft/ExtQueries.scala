@@ -325,8 +325,10 @@ object ExtQueries {
     // BM25 against a query TABLE: three queries scored in ONE pass over
     // the corpus (the batch-retrieval form a contamination audit runs).
     // Contributions are computed once per (doc, term) and fanned out to
-    // every query containing the term; top-5 per query via a window
-    // PARTITIONED by query_id (parallel across queries — no global sort).
+    // every query containing the term; top-5 per query via the k-bounded
+    // groupedTopK aggregate — a hot query matching billions of docs
+    // partial-aggregates to 5 rows per partition instead of funneling its
+    // whole scored set through one rank-window reducer.
     "q78_bm25_queries" -> ((s, dir) => {
       import s.implicits._
       val q = Seq(
@@ -334,13 +336,10 @@ object ExtQueries {
         (2, "window"), (2, "stream"),
         (3, "data"), (3, "table"), (3, "join"))
         .toDF("query_id", "term")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
-      Retrieval.bm25Queries(docs(s, dir), "doc_id", "text", q)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .withColumn("score", col("score").cast("double"))
-        .select("query_id", "doc_id", "score", "rnk")
+      graft.ops.TopK.groupedTopK(
+        Retrieval.bm25Queries(docs(s, dir), "doc_id", "text", q),
+        Seq("query_id"), col("score"), col("doc_id"), k = 5)
+        .select(col("query_id"), col("id").as("doc_id"), col("score"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),
 
