@@ -365,6 +365,14 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Stratified weighted sampling: 3 length-weighted survivors PER
+    // SOURCE via ES keys + the grouped top-k aggregate — exact strata
+    // sizes with quality weighting, no per-group reducer funnel.
+    "q88_weighted_sample_by_group" -> ((s, dir) =>
+      TextAnalysis.weightedSampleByGroup(docs(s, dir), "source", "doc_id",
+        col("n_chars"), k = 3, salt = "wsg-v1")
+        .orderBy("source", "rnk")),
+
     // Grouped top-k via the k-bounded aggregate: per-source 5 longest
     // docs. Unlike a per-group rank window (whole group -> one reducer),
     // partial aggregation caps every partition's contribution at k rows
@@ -1992,6 +2000,23 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The q73 key arithmetic partitioned by source — mirror of
+    // weightedSampleByGroup (key rounded BEFORE ranking, id tiebreak).
+    "q88_weighted_sample_by_group" ->
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |         round(pow((${TextAnalysis.h60Sql("'wsg-v1:' || CAST(doc_id AS VARCHAR)")}
+         |                    + 1.0) / pow(2, 60),
+         |                   1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (
+         |  SELECT source, doc_id, sample_key,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY sample_key DESC, doc_id) AS rnk
+         |  FROM keyed)
+         |SELECT source, doc_id, sample_key, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     // Rank-for-rank mirror of TopK.groupedTopK's (score DESC, id ASC)
     // order; the oracle can afford the window the engine avoids.

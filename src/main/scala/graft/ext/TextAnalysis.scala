@@ -227,6 +227,27 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-GROUP weighted sampling without replacement: [[weightedSample]]'s
+    * Efraimidis-Spirakis keys ranked within each group by the k-bounded
+    * [[graft.ops.TopK.groupedTopK]] aggregate — exactly k quality-weighted
+    * survivors per language/source, with a hot group partial-aggregating
+    * to k rows per partition instead of single-reducer sorting. Same
+    * determinism contract as the global form (hash-derived u, key rounded
+    * to 6 before ranking, id tiebreak). Returns (groupCol, idCol,
+    * sample_key, rnk). */
+  def weightedSampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+                            weight: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (h60(concat(lit(salt + ":"), col(idCol).cast("string"))).cast("double") + 1.0) /
+      math.pow(2, 60)
+    graft.ops.TopK.groupedTopK(
+      df.filter(weight > 0)
+        .withColumn("sample_key", round(pow(u, lit(1.0) / weight.cast("double")), 6)),
+      Seq(groupCol), col("sample_key"), col(idCol), k)
+      .select(col(groupCol), col("id").as(idCol),
+        col("score").as("sample_key"), col("rnk"))
+  }
+
   /** Temperature-weighted corpus mixing (the multilingual-LM standard,
     * e.g. mT5 §3.1): per-group sampling rates DERIVED from corpus shares —
     * weight w_g ∝ n_g^alpha (alpha < 1 upsamples the tail), target_g =
