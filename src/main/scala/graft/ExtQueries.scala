@@ -365,6 +365,24 @@ object ExtQueries {
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 3, minSpan = 5)
         .orderBy("doc_id")),
 
+    // Corpus report card: the one-pass profiling query a curation run
+    // starts with — per-source volume, token totals, language spread,
+    // length distribution. ONE groupBy; the exact percentiles buffer
+    // per-group values, so at 100 TB swap them for the mergeable
+    // histogram sketch (q63) — the rest partial-aggregates map-side.
+    "q89_corpus_report" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.95)"), 6).as("p95_chars"))
+        .orderBy("source")),
+
     // Stratified weighted sampling: 3 length-weighted survivors PER
     // SOURCE via ES keys + the grouped top-k aggregate — exact strata
     // sizes with quality weighting, no per-group reducer funnel.
@@ -2000,6 +2018,18 @@ object ExtQueries {
          |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
          |       CAST(rnk AS INT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Stat-for-stat report mirror: quantile_cont == Spark's exact
+    // percentile (the q19 parity), sums cast BIGINT.
+    "q89_corpus_report" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, n_chars, len($toksSql) AS n_tok FROM documents)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       round(avg(n_chars), 6) AS avg_chars,
+         |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // The q73 key arithmetic partitioned by source — mirror of
     // weightedSampleByGroup (key rounded BEFORE ranking, id tiebreak).
