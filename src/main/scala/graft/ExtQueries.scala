@@ -401,6 +401,19 @@ object ExtQueries {
         col("n_chars"), col("doc_id"), k = 5)
         .orderBy("source", "rnk")),
 
+    // Incremental SEMANTIC dedup: the new batch near-dup-checked against
+    // the seen, pre-clustered corpus — cell equi-join candidates only,
+    // never new x seen; the seen side is never re-clustered.
+    "q90_neardup_against" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val seen = c.filter(col("vec_id") < 400)
+      val cents = SimSearch.centroids(seen, "label")
+      SimSearch.nearDupAgainst(
+        c.filter(col("vec_id") >= 400).select("vec_id", "embedding"),
+        seen.withColumnRenamed("label", "cell"), cents, minCos = 0.4)
+        .orderBy("new_id", "seen_id")
+    }),
+
     // Incremental ANN ingest: the 100 "new" vectors assigned to centroids
     // built from the 400 "seen" ones — no k-means rerun, no driver-side
     // centroid collect, batch-sized shuffle.
@@ -2059,6 +2072,41 @@ object ExtQueries {
          |SELECT source, CAST(rnk AS INT) AS rnk, doc_id AS id,
          |       CAST(n_chars AS DOUBLE) AS score
          |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // The q86 assignment chain extended with the seen-side cell join and
+    // cosine verify — mirror of SimSearch.nearDupAgainst.
+    "q90_neardup_against" ->
+      s"""WITH cents AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT label AS cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+         |      SELECT label, unnest(embedding) AS v,
+         |             generate_subscripts(embedding, 1) AS pos
+         |      FROM embeddings WHERE vec_id < 400)
+         |    GROUP BY label, pos) GROUP BY cell),
+         |newv AS (SELECT vec_id, embedding AS ee FROM embeddings WHERE vec_id >= 400),
+         |scored AS (
+         |  SELECT n.vec_id, c.cell,
+         |         (list_inner_product(CAST(n.ee AS DOUBLE[]), c.centroid)
+         |          / (sqrt(list_inner_product(CAST(n.ee AS DOUBLE[]), CAST(n.ee AS DOUBLE[])))
+         |             * sqrt(list_inner_product(c.centroid, c.centroid)))) AS ccos
+         |  FROM newv n CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |seen AS (SELECT vec_id AS seen_id, label AS cell, embedding AS se
+         |         FROM embeddings WHERE vec_id < 400),
+         |pairs AS (
+         |  SELECT a.vec_id AS new_id, s.seen_id, a.cell,
+         |         (list_inner_product(CAST(n.ee AS DOUBLE[]), CAST(s.se AS DOUBLE[]))
+         |          / (sqrt(list_inner_product(CAST(n.ee AS DOUBLE[]), CAST(n.ee AS DOUBLE[])))
+         |             * sqrt(list_inner_product(CAST(s.se AS DOUBLE[]), CAST(s.se AS DOUBLE[]))))) AS cos
+         |  FROM assigned a
+         |  JOIN newv n ON n.vec_id = a.vec_id
+         |  JOIN seen s USING (cell))
+         |SELECT new_id, seen_id, cell, round(cos, 6) AS cosine
+         |FROM pairs WHERE cos >= 0.4 ORDER BY new_id, seen_id""".stripMargin,
 
     // The q31 centroid CTE restricted to the seen half, then a per-new-
     // vector argmax (cos desc, cell asc) — mirror of SimSearch.assignNew.

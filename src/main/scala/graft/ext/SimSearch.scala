@@ -297,6 +297,30 @@ object SimSearch {
       .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Cross-corpus semantic near-dup: a NEW vector batch against a SEEN
+    * corpus that already carries cells (a persisted [[writeIvfIndex]]
+    * index, or any [[kmeansAssign]] output joined back) — the embedding
+    * twin of [[Dedup.minhashLshAgainst]] and the incremental form of
+    * [[semDedup]]. The new batch is assigned to the SAME fixed centroids
+    * ([[assignNew]]), candidates come from the cell equi-join only (never
+    * new × seen), and the exact cosine verifies. Per-batch cost tracks the
+    * batch and the seen side's matching cells; the seen corpus is never
+    * re-clustered and never self-joined. */
+  def nearDupAgainst(newVecs: DataFrame, seenWithCell: DataFrame,
+                     cents: DataFrame, minCos: Double,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = assignNew(newVecs, cents, idCol, embCol)
+      .select(col(idCol).as("new_id"), col("cell"))
+      .join(newVecs.select(col(idCol).as("new_id"), col(embCol).as("new_emb")), "new_id")
+    seenWithCell
+      .select(col(idCol).as("seen_id"), col(embCol).as("seen_emb"), col("cell"))
+      .join(a, "cell")
+      .withColumn("cos", cosine(col("new_emb"), col("seen_emb")))
+      .filter(col("cos") >= minCos)
+      .select(col("new_id"), col("seen_id"), col("cell"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** BUILD-ONCE IVF index persistence: cluster the corpus, write the
     * assigned vectors PARTITIONED BY CELL plus the centroid table. The
     * search-many economics: every subsequent query reads the cells-sized
