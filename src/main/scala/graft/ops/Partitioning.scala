@@ -139,7 +139,9 @@ object Partitioning {
     * computed in-plan and broadcast back. global_id = offset + local rank.
     * The id order is (hash, id) — i.e. assignment doubles as a
     * deterministic global shuffle of the corpus, which is what a training
-    * pipeline wants anyway. */
+    * pipeline wants anyway. `idCol` must be UNIQUE: two rows sharing an id
+    * would tie in the sort and receive their two global ids in an
+    * arbitrary (though set-stable) order. */
   def contiguousIds(df: DataFrame, idCol: String, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     require(buckets >= 1, s"contiguousIds needs >= 1 buckets, got $buckets")

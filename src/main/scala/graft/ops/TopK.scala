@@ -50,13 +50,17 @@ object TopK {
   /** Top `k` rows per group: returns (groupCols*, rnk, id, score) with
     * rnk 1-based in (score DESC, id ASC) order. `score` must be rounded
     * upstream; `id` is the Long tiebreak/payload key (join the original
-    * row back by id + group downstream if more columns are needed). */
+    * row back by id + group downstream if more columns are needed).
+    * Null-score/null-id rows are excluded — a null cannot rank, and
+    * decoding one into the aggregator's primitive fields would corrupt
+    * silently instead of loudly. */
   def groupedTopK(df: DataFrame, groupCols: Seq[String], score: Column,
                   id: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = udaf(new TopKAgg(k))
-    df.groupBy(groupCols.map(col): _*)
+    df.filter(score.isNotNull && id.isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg(score.cast("double"), id.cast("long")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__p", "__r")): _*)
       .select(groupCols.map(col) :+ (col("__p") + 1).cast("int").as("rnk") :+
