@@ -183,6 +183,18 @@ object StreamOps {
                         value: org.apache.spark.sql.Column): DataFrame =
     graft.ext.Sketches.sparseRegisters(rows, keys, value)
 
+  /** Exact-dedup ON INGEST: drop arriving rows whose dedup key (e.g.
+    * md5(text)) already exists in the SEEN-corpus key table — a
+    * stream-static LEFT ANTI join, map-only per micro-batch, zero
+    * streaming state. The static side is re-read per micro-batch, so a
+    * periodically-rewritten key table (the batch dedup job's output)
+    * takes effect without restarting the stream. Catches new-vs-seen
+    * duplicates only; compose with [[dedupStream]] (watermark-bounded)
+    * for duplicates arriving WITHIN the stream. */
+  def dedupScreenStream(rows: DataFrame, seenKeys: DataFrame,
+                        keyCol: String): DataFrame =
+    rows.join(seenKeys.select(keyCol), Seq(keyCol), "left_anti")
+
   /** Streaming curation-on-ingest: apply the temperature-mix keep decision
     * to an ARRIVING document stream against a STATIC rates table (from
     * [[graft.ext.TextAnalysis.temperatureRates]], re-derived periodically

@@ -59,6 +59,28 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup screen drops seen keys, passes fresh ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val seen = Seq("dup one", "dup two").toDF("text")
+      .select(md5(col("text")).as("h"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupScreenStream(
+        in.toDF().toDF("doc_id", "text").withColumn("h", md5(col("text"))),
+        seen, "h"),
+      "dedup_screen_test", OutputMode.Append())
+    try {
+      in.addData((1L, "dup one"), (2L, "fresh a"))
+      q.processAllAvailable()
+      in.addData((3L, "dup two"), (4L, "fresh b"), (5L, "dup one"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_screen_test")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(2L, 4L), "only unseen texts may pass")
+    } finally q.stop()
+  }
+
   test("streaming temperature mix against static rates == batch mixer's kept set") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
