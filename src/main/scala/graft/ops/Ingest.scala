@@ -47,8 +47,8 @@ object Ingest {
   }
 
   /** S2 widened to mixed formats: the reference's data_folder holds
-    * arbitrary tabular files (xlsx there; parquet/csv/json here — Excel
-    * earns no first-class path at scale, convert it at landing). One
+    * arbitrary tabular files (xlsx there; parquet/csv/json/orc here —
+    * Excel earns no first-class path at scale, convert it at landing). One
     * multi-path scan PER FORMAT — partition-parallel, with pushdown where
     * the format supports it — then one union by name with null fill, so a
     * folder mixing formats and schemas reads like the reference's concat.
@@ -68,9 +68,13 @@ object Ingest {
       Some(grp(".csv")).filter(_.nonEmpty).map(ps =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(ps: _*)),
       Some(grp(".json")).filter(_.nonEmpty).map(ps =>
-        spark.read.json(ps: _*))
+        spark.read.json(ps: _*)),
+      // ORC: the other self-describing columnar format Spark speaks
+      // natively — full pushdown + pruning, no inference pass needed
+      Some(grp(".orc")).filter(_.nonEmpty).map(ps =>
+        spark.read.orc(ps: _*))
     ).flatten
-    require(perFormat.nonEmpty, s"no parquet/csv/json files under $dir")
+    require(perFormat.nonEmpty, s"no parquet/csv/json/orc files under $dir")
     unionAllByName(perFormat)
   }
 }

@@ -18,16 +18,18 @@ class IngestSpec extends SparkTestBase {
       .coalesce(1).write.option("header", "true").csv(dir + "/c")
     Seq((4L, "delta")).toDF("id", "extra")
       .coalesce(1).write.json(dir + "/j")
+    Seq((5L, "epsilon", 7.25)).toDF("id", "name", "score")
+      .coalesce(1).write.orc(dir + "/o")
     // flatten the per-format subdirs into one folder of files
     val flat = Files.createTempDirectory("graft-flat").toString
-    for (sub <- Seq("p", "c", "j");
+    for (sub <- Seq("p", "c", "j", "o");
          f <- new java.io.File(dir, sub).listFiles
          if f.getName.endsWith(".parquet") || f.getName.endsWith(".csv")
-           || f.getName.endsWith(".json"))
+           || f.getName.endsWith(".json") || f.getName.endsWith(".orc"))
       Files.copy(f.toPath, java.nio.file.Paths.get(flat, f.getName))
 
     val out = Ingest.folderMixed(spark, flat)
-    assert(out.count() === 4)
+    assert(out.count() === 5)
     assert(out.columns.toSet === Set("id", "name", "score", "extra"))
     val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
     assert(byId(1L).getAs[String]("name") === "alpha")
@@ -35,6 +37,8 @@ class IngestSpec extends SparkTestBase {
     assert(byId(3L).getAs[Double]("score") === 9.5)             // csv row with inferSchema
     assert(byId(4L).getAs[String]("extra") === "delta")         // json-only column
     assert(byId(4L).isNullAt(byId(4L).fieldIndex("name")))
+    assert(byId(5L).getAs[String]("name") === "epsilon")        // orc row
+    assert(byId(5L).getAs[Double]("score") === 7.25)
   }
 
   test("folderMixed: empty folder is a loud error") {
