@@ -546,6 +546,43 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("duplicatedSpans property: random tiny-alphabet corpora == brute-force reference") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(11L)
+    val k = 2; val minSpan = 3
+    val docGen = Gen.listOfN(8,
+      Gen.listOfN(10, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    (0 until 25).foreach { _ =>
+      docGen.apply(Gen.Parameters.default, seed).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        // brute force: global k-gram window counts, per-doc maximal runs
+        val wins = docs.flatMap { case (id, t) =>
+          t.split(" ").filter(_.nonEmpty).sliding(k).filter(_.size == k)
+            .zipWithIndex.map { case (w, pos) => (id, pos, w.mkString(" ")) }
+        }
+        val freq = wins.groupBy(_._3).map { case (w, xs) => w -> xs.size }
+        val want = docs.flatMap { case (id, _) =>
+          val dupPos = wins.filter(x => x._1 == id && freq(x._3) >= 2).map(_._2).sorted
+          if (dupPos.isEmpty) None
+          else {
+            val runs = dupPos.foldLeft(List.empty[List[Int]]) {
+              case (acc @ (h :: rest), p) if h.head == p - 1 => (p :: h) :: rest
+              case (acc, p) => List(p) :: acc
+            }.map(_.size)
+            val span = runs.max + k - 1
+            if (span >= minSpan) Some((id, dupPos.size.toLong, span.toLong)) else None
+          }
+        }.sortBy(_._1)
+        val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+            k = k, minSpan = minSpan)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === want, s"texts=$texts")
+      }
+      seed = seed.next
+    }
+  }
+
   test("keepBest: highest priority survives, min id on ties, one keeper per cluster") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "cluster_rep")

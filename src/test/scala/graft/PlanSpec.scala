@@ -218,6 +218,31 @@ class PlanSpec extends SparkTestBase {
     assert(merged.map(x => (x.s, x.id)) === Seq((5.0, 9L), (4.0, 7L)))
   }
 
+  test("TopKAgg property: any reduce/merge split order == sort-take-k reference") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(7L)
+    // unique ids (the operator's contract); low-cardinality scores so
+    // boundary ties are constantly exercised
+    val rowGen = Gen.listOfN(40, Gen.choose(0, 9).map(_.toDouble))
+    val agg = new graft.ops.TopK.TopKAgg(5)
+    (0 until 80).foreach { _ =>
+      rowGen.apply(Gen.Parameters.default, seed).foreach { scores =>
+        val rows = scores.zipWithIndex.map { case (s, i) =>
+          graft.ops.TopK.ScoredId(s, i.toLong) }
+        // reference: plain sort by (score desc, id asc), take 5
+        val want = rows.sortBy(x => (-x.s, x.id)).take(5)
+        // aggregator: random split into partitions, reduce each, merge all
+        val cut = (rows.hashCode.abs % (rows.size max 1)) max 1
+        val parts = rows.grouped(cut).toSeq
+        val got = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(got) === want,
+          s"split=$cut rows=${rows.take(8)}...")
+      }
+      seed = seed.next
+    }
+  }
+
   test("q87 grouped top-k: k-bounded PARTIAL aggregation before the shuffle, no rank window") {
     val p = plan("q87_grouped_topk").toLowerCase
     assert(p.contains("partial_topkagg") || p.contains("partial_scalaaggregator")
