@@ -690,7 +690,7 @@ object ExtQueries {
       graft.ops.JoinOps.saltedEquiJoin(li, orders, "o_orderkey",
         concat(col("o_orderkey"), lit(":"), col("l_linenumber")), salts = 8)
         .groupBy("o_orderpriority")
-        .agg(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).as("revenue"),
+        .agg(round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
@@ -708,7 +708,7 @@ object ExtQueries {
       val disc = col("l_discount").cast(DecimalType(6, 4))
       graft.ops.JoinOps.bloomFilteredJoin(li, hot, "o_orderkey")
         .groupBy("o_orderpriority")
-        .agg(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).as("revenue"),
+        .agg(round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
@@ -1938,18 +1938,18 @@ object ExtQueries {
     // techniques that must not change a single output row.
     "q71_salted_join" ->
       """SELECT o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
-        |            AS DECIMAL(38,8)) AS revenue,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q72_bloom_join" ->
       """SELECT o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
-        |            AS DECIMAL(38,8)) AS revenue,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |                 * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0

@@ -11,11 +11,17 @@ import graft.ops.{Distance, FuzzyJoin, Ingest, Normalize, Resolve}
   *
   * Conventions that keep the DuckDB-oracle hash comparison deterministic:
   *   - every aggregate over doubles goes through DECIMAL(p,4) casts so sums
-  *     are exact and order-independent in BOTH engines. Low-scale sums cast
-  *     back to double (identical bits); scale >= 8 money sums COMPARE AS
-  *     DECIMAL on both sides — Spark's final decimal->double conversion is
-  *     correctly rounded but DuckDB's is not, and at sf0.1 the two diverge
-  *     by 1 ulp (q10 sum_charge/sum_disc_price, q11/q71/q72 revenue);
+  *     are exact and order-independent in BOTH engines. Scale >= 8 money
+  *     sums (q10 sum_disc_price/sum_charge, q11/q71/q72 revenue) then
+  *     round to 2 dp IN DECIMAL SPACE before the double cast: DuckDB's
+  *     wide-decimal->double conversion is not correctly rounded (the
+  *     int128 numerator exceeds 2^53 and double-rounds), so the raw casts
+  *     diverge by 1 ulp at sf0.1 — after the exact decimal round, both
+  *     numerators fit 2^53 and both conversions are correctly rounded to
+  *     identical bits at ANY scale. (Comparing AS DECIMAL is not an
+  *     option: the driver reads Spark parquet via pyarrow — Decimal
+  *     objects — but its oracle through duckdb.df(), which floats
+  *     decimals; the two sides would stringify differently.);
   *   - every query ends in a total ORDER BY with explicit tiebreaks;
   *   - column names are identical between the Spark result and the oracle
   *     SQL (the driver sorts columns by name before hashing).
@@ -191,13 +197,13 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).as("sum_disc_price"),
+          round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)), 2).cast("double").as("sum_disc_price"),
           // sum_charge stays DECIMAL end-to-end: its scale-12 sum is exact
           // in both engines, but a final decimal->double cast is correctly
           // rounded in Spark and NOT in DuckDB — at sf0.1 the conversions
           // disagree by 1 ulp. Exact decimals stringify identically.
-          sum(price * (lit(1).cast(DecimalType(6, 4)) - disc) * (lit(1).cast(DecimalType(6, 4)) + tax))
-            .as("sum_charge"),
+          round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc) * (lit(1).cast(DecimalType(6, 4)) + tax)), 2)
+            .cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -217,7 +223,7 @@ object SparkEntry {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)).as("revenue"),
+        .agg(round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("n_name"))
     }),
@@ -432,8 +438,8 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS sum_charge,
+          |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+          |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
           |  COUNT(*) AS count_order
           |FROM lineitem
@@ -442,7 +448,7 @@ object SparkEntry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q11_revenue_by_nation" ->
         """SELECT n_name,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8)) AS revenue,
+          |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
           |  COUNT(*) AS n_items
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey

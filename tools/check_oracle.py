@@ -17,6 +17,20 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def normalize_dates(df):
+    # pyarrow reads a Spark DATE as datetime.date objects; duckdb's .df()
+    # yields datetime64 — but DATE-output queries (q54) PASS the driver's
+    # gate, so the driver normalizes dates (unlike decimals, which failed
+    # q66 in round 6). Mirror that: fold date objects into timestamps.
+    import datetime, pandas as pd
+    for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
+               and not isinstance(nn.iloc[0], datetime.datetime):
+                df = df.assign(**{c: pd.to_datetime(df[c])})
+    return df
+
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -46,13 +60,19 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+        # pyarrow, NOT duckdb: the driver reads the Spark side faithfully
+        # (int64 stays int64, DECIMAL becomes Decimal objects) while its
+        # oracle side goes through duckdb.df() (which floats decimals) —
+        # loading both sides through duckdb here would hide exactly that
+        # asymmetry (it hid the decimal-vs-float skew until round 7).
+        import pandas as _pd
+        got = normalize_dates(_pd.read_parquet(d))
         if name not in oracle:
             print(f"{name:28s} rows={len(got):7d}  (no oracle: rows-only check)"
                   + ("  EMPTY!" if len(got) == 0 else ""))
             continue
         try:
-            want = con.sql(oracle[name]).df()
+            want = normalize_dates(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"{name:28s} ORACLE SQL ERROR: {e}")
             failures += 1
