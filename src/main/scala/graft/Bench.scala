@@ -37,7 +37,12 @@ object Bench {
     // Untimed global warmup: session init, file listing, common codegen.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,q28,q85); unset = full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       if (errors.contains(name)) None

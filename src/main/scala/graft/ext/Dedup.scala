@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Guards
+
 /** Deduplication family for training-data pipelines:
   *
   *   - exact:       hash-groupBy on the dedup key (one shuffle, partial aggs)
@@ -189,16 +191,20 @@ object Dedup {
     *
     * All 60 bit-votes are parallel `sum` aggregates in ONE groupBy(doc_id)
     * with map-side partials — an earlier shape exploded a 60-row bit index
-    * per token, pushing 60x the rows through an extra (doc, i) shuffle. */
+    * per token, pushing 60x the rows through an extra (doc, i) shuffle, and
+    * a later one pre-aggregated term frequencies through a (doc, tok)
+    * shuffle. Both are gone: summing ±1 per token OCCURRENCE is
+    * algebraically identical to the tf-weighted vote (Σ_tok tf·bit ==
+    * Σ_occurrence bit), so the only shuffle left carries 60 partial sums
+    * per doc per partition — the token stream itself never shuffles. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"),
+    val occ = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("h", TextAnalysis.h60(col("tok")))
     val voteAggs = (0 until 60).map { i =>
-      sum(col("w") * (shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)).as(s"v_$i")
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$i")
     }
-    tf.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    occ.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
@@ -277,10 +283,43 @@ object Dedup {
     * disk; the caller owns deleting the directory once done with the
     * result. Give each concurrent run its own directory. Local single-JVM
     * results are identical either way.
+    *
+    * Job economics (this loop used to be HALF the dedup-chain cost, more
+    * than the three LSH channels it consumes). A loop with data-dependent
+    * termination pays at least one ACTION per round, and on both local mode
+    * and a busy cluster the per-job constant (scheduling, snapshot write)
+    * dominates label-sized work — so the design minimizes ROUNDS and packs
+    * each round into ONE job:
+    *
+    *   - a graph whose symmetric edge set fits the `maxDriverEdges` cap
+    *     (known exactly from a free observed metric on the edge snapshot)
+    *     skips the loop entirely: exact min-id union-find on the driver,
+    *     the same runtime demotion AQE applies to exchanges. Driver state
+    *     is bounded by the cap, never the corpus;
+    *
+    *   - the convergence probe — the exact decimal sum of reps, which
+    *     strictly decreases until fixpoint — rides the truncation action as
+    *     an `observe` metric, so no round pays a second pass over the
+    *     labels;
+    *   - symmetrization explodes each pair into both directions in a
+    *     single pass (no self-referencing union, hence no temporary edge
+    *     cache);
+    *   - each round applies the compression hop `hopsPerRound` times
+    *     (pointer doubling: rep -> rep(rep) squares the compression each
+    *     application), so a path of length L converges in
+    *     ~log2(L)/hopsPerRound rounds instead of ~log2(L). The extra hops
+    *     are label-sized self-joins INSIDE the round's one job — far
+    *     cheaper than the rounds they replace. Intermediates are cached
+    *     across their self-join's two branches and released as soon as the
+    *     round's snapshot is readable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          hopsPerRound: Int = 1,
+                          maxBroadcastNodes: Long = Guards.MaxBroadcastRows,
+                          maxDriverEdges: Long = Guards.MaxBroadcastRows): DataFrame = {
+    require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     val spark = pairs.sparkSession
     def write(df: DataFrame, name: String): DataFrame = {
       val path = s"${checkpointDir.get}/$name"
@@ -292,55 +331,147 @@ object Dedup {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }
     var labelStep = 0
-    def truncate(df: DataFrame): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint()
-      case Some(_) =>
-        val out = write(df, s"graft-cc-labels-$labelStep")
-        if (labelStep > 0) delete(s"graft-cc-labels-${labelStep - 1}")
-        labelStep += 1
-        out
+    // localCheckpoint TRUNCATES LINEAGE BUT NOT STATS: the LogicalRDD it
+    // produces carries the origin plan's estimated sizeInBytes forward.
+    // Under an iterative self-join that estimate SQUARES per hop, so after
+    // r rounds of h hops the optimizer is multiplying 2^(64·2^(h·r))-scale
+    // BigInts — planning time explodes doubly-exponentially (observed: the
+    // driver wedged for minutes inside BigInteger.multiply by round ~4).
+    // Rebuilding over the checkpointed RDD resets the estimate each round;
+    // the price is one Row<->InternalRow conversion over the label rows
+    // (two longs — linear, partition-parallel, noise next to the joins).
+    // The parquet mode needs none of this: file-backed reads carry honest
+    // file-size stats.
+    //
+    // The reset has a second effect the join hints below repair: the
+    // rebuilt LogicalRDD reports the DEFAULT (huge) sizeInBytes, so
+    // stats-driven broadcast selection is off the table for the label
+    // side and every per-round join would degrade to a shuffle join even
+    // on a 1000-node graph (measured 1.6x the whole call). The node
+    // count — exact and free, observed on the init snapshot — restores
+    // the choice without stats: labels are explicitly broadcast below
+    // maxBroadcastNodes, unhinted (scale-safe shuffle join) above.
+    def resetStats(ck: DataFrame): DataFrame =
+      spark.createDataFrame(ck.rdd, ck.schema)
+    // Truncate lineage AND return the convergence metrics from the same
+    // action: rep sum and node count are collected as observed metrics
+    // during the snapshot's materialization (localCheckpoint and
+    // parquet-write actions both report observed metrics), so no round
+    // pays a second pass over the labels. Sum is null for an empty label
+    // set.
+    def truncate(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs,
+        sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      val out = checkpointDir match {
+        case None => resetStats(observed.localCheckpoint())
+        case Some(_) =>
+          val o = write(observed, s"graft-cc-labels-$labelStep")
+          if (labelStep > 0) delete(s"graft-cc-labels-${labelStep - 1}")
+          o
+      }
+      labelStep += 1
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal],
+        obs.get("n").asInstanceOf[Long])
     }
-    // The symmetrization union references the pair pipeline TWICE (one
-    // branch per direction); without a persist, materializing the edge
-    // snapshot would run the entire upstream pair generation — three LSH
-    // channels in the dedup pipeline — twice. The cache lives only until
-    // the snapshot is readable (both snapshot forms are eager), then is
-    // released: no persisted state outlives the call.
-    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .persist()
-    val symPlan = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // Symmetrize in ONE pass over the pair pipeline: each edge explodes
+    // into both directions, so the plan never references the (expensive)
+    // upstream pair generation twice and needs no temporary persist.
     // The edge set is joined EVERY round, so it gets its own snapshot,
     // deleted only after the loop (the rolling label delete must not
     // touch it).
+    val symPlan = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+    val edgeObs = org.apache.spark.sql.Observation()
+    val symObserved = symPlan.observe(edgeObs, count(lit(1)).as("n"))
     val sym =
-      if (checkpointDir.isDefined) write(symPlan, "graft-cc-edges")
-      else symPlan.localCheckpoint()
-    e0.unpersist(blocking = false)
+      if (checkpointDir.isDefined) write(symObserved, "graft-cc-edges")
+      else resetStats(symObserved.localCheckpoint())
+    val nEdges = edgeObs.get("n").asInstanceOf[Long]
+
+    // Runtime strategy switch, same spirit as AQE demoting an exchange:
+    // the symmetric edge count is known exactly (and free — it rode the
+    // snapshot action), so a graph that provably fits in driver memory
+    // skips the iterative loop entirely and runs exact union-find locally.
+    // Driver state is bounded by the explicit cap, never by corpus size;
+    // above the cap the distributed loop below is the plan. Results are
+    // identical: both compute rep = min node id per component over the
+    // nodes appearing in any pair.
+    if (nEdges <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r).longValue != r) r = parent.get(r).longValue
+        var c = x // path compression
+        while (parent.get(c).longValue != r) {
+          val nx = parent.get(c).longValue; parent.put(c, r); c = nx
+        }
+        r
+      }
+      val rows = sym.toLocalIterator()
+      while (rows.hasNext) {
+        val row = rows.next()
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union by MIN id keeps the invariant rep == min of component
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[(Long, Long)](parent.size())
+      var i = 0
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+      if (checkpointDir.isDefined) delete("graft-cc-edges")
+      import spark.implicits._
+      return spark.createDataset(out.toIndexedSeq)
+        .toDF("doc_id", "cluster_rep")
+    }
+
     // Initialization already performs the first spread — rep(v) = min over
     // {v} ∪ N(v) is one groupBy over the symmetric edges — so star-shaped
     // near-dup clusters start fully converged and the loop only confirms.
-    var labels = truncate(sym.groupBy("src").agg(min("dst").as("mn"))
+    var (labels, prevSum, nNodes) = truncate(sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("rep")))
-    // Convergence probe: labels only ever decrease, so the exact decimal
-    // sum of reps strictly decreases until the fixpoint — one scan of the
-    // checkpointed labels per round, no join of old vs new label sets.
-    def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0)
-    var prevSum = if (labels.isEmpty) null else repSum(labels)
     var done = prevSum == null
     var iter = 0
+    // The node set is invariant across rounds (every step preserves one
+    // row per node), so ONE observed count decides every round's join
+    // strategy: broadcast the label-sized build side of both per-round
+    // joins when the whole label table is provably small, leave the join
+    // unhinted (shuffle join — the correct plan for a billion-node graph)
+    // otherwise.
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= maxBroadcastNodes) broadcast(df) else df
+    // hop: rep(v) -> rep(rep(v)); every rep value is itself a node, so the
+    // inner self-join preserves all rows.
+    def hop(df: DataFrame): DataFrame = df
+      .join(maybeBroadcast(df.select(col("node").as("rep"), col("rep").as("rep2"))), "rep")
+      .select(col("node"), col("rep2").as("rep"))
     while (!done && iter < maxIter) {
-      // spread: min rep over self and neighbors
-      val nbrRep = sym.join(labels.select(col("node").as("dst"), col("rep")), "dst")
+      // spread: min rep over self and neighbors. Every intermediate below
+      // is cached because its hop self-join reads it twice (Catalyst has
+      // no cross-branch reuse); all are materialized inside the round's
+      // one snapshot job and released as soon as that snapshot is readable.
+      val nbrRep = sym.join(maybeBroadcast(labels.select(col("node").as("dst"), col("rep"))), "dst")
         .select(col("src").as("node"), col("rep"))
-      val prop = labels.unionByName(nbrRep).groupBy("node").agg(min("rep").as("rep"))
-      // hop: rep(v) -> rep(rep(v)); every rep value is itself a node, so the
-      // inner self-join preserves all rows
-      val compressed = truncate(prop
-        .join(prop.select(col("node").as("rep"), col("rep").as("rep2")), "rep")
-        .select(col("node"), col("rep2").as("rep")))
-      val s = repSum(compressed)
+      var cur = labels.unionByName(nbrRep).groupBy("node").agg(min("rep").as("rep"))
+        .persist()
+      val cached = scala.collection.mutable.ListBuffer(cur)
+      for (_ <- 2 to hopsPerRound) {
+        cur = hop(cur).persist()
+        cached += cur
+      }
+      val (compressed, s, _) = truncate(hop(cur))
+      cached.foreach(_.unpersist(blocking = false))
       done = s.compareTo(prevSum) == 0
       prevSum = s
       labels = compressed

@@ -499,7 +499,10 @@ class DedupSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L))
       .toDF("doc_a", "doc_b")
-    val result = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    // maxDriverEdges = 0 forces the distributed loop — the snapshot
+    // management under test only exists there.
+    val result = Dedup.connectedComponents(pairs, checkpointDir = Some(dir),
+      maxDriverEdges = 0L)
     val got = result.as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
@@ -513,6 +516,33 @@ class DedupSpec extends SparkTestBase {
     assert(!left.exists(_.contains("edges")), s"edge snapshot must be deleted: $left")
     // the survivor still backs the result
     assert(result.count() === 8)
+    // The small-graph fast path with a checkpointDir leaves NOTHING behind:
+    // its edge snapshot is deleted once union-find has consumed it.
+    val dir2 = java.nio.file.Files.createTempDirectory("cc-ckpt-fast").toString
+    val fast = Dedup.connectedComponents(pairs, checkpointDir = Some(dir2))
+    assert(fast.as[(Long, Long)].collect().toMap === got)
+    assert(new java.io.File(dir2).list().toSeq.isEmpty,
+      "fast path must clean its edge snapshot")
+  }
+
+  test("connectedComponents: driver fast path == distributed loop, all hop widths") {
+    // A messy graph: chains (deep paths), a star, singleton-pair edges,
+    // duplicate and reversed pairs — seeded, 200 edges over ~120 nodes.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.tabulate(200) { i =>
+      if (i % 3 == 0) (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+      else if (i % 3 == 1) (i.toLong, (i + 1).toLong)           // chain segments
+      else (200L + rnd.nextInt(5), 300L + rnd.nextInt(40))      // star-ish bipartite
+    }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist1 = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val dist3 = Dedup.connectedComponents(pairs, maxDriverEdges = 0L, hopsPerRound = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(dist1 === fast)
+    assert(dist3 === fast)
   }
 
   test("lineDedup deletes ALL occurrences of repeated segments, keeps order") {
@@ -623,9 +653,13 @@ class DedupSpec extends SparkTestBase {
 
   test("connectedComponents: empty pair set -> empty output; long path converges") {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
-    // a 12-node path exercises >1 propagate+compress round
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      maxDriverEdges = 0L).isEmpty)
+    // a 12-node path exercises >1 propagate+compress round of the
+    // DISTRIBUTED loop (forced — the default would take the driver path)
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    val got = Dedup.connectedComponents(path, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(got.size === 12 && got.values.forall(_ == 1L))
   }
 }
