@@ -763,6 +763,18 @@ object ExtQueries {
       Retrieval.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 2L)
         .orderBy("term")),
 
+    // The maxDf stopword guard in action: terms present in more than half
+    // the corpus are cut BEFORE any postings list is materialized (the
+    // df-only pre-pass), so no reducer ever assembles a corpus-sized row.
+    // The cap is relative (n_docs/2 — one parquet-footer count, a bounded
+    // driver probe) so the same rule means the same thing at every scale.
+    "q91_inverted_maxdf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cap = d.count() / 2
+      Retrieval.invertedIndex(d, "doc_id", "text", minDf = 2L, maxDf = Some(cap))
+        .orderBy("term")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -2327,6 +2339,21 @@ object ExtQueries {
          |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          |         AS postings_md5
          |FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
+
+    // q67's mirror with the stopword cap: df <= half the corpus (DuckDB
+    // // is integer division, matching Spark's Long /).
+    "q91_inverted_maxdf" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |         AS postings_md5
+         |FROM tf GROUP BY term
+         |HAVING count(*) >= 2
+         |   AND count(*) <= (SELECT count(*) // 2 FROM documents)
+         |ORDER BY term""".stripMargin,
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
     // the previous stage's text then replaces globally ('g' — DuckDB

@@ -28,6 +28,38 @@ object Retrieval {
         (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
       6).cast(DecimalType(20, 6))
 
+  /** Per-(doc, term) contributions from the shared bucketed-count table
+    * `agg` = (idCol, term, cnt), where `term` is NULL for the bucket
+    * counting a document's NON-query tokens (so `dl` = Σ cnt over all
+    * buckets, and the null bucket keeps zero-token docs in n_docs/avgdl).
+    *
+    * The single-tokenize guarantee lives here: the bucketed-count table
+    * is MATERIALIZED once (eager local checkpoint — the plan up to it is
+    * a single linear chain with exactly one tokenize), and all four
+    * downstream branches (dl, tf, df, corpus stats) read the
+    * materialized rows. ReuseExchange cannot do this declaratively:
+    * per-branch predicate pushdown and column pruning make each branch's
+    * exchange canonically different (measured round 7: the scan+tokenize
+    * ran 4x). The table is compact at any corpus scale — one row per
+    * (doc, query-term hit) plus at most one per doc — and its blocks are
+    * freed by the ContextCleaner once the plan is unreachable. On
+    * executor loss the checkpointed blocks have no lineage and the query
+    * re-runs — the right trade for a scoring pass; a long fault-domain
+    * job should write the corpus projection durably first. */
+  private def scoreTerms(agg: DataFrame, idCol: String,
+                         k1: Double, b: Double, hintDf: Boolean): DataFrame = {
+    val mat = agg.localCheckpoint()
+    val dl = mat.groupBy(col(idCol)).agg(sum("cnt").as("dl"))
+    val tf = mat.filter(col("term").isNotNull)
+      .select(col(idCol), col("term"), col("cnt").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    tf.join(if (hintDf) broadcast(df_) else df_, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", contribCol(k1, b))
+  }
+
   /** Okapi BM25 (Robertson et al., TREC-3; the Lucene-style +1 smoothed
     * idf: ln(1 + (N - df + 0.5)/(df + 0.5))) of every document against a
     * LITERAL query-term set.
@@ -37,11 +69,12 @@ object Retrieval {
     * value would depend on aggregation order across partitions; the
     * decimal sum is exact and engine-portable.
     *
-    * Shape at scale: the term filter lands directly on the exploded token
-    * stream (pushed below the tf groupBy, so the shuffle carries only
-    * query-term hits), df is |query|-bounded, and the doc-length table
-    * joins on the doc key. The df/corpus-stats join sides are constant-
-    * sized (≤ |query| rows + 1 row), safely broadcast.
+    * Shape at scale: each document tokenizes ONCE; tokens bucket into
+    * (doc, query-term) counts plus one (doc, NULL) bucket for everything
+    * else, so the single tf shuffle carries query-term hits + one row per
+    * doc per partition (the doc-length channel) — and every downstream
+    * branch (dl, tf, df, stats) reuses that one exchange. df is
+    * |query|-bounded and broadcast; the corpus-stats side is 1 row.
     *
     * Returns (idCol, score DECIMAL) for every document containing at
     * least one query term. */
@@ -49,18 +82,12 @@ object Retrieval {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val dl = toks.select(col(idCol), size(col("__toks")).as("dl"))
-    val hits = toks
-      .select(col(idCol), explode(col("__toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    tf.join(broadcast(df_), "term")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("__contrib", contribCol(k1, b))
+    val agg = docs
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol),
+        when(col("__tok").isin(queryTerms: _*), col("__tok")).as("term"))
+      .agg(count(col("__tok")).as("cnt"))
+    scoreTerms(agg, idCol, k1, b, hintDf = true)
       .groupBy(col(idCol))
       .agg(sum("__contrib").as("score"))
   }
@@ -78,28 +105,25 @@ object Retrieval {
     * per query — a term shared by many queries is scored ONCE per document
     * and reused.
     *
-    * Shape at scale: the token stream joins the distinct-term table
-    * UNHINTED (the tf-idf/vocab-join house rule — a thousand-query term
-    * table is broadcast-sized and AQE will pick that at runtime, but
-    * nothing melts if it isn't), tf/df aggregate on (doc, term) partials,
-    * and the corpus-stats side is 1 row. Top-k per query belongs
-    * DOWNSTREAM (partition the rank window by query_id). */
+    * Shape at scale: each document tokenizes ONCE; the token stream
+    * LEFT-joins the distinct-term table UNHINTED (the tf-idf/vocab-join
+    * house rule — a thousand-query term table is broadcast-sized and AQE
+    * will pick that at runtime, but nothing melts if it isn't), bucketing
+    * non-query tokens under a NULL term so the one tf exchange also
+    * carries the doc-length channel and every downstream branch reuses
+    * it. Top-k per query belongs DOWNSTREAM (partition the rank window by
+    * query_id, or groupedTopK). */
   def bm25Queries(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val q = queries.select(col("query_id"), col("term")).distinct()
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val dl = toks.select(col(idCol), size(col("__toks")).as("dl"))
-    val hits = toks
-      .select(col(idCol), explode(col("__toks")).as("term"))
-      .join(q.select("term").distinct(), "term")
-    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    tf.join(df_, "term")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("__contrib", contribCol(k1, b))
+    val agg = docs
+      .select(col(idCol), explode_outer(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .join(q.select(col("term").as("__qt")).distinct(),
+        col("__tok") === col("__qt"), "left")
+      .groupBy(col(idCol), col("__qt").as("term"))
+      .agg(count(col("__tok")).as("cnt"))
+    scoreTerms(agg, idCol, k1, b, hintDf = false)
       .join(q, "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(sum("__contrib").as("score"))
@@ -141,16 +165,32 @@ object Retrieval {
     * Shape at scale: tf's (doc, term) partial-agg shuffle, then ONE
     * groupBy(term) building df/cf/postings together. Postings lists are
     * per-term rows — the natural storage layout for a distributed index;
-    * a skew-hot stopword term's row grows with its df, which is exactly
-    * the signal `minDf`'s sibling cap (a stopword list or a max-df guard,
-    * cf. Dedup.contamination's maxTrainDf) exists to cut. */
+    * a skew-hot stopword term's row grows with its df unbounded, which is
+    * what `maxDf` (minDf's sibling, mirroring Dedup.contamination's
+    * maxTrainDf) cuts: when set, a df-only pre-pass drops hot terms
+    * BEFORE any postings list is materialized, so no reducer ever
+    * assembles a corpus-sized row. The pre-pass costs one extra
+    * df-sized aggregation over the tf table (no new scan — tf is one
+    * exchange, reused by both consumers); `maxDf = None` keeps the
+    * original two-shuffle plan. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    minDf: Long = 1L): DataFrame = {
+                    minDf: Long = 1L, maxDf: Option[Long] = None): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    maxDf.foreach(m => require(m >= minDf, s"maxDf $m must be >= minDf $minDf"))
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    tf.groupBy("term")
+    val kept = maxDf match {
+      case None => tf
+      case Some(m) =>
+        // df-only pre-pass: count postings per term WITHOUT collecting
+        // them, keep survivors via a semi join on term (unhinted — the
+        // surviving vocabulary is usually broadcast-sized, AQE decides).
+        val ok = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= m).select("term")
+        tf.join(ok, Seq("term"), "left_semi")
+    }
+    kept.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
         array_join(transform(array_sort(collect_list(col(idCol))),
           _.cast("string")), ",").as("postings"))

@@ -1187,6 +1187,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(pruned === Set("spark", "query", "the"))
   }
 
+  test("inverted index: maxDf cuts hot terms before postings; survivors identical to unguarded") {
+    // 'the' (df=2) is the hot term at cap 1; the guard must drop it while
+    // every surviving term's row (df, cf, postings) is bit-identical to
+    // the unguarded index — the pre-pass prunes, never perturbs.
+    val guarded = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = Some(1L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(guarded.forall(_._2 <= 1L), s"df above cap survived: ${guarded.toList}")
+    assert(guarded.map(_._1).toSet === Set("window", "and", "of"))
+    val full = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(_._2 <= 1L).toSet
+    assert(guarded.toSet === full)
+    intercept[IllegalArgumentException] {
+      Retrieval.invertedIndex(docs, "doc_id", "text", minDf = 3L, maxDf = Some(2L)) }
+  }
+
   test("rrfFuse: sums 1/(c+rank) per id; single-list ids score once") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rnk")
     val b = Seq((11L, 1), (13L, 2)).toDF("id", "rnk")

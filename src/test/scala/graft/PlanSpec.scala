@@ -120,19 +120,24 @@ class PlanSpec extends SparkTestBase {
       "no unkeyed pair product anywhere in semantic dedup:\n" + p)
   }
 
-  test("q66 bm25: the query-term filter sits below the tf aggregate; stats joins broadcast") {
+  test("q66 bm25: one tokenize per document; stats joins broadcast; top-k heaps") {
     val p = plan("q66_bm25")
-    // the term IN (...) filter must run on the exploded token stream BEFORE
-    // the first aggregation, so the tf shuffle carries only query-term hits
-    assert(p.contains("spark,query,window") || p.contains("spark, query, window"),
-      "the literal term set must appear as a filter:\n" + p)
+    // The bucketed-count table is materialized once (eager local
+    // checkpoint over a single linear tokenize chain) and every branch —
+    // dl, tf, df, corpus stats — reads the materialized rows, so the
+    // query plan itself must contain NO tokenize at all. Round 7 shipped
+    // four: per-branch pushdown/pruning defeated ReuseExchange.
+    assert(!p.contains("Generate explode"),
+      "tokenize must happen once, in the checkpoint job — not per branch:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "branches must read the materialized bucketed-count table:\n" + p)
     assert(!p.contains("SortMergeJoin [term"),
       "the <= |query|-row df table should broadcast, not shuffle the tf side")
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must plan per-partition heaps, not a global-window sort:\n" + p)
   }
 
-  test("q78 query-table bm25: the term joins are NOT forced broadcasts") {
+  test("q78 query-table bm25: the term joins are NOT forced broadcasts; one tokenize") {
     // Same rule as the q50 vocabulary join: a query-term table is usually
     // broadcast-sized and AQE will pick that at runtime, but the join must
     // stay UNHINTED so a million-query audit degrades to a shuffled join
@@ -144,6 +149,8 @@ class PlanSpec extends SparkTestBase {
         "term/query joins must not force a build-side broadcast:\n" + p)
       assert(p.contains("BroadcastNestedLoopJoin"),
         "the hinted 1-row stats crossJoin should still broadcast:\n" + p)
+      assert(!p.contains("Generate explode"),
+        "tokenize must happen once, in the checkpoint job — not per branch:\n" + p)
     }
   }
 
