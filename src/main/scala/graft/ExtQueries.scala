@@ -350,7 +350,7 @@ object ExtQueries {
     "q79_zorder3" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_custkey").as("ckey"),
-          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("oday"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("oday"),
           floor(col("o_totalprice") / 1000).cast("int").as("pkilo"))
       graft.ops.Partitioning.zorderStatsN(o, Seq("ckey", "oday", "pkilo"), bits = 16)
         .orderBy("stripe")
@@ -722,10 +722,11 @@ object ExtQueries {
     "q68_zorder" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_custkey").as("ckey"),
-          // rebased to the dataset epoch so the day dimension actually
-          // varies in its low bits (a 1970 epoch pins the high bits and
-          // collapses the curve into a couple of stripes)
-          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("oday"))
+          // rebased to the dataset MINIMUM orderdate: non-negative (zValue's
+          // documented 0 <= v < 2^bits contract — a later anchor makes
+          // pre-anchor rows sign-extend and collapse into the top stripes)
+          // and small, so the day dimension varies in its low bits
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("oday"))
       graft.ops.Partitioning.zorderStats(o, "ckey", "oday", bits = 14)
         .orderBy("stripe")
     }),
@@ -1976,7 +1977,7 @@ object ExtQueries {
         .mkString(" + ")
       s"""WITH o AS (
          |  SELECT o_custkey AS ckey,
-         |         CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS oday
+         |         CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS oday
          |  FROM orders),
          |z AS (SELECT ckey, oday, $terms AS zv FROM o),
          |zm AS (SELECT max(zv) AS zmax FROM z)
@@ -1998,7 +1999,7 @@ object ExtQueries {
         .mkString(" + ")
       s"""WITH o AS (
          |  SELECT o_custkey AS ckey,
-         |         CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS oday,
+         |         CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS oday,
          |         CAST(floor(o_totalprice / 1000) AS INT) AS pkilo
          |  FROM orders),
          |z AS (SELECT ckey, oday, pkilo, $terms AS zv FROM o),

@@ -198,10 +198,12 @@ object SparkEntry {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc)), 2).cast("double").as("sum_disc_price"),
-          // sum_charge stays DECIMAL end-to-end: its scale-12 sum is exact
-          // in both engines, but a final decimal->double cast is correctly
-          // rounded in Spark and NOT in DuckDB — at sf0.1 the conversions
-          // disagree by 1 ulp. Exact decimals stringify identically.
+          // sum_charge follows the shipped money-sum convention: round the
+          // exact scale-12 DECIMAL sum to 2 dp IN DECIMAL SPACE, then cast
+          // to DOUBLE. The 2-dp numerator fits 2^53, so both engines'
+          // decimal->double conversions are correctly rounded to identical
+          // bits (an unrounded cast disagrees by 1 ulp at sf0.1 — DuckDB's
+          // int128 conversion is not correctly rounded).
           round(sum(price * (lit(1).cast(DecimalType(6, 4)) - disc) * (lit(1).cast(DecimalType(6, 4)) + tax)), 2)
             .cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_qty"),

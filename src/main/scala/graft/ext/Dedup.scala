@@ -629,14 +629,21 @@ object Dedup {
     * rank-stability rule) so ties are engine-portable.
     *
     * Returns (idCol, cluster_rep, priCol, keep) for every clustered doc.
-    * One equi-join on id + one groupBy(cluster) argmax via max(struct) —
-    * id-sized work, map-side partials, no window over the corpus. */
+    * One equi-join on id + one groupBy(cluster) argmax via min(struct) —
+    * id-sized work, map-side partials, no window over the corpus. The
+    * sign flip for the lexicographic (max priority, min id) order lands
+    * on the PRIORITY (numeric by contract, loudly checked), never the id
+    * — so string/date/any-orderable ids work as-is. */
   def keepBest(clusters: DataFrame, priority: DataFrame, idCol: String,
                priCol: String): DataFrame = {
+    val priType = priority.schema(priCol).dataType
+    require(priType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest priority column '$priCol' must be numeric (got $priType); " +
+        "rank non-numeric priorities upstream")
     val scored = clusters.join(priority.select(col(idCol), col(priCol)), idCol)
     val best = scored.groupBy("cluster_rep")
-      .agg(max(struct(col(priCol).as("p"), (-col(idCol)).as("ni"))).as("__b"))
-      .select(col("cluster_rep"), (-col("__b.ni")).as("__keep_id"))
+      .agg(min(struct((-col(priCol)).as("np"), col(idCol).as("i"))).as("__b"))
+      .select(col("cluster_rep"), col("__b.i").as("__keep_id"))
     scored.join(best, "cluster_rep")
       .select(col(idCol), col("cluster_rep"), col(priCol),
         (col(idCol) === col("__keep_id")).as("keep"))

@@ -201,6 +201,52 @@ object TextAnalysis {
       .drop("__graft_qrnk")
   }
 
+  /** [[exactQuotaSample]] for CORPUS-sized groups: identical output, but
+    * the per-group window never sees more than ~margin·quota rows.
+    *
+    * The direct form sorts every group in one window partition — fine for
+    * eval-sized strata, a single-reducer sort for a billion-row language
+    * group. Here a hash-threshold pre-filter (keep u ≤ margin·quota/n_g,
+    * the same u that orders the rank) bounds the window input first. The
+    * pre-filter keeps the SMALLEST u values, so whenever a group keeps at
+    * least `quota` survivors they provably contain its true top-quota and
+    * the rank result is identical. Groups the binomial fluctuation
+    * under-fills (n_surv < quota < n_g — rare at margin 1.2, rarer as
+    * quota grows) are RESCUED: exactly those groups re-rank over their
+    * full rows, so identity holds unconditionally, not just with high
+    * probability.
+    *
+    * Price vs the direct form: the extra per-group count + survivor-count
+    * aggregations (group-sized, partial-agg) and re-reading the input for
+    * the pre/rescue branches — map-only scans traded for the corpus-sized
+    * single-partition sort, the right trade everywhere past eval scale. */
+  def exactQuotaSampleAtScale(df: DataFrame, groupCol: String, keyCol: String,
+                              quota: Int, salt: String,
+                              margin: Double = 1.2): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    require(margin > 1.0, s"margin must be > 1, got $margin")
+    val u = (h60(concat(lit(salt + ":"), col(keyCol).cast("string"))).cast("double") + 1.0) /
+      math.pow(2, 60)
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__n_g"))
+    // Unhinted group-table join: usually broadcast-sized, AQE decides.
+    val joined = df.withColumn("__u", u).join(sizes, groupCol)
+    val pre = joined.filter(
+      col("__u") <= least(lit(1.0), lit(margin * quota) / col("__n_g")))
+    val sCounts = pre.groupBy(groupCol).agg(count(lit(1)).as("__n_s"))
+    // Deficient: the pre-filter kept fewer than quota rows of a group that
+    // HAS at least quota (groups smaller than quota survive whole — the
+    // direct form keeps them whole too). Zero-survivor groups are absent
+    // from sCounts, hence the left join + coalesce.
+    val deficient = sizes.join(sCounts, Seq(groupCol), "left")
+      .filter(coalesce(col("__n_s"), lit(0L)) <
+        least(lit(quota.toLong), col("__n_g")))
+      .select(groupCol)
+    val cands = pre.join(deficient, Seq(groupCol), "left_anti")
+      .unionByName(joined.join(deficient, Seq(groupCol), "left_semi"))
+      .drop("__u", "__n_g")
+    exactQuotaSample(cands, groupCol, keyCol, quota, salt)
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis 2006, Inf.Proc.Lett. 97(5)): each row gets the key
     * u^(1/w) — u a hash-derived uniform in (0, 1], w the row's weight —
@@ -292,7 +338,12 @@ object TextAnalysis {
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, nTarget: Long, salt: String,
                      maxBroadcastGroups: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
-    val rates = temperatureRates(df, groupCol, alpha, nTarget)
+    // Materialized eagerly (group-sized — one row per group) so the
+    // corpus-wide rate aggregation runs ONCE: broadcastIfSmall's
+    // cardinality probe and the mix join below both read the
+    // materialized rows, where the lazy plan paid the full groupBy twice
+    // (once for the probe, once inside the join).
+    val rates = temperatureRates(df, groupCol, alpha, nTarget).localCheckpoint()
     // The rate table has one row PER GROUP — source/language-sized for the
     // typical call, but the API accepts any groupCol, and per-domain mixing
     // over 10^8 domains must NOT broadcast. broadcastIfSmall probes the

@@ -200,13 +200,18 @@ object StreamOps {
     * [[graft.ext.TextAnalysis.temperatureRates]], re-derived periodically
     * by a batch pass — rates need global group counts a stream cannot
     * know; stream-static join is the standard pattern). Map-only on the
-    * stream with ZERO streaming state: the rates side broadcasts per
-    * micro-batch and the keep predicate is the same deterministic hash
-    * threshold as the batch mixer, so the kept set equals the batch
-    * operator's given the same rates (StreamOpsSpec pins stream == batch). */
+    * stream with ZERO streaming state: the keep predicate is the same
+    * deterministic hash threshold as the batch mixer, so the kept set
+    * equals the batch operator's given the same rates (StreamOpsSpec pins
+    * stream == batch). The rates side routes through the SAME
+    * broadcastIfSmall guard as the batch mixer (the probe is one cheap
+    * job on the static table, before the stream starts): source/language
+    * rate tables broadcast per micro-batch; a per-domain-scale table
+    * stays unhinted and the join shuffles instead of melting the driver. */
   def mixStream(rows: DataFrame, rates: DataFrame, groupCol: String,
-                keyCol: String, salt: String): DataFrame =
-    rows.join(broadcast(rates), groupCol)
+                keyCol: String, salt: String,
+                maxBroadcastGroups: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame =
+    rows.join(graft.ops.Guards.broadcastIfSmall(rates, maxBroadcastGroups), groupCol)
       .filter(graft.ext.TextAnalysis.mixKeep(keyCol, salt))
 
   /** Convenience writer for tests/demos: stream to an in-memory sink. */

@@ -96,6 +96,31 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.exactQuotaSample(df, "g", "id", 0, "s") }
   }
 
+  test("exactQuotaSampleAtScale property: identical to the direct form, rescue path included") {
+    import org.apache.spark.sql.functions.col
+    // Seeded messy strata: group sizes spanning < quota, ~quota, and
+    // >> quota, over several salts/quotas/margins. A margin of 1.01 at
+    // quota 3 makes under-filled pre-filters (the rescue path) near
+    // certain for some group; identity must hold regardless.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 600).map { i =>
+      (s"g${rnd.nextInt(7)}", i.toLong) } ++ (1 to 2).map(i => ("tiny", 900L + i))
+    val df = rows.toDF("g", "id")
+    for ((quota, salt, margin) <- Seq((3, "a", 1.01), (10, "b", 1.2), (25, "c", 2.0))) {
+      val direct = TextAnalysis.exactQuotaSample(df, "g", "id", quota, salt)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val scaled = TextAnalysis.exactQuotaSampleAtScale(
+          df.repartition(11), "g", "id", quota, salt, margin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(scaled === direct, s"quota=$quota salt=$salt margin=$margin")
+    }
+    // The window input really is bounded: the ranked candidate set is the
+    // pre-filter survivors (+ rescued groups), far below the input size.
+    val big = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "id")
+    val cand = TextAnalysis.exactQuotaSampleAtScale(big, "g", "id", 20, "s", 5.0)
+    assert(cand.count() === 20)
+  }
+
   test("weightedSample: weight drives inclusion; deterministic; top-k never global-sorts") {
     import org.apache.spark.sql.functions.{col, lit}
     // one item outweighs 200 peers 10000:1 — u^(1/10000) ~ 1 beats
@@ -623,6 +648,19 @@ class DedupSpec extends SparkTestBase {
     // cluster 1: docs 2 and 3 tie at priority 9 -> min id 2 survives
     assert(got === Map(1L -> false, 2L -> true, 3L -> false,
       10L -> true, 11L -> false))
+  }
+
+  test("keepBest: string doc ids work (tie -> lexicographic min id); non-numeric priority is loud") {
+    val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+      .toDF("doc_id", "cluster_rep")
+    val pri = Seq(("a", 1.5), ("b", 2.5), ("c", 2.5)).toDF("doc_id", "score")
+    val got = Dedup.keepBest(clusters, pri, "doc_id", "score")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got === Map("a" -> false, "b" -> true, "c" -> false))
+    val badPri = Seq(("a", "x")).toDF("doc_id", "rank_name")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepBest(clusters, badPri, "doc_id", "rank_name") }
+    assert(e.getMessage.contains("must be numeric"))
   }
 
   test("duplicatedSpans finds cross-doc spans, honors minSpan, counts self-repeats") {
