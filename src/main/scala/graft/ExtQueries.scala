@@ -776,6 +776,52 @@ object ExtQueries {
         .orderBy("term")
     }),
 
+    // Write -> read-back -> audit loop for the training-shard writer: the
+    // shards land in a scratch dir (overwritten per run), are read back
+    // through the partition-discovering parquet reader, and the audit —
+    // per shard: row count, global-id range, and the md5 of the
+    // id-ordered members — is hash-checked against an oracle that
+    // re-derives the deterministic (hash-order) id assignment from the
+    // source table. Proves the full persistence loop, not just the
+    // in-plan layout key (the q68/q79 precedent for write paths).
+    "q92_shards_audit" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-audit-shards-${new java.io.File(dir).getName}").getAbsolutePath
+      graft.ops.Partitioning.writeShards(
+        docs(s, dir).select("doc_id", "source", "text"), out, "doc_id",
+        rowsPerShard = 64)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("global_id").as("min_gid"), max("global_id").as("max_gid"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("global_id"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",")).as("ids_md5"))
+        .orderBy("shard")
+    }),
+
+    // Same loop for the persisted IVF index: build + write (vectors
+    // partitioned by cell, centroid table), read both back, and audit per
+    // cell — member count, md5 of the sorted member ids, and the md5 of
+    // the centroid as scale-6 decimal strings (both engines pad decimals
+    // identically, so the hash is format-stable). The oracle re-runs the
+    // q33 k-means chain and recomputes the per-cell means.
+    "q93_ivf_audit" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-audit-ivf-${new java.io.File(dir).getName}").getAbsolutePath
+      SimSearch.writeIvfIndex(corpus(s, dir), out, cells = 8, iters = 2)
+      val (vecs, cents) = SimSearch.readIvfIndex(s, out)
+      val vc = vecs.groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n_vec"),
+          md5(array_join(transform(array_sort(collect_list(col("vec_id"))),
+            _.cast("string")), ",")).as("ids_md5"))
+      val cs = cents.select(col("cell").cast("int").as("cell"),
+        md5(array_join(transform(col("centroid"),
+          v => v.cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string")),
+          ",")).as("centroid_md5"))
+      vc.join(cs, "cell").orderBy("cell")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -2355,6 +2401,49 @@ object ExtQueries {
          |HAVING count(*) >= 2
          |   AND count(*) <= (SELECT count(*) // 2 FROM documents)
          |ORDER BY term""".stripMargin,
+
+    // contiguousIds re-derived: global order is (bucket = h % 64, h, id)
+    // — bucket-local rank plus bucket-count prefix offsets flattens to
+    // exactly that order; shard = gid // rowsPerShard(64).
+    "q92_shards_audit" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${TextAnalysis.h60Sql("'gid:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY h % 64, h, doc_id) - 1
+         |              AS BIGINT) AS gid
+         |  FROM h)
+         |SELECT CAST(gid // 64 AS INT) AS shard, count(*) AS n_rows,
+         |       min(gid) AS min_gid, max(gid) AS max_gid,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY gid))
+         |         AS ids_md5
+         |FROM g GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // q33's k-means chain (af = final assignment) + per-cell means — the
+    // read-back audit must equal re-deriving the index from the source.
+    "q93_ivf_audit" ->
+      s"""WITH ${kmeansCtes()},
+         |cm AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, avg(v) AS m FROM (
+         |      SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+         |      FROM af)
+         |    GROUP BY cell, pos) GROUP BY cell),
+         |vc AS (
+         |  SELECT CAST(cell AS INT) AS cell, count(*) AS n_vec,
+         |         md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+         |           AS ids_md5
+         |  FROM af GROUP BY 1),
+         |cs AS (
+         |  SELECT CAST(cell AS INT) AS cell,
+         |         md5(array_to_string(list_transform(centroid,
+         |           v -> CAST(CAST(v AS DECIMAL(12,6)) AS VARCHAR)), ','))
+         |           AS centroid_md5
+         |  FROM cm)
+         |SELECT vc.cell, n_vec, ids_md5, centroid_md5
+         |FROM vc JOIN cs USING (cell) ORDER BY vc.cell""".stripMargin,
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
     // the previous stage's text then replaces globally ('g' — DuckDB
