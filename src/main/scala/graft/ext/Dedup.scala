@@ -189,26 +189,20 @@ object Dedup {
   /** 60-bit simhash: per bit, a weighted vote over token occurrences (weight
     * = term frequency); bit set iff the vote is positive.
     *
-    * All 60 bit-votes are parallel `sum` aggregates in ONE groupBy(doc_id)
-    * with map-side partials — an earlier shape exploded a 60-row bit index
-    * per token, pushing 60x the rows through an extra (doc, i) shuffle, and
-    * a later one pre-aggregated term frequencies through a (doc, tok)
-    * shuffle. Both are gone: summing ±1 per token OCCURRENCE is
-    * algebraically identical to the tf-weighted vote (Σ_tok tf·bit ==
-    * Σ_occurrence bit), so the only shuffle left carries 60 partial sums
-    * per doc per partition — the token stream itself never shuffles. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", TextAnalysis.h60(col("tok")))
-    val voteAggs = (0 until 60).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$i")
-    }
-    occ.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+    * ZERO shuffle: the whole signature is one codegen'd kernel call per
+    * document ([[graft.functions.TextExprs.simhash60]] — tokenize, h60,
+    * 60 ±1 vote counters, sign readout in a single pass). The lineage of
+    * cheaper shapes: a 60-row bit-index explode (60x rows through a
+    * (doc, i) shuffle), then 60 parallel vote sums in one groupBy(doc_id)
+    * (token stream stays local, 60 partial sums per doc per partition
+    * shuffle) — this one moves NOTHING; summing ±1 per token OCCURRENCE
+    * is algebraically identical to the tf-weighted vote (Σ_tok tf·bit ==
+    * Σ_occurrence bit). Docs with no tokens produce no row (the kernel
+    * returns null; the aggregation forms dropped them the same way). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextExprs.simhash60(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Near-dup pairs by simhash hamming distance, found WITHOUT a cross
     * join: the 60-bit signature splits into `maxHamming + 1` bands

@@ -78,6 +78,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** 60-bit SimHash of the whitespace token stream, ONE pass per document
+    * — the map-only kernel behind [[graft.ext.Dedup.simhash]]. Per token
+    * OCCURRENCE (tf-weighted voting is algebraically identical to ±1 per
+    * occurrence): h = the portable h60 (first 15 md5 hex chars, i.e. the
+    * digest's top 60 bits), votes[i] += bit_i ? +1 : -1; signature bit i
+    * is set iff votes[i] > 0. Returns null for a document with no tokens
+    * (mirrors the aggregation formulation, where such docs produce no
+    * rows). Replaces a 60-column vote groupBy — the heaviest shuffle in
+    * the near-dup pair chain — with zero shuffle. */
+  def simhash60(text: UTF8String): java.lang.Long = {
+    if (text == null) return null
+    val toks = text.toString.split(" ")
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        md.reset()
+        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars == top 60 bits of the first 8 digest bytes
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        var j = 0
+        while (j < 60) {
+          votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
   def distinctShingles(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
     val toks = text.toString.split(" ").filter(_.nonEmpty)
@@ -155,6 +197,10 @@ object TextExprs {
   def distinctShingles(text: Column, k: Int = 3): Column =
     bridge.column(DistinctWordShingles(bridge.expression(text), k))
 
+  /** Column API for [[SimHash60]]. */
+  def simhash60(text: Column): Column =
+    bridge.column(SimHash60(bridge.expression(text)))
+
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, k: Int = 3): Column =
     bridge.column(WordShingles(bridge.expression(text), k))
@@ -166,6 +212,38 @@ object TextExprs {
   /** Column API for [[WinnowFingerprint]]. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
+}
+
+/** `simhash60(text)`: 60-bit SimHash signature of the whitespace token
+  * stream; null when the document has no tokens — see
+  * [[TextKernels.simhash60]]. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60(input.asInstanceOf[UTF8String])
+
+  // Kernel may return null (token-less doc) even for a non-null input, so
+  // the generated code re-checks after the call instead of using the
+  // defineCodeGen null-propagation shortcut.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""java.lang.Long $tmp = graft.functions.TextKernels.simhash60($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `prefix_qgrams(text, q, prefixLen)`: the prefixLen smallest distinct

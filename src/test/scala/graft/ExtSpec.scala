@@ -439,6 +439,31 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
   }
 
+  test("simhash kernel property: matches the vote-aggregation reference; token-less docs drop") {
+    // Driver-side reference: tf-weighted (equivalently per-occurrence)
+    // ±1 votes over h60Local bits, sign readout — the aggregation
+    // formulation the kernel replaced.
+    def reference(text: String): Option[Long] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) return None
+      val votes = new Array[Int](60)
+      for (t <- toks; h = TextAnalysis.h60Local(t); j <- 0 until 60)
+        votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+      Some((0 until 60).foldLeft(0L)((s, j) => if (votes(j) > 0) s | (1L << j) else s))
+    }
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "Ünïcode", "longish-token")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (99L, "") :+ (98L, "   ")
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.flatMap { case (id, t) => reference(t).map(id -> _) }.toMap
+    assert(got === want)
+    assert(!got.contains(99L) && !got.contains(98L))
+  }
+
   test("simhashNearDup: banded candidates + exact hamming verify == brute force") {
     val got = Dedup.simhashNearDup(nearDups, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b", "hamming").collect()
