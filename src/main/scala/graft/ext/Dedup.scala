@@ -30,23 +30,14 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** 2^31 - 1; all minhash arithmetic stays below 2^62 (no overflow). */
-  val P: Long = 2147483647L
-
-  /** 16 fixed (a, b) hash coefficients — 4 bands x 4 rows. Chosen odd, < P.
-    * Single source of truth: the oracle SQL is generated from these. */
-  val minhashCoeffs: Seq[(Long, Long)] = Seq(
-    (1103515245L, 12345L), (1234567891L, 987654321L),
-    (1664525L, 1013904223L), (22695477L, 1L),
-    (134775813L, 1L), (214013L, 2531011L),
-    (69069L, 362437L), (1812433253L, 1L),
-    (48271L, 11L), (16807L, 7L),
-    (1103515489L, 104729L), (999999937L, 65537L),
-    (735632791L, 524287L), (65537L, 8191L),
-    (92717L, 127L), (741103597L, 887L))
-
-  val bands = 4
-  val rowsPerBand = 4
+  /** Banding constants live with the codegen kernel
+    * ([[graft.functions.TextKernels.Minhash]] — the single source of
+    * truth); re-exported here for the oracle-SQL generator and the
+    * aggregation formulation. P = 2^31 - 1; all arithmetic < 2^62. */
+  val P: Long = graft.functions.TextKernels.Minhash.P
+  val minhashCoeffs: Seq[(Long, Long)] = graft.functions.TextKernels.Minhash.coeffs
+  val bands: Int = graft.functions.TextKernels.Minhash.bands
+  val rowsPerBand: Int = graft.functions.TextKernels.Minhash.rowsPerBand
 
   /** (doc_id, sh): distinct k-token shingles per document. Dedup happens
     * per-row INSIDE the shingle kernel ([[graft.functions.TextKernels]]) —
@@ -82,6 +73,20 @@ object Dedup {
     sigsWide.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
   }
+
+  /** (doc_id, band, band_key) straight from text in ONE map-only pass —
+    * the codegen'd [[graft.functions.TextExprs.minhashBandKeys]] kernel
+    * fuses shingle enumeration, hm hashing, the 16 signature minima, and
+    * the per-band md5 inside each document's row, so the LSH keying
+    * stage moves NOTHING (the aggregation formulation
+    * [[minhashSignatures]]+[[bandKeys]] pays a doc-keyed shuffle; the
+    * equivalence is property-tested). Sub-k-token docs yield no rows,
+    * matching the aggregation form. */
+  def bandKeysDirect(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.TextExprs.minhashBandKeys(col(textCol), k))
+        .as(Seq("band", "band_key")))
 
   /** Candidate pairs: same band bucket, doc_a < doc_b, distinct.
     *
@@ -141,7 +146,7 @@ object Dedup {
                  minJaccard: Double = 0.5,
                  onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
-    val pairs = candidatePairs(bandKeys(minhashSignatures(sh)), onCache = onCache)
+    val pairs = candidatePairs(bandKeysDirect(docs, idCol, textCol), onCache = onCache)
     verifyJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -162,8 +167,8 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val shN = shingled(newDocs, idCol, textCol)
     val shC = shingled(corpus, idCol, textCol)
-    val bkN = capBuckets(bandKeys(minhashSignatures(shN)), maxBucket)
-    val bkC = capBuckets(bandKeys(minhashSignatures(shC)), maxBucket)
+    val bkN = capBuckets(bandKeysDirect(newDocs, idCol, textCol), maxBucket)
+    val bkC = capBuckets(bandKeysDirect(corpus, idCol, textCol), maxBucket)
     val cand = bkN.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
       .join(bkC.select(col("doc_id").as("doc_b"), col("band"), col("band_key")),
         Seq("band", "band_key"))

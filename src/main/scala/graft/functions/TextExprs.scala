@@ -120,6 +120,100 @@ object TextKernels {
     java.lang.Long.valueOf(sig)
   }
 
+  /** MinHash-LSH banding constants — the single source of truth shared by
+    * the kernel below, [[graft.ext.Dedup]]'s aggregation formulation, and
+    * the oracle-SQL generator. All arithmetic stays below 2^62. */
+  object Minhash {
+    val P: Long = 2147483647L // 2^31 - 1
+    val coeffs: Seq[(Long, Long)] = Seq(
+      (1103515245L, 12345L), (1234567891L, 987654321L),
+      (1664525L, 1013904223L), (22695477L, 1L),
+      (134775813L, 1L), (214013L, 2531011L),
+      (69069L, 362437L), (1812433253L, 1L),
+      (48271L, 11L), (16807L, 7L),
+      (1103515489L, 104729L), (999999937L, 65537L),
+      (735632791L, 524287L), (65537L, 8191L),
+      (92717L, 127L), (741103597L, 887L))
+    val bands = 4
+    val rowsPerBand = 4
+    private[functions] val A: Array[Long] = coeffs.map(_._1).toArray
+    private[functions] val B: Array[Long] = coeffs.map(_._2).toArray
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** All four LSH band keys of a document in ONE map-only pass — the
+    * fused twin of shingle-explode → h60 % P → 16 parallel min aggregates
+    * → per-band md5 ([[graft.ext.Dedup.minhashSignatures]]/`bandKeys`,
+    * equivalence property-tested). Per distinct k-token shingle: hm = the
+    * h60 (top 60 md5 bits) mod P; sig_i = min (a_i·hm + b_i) mod P; band
+    * j's key = md5 of sigs {j, j+4, j+8, j+12} joined by ','. Returns
+    * null for a document with fewer than k tokens (no shingles — such
+    * docs produce no signature rows in the aggregation formulation). */
+  def minhashBandKeys(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < k) return null
+    val nSig = Minhash.A.length
+    val sigs = Array.fill(nSig)(Long.MaxValue)
+    val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        md.reset()
+        val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        val hm = (h >>> 4) % Minhash.P
+        var c = 0
+        while (c < nSig) {
+          val v = (Minhash.A(c) * hm + Minhash.B(c)) % Minhash.P
+          if (v < sigs(c)) sigs(c) = v
+          c += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](Minhash.bands)
+    var bd = 0
+    while (bd < Minhash.bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < Minhash.rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sigs(bd + Minhash.bands * r))
+        r += 1
+      }
+      out(bd) = UTF8String.fromString(md5Hex(md, sb.toString))
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def distinctShingles(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
     val toks = text.toString.split(" ").filter(_.nonEmpty)
@@ -201,6 +295,10 @@ object TextExprs {
   def simhash60(text: Column): Column =
     bridge.column(SimHash60(bridge.expression(text)))
 
+  /** Column API for [[MinhashBandKeysExpr]]. */
+  def minhashBandKeys(text: Column, k: Int = 3): Column =
+    bridge.column(MinhashBandKeysExpr(bridge.expression(text), k))
+
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, k: Int = 3): Column =
     bridge.column(WordShingles(bridge.expression(text), k))
@@ -240,6 +338,38 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       s"""java.lang.Long $tmp = graft.functions.TextKernels.simhash60($c);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_band_keys(text, k)`: the four LSH band keys (md5 hex) of the
+  * document's distinct k-token shingle set; null when the document has
+  * fewer than k tokens — see [[TextKernels.minhashBandKeys]]. */
+case class MinhashBandKeysExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashBandKeys(input.asInstanceOf[UTF8String], k)
+
+  // Kernel returns null for sub-k-token docs even on non-null input, so
+  // the generated code re-checks after the call.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("bk")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.TextKernels.minhashBandKeys($c, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

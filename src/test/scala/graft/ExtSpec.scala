@@ -439,6 +439,22 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
   }
 
+  test("minhash band-key kernel property: matches the aggregation formulation; sub-k docs drop") {
+    val rnd = new scala.util.Random(29)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ümlaut")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (99L, "one two") :+ (98L, "") // < k tokens -> no band keys
+    val df = docs.toDF("doc_id", "text")
+    val direct = Dedup.bandKeysDirect(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaAgg = Dedup.bandKeys(Dedup.minhashSignatures(Dedup.shingled(df, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(direct === viaAgg)
+    assert(!direct.exists(t => t._1 == 99L || t._1 == 98L))
+    assert(direct.exists(_._1 == 1L) || docs(0)._2.split(" ").count(_.nonEmpty) < 3)
+  }
+
   test("simhash kernel property: matches the vote-aggregation reference; token-less docs drop") {
     // Driver-side reference: tf-weighted (equivalently per-occurrence)
     // ±1 votes over h60Local bits, sign readout — the aggregation
