@@ -822,6 +822,52 @@ object ExtQueries {
       vc.join(cs, "cell").orderBy("cell")
     }),
 
+    // DSIR importance weights (arXiv:2302.03169): tilt the whole corpus
+    // toward the src0 slice's hashed-n-gram distribution and keep the 20
+    // best-scoring documents. Both feature-count tables are bounded by the
+    // bucket knob (256 here), so the weight table broadcasts BY
+    // CONSTRUCTION; top-k goes through orderBy+limit
+    // (TakeOrderedAndProject), never a global window.
+    "q94_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.dsirWeights(d, d.filter(col("source") === "src0"),
+        "doc_id", "text", buckets = 256)
+        .orderBy(desc("log_weight"), col("doc_id")).limit(20)
+    }),
+
+    // Interpolated bigram LM score: the order-2 fluency filter (CCNet's
+    // KenLM stand-in, one order up from q76). Three unhinted frequency
+    // joins (bigram / context / unigram — the web-scale-vocabulary rule),
+    // per-position log-probs rounded then DECIMAL-summed.
+    "q95_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_scored", "avg_lp")
+        .orderBy("doc_id")),
+
+    // int8 scalar-quantized ANN with exact re-rank: the approximate scan
+    // reads dequantized codes (4x less memory traffic), keeps 4k
+    // candidates per probe, and only those touch the true float vectors.
+    // The re-rank window is per-probe over <= 4k rows — bounded.
+    "q96_knn_quantized" -> ((s, dir) =>
+      SimSearch.knnQuantized(probes(s, dir), corpus(s, dir), k = 5,
+        refine = 4, dim = Some(oracleDim))
+        .orderBy("probe_id", "rnk")),
+
+    // Deterministic per-epoch global shuffle: epochs 1 and 2 are two
+    // different reproducible permutations of the same corpus (same
+    // bucket-offset machinery as q83 — no global sort, no RNG). The first
+    // 40 positions of epoch 1, with each doc's epoch-2 position alongside,
+    // pin both permutations at once.
+    "q97_epoch_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Partitioning.epochShuffle(d, "doc_id", epoch = 1)
+        .select(col("doc_id"), col("pos").as("pos1"))
+        .join(graft.ops.Partitioning.epochShuffle(d, "doc_id", epoch = 2)
+          .select(col("doc_id"), col("pos").as("pos2")), "doc_id")
+        .filter(col("pos1") < 40)
+        .orderBy("pos1")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -2444,6 +2490,134 @@ object ExtQueries {
          |  FROM cm)
          |SELECT vc.cell, n_vec, ids_md5, centroid_md5
          |FROM vc JOIN cs USING (cell) ORDER BY vc.cell""".stripMargin,
+
+    // Bucket-for-bucket DSIR mirror: same hashed unigram+bigram stream,
+    // same add-1 smoothing over 256 bins, same rounded-then-DECIMAL-summed
+    // log ratios; the final CAST to DOUBLE is conversion-exact in both
+    // engines (6-dp numerator far under 2^53).
+    "q94_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source,
+         |         CAST(${TextAnalysis.h60Sql("'dsir-v1:' || g")} % 256 AS INT) AS bucket
+         |  FROM (
+         |    SELECT doc_id, source,
+         |           unnest(list_concat(t,
+         |             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+         |    FROM toks)),
+         |rawc AS (SELECT bucket, count(*) AS c_raw FROM feats GROUP BY 1),
+         |tgtc AS (SELECT bucket, count(*) AS c_tgt FROM feats
+         |         WHERE source = 'src0' GROUP BY 1),
+         |rawt AS (SELECT sum(c_raw) AS n_raw FROM rawc),
+         |tgtt AS (SELECT sum(c_tgt) AS n_tgt FROM tgtc),
+         |w AS (
+         |  SELECT bucket,
+         |         CAST(round(ln(CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + 256))
+         |                  - ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + 256)), 6)
+         |              AS DECIMAL(20,6)) AS lw
+         |  FROM rawc LEFT JOIN tgtc USING (bucket)
+         |  CROSS JOIN rawt CROSS JOIN tgtt)
+         |SELECT doc_id, count(*) AS n_feats, CAST(sum(lw) AS DOUBLE) AS log_weight
+         |FROM feats JOIN w USING (bucket)
+         |GROUP BY doc_id
+         |ORDER BY log_weight DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Position-for-position bigram LM mirror: identical bigram stream
+    // (range(1, len) — empty below two tokens), identical frequency
+    // tables, identical double expression inside ln (0.75*cb/cc left to
+    // right, then + 0.25*cuni/N), rounded to 6 dp then DECIMAL-summed.
+    "q95_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, b,
+         |         string_split(b, ' ')[1] AS ctx, string_split(b, ' ')[2] AS cur
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+         |    FROM toks)),
+         |cbg AS (SELECT b, count(*) AS c_bg FROM bg GROUP BY 1),
+         |cctx AS (SELECT ctx, count(*) AS c_ctx FROM bg GROUP BY 1),
+         |cuni AS (SELECT term, count(*) AS c_uni
+         |         FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+         |tot AS (SELECT sum(c_uni) AS n_total FROM cuni),
+         |lp AS (
+         |  SELECT bg.doc_id,
+         |         CAST(round(ln(0.75 * CAST(c_bg AS DOUBLE) / c_ctx
+         |                     + 0.25 * CAST(c_uni AS DOUBLE) / n_total), 6)
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg
+         |  JOIN cbg USING (b)
+         |  JOIN cctx USING (ctx)
+         |  JOIN cuni ON cuni.term = bg.cur
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_scored,
+         |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Code-for-code quantizer mirror: same per-dim (min, max), same
+    // round((x-mn)*254/span)-127 codes, same mn+(code+127)*span/254
+    // dequantization, approx rank on the dequantized cosine (identical
+    // doubles — same left-to-right fold as list_inner_product), exact
+    // re-rank of the 20 survivors per probe.
+    "q96_knn_quantized" ->
+      s"""WITH stats AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+         |  FROM (SELECT unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         |  GROUP BY 1),
+         |dq AS (
+         |  SELECT vec_id, list(mn + (code + 127) * span / 254 ORDER BY pos) AS e
+         |  FROM (
+         |    SELECT vec_id, pos, mn,
+         |           CASE WHEN mx = mn THEN CAST(1 AS DOUBLE) ELSE mx - mn END AS span,
+         |           CAST(round((CAST(v AS DOUBLE) - mn) * 254 /
+         |             (CASE WHEN mx = mn THEN CAST(1 AS DOUBLE) ELSE mx - mn END))
+         |             AS INT) - 127 AS code
+         |    FROM (SELECT vec_id, unnest(embedding) AS v,
+         |                 generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         |    JOIN stats USING (pos))
+         |  GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT pr.probe_id, d.vec_id,
+         |         list_inner_product(CAST(pe AS DOUBLE[]), e)
+         |         / (sqrt(list_inner_product(CAST(pe AS DOUBLE[]), CAST(pe AS DOUBLE[])))
+         |            * sqrt(list_inner_product(e, e))) AS ac
+         |  FROM probes pr CROSS JOIN dq d),
+         |cand AS (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY ac DESC, vec_id) AS arnk
+         |  FROM approx),
+         |exact AS (
+         |  SELECT c.probe_id, c.vec_id, $cosSql AS cos
+         |  FROM cand c
+         |  JOIN probes pr ON pr.probe_id = c.probe_id
+         |  JOIN (SELECT vec_id, embedding AS e FROM embeddings) x ON x.vec_id = c.vec_id
+         |  WHERE arnk <= 20),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+         |              AS INT) AS rnk
+         |  FROM exact)
+         |SELECT probe_id, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // Order-for-order epoch-shuffle mirror: global order under salt
+    // 'ep<k>:' is (h % 64, h, id) — the bucket-offset flattening q83/q92
+    // already pin, once per epoch.
+    "q97_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         ${TextAnalysis.h60Sql("'ep1:' || CAST(doc_id AS VARCHAR)")} AS h1,
+         |         ${TextAnalysis.h60Sql("'ep2:' || CAST(doc_id AS VARCHAR)")} AS h2
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY h1 % 64, h1, doc_id) - 1 AS BIGINT) AS pos1,
+         |         CAST(row_number() OVER (ORDER BY h2 % 64, h2, doc_id) - 1 AS BIGINT) AS pos2
+         |  FROM h)
+         |SELECT doc_id, pos1, pos2 FROM g WHERE pos1 < 40 ORDER BY pos1""".stripMargin,
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
     // the previous stage's text then replaces globally ('g' — DuckDB

@@ -260,6 +260,39 @@ object SimSearch {
       .select(col(idCol), (col("__best.negc") * -1).as("cell"),
         round(col("__best.cos"), 6).as("cosine"))
 
+  /** Materialize a (cell, centroid) table (from [[centroids]] or
+    * [[readIvfIndex]]) as driver values — the standard bounded k-means
+    * driver state (cells × dims doubles), for the literal assignment
+    * paths. */
+  def collectCentroids(cents: DataFrame): Seq[(Int, Array[Double])] =
+    cents.select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** MAP-ONLY cell assignment against driver-held centroids: the
+    * per-row/streaming form of [[assignNew]] — the centroids fuse into one
+    * codegen'd literal argmax expression, so there is no join, no
+    * aggregation, and no shuffle at all, which is exactly what a
+    * Structured Streaming micro-batch wants (zero streaming state; see
+    * [[graft.streaming.StreamOps.assignStream]]). Bounded by
+    * [[maxLiteralCentroids]] — above that the literal tree would blow past
+    * codegen's method-size limit, and a batch caller should be on
+    * [[assignNew]]'s broadcast-join path anyway; fails loudly rather than
+    * degrading. Result values are bit-equal to [[assignNew]] on the same
+    * centroid table (same cosine, same tie order; ExtSpec pins it). */
+  def assignLiteral(rows: DataFrame, cents: Seq[(Int, Array[Double])],
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "assignLiteral needs at least one centroid")
+    require(cents.size <= maxLiteralCentroids,
+      s"assignLiteral fuses ${cents.size} centroids as plan literals; the cap " +
+        s"is $maxLiteralCentroids (codegen method size) — use assignNew's " +
+        "broadcast-join path for coarser quantizers")
+    assignCells(rows, cents, idCol, embCol, maxLiteralCentroids)
+      .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
                    idCol: String = "vec_id", embCol: String = "embedding",
                    maxLiteralK: Int = maxLiteralCentroids): DataFrame = {
@@ -511,5 +544,98 @@ object SimSearch {
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  // ---- int8 scalar quantization (memory-bandwidth-compressed ANN scan) ----
+
+  /** Per-dimension (min, max) over the corpus — the quantizer's "model".
+    * One posexplode groupBy (map-side partials), then a dim-rows collect:
+    * the same bounded driver-state budget as the k-means centroids (dim
+    * doubles, corpus-size-independent). */
+  def quantizeStats(corpus: DataFrame,
+                    dim: Option[Int] = None): (Array[Double], Array[Double]) = {
+    val d = resolveDim(corpus, dim)
+    val rows = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect()
+    require(rows.length == d,
+      s"quantizeStats: expected $d dimensions, aggregated ${rows.length}")
+    val mn = new Array[Double](d); val mx = new Array[Double](d)
+    rows.foreach { r =>
+      val p = r.getInt(0); mn(p) = r.getDouble(1); mx(p) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
+  private def spanOf(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    mins.indices.map(i =>
+      if (maxs(i) == mins(i)) 1.0 else maxs(i) - mins(i)).toArray
+
+  /** Scalar int8 quantization: code_i = round((x_i − mn_i)·254/span_i) − 127
+    * ∈ [−127, 127], stored as ARRAY<TINYINT> — 4× smaller than float32, so
+    * a quantized ANN scan moves a quarter of the bytes through memory and
+    * network (the production reason to quantize; see the IVF-SQ layout in
+    * the FAISS line of work). Map-only; the per-dim params ride as plan
+    * literals (dim-bounded, the centroid precedent). */
+  def quantizeVectors(corpus: DataFrame, mins: Array[Double],
+                      maxs: Array[Double]): DataFrame = {
+    val spans = spanOf(mins, maxs)
+    val mnLit = array(mins.map(lit(_)): _*)
+    val spLit = array(spans.map(lit(_)): _*)
+    corpus.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (round((x.cast("double") - element_at(mnLit, i + 1)) * 254 /
+          element_at(spLit, i + 1)).cast("int") - 127).cast("byte"))
+        .as("qcode"))
+  }
+
+  /** Dequantized double vector: mn_i + (code_i + 127)·span_i/254 — the
+    * value the approximate scan scores against. */
+  private def dequant(mins: Array[Double], maxs: Array[Double]): Column = {
+    val spans = spanOf(mins, maxs)
+    val mnLit = array(mins.map(lit(_)): _*)
+    val spLit = array(spans.map(lit(_)): _*)
+    transform(col("qcode"), (c, i) =>
+      element_at(mnLit, i + 1) +
+        (c.cast("double") + 127) * element_at(spLit, i + 1) / 254)
+  }
+
+  /** Approximate kNN over int8-quantized vectors with exact re-rank: the
+    * brute scan runs on dequantized codes (4× less memory traffic at the
+    * cost of ≤ half a quantization step per dimension), keeps k·`refine`
+    * candidates per probe, and the true float vectors are consulted only
+    * for that bounded candidate set — the standard SQ/ADC two-stage
+    * search. Raise `refine` to recover any recall the quantizer loses
+    * ([[recallAtK]] against [[knnBrute]] is the audit).
+    *
+    * Shape at scale: stats are one dim-bounded aggregate; the candidate
+    * scan inherits [[knnBrute]]'s shape (corpus streamed, probes
+    * broadcast, per-partition heaps — never a shuffle of the scored set);
+    * the re-rank joins touch k·refine·|probes| rows, and its rank window
+    * is partitioned by probe over ≤ k·refine rows — bounded, never
+    * corpus-sized. */
+  def knnQuantized(probes: DataFrame, corpus: DataFrame, k: Int,
+                   refine: Int = 4, dim: Option[Int] = None,
+                   maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val (mins, maxs) = quantizeStats(corpus, dim)
+    val approxCorpus = quantizeVectors(corpus, mins, maxs)
+      .select(col("vec_id"), dequant(mins, maxs).as("embedding"))
+    val cand = knnBrute(probes, approxCorpus, k * refine, maxProbeRows)
+      .select("probe_id", "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("p_embedding"))), "probe_id")
+      .withColumn("cos", cosine(col("p_embedding"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
   }
 }

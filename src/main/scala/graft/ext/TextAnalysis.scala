@@ -412,4 +412,111 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col("__h"), col(idCol), col(textCol)))),
           s => s.getField(textCol)), sep).as("seq_text"))
+
+  /** Hashed unigram+bigram feature stream: one row per gram OCCURRENCE,
+    * bucketed by the portable hash into `buckets` bins — the featurization
+    * step of DSIR (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023, arXiv:2302.03169). Map-only. */
+  private def hashedGramStream(df: DataFrame, idCol: String, textCol: String,
+                               buckets: Int, salt: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), explode(concat(toks, shingles(toks, 2))).as("__gram"))
+      .withColumn("bucket",
+        (h60(concat(lit(salt + ":"), col("__gram"))) % buckets).cast("int"))
+      .drop("__gram")
+  }
+
+  /** DSIR importance weights (arXiv:2302.03169): score every raw-corpus
+    * document by how much more likely its hashed-n-gram bag is under the
+    * TARGET corpus's feature distribution than under the raw corpus's own —
+    * log w(doc) = sum over gram occurrences of ln p_tgt(bucket) −
+    * ln p_raw(bucket), add-1 smoothed over the `buckets` bins. Selecting
+    * top-weight (or weight-resampled) documents tilts a web-scale crawl
+    * toward a quality target (e.g. a curated reference set) without
+    * training a classifier.
+    *
+    * Shape at scale: gram streams are map-only; BOTH count tables collapse
+    * to at most `buckets` rows under partial aggregation — the whole point
+    * of hashing the features is that model state is bounded by the bucket
+    * knob, never the vocabulary — so the weight table is broadcast BY
+    * CONSTRUCTION (no probe needed, unlike the per-domain rate tables).
+    * The scoring pass is one broadcast join + one groupBy(doc). Per-gram
+    * log ratios round to 6 decimals and sum as DECIMAL (the float-sum
+    * rule); the final cast is conversion-exact in both engines because the
+    * 6-dp numerator stays far under 2^53. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024,
+                  salt: String = "dsir-v1"): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val rawF = hashedGramStream(raw, idCol, textCol, buckets, salt)
+    val tgtC = hashedGramStream(target, idCol, textCol, buckets, salt)
+      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val rawC = rawF.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    // Keyed on the raw corpus's observed buckets: every scored doc's gram
+    // lands in one of them (the scored docs ARE the raw corpus), and
+    // target-only buckets can't join to anything. Zero target counts are
+    // add-1 smoothed like any other bin.
+    val weights = rawC.join(tgtC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(rawC.agg(sum("c_raw").as("n_raw"))))
+      .crossJoin(broadcast(tgtC.agg(sum("c_tgt").as("n_tgt"))))
+      .withColumn("lw", round(
+        log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + buckets)) -
+          log((col("c_raw") + 1).cast("double") / (col("n_raw") + buckets)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .select("bucket", "lw")
+    rawF.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum("lw").cast("double").as("log_weight"))
+  }
+
+  /** Interpolated bigram language-model score — [[unigramLogProb]]'s
+    * order-2 sibling, one rung closer to the KenLM 5-gram filter CCNet
+    * runs: score(doc) = mean over bigram positions of
+    * ln(lambda·p(cur|ctx) + (1−lambda)·p(cur)), with p(cur|ctx) =
+    * c(ctx,cur)/c(ctx·) from the corpus itself (or a reference `model`).
+    * Fluent text rides high-probability transitions; shuffled or
+    * boilerplate-stitched text scores near its unigram floor.
+    *
+    * Shape at scale: the bigram stream is map-only; three frequency
+    * tables (bigram, bigram-start context, unigram) each collapse under
+    * partial aggregation, and all three scoring joins are UNHINTED — a
+    * web-scale bigram vocabulary is 10^10+ rows, far past any broadcast
+    * threshold (the tf-idf vocabulary rule; AQE downgrades on toy
+    * corpora). Per-position log-probs round to 6 dp and sum as DECIMAL.
+    * Documents with fewer than two tokens have no bigram positions and
+    * drop out (same contract as the gram stream's emptiness). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75,
+                    model: Option[DataFrame] = None): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
+    def bigrams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(shingles(tokens(col(textCol)), 2)).as("bigram"): _*)
+        // whitespace tokens contain no spaces, so the bigram string splits
+        // back into exactly (context, current)
+        .withColumn("ctx", split(col("bigram"), " ")(0))
+        .withColumn("cur", split(col("bigram"), " ")(1))
+    val stream = bigrams(docs, col(idCol))
+    val modelBg = model.map(m => bigrams(m)).getOrElse(stream.drop(idCol))
+    val modelTok = model.getOrElse(docs)
+      .select(explode(tokens(col(textCol))).as("term"))
+    val cbg = modelBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cctx = modelBg.groupBy(col("ctx").as("term")).agg(count(lit(1)).as("c_ctx"))
+    val cuni = modelTok.groupBy("term").agg(count(lit(1)).as("c_uni"))
+    val total = cuni.agg(sum("c_uni").as("n_total"))
+    stream
+      .join(cbg, "bigram")
+      .join(cctx.withColumnRenamed("term", "ctx"), "ctx")
+      .join(cuni.withColumnRenamed("term", "cur"), "cur")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", round(log(
+        lit(lambda) * col("c_bg").cast("double") / col("c_ctx") +
+          lit(1.0 - lambda) * col("c_uni").cast("double") / col("n_total")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum("__lp").as("sum_lp"))
+      .withColumn("avg_lp", round(col("sum_lp").cast("double") / col("n_scored"), 6))
+      .drop("sum_lp")
+  }
 }

@@ -142,10 +142,26 @@ object Partitioning {
     * pipeline wants anyway. `idCol` must be UNIQUE: two rows sharing an id
     * would tie in the sort and receive their two global ids in an
     * arbitrary (though set-stable) order. */
-  def contiguousIds(df: DataFrame, idCol: String, buckets: Int = 64): DataFrame = {
+  def contiguousIds(df: DataFrame, idCol: String, buckets: Int = 64): DataFrame =
+    hashOrderIds(df, idCol, "gid:", buckets, "global_id")
+
+  /** Deterministic per-epoch global shuffle: position 0..n-1 under the
+    * epoch-salted hash order — each epoch is a DIFFERENT (but fully
+    * reproducible) permutation of the corpus, which is exactly what a
+    * trainer wants between epochs. Same two-phase bucket-offset shape as
+    * [[contiguousIds]] (no global sort, no RNG): re-deriving epoch k on
+    * any engine, partitioning, or retry yields the identical permutation,
+    * so a resumed training run sees the same example order. Compose with
+    * [[writeShards]]' layout by reading examples in `pos` order. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   buckets: Int = 64): DataFrame =
+    hashOrderIds(df, idCol, s"ep$epoch:", buckets, "pos")
+
+  private def hashOrderIds(df: DataFrame, idCol: String, salt: String,
+                           buckets: Int, outCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(buckets >= 1, s"contiguousIds needs >= 1 buckets, got $buckets")
-    val h = graft.ext.TextAnalysis.h60(concat(lit("gid:"), col(idCol).cast("string")))
+    require(buckets >= 1, s"hash-order ids need >= 1 buckets, got $buckets")
+    val h = graft.ext.TextAnalysis.h60(concat(lit(salt), col(idCol).cast("string")))
     val local = df.withColumn("__h", h)
       .withColumn("__b", (col("__h") % buckets).cast("int"))
       .withColumn("__r", org.apache.spark.sql.functions.row_number().over(
@@ -159,7 +175,7 @@ object Partitioning {
           .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
       .select("__b", "__off")
     local.join(broadcast(offsets), "__b")
-      .withColumn("global_id", col("__off") + col("__r") - 1)
+      .withColumn(outCol, col("__off") + col("__r") - 1)
       .drop("__h", "__b", "__r", "__off")
   }
 

@@ -214,6 +214,23 @@ object StreamOps {
     rows.join(graft.ops.Guards.broadcastIfSmall(rates, maxBroadcastGroups), groupCol)
       .filter(graft.ext.TextAnalysis.mixKeep(keyCol, salt))
 
+  /** Incremental ANN-index ingest on a STREAM: assign each arriving
+    * vector to its nearest fixed centroid (the cell column a persisted
+    * IVF index partitions by) as it lands — the streaming twin of
+    * [[graft.ext.SimSearch.assignNew]]. The centroids are collected ONCE,
+    * before the stream starts (cells × dims doubles — the standard
+    * bounded k-means driver state), and fuse into a single map-only
+    * codegen'd argmax per micro-batch: no join, no aggregation, ZERO
+    * streaming state. Re-clustering stays a periodic batch job (like the
+    * rates table [[mixStream]] consumes); restart the stream to pick up
+    * new centroids — an acceptable contract because centroid refresh is
+    * orders of magnitude rarer than micro-batches. */
+  def assignStream(rows: DataFrame, cents: DataFrame,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    graft.ext.SimSearch.assignLiteral(rows,
+      graft.ext.SimSearch.collectCentroids(cents), idCol, embCol)
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -384,6 +384,45 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.segmentsFixed(TextAnalysis.tokens($"text"), 0)
     }
   }
+
+  test("dsirWeights: target-like docs outrank off-target docs; n_feats counts every gram occurrence") {
+    // target distribution = cooking text; raw corpus = cooking + legal
+    val raw = Seq(
+      (1L, "stir the soup then stir again"),
+      (2L, "bake the bread and stir the soup"),
+      (3L, "the party of the first part hereby agrees"),
+      (4L, "whereas the aforementioned party hereby waives")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2L)
+    val got = TextAnalysis.dsirWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_feats = unigrams + bigrams = (2n - 1) tokens for an n-token doc
+    assert(got(1L)._1 === 11L && got(3L)._1 === 15L)
+    val cooking = Set(1L, 2L).map(got(_)._2)
+    val legal = Set(3L, 4L).map(got(_)._2)
+    assert(cooking.min > legal.max,
+      s"every cooking doc must outweigh every legal doc: $got")
+    // scores are finite (add-1 smoothing covers target-absent buckets)
+    assert(got.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
+  }
+
+  test("bigramLogProb: repeated transitions score higher than unique ones; short docs drop") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),    // one dominant transition
+      (2L, "c d e f g h i j"),    // all-unique transitions
+      (3L, "solo")                // no bigram positions
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3L), "a one-token doc has no bigram positions")
+    assert(got(1L)._1 === 7L && got(2L)._1 === 7L)
+    assert(got(1L)._2 > got(2L)._2,
+      s"the repeated a->b transition must outscore unique transitions: $got")
+    // self-model equals explicit model of the same corpus
+    val explicitModel = TextAnalysis.bigramLogProb(df, "doc_id", "text",
+      model = Some(df)).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.view.mapValues(_._2).toMap === explicitModel)
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -785,6 +824,64 @@ class SimSearchSpec extends SparkTestBase {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("int8 quantization: codes bounded, roundtrip error within half a step, exhaustive refine == brute") {
+    import org.apache.spark.sql.functions._
+    val big = (0 until 40).map { i =>
+      (i.toLong, Array(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (mins, maxs) = SimSearch.quantizeStats(big)
+    assert(mins.length === 2 && (0 until 2).forall(i => mins(i) <= maxs(i)))
+    val q = SimSearch.quantizeVectors(big, mins, maxs)
+    assert(q.schema("qcode").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // every code in [-127, 127]; dequantized value within half a
+    // quantization step of the original
+    val steps = (0 until 2).map(i => (maxs(i) - mins(i)) / 254.0)
+    val codes = q.join(big, "vec_id").select("vec_id", "qcode", "embedding")
+      .collect().map(r => (r.getSeq[Byte](1), r.getSeq[Float](2)))
+    codes.foreach { case (cs, xs) =>
+      cs.indices.foreach { i =>
+        assert(math.abs(cs(i)) <= 127)
+        val dq = mins(i) + (cs(i) + 127.0) * (maxs(i) - mins(i)) / 254.0
+        assert(math.abs(dq - xs(i)) <= steps(i) / 2 + 1e-9,
+          s"dim $i: dequant $dq vs ${xs(i)} exceeds half-step ${steps(i) / 2}")
+      }
+    }
+    // exhaustive refine (k*refine >= corpus) makes the approx scan a
+    // pass-through: quantized search == brute force exactly
+    val p = big.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
+    val brute = SimSearch.knnBrute(p, big, k = 5).collect().toSeq
+    val quant = SimSearch.knnQuantized(p, big, k = 5, refine = 8).collect().toSeq
+    assert(quant.toSet === brute.toSet,
+      s"exhaustive-refine quantized search must equal brute (steps=$steps)")
+    // modest refine still recovers top-1 on this well-separated corpus
+    val top1 = SimSearch.knnQuantized(p, big, k = 1, refine = 2).collect()
+    val bruteTop1 = SimSearch.knnBrute(p, big, k = 1).collect()
+    assert(top1.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      bruteTop1.map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
+  test("assignLiteral == assignNew values; literal cap trips loudly") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array((1.0 + i * 0.01).toFloat, (0.5 - i * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)), (2, Seq(0.7, 0.7)))
+      .toDF("cell", "centroid")
+    val viaJoin = SimSearch.assignNew(vecs, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val viaLit = SimSearch.assignLiteral(vecs, SimSearch.collectCentroids(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(viaLit === viaJoin, "literal argmax must be bit-equal to the broadcast-join path")
+    val tooMany = (0 to SimSearch.maxLiteralCentroids)
+      .map(i => i -> Array(i.toDouble, 0.0)).toSeq
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.assignLiteral(vecs, tooMany)
+    }
+    assert(e.getMessage.contains("assignNew"))
   }
 
   test("nearDupPairs size guard trips loudly past maxRows; dim mismatch errors loudly") {

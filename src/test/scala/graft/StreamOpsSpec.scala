@@ -111,6 +111,31 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming cell assignment against static centroids == batch assignNew") {
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + i * 0.01f, base(1)))
+    }
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell", "centroid")
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.toMemorySink(
+      StreamOps.assignStream(in.toDF().toDF("vec_id", "embedding"), cents),
+      "assign_stream_test", OutputMode.Append())
+    try {
+      in.addData(vecs.take(11): _*)
+      q.processAllAvailable()
+      in.addData(vecs.drop(11): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("assign_stream_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val batch = graft.ext.SimSearch.assignNew(
+        vecs.toDF("vec_id", "embedding"), cents)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(streamed === batch, "streamed assignment must equal batch assignNew")
+    } finally q.stop()
+  }
+
   test("event-time session windows: gap close + watermark timeout eviction") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.EvT]
