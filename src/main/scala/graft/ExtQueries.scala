@@ -868,6 +868,52 @@ object ExtQueries {
         .orderBy("pos1")
     }),
 
+    // Set-overlap from sketches alone: estimated distinct-user
+    // intersection for every event-type pair by inclusion-exclusion over
+    // persisted HLL registers, audited against the exact overlap. The
+    // pairwise join runs on 5 sketch rows; the data is read once to build
+    // the 5 sketches (and once for the exact audit column).
+    "q98_hll_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val regs = Sketches.hllRegisters(ev, Seq("event_type"), col("user_id"))
+      val est = Sketches.hllIntersectEstimate(regs, "event_type")
+        .select(col("key_a").as("type_a"), col("key_b").as("type_b"),
+          col("est_intersect"))
+      val u = ev.distinct()
+      val exact = u.select(col("event_type").as("type_a"), col("user_id"))
+        .join(u.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("n_exact"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Per-document n-gram novelty: fraction of each doc's distinct
+    // 3-token shingles shared with ANY other document — the boilerplate
+    // detector pairwise near-dup misses (no single partner is similar;
+    // the corpus collectively is). Unhinted df join per the
+    // shingle-vocabulary rule.
+    "q99_novelty" -> ((s, dir) =>
+      Dedup.noveltyScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Sketch-CDF percentile normalization: every lineitem priced by its
+    // corpus percentile from the q63 histogram sketch (bin-midpoint
+    // convention) — the scale-safe percent_rank. Per-flag profile of the
+    // normalized signal; rounded percentiles sum as DECIMAL.
+    "q100_pct_normalize" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      Sketches.percentileNormalize(li, col("l_extendedprice"),
+        lo = 900.0, hi = 105000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("pct").cast(DecimalType(20, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_pct"),
+          min("pct").as("min_pct"), max("pct").as("max_pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -2618,6 +2664,128 @@ object ExtQueries {
          |         CAST(row_number() OVER (ORDER BY h2 % 64, h2, doc_id) - 1 AS BIGINT) AS pos2
          |  FROM h)
          |SELECT doc_id, pos1, pos2 FROM g WHERE pos1 < 40 ORDER BY pos1""".stripMargin,
+
+    // Register-for-register inclusion-exclusion mirror: single-type
+    // sketches (q55's chain keyed by event_type), pair-union sketches
+    // (same chain keyed by the pair — register max == sketch of the
+    // union exactly), estimates rounded to 6 before the subtraction.
+    "q98_hll_intersect" -> {
+      val m = graft.ext.Sketches.HLL_M
+      val num = graft.ext.Sketches.HLL_NUMERATOR
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |             ${TextAnalysis.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |      FROM u),
+         |r1 AS (
+         |  SELECT event_type, h % $m AS bucket,
+         |         max(CASE WHEN h // $m > 0 THEN 52 - length(bin(h // $m)) ELSE 52 END) AS max_rho
+         |  FROM h GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT event_type, count(*) AS n_buckets,
+         |         sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_nonempty
+         |  FROM r1 GROUP BY 1),
+         |e1 AS (
+         |  SELECT event_type,
+         |         CAST(s_nonempty + ($m - n_buckets) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS s,
+         |         $m - n_buckets AS zeros
+         |  FROM a1),
+         |est1 AS (
+         |  SELECT event_type,
+         |         round(CASE WHEN $num / s <= ${2.5 * m} AND zeros > 0
+         |                    THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |                    ELSE $num / s END, 6) AS est
+         |  FROM e1),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM (SELECT DISTINCT event_type FROM events) a
+         |  JOIN (SELECT DISTINCT event_type FROM events) b
+         |    ON a.event_type < b.event_type),
+         |hu AS (
+         |  SELECT p.type_a, p.type_b, h.h
+         |  FROM pairs p JOIN h ON h.event_type IN (p.type_a, p.type_b)),
+         |r2 AS (
+         |  SELECT type_a, type_b, h % $m AS bucket,
+         |         max(CASE WHEN h // $m > 0 THEN 52 - length(bin(h // $m)) ELSE 52 END) AS max_rho
+         |  FROM hu GROUP BY 1, 2, 3),
+         |a2 AS (
+         |  SELECT type_a, type_b, count(*) AS n_buckets,
+         |         sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_nonempty
+         |  FROM r2 GROUP BY 1, 2),
+         |e2 AS (
+         |  SELECT type_a, type_b,
+         |         CAST(s_nonempty + ($m - n_buckets) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS s,
+         |         $m - n_buckets AS zeros
+         |  FROM a2),
+         |est2 AS (
+         |  SELECT type_a, type_b,
+         |         round(CASE WHEN $num / s <= ${2.5 * m} AND zeros > 0
+         |                    THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |                    ELSE $num / s END, 6) AS est
+         |  FROM e2),
+         |exact AS (
+         |  SELECT ua.event_type AS type_a, ub.event_type AS type_b,
+         |         count(*) AS n_exact
+         |  FROM u ua JOIN u ub
+         |    ON ua.user_id = ub.user_id AND ua.event_type < ub.event_type
+         |  GROUP BY 1, 2)
+         |SELECT p.type_a, p.type_b,
+         |       round(ea.est + eb.est - eu.est, 6) AS est_intersect,
+         |       coalesce(x.n_exact, 0) AS n_exact
+         |FROM pairs p
+         |JOIN est1 ea ON ea.event_type = p.type_a
+         |JOIN est1 eb ON eb.event_type = p.type_b
+         |JOIN est2 eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b
+         |LEFT JOIN exact x ON x.type_a = p.type_a AND x.type_b = p.type_b
+         |ORDER BY p.type_a, p.type_b""".stripMargin
+    },
+
+    // Shingle-for-shingle novelty mirror: distinct 3-token shingles,
+    // md5-keyed document frequency, shared = df >= 2.
+    "q99_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT doc_id, md5(sh) AS h FROM sh),
+         |df AS (SELECT h, count(*) AS df FROM h GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS shared_frac
+         |FROM h JOIN df USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bin-for-bin percentile mirror: q63's histogram binning, midpoint
+    // CDF per bin, rounded percentiles summed as DECIMAL for the
+    // per-flag mean.
+    "q100_pct_normalize" -> {
+      val (lo, hi) = (900.0, 105000.0)
+      val b = graft.ext.Sketches.HIST_BUCKETS
+      val w = (hi - lo) / b
+      s"""WITH v AS (
+         |  SELECT l_returnflag,
+         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - $lo) / $w),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket
+         |  FROM lineitem),
+         |hist AS (SELECT hist_bucket, count(*) AS cnt FROM v GROUP BY 1),
+         |c AS (
+         |  SELECT hist_bucket, cnt,
+         |         coalesce(sum(cnt) OVER (ORDER BY hist_bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS n
+         |  FROM hist),
+         |p AS (
+         |  SELECT hist_bucket,
+         |         round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2) / n, 6) AS pct
+         |  FROM c)
+         |SELECT l_returnflag, count(*) AS n,
+         |       round(CAST(sum(CAST(pct AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_pct,
+         |       min(pct) AS min_pct, max(pct) AS max_pct
+         |FROM v JOIN p USING (hist_bucket)
+         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+    },
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on
     // the previous stage's text then replaces globally ('g' — DuckDB

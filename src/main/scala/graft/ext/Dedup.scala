@@ -724,4 +724,38 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ---- per-document n-gram novelty ----
+
+  /** Per-document NOVELTY profile: of a document's distinct k-token
+    * shingles, how many also appear in at least one OTHER document —
+    * the intra-corpus complement of [[contamination]] (which screens
+    * against an external benchmark) and the per-document aggregate view
+    * of [[duplicatedSpans]] (which localizes the repeated spans). High
+    * `shared_frac` flags boilerplate-dominated documents that pairwise
+    * near-dup thresholds miss because no SINGLE partner is similar
+    * enough; low means genuinely novel text worth keeping.
+    *
+    * Shape at scale: shingles stream map-only through the compiled
+    * kernel, keyed by md5 (32-char shuffle key, never the shingle text);
+    * the document-frequency table collapses under partial aggregation
+    * (hot boilerplate shingles become ONE row) and joins back UNHINTED —
+    * the shingle vocabulary at web scale is 10^9+ rows, the tf-idf
+    * vocabulary rule. Documents with fewer than k tokens have no
+    * shingles and drop out. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("__sh"))
+      .withColumn("__h", md5(col("__sh"))).drop("__sh")
+    // distinctShingles emits each (doc, shingle) once, so count(*) IS the
+    // shingle's document frequency
+    val df_ = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    sh.join(df_, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -295,6 +295,74 @@ object Sketches {
             col("__graft_hist_pick.hist_cnt")), 6).as("quantile_est")): _*)
   }
 
+  /** Inclusion–exclusion distinct-INTERSECTION estimates between every
+    * pair of key groups in a register table: est(A ∩ B) = est(A) + est(B)
+    * − est(A ∪ B), where the union estimate comes from the element-wise
+    * register max ([[hllMerge]] — EXACTLY the sketch of the union, so the
+    * only error is the three estimates' own). The set-overlap question
+    * ("how many users did both X and Y", "how many shingles do these two
+    * crawls share") answered from persisted sketches alone — the data is
+    * never re-read, and a k-group table yields all k(k−1)/2 overlaps from
+    * k sketches.
+    *
+    * Shape at scale: the pairwise join runs on GROUP-cardinality rows of
+    * m-int vectors — sketch-sized, independent of the cardinalities being
+    * estimated. Estimates round to 6 before the subtraction (identical
+    * doubles in every engine); small intersections of large sets can
+    * estimate negative — that IS the sketch's answer, clamp downstream if
+    * a rate is needed. */
+  def hllIntersectEstimate(regs: DataFrame, keyCol: String,
+                           regCol: String = "hll_registers"): DataFrame = {
+    val a = regs.select(col(keyCol).as("key_a"), col(regCol).as("__graft_hll_ra"))
+    val b = regs.select(col(keyCol).as("key_b"), col(regCol).as("__graft_hll_rb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__graft_hll_rm",
+        hllMerge(col("__graft_hll_ra"), col("__graft_hll_rb")))
+      .select(col("key_a"), col("key_b"),
+        hllEstimate("__graft_hll_ra").as("est_a"),
+        hllEstimate("__graft_hll_rb").as("est_b"),
+        hllEstimate("__graft_hll_rm").as("est_union"))
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 6))
+  }
+
+  /** Sketch-CDF percentile normalization: annotate every row with the
+    * approximate percentile of `value`, derived from the equi-width
+    * histogram sketch — the scale-safe stand-in for a global
+    * `percent_rank()` window, which would funnel the whole corpus through
+    * ONE partition. The normalization step before blending
+    * incommensurable quality signals (length, LM score, dup fraction)
+    * into one curation verdict: each signal maps to [0, 1] by corpus
+    * position, at one-bin resolution (the bin MIDPOINT convention:
+    * pct = (count below bin + half the bin's count) / n).
+    *
+    * Shape at scale: one data-sized groupBy ([[histCounts]]), a
+    * ≤ `buckets`-row cumulative pass, and the bin→pct table folds back as
+    * a BROADCAST join on the row's bin — the annotation pass is map-only.
+    * Merge-friendly like every sketch here: normalize a new day against
+    * last month's histogram by summing counters first. */
+  def percentileNormalize(df: DataFrame, value: Column, lo: Double,
+                          hi: Double, buckets: Int = HIST_BUCKETS,
+                          outCol: String = "pct"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / buckets
+    val win = Window.partitionBy(lit(0)).orderBy("hist_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pcts = histCounts(df, Nil, value, lo, hi, buckets)
+      .withColumn("__graft_hist_cumb", coalesce(sum("hist_cnt").over(win), lit(0L)))
+      .withColumn("__graft_hist_n",
+        sum("hist_cnt").over(Window.partitionBy(lit(0))))
+      .select(col("hist_bucket"),
+        round((col("__graft_hist_cumb").cast("double") +
+          col("hist_cnt").cast("double") / 2) / col("__graft_hist_n"), 6)
+          .as(outCol))
+    df.withColumn("hist_bucket", least(greatest(
+        floor((value.cast("double") - lit(lo)) / lit(w)), lit(0L)),
+        lit(buckets - 1L)).cast("int"))
+      .join(broadcast(pcts), "hist_bucket")
+      .drop("hist_bucket")
+  }
+
   /** HLL approximate distinct count of `value` per `keys` group, in one
     * shot (collapses the registers without materializing the dense vector;
     * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).

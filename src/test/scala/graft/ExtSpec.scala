@@ -780,6 +780,25 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got.size === 12 && got.values.forall(_ == 1L))
   }
+
+  test("noveltyScore: boilerplate-heavy docs score high, unique docs zero, short docs drop") {
+    val boiler = "click here to subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$boiler and also some words about cats"),
+      (2L, s"$boiler and also some words about dogs"),
+      (3L, "entirely original prose concerning migratory seabirds today"),
+      (4L, "too short")  // < 3 tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(4L), "a doc below the shingle width has no score")
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0.0, "unique doc shares nothing")
+    // docs 1/2 share the 7-token boilerplate prefix + 'and also some words
+    // about' continuation: every shingle up to the last two is shared
+    assert(got(1L)._3 > 0.7 && got(2L)._3 > 0.7,
+      s"boilerplate docs must flag as mostly-shared: $got")
+    assert(got(1L)._2 < got(1L)._1, "the cat/dog tails are NOT shared")
+  }
 }
 
 class SimSearchSpec extends SparkTestBase {
@@ -1267,6 +1286,43 @@ class SketchesSpec extends SparkTestBase {
     val reg = Sketches.hllRegisters(df, Seq("__h"), $"v")
       .select(Sketches.hllEstimate("hll_registers")).head.getDouble(0)
     assert(reg === want)
+  }
+
+  test("HLL intersection: inclusion-exclusion from sketches tracks the true overlap") {
+    // A = 1..3000, B = 2001..5000 -> |A| = |B| = 3000, |A ∩ B| = 1000
+    val rows = ((1 to 3000).map(i => ("A", s"u$i")) ++
+      (2001 to 5000).map(i => ("B", s"u$i"))).toDF("g", "v")
+    val regs = Sketches.hllRegisters(rows, Seq("g"), $"v")
+    val got = Sketches.hllIntersectEstimate(regs, "g").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("key_a") === "A" && r.getAs[String]("key_b") === "B")
+    val est = r.getAs[Double]("est_intersect")
+    // inclusion-exclusion compounds three ~3% errors; 25% is a loose pin
+    assert(math.abs(est - 1000.0) <= 250.0, s"intersection estimate $est vs 1000")
+    assert(math.abs(r.getAs[Double]("est_union") - 5000.0) <= 500.0)
+    // pure sketch arithmetic: recomputing from the same registers is exact
+    val again = Sketches.hllIntersectEstimate(regs, "g").head.getAs[Double]("est_intersect")
+    assert(again === est)
+  }
+
+  test("percentileNormalize: monotone in value, midpoint convention, partitioning-invariant") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val got = Sketches.percentileNormalize(df, $"v", lo = 0.0, hi = 1000.0,
+      buckets = 100)
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    // monotone: higher value never maps to a lower percentile
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // w = 10: bin 0 holds 1..9 (9 rows), bin 1 holds 10..19 (10 rows),
+    // bin 99 holds 990..999 plus the clamped 1000 (11 rows)
+    assert(got(1L) === 0.0045 && got(9L) === 0.0045, "bin-0 midpoint = 4.5/1000")
+    assert(got(10L) === 0.014, "bin-1 midpoint = (9 + 5)/1000")
+    assert(got(1000L) === 0.9945, "last-bin midpoint = (989 + 5.5)/1000")
+    // same result under a different input partitioning
+    val again = Sketches.percentileNormalize(df.repartition(7), $"v", 0.0, 1000.0, 100)
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(again === got)
   }
 }
 
