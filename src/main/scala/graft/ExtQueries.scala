@@ -898,6 +898,15 @@ object ExtQueries {
       Dedup.noveltyScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Product-quantized ANN (Jegou/Douze/Schmid, TPAMI 2011): 4 subspace
+    // codebooks of 8 centroids each -> 4 code ints per 64-float vector;
+    // approximate scan on the reconstructed centroids, exact re-rank of
+    // the 4k-candidate margin. The aggressive-compression sibling of q96.
+    "q101_knn_pq" -> ((s, dir) =>
+      SimSearch.knnPq(probes(s, dir), corpus(s, dir), k = 5,
+        m = 4, kCent = 8, iters = 2, refine = 4, dim = Some(oracleDim))
+        .orderBy("probe_id", "rnk")),
+
     // Sketch-CDF percentile normalization: every lineitem priced by its
     // corpus percentile from the q63 histogram sketch (bin-midpoint
     // convention) — the scale-safe percent_rank. Per-flag profile of the
@@ -1159,7 +1168,14 @@ object ExtQueries {
     * mirrors [[SimSearch.kmeansAssign]] constant for constant: e (DOUBLE[]
     * corpus) → hash-seeded c0 → iters × [assignment a_i vs c_i → rounded
     * means c_(i+1)] → final assignment af(vec_id, emb, cell, cos). */
-  private def kmeansCtes(k: Int = 8, iters: Int = 2): String = {
+  private def kmeansCtes(k: Int = 8, iters: Int = 2): String =
+    kmeansCtesPrefixed("", "CAST(embedding AS DOUBLE[])", k, iters)
+
+  /** The q33 k-means chain with a CTE-name prefix and a caller-chosen
+    * embedding expression — so PQ's per-subspace fits (q101) can replay
+    * four independent chains over slices in ONE oracle query. */
+  private def kmeansCtesPrefixed(p: String, embSql: String,
+                                 k: Int, iters: Int): String = {
     def cosD(a: String, b: String) =
       s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
     def assign(name: String, centTable: String) =
@@ -1168,7 +1184,7 @@ object ExtQueries {
          |    SELECT e.vec_id, e.emb, c.cell, ${cosD("e.emb", "c.centroid")} AS cos,
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosD("e.emb", "c.centroid")} DESC, c.cell) AS rnk
-         |    FROM e CROSS JOIN $centTable c) WHERE rnk = 1)"""
+         |    FROM ${p}e e CROSS JOIN $centTable c) WHERE rnk = 1)"""
     def means(name: String, from: String) =
       s"""$name AS (
          |  SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM (
@@ -1176,15 +1192,15 @@ object ExtQueries {
          |      SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM $from)
          |    GROUP BY cell, pos) GROUP BY cell)"""
     val rounds = (0 until iters)
-      .map(i => assign(s"a$i", s"c$i") + ",\n" + means(s"c${i + 1}", s"a$i"))
+      .map(i => assign(s"${p}a$i", s"${p}c$i") + ",\n" + means(s"${p}c${i + 1}", s"${p}a$i"))
       .mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |sd AS (SELECT vec_id, emb,
+    s"""${p}e AS (SELECT vec_id, $embSql AS emb FROM embeddings),
+       |${p}sd AS (SELECT vec_id, emb,
        |       row_number() OVER (ORDER BY ${TextAnalysis.h60Sql("'km' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-       |       FROM e),
-       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, emb AS centroid FROM sd WHERE rn <= $k),
+       |       FROM ${p}e),
+       |${p}c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, emb AS centroid FROM ${p}sd WHERE rn <= $k),
        |$rounds,
-       |${assign("af", s"c$iters")}"""
+       |${assign(s"${p}af", s"${p}c$iters")}"""
   }
 
   /** Shared oracle chain for q27/q28: the three pair channels, the
@@ -2756,6 +2772,54 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Code-for-code PQ mirror: four independent q33 k-means chains over
+    // the 16-dim slices (same hash seeding — it is slice-independent),
+    // reconstruction = concatenated final centroids per assignment,
+    // then q96's approx-rank + exact-re-rank tail.
+    "q101_knn_pq" -> {
+      val sub = oracleDim / 4
+      val chains = (0 until 4).map { s =>
+        kmeansCtesPrefixed(s"s${s}_",
+          s"CAST(embedding[${s * sub + 1}:${(s + 1) * sub}] AS DOUBLE[])",
+          k = 8, iters = 2)
+      }.mkString(",\n")
+      val joins = (0 until 4).map { s =>
+        (if (s == 0) s"FROM s0_af a0 " else s"JOIN s${s}_af a$s ON a$s.vec_id = a0.vec_id ") +
+          s"JOIN s${s}_c2 k$s ON k$s.cell = a$s.cell"
+      }.mkString("\n  ")
+      s"""WITH $chains,
+         |recon AS (
+         |  SELECT a0.vec_id,
+         |         list_concat(list_concat(list_concat(k0.centroid, k1.centroid),
+         |                     k2.centroid), k3.centroid) AS e
+         |  $joins),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT pr.probe_id, d.vec_id,
+         |         list_inner_product(CAST(pe AS DOUBLE[]), e)
+         |         / (sqrt(list_inner_product(CAST(pe AS DOUBLE[]), CAST(pe AS DOUBLE[])))
+         |            * sqrt(list_inner_product(e, e))) AS ac
+         |  FROM probes pr CROSS JOIN recon d),
+         |cand AS (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY ac DESC, vec_id) AS arnk
+         |  FROM approx),
+         |exact AS (
+         |  SELECT c.probe_id, c.vec_id, $cosSql AS cos
+         |  FROM cand c
+         |  JOIN probes pr ON pr.probe_id = c.probe_id
+         |  JOIN (SELECT vec_id, embedding AS e FROM embeddings) x ON x.vec_id = c.vec_id
+         |  WHERE arnk <= 20),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+         |              AS INT) AS rnk
+         |  FROM exact)
+         |SELECT probe_id, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    },
 
     // Bin-for-bin percentile mirror: q63's histogram binning, midpoint
     // CDF per bin, rounded percentiles summed as DECIMAL for the

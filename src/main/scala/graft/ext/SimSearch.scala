@@ -295,7 +295,18 @@ object SimSearch {
 
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
                    idCol: String = "vec_id", embCol: String = "embedding",
-                   maxLiteralK: Int = maxLiteralCentroids): DataFrame = {
+                   maxLiteralK: Int = maxLiteralCentroids): DataFrame =
+    kmeansFit(corpus, k, iters, idCol, embCol, maxLiteralK)._2
+
+  /** [[kmeansAssign]] exposing BOTH halves of the fit: the final centroid
+    * VALUES (the standard bounded k·dim k-means driver state) and the
+    * final assignment. Product quantization ([[pqFit]]) runs one fit per
+    * subspace and needs the codebook vectors for reconstruction; plain
+    * callers use [[kmeansAssign]]. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 2,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                maxLiteralK: Int = maxLiteralCentroids)
+      : (Seq[(Int, Array[Double])], DataFrame) = {
     require(k >= 2, s"k-means needs k >= 2, got $k")
     require(iters >= 1, s"k-means needs iters >= 1, got $iters")
     val base = corpus.select(col(idCol), col(embCol))
@@ -326,8 +337,8 @@ object SimSearch {
     for (_ <- 1 to iters)
       cents = meanCentroids(assignCells(base, cents, idCol, embCol, maxLiteralK))
 
-    assignCells(base, cents, idCol, embCol, maxLiteralK)
-      .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine"))
+    (cents, assignCells(base, cents, idCol, embCol, maxLiteralK)
+      .select(col(idCol), col("cell"), round(col("cos"), 6).as("cosine")))
   }
 
   /** Cross-corpus semantic near-dup: a NEW vector batch against a SEEN
@@ -627,6 +638,15 @@ object SimSearch {
       .select(col("vec_id"), dequant(mins, maxs).as("embedding"))
     val cand = knnBrute(probes, approxCorpus, k * refine, maxProbeRows)
       .select("probe_id", "vec_id")
+    rerankExact(cand, probes, corpus, k)
+  }
+
+  /** Exact re-rank of a bounded (probe_id, vec_id) candidate set on the
+    * TRUE vectors — the second stage every compressed-scan search
+    * ([[knnQuantized]], [[knnPq]]) shares. The window is per-probe over
+    * the candidate margin only. */
+  private def rerankExact(cand: DataFrame, probes: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
     cand
@@ -637,5 +657,80 @@ object SimSearch {
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("vec_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011) ----
+
+  /** Product-quantize the corpus: split each embedding into `m`
+    * contiguous subspaces, k-means each subspace independently
+    * ([[kmeansFit]] — the identical seeding/assignment chain, so an
+    * engine-portable oracle can replay it), and keep per vector only the
+    * m subspace codes. With kCent = 8 and m = 4 a 64-float vector
+    * becomes 4 small ints — the compression regime where a 100 TB ANN
+    * scan's bytes drop by ~60× and the codebooks (m·kCent·(dim/m)
+    * doubles) ride along as driver literals.
+    *
+    * Returns (codes, codebooks): codes = (idCol, code_0..code_{m−1}),
+    * codebooks(s) = subspace s's (cell, centroid) values. */
+  def pqFit(corpus: DataFrame, m: Int, kCent: Int = 8, iters: Int = 2,
+            dim: Option[Int] = None, idCol: String = "vec_id",
+            embCol: String = "embedding")
+      : (DataFrame, Seq[Seq[(Int, Array[Double])]]) = {
+    require(m >= 1, s"pqFit needs >= 1 subspaces, got $m")
+    val d = resolveDim(
+      corpus.select(col(idCol), col(embCol).as("embedding")), dim)
+    require(d % m == 0, s"embedding dim $d is not divisible by $m subspaces")
+    val sub = d / m
+    val base = corpus.select(col(idCol), col(embCol))
+    var codes = corpus.select(col(idCol))
+    val books = (0 until m).map { s =>
+      val sliced = base.select(col(idCol),
+        slice(col(embCol), s * sub + 1, sub).as(embCol))
+      val (cents, assigned) = kmeansFit(sliced, kCent, iters, idCol, embCol)
+      codes = codes.join(
+        assigned.select(col(idCol), col("cell").as(s"code_$s")), idCol)
+      cents
+    }
+    (codes, books)
+  }
+
+  /** Reconstruct the approximation each PQ code vector stands for: the
+    * concatenation of its m codebook centroids — map-only (the codebooks
+    * fold in as a literal code→centroid map per subspace; a dead cell
+    * can't appear in codes, so the map is total over observed codes). */
+  def pqReconstruct(codes: DataFrame,
+                    books: Seq[Seq[(Int, Array[Double])]],
+                    idCol: String = "vec_id",
+                    outCol: String = "embedding"): DataFrame = {
+    val parts = books.zipWithIndex.map { case (cents, s) =>
+      val keys = array(cents.map(c => lit(c._1)): _*)
+      val vals = array(cents.map(c => typedlit(c._2.toSeq)): _*)
+      element_at(map_from_arrays(keys, vals), col(s"code_$s"))
+    }
+    codes.select(col(idCol), concat(parts: _*).as(outCol))
+  }
+
+  /** Approximate kNN over PQ codes with exact re-rank — [[knnQuantized]]'s
+    * aggressive sibling: the approximate scan reads m code ints per
+    * vector instead of dim floats, scores against the reconstructed
+    * centroids, keeps k·`refine` candidates per probe, and the true
+    * vectors are consulted only for that bounded set. More compression,
+    * more quantization error — `refine` and kCent are the recall knobs,
+    * [[recallAtK]] vs [[knnBrute]] the audit.
+    *
+    * Same scale shape as [[knnQuantized]]: fit = m bounded k-means runs;
+    * reconstruction map-only; candidate scan streams the corpus with
+    * per-partition heaps; the re-rank window is per-probe-bounded. */
+  def knnPq(probes: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 4, kCent: Int = 8, iters: Int = 2, refine: Int = 4,
+            dim: Option[Int] = None,
+            maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val (codes, books) = pqFit(corpus, m, kCent, iters, dim)
+    val approx = pqReconstruct(codes, books)
+    val cand = knnBrute(probes, approx, k * refine, maxProbeRows)
+      .select("probe_id", "vec_id")
+    rerankExact(cand, probes, corpus, k)
   }
 }

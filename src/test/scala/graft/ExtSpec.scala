@@ -883,6 +883,38 @@ class SimSearchSpec extends SparkTestBase {
       bruteTop1.map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("product quantization: valid codes, reconstruction in-span, exhaustive refine == brute") {
+    import org.apache.spark.sql.functions._
+    val big = (0 until 40).map { i =>
+      (i.toLong, Array(
+        math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 0.3).toFloat, math.cos(i * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val (codes, books) = SimSearch.pqFit(big, m = 2, kCent = 4, iters = 2)
+    assert(books.length === 2 && books.forall(_.forall(_._2.length === 2)))
+    val codeRows = codes.collect()
+    assert(codeRows.length === 40)
+    assert(codeRows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4 &&
+      r.getInt(2) >= 0 && r.getInt(2) < 4))
+    // reconstruction: every vector maps to one of the <= 4x4 codebook
+    // concatenations, 4 doubles wide
+    val rec = SimSearch.pqReconstruct(codes, books).collect()
+    assert(rec.forall(_.getSeq[Double](1).length === 4))
+    assert(rec.map(_.getSeq[Double](1)).distinct.length <= 16)
+    // dim not divisible by m is a loud error
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.pqFit(big, m = 3, kCent = 4)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    // exhaustive refine makes the PQ scan a pass-through: == brute exactly
+    val p = big.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
+    val brute = SimSearch.knnBrute(p, big, k = 5).collect().toSeq
+    val pq = SimSearch.knnPq(p, big, k = 5, m = 2, kCent = 4, refine = 8)
+      .collect().toSeq
+    assert(pq.toSet === brute.toSet)
+  }
+
   test("assignLiteral == assignNew values; literal cap trips loudly") {
     import org.apache.spark.sql.functions._
     val vecs = (0 until 30).map { i =>
