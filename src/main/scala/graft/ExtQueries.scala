@@ -898,6 +898,24 @@ object ExtQueries {
       Dedup.noveltyScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Incremental index maintenance: two disjoint segments (even/odd
+    // doc ids — two ingest batches) built independently, merged, and the
+    // ORACLE REBUILDS the index from scratch — merge == rebuild is the
+    // hash assertion. df >= 2 applied at query time on the merged table.
+    "q102_index_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val segs = Seq(
+        Retrieval.indexSegment(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        Retrieval.indexSegment(d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      Retrieval.mergeSegments(segs)
+        .filter(col("df") >= 2)
+        .select(col("term"), col("df"), col("cf"),
+          md5(array_join(transform(col("postings"),
+            p => concat(p.getField("doc").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",")).as("postings_md5"))
+        .orderBy("term")
+    }),
+
     // Product-quantized ANN (Jegou/Douze/Schmid, TPAMI 2011): 4 subspace
     // codebooks of 8 centroids each -> 4 code ints per 64-float vector;
     // approximate scan on the reconstructed centroids, exact re-rank of
@@ -2772,6 +2790,20 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q102 oracle REBUILDS the index over the whole corpus in one
+    // pass — hash-matching it proves the segment merge reconstructs the
+    // from-scratch index exactly (df adds, cf adds, postings interleave
+    // in doc order with per-doc tf intact).
+    "q102_index_merge" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |                      ',' ORDER BY doc_id)) AS postings_md5
+         |FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
 
     // Code-for-code PQ mirror: four independent q33 k-means chains over
     // the 16-dim slices (same hash seeding — it is slice-independent),

@@ -198,4 +198,41 @@ object Retrieval {
       .select(col("term"), col("df"), col("cf"),
         md5(col("postings")).as("postings_md5"))
   }
+
+  /** MERGEABLE index segment over a document batch: per term — df, cf,
+    * and the (doc, tf)-struct postings array sorted by doc — the raw form
+    * [[invertedIndex]] summarizes into an md5. Build one segment per
+    * ingest batch/day/shard and combine with [[mergeSegments]]: the
+    * build-once/maintain-incrementally economics of the persisted IVF
+    * index and the HLL register tables, applied to lexical retrieval
+    * (Lucene's segment model, re-expressed relationally). Segments'
+    * doc-id spaces must be DISJOINT (a re-ingested doc is the caller's
+    * upstream dedup problem — [[graft.streaming.StreamOps.dedupScreenStream]]
+    * is the gate).
+    *
+    * Shape at scale: identical to [[invertedIndex]] — tf partial-agg
+    * shuffle + one groupBy(term); per-term rows grow with df, so apply
+    * the same maxDf discipline before materializing hot terms. */
+  def indexSegment(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        array_sort(collect_list(struct(col("doc"), col("tf")))).as("postings"))
+
+  /** Merge index segments: df/cf ADD, postings arrays concatenate and
+    * re-sort — over disjoint doc spaces, merge(segment(A), segment(B)) ==
+    * segment(A ++ B) EXACTLY (spec-pinned; q102's oracle REBUILDS from
+    * scratch and hash-matches the merge). One groupBy(term) over
+    * segment-term rows; per-term state is the term's total df — the same
+    * bounded-by-maxDf-discipline row the one-shot index builds. */
+  def mergeSegments(segs: Seq[DataFrame]): DataFrame = {
+    require(segs.nonEmpty, "mergeSegments needs at least one segment")
+    segs.reduce(_ unionByName _)
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        array_sort(flatten(collect_list(col("postings")))).as("postings"))
+  }
 }

@@ -1482,6 +1482,29 @@ class RetrievalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), "id", "rnk", c = 0) }
   }
 
+  test("index segments: merge of disjoint segments == from-scratch build, any split, any merge order") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the lazy dog and the quick cat"),
+      (3L, "brown dog brown fox"),
+      (4L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(0), p.getLong(1))))).toSet
+    val whole = canon(Retrieval.indexSegment(docs, "doc_id", "text"))
+    val evens = Retrieval.indexSegment(docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val odds = Retrieval.indexSegment(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text")
+    assert(canon(Retrieval.mergeSegments(Seq(evens, odds))) === whole)
+    assert(canon(Retrieval.mergeSegments(Seq(odds, evens))) === whole,
+      "merge must be order-independent")
+    // 4-way split, including an empty segment
+    val four = (0 until 4).map(i =>
+      Retrieval.indexSegment(docs.filter($"doc_id" % 4 === i), "doc_id", "text"))
+    assert(canon(Retrieval.mergeSegments(four)) === whole)
+    intercept[IllegalArgumentException] { Retrieval.mergeSegments(Nil) }
+  }
+
   private def md5Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
