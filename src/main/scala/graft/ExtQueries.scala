@@ -898,6 +898,15 @@ object ExtQueries {
       Dedup.noveltyScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Ordered funnel over the event stream: earliest-entry semantics,
+    // each step strictly after the user's previous-step time. Per step:
+    // one conditional min-agg + one user-keyed join — user-sized payload
+    // after step 0, never an event-stream window.
+    "q103_funnel" -> ((s, dir) =>
+      graft.ext.Events.funnel(Ingest.eventsWithTs(s, dir),
+        Seq("view", "click", "signup", "purchase"))
+        .orderBy("step")),
+
     // Incremental index maintenance: two disjoint segments (even/odd
     // doc ids — two ingest batches) built independently, merged, and the
     // ORACLE REBUILDS the index from scratch — merge == rebuild is the
@@ -2790,6 +2799,25 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Step-for-step funnel mirror: epoch_ms truncation == ts div 1000000,
+    // same strict-inequality earliest-entry chain.
+    "q103_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
+        |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
+        |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
+        |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
 
     // The q102 oracle REBUILDS the index over the whole corpus in one
     // pass — hash-matching it proves the segment merge reconstructs the

@@ -41,4 +41,40 @@ object Events {
       .agg(max("session_id").as("n_sessions"),
         sum("n_events").as("n_events"),
         max("dur_ms").as("longest_ms"))
+
+  /** Ordered funnel: how many users performed steps 0..i IN ORDER
+    * (each step strictly after their earliest qualifying occurrence of
+    * the previous one — the standard earliest-entry funnel). Returns one
+    * row per step: (step, step_name, n_users), n_users non-increasing.
+    *
+    * Shape at scale: per step, ONE conditional min-aggregation — a
+    * groupBy(user) with map-side partials — plus an equi-join on the
+    * user key carrying a single timestamp per user forward. Never a
+    * per-user event sort, never a window over the raw stream; a
+    * billion-event day funnels through `steps` hash-join/agg pairs whose
+    * shuffled payload after the first step is user-sized, not
+    * event-sized. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts_ms"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reached = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (st, _)) =>
+        val hits = events.filter(col(typeCol) === st)
+        Some(prev match {
+          case None =>
+            hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+          case Some(p) =>
+            hits.join(p.withColumnRenamed("__t", "__prev"), userCol)
+              .filter(col(tsCol) > col("__prev"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        })
+      }
+      .flatten
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1526,6 +1526,26 @@ class EventsSpec extends SparkTestBase {
     assert(stats(0).getLong(3) === 10L * min) // longest = first session
     assert(stats(1).getLong(1) === 1L)
   }
+
+  test("funnel: in-order users advance, out-of-order and stalled users stop at their last ordered step") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (100L, "view", 10L), (100L, "click", 20L), (100L, "buy", 30L),
+      // u2: clicked BEFORE viewing -> stops at view
+      (200L, "click", 5L), (200L, "view", 10L),
+      // u3: view + click same ms -> strict > stops at view
+      (300L, "view", 10L), (300L, "click", 10L),
+      // u4: view then click, no buy
+      (400L, "view", 1L), (400L, "click", 2L),
+      // u5: never viewed
+      (500L, "click", 1L), (500L, "buy", 2L)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val got = Events.funnel(ev, Seq("view", "click", "buy"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0, "view", 4L), (1, "click", 2L), (2, "buy", 1L)))
+    intercept[IllegalArgumentException] { Events.funnel(ev, Nil) }
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
