@@ -54,6 +54,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q94 dsir: the bucket-bounded weight table broadcasts; the gram stream is never sorted") {
+    // buckets is a plan constant, so the weight join may (and should)
+    // stay a broadcast even with auto-broadcast off — unlike the
+    // unbounded vocabularies of q50/q76, which must NOT hint.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q94_dsir_weights")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        "the <= buckets-row weight table must broadcast by construction:\n" + p)
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k must be heaps, not a global sort:\n" + p)
+    }
+  }
+
+  test("q100 percentile normalize: bin->pct folds back as a broadcast; no data-sized window") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q100_pct_normalize")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        "the <= buckets-row pct table must broadcast:\n" + p)
+      // the only windows run over histogram rows (bounded by the bucket
+      // knob) INSIDE the broadcast-built side — never over the data stream.
+      // Pin that by position: every Window must sit below the
+      // BroadcastExchange that carries the <= buckets-row pct table.
+      val bcast = p.indexOf("BroadcastExchange")
+      assert(bcast >= 0 && p.indexOf("Window") > bcast,
+        "no window may run over data-sized input:\n" + p)
+    }
+  }
+
+  test("q103 funnel: join/agg chain only — no window over the event stream") {
+    val p = plan("q103_funnel")
+    assert(!p.contains("Window"), "funnel must not sort per-user event streams:\n" + p)
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "step times must partial-aggregate map-side:\n" + p)
+  }
+
   test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
     val p = plan("q29_contamination")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
