@@ -84,10 +84,15 @@ object Bench {
       if (ts.isEmpty || errors.contains(name)) None
       else Some(name -> ts(ts.length / 2))
     }
-    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal values keep the (one) output line as short as possible, and
+    // the headline "value" goes LAST: the harness's capture window has
+    // truncated the HEAD of this line three rounds running, so the fields a
+    // reader needs most must sit at the tail end.
+    def j3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:${j3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","queries":$qs,"errors":$es,"n_err":${errors.size},"value":${j3(total)}}""")
     spark.stop()
   }
 }
