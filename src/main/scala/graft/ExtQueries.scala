@@ -907,6 +907,38 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // Range (interval) join via bucketed equi-join: attribute each event
+    // to the daytime window [06:00, 18:00) of its day (30 one-day
+    // intervals over the data's January 2024 span). The interval table is
+    // derived in-plan (both engines build the same 30 rows), the join key
+    // is the 6h bin — never a nested-loop range predicate. Bounds ms,
+    // inclusive; bin width = 6h so each 12h window covers exactly 2-3
+    // bins.
+    "q104_range_join" -> ((s, dir) => {
+      val wins = s.range(30).select(
+          col("id").cast("int").as("win_id"),
+          (lit(1704067200000L) + col("id") * lit(86400000L) + lit(21600000L)).as("lo"))
+        .withColumn("hi", col("lo") + lit(43199999L))
+      val ev = Ingest.eventsWithTs(s, dir).select("ts_ms", "value")
+      graft.ops.JoinOps.rangeJoinBinned(ev, "ts_ms", wins, "lo", "hi",
+          binWidth = 21600000L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy("win_id")
+    }),
+
+    // Leakage-safe split audit: the split key is the SOURCE, so the
+    // invariant is n_splits == 1 per source (asserted by the oracle
+    // match), and the per-split doc mass is what a pipeline must check
+    // before trusting a 80/10/10 target on a heavy-tailed corpus.
+    "q105_group_split" -> ((s, dir) =>
+      TextAnalysis.groupSplit(docs(s, dir), "source", "gsplit-v1")
+        .groupBy("source")
+        .agg(countDistinct("split").as("n_splits"),
+          min("split").as("split"), count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
     // Incremental index maintenance: two disjoint segments (even/odd
     // doc ids — two ingest batches) built independently, merged, and the
     // ORACLE REBUILDS the index from scratch — merge == rebuild is the
@@ -2818,6 +2850,33 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // The oracle joins on the raw BETWEEN predicate — hash-matching it
+    // proves the bin decomposition (explode + equi-join + residual
+    // filter) is exactly the range join.
+    "q104_range_join" ->
+      """WITH wins AS (
+        |  SELECT CAST(d AS INT) AS win_id,
+        |         1704067200000 + d * 86400000 + 21600000 AS lo
+        |  FROM (SELECT unnest(range(0, 30)) AS d)),
+        |w2 AS (SELECT win_id, lo, lo + 43199999 AS hi FROM wins),
+        |ev AS (SELECT epoch_ms(ts) AS ts_ms, value FROM events)
+        |SELECT w.win_id AS win_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM ev JOIN w2 w ON ev.ts_ms BETWEEN w.lo AND w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q105_group_split" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |         CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT source,
+         |               ${TextAnalysis.h60Sql("'gsplit-v1:' || source")} % 100 AS hb
+         |        FROM documents))
+         |SELECT source, count(DISTINCT split) AS n_splits,
+         |       min(split) AS split, count(*) AS n_docs
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     // The q102 oracle REBUILDS the index over the whole corpus in one
     // pass — hash-matching it proves the segment merge reconstructs the

@@ -148,6 +148,17 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Leakage-safe split: hash the GROUP key (domain, source, author), not
+    * the row id, so every document of a group lands in the SAME split and
+    * near-duplicates within a group can never straddle train/val — the
+    * standard guard against eval contamination when a corpus has many
+    * near-copies per site. Map-only (the group key is already on the row);
+    * split sizes are proportional to GROUP mass, not group count, so a
+    * heavy-tailed corpus should audit per-split mass (see q105). */
+  def groupSplit(df: DataFrame, groupCol: String, salt: String,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("split", split3(col(groupCol), salt, trainPct, valPct))
+
   /** Unigram log-probability quality score — the deterministic stand-in
     * for the KenLM-perplexity filter every major corpus pipeline runs
     * (CCNet, Gopher): score(doc) = mean over tokens of ln(tf_corpus/N),

@@ -101,4 +101,41 @@ object JoinOps {
   def bloomFilteredJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame =
     probe.filter(bloomKeep(col(key), bloomMask(build, col(key))))
       .join(build, key)
+
+  /** Range (interval) join as a bucketed EQUI-join — the operator Spark
+    * has no native physical strategy for. A naive `points JOIN intervals
+    * ON p BETWEEN lo AND hi` plans a broadcast-nested-loop (fine only
+    * while one side is broadcastable) or, worse, a cartesian product.
+    * Binning turns it into shuffle-partitionable work at any size:
+    *
+    *   - each interval is EXPLODED over the `binWidth`-sized bins it
+    *     overlaps — ceil(span/width)+1 copies, so pick width near the
+    *     median interval span to keep replication ~2x;
+    *   - each point is stamped with its single bin (map-only);
+    *   - equi-join on (bin ++ equiKeys), then the exact `BETWEEN` filter
+    *     keeps true containment (bounds inclusive).
+    *
+    * Exact: an interval covers every bin it overlaps, and a contained
+    * point's bin is one of them, so no pair is missed; the residual
+    * filter kills the false candidates. Each matching pair meets in
+    * EXACTLY one bin (the point's), so no dedup pass is needed. At
+    * 100 TB both sides shuffle on the bin key; a hot bin (rush-hour
+    * points) is AQE-skew-splittable because the join is a plain
+    * equi-join. Negative values bin correctly (floor division). */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val reserved = "__graft_bin"
+    require(!points.columns.contains(reserved) && !intervals.columns.contains(reserved),
+      s"$reserved is reserved")
+    val binned = intervals.withColumn(reserved,
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val stamped = points.withColumn(reserved,
+      floor(col(pointCol) / binWidth).cast("long"))
+    stamped.join(binned, reserved +: equiKeys)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(reserved)
+  }
 }

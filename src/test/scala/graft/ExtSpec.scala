@@ -1404,6 +1404,31 @@ class JoinOpsSpec extends SparkTestBase {
       .filter(JoinOps.bloomKeep($"k", mask)).count()
     assert(misses <= 5, s"false-positive rate implausibly high: $misses/1000")
   }
+
+  test("rangeJoinBinned == naive range join: negatives, multi-bin spans, boundary hits, equi keys") {
+    // intervals straddle zero, span 1-40 bins (width 10), and overlap
+    val ivals = Seq((0, -25L, 5L), (1, -3L, 370L), (2, 10L, 10L), (3, 5L, 45L))
+      .toDF("iv_id", "lo", "hi")
+    val pts = (-40L to 400L by 3L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pt_id", "p")
+    val naive = pts.crossJoin(ivals).filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select("pt_id", "iv_id").collect().map(_.toSeq).toSet
+    val binned = JoinOps.rangeJoinBinned(pts, "p", ivals, "lo", "hi", binWidth = 10L)
+      .select("pt_id", "iv_id").collect().map(_.toSeq).toSet
+    assert(binned === naive, "bin decomposition must be exactly the range join")
+    // inclusive boundaries: a point AT lo and AT hi both match
+    val edge = Seq((0L, -25L), (1L, 5L)).toDF("pt_id", "p")
+    assert(JoinOps.rangeJoinBinned(edge, "p",
+      ivals.filter($"iv_id" === 0), "lo", "hi", 10L).count() === 2)
+    // per-user windows: the equi key confines matches to the same user
+    val uIvals = Seq((1L, 0L, 100L), (2L, 0L, 100L)).toDF("user", "lo", "hi")
+    val uPts = Seq((1L, 50L, "a"), (2L, 50L, "b"), (3L, 50L, "c")).toDF("user", "p", "tag")
+    val byUser = JoinOps.rangeJoinBinned(uPts, "p", uIvals, "lo", "hi", 10L,
+      equiKeys = Seq("user"))
+    assert(byUser.select("tag").as[String].collect().sorted === Array("a", "b"))
+    intercept[IllegalArgumentException] {
+      JoinOps.rangeJoinBinned(pts, "p", ivals, "lo", "hi", 0L) }
+  }
 }
 
 class RetrievalSpec extends SparkTestBase {

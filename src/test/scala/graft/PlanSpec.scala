@@ -82,6 +82,13 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q104 range join: bucketed EQUI-join on the bin key, never a nested-loop range predicate") {
+    val p = plan("q104_range_join")
+    assert(p.contains("__graft_bin"), "join key must be the derived bin:\n" + p)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must not plan pairwise work:\n" + p)
+  }
+
   test("q103 funnel: join/agg chain only — no window over the event stream") {
     val p = plan("q103_funnel")
     assert(!p.contains("Window"), "funnel must not sort per-user event streams:\n" + p)
