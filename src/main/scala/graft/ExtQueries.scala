@@ -907,6 +907,16 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // Model-based quality filter: naive-Bayes log-odds trained in-plan
+    // on a seed labeling (curated sources positive, the rest negative),
+    // scoring every doc. Training = one token groupBy; the scoring join
+    // is unhinted (web-scale vocabulary rule); per-token contributions
+    // round(6) and sum as DECIMAL.
+    "q106_nb_quality" -> ((s, dir) =>
+      TextAnalysis.nbQualityScore(docs(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .orderBy("doc_id")),
+
     // Range (interval) join via bucketed equi-join: attribute each event
     // to the daytime window [06:00, 18:00) of its day (30 one-day
     // intervals over the data's January 2024 span). The interval table is
@@ -2850,6 +2860,40 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q106_nb_quality" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |         source IN ('src0','src1','src2','src3','src4') AS pos,
+         |         unnest(t) AS term
+         |  FROM toks),
+         |stats AS (
+         |  SELECT term,
+         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tf_pos,
+         |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS tf_neg
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(tf_pos) AS n_pos, sum(tf_neg) AS n_neg,
+         |               count(*) AS v FROM stats),
+         |lo AS (
+         |  SELECT term,
+         |         CAST(round(ln(CAST(tf_pos + 1 AS DOUBLE) / (n_pos + v)) -
+         |                    ln(CAST(tf_neg + 1 AS DOUBLE) / (n_neg + v)), 6)
+         |              AS DECIMAL(20,6)) AS logodds
+         |  FROM stats CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(round(ln(
+         |           CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |                    THEN 1 ELSE 0 END) AS DOUBLE) /
+         |           sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |               THEN 0 ELSE 1 END)), 6) AS DECIMAL(20,6)) AS prior
+         |  FROM documents),
+         |sc AS (
+         |  SELECT tok.doc_id, count(*) AS n_terms, sum(logodds) AS sum_lo
+         |  FROM tok JOIN lo USING (term) GROUP BY 1)
+         |SELECT doc_id, n_terms, CAST(prior + sum_lo AS DOUBLE) AS nb_score,
+         |       CASE WHEN prior + sum_lo > 0 THEN 1 ELSE 0 END AS pred
+         |FROM sc CROSS JOIN prior ORDER BY doc_id""".stripMargin,
 
     // The oracle joins on the raw BETWEEN predicate — hash-matching it
     // proves the bin decomposition (explode + equi-join + residual

@@ -193,6 +193,52 @@ object TextAnalysis {
         round(col("sum_logp").cast("double") / col("n_scored"), 6))
   }
 
+  /** Model-based quality classifier — the "quality filter" step of the
+    * GPT-3/CCNet-style curation recipe (seed corpus vs raw crawl),
+    * re-expressed as pure aggregation: multinomial naive Bayes with add-1
+    * smoothing over whitespace tokens. "Training" is ONE token groupBy
+    * (no iterative solver): per-term log-odds
+    * ln((tf_pos+1)/(N_pos+V)) - ln((tf_neg+1)/(N_neg+V)), prior
+    * ln(n_pos/n_neg) over seed-labeled docs; scoring joins doc tokens to
+    * the term table and sums. pred = score > 0.
+    *
+    * Shape at scale: the term-stats groupBy partial-aggregates map-side;
+    * the totals are a 1-row broadcast; the scoring join is UNHINTED (the
+    * vocabulary is web-scale — same rule as tf-idf/unigramLogProb). Each
+    * per-token contribution rounds to 6 decimals and sums as DECIMAL so
+    * the score is aggregation-order-free. Docs with zero tokens drop out
+    * (nothing to score). `posCol` is any boolean seed labeling — source
+    * membership, a heuristic gate, or hand labels. */
+  def nbQualityScore(docsDf: DataFrame, idCol: String, textCol: String,
+                     posCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    val lab = docsDf.select(col(idCol), posCol.cast("boolean").as("__pos"),
+      col(textCol))
+    val tok = lab.select(col(idCol), col("__pos"),
+      explode(tokens(col(textCol))).as("term"))
+    val stats = tok.groupBy("term").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("tf_pos"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("tf_neg"))
+    val tot = stats.agg(sum("tf_pos").as("n_pos"), sum("tf_neg").as("n_neg"),
+      count(lit(1)).as("v"))
+    val lo = stats.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log((col("tf_pos") + 1).cast("double") / (col("n_pos") + col("v"))) -
+              log((col("tf_neg") + 1).cast("double") / (col("n_neg") + col("v"))), 6)
+          .cast(dec).as("logodds"))
+    val prior = lab.agg(
+      round(log(sum(when(col("__pos"), 1L).otherwise(0L)).cast("double") /
+                sum(when(col("__pos"), 0L).otherwise(1L))), 6)
+        .cast(dec).as("prior"))
+    tok.join(lo, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("logodds").as("sum_lo"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("n_terms"),
+        (col("prior") + col("sum_lo")).cast("double").as("nb_score"),
+        when(col("prior") + col("sum_lo") > 0, 1).otherwise(0).as("pred"))
+  }
+
   /** EXACT-quota stratified sampling: precisely `quota` rows per group
     * (or the whole group when smaller), chosen in deterministic hash
     * order — the eval-set constructor, where "about 5%" ([[temperatureMix]]'s

@@ -144,6 +144,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("nbQualityScore: log-odds separate the classes; smoothing keeps unseen-class terms finite; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean good text prose", true),
+      (3L, "spam spam buy now", false),
+      (4L, "buy spam now spam", false),
+      // mixed doc leaning positive; unlabeled vocab overlap both ways
+      (5L, "good prose with spam", true)
+    ).toDF("doc_id", "text", "seed")
+    val got = TextAnalysis.nbQualityScore(docs, "doc_id", "text", col("seed"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(got(1L)._1 > 0 && got(1L)._2 === 1, s"seed-positive doc must score > 0: $got")
+    assert(got(3L)._1 < 0 && got(3L)._2 === 0, s"seed-negative doc must score < 0: $got")
+    assert(got(1L)._1 > got(5L)._1, "pure positive outscores the mixed doc")
+    assert(got(5L)._1 > got(3L)._1, "mixed doc outscores pure negative")
+    // every score finite: add-1 smoothing covers terms seen in one class only
+    got.values.foreach { case (s, _) => assert(!s.isInfinite && !s.isNaN) }
+    // decimal contribution sums: identical under repartition
+    val b = TextAnalysis.nbQualityScore(docs.repartition(7), "doc_id", "text", col("seed"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(b === got)
+  }
+
   test("temperatureMix: alpha < 1 upsamples the tail; deterministic under repartition") {
     // head source 900 docs, tail 100: at alpha=0.5 the weights are
     // 30/(30+10)=0.75 vs 0.25, so targets are 150 vs 50 of nTarget=200 —
