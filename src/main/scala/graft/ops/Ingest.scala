@@ -12,23 +12,42 @@ object Ingest {
 
   /** S1: read one table of a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark rejects
-    * by default; `nanosAsLong` reads it as a long we convert explicitly (see
-    * [[eventsWithTs]]). The conf is a no-op for every other table.
+    * Some generators write `events.ts` as parquet TIMESTAMP(NANOS), which
+    * Spark rejects by default; `nanosAsLong` reads it as a long we convert
+    * explicitly (see [[eventsWithTs]]). The conf is a no-op for every other
+    * column type, including the TIMESTAMP(MICROS) layout current generators
+    * emit.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` as a proper timestamp column (microsecond precision —
-    * truncated from nanos with integer division so the oracle can reproduce
-    * it exactly) plus `ts_ms` (epoch millis) for arithmetic that must be
-    * engine-portable. */
+  /** Normalize an events frame so downstream code sees ONE contract
+    * regardless of how the generator encoded `ts`:
+    *   - `ts`     TIMESTAMP (session-local; sessions run UTC) at
+    *              microsecond precision
+    *   - `ts_ms`  epoch millis as BIGINT, for arithmetic that must be
+    *              engine-portable (DuckDB mirror: `epoch_ms(ts)`)
+    *
+    * Two layouts exist in the wild: TIMESTAMP(NANOS) read as a nanos long
+    * (legacy conf above), and TIMESTAMP(MICROS) read as TIMESTAMP_NTZ. Both
+    * conversions are map-only column expressions — schema dispatch happens
+    * once at plan build, not per row. */
+  def withTsCols(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => // nanos-as-long layout
+      df.withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => // TIMESTAMP / TIMESTAMP_NTZ layout (micros)
+      df.withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+  }
+
+  /** `events` with `ts` as a proper timestamp column (microsecond precision)
+    * plus `ts_ms` (epoch millis) for arithmetic that must be
+    * engine-portable. See [[withTsCols]] for the layout dispatch. */
   def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    withTsCols(table(spark, dir, "events"))
 
   /** S2 (reference /root/reference/main.py:692-696): union-all over many
     * files/tables, aligning columns by NAME and null-filling the gaps —

@@ -110,19 +110,19 @@ object StreamOps {
   /** File-source streaming ingestion of events: a LANDING DIRECTORY of
     * parquet files becomes an unbounded stream (new files picked up per
     * trigger, `maxFilesPerTrigger` for rate control — file sources stream
-    * directories, not single files). The nanosecond timestamp handling
-    * matches [[graft.ops.Ingest.eventsWithTs]], so the same downstream
-    * transforms serve batch and streaming. */
+    * directories, not single files). Timestamp-layout handling is shared
+    * with [[graft.ops.Ingest.withTsCols]], so the same downstream
+    * transforms serve batch and streaming regardless of how the generator
+    * encoded `ts`. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, landingDir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(landingDir).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(landingDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.ops.Ingest.withTsCols(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(landingDir))
   }
 
   /** Streaming exact dedup on an id column:
