@@ -492,23 +492,34 @@ object TextAnalysis {
     * toward a quality target (e.g. a curated reference set) without
     * training a classifier.
     *
-    * Shape at scale: gram streams are map-only; BOTH count tables collapse
-    * to at most `buckets` rows under partial aggregation — the whole point
-    * of hashing the features is that model state is bounded by the bucket
-    * knob, never the vocabulary — so the weight table is broadcast BY
+    * Shape at scale: the raw gram stream — tokenize + shingle + hash over
+    * every raw document, the dominant map stage — collapses ONCE into a
+    * compact (doc, bucket, n) count table that is MATERIALIZED (eager
+    * local checkpoint, the Retrieval.scoreTerms precedent): it would
+    * otherwise re-run per consuming branch, because per-branch pushdown
+    * and pruning make each branch's exchange canonically different and
+    * ReuseExchange never fires (measured round 8: the raw stream ran 2x).
+    * Row count is bounded by min(gram occurrences, docs x buckets); the
+    * target side collapses to <= `buckets` rows before materializing.
+    * Both corpus-count tables are bounded by the bucket knob — the whole
+    * point of hashing the features — so the weight table is broadcast BY
     * CONSTRUCTION (no probe needed, unlike the per-domain rate tables).
     * The scoring pass is one broadcast join + one groupBy(doc). Per-gram
     * log ratios round to 6 decimals and sum as DECIMAL (the float-sum
-    * rule); the final cast is conversion-exact in both engines because the
-    * 6-dp numerator stays far under 2^53. */
+    * rule; n·lw over the count table == the per-occurrence sum exactly);
+    * the final cast is conversion-exact in both engines because the 6-dp
+    * numerator stays far under 2^53. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 1024,
                   salt: String = "dsir-v1"): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val rawF = hashedGramStream(raw, idCol, textCol, buckets, salt)
+    val rawDoc = hashedGramStream(raw, idCol, textCol, buckets, salt)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val tgtC = hashedGramStream(target, idCol, textCol, buckets, salt)
       .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
-    val rawC = rawF.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+      .localCheckpoint()
+    val rawC = rawDoc.groupBy("bucket").agg(sum("__n").as("c_raw"))
     // Keyed on the raw corpus's observed buckets: every scored doc's gram
     // lands in one of them (the scored docs ARE the raw corpus), and
     // target-only buckets can't join to anything. Zero target counts are
@@ -522,10 +533,10 @@ object TextAnalysis {
           log((col("c_raw") + 1).cast("double") / (col("n_raw") + buckets)), 6)
         .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
       .select("bucket", "lw")
-    rawF.join(broadcast(weights), "bucket")
+    rawDoc.join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum("lw").cast("double").as("log_weight"))
+      .agg(sum("__n").as("n_feats"),
+        sum(col("__n") * col("lw")).cast("double").as("log_weight"))
   }
 
   /** Interpolated bigram language-model score — [[unigramLogProb]]'s
@@ -536,43 +547,58 @@ object TextAnalysis {
     * Fluent text rides high-probability transitions; shuffled or
     * boilerplate-stitched text scores near its unigram floor.
     *
-    * Shape at scale: the bigram stream is map-only; three frequency
-    * tables (bigram, bigram-start context, unigram) each collapse under
-    * partial aggregation, and all three scoring joins are UNHINTED — a
-    * web-scale bigram vocabulary is 10^10+ rows, far past any broadcast
-    * threshold (the tf-idf vocabulary rule; AQE downgrades on toy
-    * corpora). Per-position log-probs round to 6 dp and sum as DECIMAL.
-    * Documents with fewer than two tokens have no bigram positions and
-    * drop out (same contract as the gram stream's emptiness). */
+    * Shape at scale: unigrams and bigrams ride ONE gram stream (a bigram
+    * contains the space a whitespace token cannot), collapsed into one
+    * compact (doc, gram, n) count table per corpus and MATERIALIZED
+    * (eager local checkpoint, the Retrieval.scoreTerms precedent) — the
+    * tokenize/shingle chain would otherwise re-run once per consuming
+    * branch (measured round 8: ~4x, the scoring stream plus three
+    * frequency tables), because per-branch pushdown defeats
+    * ReuseExchange. All three frequency tables (bigram, bigram-start
+    * context, unigram) re-aggregate the materialized rows, and all three
+    * scoring joins are UNHINTED — a web-scale bigram vocabulary is 10^10+
+    * rows, far past any broadcast threshold (the tf-idf vocabulary rule;
+    * AQE downgrades on toy corpora). Per-position log-probs round to 6 dp
+    * and sum as DECIMAL (n·lp over the count table == the per-position
+    * sum exactly). Documents with fewer than two tokens have no bigram
+    * positions and drop out (same contract as the gram stream's
+    * emptiness). */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.75,
                     model: Option[DataFrame] = None): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
-    def bigrams(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(shingles(tokens(col(textCol)), 2)).as("bigram"): _*)
-        // whitespace tokens contain no spaces, so the bigram string splits
-        // back into exactly (context, current)
-        .withColumn("ctx", split(col("bigram"), " ")(0))
-        .withColumn("cur", split(col("bigram"), " ")(1))
-    val stream = bigrams(docs, col(idCol))
-    val modelBg = model.map(m => bigrams(m)).getOrElse(stream.drop(idCol))
-    val modelTok = model.getOrElse(docs)
-      .select(explode(tokens(col(textCol))).as("term"))
-    val cbg = modelBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-    val cctx = modelBg.groupBy(col("ctx").as("term")).agg(count(lit(1)).as("c_ctx"))
-    val cuni = modelTok.groupBy("term").agg(count(lit(1)).as("c_uni"))
+    // one tokenize + one shingle pass per corpus, materialized as counts
+    def gramCounts(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.select(cols :+ explode(concat(toks, shingles(toks, 2))).as("g"): _*)
+        .groupBy(cols :+ col("g"): _*).agg(count(lit(1)).as("__n"))
+        .localCheckpoint()
+    }
+    val isBigram = col("g").contains(" ")
+    val docG = gramCounts(docs, col(idCol))
+    val modelG = model.map(m => gramCounts(m)).getOrElse(docG.drop(idCol))
+    val modelBg = modelG.filter(isBigram)
+    val cbg = modelBg.groupBy("g").agg(sum("__n").as("c_bg"))
+    // whitespace tokens contain no spaces, so the bigram string splits
+    // back into exactly (context, current)
+    val cctx = modelBg.withColumn("ctx", split(col("g"), " ")(0))
+      .groupBy("ctx").agg(sum("__n").as("c_ctx"))
+    val cuni = modelG.filter(!isBigram)
+      .groupBy(col("g").as("cur")).agg(sum("__n").as("c_uni"))
     val total = cuni.agg(sum("c_uni").as("n_total"))
-    stream
-      .join(cbg, "bigram")
-      .join(cctx.withColumnRenamed("term", "ctx"), "ctx")
-      .join(cuni.withColumnRenamed("term", "cur"), "cur")
+    docG.filter(isBigram)
+      .withColumn("ctx", split(col("g"), " ")(0))
+      .withColumn("cur", split(col("g"), " ")(1))
+      .join(cbg, "g")
+      .join(cctx, "ctx")
+      .join(cuni, "cur")
       .crossJoin(broadcast(total))
       .withColumn("__lp", round(log(
         lit(lambda) * col("c_bg").cast("double") / col("c_ctx") +
           lit(1.0 - lambda) * col("c_uni").cast("double") / col("n_total")), 6)
         .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_scored"), sum("__lp").as("sum_lp"))
+      .agg(sum("__n").as("n_scored"), sum(col("__n") * col("__lp")).as("sum_lp"))
       .withColumn("avg_lp", round(col("sum_lp").cast("double") / col("n_scored"), 6))
       .drop("sum_lp")
   }

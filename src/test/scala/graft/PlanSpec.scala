@@ -64,6 +64,32 @@ class PlanSpec extends SparkTestBase {
         "the <= buckets-row weight table must broadcast by construction:\n" + p)
       assert(p.contains("TakeOrderedAndProject"),
         "top-k must be heaps, not a global sort:\n" + p)
+      // both gram streams collapse into materialized count tables (raw:
+      // (doc, bucket, n); target: <= buckets rows), so the query plan
+      // itself contains NO tokenize/shingle at all — round 8 paid the raw
+      // stream twice (the q66 defect class, same fix).
+      assert(!p.contains("Generate explode"),
+        "gram streams must run once, in the checkpoint jobs — not per branch:\n" + p)
+      assert(p.contains("Scan ExistingRDD"),
+        "branches must read the materialized count tables:\n" + p)
+    }
+  }
+
+  test("q95 bigram LM: one gram stream, materialized; frequency joins stay unhinted") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q95_bigram_logprob")
+      // unigrams and bigrams ride ONE materialized (doc, gram, n) table;
+      // round 8 evaluated the tokenize/shingle chain ~4x (scoring stream
+      // + three frequency tables as separate plan branches).
+      assert(!p.contains("Generate explode"),
+        "the gram stream must run once, in the checkpoint job — not per branch:\n" + p)
+      assert(p.contains("Scan ExistingRDD"),
+        "all branches must read the materialized gram-count table:\n" + p)
+      // frequency joins are the web-scale vocabulary: never force-broadcast
+      assert(!p.contains("BroadcastHashJoin"),
+        "bigram/context/unigram joins must not force a build-side broadcast:\n" + p)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "the hinted 1-row total crossJoin should still broadcast:\n" + p)
     }
   }
 
@@ -94,6 +120,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "funnel must not sort per-user event streams:\n" + p)
     assert(p.contains("partial_min") || p.contains("partial"),
       "step times must partial-aggregate map-side:\n" + p)
+    // each step's user-sized table is materialized (one filtered event
+    // scan per step, in its checkpoint job); the final counts read ONLY
+    // materialized rows — round 8 re-derived every earlier step per step,
+    // so the scan behind step 0 ran O(steps^2/2) times.
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "per-step counts must read materialized step tables, not re-scan events:\n" + p)
   }
 
   test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
