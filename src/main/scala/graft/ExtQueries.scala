@@ -767,14 +767,13 @@ object ExtQueries {
     // The maxDf stopword guard in action: terms present in more than half
     // the corpus are cut BEFORE any postings list is materialized (the
     // df-only pre-pass), so no reducer ever assembles a corpus-sized row.
-    // The cap is relative (n_docs/2 — one parquet-footer count, a bounded
-    // driver probe) so the same rule means the same thing at every scale.
-    "q91_inverted_maxdf" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val cap = d.count() / 2
-      Retrieval.invertedIndex(d, "doc_id", "text", minDf = 2L, maxDf = Some(cap))
-        .orderBy("term")
-    }),
+    // The cap is relative (maxDfFrac = 0.5) and resolves IN-PLAN against a
+    // 1-row broadcast doc count — zero driver actions at construction
+    // time, and the same rule means the same thing at every scale.
+    "q91_inverted_maxdf" -> ((s, dir) =>
+      Retrieval.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 2L,
+        maxDfFrac = Some(0.5))
+        .orderBy("term")),
 
     // Write -> read-back -> audit loop for the training-shard writer: the
     // shards land in a scratch dir (overwritten per run), are read back
@@ -978,12 +977,13 @@ object ExtQueries {
 
     // Sketch-CDF percentile normalization: every lineitem priced by its
     // corpus percentile from the q63 histogram sketch (bin-midpoint
-    // convention) — the scale-safe percent_rank. Per-flag profile of the
-    // normalized signal; rounded percentiles sum as DECIMAL.
+    // convention) — the scale-safe percent_rank. Bounds are CORPUS-DERIVED
+    // (one min/max pass — no caller-guessed magic constants, nothing can
+    // clamp out of range). Per-flag profile of the normalized signal;
+    // rounded percentiles sum as DECIMAL.
     "q100_pct_normalize" -> ((s, dir) => {
       val li = Ingest.table(s, dir, "lineitem")
-      Sketches.percentileNormalize(li, col("l_extendedprice"),
-        lo = 900.0, hi = 105000.0)
+      Sketches.percentileNormalizeAuto(li, col("l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum(col("pct").cast(DecimalType(20, 6))).cast("double") /
@@ -2987,15 +2987,20 @@ object ExtQueries {
     // Bin-for-bin percentile mirror: q63's histogram binning, midpoint
     // CDF per bin, rounded percentiles summed as DECIMAL for the
     // per-flag mean.
+    // Bounds are corpus-derived min/max doubles; (hi-lo)/buckets is the
+    // same IEEE double both engines compute, so bin edges agree exactly.
     "q100_pct_normalize" -> {
-      val (lo, hi) = (900.0, 105000.0)
       val b = graft.ext.Sketches.HIST_BUCKETS
-      val w = (hi - lo) / b
-      s"""WITH v AS (
-         |  SELECT l_returnflag,
-         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - $lo) / $w),
-         |                             0), ${b - 1}) AS INT) AS hist_bucket
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
          |  FROM lineitem),
+         |v AS (
+         |  SELECT l_returnflag,
+         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+         |                                   / ((hi - lo) / $b)),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket
+         |  FROM lineitem CROSS JOIN bounds),
          |hist AS (SELECT hist_bucket, count(*) AS cnt FROM v GROUP BY 1),
          |c AS (
          |  SELECT hist_bucket, cnt,

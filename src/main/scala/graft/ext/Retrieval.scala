@@ -171,23 +171,43 @@ object Retrieval {
     * BEFORE any postings list is materialized, so no reducer ever
     * assembles a corpus-sized row. The pre-pass costs one extra
     * df-sized aggregation over the tf table (no new scan — tf is one
-    * exchange, reused by both consumers); `maxDf = None` keeps the
-    * original two-shuffle plan. */
+    * exchange, reused by both consumers); neither cap set keeps the
+    * original two-shuffle plan.
+    *
+    * `maxDfFrac` is the RELATIVE form of the same cap ("drop terms in
+    * more than half the corpus"), resolved IN-PLAN against a 1-row
+    * broadcast doc count (the maxTrainDfFrac shape, Dedup.contamination)
+    * — zero driver-side actions at query-construction time, and the same
+    * rule means the same thing at every scale. The cutoff is
+    * floor(n_docs · frac), matching integer division of an absolute
+    * count. Pass at most one of maxDf / maxDfFrac. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    minDf: Long = 1L, maxDf: Option[Long] = None): DataFrame = {
+                    minDf: Long = 1L, maxDf: Option[Long] = None,
+                    maxDfFrac: Option[Double] = None): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDf.isEmpty || maxDfFrac.isEmpty,
+      "pass at most one of maxDf / maxDfFrac")
     maxDf.foreach(m => require(m >= minDf, s"maxDf $m must be >= minDf $minDf"))
+    maxDfFrac.foreach(f => require(f > 0 && f <= 1,
+      s"maxDfFrac must be in (0, 1], got $f"))
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val kept = maxDf match {
-      case None => tf
-      case Some(m) =>
-        // df-only pre-pass: count postings per term WITHOUT collecting
-        // them, keep survivors via a semi join on term (unhinted — the
-        // surviving vocabulary is usually broadcast-sized, AQE decides).
+    // df-only pre-pass: count postings per term WITHOUT collecting
+    // them, keep survivors via a semi join on term (unhinted — the
+    // surviving vocabulary is usually broadcast-sized, AQE decides).
+    val kept = (maxDf, maxDfFrac) match {
+      case (None, None) => tf
+      case (Some(m), _) =>
         val ok = tf.groupBy("term").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= m).select("term")
+        tf.join(ok, Seq("term"), "left_semi")
+      case (_, Some(frac)) =>
+        val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+        val ok = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("__df") <= floor(col("__n_docs") * frac))
+          .select("term")
         tf.join(ok, Seq("term"), "left_semi")
     }
     kept.groupBy("term")

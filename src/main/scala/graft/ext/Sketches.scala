@@ -307,12 +307,27 @@ object Sketches {
     *
     * Shape at scale: the pairwise join runs on GROUP-cardinality rows of
     * m-int vectors — sketch-sized, independent of the cardinalities being
-    * estimated. Estimates round to 6 before the subtraction (identical
-    * doubles in every engine); small intersections of large sets can
-    * estimate negative — that IS the sketch's answer, clamp downstream if
-    * a rate is needed. */
+    * estimated, but QUADRATIC in the number of key groups (it is a
+    * theta-join; k keys -> k(k-1)/2 pairs of m-int vectors). That is the
+    * design point for event-type/source/domain cardinalities; pointed at
+    * an unbounded key (user ids, shingles) it would plan 10^12 pairs, so
+    * the key count is bounded up front by a loud `maxKeys` probe (the
+    * Guards style: a limit(max+1) scan over the sketch table — never a
+    * full count). Raise `maxKeys` deliberately for an offline all-pairs
+    * run. Estimates round to 6 before the subtraction (identical doubles
+    * in every engine); small intersections of large sets can estimate
+    * negative — that IS the sketch's answer, clamp downstream if a rate
+    * is needed. */
   def hllIntersectEstimate(regs: DataFrame, keyCol: String,
-                           regCol: String = "hll_registers"): DataFrame = {
+                           regCol: String = "hll_registers",
+                           maxKeys: Int = 1024): DataFrame = {
+    require(maxKeys >= 2, s"maxKeys must be >= 2, got $maxKeys")
+    val nKeys = regs.limit(maxKeys + 1).count()
+    require(nKeys <= maxKeys,
+      s"hllIntersectEstimate is all-pairs in the key groups: > $maxKeys sketch " +
+        "rows means the pairwise join explodes quadratically — group coarser, " +
+        "filter the sketch table to the pairs of interest, or raise maxKeys " +
+        "deliberately for an offline run")
     val a = regs.select(col(keyCol).as("key_a"), col(regCol).as("__graft_hll_ra"))
     val b = regs.select(col(keyCol).as("key_b"), col(regCol).as("__graft_hll_rb"))
     a.join(b, col("key_a") < col("key_b"))
@@ -340,11 +355,19 @@ object Sketches {
     * ≤ `buckets`-row cumulative pass, and the bin→pct table folds back as
     * a BROADCAST join on the row's bin — the annotation pass is map-only.
     * Merge-friendly like every sketch here: normalize a new day against
-    * last month's histogram by summing counters first. */
+    * last month's histogram by summing counters first.
+    *
+    * Values OUTSIDE [lo, hi] clamp silently into the edge bins — fine
+    * when the bounds come from the corpus ([[percentileNormalizeAuto]]),
+    * a trap when a caller guesses them for an unfamiliar signal; set
+    * `oobCol` to also emit a boolean out-of-range flag per row so the
+    * clamped population is measurable downstream. */
   def percentileNormalize(df: DataFrame, value: Column, lo: Double,
                           hi: Double, buckets: Int = HIST_BUCKETS,
-                          outCol: String = "pct"): DataFrame = {
+                          outCol: String = "pct",
+                          oobCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val w = (hi - lo) / buckets
     val win = Window.partitionBy(lit(0)).orderBy("hist_bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -356,11 +379,47 @@ object Sketches {
         round((col("__graft_hist_cumb").cast("double") +
           col("hist_cnt").cast("double") / 2) / col("__graft_hist_n"), 6)
           .as(outCol))
-    df.withColumn("hist_bucket", least(greatest(
+    val flagged = oobCol match {
+      case None => df
+      case Some(c) => df.withColumn(c,
+        value.cast("double") < lit(lo) || value.cast("double") > lit(hi))
+    }
+    flagged.withColumn("hist_bucket", least(greatest(
         floor((value.cast("double") - lit(lo)) / lit(w)), lit(0L)),
         lit(buckets - 1L)).cast("int"))
       .join(broadcast(pcts), "hist_bucket")
       .drop("hist_bucket")
+  }
+
+  /** One-pass corpus bounds for [[percentileNormalize]]: the global
+    * (min, max) of `value` as a single aggregate — a 1-row driver
+    * materialization (the dim-probe precedent), so a user normalizing an
+    * unfamiliar signal never has to guess magic constants, and nothing
+    * can clamp out of range (every value lies inside the derived bounds
+    * by construction). Persist the bounds WITH the histogram sketch when
+    * merging across days: re-deriving them from a new slice would shift
+    * every bin edge. */
+  def valueBounds(df: DataFrame, value: Column): (Double, Double) = {
+    val r = df.agg(min(value.cast("double")).as("__graft_lo"),
+      max(value.cast("double")).as("__graft_hi")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "cannot derive bounds: the value column is empty or all-null")
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** [[percentileNormalize]] with CORPUS-DERIVED bounds: one extra
+    * min/max pass replaces caller-supplied constants. The right default
+    * for one-shot normalization; for incremental (merge-across-days)
+    * use, derive bounds once, persist them with the sketch, and call
+    * [[percentileNormalize]] with the pinned values. */
+  def percentileNormalizeAuto(df: DataFrame, value: Column,
+                              buckets: Int = HIST_BUCKETS,
+                              outCol: String = "pct"): DataFrame = {
+    val (lo, hi) = valueBounds(df, value)
+    require(hi > lo,
+      s"degenerate bounds [$lo, $hi]: the value column is constant — every " +
+        "row is the same percentile; normalize a signal with spread instead")
+    percentileNormalize(df, value, lo, hi, buckets, outCol)
   }
 
   /** HLL approximate distinct count of `value` per `keys` group, in one

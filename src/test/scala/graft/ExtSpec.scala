@@ -1362,6 +1362,20 @@ class SketchesSpec extends SparkTestBase {
     assert(again === est)
   }
 
+  test("hllIntersectEstimate: the all-pairs key guard fails loudly above maxKeys") {
+    // 5 key groups vs a cap of 4: the quadratic theta-join must refuse up
+    // front (bounded limit(max+1) probe), naming the escape hatches.
+    val rows = (1 to 50).map(i => (s"g${i % 5}", s"u$i")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(rows, Seq("g"), $"v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllIntersectEstimate(regs, "g", maxKeys = 4) }
+    assert(e.getMessage.contains("all-pairs"))
+    // at the cap it runs: 5 keys -> 10 pairs
+    assert(Sketches.hllIntersectEstimate(regs, "g", maxKeys = 5).count() === 10L)
+    intercept[IllegalArgumentException] {
+      Sketches.hllIntersectEstimate(regs, "g", maxKeys = 1) }
+  }
+
   test("percentileNormalize: monotone in value, midpoint convention, partitioning-invariant") {
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val got = Sketches.percentileNormalize(df, $"v", lo = 0.0, hi = 1000.0,
@@ -1379,6 +1393,34 @@ class SketchesSpec extends SparkTestBase {
     val again = Sketches.percentileNormalize(df.repartition(7), $"v", 0.0, 1000.0, 100)
       .select("id", "pct").as[(Long, Double)].collect().toMap
     assert(again === got)
+  }
+
+  test("percentileNormalizeAuto: corpus-derived bounds; oob flag marks exactly the clamped rows") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // auto == explicit call with the corpus min/max
+    val auto = Sketches.percentileNormalizeAuto(df, $"v", buckets = 100)
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    val manual = Sketches.percentileNormalize(df, $"v", lo = 1.0, hi = 1000.0,
+      buckets = 100).select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(auto === manual)
+    assert(Sketches.valueBounds(df, $"v") === (1.0, 1000.0))
+    // out-of-range rows CLAMP into the edge bins (documented behavior) and
+    // the oob flag marks exactly them — nothing else
+    val flagged = Sketches.percentileNormalize(df, $"v", lo = 100.0, hi = 900.0,
+      buckets = 100, oobCol = Some("oob"))
+      .select("id", "pct", "oob").as[(Long, Double, Boolean)].collect()
+    val oobIds = flagged.filter(_._3).map(_._1).toSet
+    assert(oobIds === ((1L until 100L) ++ (901L to 1000L)).toSet)
+    val byId = flagged.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) === byId(50L) && byId(50L) === byId(100L),
+      "below-range values must clamp into bin 0")
+    assert(byId(950L) === byId(899L),
+      "above-range values must clamp into the top bin")
+    // degenerate corpora refuse loudly
+    intercept[IllegalArgumentException] {
+      Sketches.percentileNormalizeAuto(Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v"), $"v") }
+    intercept[IllegalArgumentException] {
+      Sketches.valueBounds(Seq.empty[(Long, Double)].toDF("id", "v"), $"v") }
   }
 }
 
@@ -1512,8 +1554,19 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .filter(_._2 <= 1L).toSet
     assert(guarded.toSet === full)
+    // the relative cap resolves in-plan: frac 0.25 of 4 docs == maxDf 1
+    val frac = Retrieval.invertedIndex(docs, "doc_id", "text",
+      maxDfFrac = Some(0.25))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(frac.toSet === guarded.toSet,
+      "maxDfFrac = 0.25 over 4 docs must equal maxDf = 1 exactly")
     intercept[IllegalArgumentException] {
       Retrieval.invertedIndex(docs, "doc_id", "text", minDf = 3L, maxDf = Some(2L)) }
+    intercept[IllegalArgumentException] {
+      Retrieval.invertedIndex(docs, "doc_id", "text",
+        maxDf = Some(2L), maxDfFrac = Some(0.5)) }
+    intercept[IllegalArgumentException] {
+      Retrieval.invertedIndex(docs, "doc_id", "text", maxDfFrac = Some(1.5)) }
   }
 
   test("rrfFuse: sums 1/(c+rank) per id; single-list ids score once") {
