@@ -33,14 +33,38 @@ object Ingest {
     * Two layouts exist in the wild: TIMESTAMP(NANOS) read as a nanos long
     * (legacy conf above), and TIMESTAMP(MICROS) read as TIMESTAMP_NTZ. Both
     * conversions are map-only column expressions — schema dispatch happens
-    * once at plan build, not per row. */
-  def withTsCols(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case org.apache.spark.sql.types.LongType => // nanos-as-long layout
-      df.withColumn("ts_ms", expr("ts div 1000000"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case _ => // TIMESTAMP / TIMESTAMP_NTZ layout (micros)
-      df.withColumn("ts", col("ts").cast("timestamp"))
-        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    * once at plan build, not per row.
+    *
+    * Two loud contracts (round-8 advisor items): the NTZ→TIMESTAMP cast
+    * reinterprets wall-clock in the SESSION zone, so a non-UTC session
+    * would silently shift every epoch milli away from the oracle's
+    * `epoch_ms(ts)` — the session zone is required to be UTC up front.
+    * And a long-typed ts is asserted IN-PLAN to sit in a plausible
+    * epoch-NANOS range (>= 1e16, ~1970-04; millis/micros stay below that
+    * until 2286), so a generator writing millis or micros longs fails
+    * loudly instead of being misscaled by up to 10^6. */
+  def withTsCols(df: DataFrame): DataFrame = {
+    require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "withTsCols requires spark.sql.session.timeZone=UTC: the TIMESTAMP_NTZ " +
+        "layout converts via a session-zone cast, and any other zone silently " +
+        "shifts every derived epoch milli")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long layout
+        // assert_true returns NULL when the check passes, so the coalesce
+        // adds 0 and keeps the check inside the ts_ms expression — an
+        // uncolumned side-check would be pruned away by Catalyst.
+        val nanosCk = coalesce(
+          assert_true(col("ts") >= lit(10000000000000000L),
+            lit("events.ts long values are below the plausible epoch-NANOS " +
+              "range — an epoch millis/micros long layout would be silently " +
+              "misscaled; convert the source or extend withTsCols")).cast("long"),
+          lit(0L))
+        df.withColumn("ts_ms", expr("ts div 1000000") + nanosCk)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ layout (micros)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    }
   }
 
   /** `events` with `ts` as a proper timestamp column (microsecond precision)
