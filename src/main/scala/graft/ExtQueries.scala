@@ -948,6 +948,48 @@ object ExtQueries {
           min("split").as("split"), count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // BPE pair counting (Sennrich et al., ACL 2016): the corpus-scale
+    // step of tokenizer training — one token groupBy collapses the corpus
+    // to the word-frequency table, the pair explosion runs over DISTINCT
+    // words only (vocab-sized), top-30 through TakeOrderedAndProject with
+    // a pair-string tiebreak.
+    "q107_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 30)
+        .orderBy(desc("n"), col("pair"))),
+
+    // Content-defined chunk dedup (LBFS-style CDC at token granularity):
+    // variable chunks cut where the 3-gram hash ≡ 0 (mod 8), so a shifted
+    // copy of a paragraph still collides chunk-for-chunk — the boundary
+    // robustness fixed-width segmentation lacks. Chunking is map-only;
+    // the chunk-df table joins back unhinted (shingle-vocabulary rule).
+    "q108_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDupProfile(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Signal blending — what percentileNormalize exists FOR: two
+    // incommensurable quality signals (char length, type-token ratio)
+    // each mapped to corpus position via the sketch CDF (bounds
+    // corpus-derived, q100's auto path), blended 50/50 into one curation
+    // score, profiled per source. Rounded blends sum as DECIMAL.
+    "q109_quality_blend" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val d = docs(s, dir).filter(size(toks) > 0)
+        .withColumn("len_chars", length(col("text")).cast("double"))
+        .withColumn("ttr",
+          size(array_distinct(toks)).cast("double") / size(toks))
+      val p1 = Sketches.percentileNormalizeAuto(d, col("len_chars"),
+        outCol = "pct_len")
+      val p2 = Sketches.percentileNormalizeAuto(p1, col("ttr"),
+        outCol = "pct_ttr")
+      p2.withColumn("blend",
+          round(lit(0.5) * col("pct_len") + lit(0.5) * col("pct_ttr"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("blend").cast(DecimalType(20, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_blend"))
+        .orderBy("source")
+    }),
+
     // Incremental index maintenance: two disjoint segments (even/odd
     // doc ids — two ingest batches) built independently, merged, and the
     // ORACLE REBUILDS the index from scratch — merge == rebuild is the
@@ -2684,6 +2726,93 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_scored,
          |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Word-frequency-weighted char-pair counts: same end-of-word marker,
+    // same space-joined pair strings, same (n DESC, pair) tiebreak.
+    "q107_bpe_pairs" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |wf AS (SELECT w, count(*) AS freq
+         |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |p AS (
+         |  SELECT freq,
+         |         unnest(list_transform(range(1, length(w)+1),
+         |           i -> substring(w, i, 1) || ' ' ||
+         |                CASE WHEN i < length(w) THEN substring(w, i+1, 1)
+         |                     ELSE '</w>' END)) AS pair
+         |  FROM wf)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // Cut-for-cut CDC mirror: cuts at positions 2..n-2 where the 3-gram
+    // hash ≡ 0 (mod 8); chunks = token slices between cuts; df counts
+    // DISTINCT docs per chunk md5.
+    "q108_cdc_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, t, len(t) AS n
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |  WHERE len(t) > 0),
+         |cut AS (
+         |  SELECT doc_id, t, n,
+         |         CASE WHEN n >= 4 THEN list_filter(range(2, n - 1), p ->
+         |           ${TextAnalysis.h60Sql("t[p] || ' ' || t[p+1] || ' ' || t[p+2]")} % 8 = 0)
+         |         ELSE CAST([] AS BIGINT[]) END AS cuts
+         |  FROM base),
+         |ch AS (
+         |  SELECT doc_id, md5(unnest(list_transform(range(1, len(starts) + 1),
+         |           c -> array_to_string(array_slice(t, starts[c], ends[c]), ' ')))) AS h
+         |  FROM (
+         |    SELECT doc_id, t,
+         |           [CAST(1 AS BIGINT)] || cuts AS starts,
+         |           list_transform(cuts, p -> p - 1) || [CAST(n AS BIGINT)] AS ends
+         |    FROM cut)),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS dup_frac
+         |FROM ch JOIN dfh USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Two q100-shape histogram chains (corpus-derived bounds), blended
+    // 0.5/0.5 per doc, per-source DECIMAL-summed profile.
+    "q109_quality_blend" -> {
+      val b = graft.ext.Sketches.HIST_BUCKETS
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(length(text) AS DOUBLE) AS v1,
+         |         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS v2
+         |  FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)
+         |  WHERE len(t) > 0),
+         |bd1 AS (SELECT min(v1) AS lo, max(v1) AS hi FROM d),
+         |bd2 AS (SELECT min(v2) AS lo, max(v2) AS hi FROM d),
+         |v1b AS (SELECT doc_id, CAST(least(greatest(
+         |          floor((v1 - lo) / ((hi - lo) / $b)), 0), ${b - 1}) AS INT) AS bk
+         |        FROM d CROSS JOIN bd1),
+         |v2b AS (SELECT doc_id, CAST(least(greatest(
+         |          floor((v2 - lo) / ((hi - lo) / $b)), 0), ${b - 1}) AS INT) AS bk
+         |        FROM d CROSS JOIN bd2),
+         |h1 AS (SELECT bk, count(*) AS cnt FROM v1b GROUP BY 1),
+         |h2 AS (SELECT bk, count(*) AS cnt FROM v2b GROUP BY 1),
+         |c1 AS (SELECT bk, cnt, coalesce(sum(cnt) OVER (ORDER BY bk
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS ntot FROM h1),
+         |c2 AS (SELECT bk, cnt, coalesce(sum(cnt) OVER (ORDER BY bk
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS ntot FROM h2),
+         |p1 AS (SELECT bk, round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2)
+         |         / ntot, 6) AS pct FROM c1),
+         |p2 AS (SELECT bk, round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2)
+         |         / ntot, 6) AS pct FROM c2),
+         |blend AS (
+         |  SELECT d.source, round(0.5 * p1.pct + 0.5 * p2.pct, 6) AS blend
+         |  FROM d
+         |  JOIN v1b ON v1b.doc_id = d.doc_id JOIN p1 ON p1.bk = v1b.bk
+         |  JOIN v2b ON v2b.doc_id = d.doc_id JOIN p2 ON p2.bk = v2b.bk)
+         |SELECT source, count(*) AS n,
+         |       round(CAST(sum(CAST(blend AS DECIMAL(20,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_blend
+         |FROM blend GROUP BY 1 ORDER BY source""".stripMargin
+    },
 
     // Code-for-code quantizer mirror: same per-dim (min, max), same
     // round((x-mn)*254/span)-127 codes, same mn+(code+127)*span/254

@@ -758,4 +758,74 @@ object Dedup {
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
+
+  // ---- content-defined chunking ----
+
+  /** Content-defined chunks of the token stream (the CDC idea behind
+    * LBFS/rsync-style storage dedup — Muthitacharoen/Chen/Mazières, SOSP
+    * 2001 §3.1 — at token granularity): cut BEFORE every token position p
+    * whose k-token gram hashes to 0 mod `modulus`. Because each cut
+    * depends only on the k tokens at the cut, inserting or deleting text
+    * early in a document shifts only the chunks it touches — every later
+    * chunk re-aligns byte-identically, which is exactly what fixed-width
+    * segmentation ([[graft.ext.TextAnalysis.segmentsFixed]]) cannot do
+    * (one insertion re-phases every later window). Expected chunk length
+    * ≈ `modulus` tokens. Returns (idCol, chunk_pos, chunk).
+    *
+    * Shape at scale: entirely map-only — the cut positions, starts/ends
+    * and chunk strings are per-row array expressions (no shuffle, no
+    * window); only the downstream consumer aggregates. Documents shorter
+    * than k+1 tokens yield a single whole-document chunk; empty docs
+    * yield none. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, modulus: Int = 8): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(col("__t"))
+    // candidate cut positions 2..n-k+1 (a cut at 1 would open an empty
+    // chunk; grams are 1-based, gram p covers tokens p..p+k-1)
+    val cuts = when(n - k + 1 >= 2, filter(
+        transform(sequence(lit(2), greatest(n - k + 1, lit(2))),
+          p => when(TextAnalysis.h60(element_at(col("__g"), p)) % modulus === 0, p)),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    docs.filter(size(toks) > 0)
+      .select(col(idCol), toks.as("__t"))
+      .withColumn("__g", TextAnalysis.shingles(col("__t"), k))
+      .withColumn("__cuts", cuts)
+      .withColumn("__starts", concat(array(lit(1)), col("__cuts")))
+      .withColumn("__ends",
+        concat(transform(col("__cuts"), p => p - 1), array(n)))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__starts"))),
+          c => array_join(slice(col("__t"), element_at(col("__starts"), c),
+            element_at(col("__ends"), c) - element_at(col("__starts"), c) + 1),
+            " "))).as(Seq("chunk_pos", "chunk")))
+  }
+
+  /** Per-document duplicated-content profile over [[cdcChunks]]: how many
+    * of a document's chunks also occur (verbatim) in at least one OTHER
+    * document. The variable-boundary complement of [[lineDedup]] (needs
+    * newlines) and [[duplicatedSpans]] (fixed k-windows, span-local):
+    * CDC boundaries re-align after edits, so a shifted copy of a
+    * paragraph still collides chunk-for-chunk.
+    *
+    * Shape at scale: chunking is map-only; chunks key by md5 (32-char
+    * shuffle key, never chunk text); the chunk document-frequency table
+    * collapses under partial aggregation and joins back UNHINTED (the
+    * shingle-vocabulary rule). */
+  def cdcDupProfile(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, modulus: Int = 8): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, k, modulus)
+      .select(col(idCol), md5(col("chunk")).as("__h"))
+    val df_ = ch.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    ch.join(df_, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+  }
 }

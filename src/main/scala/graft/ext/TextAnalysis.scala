@@ -470,6 +470,42 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("__h"), col(idCol), col(textCol)))),
           s => s.getField(textCol)), sep).as("seq_text"))
 
+  /** BPE pair counts — the counting step of byte-pair-encoding tokenizer
+    * training (Sennrich/Haddow/Birch, "Neural Machine Translation of Rare
+    * Words with Subword Units", ACL 2016, §3.2): represent each distinct
+    * word as its character sequence plus an end-of-word marker and count
+    * adjacent symbol pairs weighted by corpus word frequency. The argmax
+    * pair is the next merge rule; iterating merge→recount yields the
+    * vocabulary. A distributed engine's job at 100 TB is exactly this
+    * step: collapse the corpus into the word-frequency table (the ONE
+    * data-sized pass) and derive exact pair counts from it — the merge
+    * loop then iterates over vocab-sized state, never re-reading text.
+    *
+    * Shape at scale: one token groupBy (corpus → vocab rows); the pair
+    * explosion runs over DISTINCT words only — vocab-sized work however
+    * large the corpus — and sums `freq` as the weight. Top-k through
+    * orderBy+limit (TakeOrderedAndProject); ties break on the pair string
+    * so the ranking is engine-portable. Returns (pair, n). */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    k: Int = 30, eow: String = "</w>"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(eow.nonEmpty && !eow.contains(" "),
+      s"end-of-word marker cannot contain spaces: '$eow'")
+    val wf = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // pair at position i: char_i followed by char_{i+1}, or the marker
+    // after the last char; tokens are whitespace-split so the space-joined
+    // pair string is unambiguous
+    val pairs = transform(sequence(lit(1), length(col("w"))),
+      i => concat(col("w").substr(i, lit(1)), lit(" "),
+        when(i < length(col("w")), col("w").substr(i + 1, lit(1)))
+          .otherwise(lit(eow))))
+    wf.select(col("freq"), explode(pairs).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(desc("n"), col("pair")).limit(k)
+  }
+
   /** Hashed unigram+bigram feature stream: one row per gram OCCURRENCE,
     * bucketed by the portable hash into `buckets` bins — the featurization
     * step of DSIR (Xie et al., "Data Selection for Language Models via

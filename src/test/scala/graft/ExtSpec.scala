@@ -447,6 +447,22 @@ class TextAnalysisSpec extends SparkTestBase {
       model = Some(df)).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got.view.mapValues(_._2).toMap === explicitModel)
   }
+
+  test("bpePairCounts: pair counts weight by word frequency; eow marker closes every word") {
+    val df = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // low x2: (l o)(o w)(w </w>); lower x1: (l o)(o w)(w e)(e r)(r </w>)
+    assert(got("l o") === 3L && got("o w") === 3L)
+    assert(got("w </w>") === 2L)
+    assert(got("w e") === 1L && got("e r") === 1L && got("r </w>") === 1L)
+    // total pairs = freq * char-count per word: 3*2 + 5
+    assert(got.values.sum === 11L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpePairCounts(df, "text", k = 0) }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpePairCounts(df, "text", eow = "a b") }
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -822,6 +838,48 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L)._3 > 0.7 && got(2L)._3 > 0.7,
       s"boilerplate docs must flag as mostly-shared: $got")
     assert(got(1L)._2 < got(1L)._1, "the cat/dog tails are NOT shared")
+  }
+
+  test("cdcChunks: chunks reassemble the doc; boundaries re-align after an early insertion") {
+    val aToks = (1 to 150).map(i => "w" + (i * i % 101))
+    val a = Seq((1L, aToks.mkString(" "))).toDF("doc_id", "text")
+    val chA = Dedup.cdcChunks(a, "doc_id", "text")
+      .orderBy("chunk_pos").collect().map(_.getString(2))
+    assert(chA.mkString(" ") === aToks.mkString(" "),
+      "chunks must reassemble the document exactly")
+    assert(chA.length > 3, s"expected several content-defined cuts, got ${chA.length}")
+    // prepend junk: every A-chunk after A's first cut survives verbatim —
+    // the re-alignment property fixed-width segmentation lacks (one
+    // insertion re-phases every later fixed window)
+    val b = Seq((2L, "x1 x2 x3 x4 x5 x6 x7 " + aToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chB = Dedup.cdcChunks(b, "doc_id", "text")
+      .orderBy("chunk_pos").collect().map(_.getString(2)).toSet
+    assert(chA.drop(1).forall(chB.contains),
+      "CDC boundaries must re-align after an early insertion")
+    // empty docs yield no chunks; short docs yield one whole-doc chunk
+    val edge = Seq((3L, ""), (4L, "just two")).toDF("doc_id", "text")
+    val chE = Dedup.cdcChunks(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(chE.toSeq === Seq(4L -> "just two"))
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(a, "doc_id", "text", modulus = 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(a, "doc_id", "text", k = 0) }
+  }
+
+  test("cdcDupProfile: a shared block collides chunk-for-chunk despite different prefixes") {
+    val shared = (1 to 80).map(i => "s" + (i * 7 % 59)).mkString(" ")
+    val df = Seq(
+      (1L, "aa bb cc " + shared),
+      (2L, "dd ee " + shared),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val got = Dedup.cdcDupProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      s"the shared block must collide chunk-for-chunk: $got")
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0.0, "unique doc shares nothing")
+    assert(got.values.forall { case (n, d, f) => d <= n && f >= 0.0 && f <= 1.0 })
   }
 }
 
