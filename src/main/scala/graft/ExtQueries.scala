@@ -969,18 +969,25 @@ object ExtQueries {
     // Signal blending — what percentileNormalize exists FOR: two
     // incommensurable quality signals (char length, type-token ratio)
     // each mapped to corpus position via the sketch CDF (bounds
-    // corpus-derived, q100's auto path), blended 50/50 into one curation
-    // score, profiled per source. Rounded blends sum as DECIMAL.
+    // corpus-derived), blended 50/50 into one curation score, profiled
+    // per source. The corpus is read ONCE: the compact 4-column signal
+    // projection is materialized (the scoreTerms precedent), and the
+    // bounds probe, both histogram passes and both annotation passes all
+    // read the checkpointed rows — chaining two auto calls instead would
+    // re-evaluate the doc scan per branch. Rounded blends sum as DECIMAL.
     "q109_quality_blend" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val d = docs(s, dir).filter(size(toks) > 0)
-        .withColumn("len_chars", length(col("text")).cast("double"))
-        .withColumn("ttr",
-          size(array_distinct(toks)).cast("double") / size(toks))
-      val p1 = Sketches.percentileNormalizeAuto(d, col("len_chars"),
-        outCol = "pct_len")
-      val p2 = Sketches.percentileNormalizeAuto(p1, col("ttr"),
-        outCol = "pct_ttr")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("double").as("len_chars"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        .localCheckpoint()
+      val b = d.agg(min("len_chars"), max("len_chars"),
+        min("ttr"), max("ttr")).head()
+      val p1 = Sketches.percentileNormalize(d, col("len_chars"),
+        b.getDouble(0), b.getDouble(1), outCol = "pct_len")
+      val p2 = Sketches.percentileNormalize(p1, col("ttr"),
+        b.getDouble(2), b.getDouble(3), outCol = "pct_ttr")
       p2.withColumn("blend",
           round(lit(0.5) * col("pct_len") + lit(0.5) * col("pct_ttr"), 6))
         .groupBy("source")

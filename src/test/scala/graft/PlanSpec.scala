@@ -128,6 +128,33 @@ class PlanSpec extends SparkTestBase {
       "per-step counts must read materialized step tables, not re-scan events:\n" + p)
   }
 
+  test("q107 BPE pairs: vocab-sized pair work behind one partial-agg'd token groupBy; top-k heaps") {
+    val p = plan("q107_bpe_pairs")
+    assert(p.contains("partial_"),
+      "word frequencies must partial-aggregate map-side:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k merges must be heaps, not a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+  }
+
+  test("q108 CDC dedup: gram hashing on exploded rows, no pair product, md5-keyed df join") {
+    val p = plan("q108_cdc_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "chunk dedup must never plan pairwise doc work:\n" + p)
+    assert(p.contains("word_shingles"),
+      "cut detection must ride the compiled positional-shingle kernel:\n" + p)
+    assert(p.contains("partial_"),
+      "chunk document frequencies must partial-aggregate map-side:\n" + p)
+  }
+
+  test("q109 blend: one corpus read — every pass consumes the materialized signal projection") {
+    val p = plan("q109_quality_blend")
+    assert(p.contains("Scan ExistingRDD"),
+      "bounds/histogram/annotation passes must read the checkpointed projection:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "the documents table must be read once, in the checkpoint job:\n" + p)
+  }
+
   test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
     val p = plan("q29_contamination")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
