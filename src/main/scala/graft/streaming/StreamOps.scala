@@ -231,6 +231,71 @@ object StreamOps {
     graft.ext.SimSearch.assignLiteral(rows,
       graft.ext.SimSearch.collectCentroids(cents), idCol, embCol)
 
+  case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelBuf(evs: List[(Int, Long)], lastMs: Long)
+  case class FunnelOut(user_id: Long, steps_reached: Int, last_step_ms: Long)
+
+  /** Streaming twin of the batch earliest-entry funnel
+    * ([[graft.ext.Events.funnel]]): per user, buffer this user's STEP
+    * events (non-step events are filtered before they ever reach state)
+    * within the watermark horizon, and when the user goes quiet —
+    * the event-time watermark passes their last step event + `quietMs` —
+    * finalize EXACTLY the batch recurrence over the buffered events
+    * (t_0 = min ts of step 0; t_i = min ts of step-i events strictly
+    * after t_{i-1}) and evict. Emitting only at the quiet horizon is what
+    * makes out-of-order arrival exact: a late-but-in-watermark step-0
+    * event can lower t_0 and thereby change every later step, so no
+    * prefix of the funnel is safe to emit while events can still arrive.
+    *
+    * State per user = their step events within one horizon (the same
+    * bounded-by-activity contract as [[sessionWindows]]), never the
+    * stream; a user active again after finalization starts a FRESH
+    * funnel — the session-window semantics applied to funnels.
+    * StreamOpsSpec pins per-step counts over the emitted rows == the
+    * batch funnel on the same data. */
+  def funnelStream(events: Dataset[FunnelEv], steps: Seq[String],
+                   quietMs: Long = 30 * 60 * 1000L,
+                   watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    def finalizeUser(user: Long, evs: List[(Int, Long)]): Iterator[FunnelOut] = {
+      var prev = Long.MinValue
+      var reached = 0
+      var stop = false
+      for (i <- steps.indices if !stop) {
+        val cand = evs.collect { case (s, t) if s == i && (i == 0 || t > prev) => t }
+        if (cand.isEmpty) stop = true
+        else { prev = cand.min; reached = i + 1 }
+      }
+      Iterator.single(FunnelOut(user, reached, if (reached == 0) 0L else prev))
+    }
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b => finalizeUser(user, b.evs))
+              .getOrElse(Iterator.empty)
+            state.remove()
+            out
+          } else {
+            val add = rows.map(e => stepIdx(e.event_type) -> e.ts.getTime).toList
+            val prevBuf = state.getOption
+            val buf = FunnelBuf(
+              prevBuf.map(_.evs).getOrElse(Nil) ++ add,
+              (prevBuf.map(_.lastMs).getOrElse(Long.MinValue) ::
+                add.map(_._2)).max)
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.lastMs + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -244,6 +244,66 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel == batch funnel; out-of-order steps exact; quiet-horizon eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    val base = 1000L // minutes; keep clear of epoch-0 watermark edge cases
+    def ev(u: Long, t: Long, s: String) =
+      StreamOps.FunnelEv(u, s, new Timestamp((base + t) * 60000L))
+    // u1: fully ordered; u2: click BEFORE view (stops at view);
+    // u3: view only; u4: click arrives LATE (next batch, in-watermark)
+    // but with an EARLIER ts than u4's buy — the finalize-at-quiet
+    // contract must still credit the full ordered funnel
+    val batch1 = Seq(
+      ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "buy"),
+      ev(2, 3, "click"), ev(2, 6, "view"),
+      ev(3, 2, "view"), ev(3, 2, "noise"),
+      ev(4, 0, "view"), ev(4, 8, "buy"))
+    // late arrival with an earlier ts than u4's buy; t=6 stays strictly
+    // above the post-batch-1 watermark (t9 - 5min = t4 — an event AT the
+    // watermark is dropped as late, the epoch-0 gotcha generalized)
+    val late4 = ev(4, 6, "click")
+    val in = MemoryStream[StreamOps.FunnelEv]
+    val q = StreamOps.toMemorySink(
+      StreamOps.funnelStream(in.toDS(), steps,
+        quietMs = 30 * 60000L, watermark = "5 minutes").toDF(),
+      "funnel_test", OutputMode.Append())
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(late4)
+      q.processAllAvailable()
+      // push the watermark past every user's quiet horizon, twice so the
+      // timeouts fire in a batch after the watermark advances
+      in.addData(ev(99, 500, "view"))
+      q.processAllAvailable()
+      in.addData(ev(99, 505, "view"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_test")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+      assert(out(1L) === ((3, (base + 9) * 60000L)), s"ordered user: $out")
+      assert(out(2L)._1 === 1, s"out-of-order user stops at view: $out")
+      assert(out(3L)._1 === 1, s"view-only user: $out")
+      assert(out(4L) === ((3, (base + 8) * 60000L)),
+        s"late in-watermark click must complete the funnel: $out")
+      // stream == batch: per-step counts over the emitted rows match the
+      // batch funnel on the same events (sentinel user included)
+      val allEvents = (batch1 :+ late4 :+ ev(99, 500, "view") :+ ev(99, 505, "view"))
+        .map(e => (e.user_id, e.event_type, e.ts.getTime))
+        .toDF("user_id", "event_type", "ts_ms")
+      val batchCounts = graft.ext.Events.funnel(allEvents, steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // user 99 is still in state (never quiet): batch sees them at step 1
+      val streamed = spark.table("funnel_test").collect()
+        .map(r => r.getInt(1)).toSeq :+ 1
+      val streamCounts = steps.indices
+        .map(i => i -> streamed.count(_ >= i + 1).toLong).toMap
+      assert(streamCounts === batchCounts,
+        s"stream $streamCounts != batch $batchCounts")
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
