@@ -966,6 +966,14 @@ object ExtQueries {
       Dedup.cdcDupProfile(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CDC boilerplate REMOVAL — the transform behind q108's report:
+    // chunks present in >= 2 distinct docs are cut from every carrier,
+    // the rest reassemble in order (one groupBy(doc), the lineDedup
+    // shape). The hash gate covers the rebuilt text byte-for-byte.
+    "q110_cdc_dedup_text" -> ((s, dir) =>
+      Dedup.cdcDedupText(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Signal blending — what percentileNormalize exists FOR: two
     // incommensurable quality signals (char length, type-token ratio)
     // each mapped to corpus position via the sketch CDF (bounds
@@ -2778,6 +2786,39 @@ object ExtQueries {
          |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |             / count(*), 6) AS dup_frac
          |FROM ch JOIN dfh USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same chunk chain as q108 with chunk positions carried (DuckDB
+    // unnests parallel lists in lockstep); kept chunks re-join in
+    // position order, string_agg skipping the CASE-nulled dup chunks.
+    "q110_cdc_dedup_text" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, t, len(t) AS n
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |  WHERE len(t) > 0),
+         |cut AS (
+         |  SELECT doc_id, t, n,
+         |         CASE WHEN n >= 4 THEN list_filter(range(2, n - 1), p ->
+         |           ${TextAnalysis.h60Sql("t[p] || ' ' || t[p+1] || ' ' || t[p+2]")} % 8 = 0)
+         |         ELSE CAST([] AS BIGINT[]) END AS cuts
+         |  FROM base),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(starts) + 1)) - 1 AS chunk_pos,
+         |         unnest(list_transform(range(1, len(starts) + 1),
+         |           c -> array_to_string(array_slice(t, starts[c], ends[c]), ' '))) AS chunk
+         |  FROM (
+         |    SELECT doc_id, t,
+         |           [CAST(1 AS BIGINT)] || cuts AS starts,
+         |           list_transform(cuts, p -> p - 1) || [CAST(n AS BIGINT)] AS ends
+         |    FROM cut)),
+         |dfh AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+         |        FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN df < 2 THEN chunk END, ' '
+         |                           ORDER BY chunk_pos), '') AS kept_text
+         |FROM ch JOIN dfh ON dfh.h = md5(ch.chunk)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Two q100-shape histogram chains (corpus-derived bounds), blended

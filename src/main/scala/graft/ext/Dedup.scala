@@ -836,4 +836,40 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_chunks"), 6))
   }
+
+  /** CDC-boundary boilerplate REMOVAL — the transform behind
+    * [[cdcDupProfile]]'s report (and the variable-boundary sibling of
+    * [[lineDedup]]): drop every chunk whose text occurs in at least
+    * `minDocs` DISTINCT documents, keep the rest in document order, and
+    * reassemble. Because CDC boundaries re-align across shifted copies, a
+    * license block or cookie banner is cut from EVERY carrier even when
+    * each document embeds it at a different offset — where line-level
+    * dedup needs newline structure and fixed windows re-phase. The
+    * criterion is cross-document (distinct-doc count), so a chunk a
+    * single document repeats internally survives — that is
+    * [[duplicatedSpans]]' signal, not boilerplate.
+    *
+    * Shape at scale: [[cdcChunks]]' kernel-hashed chunking; the chunk
+    * document-frequency table collapses under partial aggregation
+    * (md5-keyed) and joins back UNHINTED; ONE groupBy(doc) rebuilds the
+    * filtered text in order (collect_list drops the `when`-nulled dup
+    * chunks — the lineDedup reassembly shape). Returns (idCol, n_chunks,
+    * n_kept, kept_text); a fully-boilerplate document keeps an empty
+    * string, preserving corpus cardinality for downstream audits. */
+  def cdcDedupText(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, modulus: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would delete every chunk, got $minDocs")
+    val ch = cdcChunks(docs, idCol, textCol, k, modulus)
+      .withColumn("__h", md5(col("chunk")))
+    val df_ = ch.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val keep = col("__df") < minDocs
+    ch.join(df_, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(keep, struct(col("chunk_pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("kept_text"))
+  }
 }

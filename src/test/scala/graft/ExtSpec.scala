@@ -880,6 +880,18 @@ class DedupSpec extends SparkTestBase {
       s"the shared block must collide chunk-for-chunk: $got")
     assert(got(3L)._2 === 0L && got(3L)._3 === 0.0, "unique doc shares nothing")
     assert(got.values.forall { case (n, d, f) => d <= n && f >= 0.0 && f <= 1.0 })
+    // the transform: shared chunks are cut from BOTH carriers despite the
+    // different prefixes; the unique doc survives byte-identical
+    val ded = Dedup.cdcDedupText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(ded(3L)._3 === "zz yy xx ww vv uu tt ss rr qq",
+      s"unique doc must reassemble untouched: ${ded(3L)}")
+    assert(ded(1L)._2 < ded(1L)._1 && ded(2L)._2 < ded(2L)._1,
+      s"carriers must lose their shared chunks: $ded")
+    assert(ded(1L)._3.startsWith("aa bb cc"),
+      "each carrier keeps its unique junction prefix")
+    intercept[IllegalArgumentException] {
+      Dedup.cdcDedupText(df, "doc_id", "text", minDocs = 1) }
   }
 }
 
