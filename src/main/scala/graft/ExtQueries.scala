@@ -966,6 +966,15 @@ object ExtQueries {
       Dedup.cdcDupProfile(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The dimension-compression ANN tier (Achlioptas ±1 JL projection):
+    // 64 -> 16 dims through the approximate scan (4x fewer bytes and
+    // multiplies), exact re-rank of the 4k-candidate margin — completes
+    // the compression triptych with q96 (int8 values) and q101 (PQ codes).
+    "q111_knn_rp" -> ((s, dir) =>
+      SimSearch.knnRandomProjection(probes(s, dir), corpus(s, dir), k = 5,
+        rDim = 16, refine = 4, dim = Some(oracleDim))
+        .orderBy("probe_id", "rnk")),
+
     // CDC boilerplate REMOVAL — the transform behind q108's report:
     // chunks present in >= 2 distinct docs are cut from every carrier,
     // the rest reassemble in order (one groupBy(doc), the lineDedup
@@ -2860,6 +2869,54 @@ object ExtQueries {
          |       round(CAST(sum(CAST(blend AS DECIMAL(20,6))) AS DOUBLE)
          |             / count(*), 6) AS avg_blend
          |FROM blend GROUP BY 1 ORDER BY source""".stripMargin
+    },
+
+    // Plane-for-plane JL mirror: the ±1 coefficient rows are embedded as
+    // literals (regenerated driver-side from the same h60 formula the
+    // engine uses), projections are sequential-fold inner products in
+    // both engines, and the candidate/re-rank chain is q96's.
+    "q111_knn_rp" -> {
+      val vals = graft.ext.SimSearch.rpPlanes(16, oracleDim).zipWithIndex
+        .map { case (p, j) => s"($j, ${p.mkString("[", ", ", "]")})" }
+        .mkString(", ")
+      s"""WITH planes AS (
+         |  SELECT j, CAST(c AS DOUBLE[]) AS c FROM (VALUES $vals) p(j, c)),
+         |proj AS (
+         |  SELECT vec_id,
+         |         list(list_inner_product(c, CAST(embedding AS DOUBLE[]))
+         |              ORDER BY j) AS e
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id < 10),
+         |pproj AS (
+         |  SELECT probe_id,
+         |         list(list_inner_product(c, CAST(pe AS DOUBLE[]))
+         |              ORDER BY j) AS pr
+         |  FROM probes CROSS JOIN planes GROUP BY probe_id),
+         |approx AS (
+         |  SELECT pp.probe_id, d.vec_id,
+         |         list_inner_product(pr, e)
+         |         / (sqrt(list_inner_product(pr, pr))
+         |            * sqrt(list_inner_product(e, e))) AS ac
+         |  FROM pproj pp CROSS JOIN proj d),
+         |cand AS (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY ac DESC, vec_id) AS arnk
+         |  FROM approx),
+         |exact AS (
+         |  SELECT c.probe_id, c.vec_id, $cosSql AS cos
+         |  FROM cand c
+         |  JOIN probes px ON px.probe_id = c.probe_id
+         |  JOIN (SELECT vec_id, embedding AS e FROM embeddings) x ON x.vec_id = c.vec_id
+         |  WHERE arnk <= 20),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+         |              AS INT) AS rnk
+         |  FROM exact)
+         |SELECT probe_id, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
     },
 
     // Code-for-code quantizer mirror: same per-dim (min, max), same

@@ -557,6 +557,56 @@ object SimSearch {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  // ---- random-projection (Johnson–Lindenstrauss) dimension-compressed scan ----
+
+  /** Deterministic ±1 projection rows (Achlioptas 2003's database-friendly
+    * JL variant, JCSS 66(4) — ±1 entries preserve pairwise geometry like
+    * Gaussian rows but need no float RNG), signs from the portable hash so
+    * the oracle regenerates the identical matrix:
+    * coef(j, i) = +1 iff h60("rp<salt>_<j>_<i>") is even. */
+  def rpPlanes(rDim: Int, dim: Int, salt: String = "rp-v1"): Seq[Array[Double]] =
+    (0 until rDim).map(j => Array.tabulate(dim)(i =>
+      if (TextAnalysis.h60Local(s"rp${salt}_${j}_${i}") % 2 == 0) 1.0 else -1.0))
+
+  /** Project an embedding onto the rDim hash-derived ±1 rows — rDim
+    * codegen'd sequential-fold dot products against literal coefficient
+    * arrays (the lshBucket discipline: never a distributed per-dimension
+    * sum, whose partition order could drift a double). The JL 1/sqrt(r)
+    * scale is omitted: cosine is scale-invariant and the re-rank below is
+    * exact anyway. */
+  def projectRp(emb: Column, planes: Seq[Array[Double]]): Column =
+    array(planes.map(p =>
+      graft.functions.VectorExprs.dot(emb, typedlit(p.toSeq))): _*)
+
+  /** The ANN tier that compresses DIMENSIONS, completing the compression
+    * triptych: [[knnQuantized]] shrinks values (int8), [[knnPq]] shrinks
+    * to codes, this shrinks width — project corpus and probes to rDim via
+    * the JL ±1 matrix (map-only, plan-literal coefficients), run the
+    * approximate scan in rDim (dim/rDim × fewer bytes and multiplies
+    * through the scan), keep k·refine candidates per probe, re-rank
+    * exactly on the true vectors. Same bounded per-probe re-rank margin
+    * as the other tiers; recall degrades gracefully as rDim shrinks (JL:
+    * pairwise angles preserved to ~1/sqrt(rDim)). Composable with int8
+    * quantization of the PROJECTED vectors for both wins at once. */
+  def knnRandomProjection(probes: DataFrame, corpus: DataFrame, k: Int,
+                          rDim: Int = 16, refine: Int = 4,
+                          dim: Option[Int] = None, salt: String = "rp-v1",
+                          maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(rDim >= 1, s"rDim must be >= 1, got $rDim")
+    val d = resolveDim(corpus, dim)
+    require(rDim <= d, s"projection dim $rDim exceeds embedding dim $d")
+    val planes = rpPlanes(rDim, d, salt)
+    val approxCorpus = corpus.select(col("vec_id"),
+      projectRp(col("embedding"), planes).as("embedding"))
+    val approxProbes = probes.select(col("probe_id"),
+      projectRp(col("p_embedding"), planes).as("p_embedding"))
+    val cand = knnBrute(approxProbes, approxCorpus, k * refine, maxProbeRows)
+      .select("probe_id", "vec_id")
+    rerankExact(cand, probes, corpus, k)
+  }
+
   // ---- int8 scalar quantization (memory-bandwidth-compressed ANN scan) ----
 
   /** Per-dimension (min, max) over the corpus — the quantizer's "model".

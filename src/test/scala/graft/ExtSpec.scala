@@ -977,6 +977,37 @@ class SimSearchSpec extends SparkTestBase {
       bruteTop1.map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("random projection: ±1 planes deterministic, exhaustive refine == brute, self-match survives compression") {
+    import org.apache.spark.sql.functions._
+    val big = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d * 1.1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // planes are ±1, deterministic, and salt-sensitive
+    val planes = SimSearch.rpPlanes(4, 8)
+    assert(planes.length === 4 && planes.forall(_.length === 8))
+    assert(planes.flatten.forall(c => c == 1.0 || c == -1.0))
+    assert(planes.map(_.toSeq) === SimSearch.rpPlanes(4, 8).map(_.toSeq))
+    assert(planes.map(_.toSeq) !== SimSearch.rpPlanes(4, 8, "other").map(_.toSeq))
+    val p = big.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
+    // exhaustive refine (k*refine >= corpus): the projected scan is a
+    // pass-through shortlist, so RP search == brute force exactly
+    val brute = SimSearch.knnBrute(p, big, k = 5).collect().toSeq
+    val rp = SimSearch.knnRandomProjection(p, big, k = 5, rDim = 4, refine = 8)
+      .collect().toSeq
+    assert(rp.toSet === brute.toSet,
+      "exhaustive-refine RP search must equal brute")
+    // identical vectors project identically: every probe's top-1 is itself
+    // even at modest refine
+    val top1 = SimSearch.knnRandomProjection(p, big, k = 1, rDim = 4, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(top1.forall { case (pid, vid) => pid === vid }, top1.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      SimSearch.knnRandomProjection(p, big, k = 5, rDim = 9) }
+    intercept[IllegalArgumentException] {
+      SimSearch.knnRandomProjection(p, big, k = 0) }
+  }
+
   test("product quantization: valid codes, reconstruction in-span, exhaustive refine == brute") {
     import org.apache.spark.sql.functions._
     val big = (0 until 40).map { i =>
