@@ -966,6 +966,27 @@ object ExtQueries {
       Dedup.cdcDupProfile(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Cross-split leakage audit — the eval-hygiene capstone composing
+    // q105 and q29: split by SOURCE (leakage-safe group split), then
+    // measure val/test shingle contamination against the train split in
+    // one contaminationBatch pass (benchCol = the split tag), with the
+    // relative stop-shingle cap (maxTrainDfFrac — its first
+    // oracle-exercised query). Per-split: scored docs, docs over the 0.2
+    // leak threshold, DECIMAL-summed mean contamination.
+    "q112_split_leakage" -> ((s, dir) => {
+      val d = TextAnalysis.groupSplit(docs(s, dir), "source", "gsplit-v1")
+      val train = d.filter(col("split") === "train")
+      val holdout = d.filter(col("split") =!= "train")
+      Dedup.contaminationBatch(holdout, train, "split", "doc_id", "text",
+          maxTrainDfFrac = Some(0.5))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contamination") >= 0.2, 1L).otherwise(0L)).as("n_leaky"),
+          round(sum(col("contamination").cast(DecimalType(20, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_contamination"))
+        .orderBy("split")
+    }),
+
     // The dimension-compression ANN tier (Achlioptas ±1 JL projection):
     // 64 -> 16 dims through the approximate scan (4x fewer bytes and
     // multiplies), exact re-rank of the 4k-candidate margin — completes
@@ -2870,6 +2891,39 @@ object ExtQueries {
          |             / count(*), 6) AS avg_blend
          |FROM blend GROUP BY 1 ORDER BY source""".stripMargin
     },
+
+    // q105's split mirror feeding q29's contamination chain, with the
+    // RELATIVE train-df cap (ceil(n_train * frac) — contaminationBatch's
+    // ceil, not the inverted index's floor).
+    "q112_split_leakage" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |               ${TextAnalysis.h60Sql("'gsplit-v1:' || source")} % 100 AS hb
+         |        FROM documents)),
+         |toks AS (SELECT doc_id, split, $toksSql AS t FROM sp),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, split,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |ntr AS (SELECT count(*) AS n FROM sp WHERE split = 'train'),
+         |tr AS (SELECT sh FROM sh0 WHERE split = 'train'
+         |       GROUP BY sh HAVING count(*) <= (SELECT ceil(n * 0.5) FROM ntr)),
+         |te AS (SELECT doc_id, split, sh FROM sh0 WHERE split <> 'train'),
+         |tot AS (SELECT doc_id, split, count(*) AS n_shingles FROM te GROUP BY 1, 2),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM te JOIN tr USING (sh) GROUP BY 1),
+         |c AS (
+         |  SELECT t.split,
+         |         round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6) AS cont
+         |  FROM tot t LEFT JOIN hit h USING (doc_id))
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN cont >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+         |       round(CAST(sum(CAST(cont AS DECIMAL(20,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_contamination
+         |FROM c GROUP BY 1 ORDER BY split""".stripMargin,
 
     // Plane-for-plane JL mirror: the ±1 coefficient rows are embedded as
     // literals (regenerated driver-side from the same h60 formula the
