@@ -772,44 +772,25 @@ object Dedup {
     * (one insertion re-phases every later window). Expected chunk length
     * ≈ `modulus` tokens. Returns (idCol, chunk_pos, chunk).
     *
-    * Shape at scale: the hash work — md5 per gram — runs CODEGEN'D on an
-    * exploded gram stream from the compiled positional-shingle kernel
-    * (the noveltyScore shape; a first cut implemented the cuts as
-    * nested higher-order lambdas and paid the interpreter ~20x on the
-    * same data). Only the ~1/modulus matching positions shuffle into a
-    * per-doc sorted cut array (partial-agg'd collect), which joins back
-    * UNHINTED; the chunk assembly is hash-free per-doc array slicing.
-    * Documents shorter than k+1 tokens yield a single whole-document
-    * chunk; empty docs yield none. */
+    * Shape at scale: ENTIRELY map-only — tokenize, gram hashing, cut
+    * selection and chunk assembly fuse into the compiled
+    * [[graft.functions.CdcChunksExpr]] kernel, one pass per document row
+    * with zero shuffle (which is also what lets the STREAMING ingest
+    * screen reuse the identical chunking — see
+    * [[graft.streaming.StreamOps.cdcHitsStream]]). Two slower
+    * formulations preceded it and survive as the spec's reference
+    * implementations: nested higher-order lambdas paid the expression
+    * interpreter ~15x, and the relational form (kernel-hashed gram
+    * stream → per-doc cut collect → join + slice) paid a shuffle and a
+    * join for the same answer. Documents shorter than k+1 tokens yield a
+    * single whole-document chunk; empty docs yield none. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3, modulus: Int = 8): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // cut positions 2..n-k+1, 1-based (a cut at 1 would open an empty
-    // chunk; gram p covers tokens p..p+k-1): posexplode emits 0-based
-    // __p0, so gram position p = __p0 + 1 and the lower bound is __p0 >= 1
-    val cuts = docs
-      .select(col(idCol), posexplode(
-        graft.functions.TextExprs.wordShingles(col(textCol), k))
-        .as(Seq("__p0", "__sh")))
-      .filter(col("__p0") >= 1 &&
-        TextAnalysis.h60(col("__sh")) % modulus === 0)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("__p0") + 1)).as("__cuts"))
-    docs.filter(size(toks) > 0)
-      .select(col(idCol), toks.as("__t"))
-      .join(cuts, Seq(idCol), "left")
-      .withColumn("__cuts",
-        coalesce(col("__cuts"), array().cast("array<int>")))
-      .withColumn("__starts", concat(array(lit(1)), col("__cuts")))
-      .withColumn("__ends",
-        concat(transform(col("__cuts"), p => p - 1), array(size(col("__t")))))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(1), size(col("__starts"))),
-          c => array_join(slice(col("__t"), element_at(col("__starts"), c),
-            element_at(col("__ends"), c) - element_at(col("__starts"), c) + 1),
-            " "))).as(Seq("chunk_pos", "chunk")))
+    docs.select(col(idCol), posexplode(
+        graft.functions.TextExprs.cdcChunks(col(textCol), k, modulus))
+      .as(Seq("chunk_pos", "chunk")))
   }
 
   /** Per-document duplicated-content profile over [[cdcChunks]]: how many

@@ -78,6 +78,52 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunks of the whitespace token stream in ONE compiled
+    * pass — the fused form of [[graft.ext.Dedup.cdcChunks]]' cut rule: cut
+    * BEFORE token position p (1-based, p in [2, n-k+1]) iff the k-gram
+    * starting at p h60-hashes to 0 mod `modulus`; chunks are the
+    * space-joined token slices between cuts, in document order. Fewer
+    * than k+1 tokens → one whole-document chunk; no tokens → empty array
+    * (explode then drops the doc, matching the relational formulation's
+    * non-empty filter). */
+  def cdcChunks(text: UTF8String, k: Int, modulus: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var p = 2
+    while (p <= n - k + 1) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(p - 1 + j)); j += 1 }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars == top 60 bits of the first 8 digest bytes
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      if (h % modulus == 0L) cuts += p
+      p += 1
+    }
+    val out = new Array[Any](cuts.length + 1)
+    var c = 0
+    var start = 1
+    while (c <= cuts.length) {
+      val end = if (c < cuts.length) cuts(c) - 1 else n
+      sb.setLength(0)
+      var t = start
+      while (t <= end) { if (t > start) sb.append(' '); sb.append(toks(t - 1)); t += 1 }
+      out(c) = UTF8String.fromString(sb.toString)
+      if (c < cuts.length) start = cuts(c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash of the whitespace token stream, ONE pass per document
     * — the map-only kernel behind [[graft.ext.Dedup.simhash]]. Per token
     * OCCURRENCE (tf-weighted voting is algebraically identical to ±1 per
@@ -286,6 +332,30 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `cdc_chunks(text, k, modulus)`: content-defined chunks of the token
+  * stream — the one-pass compiled form of the CDC cut rule (see
+  * [[TextKernels.cdcChunks]]), making document chunking entirely map-only
+  * for both the batch dedup operators and the streaming ingest screen. */
+case class CdcChunksExpr(child: Expression, k: Int, modulus: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunks(input.asInstanceOf[UTF8String], k, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.cdcChunks($c, $k, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Column API for [[DistinctWordShingles]]. */
   def distinctShingles(text: Column, k: Int = 3): Column =
@@ -310,6 +380,10 @@ object TextExprs {
   /** Column API for [[WinnowFingerprint]]. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
+
+  /** Column API for [[CdcChunksExpr]]. */
+  def cdcChunks(text: Column, k: Int = 3, modulus: Int = 8): Column =
+    bridge.column(CdcChunksExpr(bridge.expression(text), k, modulus))
 }
 
 /** `simhash60(text)`: 60-bit SimHash signature of the whitespace token

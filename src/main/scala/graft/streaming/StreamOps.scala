@@ -231,6 +231,27 @@ object StreamOps {
     graft.ext.SimSearch.assignLiteral(rows,
       graft.ext.SimSearch.collectCentroids(cents), idCol, embCol)
 
+  /** Chunk-level contamination hits ON INGEST: explode each arriving
+    * document into its CDC chunks (the compiled map-only
+    * [[graft.functions.CdcChunksExpr]] kernel — no shuffle, no streaming
+    * state) and inner-join chunk md5s against the STATIC seen-chunk table
+    * (the batch CDC job's persisted hashes, re-read per micro-batch like
+    * every stream-static side). Emits one (id, chunk_md5) row per hit —
+    * the per-document verdict (drop / flag / route to review) is the
+    * consumer's aggregation, which keeps this operator zero-state and
+    * exactly stream == batch (StreamOpsSpec pins it). The CDC boundary
+    * property is what makes screening on ingest work at all: a SHIFTED
+    * copy of seen boilerplate still collides chunk-for-chunk, where a
+    * fixed-window screen re-phases and misses. */
+  def cdcHitsStream(rows: DataFrame, seenChunks: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 3, modulus: Int = 8): DataFrame =
+    rows.select(col(idCol),
+        explode(graft.functions.TextExprs.cdcChunks(col(textCol), k, modulus))
+          .as("__chunk"))
+      .select(col(idCol), md5(col("__chunk")).as("chunk_md5"))
+      .join(seenChunks.select(col("chunk_md5")), "chunk_md5")
+
   case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   case class FunnelBuf(evs: List[(Int, Long)], lastMs: Long)
   case class FunnelOut(user_id: Long, steps_reached: Int, last_step_ms: Long)

@@ -840,6 +840,34 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L)._2 < got(1L)._1, "the cat/dog tails are NOT shared")
   }
 
+  test("CdcChunks kernel == the cut-rule reference on random and edge-case docs") {
+    // driver-side reference of the exact cut rule (h60Local is pinned
+    // equal to the engine's h60 expression elsewhere)
+    def ref(text: String, k: Int = 3, m: Int = 8): Seq[String] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val n = toks.length
+      if (n == 0) Seq.empty
+      else {
+        val cuts = (2 to n - k + 1).filter { p =>
+          TextAnalysis.h60Local(toks.slice(p - 1, p - 1 + k).mkString(" ")) % m == 0 }
+        val starts = 1 +: cuts
+        val ends = cuts.map(_ - 1) :+ n
+        starts.zip(ends).map { case (s, e) => toks.slice(s - 1, e).mkString(" ") }
+      }
+    }
+    val texts = Seq("", "one", "a b", "a b c", "x  y   z",
+      (1 to 200).map(i => "t" + (i * 13 % 89)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text")
+      .orderBy("doc_id", "chunk_pos").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = ref(t)
+      if (want.isEmpty) assert(!got.contains(i.toLong), s"doc $i ('$t') must emit no chunks")
+      else assert(got(i.toLong) === want, s"doc $i ('${t.take(30)}')")
+    }
+  }
+
   test("cdcChunks: chunks reassemble the doc; boundaries re-align after an early insertion") {
     val aToks = (1 to 150).map(i => "w" + (i * i % 101))
     val a = Seq((1L, aToks.mkString(" "))).toDF("doc_id", "text")

@@ -137,12 +137,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
   }
 
-  test("q108 CDC dedup: gram hashing on exploded rows, no pair product, md5-keyed df join") {
+  test("q108 CDC dedup: one-pass compiled chunking, no pair product, md5-keyed df join") {
     val p = plan("q108_cdc_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       "chunk dedup must never plan pairwise doc work:\n" + p)
-    assert(p.contains("word_shingles"),
-      "cut detection must ride the compiled positional-shingle kernel:\n" + p)
+    assert(p.contains("cdc_chunks"),
+      "chunking must fuse into the compiled CDC kernel:\n" + p)
     assert(p.contains("partial_"),
       "chunk document frequencies must partial-aggregate map-side:\n" + p)
   }

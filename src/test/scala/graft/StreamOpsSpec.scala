@@ -244,6 +244,41 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CDC chunk screen: hits on arriving docs == batch hits; shifted copy still collides") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5}
+    // seen corpus: one boilerplate-carrying doc, chunked by the batch op
+    val boiler = (1 to 60).map(i => "b" + (i * 7 % 41)).mkString(" ")
+    val seenDocs = Seq((100L, "intro words here " + boiler)).toDF("doc_id", "text")
+    val seen = graft.ext.Dedup.cdcChunks(seenDocs, "doc_id", "text")
+      .select(md5(col("chunk")).as("chunk_md5")).distinct()
+    // arriving docs: 1 carries the boilerplate at a DIFFERENT offset,
+    // 2 is fresh
+    val arriving = Seq(
+      (1L, "totally different lead in text " + boiler),
+      (2L, "nothing shared with anything here at all"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.cdcHitsStream(in.toDF().toDF("doc_id", "text"), seen,
+        "doc_id", "text"),
+      "cdc_screen_test", OutputMode.Append())
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val got = spark.table("cdc_screen_test").collect()
+        .map(r => (r.getLong(1), r.getString(0))).toSet
+      assert(got.nonEmpty && got.forall(_._1 === 1L),
+        s"only the shifted boilerplate carrier may hit: ${got.take(5)}")
+      // stream == batch: identical hits from the batch formulation
+      val batch = graft.ext.Dedup.cdcChunks(
+          arriving.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
+        .join(seen, "chunk_md5")
+        .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+      assert(got === batch, s"stream hits must equal batch hits")
+    } finally q.stop()
+  }
+
   test("streaming funnel == batch funnel; out-of-order steps exact; quiet-horizon eviction") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "buy")
