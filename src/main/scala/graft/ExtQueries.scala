@@ -966,6 +966,16 @@ object ExtQueries {
       Dedup.cdcDupProfile(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The COMPOSED compression tier: JL-project to 16 dims, int8-quantize
+    // the projected vectors — width x value compression multiply (64
+    // floats -> 16 int8 codes = 16x fewer bytes through the approximate
+    // scan), same exact re-rank margin. Proves the q96/q111 tiers
+    // compose as SCALING claims.
+    "q113_knn_rp_quantized" -> ((s, dir) =>
+      SimSearch.knnRpQuantized(probes(s, dir), corpus(s, dir), k = 5,
+        rDim = 16, refine = 4, dim = Some(oracleDim))
+        .orderBy("probe_id", "rnk")),
+
     // Cross-split leakage audit — the eval-hygiene capstone composing
     // q105 and q29: split by SOURCE (leakage-safe group split), then
     // measure val/test shingle contamination against the train split in
@@ -2890,6 +2900,68 @@ object ExtQueries {
          |       round(CAST(sum(CAST(blend AS DECIMAL(20,6))) AS DOUBLE)
          |             / count(*), 6) AS avg_blend
          |FROM blend GROUP BY 1 ORDER BY source""".stripMargin
+    },
+
+    // q111's projection CTEs feeding q96's quantizer CTEs, re-rank on
+    // the true vectors — the tier composition, mirrored stage for stage.
+    "q113_knn_rp_quantized" -> {
+      val vals = graft.ext.SimSearch.rpPlanes(16, oracleDim).zipWithIndex
+        .map { case (p, j) => s"($j, ${p.mkString("[", ", ", "]")})" }
+        .mkString(", ")
+      s"""WITH planes AS (
+         |  SELECT j, CAST(c AS DOUBLE[]) AS c FROM (VALUES $vals) p(j, c)),
+         |proj AS (
+         |  SELECT vec_id,
+         |         list(list_inner_product(c, CAST(embedding AS DOUBLE[]))
+         |              ORDER BY j) AS e
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id < 10),
+         |pproj AS (
+         |  SELECT probe_id,
+         |         list(list_inner_product(c, CAST(pe AS DOUBLE[]))
+         |              ORDER BY j) AS pr
+         |  FROM probes CROSS JOIN planes GROUP BY probe_id),
+         |stats AS (
+         |  SELECT pos, min(v) AS mn, max(v) AS mx
+         |  FROM (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM proj)
+         |  GROUP BY 1),
+         |dq AS (
+         |  SELECT vec_id, list(mn + (code + 127) * span / 254 ORDER BY pos) AS de
+         |  FROM (
+         |    SELECT vec_id, pos, mn,
+         |           CASE WHEN mx = mn THEN CAST(1 AS DOUBLE) ELSE mx - mn END AS span,
+         |           CAST(round((v - mn) * 254 /
+         |             (CASE WHEN mx = mn THEN CAST(1 AS DOUBLE) ELSE mx - mn END))
+         |             AS INT) - 127 AS code
+         |    FROM (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+         |          FROM proj)
+         |    JOIN stats USING (pos))
+         |  GROUP BY vec_id),
+         |approx AS (
+         |  SELECT pp.probe_id, d.vec_id,
+         |         list_inner_product(pr, de)
+         |         / (sqrt(list_inner_product(pr, pr))
+         |            * sqrt(list_inner_product(de, de))) AS ac
+         |  FROM pproj pp CROSS JOIN dq d),
+         |cand AS (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY ac DESC, vec_id) AS arnk
+         |  FROM approx),
+         |exact AS (
+         |  SELECT c.probe_id, c.vec_id, $cosSql AS cos
+         |  FROM cand c
+         |  JOIN probes px ON px.probe_id = c.probe_id
+         |  JOIN (SELECT vec_id, embedding AS e FROM embeddings) x ON x.vec_id = c.vec_id
+         |  WHERE arnk <= 20),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+         |              AS INT) AS rnk
+         |  FROM exact)
+         |SELECT probe_id, rnk, vec_id, round(cos, 6) AS cosine
+         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
     },
 
     // q105's split mirror feeding q29's contamination chain, with the

@@ -607,6 +607,36 @@ object SimSearch {
     rerankExact(cand, probes, corpus, k)
   }
 
+  /** The composed tier: JL-project to rDim, THEN int8-quantize the
+    * projected vectors — width and value compression multiply
+    * (dim/rDim × 4 fewer bytes through the approximate scan; 64-dim
+    * floats → 16 int8 codes is 16×), with the same exact re-rank on the
+    * TRUE vectors bounding the recall cost to the shortlist margin. The
+    * quantizer's per-dim (min, max) model is fitted on the PROJECTED
+    * corpus — rDim rows of driver state, smaller than the unprojected
+    * fit. */
+  def knnRpQuantized(probes: DataFrame, corpus: DataFrame, k: Int,
+                     rDim: Int = 16, refine: Int = 4,
+                     dim: Option[Int] = None, salt: String = "rp-v1",
+                     maxProbeRows: Long = graft.ops.Guards.MaxBroadcastRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val d = resolveDim(corpus, dim)
+    require(rDim >= 1 && rDim <= d,
+      s"projection dim $rDim must be in [1, $d]")
+    val planes = rpPlanes(rDim, d, salt)
+    val projCorpus = corpus.select(col("vec_id"),
+      projectRp(col("embedding"), planes).as("embedding"))
+    val projProbes = probes.select(col("probe_id"),
+      projectRp(col("p_embedding"), planes).as("p_embedding"))
+    val (mins, maxs) = quantizeStats(projCorpus, Some(rDim))
+    val approxCorpus = quantizeVectors(projCorpus, mins, maxs)
+      .select(col("vec_id"), dequant(mins, maxs).as("embedding"))
+    val cand = knnBrute(projProbes, approxCorpus, k * refine, maxProbeRows)
+      .select("probe_id", "vec_id")
+    rerankExact(cand, probes, corpus, k)
+  }
+
   // ---- int8 scalar quantization (memory-bandwidth-compressed ANN scan) ----
 
   /** Per-dimension (min, max) over the corpus — the quantizer's "model".

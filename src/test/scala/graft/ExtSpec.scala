@@ -1034,6 +1034,15 @@ class SimSearchSpec extends SparkTestBase {
       SimSearch.knnRandomProjection(p, big, k = 5, rDim = 9) }
     intercept[IllegalArgumentException] {
       SimSearch.knnRandomProjection(p, big, k = 0) }
+    // the COMPOSED tier (project then quantize the projection) has the
+    // same exhaustive-refine == brute and self-top-1 guarantees
+    val rpq = SimSearch.knnRpQuantized(p, big, k = 5, rDim = 4, refine = 8)
+      .collect().toSeq
+    assert(rpq.toSet === brute.toSet,
+      "exhaustive-refine RP+int8 search must equal brute")
+    val rpqTop1 = SimSearch.knnRpQuantized(p, big, k = 1, rDim = 4, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rpqTop1.forall { case (pid, vid) => pid === vid }, rpqTop1.toSeq.toString)
   }
 
   test("product quantization: valid codes, reconstruction in-span, exhaustive refine == brute") {
