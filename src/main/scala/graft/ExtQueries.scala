@@ -1025,11 +1025,12 @@ object ExtQueries {
     // re-evaluate the doc scan per branch. Rounded blends sum as DECIMAL.
     "q109_quality_blend" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
-      val d = docs(s, dir).filter(size(toks) > 0)
-        .select(col("doc_id"), col("source"),
-          length(col("text")).cast("double").as("len_chars"),
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
-        .localCheckpoint()
+      val d = graft.ops.Materialize.stable(
+        docs(s, dir).filter(size(toks) > 0)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("double").as("len_chars"),
+            (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")),
+        "quality-signals")
       val b = d.agg(min("len_chars"), max("len_chars"),
         min("ttr"), max("ttr")).head()
       val p1 = Sketches.percentileNormalize(d, col("len_chars"),

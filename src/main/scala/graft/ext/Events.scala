@@ -53,8 +53,10 @@ object Events {
     * per-user event sort, never a window over the raw stream; a
     * billion-event day funnels through `steps` hash-join/agg pairs whose
     * shuffled payload after the first step is user-sized, not
-    * event-sized. Each step's user-sized table is MATERIALIZED (eager
-    * local checkpoint, the CC-loop precedent): step i's plan would
+    * event-sized. Each step's user-sized table is MATERIALIZED (the
+    * shared [[graft.ops.Materialize]] point — executor-local by default,
+    * replicated/snapshot via `spark.graft.materialize.mode`): step i's
+    * plan would
     * otherwise chain on step i−1's unmaterialized plan AND each per-step
     * count would re-derive every earlier step, so the event scan behind
     * step 0 ran O(steps²/2) times (measured round 8: 10 filtered scans
@@ -67,14 +69,14 @@ object Events {
     val reached = steps.zipWithIndex
       .scanLeft(Option.empty[DataFrame]) { case (prev, (st, _)) =>
         val hits = events.filter(col(typeCol) === st)
-        Some((prev match {
+        Some(graft.ops.Materialize.stable(prev match {
           case None =>
             hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
           case Some(p) =>
             hits.join(p.withColumnRenamed("__t", "__prev"), userCol)
               .filter(col(tsCol) > col("__prev"))
               .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-        }).localCheckpoint())
+        }, "funnel-step"))
       }
       .flatten
     reached.zipWithIndex.map { case (df, i) =>

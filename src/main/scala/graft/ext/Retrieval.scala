@@ -41,14 +41,14 @@ object Retrieval {
     * per-branch predicate pushdown and column pruning make each branch's
     * exchange canonically different (measured round 7: the scan+tokenize
     * ran 4x). The table is compact at any corpus scale — one row per
-    * (doc, query-term hit) plus at most one per doc — and its blocks are
-    * freed by the ContextCleaner once the plan is unreachable. On
-    * executor loss the checkpointed blocks have no lineage and the query
-    * re-runs — the right trade for a scoring pass; a long fault-domain
-    * job should write the corpus projection durably first. */
+    * (doc, query-term hit) plus at most one per doc. Storage/durability
+    * rides the shared [[graft.ops.Materialize]] knob: executor-local
+    * blocks by default (right for a re-runnable scoring pass), replicated
+    * persist or managed parquet snapshots for long fault-domain jobs
+    * (`spark.graft.materialize.mode`). */
   private def scoreTerms(agg: DataFrame, idCol: String,
                          k1: Double, b: Double, hintDf: Boolean): DataFrame = {
-    val mat = agg.localCheckpoint()
+    val mat = graft.ops.Materialize.stable(agg, "bm25-terms")
     val dl = mat.groupBy(col(idCol)).agg(sum("cnt").as("dl"))
     val tf = mat.filter(col("term").isNotNull)
       .select(col(idCol), col("term"), col("cnt").as("tf"))

@@ -400,7 +400,8 @@ object TextAnalysis {
     // cardinality probe and the mix join below both read the
     // materialized rows, where the lazy plan paid the full groupBy twice
     // (once for the probe, once inside the join).
-    val rates = temperatureRates(df, groupCol, alpha, nTarget).localCheckpoint()
+    val rates = graft.ops.Materialize.stable(
+      temperatureRates(df, groupCol, alpha, nTarget), "temp-rates")
     // The rate table has one row PER GROUP — source/language-sized for the
     // typical call, but the API accepts any groupCol, and per-domain mixing
     // over 10^8 domains must NOT broadcast. broadcastIfSmall probes the
@@ -549,12 +550,14 @@ object TextAnalysis {
                   textCol: String, buckets: Int = 1024,
                   salt: String = "dsir-v1"): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val rawDoc = hashedGramStream(raw, idCol, textCol, buckets, salt)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
-    val tgtC = hashedGramStream(target, idCol, textCol, buckets, salt)
-      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
-      .localCheckpoint()
+    val rawDoc = graft.ops.Materialize.stable(
+      hashedGramStream(raw, idCol, textCol, buckets, salt)
+        .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n")),
+      "dsir-raw")
+    val tgtC = graft.ops.Materialize.stable(
+      hashedGramStream(target, idCol, textCol, buckets, salt)
+        .groupBy("bucket").agg(count(lit(1)).as("c_tgt")),
+      "dsir-tgt")
     val rawC = rawDoc.groupBy("bucket").agg(sum("__n").as("c_raw"))
     // Keyed on the raw corpus's observed buckets: every scored doc's gram
     // lands in one of them (the scored docs ARE the raw corpus), and
@@ -606,9 +609,10 @@ object TextAnalysis {
     // one tokenize + one shingle pass per corpus, materialized as counts
     def gramCounts(df: DataFrame, cols: Column*): DataFrame = {
       val toks = tokens(col(textCol))
-      df.select(cols :+ explode(concat(toks, shingles(toks, 2))).as("g"): _*)
-        .groupBy(cols :+ col("g"): _*).agg(count(lit(1)).as("__n"))
-        .localCheckpoint()
+      graft.ops.Materialize.stable(
+        df.select(cols :+ explode(concat(toks, shingles(toks, 2))).as("g"): _*)
+          .groupBy(cols :+ col("g"): _*).agg(count(lit(1)).as("__n")),
+        "bigram-grams")
     }
     val isBigram = col("g").contains(" ")
     val docG = gramCounts(docs, col(idCol))
