@@ -997,6 +997,31 @@ object ExtQueries {
         .orderBy("split")
     }),
 
+    // BPE merge-loop TRAINING — the iterated step q107 counts once
+    // (Sennrich et al., ACL 2016): 8 rounds of {pair argmax, greedy
+    // rewrite of the vocab-sized word table}. The oracle is a genuinely
+    // independent capped-iteration DuckDB mirror: 8 chained CTE rounds,
+    // each re-deriving its own argmax and applying the merge via a
+    // list_reduce fold — nothing is fed from the engine side.
+    "q114_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(docs(s, dir), "text", nMerges = 8)
+        .orderBy("rank")),
+
+    // BPE ENCODE — apply the 8 learned rules to the corpus and profile
+    // the resulting subword distribution (top-30, corpus-weighted).
+    // Training and encoding are separate code paths that must agree:
+    // the oracle's round-8 symbol table IS its encode state, so a
+    // hash match proves rank-order rule application reproduces the
+    // training fixpoint exactly.
+    "q115_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rules = TextAnalysis.bpeTrainRules(d, "text", nMerges = 8)
+      TextAnalysis.bpeEncode(d, "text", rules)
+        .select(col("freq"), explode(col("syms")).as("subword"))
+        .groupBy("subword").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("subword")).limit(30)
+    }),
+
     // The dimension-compression ANN tier (Achlioptas ±1 JL projection):
     // 64 -> 16 dims through the approximate scan (4x fewer bytes and
     // multiplies), exact re-rank of the 4k-candidate margin — completes
@@ -1271,6 +1296,34 @@ object ExtQueries {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** WITH-clause chain for the capped-iteration BPE mirror (q114/q115):
+    * wf = corpus word frequencies, s0 = char symbols + '</w>', then per
+    * round r: pair counts p{r}, argmax best{r}, merged table s{r}. */
+  private def bpeCtesSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, sum(freq) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |    FROM s${r - 1}) GROUP BY 1),
+         |best$r AS (
+         |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, n
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |s$r AS (
+         |  SELECT freq, list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+         |    CASE WHEN acc[-1] = a AND x[1] = b
+         |      THEN list_append(array_slice(acc, 1, len(acc)-1), a || b)
+         |      ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM s${r - 1} CROSS JOIN best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toksc AS (SELECT $toksSql AS t FROM documents),
+       |wf AS (SELECT w, count(*) AS freq
+       |       FROM (SELECT unnest(t) AS w FROM toksc) GROUP BY 1),
+       |s0 AS (SELECT freq, list_append(list_transform(range(1, length(w)+1),
+       |         i -> substring(w, i, 1)), '</w>') AS syms FROM wf),
+       |$rounds""".stripMargin
+  }
 
   /** shared CTE: distinct 3-token shingles per doc */
   private val shinglesCte =
@@ -2828,6 +2881,27 @@ object ExtQueries {
          |             / count(*), 6) AS dup_frac
          |FROM ch JOIN dfh USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Capped-iteration BPE merge-loop mirror: the s0 CTE is q107's
+    // word-frequency + symbol-array base; each round r chains three
+    // CTEs — exact pair counts from s{r-1}, the (n DESC, pair) argmax,
+    // and the greedy left-to-right merge applied via a list_reduce fold
+    // (acc seeded with the word's first symbol; a hit replaces acc's
+    // tail with the concatenation, exactly the engine's aggregate()
+    // recurrence). Everything is re-derived inside DuckDB — the engine
+    // contributes nothing to the oracle's rules.
+    "q114_bpe_merges" ->
+      (bpeCtesSql(8) + "\n" + (1 to 8).map(r =>
+        s"SELECT $r AS rank, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM best$r")
+        .mkString(" UNION ALL ") + " ORDER BY rank"),
+
+    // Round-8 symbol table = the fully-encoded vocabulary; subword
+    // frequencies weight each distinct word by its corpus count.
+    "q115_bpe_encode" ->
+      s"""${bpeCtesSql(8)}
+         |SELECT subword, CAST(sum(freq) AS BIGINT) AS n
+         |FROM (SELECT freq, unnest(syms) AS subword FROM s8)
+         |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin,
 
     // Same chunk chain as q108 with chunk positions carried (DuckDB
     // unnests parallel lists in lockstep); kept chunks re-join in

@@ -490,8 +490,7 @@ object TextAnalysis {
   def bpePairCounts(docs: DataFrame, textCol: String,
                     k: Int = 30, eow: String = "</w>"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(eow.nonEmpty && !eow.contains(" "),
-      s"end-of-word marker cannot contain spaces: '$eow'")
+    requireEow(eow)
     val wf = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -505,6 +504,153 @@ object TextAnalysis {
     wf.select(col("freq"), explode(pairs).as("pair"))
       .groupBy("pair").agg(sum("freq").as("n"))
       .orderBy(desc("n"), col("pair")).limit(k)
+  }
+
+  /** Space would break the space-joined pair strings; a single-char
+    * marker occurring in the corpus alphabet would make (char, eow)
+    * pairs indistinguishable from genuine char pairs (and the DuckDB
+    * oracles hardcode '</w>'), so both are rejected loudly. */
+  private def requireEow(eow: String): Unit =
+    require(eow.length > 1 && !eow.contains(" "),
+      s"end-of-word marker must be multi-char and space-free: '$eow'")
+
+  /** One learned BPE merge rule: at `rank` (1-based), the adjacent
+    * symbol pair (`left`, `right`) — corpus-weighted count `n` at the
+    * time it was chosen — rewrites to `left + right`. */
+  final case class BpeMerge(rank: Int, left: String, right: String, n: Long)
+
+  /** One greedy left-to-right merge pass: rewrite the symbol array
+    * replacing every non-overlapping adjacent (a, b) with a+b. A fold —
+    * greediness makes each position's outcome depend on the previous
+    * one, so the pass is inherently sequential WITHIN a word; across
+    * words (the parallel axis) it's map-only. One pass is exhaustive: a
+    * merge consumes both its symbols, so it can never create a fresh
+    * (a, b) adjacency. Interpreted HOF, but only ever run over the
+    * DISTINCT-word table (vocab-sized), per the house rule.
+    *
+    * The accumulator starts EMPTY so `syms` is referenced exactly ONCE:
+    * interpreted expressions have no subexpression reuse, so a pass that
+    * read its input twice (e.g. seeding the accumulator with
+    * slice(syms, 1, 1)) would evaluate the whole upstream expression
+    * twice — and bpeEncode NESTS these passes, turning twice into
+    * 2^rules (measured: one task wedged 10+ minutes at 8 rules; single
+    * reference makes the chain linear in rule count). The And chain
+    * short-circuits, so element_at(acc, -1) never touches the empty
+    * accumulator under ANSI. */
+  private def bpeMergePass(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Word string -> initial symbol array: chars plus the end-of-word
+    * marker as a trailing symbol (pairs then match [[bpePairCounts]]). */
+  private def bpeInitSyms(w: Column, eow: String): Column =
+    concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+      array(lit(eow)))
+
+  private def bpeAdjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE merge-loop TRAINING (Sennrich et al., ACL 2016, §3.2) — the
+    * iterated step [[bpePairCounts]] counts once: repeat nMerges times
+    * {count adjacent pairs, take the argmax (ties on the pair string),
+    * rewrite every word by that merge}. Returns the learned rules in
+    * rank order, driver-side (bounded by nMerges — tokenizer vocabularies
+    * are 10^4-10^5 rules, trivially driver-sized).
+    *
+    * Shape at scale: the ONE corpus-sized pass is the token groupBy
+    * collapsing the corpus to the (word, freq) table; every round after
+    * that is vocab-sized — a pair explode + groupBy over DISTINCT words,
+    * a 1-row argmax probe (`limit(1)`, the Guards-bounded-probe idiom),
+    * and a map-only merge pass — with the rewritten symbol table
+    * re-materialized per round through [[graft.ops.Materialize]] (the
+    * CC-loop precedent: round k must not replay rounds 1..k-1; mode knob
+    * applies). The sequential round structure is inherent to greedy BPE —
+    * each argmax depends on the previous rewrite. Stops early if every
+    * word has collapsed to a single symbol. */
+  def bpeTrainRules(docs: DataFrame, textCol: String, nMerges: Int,
+                    eow: String = "</w>"): Seq[BpeMerge] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    requireEow(eow)
+    // spread BEFORE the first materialization: AQE coalesces the tiny
+    // vocab shuffle to few partitions, and every later round's
+    // interpreted merge fold inherits that layout — without the spread
+    // the whole loop runs its compute on a handful of cores
+    var state = graft.ops.Materialize.stable(
+      graft.ops.Partitioning.spread(
+        docs.select(explode(tokens(col(textCol))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", bpeInitSyms(col("w"), eow))
+          .select("freq", "syms")),
+      "bpe-s0")
+    val rules = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = state.select(col("freq"), explode(bpeAdjacentPairs(col("syms"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(" ", 2)
+        rules += BpeMerge(r, a, b, best(0).getLong(1))
+        state = graft.ops.Materialize.stable(
+          state.withColumn("syms", bpeMergePass(col("syms"), a, b)), s"bpe-s$r")
+        r += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** [[bpeTrainRules]] as a DataFrame (rank, pair, n) for oracle
+    * checking — `pair` space-joined like [[bpePairCounts]]' output. */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                eow: String = "</w>"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainRules(docs, textCol, nMerges, eow)
+      .map(m => (m.rank, m.left + " " + m.right, m.n))
+      .toDF("rank", "pair", "n")
+  }
+
+  /** BPE ENCODE: apply learned merge rules to a corpus — each rule in
+    * rank order, one greedy left-to-right pass each (exhaustive, see
+    * [[bpeMergePass]]; later merges cannot resurrect an earlier rule's
+    * pair because merging consumes both symbols, so rank order is a
+    * complete application order). Returns one row per DISTINCT word
+    * (w, freq, syms) — encoding runs over the vocab-sized word table
+    * however large the corpus, and callers join the word column back to
+    * documents (unhinted — vocabulary joins never broadcast) or
+    * aggregate subword frequencies directly off `freq`. Encoding a word
+    * list trained elsewhere is the same call with the other corpus. */
+  def bpeEncode(docs: DataFrame, textCol: String, rules: Seq[BpeMerge],
+                eow: String = "</w>"): DataFrame = {
+    requireEow(eow)
+    val wf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // spread: the rule chain is interpreted compute over a byte-tiny
+    // vocab table — left to AQE it lands on one core. Each pass is
+    // materialized like the training loop's rounds: one projection
+    // nesting all the folds evaluates lazily level-by-level per row,
+    // and the interpreted evaluator's per-level array rebuild made the
+    // fused form ~7x slower than pass-per-job at 8 rules (measured at
+    // sf0.1: 13s fused vs the training loop's ~2s for identical work).
+    rules.sortBy(_.rank).foldLeft(
+      graft.ops.Materialize.stable(
+        graft.ops.Partitioning.spread(
+          wf.withColumn("syms", bpeInitSyms(col("w"), eow))),
+        "bpe-enc0")) { (df, m) =>
+      graft.ops.Materialize.stable(
+        df.withColumn("syms", bpeMergePass(col("syms"), m.left, m.right)),
+        s"bpe-enc-r${m.rank}")
+    }
   }
 
   /** Hashed unigram+bigram feature stream: one row per gram OCCURRENCE,

@@ -462,6 +462,43 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.bpePairCounts(df, "text", k = 0) }
     intercept[IllegalArgumentException] {
       TextAnalysis.bpePairCounts(df, "text", eow = "a b") }
+    // single-char markers collide with corpus chars, making (char, eow)
+    // pairs ambiguous (and the oracle hardcodes '</w>')
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpePairCounts(df, "text", eow = "a") }
+  }
+
+  test("bpeTrainRules: greedy argmax sequence on a hand-checkable corpus; encode reproduces the train fixpoint") {
+    // low x3, lowest x1: round 1 pairs — (l o) 4, (o w) 4, (w </w>) 3,
+    // (w e) 1, (e s) 1, (s t) 1, (t </w>) 1; argmax ties (l o)/(o w) at
+    // 4 -> 'l o' wins the pair-string tiebreak.
+    val df = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrainRules(df, "text", nMerges = 3)
+    assert(rules.map(m => (m.rank, m.left, m.right, m.n)) === Seq(
+      (1, "l", "o", 4L),   // low -> [lo w </w>], lowest -> [lo w e s t </w>]
+      (2, "lo", "w", 4L),  // -> [low </w>], [low e s t </w>]
+      (3, "low", "</w>", 3L)))
+    val enc = TextAnalysis.bpeEncode(df, "text", rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc("low") === Seq("low</w>"))
+    assert(enc("lowest") === Seq("low", "e", "s", "t", "</w>"))
+  }
+
+  test("bpeMergePass via encode: a==b runs merge greedily left-to-right, non-overlapping") {
+    // 'aaaa' -> aa aa </w>; 'aaa' -> aa a </w> (3rd a cannot re-pair)
+    val df = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val rules = Seq(TextAnalysis.BpeMerge(1, "a", "a", 0L))
+    val enc = TextAnalysis.bpeEncode(df, "text", rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc("aaaa") === Seq("aa", "aa", "</w>"))
+    assert(enc("aaa") === Seq("aa", "a", "</w>"))
+    // exhaustion: a corpus whose words fully merge before nMerges rounds
+    // stops early instead of erroring
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeTrainRules(tiny, "text", nMerges = 10)
+    assert(r2.size < 10 && r2.nonEmpty)
+    assert(TextAnalysis.bpeEncode(tiny, "text", r2)
+      .head.getSeq[String](2) === Seq("ab</w>"))
   }
 }
 
