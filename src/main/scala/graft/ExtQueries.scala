@@ -152,6 +152,37 @@ object ExtQueries {
         SimSearch.knnBrute(probes(s, dir), corpus(s, dir), k = 5))
         .orderBy("probe_id")),
 
+    // Recall@5 of every COMPRESSION tier against brute force, one row
+    // per tier — the number a user choosing between int8 / PQ / RP /
+    // RP∘int8 actually needs next to each tier's byte savings. The
+    // exact side is materialized once (probe-sized) and audits all four
+    // approximate searches; per-tier mean recall DECIMAL-sums the
+    // per-probe recalls (float-sum rule). At scale the probe set is a
+    // sample — the brute side bounds the cost, as q74 documents.
+    "q116_ann_recall_tiers" -> ((s, dir) => {
+      val p = probes(s, dir)
+      val c = corpus(s, dir)
+      val exact = graft.ops.Materialize.stable(
+        SimSearch.knnBrute(p, c, k = 5), "recall-exact")
+      def tier(name: String, approx: DataFrame): DataFrame =
+        SimSearch.recallAtK(approx, exact)
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(col("recall").cast(DecimalType(20, 6))).cast("double") /
+              count(lit(1)), 6).as("avg_recall"))
+          .select(lit(name).as("tier"), col("n_probes"), col("avg_recall"))
+      Seq(
+        tier("int8", SimSearch.knnQuantized(p, c, k = 5, refine = 4,
+          dim = Some(oracleDim))),
+        tier("pq", SimSearch.knnPq(p, c, k = 5, m = 4, kCent = 8,
+          iters = 2, refine = 4, dim = Some(oracleDim))),
+        tier("rp16", SimSearch.knnRandomProjection(p, c, k = 5, rDim = 16,
+          refine = 4, dim = Some(oracleDim))),
+        tier("rp16_int8", SimSearch.knnRpQuantized(p, c, k = 5, rDim = 16,
+          refine = 4, dim = Some(oracleDim))))
+        .reduce(_ unionByName _)
+        .orderBy("tier")
+    }),
+
     // k-means cell assignment: the operator that PRODUCES knnIvf's coarse
     // cells on a corpus that has none (real corpora don't). Hash-seeded,
     // 2 Lloyd rounds, round(6) centroid arithmetic — deterministic enough
@@ -906,6 +937,18 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // Conversion-window funnel: each step must convert within 24h of the
+    // previous one — the question product analytics actually asks, where
+    // q103's unwindowed recurrence admits arbitrarily stale conversions
+    // (on this corpus the 24h bound turns q103's flat 150/150/150/150
+    // into a real 150/60/21/10 drop-off). Same greedy earliest-entry
+    // semantics, one extra predicate on each step join.
+    "q117_funnel_window" -> ((s, dir) =>
+      graft.ext.Events.funnel(Ingest.eventsWithTs(s, dir),
+        Seq("view", "click", "signup", "purchase"),
+        windowMs = Some(86400000L))
+        .orderBy("step")),
+
     // Model-based quality filter: naive-Bayes log-odds trained in-plan
     // on a seed labeling (curated sources positive, the rest negative),
     // scoring every doc. Training = one token groupBy; the scoring join
@@ -1517,7 +1560,7 @@ object ExtQueries {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
          |rep AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS text_md5
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -3296,6 +3339,27 @@ object ExtQueries {
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY step""".stripMargin,
 
+    // q103's chain with the 24h conversion bound on every step join
+    "q117_funnel_window" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
+        |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t
+        |         AND ev.ts_ms <= s0.t + 86400000 GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
+        |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t
+        |         AND ev.ts_ms <= s1.t + 86400000 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
+        |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t
+        |         AND ev.ts_ms <= s2.t + 86400000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+
     "q106_nb_quality" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
          |tok AS (
@@ -3633,4 +3697,30 @@ object ExtQueries {
         |  CAST(coalesce(bl[1], 0) % 480 + 1 AS INT) AS height
         |FROM bytes ORDER BY doc_id""".stripMargin,
   )
+
+  /** q116's oracle COMPOSES the four tier oracles verbatim (each a full
+    * independently-derived mirror of its ANN tier) with the brute-force
+    * oracle: per tier, recall@5 per probe then the DECIMAL-summed mean —
+    * the exact recallAtK shape. Nothing engine-side feeds the oracle. */
+  private def tierRecallOracleSql: String = {
+    def tier(nm: String, key: String): String =
+      s"""SELECT '$nm' AS tier, n_probes, avg_recall FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |         round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS avg_recall
+         |  FROM (
+         |    SELECT e.probe_id,
+         |           CAST(round(CAST(count(a.probe_id) AS DOUBLE) / count(*), 6)
+         |                AS DECIMAL(20,6)) AS recall
+         |    FROM (${baseOracleSql("q30_knn_brute")}) e
+         |    LEFT JOIN (${baseOracleSql(key)}) a
+         |      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |    GROUP BY e.probe_id) pr)""".stripMargin
+    Seq("int8" -> "q96_knn_quantized", "pq" -> "q101_knn_pq",
+      "rp16" -> "q111_knn_rp", "rp16_int8" -> "q113_knn_rp_quantized")
+      .map { case (nm, k) => tier(nm, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tier")
+  }
+
+  val oracleSql: Map[String, String] =
+    baseOracleSql + ("q116_ann_recall_tiers" -> tierRecallOracleSql)
 }

@@ -62,10 +62,24 @@ object Events {
     * step 0 ran O(steps²/2) times (measured round 8: 10 filtered scans
     * for a 4-step funnel). Now the stream is scanned exactly once per
     * step, and the final counts read only materialized user-sized rows. */
+  /** `windowMs`, when set, bounds each CONVERSION: step i+1 must land in
+    * (t_i, t_i + windowMs] of the user's step-i time — the
+    * conversion-window funnel every product-analytics question actually
+    * asks ("purchased within a day of signup"), where the unwindowed
+    * recurrence admits arbitrarily stale conversions. Semantics stay
+    * greedy earliest-entry: each step takes the user's EARLIEST
+    * qualifying event, even when a later step-i choice would have opened
+    * a window catching a step-i+1 event the earliest one misses — the
+    * deterministic convention of the public windowed-funnel operators,
+    * and the only one expressible without per-user backtracking. Plan
+    * shape is unchanged: the window is one more predicate on the
+    * step join. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts_ms"): DataFrame = {
+             tsCol: String = "ts_ms",
+             windowMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMs.forall(_ > 0), s"windowMs must be positive: $windowMs")
     val reached = steps.zipWithIndex
       .scanLeft(Option.empty[DataFrame]) { case (prev, (st, _)) =>
         val hits = events.filter(col(typeCol) === st)
@@ -73,8 +87,10 @@ object Events {
           case None =>
             hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
           case Some(p) =>
+            val inWindow = windowMs.map(w => col(tsCol) <= col("__prev") + w)
+              .getOrElse(lit(true))
             hits.join(p.withColumnRenamed("__t", "__prev"), userCol)
-              .filter(col(tsCol) > col("__prev"))
+              .filter(col(tsCol) > col("__prev") && inWindow)
               .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
         }, "funnel-step"))
       }

@@ -51,8 +51,11 @@ object Ingest {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long layout
         // assert_true returns NULL when the check passes, so the coalesce
-        // adds 0 and keeps the check inside the ts_ms expression — an
-        // uncolumned side-check would be pruned away by Catalyst.
+        // adds 0 and keeps the check inside the VALUE expressions — an
+        // uncolumned side-check would be pruned away by Catalyst. The
+        // check rides BOTH derived columns: a consumer selecting only ts
+        // (or only ts_ms) lets Catalyst prune the other, and a check
+        // attached to just one would vanish with it.
         val nanosCk = coalesce(
           assert_true(col("ts") >= lit(10000000000000000L),
             lit("events.ts long values are below the plausible epoch-NANOS " +
@@ -60,7 +63,7 @@ object Ingest {
               "misscaled; convert the source or extend withTsCols")).cast("long"),
           lit(0L))
         df.withColumn("ts_ms", expr("ts div 1000000") + nanosCk)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000") + nanosCk))
       case _ => // TIMESTAMP / TIMESTAMP_NTZ layout (micros)
         df.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))

@@ -250,7 +250,10 @@ object StreamOps {
         explode(graft.functions.TextExprs.cdcChunks(col(textCol), k, modulus))
           .as("__chunk"))
       .select(col(idCol), md5(col("__chunk")).as("chunk_md5"))
-      .join(seenChunks.select(col("chunk_md5")), "chunk_md5")
+      // distinct on the static side: a duplicated hash row in the
+      // persisted seen table would otherwise multiply every matching
+      // hit row and silently inflate the consumer's per-doc counts
+      .join(seenChunks.select(col("chunk_md5")).distinct(), "chunk_md5")
 
   case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
   case class FunnelBuf(evs: List[(Int, Long)], lastMs: Long)
@@ -276,20 +279,31 @@ object StreamOps {
     * batch funnel on the same data. */
   def funnelStream(events: Dataset[FunnelEv], steps: Seq[String],
                    quietMs: Long = 30 * 60 * 1000L,
-                   watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+                   watermark: String = "10 minutes",
+                   windowMs: Option[Long] = None): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMs.forall(_ > 0), s"windowMs must be positive: $windowMs")
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
+    // same greedy earliest-entry recurrence as the batch funnel,
+    // including the optional conversion window on each step transition
     def finalizeUser(user: Long, evs: List[(Int, Long)]): Iterator[FunnelOut] = {
       var prev = Long.MinValue
       var reached = 0
       var stop = false
       for (i <- steps.indices if !stop) {
-        val cand = evs.collect { case (s, t) if s == i && (i == 0 || t > prev) => t }
+        val cand = evs.collect {
+          case (s, t) if s == i &&
+            (i == 0 || (t > prev && windowMs.forall(t <= prev + _))) => t
+        }
         if (cand.isEmpty) stop = true
         else { prev = cand.min; reached = i + 1 }
       }
-      Iterator.single(FunnelOut(user, reached, if (reached == 0) 0L else prev))
+      // users whose buffered events never include step 0 (e.g. click-only
+      // users) produce NO row — the batch funnel has no counterpart row
+      // either, so row-counting consumers see identical tables
+      if (reached == 0) Iterator.empty
+      else Iterator.single(FunnelOut(user, reached, prev))
     }
     events
       .filter(e => stepIdx.contains(e.event_type))

@@ -1823,6 +1823,34 @@ class EventsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((0, "view", 4L), (1, "click", 2L), (2, "buy", 1L)))
     intercept[IllegalArgumentException] { Events.funnel(ev, Nil) }
   }
+
+  test("funnel with conversion window: late conversions drop; boundary is inclusive; greedy earliest entry") {
+    val ev = Seq(
+      // u1: click 5ms after view (inside w=10), buy 10ms after click
+      // (exactly AT the boundary -> inclusive, converts)
+      (100L, "view", 10L), (100L, "click", 15L), (100L, "buy", 25L),
+      // u2: click 11ms after view -> outside w=10, stops at view
+      (200L, "view", 10L), (200L, "click", 21L),
+      // u3: GREEDY earliest entry: first click at 15 is taken even though
+      // the later click at 30 would have put the buy at 35 in window —
+      // so u3 stops at click (35 > 15 + 10)
+      (300L, "view", 10L), (300L, "click", 15L), (300L, "click", 30L),
+      (300L, "buy", 35L)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val got = Events.funnel(ev, Seq("view", "click", "buy"),
+        windowMs = Some(10L))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq === Seq((0, 3L), (1, 2L), (2, 1L)))
+    // unwindowed on the same data: u2's late click now counts (no buy
+    // event, so u2 still stops there) and u3's buy converts off the
+    // earliest click — only the window separates the two runs
+    val open = Events.funnel(ev, Seq("view", "click", "buy"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(open.toSeq === Seq(3L, 3L, 2L))
+    intercept[IllegalArgumentException] {
+      Events.funnel(ev, Seq("view"), windowMs = Some(0L)) }
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {

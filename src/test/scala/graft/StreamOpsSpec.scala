@@ -339,6 +339,53 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed streaming funnel == windowed batch funnel; no-step-0 users emit no row") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    val base = 1000L
+    def ev(u: Long, t: Long, s: String) =
+      StreamOps.FunnelEv(u, s, new Timestamp((base + t) * 60000L))
+    val w = 10 * 60000L // 10-minute conversion window
+    // u1 converts inside every window; u2's click lands past the window
+    // (stops at view); u3 has NO view at all (click-only -> no row);
+    // u4's click is in-window but the buy is not (stops at click)
+    val data = Seq(
+      ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 12, "buy"),
+      ev(2, 0, "view"), ev(2, 20, "click"),
+      ev(3, 2, "click"),
+      ev(4, 0, "view"), ev(4, 8, "click"), ev(4, 30, "buy"))
+    val in = MemoryStream[StreamOps.FunnelEv]
+    val q = StreamOps.toMemorySink(
+      StreamOps.funnelStream(in.toDS(), steps, quietMs = 30 * 60000L,
+        watermark = "5 minutes", windowMs = Some(w)).toDF(),
+      "funnel_window_test", OutputMode.Append())
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData(ev(99, 500, "view"))
+      q.processAllAvailable()
+      in.addData(ev(99, 505, "view"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_window_test")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out === Map(1L -> 3, 2L -> 1, 4L -> 2), s"got $out")
+      assert(!out.contains(3L), "click-only user must emit no row")
+      // stream == batch on the same events (u99 still in state at step 1)
+      val allEvents = (data :+ ev(99, 500, "view") :+ ev(99, 505, "view"))
+        .map(e => (e.user_id, e.event_type, e.ts.getTime))
+        .toDF("user_id", "event_type", "ts_ms")
+      val batchCounts = graft.ext.Events.funnel(allEvents, steps,
+          windowMs = Some(w))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamed = spark.table("funnel_window_test").collect()
+        .map(r => r.getInt(1)).toSeq :+ 1
+      val streamCounts = steps.indices
+        .map(i => i -> streamed.count(_ >= i + 1).toLong).toMap
+      assert(streamCounts === batchCounts,
+        s"stream $streamCounts != batch $batchCounts")
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
