@@ -1158,6 +1158,22 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Equi-depth bucketing — the q100 sketch CDF pointed at LAYOUT: every
+    // lineitem assigned its price-quantile bucket (8 near-equal-population
+    // contiguous price ranges), audited by per-bucket row count + value
+    // range. The bucket column is the balanced range-partition key a
+    // skew-proof layout wants (deterministic, unlike repartitionByRange's
+    // sampling). One histogram groupBy + a broadcast bin->bucket map.
+    "q118_equi_depth" -> ((s, dir) => {
+      val li = Ingest.table(s, dir, "lineitem")
+      Sketches.equiDepthBucket(li, col("l_extendedprice"), k = 8)
+        .groupBy("depth_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo_price"),
+          max(col("l_extendedprice")).as("hi_price"))
+        .orderBy("depth_bucket")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -3516,6 +3532,37 @@ object ExtQueries {
          |       min(pct) AS min_pct, max(pct) AS max_pct
          |FROM v JOIN p USING (hist_bucket)
          |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+    },
+
+    // q100's CDF chain with the price carried through, bucket =
+    // least(floor(pct*k), k-1) — identical doubles in both engines.
+    "q118_equi_depth" -> {
+      val b = graft.ext.Sketches.HIST_BUCKETS
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+         |  FROM lineitem),
+         |v AS (
+         |  SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+         |                                   / ((hi - lo) / $b)),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket
+         |  FROM lineitem CROSS JOIN bounds),
+         |hist AS (SELECT hist_bucket, count(*) AS cnt FROM v GROUP BY 1),
+         |c AS (
+         |  SELECT hist_bucket, cnt,
+         |         coalesce(sum(cnt) OVER (ORDER BY hist_bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS n
+         |  FROM hist),
+         |p AS (
+         |  SELECT hist_bucket,
+         |         round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2) / n, 6) AS pct
+         |  FROM c)
+         |SELECT CAST(least(floor(pct * 8), 7) AS INT) AS depth_bucket,
+         |       count(*) AS n_rows, min(price) AS lo_price, max(price) AS hi_price
+         |FROM v JOIN p USING (hist_bucket)
+         |GROUP BY 1 ORDER BY depth_bucket""".stripMargin
     },
 
     // Stage-for-stage mirror of piiCounts/piiScrubbed: each CTE counts on

@@ -422,6 +422,42 @@ object Sketches {
     percentileNormalize(df, value, lo, hi, buckets, outCol)
   }
 
+  /** EQUI-DEPTH quantile bucketing: annotate every row with its corpus
+    * quantile BUCKET 0..k-1 (each holding ≈ n/k rows), derived from the
+    * same sketch CDF as [[percentileNormalize]] — the missing piece
+    * between quantile STATS ([[histQuantiles]]) and quantile LAYOUT: the
+    * bucket column is a balanced range-partition key (bucket boundaries
+    * are value quantiles, so every bucket is a contiguous value range of
+    * near-equal population), which is what a skew-proof range layout
+    * needs where `repartitionByRange`'s sampling is nondeterministic and
+    * a hash layout scatters the value dimension entirely. Feed it to
+    * `Partitioning.writeShards`-style writers or PARTITION BY to get
+    * min/max-prunable, balanced files on a skewed signal.
+    *
+    * Shape at scale: [[valueBounds]]' 1-row probe + one data-sized
+    * histogram groupBy; the bin→bucket map folds back as a ≤ `buckets`-row
+    * broadcast, so the annotation pass is map-only — no global sort, no
+    * sampling pass, no data-sized window. Resolution caveat: buckets
+    * sharing a histogram bin land together (one-bin resolution, the
+    * percentileNormalize contract), so keep `buckets` ≫ k; a value so
+    * frequent it spans a quantile boundary makes neighboring depth
+    * buckets uneven — that is the value's true mass, not an artifact. */
+  def equiDepthBucket(df: DataFrame, value: Column, k: Int,
+                      buckets: Int = HIST_BUCKETS,
+                      outCol: String = "depth_bucket"): DataFrame = {
+    require(k >= 2, s"equi-depth bucketing needs k >= 2, got $k")
+    require(buckets >= k,
+      s"histogram resolution ($buckets bins) must be >= k ($k) buckets")
+    val (lo, hi) = valueBounds(df, value)
+    require(hi > lo,
+      s"degenerate bounds [$lo, $hi]: the value column is constant — one " +
+        "bucket would hold everything; bucket a signal with spread instead")
+    percentileNormalize(df, value, lo, hi, buckets, "__graft_depth_pct")
+      .withColumn(outCol,
+        least(floor(col("__graft_depth_pct") * k), lit(k - 1L)).cast("int"))
+      .drop("__graft_depth_pct")
+  }
+
   /** HLL approximate distinct count of `value` per `keys` group, in one
     * shot (collapses the registers without materializing the dense vector;
     * use [[hllRegisters]] + [[hllEstimate]] to persist/merge sketches).

@@ -1597,6 +1597,36 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sketches.valueBounds(Seq.empty[(Long, Double)].toDF("id", "v"), $"v") }
   }
+
+  test("equiDepthBucket: near-equal populations on skewed data, contiguous non-overlapping ranges") {
+    // heavily skewed signal (quadratic): an equi-WIDTH layout would pile
+    // most rows into the low buckets; equi-depth must stay balanced
+    val df = (1 to 4000).map(i => (i.toLong, (i.toDouble * i))).toDF("id", "v")
+    val got = Sketches.equiDepthBucket(df, $"v", k = 8)
+      .groupBy("depth_bucket")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .orderBy("depth_bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0 until 8), s"all 8 buckets present: ${got.toSeq}")
+    // balance within one-bin resolution: 4000/8 = 500 ± a few percent
+    assert(got.forall(b => b._2 > 400 && b._2 < 600),
+      s"bucket populations must be near-equal: ${got.map(_._2).toSeq}")
+    // contiguity: ranges ordered and non-overlapping
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"bucket ${a._1} range must end before ${b._1} starts")
+    }
+    // deterministic under repartition (no sampling involved)
+    val again = Sketches.equiDepthBucket(df.repartition(13), $"v", k = 8)
+      .select("id", "depth_bucket").as[(Long, Int)].collect().toMap
+    val first = Sketches.equiDepthBucket(df, $"v", k = 8)
+      .select("id", "depth_bucket").as[(Long, Int)].collect().toMap
+    assert(again === first)
+    intercept[IllegalArgumentException] { Sketches.equiDepthBucket(df, $"v", k = 1) }
+    intercept[IllegalArgumentException] {
+      Sketches.equiDepthBucket(df, $"v", k = 8, buckets = 4) }
+    intercept[IllegalArgumentException] {
+      Sketches.equiDepthBucket(Seq((1L, 5.0)).toDF("id", "v"), $"v", k = 2) }
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {
