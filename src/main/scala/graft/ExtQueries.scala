@@ -928,6 +928,23 @@ object ExtQueries {
       Dedup.noveltyScore(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Per-day INCREMENTAL novelty — q99 maintained across corpus
+    // increments: two disjoint ingest batches (even/odd doc ids, the
+    // q102 convention) each build their own shingle-df state, states
+    // merge by summing counters (vocab-sized work), and every doc scores
+    // against the merged state. The ORACLE REBUILDS novelty from scratch
+    // over the whole corpus — increment == rebuild is the hash assertion
+    // (the q102 merge == rebuild style applied to the q56 incremental
+    // pattern).
+    "q119_novelty_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val state = Dedup.noveltyMergeState(Seq(
+        Dedup.noveltyState(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        Dedup.noveltyState(d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")))
+      Dedup.noveltyScoreWith(d, state, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Ordered funnel over the event stream: earliest-entry semantics,
     // each step strictly after the user's previous-step time. Per step:
     // one conditional min-agg + one user-keyed join — user-sized payload
@@ -3769,5 +3786,9 @@ object ExtQueries {
   }
 
   val oracleSql: Map[String, String] =
-    baseOracleSql + ("q116_ann_recall_tiers" -> tierRecallOracleSql)
+    baseOracleSql +
+      ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
+      // increment == rebuild: the oracle is q99's from-scratch rebuild
+      // VERBATIM; the engine side answers it via merged per-batch states
+      ("q119_novelty_incremental" -> baseOracleSql("q99_novelty"))
 }

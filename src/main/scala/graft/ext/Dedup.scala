@@ -744,20 +744,55 @@ object Dedup {
     * vocabulary rule. Documents with fewer than k tokens have no
     * shingles and drop out. */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
+                   k: Int = 3): DataFrame =
+    noveltyScoreWith(docs, noveltyState(docs, idCol, textCol, k),
+      idCol, textCol, k)
+
+  private def noveltyShingleStream(docs: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol),
         explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("__sh"))
       .withColumn("__h", md5(col("__sh"))).drop("__sh")
-    // distinctShingles emits each (doc, shingle) once, so count(*) IS the
-    // shingle's document frequency
-    val df_ = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-    sh.join(df_, "__h")
+
+  /** The PERSISTED state behind [[noveltyScore]]: the shingle
+    * document-frequency table (shingle_md5, df). Mergeable by summing —
+    * each batch/day contributes its own state and
+    * [[noveltyMergeState]](day1 ++ day2) == state(day1 ∪ day2) exactly
+    * (distinctShingles emits each (doc, shingle) once, so counts ADD
+    * across disjoint batches — the incremental-MinHash/index-segment
+    * maintenance pattern, q56/q102, applied to novelty). A growing
+    * corpus maintains novelty at BATCH cost: one state per increment,
+    * one vocab-sized merge, never a corpus re-shingle. */
+  def noveltyState(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame =
+    noveltyShingleStream(docs, idCol, textCol, k)
+      .groupBy(col("__h").as("shingle_md5"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Merge per-batch novelty states: counters add (exact, not a sketch).
+    * Precondition: batches are DISJOINT document sets — a document
+    * shingled into two states would double-count itself. */
+  def noveltyMergeState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy("shingle_md5").agg(sum("df").as("df"))
+  }
+
+  /** [[noveltyScore]] against an explicit (typically merged) df state.
+    * The scored documents must be CONTAINED in the state (score a new
+    * day by merging its own state in first — that keeps the df >= 2
+    * shared test meaning "some OTHER document has it" for every scored
+    * doc, exactly the rebuild semantics). Unhinted state join per the
+    * shingle-vocabulary rule. */
+  def noveltyScoreWith(docs: DataFrame, state: DataFrame, idCol: String,
+                       textCol: String, k: Int = 3): DataFrame =
+    noveltyShingleStream(docs, idCol, textCol, k)
+      .join(state.select(col("shingle_md5").as("__h"), col("df").as("__df")), "__h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
-  }
 
   // ---- content-defined chunking ----
 

@@ -877,6 +877,36 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L)._2 < got(1L)._1, "the cat/dog tails are NOT shared")
   }
 
+  test("incremental novelty: merged per-batch states == the from-scratch rebuild, any batch split") {
+    val boiler = "click here to subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$boiler and also some words about cats"),
+      (2L, s"$boiler and also some words about dogs"),
+      (3L, "entirely original prose concerning migratory seabirds today"),
+      (5L, s"$boiler appears here a third time entirely"),
+      (6L, "more unique material on deep sea vents")
+    ).toDF("doc_id", "text")
+    val rebuild = Dedup.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // two different disjoint splits, including a 3-way one — counters add
+    for (splits <- Seq(
+      Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0)),
+      Seq(docs.filter($"doc_id" <= 2), docs.filter($"doc_id" === 3L),
+        docs.filter($"doc_id" >= 5)))) {
+      val state = Dedup.noveltyMergeState(
+        splits.map(Dedup.noveltyState(_, "doc_id", "text")))
+      val inc = Dedup.noveltyScoreWith(docs, state, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(inc === rebuild, s"increment must equal rebuild: $inc")
+    }
+    // the state itself is the df table: boilerplate shingles reach df 3
+    val full = Dedup.noveltyState(docs, "doc_id", "text")
+    assert(full.agg(max("df")).head.getLong(0) === 3L)
+    intercept[IllegalArgumentException] { Dedup.noveltyMergeState(Nil) }
+  }
+
   test("CdcChunks kernel == the cut-rule reference on random and edge-case docs") {
     // driver-side reference of the exact cut rule (h60Local is pinned
     // equal to the engine's h60 expression elsewhere)
