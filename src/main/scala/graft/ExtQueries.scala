@@ -1191,6 +1191,21 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Exact heavy hitters through a count-min SCREEN: the sketch (which
+    // never underestimates) nominates a candidate superset off its
+    // depth×width counter table, and the exact recount pays only for the
+    // survivors — so the final shuffle's key domain is candidate-sized,
+    // not vocabulary-sized, yet the result equals the oracle's plain
+    // unscreened HAVING mirror row for row. Width 8192 puts the collision
+    // bias (~|shingle rows|/8192) far under the threshold so the screen
+    // actually screens (ExtSpec pins selectivity < 1 and supersetness).
+    "q120_heavy_hitters" -> ((s, dir) => {
+      val sh = Dedup.shingled(docs(s, dir), "doc_id", "text")
+      Sketches.heavyHitters(sh, col("sh"), minCount = 5L, width = 8192,
+          outCol = "sh")
+        .orderBy("sh")
+    }),
+
     // PII scrubbing: the standard curation pass before training-data
     // release. Sequential ordered redaction (email -> ip -> bare digit
     // runs) with per-pattern counts measured at each pattern's position in
@@ -2306,6 +2321,19 @@ object ExtQueries {
          |FROM tot t LEFT JOIN hit h USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // The unscreened exact mirror of the count-min-screened q120: a plain
+    // document-frequency HAVING over per-doc-distinct shingles. The
+    // engine's sketch screen must be output-invisible.
+    "q120_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(t)-1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM toks WHERE len(t) >= 3)
+         |SELECT sh, count(*) AS cnt FROM sh0
+         |GROUP BY sh HAVING count(*) >= 5 ORDER BY sh""".stripMargin,
 
     // Stage-for-stage pipeline mirror: q70's gate thresholds, q69's
     // share -> rate -> hash-threshold keep over the gated survivors,

@@ -135,12 +135,13 @@ object Sketches {
     * MERGE BY SUM ([[cmsMergeAgg]]): sketch per day/shard, add later, and
     * the merged sketch equals the sketch of the union exactly. The
     * portable h60 hash makes every counter engine-reproducible. */
-  def cmsCounters(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+  def cmsCounters(df: DataFrame, keys: Seq[String], value: Column,
+                  width: Int = CMS_WIDTH): DataFrame = {
     val keyCols = keys.map(col)
     df.select((keyCols :+ value.cast("string").as("__graft_cms_v")): _*)
       .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
       .withColumn("cms_bucket", TextAnalysis.h60(
-        concat(col("cms_row").cast("string"), lit(":"), col("__graft_cms_v"))) % CMS_WIDTH)
+        concat(col("cms_row").cast("string"), lit(":"), col("__graft_cms_v"))) % width)
       .groupBy((keyCols :+ col("cms_row") :+ col("cms_bucket")): _*)
       .agg(count(lit(1)).as("cms_cnt"))
   }
@@ -160,12 +161,12 @@ object Sketches {
     * tiny (the items being audited); the counter side is bounded by
     * depth·width per key group, so the join broadcasts naturally. */
   def cmsEstimate(probe: DataFrame, counters: DataFrame, value: Column,
-                  keys: Seq[String] = Nil): DataFrame = {
+                  keys: Seq[String] = Nil, width: Int = CMS_WIDTH): DataFrame = {
     val probeCols = probe.columns.map(col).toSeq
     probe
       .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
       .withColumn("cms_bucket", TextAnalysis.h60(
-        concat(col("cms_row").cast("string"), lit(":"), value.cast("string"))) % CMS_WIDTH)
+        concat(col("cms_row").cast("string"), lit(":"), value.cast("string"))) % width)
       .join(counters, keys ++ Seq("cms_row", "cms_bucket"), "left")
       .na.fill(0L, Seq("cms_cnt"))
       .groupBy(probeCols: _*)
@@ -456,6 +457,59 @@ object Sketches {
       .withColumn(outCol,
         least(floor(col("__graft_depth_pct") * k), lit(k - 1L)).cast("int"))
       .drop("__graft_depth_pct")
+  }
+
+  /** EXACT heavy hitters (values with true count >= `minCount`) found
+    * through a count-min SCREEN: estimate every candidate's frequency off
+    * the depth×width counter table, keep only candidates whose estimate
+    * clears the threshold, and pay the exact recount ONLY on the
+    * survivors. Count-min never underestimates, so the screened candidate
+    * set is a SUPERSET of the true heavy hitters — the exact recount then
+    * drops the sketch's false positives, and the result equals a plain
+    * `GROUP BY value HAVING count(*) >= minCount` row for row. Output:
+    * (value-as-`outCol`, cnt), exact counts only.
+    *
+    * Why screen at all when the exact groupBy exists: at corpus scale the
+    * unscreened groupBy's shuffle carries up to |vocabulary| partial
+    * counts PER MAP PARTITION (map-side combine collapses rows within a
+    * partition but not the key domain — a 10M-term vocabulary shuffles
+    * 10M rows per partition). After the screen the recount's key domain
+    * is the candidate set — bounded by N/minCount true hitters plus the
+    * sketch's design-rate false positives — so the shuffle carries at
+    * most that many rows per partition, and the semi-join pre-filter
+    * drops every non-candidate row before it is ever hashed. The counter
+    * table itself merges by SUM across shards/days ([[cmsMergeAgg]]), so
+    * standing corpora keep the sketch incrementally and only the final
+    * recount scans the data.
+    *
+    * `candidates` supplies the probe domain (distinct values; defaults to
+    * `df`'s own distinct — pass a standing vocabulary table to skip that
+    * pass on a corpus that already maintains one). The candidate set
+    * surviving the screen is broadcast via [[graft.ops.Guards.broadcastIfSmall]]:
+    * a threshold low enough to pass millions of candidates degrades to a
+    * shuffled semi-join instead of melting the driver.
+    *
+    * Size `width` to the load: screen selectivity needs the per-counter
+    * collision bias (~ N_occurrences/width before the depth-min) well
+    * BELOW `minCount`, or every candidate's estimate clears the bar and
+    * the screen passes everything — still correct (the recount is exact
+    * regardless), just paying the unscreened cost. */
+  def heavyHitters(df: DataFrame, value: Column, minCount: Long,
+                   candidates: Option[DataFrame] = None,
+                   width: Int = CMS_WIDTH,
+                   outCol: String = "value"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val vals = df.select(value.cast("string").as(outCol))
+    val counters = cmsCounters(vals, Nil, col(outCol), width = width)
+    val probe = candidates.map(_.select(value.cast("string").as(outCol)).distinct())
+      .getOrElse(vals.distinct())
+    val screened = cmsEstimate(probe, counters, col(outCol), width = width)
+      .filter(col("cms_est") >= minCount)
+      .select(outCol)
+    vals.join(graft.ops.Guards.broadcastIfSmall(screened), Seq(outCol), "left_semi")
+      .groupBy(outCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 
   /** HLL approximate distinct count of `value` per `keys` group, in one

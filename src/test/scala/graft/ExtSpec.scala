@@ -1462,6 +1462,33 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("heavyHitters: == unscreened HAVING exactly; the screen actually screens") {
+    // zipf-ish: w_i appears i times -> heavy hitters at minCount=120 are
+    // w120..w200 (81 values) out of a 200-value domain
+    val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"w$i")).map(Tuple1(_))
+    val df = rows.toDF("v").repartition(5)
+    val got = Sketches.heavyHitters(df, $"v", minCount = 120L, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = (120 to 200).map(i => (s"w$i", i.toLong)).toSet
+    assert(got === want, "screened result must equal the plain HAVING mirror")
+
+    // supersetness + selectivity of the screen itself: every true hitter
+    // survives (no false negatives), and the candidate set is genuinely
+    // smaller than the domain (the screen screens at this width/threshold)
+    val counters = Sketches.cmsCounters(df, Nil, $"v", width = 4096)
+    val screened = Sketches.cmsEstimate(df.distinct(), counters, $"v", width = 4096)
+      .filter($"cms_est" >= 120L)
+    val candidates = screened.collect().map(_.getString(0)).toSet
+    assert(want.map(_._1).subsetOf(candidates), "screen dropped a true hitter")
+    assert(candidates.size < 200, s"screen passed the whole domain (${candidates.size})")
+
+    // a vocabulary-table candidate domain gives the same answer
+    val viaVocab = Sketches.heavyHitters(df, $"v", minCount = 120L,
+        candidates = Some(df.distinct()), width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaVocab === want)
+  }
+
   test("bloom: no false negatives ever; merge by union == filter over the union") {
     val members = (1 to 2000).map(i => Tuple1(s"m$i")).toDF("v")
     val bits = Sketches.bloomBits(members, Nil, $"v")
