@@ -1191,6 +1191,26 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // CCNet-style perplexity partition (Wenzek et al., LREC 2020): score
+    // every document with the q95 interpolated bigram LM, then cut the
+    // corpus into equal-population head/middle/tail fluency bands with
+    // the q118 sketch-CDF equi-depth machinery (head = highest avg
+    // log-prob = lowest perplexity — the slice CCNet keeps). The per-doc
+    // score table is doc-signal-sized and materialized ONCE; the bounds
+    // probe, the histogram pass, and the annotation pass all read the
+    // materialized rows — never an LM re-evaluation.
+    "q121_ppl_partition" -> ((s, dir) => {
+      val lm = graft.ops.Materialize.stable(
+        TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+          .select("doc_id", "avg_lp"), "ppl-scores")
+      Sketches.equiDepthBucket(lm, col("avg_lp"), k = 3, outCol = "band")
+        .withColumn("ppl_band",
+          when(col("band") === 2, "head")
+            .when(col("band") === 1, "middle").otherwise("tail"))
+        .select("doc_id", "avg_lp", "ppl_band")
+        .orderBy("doc_id")
+    }),
+
     // Exact heavy hitters through a count-min SCREEN: the sketch (which
     // never underestimates) nominates a candidate superset off its
     // depth×width counter table, and the exact recount pays only for the
@@ -1387,6 +1407,35 @@ object ExtQueries {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Shared WITH-clause chain for the interpolated bigram LM (q95/q121):
+    * per-position rounded DECIMAL log-probs in `lp` — ONE definition so
+    * the scoring query and the perplexity partition can never
+    * desynchronize on a smoothing tweak. */
+  private lazy val bigramLpCtesSql: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, b,
+       |         string_split(b, ' ')[1] AS ctx, string_split(b, ' ')[2] AS cur
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+       |    FROM toks)),
+       |cbg AS (SELECT b, count(*) AS c_bg FROM bg GROUP BY 1),
+       |cctx AS (SELECT ctx, count(*) AS c_ctx FROM bg GROUP BY 1),
+       |cuni AS (SELECT term, count(*) AS c_uni
+       |         FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+       |tot AS (SELECT sum(c_uni) AS n_total FROM cuni),
+       |lp AS (
+       |  SELECT bg.doc_id,
+       |         CAST(round(ln(0.75 * CAST(c_bg AS DOUBLE) / c_ctx
+       |                     + 0.25 * CAST(c_uni AS DOUBLE) / n_total), 6)
+       |              AS DECIMAL(20,6)) AS lp
+       |  FROM bg
+       |  JOIN cbg USING (b)
+       |  JOIN cctx USING (ctx)
+       |  JOIN cuni ON cuni.term = bg.cur
+       |  CROSS JOIN tot)""".stripMargin
 
   /** WITH-clause chain for the capped-iteration BPE mirror (q114/q115):
     * wf = corpus word frequencies, s0 = char symbols + '</w>', then per
@@ -2322,6 +2371,39 @@ object ExtQueries {
          |ORDER BY t.doc_id""".stripMargin
     },
 
+    // The q95 LM chain verbatim (shared CTEs), then the q118 sketch-CDF
+    // chain pointed at avg_lp with k=3 and the head/middle/tail labels.
+    "q121_ppl_partition" -> {
+      val b = graft.ext.Sketches.HIST_BUCKETS
+      s"""WITH $bigramLpCtesSql,
+         |score AS (
+         |  SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+         |  FROM lp GROUP BY doc_id),
+         |bounds AS (SELECT min(avg_lp) AS lo, max(avg_lp) AS hi FROM score),
+         |v AS (
+         |  SELECT doc_id, avg_lp,
+         |         CAST(least(greatest(floor((avg_lp - lo) / ((hi - lo) / $b)),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket
+         |  FROM score CROSS JOIN bounds),
+         |hist AS (SELECT hist_bucket, count(*) AS cnt FROM v GROUP BY 1),
+         |c AS (
+         |  SELECT hist_bucket, cnt,
+         |         coalesce(sum(cnt) OVER (ORDER BY hist_bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS n
+         |  FROM hist),
+         |p AS (
+         |  SELECT hist_bucket,
+         |         round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2) / n, 6) AS pct
+         |  FROM c)
+         |SELECT doc_id, avg_lp,
+         |       CASE CAST(least(floor(pct * 3), 2) AS INT)
+         |         WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+         |       END AS ppl_band
+         |FROM v JOIN p USING (hist_bucket)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // The unscreened exact mirror of the count-min-screened q120: a plain
     // document-frequency HAVING over per-doc-distinct shingles. The
     // engine's sketch screen must be output-invisible.
@@ -2913,29 +2995,7 @@ object ExtQueries {
     // tables, identical double expression inside ln (0.75*cb/cc left to
     // right, then + 0.25*cuni/N), rounded to 6 dp then DECIMAL-summed.
     "q95_bigram_logprob" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (
-         |  SELECT doc_id, b,
-         |         string_split(b, ' ')[1] AS ctx, string_split(b, ' ')[2] AS cur
-         |  FROM (
-         |    SELECT doc_id,
-         |           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
-         |    FROM toks)),
-         |cbg AS (SELECT b, count(*) AS c_bg FROM bg GROUP BY 1),
-         |cctx AS (SELECT ctx, count(*) AS c_ctx FROM bg GROUP BY 1),
-         |cuni AS (SELECT term, count(*) AS c_uni
-         |         FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
-         |tot AS (SELECT sum(c_uni) AS n_total FROM cuni),
-         |lp AS (
-         |  SELECT bg.doc_id,
-         |         CAST(round(ln(0.75 * CAST(c_bg AS DOUBLE) / c_ctx
-         |                     + 0.25 * CAST(c_uni AS DOUBLE) / n_total), 6)
-         |              AS DECIMAL(20,6)) AS lp
-         |  FROM bg
-         |  JOIN cbg USING (b)
-         |  JOIN cctx USING (ctx)
-         |  JOIN cuni ON cuni.term = bg.cur
-         |  CROSS JOIN tot)
+      s"""WITH $bigramLpCtesSql
          |SELECT doc_id, count(*) AS n_scored,
          |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,

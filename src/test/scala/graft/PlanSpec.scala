@@ -155,6 +155,23 @@ class PlanSpec extends SparkTestBase {
       "the documents table must be read once, in the checkpoint job:\n" + p)
   }
 
+  test("q121 perplexity partition: bounds/histogram/annotation read the materialized score table, never the LM chain") {
+    val p = plan("q121_ppl_partition")
+    assert(p.contains("Scan ExistingRDD"),
+      "equi-depth passes must read the checkpointed per-doc score table:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "the LM pipeline must run once, in the materialization job:\n" + p)
+  }
+
+  test("q120 heavy hitters: screened recount — candidate semi-join, partial-agg'd counts, no pair product") {
+    val p = plan("q120_heavy_hitters")
+    assert(p.contains("LeftSemi"),
+      "non-candidate rows must drop via a semi-join before the recount:\n" + p)
+    assert(p.contains("partial_"),
+      "the recount must partial-aggregate map-side:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+  }
+
   test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
     val p = plan("q29_contamination")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
