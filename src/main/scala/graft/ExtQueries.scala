@@ -1191,6 +1191,32 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Quantile-range-partitioned write -> read-back -> audit (the q92
+    // loop for the equi-depth layout writer): lineitem lands in one
+    // directory per price-quantile bucket, is read back through the
+    // partition-discovering reader, and the audit — per bucket: row
+    // count, value range, md5 of the sorted member keys — is checked
+    // against an oracle that re-derives the sketch-CDF bucket assignment
+    // from the source table. Balanced file sizes AND min/max-prunable
+    // value intervals from one deterministic layout key.
+    "q122_range_layout_audit" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-audit-range-${new java.io.File(dir).getName}").getAbsolutePath
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.ops.Partitioning.writeRangeBucketed(li, out,
+        col("l_extendedprice"), k = 8)
+      s.read.parquet(out)
+        .groupBy(col("range_bucket").cast("int").as("range_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("lo_price"),
+          max("l_extendedprice").as("hi_price"),
+          md5(array_join(array_sort(collect_list(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")))), ","))
+            .as("ids_md5"))
+        .orderBy("range_bucket")
+    }),
+
     // CCNet-style perplexity partition (Wenzek et al., LREC 2020): score
     // every document with the q95 interpolated bigram LM, then cut the
     // corpus into equal-population head/middle/tail fluency bands with
@@ -2369,6 +2395,43 @@ object ExtQueries {
          |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit, t.n_bloom_hits
          |FROM tot t LEFT JOIN hit h USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // The q118 sketch-CDF chain re-deriving the layout key from the
+    // source, plus the sorted-member md5 per bucket (binary string order
+    // in both engines).
+    "q122_range_layout_audit" -> {
+      val b = graft.ext.Sketches.HIST_BUCKETS
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         |         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+         |  FROM lineitem),
+         |v AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CAST(l_extendedprice AS DOUBLE) AS price,
+         |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+         |                                   / ((hi - lo) / $b)),
+         |                             0), ${b - 1}) AS INT) AS hist_bucket
+         |  FROM lineitem CROSS JOIN bounds),
+         |hist AS (SELECT hist_bucket, count(*) AS cnt FROM v GROUP BY 1),
+         |c AS (
+         |  SELECT hist_bucket, cnt,
+         |         coalesce(sum(cnt) OVER (ORDER BY hist_bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |         sum(cnt) OVER () AS n
+         |  FROM hist),
+         |p AS (
+         |  SELECT hist_bucket,
+         |         round((CAST(cumb AS DOUBLE) + CAST(cnt AS DOUBLE) / 2) / n, 6) AS pct
+         |  FROM c)
+         |SELECT CAST(least(floor(pct * 8), 7) AS INT) AS range_bucket,
+         |       count(*) AS n_rows, min(price) AS lo_price, max(price) AS hi_price,
+         |       md5(string_agg(CAST(l_orderkey AS VARCHAR) || ':' ||
+         |                      CAST(l_linenumber AS VARCHAR), ','
+         |                      ORDER BY CAST(l_orderkey AS VARCHAR) || ':' ||
+         |                               CAST(l_linenumber AS VARCHAR))) AS ids_md5
+         |FROM v JOIN p USING (hist_bucket)
+         |GROUP BY 1 ORDER BY range_bucket""".stripMargin
     },
 
     // The q95 LM chain verbatim (shared CTEs), then the q118 sketch-CDF

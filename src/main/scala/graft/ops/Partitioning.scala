@@ -200,6 +200,32 @@ object Partitioning {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Quantile-range-partitioned write: bucket every row by its corpus
+    * value QUANTILE ([[graft.ext.Sketches.equiDepthBucket]]'s sketch-CDF
+    * assignment — deterministic, unlike `repartitionByRange`'s sampled
+    * boundaries) and write one directory per bucket with rows sorted by
+    * the value. Each bucket is a CONTIGUOUS value range of near-equal
+    * population, so on ANY skewed signal (a) output sizes stay balanced
+    * — the hash layout's property — while (b) every file covers a tight
+    * value interval, so min/max stats prune range scans file-level — the
+    * range layout's property. The shuffle is paid once at write time
+    * ([[writeBucketed]] economics); this is the layout writer the
+    * equi-depth STATS (q118) point at, and the missing piece between
+    * quantile statistics and quantile PARTITIONING. Bucket resolution
+    * caveats are [[graft.ext.Sketches.equiDepthBucket]]'s (one histogram
+    * bin; a boundary-spanning hot value makes neighbors uneven — that is
+    * the value's true mass). */
+  def writeRangeBucketed(df: DataFrame, path: String,
+                         value: org.apache.spark.sql.Column, k: Int,
+                         histBuckets: Int = graft.ext.Sketches.HIST_BUCKETS,
+                         bucketCol: String = "range_bucket"): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.ext.Sketches.equiDepthBucket(df, value, k, histBuckets, bucketCol)
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(col(bucketCol), value)
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+  }
+
   /** Bucketed materialization for co-located joins: write `df` as a table
     * hash-bucketed (and sorted) by `key`, so every future equi-join or
     * aggregation on `key` between same-bucketed tables plans WITHOUT a
