@@ -1082,6 +1082,30 @@ object ExtQueries {
         .orderBy(desc("n"), col("subword")).limit(30)
     }),
 
+    // The tokenizer story end-to-end: train the q114 merges, encode the
+    // VOCAB (q115's word-table economics — the rule chain never touches
+    // corpus rows), then pack documents into fixed-budget training bins
+    // by their REAL subword counts instead of q59's whitespace proxy —
+    // the count the trainer actually bills against. Per-doc counts come
+    // from one unhinted token→vocab join (the web-scale-vocabulary
+    // rule); the packing itself is q59's hash-order stripe tiling.
+    "q123_bpe_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rules = TextAnalysis.bpeTrainRules(d, "text", nMerges = 8)
+      val wordLen = TextAnalysis.bpeEncode(d, "text", rules)
+        .select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+      val perDoc = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .join(wordLen, "w")
+        .groupBy("doc_id").agg(sum("n_sym").as("n_tok"))
+      TextAnalysis.packSequences(perDoc, "doc_id", "n_tok",
+          budget = 512L, buckets = 8)
+        .groupBy("pack_bucket", "pack_bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pack_bucket", "pack_bin")
+    }),
+
     // The dimension-compression ANN tier (Achlioptas ±1 JL projection):
     // 64 -> 16 dims through the approximate scan (4x fewer bytes and
     // multiplies), exact re-rank of the 4k-candidate margin — completes
@@ -1477,7 +1501,7 @@ object ExtQueries {
          |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, n
          |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
          |s$r AS (
-         |  SELECT freq, list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+         |  SELECT w, freq, list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
          |    CASE WHEN acc[-1] = a AND x[1] = b
          |      THEN list_append(array_slice(acc, 1, len(acc)-1), a || b)
          |      ELSE list_append(acc, x[1]) END) AS syms
@@ -1486,7 +1510,7 @@ object ExtQueries {
     s"""WITH toksc AS (SELECT $toksSql AS t FROM documents),
        |wf AS (SELECT w, count(*) AS freq
        |       FROM (SELECT unnest(t) AS w FROM toksc) GROUP BY 1),
-       |s0 AS (SELECT freq, list_append(list_transform(range(1, length(w)+1),
+       |s0 AS (SELECT w, freq, list_append(list_transform(range(1, length(w)+1),
        |         i -> substring(w, i, 1)), '</w>') AS syms FROM wf),
        |$rounds""".stripMargin
   }
@@ -3129,6 +3153,35 @@ object ExtQueries {
          |SELECT subword, CAST(sum(freq) AS BIGINT) AS n
          |FROM (SELECT freq, unnest(syms) AS subword FROM s8)
          |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin,
+
+    // The full train→encode chain (shared BPE CTEs to s8), word→subword
+    // lengths joined back to the per-doc token stream, then q59's packing
+    // window verbatim over the REAL subword counts.
+    "q123_bpe_pack" ->
+      s"""${bpeCtesSql(8)},
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym FROM s8),
+         |dtk AS (SELECT doc_id, unnest(t) AS w
+         |        FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |nt AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tok
+         |       FROM dtk JOIN wl USING (w) GROUP BY 1),
+         |h AS (
+         |  SELECT doc_id, n_tok,
+         |         ${TextAnalysis.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM nt),
+         |b AS (SELECT doc_id, n_tok, hh, CAST(hh % 8 AS INT) AS pack_bucket FROM h),
+         |c AS (
+         |  SELECT doc_id, n_tok, pack_bucket,
+         |         sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY hh, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |bins AS (
+         |  SELECT pack_bucket, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_bin,
+         |         n_tok, doc_id
+         |  FROM c)
+         |SELECT pack_bucket, pack_bin, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+         |FROM bins GROUP BY pack_bucket, pack_bin
+         |ORDER BY pack_bucket, pack_bin""".stripMargin,
 
     // Same chunk chain as q108 with chunk positions carried (DuckDB
     // unnests parallel lists in lockstep); kept chunks re-join in
