@@ -954,6 +954,16 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // Cohort retention: users bucketed by first-signup day vs the days
+    // they stayed active — the triangular matrix every growth dashboard
+    // opens with. One min-groupBy for cohorts, one DISTINCT (user, day)
+    // collapse of the stream (hot users fold to one row/day), one
+    // unhinted user-key join; the final key domain is days × offsets,
+    // calendar-sized. count(*) == distinct users by construction.
+    "q124_retention_cohorts" -> ((s, dir) =>
+      graft.ext.Events.retentionCohorts(Ingest.eventsWithTs(s, dir), "signup")
+        .orderBy("cohort_period", "offset")),
+
     // Conversion-window funnel: each step must convert within 24h of the
     // previous one — the question product analytics actually asks, where
     // q103's unwindowed recurrence admits arbitrarily stale conversions
@@ -3556,6 +3566,20 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // First-signup-day cohorts joined to distinct active days; integer
+    // division matches the engine's `ts_ms div` exactly.
+    "q124_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |coh AS (
+        |  SELECT user_id, min(ts_ms // 86400000) AS cohort_period
+        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, ts_ms // 86400000 AS period FROM ev)
+        |SELECT cohort_period, period - cohort_period AS "offset",
+        |       count(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |WHERE period >= cohort_period
+        |GROUP BY 1, 2 ORDER BY cohort_period, "offset"""".stripMargin,
 
     // Step-for-step funnel mirror: epoch_ms truncation == ts div 1000000,
     // same strict-inequality earliest-entry chain.

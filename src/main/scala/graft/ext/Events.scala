@@ -74,6 +74,46 @@ object Events {
     * and the only one expressible without per-user backtracking. Plan
     * shape is unchanged: the window is one more predicate on the
     * step join. */
+  /** Cohort retention matrix: users grouped by the PERIOD of their first
+    * `anchorType` event (integer period index = ts div periodMs —
+    * calendar-free, engine-portable), against the periods they were
+    * active in afterwards. Returns (cohort_period, offset, n_users):
+    * of the users whose first anchor landed in cohort_period, n_users
+    * had at least one event exactly `offset` periods later — the classic
+    * triangular retention table (offset 0 = the cohort's size, since the
+    * anchor event itself is activity).
+    *
+    * Shape at scale: the cohort table is ONE conditional min-groupBy on
+    * the user key (map-side partials, user-sized output); activity
+    * collapses the event stream to DISTINCT (user, period) — partial
+    * aggregation bounds each map task's output by users × periods, and
+    * hot users (bots) collapse to one row per period. The join is an
+    * UNHINTED user-key equi-join (a web-scale user table is billions of
+    * rows — never broadcast; AQE downgrades on small corpora), and the
+    * final groupBy's key domain is cohorts × offsets — calendar-sized,
+    * not data-sized. No windows, no per-user event sort anywhere. After
+    * the distinct, each user holds ONE row per period and ONE cohort, so
+    * plain count(*) IS the distinct-user count — no countDistinct
+    * shuffle. */
+  def retentionCohorts(events: DataFrame, anchorType: String,
+                       periodMs: Long = 86400000L,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts_ms"): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    val cohort = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(min(expr(s"$tsCol div $periodMs")).as("cohort_period"))
+    val active = events
+      .select(col(userCol), expr(s"$tsCol div $periodMs").as("__period"))
+      .distinct()
+    active.join(cohort, userCol)
+      .filter(col("__period") >= col("cohort_period"))
+      .groupBy(col("cohort_period"),
+        (col("__period") - col("cohort_period")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts_ms",

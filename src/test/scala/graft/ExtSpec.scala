@@ -1891,6 +1891,28 @@ class EventsSpec extends SparkTestBase {
     assert(stats(1).getLong(1) === 1L)
   }
 
+  test("retentionCohorts: triangular matrix; pre-anchor activity excluded; hot users count once per period") {
+    val day = 86400000L
+    val ev = Seq(
+      // u1: signs up day 0, active days 0, 1, 3 (day-2 gap)
+      (100L, "signup", 0L), (100L, "click", day + 5L), (100L, "view", 3 * day),
+      // u2: signs up day 1, active day 1 only — but a HOT day (3 events)
+      (200L, "signup", day), (200L, "click", day + 1L), (200L, "click", day + 2L),
+      // u3: browses day 0 (pre-anchor — must NOT count), signs up day 2
+      (300L, "view", 5L), (300L, "signup", 2 * day),
+      // u4: never signs up — excluded entirely
+      (400L, "view", day)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val got = Events.retentionCohorts(ev, "signup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L), // u1's days 0/1/3
+      (1L, 0L, 1L),                             // u2 once despite 3 events
+      (2L, 0L, 1L)))                            // u3's day-0 view dropped
+    intercept[IllegalArgumentException] {
+      Events.retentionCohorts(ev, "signup", periodMs = 0L) }
+  }
+
   test("funnel: in-order users advance, out-of-order and stalled users stop at their last ordered step") {
     val ev = Seq(
       // u1: full ordered funnel
