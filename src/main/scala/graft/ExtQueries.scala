@@ -1225,6 +1225,31 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Incremental layout maintenance: the q118 equi-depth key derived
+    // from MERGED per-batch histogram states (pinned bounds) instead of
+    // a from-scratch corpus histogram. Counters add, so increment ==
+    // rebuild EXACTLY — the oracle is q118's verbatim, answered through
+    // three per-batch sketches merged by SUM (the q119/q102 pattern
+    // applied to the layout CDF). A standing corpus re-buckets a new day
+    // against yesterday's state + the day's own slice, never re-scanning
+    // history.
+    "q125_equi_depth_incremental" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val (lo, hi) = Sketches.valueBounds(li, col("l_extendedprice"))
+      val merged = Sketches.histMergeAgg(
+        (0 to 2).map(i => Sketches.histCounts(
+          li.filter(col("l_orderkey") % 3 === i), Nil,
+          col("l_extendedprice"), lo, hi))
+          .reduce(_ unionByName _), Nil)
+      Sketches.equiDepthBucketFrom(li, merged, col("l_extendedprice"),
+          lo, hi, k = 8)
+        .groupBy("depth_bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo_price"),
+          max(col("l_extendedprice")).as("hi_price"))
+        .orderBy("depth_bucket")
+    }),
+
     // Quantile-range-partitioned write -> read-back -> audit (the q92
     // loop for the equi-depth layout writer): lineitem lands in one
     // directory per price-quantile bucket, is read back through the
@@ -4018,5 +4043,8 @@ object ExtQueries {
       ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
       // increment == rebuild: the oracle is q99's from-scratch rebuild
       // VERBATIM; the engine side answers it via merged per-batch states
-      ("q119_novelty_incremental" -> baseOracleSql("q99_novelty"))
+      ("q119_novelty_incremental" -> baseOracleSql("q99_novelty")) +
+      // same pattern for the layout CDF: q118's from-scratch oracle,
+      // answered through merged per-batch histogram states
+      ("q125_equi_depth_incremental" -> baseOracleSql("q118_equi_depth"))
 }

@@ -367,19 +367,9 @@ object Sketches {
                           hi: Double, buckets: Int = HIST_BUCKETS,
                           outCol: String = "pct",
                           oobCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val w = (hi - lo) / buckets
-    val win = Window.partitionBy(lit(0)).orderBy("hist_bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pcts = histCounts(df, Nil, value, lo, hi, buckets)
-      .withColumn("__graft_hist_cumb", coalesce(sum("hist_cnt").over(win), lit(0L)))
-      .withColumn("__graft_hist_n",
-        sum("hist_cnt").over(Window.partitionBy(lit(0))))
-      .select(col("hist_bucket"),
-        round((col("__graft_hist_cumb").cast("double") +
-          col("hist_cnt").cast("double") / 2) / col("__graft_hist_n"), 6)
-          .as(outCol))
+    val pcts = binPctMap(histCounts(df, Nil, value, lo, hi, buckets), outCol)
     val flagged = oobCol match {
       case None => df
       case Some(c) => df.withColumn(c,
@@ -390,6 +380,25 @@ object Sketches {
         lit(buckets - 1L)).cast("int"))
       .join(broadcast(pcts), "hist_bucket")
       .drop("hist_bucket")
+  }
+
+  /** Bin→percentile CDF map off a histogram counter table: each bin's
+    * midpoint cumulative share, rounded to 6 dp — ≤ `buckets` rows, the
+    * broadcastable annotation key [[percentileNormalize]] and the
+    * equi-depth assignments share. Window partitions carry sketch-sized
+    * rows only. */
+  private def binPctMap(hist: DataFrame, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(lit(0)).orderBy("hist_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__graft_hist_cumb", coalesce(sum("hist_cnt").over(win), lit(0L)))
+      .withColumn("__graft_hist_n",
+        sum("hist_cnt").over(Window.partitionBy(lit(0))))
+      .select(col("hist_bucket"),
+        round((col("__graft_hist_cumb").cast("double") +
+          col("hist_cnt").cast("double") / 2) / col("__graft_hist_n"), 6)
+          .as(outCol))
   }
 
   /** One-pass corpus bounds for [[percentileNormalize]]: the global
@@ -446,17 +455,43 @@ object Sketches {
   def equiDepthBucket(df: DataFrame, value: Column, k: Int,
                       buckets: Int = HIST_BUCKETS,
                       outCol: String = "depth_bucket"): DataFrame = {
-    require(k >= 2, s"equi-depth bucketing needs k >= 2, got $k")
-    require(buckets >= k,
-      s"histogram resolution ($buckets bins) must be >= k ($k) buckets")
     val (lo, hi) = valueBounds(df, value)
     require(hi > lo,
       s"degenerate bounds [$lo, $hi]: the value column is constant — one " +
         "bucket would hold everything; bucket a signal with spread instead")
-    percentileNormalize(df, value, lo, hi, buckets, "__graft_depth_pct")
+    equiDepthBucketFrom(df, histCounts(df, Nil, value, lo, hi, buckets),
+      value, lo, hi, k, buckets, outCol)
+  }
+
+  /** [[equiDepthBucket]] from a PERSISTED (typically merged-across-days)
+    * histogram state with PINNED bounds — the incremental form of the
+    * layout key. Histogram counters ADD ([[histMergeAgg]]), so bucketing
+    * today's rows against yesterday's-state-plus-today's-slice equals
+    * bucketing against a from-scratch corpus histogram EXACTLY — q125
+    * proves increment == rebuild by answering q118's oracle through the
+    * merged path. The contract valueBounds documents is load-bearing
+    * here: bounds must be derived once and persisted WITH the sketch —
+    * re-deriving them per slice shifts every bin edge and the states no
+    * longer merge. `df` need not be the data the state was built from
+    * (bucket a new day against the standing corpus CDF); out-of-range
+    * values clamp into the edge bins per the histCounts contract. */
+  def equiDepthBucketFrom(df: DataFrame, hist: DataFrame, value: Column,
+                          lo: Double, hi: Double, k: Int,
+                          buckets: Int = HIST_BUCKETS,
+                          outCol: String = "depth_bucket"): DataFrame = {
+    require(k >= 2, s"equi-depth bucketing needs k >= 2, got $k")
+    require(buckets >= k,
+      s"histogram resolution ($buckets bins) must be >= k ($k) buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val w = (hi - lo) / buckets
+    val pcts = binPctMap(hist, "__graft_depth_pct")
+    df.withColumn("hist_bucket", least(greatest(
+        floor((value.cast("double") - lit(lo)) / lit(w)), lit(0L)),
+        lit(buckets - 1L)).cast("int"))
+      .join(broadcast(pcts), "hist_bucket")
       .withColumn(outCol,
         least(floor(col("__graft_depth_pct") * k), lit(k - 1L)).cast("int"))
-      .drop("__graft_depth_pct")
+      .drop("__graft_depth_pct", "hist_bucket")
   }
 
   /** EXACT heavy hitters (values with true count >= `minCount`) found

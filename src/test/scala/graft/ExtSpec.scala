@@ -1462,6 +1462,29 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("equiDepthBucketFrom: merged per-batch states == from-scratch bucketing; new slices bucket against standing state") {
+    val df = (1 to 3000).map(i => (i.toLong, (i * i % 997).toDouble))
+      .toDF("id", "v").repartition(6)
+    val (lo, hi) = Sketches.valueBounds(df, $"v")
+    val rebuild = Sketches.equiDepthBucket(df, $"v", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // three disjoint batches, sketched independently, merged by SUM
+    val merged = Sketches.histMergeAgg(
+      (0 to 2).map(i => Sketches.histCounts(
+        df.filter($"id" % 3 === i), Nil, $"v", lo, hi))
+        .reduce(_ unionByName _), Nil)
+    val incr = Sketches.equiDepthBucketFrom(df, merged, $"v", lo, hi, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr === rebuild, "merged states must bucket exactly like a rebuild")
+    // a NEW slice buckets against the standing state (clamped at edges)
+    val newDay = Seq((9001L, -5.0), (9002L, (hi + lo) / 2), (9003L, hi + 99.0))
+      .toDF("id", "v")
+    val b = Sketches.equiDepthBucketFrom(newDay, merged, $"v", lo, hi, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(b(9001L) === 0 && b(9003L) === 3, "out-of-range must clamp to edge buckets")
+    assert(b(9002L) >= 0 && b(9002L) <= 3)
+  }
+
   test("heavyHitters: == unscreened HAVING exactly; the screen actually screens") {
     // zipf-ish: w_i appears i times -> heavy hitters at minCount=120 are
     // w120..w200 (81 values) out of a 200-value domain
