@@ -1225,6 +1225,35 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Prefix-filtered EXHAUSTIVE exact similarity self-join (Bayardo et
+    // al. WWW 2007): every pair at true Jaccard >= 0.5, no block key to
+    // miss cross-block pairs, no banding to miss unlucky signatures —
+    // candidates come only from each doc's rarest (1-t) shingle prefix
+    // under a global (df, shingle) order, so hot boilerplate shingles
+    // never drive the join. The oracle is the brute shingle self-join.
+    "q127_allpairs_exact" -> ((s, dir) =>
+      Dedup.allPairsExact(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // LSH banding recall audit (the q74/q116 discipline pointed at the
+    // dedup channel): how many TRUE near-dup pairs — q127's exhaustive
+    // prefix-join ground truth — does the 4x4-band MinHash channel (q21)
+    // recover? minhashLsh verifies exact Jaccard on its candidates, so
+    // every miss is a BANDING miss: the number a band-geometry choice
+    // needs, measured against certainty rather than another heuristic.
+    "q126_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.allPairsExact(d, "doc_id", "text", minJaccard = 0.5)
+        .select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__hit")).as("n_found"))
+        .withColumn("recall", round(
+          col("n_found").cast("double") / col("n_true"), 6))
+    }),
+
     // Incremental layout maintenance: the q118 equi-depth key derived
     // from MERGED per-batch histogram states (pinned bounds) instead of
     // a from-scratch corpus histogram. Counters add, so increment ==
@@ -4046,5 +4075,43 @@ object ExtQueries {
       ("q119_novelty_incremental" -> baseOracleSql("q99_novelty")) +
       // same pattern for the layout CDF: q118's from-scratch oracle,
       // answered through merged per-batch histogram states
-      ("q125_equi_depth_incremental" -> baseOracleSql("q118_equi_depth"))
+      ("q125_equi_depth_incremental" -> baseOracleSql("q118_equi_depth")) +
+      // exhaustive exact similarity join: the oracle is the BRUTE
+      // unfiltered shingle self-join — complete for J > 0 since any
+      // overlapping pair shares a shingle — so the engine's prefix
+      // filter must be output-invisible
+      ("q127_allpairs_exact" ->
+        s"""WITH $shinglesCte,
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes za ON za.doc_id = doc_a
+           |JOIN sizes zb ON zb.doc_id = doc_b
+           |WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin) +
+      // banding recall: q127's exhaustive ground truth LEFT JOIN the q21
+      // banded channel, both mirrors verbatim (the q116 composition
+      // discipline)
+      ("q126_lsh_recall" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_true,
+           |       CAST(count(l.doc_a) AS BIGINT) AS n_found,
+           |       round(CAST(count(l.doc_a) AS DOUBLE) / count(*), 6) AS recall
+           |FROM (WITH $shinglesCte,
+           |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |  inter AS (
+           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2)
+           |  SELECT doc_a, doc_b
+           |  FROM inter
+           |  JOIN sizes za ON za.doc_id = doc_a
+           |  JOIN sizes zb ON zb.doc_id = doc_b
+           |  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5) e
+           |LEFT JOIN (${baseOracleSql("q21_minhash_lsh")}) l
+           |  USING (doc_a, doc_b)""".stripMargin)
 }

@@ -707,6 +707,58 @@ object Dedup {
   /** Pairwise exact Jaccard restricted to pairs sharing `blockCol` (e.g.
     * source); the pair generation itself goes through the shingle equi-join,
     * so only pairs with at least one common shingle are scored. */
+  /** EXHAUSTIVE exact similarity self-join at Jaccard >= minJaccard via
+    * PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; length filter per Xiao et al., WWW
+    * 2008): sort each document's shingles by a GLOBAL (df, shingle)
+    * order and join only on each side's first n − ⌈t·n⌉ + 1 shingles.
+    * Complete by the prefix pigeonhole: J ≥ t forces an overlap
+    * ≥ ⌈t·max(na,nb)⌉, and the globally-smallest shared shingle must sit
+    * inside BOTH prefixes — so unlike the banded channels (probabilistic
+    * recall) this is exact ground truth, which is what makes it the
+    * recall REFERENCE for auditing them (q126). The size filter
+    * (ratio ≤ 1/t, forced by I ≤ min and I ≥ t·max) prunes before the
+    * distinct.
+    *
+    * Shape at scale: one shingle-df groupBy (vocab-sized, partials), a
+    * per-doc rank window (bounded by document length), and a candidate
+    * equi-join that touches PREFIX rows only — the rarest ~(1−t) of each
+    * doc's shingles, so hot boilerplate shingles (high df, ranked LAST)
+    * never generate candidates unless a doc is nearly all boilerplate.
+    * That is the algorithmic answer to the blocked variant's trade: no
+    * block key to miss cross-block pairs, no unfiltered hot-shingle
+    * blow-up. Exact verification touches candidate pairs only. Still
+    * inherently quadratic in TRUE near-dup density — a corpus that IS
+    * mostly one near-dup cluster yields cluster² pairs because the
+    * answer itself is that large. */
+  def allPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                    minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"allPairsExact needs 0 < minJaccard < 1, got $minJaccard")
+    val sh = shingled(docs, idCol, textCol)
+    val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("__df", "sh")
+    val prefix = sh.join(dfTbl, "sh")
+      .withColumn("__rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("__rnk") <=
+        col("__n") - ceil(lit(minJaccard) * col("__n")) + lit(1))
+      .select("doc_id", "sh", "__n")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"),
+        col("__n").as("__na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"),
+        col("__n").as("__nb")), "sh")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("__na") * lit(minJaccard) <= col("__nb") &&
+        col("__nb") * lit(minJaccard) <= col("__na"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, minJaccard: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),

@@ -547,6 +547,28 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (a, b, _) => Set(1L, 3L)(a) && Set(2L, 4L)(b) })
   }
 
+  test("allPairsExact property: == brute-force exact join on random corpora; prefix filter prunes") {
+    val rnd = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(18))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    val got = Dedup.allPairsExact(docs, "doc_id", "text", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute ground truth: every shingle-sharing pair, exact jaccard
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+    val brute = Dedup.verifyJaccard(
+        sh.select($"doc_id".as("doc_a"), $"sh")
+          .join(sh.select($"doc_id".as("doc_b"), $"sh"), "sh")
+          .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct(), sh)
+      .filter($"jaccard" >= 0.4)
+      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute, "prefix filtering must be output-invisible")
+    intercept[IllegalArgumentException] {
+      Dedup.allPairsExact(docs, "doc_id", "text", minJaccard = 1.0) }
+  }
+
   test("simhash: identical docs get identical signatures; near dups are close") {
     val sig = Dedup.simhash(nearDups, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
