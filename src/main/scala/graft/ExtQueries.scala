@@ -954,6 +954,17 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // Hourly rate-anomaly scan: every (type, hour) count z-scored
+    // against its trailing 24 observed hours. One partial-agg'd groupBy
+    // collapses the stream to a calendar-sized count table; the window
+    // runs over that, never the raw events; integer sums keep the score
+    // engine-portable. z=2 threshold so the flat synthetic stream still
+    // exercises the flag path.
+    "q128_rate_anomalies" -> ((s, dir) =>
+      graft.ext.Events.rateAnomalies(Ingest.eventsWithTs(s, dir),
+        zThresh = 2.0)
+        .orderBy("event_type", "bucket")),
+
     // Cohort retention: users bucketed by first-signup day vs the days
     // they stayed active — the triangular matrix every growth dashboard
     // opens with. One min-groupBy for cohorts, one DISTINCT (user, day)
@@ -3620,6 +3631,37 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same integer bucket arithmetic, same trailing-24 ROWS frame; the
+    // variance expression mirrors the engine's s2/n − mean² structure
+    // term for term so the IEEE doubles agree bit-for-bit before the
+    // 6-dp round.
+    "q128_rate_anomalies" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |c AS (
+        |  SELECT event_type, ts_ms // 3600000 AS bucket, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, cnt,
+        |         count(*) OVER win AS n,
+        |         sum(cnt) OVER win AS s,
+        |         sum(cnt * cnt) OVER win AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, bucket, cnt,
+        |         round(CASE
+        |           WHEN CAST(s2 AS DOUBLE) / 24
+        |                - (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24) <= 0
+        |           THEN 0
+        |           ELSE (cnt - CAST(s AS DOUBLE) / 24)
+        |                / sqrt(CAST(s2 AS DOUBLE) / 24
+        |                       - (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24))
+        |         END, 6) AS z
+        |  FROM w WHERE n = 24)
+        |SELECT event_type, bucket, cnt, z, abs(z) >= 2.0 AS is_spike
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
 
     // First-signup-day cohorts joined to distinct active days; integer
     // division matches the engine's `ts_ms div` exactly.

@@ -74,6 +74,50 @@ object Events {
     * and the only one expressible without per-user backtracking. Plan
     * shape is unchanged: the window is one more predicate on the
     * step join. */
+  /** Rate-anomaly detection: per (event_type, time bucket) counts scored
+    * against the trailing `trailing` buckets' mean/std — z =
+    * (cnt − mean)/σ, flagged when |z| ≥ `zThresh`. The ops-monitoring
+    * staple (error-rate spikes, traffic cliffs) over the same integer
+    * bucket arithmetic as the rest of the event family.
+    *
+    * Shape at scale: ONE event-sized groupBy with map-side partials
+    * collapses the stream to a calendar-sized (type, bucket) count
+    * table; the trailing window runs over THAT table (≤ buckets rows per
+    * type partition — never the raw stream). All window inputs are
+    * exact integers (sum, sum of squares), so mean/variance/z are
+    * deterministic IEEE doubles and the 6-dp rounded score is
+    * engine-portable. Trailing frame is ROWS over OBSERVED buckets: an
+    * empty bucket (zero events that hour) is ABSENT, not zero — densify
+    * upstream if silence itself is the anomaly being hunted. Buckets
+    * without a full trailing history emit nothing (no partial-window
+    * scores). σ = 0 (constant history) scores z = 0 rather than ±∞. */
+  def rateAnomalies(events: DataFrame, bucketMs: Long = 3600000L,
+                    trailing: Int = 24, zThresh: Double = 3.0,
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts_ms"): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(trailing >= 2, s"trailing window needs >= 2 buckets, got $trailing")
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsCol div $bucketMs").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum("cnt").over(w))
+      .withColumn("__s2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("__n") === trailing)
+      .withColumn("__mean", col("__s").cast("double") / trailing)
+      .withColumn("__var",
+        col("__s2").cast("double") / trailing - col("__mean") * col("__mean"))
+      .withColumn("z", round(when(col("__var") <= 0, lit(0.0))
+        .otherwise((col("cnt") - col("__mean")) / sqrt(col("__var"))), 6))
+      .withColumn("is_spike", abs(col("z")) >= zThresh)
+      .select("event_type", "bucket", "cnt", "z", "is_spike")
+  }
+
   /** Cohort retention matrix: users grouped by the PERIOD of their first
     * `anchorType` event (integer period index = ts div periodMs —
     * calendar-free, engine-portable), against the periods they were

@@ -1936,6 +1936,28 @@ class EventsSpec extends SparkTestBase {
     assert(stats(1).getLong(1) === 1L)
   }
 
+  test("rateAnomalies: engineered spike flags; constant history scores z=0; partial windows emit nothing") {
+    val hour = 3600000L
+    // type "a": 24 alternating 9/11-count hours, then one 100-event hour
+    val ev = ((0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 9 else 11
+      (0 until n).map(i => ("a", h * hour + i))
+    } ++ (0 until 100).map(i => ("a", 24 * hour + i)) ++
+      // type "b": 25 perfectly constant hours -> sigma=0 -> z=0, no flag
+      (0 until 25).flatMap(h => (0 until 5).map(i => ("b", h * hour + i))))
+      .map { case (t, ts) => (t, ts.toLong) }.toDF("event_type", "ts_ms")
+    val got = Events.rateAnomalies(ev, trailing = 24, zThresh = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // only buckets 24 (one per type) have a full 24-bucket history
+    assert(got.length === 2)
+    val a = got.find(_._1 == "a").get
+    assert(a._3 === 100L && a._5, s"the 10x spike must flag: $a")
+    assert(a._4 > 50, s"z should be huge against sigma=1 history: $a")
+    val b = got.find(_._1 == "b").get
+    assert(b._4 === 0.0 && !b._5, s"constant history must score z=0: $b")
+  }
+
   test("retentionCohorts: triangular matrix; pre-anchor activity excluded; hot users count once per period") {
     val day = 86400000L
     val ev = Seq(
