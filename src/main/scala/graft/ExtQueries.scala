@@ -954,6 +954,25 @@ object ExtQueries {
         Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // FORWARD as-of: time from each error to the user's NEXT purchase —
+    // the recovery/SLA question q53's backward attribution can't answer.
+    // Same union-sort economics (one exchange + one sort over |L|+|R|),
+    // scanning time descending; the oracle is an independent
+    // min-over-future-matches mirror, not DuckDB's ASOF operator.
+    "q129_asof_forward" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_ms")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ms").agg(max("event_id").as("p_event_id"))
+      graft.ops.AsOfJoin.asofForward(errs, purchases, "user_id", "ts_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("__r_p_event_id").as("next_purchase_id"),
+          (col("__r_ts") - col("ts_ms")).as("ms_to_purchase"))
+        .orderBy("event_id")
+    }),
+
     // Hourly rate-anomaly scan: every (type, hour) count z-scored
     // against its trailing 24 observed hours. One partial-agg'd groupBy
     // collapses the stream to a calendar-sized count table; the window
@@ -3631,6 +3650,29 @@ object ExtQueries {
          |             / count(*), 6) AS shared_frac
          |FROM h JOIN df USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Forward mirror built from scratch: min over future same-user
+    // purchases, then the matched row recovered by (user, ts) equality —
+    // deliberately NOT DuckDB's ASOF operator, so the two engines share
+    // no implementation idea.
+    "q129_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |err AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+        |pur AS (
+        |  SELECT user_id, ts_ms AS pts, max(event_id) AS p_event_id
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, e.ts_ms, min(p.pts) AS npts
+        |  FROM err e LEFT JOIN pur p
+        |    ON p.user_id = e.user_id AND p.pts >= e.ts_ms
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id, m.ts_ms,
+        |       p.p_event_id AS next_purchase_id,
+        |       m.npts - m.ts_ms AS ms_to_purchase
+        |FROM m LEFT JOIN pur p
+        |  ON p.user_id = m.user_id AND p.pts = m.npts
+        |ORDER BY m.event_id""".stripMargin,
 
     // Same integer bucket arithmetic, same trailing-24 ROWS frame; the
     // variance expression mirrors the engine's s2/n − mean² structure

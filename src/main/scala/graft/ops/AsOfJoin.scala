@@ -24,7 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asof(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame =
+    asofImpl(left, right, key, ts, forward = false)
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key and `right.ts >= left.ts` — time-to-next-event analysis
+    * (next purchase after an error, next deploy after an alert, SLA
+    * clocks). Same union-sort economics as [[asof]] — one exchange + one
+    * sort over |L| + |R| rows — just scanning time in the other
+    * direction: the carry window runs over the DESCENDING timestamp
+    * order, so `last(ignoreNulls)` holds the nearest FUTURE right row
+    * when each left row is reached; right-before-left on ts ties keeps
+    * `>=` inclusive. Same uniqueness contract and `__r_` output
+    * convention (null when no right row follows). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame =
+    asofImpl(left, right, key, ts, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, forward: Boolean): DataFrame = {
     val rVals = right.columns.filterNot(c => c == key || c == ts).toSeq
     val r = right.select(
       (Seq(col(key), col(ts)) ++ rVals.map(c => col(c).as(s"__r_$c"))
@@ -33,7 +50,7 @@ object AsOfJoin {
     val l = left.withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(if (forward) col(ts).desc else col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (rVals.map(c => s"__r_$c") :+ "__r_ts").foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
