@@ -118,6 +118,33 @@ object Events {
       .select("event_type", "bucket", "cnt", "z", "is_spike")
   }
 
+  /** Per-type rate BASELINE over all observed buckets: (event_type,
+    * base_mean, base_std) — the static table the streaming anomaly
+    * screen ([[graft.streaming.StreamOps.anomalyScreenStream]]) scores
+    * arriving buckets against, re-derived periodically by a batch job
+    * (the temperatureRates/seen-keys pattern: global history is a batch
+    * fact a stream cannot know). Same exact-integer sums as
+    * [[rateAnomalies]], so the doubles are engine-portable; same
+    * observed-bucket semantics (absent hour ≠ zero). Output is
+    * type-cardinality-sized. */
+  def rateBaseline(events: DataFrame, bucketMs: Long = 3600000L,
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts_ms"): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsCol div $bucketMs").as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("__n"), sum("__cnt").as("__s"),
+        sum(col("__cnt") * col("__cnt")).as("__s2"))
+      .withColumn("base_mean", col("__s").cast("double") / col("__n"))
+      .withColumn("base_std", sqrt(greatest(
+        col("__s2").cast("double") / col("__n")
+          - col("base_mean") * col("base_mean"), lit(0.0))))
+      .select("event_type", "base_mean", "base_std")
+  }
+
   /** Cohort retention matrix: users grouped by the PERIOD of their first
     * `anchorType` event (integer period index = ts div periodMs —
     * calendar-free, engine-portable), against the periods they were

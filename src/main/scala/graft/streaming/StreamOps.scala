@@ -214,6 +214,34 @@ object StreamOps {
     rows.join(graft.ops.Guards.broadcastIfSmall(rates, maxBroadcastGroups), groupCol)
       .filter(graft.ext.TextAnalysis.mixKeep(keyCol, salt))
 
+  /** Rate-anomaly screen ON INGEST: z-score each arriving (type, hour)
+    * bucket against a STATIC per-type baseline
+    * ([[graft.ext.Events.rateBaseline]], re-derived periodically by
+    * batch — global history is a batch fact) and flag spikes as the
+    * window closes. The baseline joins BEFORE the windowed aggregation
+    * and rides the group key (constant per type), so no join-after-
+    * aggregation restriction applies and the post-agg z arithmetic is
+    * map-only; streaming state is the watermark-bounded window
+    * aggregation itself, nothing more. Same σ=0 → z=0 convention and
+    * 6-dp rounding as the batch scorer (StreamOpsSpec pins stream ==
+    * batch on the same baseline). */
+  def anomalyScreenStream(events: DataFrame, baseline: DataFrame,
+                          zThresh: Double = 3.0): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    events
+      .withWatermark("ts", "2 hours")
+      .join(graft.ops.Guards.broadcastIfSmall(
+        baseline.select("event_type", "base_mean", "base_std")), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("base_mean"), col("base_std"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("z", round(when(col("base_std") <= 0, lit(0.0))
+        .otherwise((col("cnt") - col("base_mean")) / col("base_std")), 6))
+      .withColumn("is_spike", abs(col("z")) >= zThresh)
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("z"), col("is_spike"))
+  }
+
   /** Incremental ANN-index ingest on a STREAM: assign each arriving
     * vector to its nearest fixed centroid (the cell column a persisted
     * IVF index partitions by) as it lands — the streaming twin of

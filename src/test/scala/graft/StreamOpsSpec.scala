@@ -386,6 +386,56 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly screen == batch scoring on the same baseline; spike flags as the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // baseline from a batch history: "click" averages 2/hour (mean 2,
+    // some spread), derived by the REAL batch helper
+    val hour = 3600000L
+    val hist = (0 until 10).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => ("click", h * hour + i.toLong))
+    }.toDF("event_type", "ts_ms")
+    val baseline = graft.ext.Events.rateBaseline(hist)
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = StreamOps.toMemorySink(
+      StreamOps.anomalyScreenStream(events, baseline, zThresh = 3.0),
+      "anomaly_test", OutputMode.Update())
+    try {
+      // hour 10:00 gets a 20-event spike; hour 11:00 a baseline-ish 2
+      in.addData((0 until 20).map(i =>
+        (Timestamp.valueOf(s"2024-01-01 10:${10 + i % 40}:00"), "click")): _*)
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:35:00"), "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_test")
+        // update mode re-emits a window per micro-batch; keep the final count
+        .groupBy("hour_start", "event_type")
+        .agg(max("cnt").as("cnt"))
+        .collect().map(r => (r.getAs[Timestamp](0).getTime, r.getLong(2))).toMap
+      assert(streamed(Timestamp.valueOf("2024-01-01 10:00:00").getTime) === 20L)
+      // batch scoring with the SAME baseline and formula
+      val batchScored = spark.table("anomaly_test")
+        .groupBy("hour_start", "event_type").agg(max("cnt").as("cnt"))
+        .join(baseline, "event_type")
+        .withColumn("zb", round(when(col("base_std") <= 0, lit(0.0))
+          .otherwise((col("cnt") - col("base_mean")) / col("base_std")), 6))
+      val streamZ = spark.table("anomaly_test")
+        .groupBy("hour_start").agg(max("z").as("z"), max("cnt").as("cnt"))
+        .collect().map(r => r.getAs[Long]("cnt") -> r.getAs[Double]("z")).toMap
+      val batchZ = batchScored.collect()
+        .map(r => r.getAs[Long]("cnt") -> r.getAs[Double]("zb")).toMap
+      assert(streamZ === batchZ, "stream z-scores must equal batch scoring on the same baseline")
+      // the 20-event hour is a spike against mean 2 / std 1; the 2-event hour is not
+      val flags = spark.table("anomaly_test")
+        .groupBy("cnt").agg(max("is_spike").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags(20L) === true && flags(2L) === false)
+    } finally q.stop()
+  }
+
   test("stateful session counting via mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Ev]
