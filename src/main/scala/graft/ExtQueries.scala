@@ -1122,6 +1122,14 @@ object ExtQueries {
         .orderBy(desc("n"), col("subword")).limit(30)
     }),
 
+    // PMI collocation mining (Church & Hanks 1990): the phrase detector
+    // a tokenizer pipeline consults. One gram pass, two unhinted vocab
+    // joins, exact-integer ratios under the log, rounded before the
+    // rank, TakeOrdered top-k.
+    "q130_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 30,
+        minCount = 5L)),
+
     // The tokenizer story end-to-end: train the q114 merges, encode the
     // VOCAB (q115's word-table economics — the rule chain never touches
     // corpus rows), then pack documents into fixed-budget training bins
@@ -3247,6 +3255,30 @@ object ExtQueries {
          |SELECT subword, CAST(sum(freq) AS BIGINT) AS n
          |FROM (SELECT freq, unnest(syms) AS subword FROM s8)
          |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin,
+
+    // Exact-integer PMI mirror: same bigram-position total (len-1 over
+    // non-empty docs), same token total, same round-before-rank.
+    "q130_pmi_collocations" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w
+         |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |nu AS (SELECT sum(c_w) AS n_uni FROM uni),
+         |bg AS (
+         |  SELECT pair, count(*) AS c_ab FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1])) AS pair
+         |    FROM toks) GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |nb AS (SELECT sum(len(t) - 1) AS n_bg FROM toks WHERE len(t) > 1)
+         |SELECT pair, c_ab,
+         |       round(ln((CAST(c_ab AS DOUBLE) / n_bg)
+         |              / ((CAST(ca.c_w AS DOUBLE) / n_uni)
+         |                 * (CAST(cb.c_w AS DOUBLE) / n_uni))), 6) AS pmi
+         |FROM bg
+         |JOIN uni ca ON ca.w = string_split(pair, ' ')[1]
+         |JOIN uni cb ON cb.w = string_split(pair, ' ')[2]
+         |CROSS JOIN nb CROSS JOIN nu
+         |ORDER BY pmi DESC, pair LIMIT 30""".stripMargin,
 
     // The full train→encode chain (shared BPE CTEs to s8), word→subword
     // lengths joined back to the per-doc token stream, then q59's packing

@@ -653,6 +653,49 @@ object TextAnalysis {
     }
   }
 
+  /** Collocation mining via pointwise mutual information (Church & Hanks,
+    * Computational Linguistics 1990): adjacent token pairs scored by
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram-position
+    * total and p(·) over the token total, `minCount` pruning the
+    * long-tail noise PMI is notoriously fond of, top-`k` by
+    * (pmi DESC, pair). The phrase detector a tokenizer/stopword pipeline
+    * consults ("new york" is a unit; "of the" is glue).
+    *
+    * Shape at scale: one gram pass (tokens + 2-shingles ride the SAME
+    * explode), two partial-agg'd groupBys (bigram-sized and vocab-sized),
+    * two UNHINTED vocab joins of the bigram table to the unigram counts
+    * (the tf-idf rule), 1-row totals broadcast in-plan, TakeOrdered
+    * top-k. All counts are exact integers, so the log of the exact ratio
+    * is an engine-portable double; rounded 6 dp BEFORE the rank per the
+    * rank-stability rule. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      k: Int = 30, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = tokens(col(textCol))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nUni = uni.agg(sum("c_w").as("n_uni"))
+    val bg = docs.select(explode(shingles(toks, 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nBg = docs.select((size(toks) - 1).as("m"))
+      .filter(col("m") > 0).agg(sum("m").as("n_bg"))
+    bg
+      .withColumn("a", split(col("pair"), " ")(0))
+      .withColumn("b", split(col("pair"), " ")(1))
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .crossJoin(broadcast(nBg))
+      .crossJoin(broadcast(nUni))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("n_bg")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+            (col("c_b").cast("double") / col("n_uni")))), 6))
+      .select("pair", "c_ab", "pmi")
+      .orderBy(desc("pmi"), col("pair")).limit(k)
+  }
+
   /** Hashed unigram+bigram feature stream: one row per gram OCCURRENCE,
     * bucketed by the portable hash into `buckets` bins — the featurization
     * step of DSIR (Xie et al., "Data Selection for Language Models via

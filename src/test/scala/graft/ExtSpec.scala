@@ -220,6 +220,29 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("pmiCollocations: exclusive pairs outscore promiscuous glue; minCount prunes; deterministic under repartition") {
+    // "neural nets" always co-occur exclusively; "the" pairs with everything
+    val docs = (
+      Seq.fill(6)("neural nets beat the baseline") ++
+      Seq.fill(6)("the cat sat on the mat") ++
+      Seq.fill(6)("the dog ran past the mat")
+    ).map(Tuple1(_)).toDF("text").repartition(4)
+    val got = TextAnalysis.pmiCollocations(docs, "text", k = 12, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val top = got.head._3
+    // the exclusive pairs tie at the max; every glue pair with "the"
+    // scores strictly below them
+    assert(got.filter(_._3 == top).exists(_._1 == "neural nets"),
+      s"exclusive pair must sit in the top tie group: ${got.toSeq}")
+    assert(got.filter(p => p._1.split(" ").contains("the"))
+      .forall(_._3 < top), s"glue pairs must score below exclusives: ${got.toSeq}")
+    // minCount: a pair seen < 5 times never appears
+    assert(got.forall(_._2 >= 5L))
+    val again = TextAnalysis.pmiCollocations(docs.repartition(7), "text", k = 12, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === got.toSeq, "rank must be partitioning-invariant")
+  }
+
   test("fingerprint is order-insensitive over the token bag") {
     val df = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(TextAnalysis.fingerprint(TextAnalysis.tokens($"text")).as("fp"))
