@@ -1263,6 +1263,23 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // PageRank over the near-dup graph (Brin & Page 1998): rank docs by
+    // duplicate-cluster centrality — the link-authority loop every
+    // crawl-curation stack runs, here over the q21 pairs symmetrized.
+    // 5 power-iteration rounds, each materialized (the CC precedent);
+    // per-edge contributions round-then-DECIMAL-sum so the iterated
+    // float can never drift with partition order.
+    "q131_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Graph.pageRank(edges, iters = 5)
+        .select(col("node"), col("rank").cast("double").as("rank"))
+        .orderBy("node")
+    }),
+
     // Prefix-filtered EXHAUSTIVE exact similarity self-join (Bayardo et
     // al. WWW 2007): every pair at true Jaccard >= 0.5, no block key to
     // miss cross-block pairs, no banding to miss unlucky signatures —
@@ -4183,6 +4200,45 @@ object ExtQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tier")
   }
 
+  /** q131's oracle: the q21 mirror's pairs symmetrized, then the
+    * identical 5-round power-iteration recurrence as chained CTEs —
+    * round-then-DECIMAL-sum per edge, 6-dp re-round per round, so the
+    * iterated float matches the engine bit-for-bit. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS node,
+         |         sum(CAST(round(CAST(rank AS DOUBLE) / deg, 6)
+         |                  AS DECIMAL(20,6))) AS cin
+         |  FROM e
+         |  JOIN r${r - 1} pr ON pr.node = e.src
+         |  JOIN odeg ON odeg.src = e.src
+         |  GROUP BY 1),
+         |r$r AS (
+         |  SELECT n.node,
+         |         CAST(round(CAST(0.15 AS DOUBLE) / nn.n
+         |                    + CAST(0.85 AS DOUBLE)
+         |                      * CAST(coalesce(cin, 0) AS DOUBLE), 6)
+         |              AS DECIMAL(20,6)) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN c$r ON c$r.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${baseOracleSql("q21_minhash_lsh")})),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |odeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (
+       |  SELECT node, CAST(round(1.0 / nn.n, 6) AS DECIMAL(20,6)) AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank AS DOUBLE) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
@@ -4229,5 +4285,6 @@ object ExtQueries {
            |  JOIN sizes zb ON zb.doc_id = doc_b
            |  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5) e
            |LEFT JOIN (${baseOracleSql("q21_minhash_lsh")}) l
-           |  USING (doc_a, doc_b)""".stripMargin)
+           |  USING (doc_a, doc_b)""".stripMargin) +
+      ("q131_pagerank" -> pageRankOracleSql(5))
 }

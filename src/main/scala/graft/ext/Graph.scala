@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over edge tables — the link-authority side
+  * of corpus curation (rank pages of a crawl by link structure, pick
+  * canonical members of duplicate clusters, weight sources by citation).
+  */
+object Graph {
+
+  /** PageRank by power iteration (Brin & Page, WWW 1998): `iters` rounds
+    * of rank = (1−d)/n + d·Σ_in rank/outdeg over a directed edge table.
+    *
+    * Determinism contract (the rank-stability rule applied to an
+    * ITERATED float): per-edge contributions round to 6 dp and sum as
+    * DECIMAL — double addition is non-associative and partition order
+    * would drift the ranks a little more every round — and each round's
+    * rank re-rounds onto the same 6-dp grid, so any engine, partitioning,
+    * or retry reproduces every round bit-for-bit (the DuckDB oracle
+    * chains the identical recurrence).
+    *
+    * Shape at scale: all loop state is node-sized (rank table) or
+    * edge-sized (one equi-join + one partial-agg'd groupBy(dst) per
+    * round — hub nodes collapse map-side). Each round MATERIALIZES
+    * through [[graft.ops.Materialize.stable]] (the CC-loop precedent:
+    * round k must never replay rounds 1..k−1, and the durability knob
+    * applies). The damping teleport rides a 1-row broadcast node count —
+    * no driver-side scalar. Simplified dangling-node convention: nodes
+    * without out-edges ABSORB rank (their mass is not redistributed), the
+    * common formulation when edges come symmetrized — e.g. from near-dup
+    * pairs — where dangling nodes cannot occur. Ranks then sum to 1 up
+    * to rounding; with true dangling nodes they decay, which is fine for
+    * RANKING but not for probability readings. */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val dec = DecimalType(20, 6)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val nCount = nodes.agg(count(lit(1)).as("__n"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val r0 = graft.ops.Materialize.stable(
+      nodes.crossJoin(broadcast(nCount))
+        .withColumn("rank", round(lit(1.0) / col("__n"), 6).cast(dec))
+        .select("node", "rank"),
+      "pagerank-r0")
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .withColumn("__c",
+          round(col("rank").cast("double") / col("__deg"), 6).cast(dec))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("__c").as("__in"))
+      graft.ops.Materialize.stable(
+        nodes.join(contrib, Seq("node"), "left")
+          .withColumn("__in", coalesce(col("__in"), lit(0).cast(dec)))
+          .crossJoin(broadcast(nCount))
+          .withColumn("rank", round(lit(1.0 - damping) / col("__n")
+            + lit(damping) * col("__in").cast("double"), 6).cast(dec))
+          .select("node", "rank"),
+        s"pagerank-r$i")
+    }
+  }
+}

@@ -570,6 +570,23 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall { case (a, b, _) => Set(1L, 3L)(a) && Set(2L, 4L)(b) })
   }
 
+  test("pageRank: hub of a symmetric star outranks leaves; ranks ~sum to 1; partition-invariant") {
+    // star: hub 0 <-> leaves 1..6, symmetrized
+    val one = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val edges = one.toDF("src", "dst").repartition(4)
+    val pr = graft.ext.Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(pr(0L) > pr(1L) * 2, s"hub must dominate: $pr")
+    assert((1L to 6L).map(pr).distinct.size === 1, "leaves are symmetric")
+    val total = pr.values.sum
+    assert(math.abs(total - 1.0) < 1e-3, s"no dangling mass -> ranks ~sum to 1: $total")
+    val again = graft.ext.Graph.pageRank(edges.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(again === pr, "iterated ranks must be partitioning-invariant")
+    intercept[IllegalArgumentException] {
+      graft.ext.Graph.pageRank(edges, iters = 0) }
+  }
+
   test("allPairsExact property: == brute-force exact join on random corpora; prefix filter prunes") {
     val rnd = new scala.util.Random(41)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
