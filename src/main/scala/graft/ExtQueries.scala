@@ -1263,6 +1263,17 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Pre-flight column profile (the deequ-class data-quality report):
+    // null rates, HLL cardinalities, string-form ranges for four
+    // lineitem columns off ONE scan — the explode fans rows before any
+    // shuffle, so 100 columns at 100 TB is one scan, not 100. The
+    // distinct estimates go through the deterministic h60 HLL, so even
+    // the APPROXIMATE numbers hash-match the oracle's mirror.
+    "q132_column_profile" -> ((s, dir) =>
+      graft.ext.Profile.profileColumns(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+        .orderBy("col_name")),
+
     // PageRank over the near-dup graph (Brin & Page 1998): rank docs by
     // duplicate-cluster centrality — the link-authority loop every
     // crawl-curation stack runs, here over the q21 pairs symmetrized.
@@ -4200,6 +4211,49 @@ object ExtQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tier")
   }
 
+  /** q132's oracle: four per-column UNION ALL branches fold into the
+    * same (col_name, v) stream the engine explodes, then the q48 HLL
+    * register mirror keyed by col_name — even the approximate
+    * cardinalities are hash-compared. */
+  private def columnProfileOracleSql: String = {
+    val m = graft.ext.Sketches.HLL_M
+    s"""WITH s AS (
+       |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+       |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+       |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+       |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem),
+       |base AS (
+       |  SELECT col_name, count(*) AS n_rows,
+       |         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |         min(v) AS min_v, max(v) AS max_v
+       |  FROM s GROUP BY 1),
+       |dv AS (SELECT DISTINCT col_name, v FROM s WHERE v IS NOT NULL),
+       |h AS (SELECT col_name, ${TextAnalysis.h60Sql("v")} AS h FROM dv),
+       |r AS (
+       |  SELECT col_name, h % $m AS bucket,
+       |         max(CASE WHEN h // $m > 0 THEN 52 - length(bin(h // $m)) ELSE 52 END) AS max_rho
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT col_name, count(*) AS n_buckets,
+       |         sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS s_nonempty
+       |  FROM r GROUP BY 1),
+       |est AS (
+       |  SELECT col_name,
+       |         CAST(s_nonempty + ($m - n_buckets) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS sden,
+       |         $m - n_buckets AS zeros
+       |  FROM a),
+       |fin AS (
+       |  SELECT col_name,
+       |         round(CASE WHEN ${graft.ext.Sketches.HLL_NUMERATOR} / sden <= ${2.5 * m}
+       |                     AND zeros > 0
+       |                    THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+       |                    ELSE ${graft.ext.Sketches.HLL_NUMERATOR} / sden END, 6) AS approx_distinct
+       |  FROM est)
+       |SELECT b.col_name, b.n_rows, b.n_null, f.approx_distinct, b.min_v, b.max_v
+       |FROM base b JOIN fin f USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** q131's oracle: the q21 mirror's pairs symmetrized, then the
     * identical 5-round power-iteration recurrence as chained CTEs —
     * round-then-DECIMAL-sum per edge, 6-dp re-round per round, so the
@@ -4286,5 +4340,6 @@ object ExtQueries {
            |  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5) e
            |LEFT JOIN (${baseOracleSql("q21_minhash_lsh")}) l
            |  USING (doc_a, doc_b)""".stripMargin) +
-      ("q131_pagerank" -> pageRankOracleSql(5))
+      ("q131_pagerank" -> pageRankOracleSql(5)) +
+      ("q132_column_profile" -> columnProfileOracleSql)
 }

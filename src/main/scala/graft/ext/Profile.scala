@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the pre-flight report (null rates,
+  * cardinalities, value ranges) every ingestion pipeline runs before
+  * trusting a new drop, in the deequ/great-expectations mold but
+  * engine-portable and sketch-bounded.
+  */
+object Profile {
+
+  /** One-pass column profile: for each named column — row count, null
+    * count, HLL approximate distinct count, lexicographic min/max of the
+    * STRING form. Returns (col_name, n_rows, n_null, approx_distinct,
+    * min_v, max_v), one row per profiled column.
+    *
+    * Shape at scale: ONE map-only explode fans each row into |cols|
+    * (col_name, value-string) entries; everything downstream is
+    * column-keyed aggregation with map-side partials — the base stats
+    * shuffle |cols| rows, and the distinct estimate goes through
+    * [[Sketches.approxDistinct]]'s registers (≤ 512 rows per column,
+    * cost independent of the cardinality being estimated — the exact
+    * `count(DISTINCT)` a naive profiler runs shuffles every distinct
+    * value of every column). The explode's ×|cols| row fan-out happens
+    * before any shuffle and carries short strings, so a 100-column
+    * profile of a 100 TB table is |cols| concurrent column profiles off
+    * one scan, not |cols| scans.
+    *
+    * Values profile through their STRING form deliberately: one schema
+    * for every column type, lexicographic min/max, and the engine-
+    * portable h60 hash under the HLL. Callers comparing numeric ranges
+    * want [[Sketches.valueBounds]] / [[Sketches.histCounts]] on the
+    * typed column instead. Floating columns stringify differently
+    * across engines once magnitudes hit scientific notation (~1e7) —
+    * the cross-engine caveat the oracle respects by profiling bounded
+    * numerics only. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val entries = array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)
+    val stream = df.select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val base = stream.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    val ad = Sketches.approxDistinct(
+      stream.filter(col("v").isNotNull), Seq("col_name"), col("v"))
+    base.join(ad, Seq("col_name"), "left")
+      .na.fill(0.0, Seq("approx_distinct"))
+      .select("col_name", "n_rows", "n_null", "approx_distinct",
+        "min_v", "max_v")
+  }
+}

@@ -1524,6 +1524,29 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("profileColumns: null counts, lexicographic ranges, HLL cardinality, all-null column") {
+    val df = Seq(
+      (1L, Some("b"), Option.empty[String]),
+      (2L, Some("a"), None),
+      (2L, None, None),
+      (3L, Some("c"), None)
+    ).toDF("id", "tag", "dead")
+    val got = graft.ext.Profile.profileColumns(df, Seq("id", "tag", "dead"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getString(4)), Option(r.getString(5))))).toMap
+    val (idN, idNull, idAd, idMin, idMax) = got("id")
+    assert(idN === 4L && idNull === 0L && idMin === Some("1") && idMax === Some("3"))
+    assert(math.abs(idAd - 3.0) < 0.5, s"id has 3 distinct values: $idAd")
+    val (_, tagNull, tagAd, tagMin, tagMax) = got("tag")
+    assert(tagNull === 1L && tagMin === Some("a") && tagMax === Some("c"))
+    assert(math.abs(tagAd - 3.0) < 0.5)
+    val (deadN, deadNull, deadAd, deadMin, deadMax) = got("dead")
+    assert(deadN === 4L && deadNull === 4L && deadAd === 0.0)
+    assert(deadMin.isEmpty && deadMax.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.profileColumns(df, Nil) }
+  }
+
   test("equiDepthBucketFrom: merged per-batch states == from-scratch bucketing; new slices bucket against standing state") {
     val df = (1 to 3000).map(i => (i.toLong, (i * i % 997).toDouble))
       .toDF("id", "v").repartition(6)
