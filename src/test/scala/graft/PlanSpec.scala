@@ -172,6 +172,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
   }
 
+  test("q127 all-pairs exact: candidates via prefix equi-join, no pair product, per-doc-bounded window") {
+    val p = plan("q127_allpairs_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "prefix filtering must keep candidates an equi-join:\n" + p)
+    assert(p.contains("partial_"),
+      "df/size counts must partial-aggregate map-side:\n" + p)
+  }
+
+  test("q124 retention: no window anywhere; distinct and counts partial-aggregate") {
+    val p = plan("q124_retention_cohorts")
+    assert(!p.contains("Window"),
+      "retention must need no window over events:\n" + p)
+    assert(p.contains("partial_"),
+      "cohort/activity aggregations must partial-aggregate:\n" + p)
+  }
+
+  test("q128 anomalies: the z window runs over the aggregated count table, not raw events") {
+    val p = plan("q128_rate_anomalies")
+    assert(p.contains("Window"), "trailing stats need the window:\n" + p)
+    // the window's child must already be the (type, bucket) aggregate:
+    // a plan where Window sorts raw events would show the event columns
+    // (user_id/props) surviving into the sort
+    assert(!p.contains("user_id"),
+      "raw event columns must be pruned before the window:\n" + p)
+  }
+
   test("q29 contamination: overlap is a shingle equi-join, never a doc-pair product") {
     val p = plan("q29_contamination")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
