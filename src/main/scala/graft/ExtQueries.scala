@@ -1263,6 +1263,18 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Embedding drift monitor: per-label centroid cosine + shift length
+    // between the even/odd vec_id halves — the model/data drift alarm a
+    // standing embedding pipeline checks between drops. Dim-bounded
+    // aggregates; the cosine and diff fold run inside the assembled
+    // arrays in index order, so the doubles are engine-portable.
+    "q133_embedding_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.Profile.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+        .orderBy("label")
+    }),
+
     // Pre-flight column profile (the deequ-class data-quality report):
     // null rates, HLL cardinalities, string-form ranges for four
     // lineitem columns off ONE scan — the explode fans rows before any
@@ -4254,6 +4266,36 @@ object ExtQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** q133's oracle: per-label per-position means (rounded 6, the q93
+    * centroid idiom), lists assembled in position order, cosine via
+    * list_inner_product and the squared-diff via an explicit sequential
+    * list_reduce fold — index-order arithmetic both sides. */
+  private def embeddingDriftOracleSql: String = {
+    def side(nm: String, parity: Int): String =
+      s"""e$nm AS (
+         |  SELECT label, unnest(embedding) AS v,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings WHERE vec_id % 2 = $parity),
+         |m$nm AS (
+         |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+         |  FROM e$nm GROUP BY 1, 2),
+         |c$nm AS (SELECT label, list(m ORDER BY pos) AS v$nm FROM m$nm GROUP BY 1)"""
+        .stripMargin
+    s"""WITH ${side("a", 0)},
+       |${side("b", 1)}
+       |SELECT label,
+       |  round(list_inner_product(va, vb)
+       |        / (sqrt(list_inner_product(va, va))
+       |           * sqrt(list_inner_product(vb, vb))), 6) AS cos_drift,
+       |  round(sqrt(list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(va) + 1),
+       |        i -> (va[i] - vb[i]) * (va[i] - vb[i]))),
+       |    (acc, x) -> acc + x)), 6) AS l2_shift
+       |FROM ca JOIN cb USING (label)
+       |ORDER BY label""".stripMargin
+  }
+
   /** q131's oracle: the q21 mirror's pairs symmetrized, then the
     * identical 5-round power-iteration recurrence as chained CTEs —
     * round-then-DECIMAL-sum per edge, 6-dp re-round per round, so the
@@ -4341,5 +4383,6 @@ object ExtQueries {
            |LEFT JOIN (${baseOracleSql("q21_minhash_lsh")}) l
            |  USING (doc_a, doc_b)""".stripMargin) +
       ("q131_pagerank" -> pageRankOracleSql(5)) +
-      ("q132_column_profile" -> columnProfileOracleSql)
+      ("q132_column_profile" -> columnProfileOracleSql) +
+      ("q133_embedding_drift" -> embeddingDriftOracleSql)
 }

@@ -35,6 +35,42 @@ object Profile {
     * across engines once magnitudes hit scientific notation (~1e7) —
     * the cross-engine caveat the oracle respects by profiling bounded
     * numerics only. */
+  /** Embedding-distribution drift between two corpus slices (model/data
+    * drift monitoring): per label, the cosine between the slices' MEAN
+    * vectors and the L2 length of the shift — the cheap first alarm
+    * before anything as heavy as an MMD test. cos ≈ 1 and l2 ≈ 0 means
+    * the drops agree; a label whose centroid swings is the one to
+    * investigate.
+    *
+    * Shape at scale: per side, one posexplode + one (label, pos) groupBy
+    * with map-side partials — dim-bounded output (labels × dims rows) —
+    * then per-label collect of ≤ dim entries (the bounded-by-construction
+    * collect, q93's centroid idiom). Per-position means round to 6 dp
+    * (the k-means centroid precedent), and both the cosine and the
+    * squared-diff fold run INSIDE the assembled arrays in index order —
+    * sequential, so the doubles are engine-portable without DECIMAL
+    * machinery. Comparison is inner-join on label: a label present in
+    * only one slice (itself a drift signal) is absent here — read
+    * [[profileColumns]]-style counts for presence drift. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, labelCol: String = "label",
+                     embCol: String = "embedding"): DataFrame = {
+    def meanVec(df: DataFrame, out: String): DataFrame =
+      df.select(col(labelCol).as("label"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as(out))
+    meanVec(a, "va").join(meanVec(b, "vb"), "label")
+      .withColumn("cos_drift",
+        round(graft.functions.VectorExprs.cosine(col("va"), col("vb")), 6))
+      .withColumn("l2_shift", round(sqrt(aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)), 6))
+      .select("label", "cos_drift", "l2_shift")
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val entries = array(cols.map(c =>

@@ -1524,6 +1524,24 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("embeddingDrift: identical slices score cos=1/l2=0; a shifted label flags; one-sided labels drop") {
+    val base = (1 to 40).map(i => (i % 2, Array(1.0f, 2.0f, 3.0f + (i % 4))))
+    val a = base.toDF("label", "embedding")
+    val same = graft.ext.Profile.embeddingDrift(a, a)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(same.forall { case (_, c, l) => c == 1.0 && l == 0.0 },
+      s"identical slices must show zero drift: ${same.toSeq}")
+    // shift label 1's vectors in slice b; add a label 9 present only in b
+    val b = (base.map { case (lb, v) =>
+      (lb, if (lb == 1) v.map(_ + 5.0f) else v)
+    } ++ Seq((9, Array(1.0f, 1.0f, 1.0f)))).toDF("label", "embedding")
+    val got = graft.ext.Profile.embeddingDrift(a, b)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(0, 1), "label 9 exists in one slice only -> absent")
+    assert(got(0)._1 == 1.0 && got(0)._2 == 0.0)
+    assert(got(1)._1 < 1.0 && got(1)._2 > 5.0, s"shifted label must flag: ${got(1)}")
+  }
+
   test("profileColumns: null counts, lexicographic ranges, HLL cardinality, all-null column") {
     val df = Seq(
       (1L, Some("b"), Option.empty[String]),
