@@ -39,11 +39,23 @@ object Graph {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     val dec = DecimalType(20, 6)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // The edge table is referenced by EVERY round's join plus the
+    // node/degree derivations — materialize once (edge-sized) or each
+    // reference re-runs the upstream pipeline that produced the edges
+    // (measured 16 s vs 3 s at sf0.1 over the near-dup-pair pipeline;
+    // the Materialize.stable raison d'être). Node and degree tables are
+    // node-sized; same treatment.
+    val e = graft.ops.Materialize.stable(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      "pagerank-edges")
+    val nodes = graft.ops.Materialize.stable(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "pagerank-nodes")
     val nCount = nodes.agg(count(lit(1)).as("__n"))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val outDeg = graft.ops.Materialize.stable(
+      e.groupBy("src").agg(count(lit(1)).as("__deg")),
+      "pagerank-outdeg")
     val r0 = graft.ops.Materialize.stable(
       nodes.crossJoin(broadcast(nCount))
         .withColumn("rank", round(lit(1.0) / col("__n"), 6).cast(dec))

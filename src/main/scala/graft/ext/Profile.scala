@@ -51,7 +51,10 @@ object Profile {
     * sequential, so the doubles are engine-portable without DECIMAL
     * machinery. Comparison is inner-join on label: a label present in
     * only one slice (itself a drift signal) is absent here — read
-    * [[profileColumns]]-style counts for presence drift. */
+    * [[profileColumns]]-style counts for presence drift. Both slices
+    * must share one embedding width: mismatched dims zip into null
+    * diffs and the row's l2_shift comes back null — treat a null as a
+    * schema-drift alarm, not a score. */
   def embeddingDrift(a: DataFrame, b: DataFrame, labelCol: String = "label",
                      embCol: String = "embedding"): DataFrame = {
     def meanVec(df: DataFrame, out: String): DataFrame =

@@ -519,7 +519,11 @@ object Sketches {
     *
     * `candidates` supplies the probe domain (distinct values; defaults to
     * `df`'s own distinct — pass a standing vocabulary table to skip that
-    * pass on a corpus that already maintains one). The candidate set
+    * pass on a corpus that already maintains one). The exactness
+    * guarantee is only as complete as that domain: a vocabulary table
+    * MISSING a value that occurs in `df` silently misses it as a hitter
+    * — maintain the vocab with the same pipeline that feeds `df`, or
+    * leave the default. The candidate set
     * surviving the screen is broadcast via [[graft.ops.Guards.broadcastIfSmall]]:
     * a threshold low enough to pass millions of candidates degrades to a
     * shuffled semi-join instead of melting the driver.
