@@ -1313,6 +1313,19 @@ object ExtQueries {
       Dedup.allPairsExact(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Incremental exact near-dup: today's batch (src0) against the
+    // standing corpus through the prefix-filtered exact join — the
+    // ground-truth form of q56's banded screen, never a new × corpus
+    // product (candidates = new-side prefixes meeting corpus-side
+    // prefixes under one shared global order).
+    "q134_allpairs_against" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.allPairsExactAgainst(d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "doc_id", "text",
+        minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LSH banding recall audit (the q74/q116 discipline pointed at the
     // dedup channel): how many TRUE near-dup pairs — q127's exhaustive
     // prefix-join ground truth — does the 4x4-band MinHash channel (q21)
@@ -4344,6 +4357,29 @@ object ExtQueries {
       // same pattern for the layout CDF: q118's from-scratch oracle,
       // answered through merged per-batch histogram states
       ("q125_equi_depth_incremental" -> baseOracleSql("q118_equi_depth")) +
+      // cross-corpus exact mirror: brute new-side × corpus-side shingle
+      // join (complete for J > 0), no prefix filtering anywhere
+      ("q134_allpairs_against" ->
+        s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+           |sh0 AS (
+           |  SELECT DISTINCT doc_id, source,
+           |         unnest(list_transform(range(1, len(t)-1),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           |  FROM (SELECT doc_id, sh FROM sh0 WHERE source = 'src0') a
+           |  JOIN (SELECT doc_id, sh FROM sh0 WHERE source <> 'src0') b
+           |    ON a.sh = b.sh
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |       round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes za ON za.doc_id = doc_a
+           |JOIN sizes zb ON zb.doc_id = doc_b
+           |WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin) +
       // exhaustive exact similarity join: the oracle is the BRUTE
       // unfiltered shingle self-join — complete for J > 0 since any
       // overlapping pair shares a shingle — so the engine's prefix

@@ -759,6 +759,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus (INCREMENTAL) [[allPairsExact]]: every (new doc,
+    * corpus doc) pair at true Jaccard >= minJaccard — the exact ground
+    * truth for a per-batch dedup screen, the operation
+    * [[minhashLshAgainst]] approximates. Same prefix-filtering
+    * completeness argument (the global (df, shingle) order is derived
+    * over BOTH sides together — a single total order is what the
+    * pigeonhole needs; rarity ordering is the performance half), same
+    * size-ratio filter, but candidates come only from a new-side prefix
+    * meeting a corpus-side prefix — never new × corpus. Ids must be
+    * unique ACROSS both inputs (they key the shared shingle table).
+    * Output: (doc_a = new id, doc_b = corpus id, jaccard). */
+  def allPairsExactAgainst(newDocs: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"allPairsExactAgainst needs 0 < minJaccard < 1, got $minJaccard")
+    val shN = shingled(newDocs, idCol, textCol)
+    val shC = shingled(corpus, idCol, textCol)
+    val shAll = shN.unionByName(shC)
+    val dfTbl = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("__df", "sh")
+    def prefix(sh: DataFrame): DataFrame =
+      sh.join(dfTbl, "sh")
+        .withColumn("__rnk", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("__rnk") <=
+          col("__n") - ceil(lit(minJaccard) * col("__n")) + lit(1))
+        .select("doc_id", "sh", "__n")
+    val cand = prefix(shN).select(col("doc_id").as("doc_a"), col("sh"),
+        col("__n").as("__na"))
+      .join(prefix(shC).select(col("doc_id").as("doc_b"), col("sh"),
+        col("__n").as("__nb")), "sh")
+      .filter(col("__na") * lit(minJaccard) <= col("__nb") &&
+        col("__nb") * lit(minJaccard) <= col("__na"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, shAll)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, minJaccard: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),

@@ -607,6 +607,19 @@ class DedupSpec extends SparkTestBase {
     assert(got === brute, "prefix filtering must be output-invisible")
     intercept[IllegalArgumentException] {
       Dedup.allPairsExact(docs, "doc_id", "text", minJaccard = 1.0) }
+
+    // cross-corpus form == the self-join restricted to the cut
+    val newSide = docs.filter($"doc_id" <= 30)
+    val corpSide = docs.filter($"doc_id" > 30)
+    val against = Dedup.allPairsExactAgainst(newSide, corpSide,
+        "doc_id", "text", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val crossCut = brute.collect {
+      case (a, b, j) if a <= 30 && b > 30 => (a, b, j)
+      case (a, b, j) if b <= 30 && a > 30 => (b, a, j)
+    }
+    assert(against === crossCut,
+      "cross-corpus exact must equal the self-join pairs crossing the cut")
   }
 
   test("simhash: identical docs get identical signatures; near dups are close") {
