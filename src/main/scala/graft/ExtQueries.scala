@@ -1263,6 +1263,17 @@ object ExtQueries {
         .orderBy("depth_bucket")
     }),
 
+    // Poisson-bootstrap CI for the mean tokens/doc: deterministic
+    // hash-derived replicate weights (the epoch-shuffle no-RNG
+    // discipline applied to resampling), so even the error bars are
+    // cross-engine hash-proven. One x50 map fan-out, one groupBy(rep),
+    // quantiles over 50 replicate rows.
+    "q135_bootstrap_ci" -> ((s, dir) =>
+      graft.ext.Profile.bootstrapCI(
+        docs(s, dir).withColumn("n_tok",
+          size(TextAnalysis.tokens(col("text")))),
+        col("n_tok"), "doc_id")),
+
     // Embedding drift monitor: per-label centroid cosine + shift length
     // between the even/odd vec_id halves — the model/data drift alarm a
     // standing embedding pipeline checks between drops. Dim-bounded
@@ -4309,6 +4320,44 @@ object ExtQueries {
        |ORDER BY label""".stripMargin
   }
 
+  /** q135's oracle: the identical deterministic Poisson draw (shared CDF
+    * literal table via Double.toString — both engines parse the same
+    * IEEE value), replicate means over exact-integer sums, the same
+    * ceil-rank quantile convention. */
+  private def bootstrapOracleSql: String = {
+    val cases = graft.ext.Profile.PoissonCum.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id,
+       |         CAST(len($toksSql) AS BIGINT) AS x
+       |  FROM documents),
+       |reps AS (SELECT unnest(range(1, 51)) AS rep),
+       |drw AS (
+       |  SELECT rep, x,
+       |         CASE $cases ELSE 6 END AS w
+       |  FROM (
+       |    SELECT rep, x,
+       |           CAST(${TextAnalysis.h60Sql(
+                "'boot:' || CAST(rep AS VARCHAR) || ':' || id")} AS DOUBLE)
+       |             / 1152921504606846976.0 AS u
+       |    FROM base CROSS JOIN reps)),
+       |rm AS (
+       |  SELECT rep, round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS rep_mean
+       |  FROM drw GROUP BY 1),
+       |rk AS (
+       |  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, rep) AS r
+       |  FROM rm),
+       |pt AS (
+       |  SELECT count(*) AS n_rows,
+       |         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS point_mean
+       |  FROM base)
+       |SELECT pt.n_rows, CAST(50 AS BIGINT) AS n_reps, pt.point_mean,
+       |       lo.rep_mean AS ci_lo, hi.rep_mean AS ci_hi
+       |FROM pt
+       |CROSS JOIN (SELECT rep_mean FROM rk WHERE r = 2) lo
+       |CROSS JOIN (SELECT rep_mean FROM rk WHERE r = 49) hi""".stripMargin
+  }
+
   /** q131's oracle: the q21 mirror's pairs symmetrized, then the
     * identical 5-round power-iteration recurrence as chained CTEs —
     * round-then-DECIMAL-sum per edge, 6-dp re-round per round, so the
@@ -4420,5 +4469,6 @@ object ExtQueries {
            |  USING (doc_a, doc_b)""".stripMargin) +
       ("q131_pagerank" -> pageRankOracleSql(5)) +
       ("q132_column_profile" -> columnProfileOracleSql) +
-      ("q133_embedding_drift" -> embeddingDriftOracleSql)
+      ("q133_embedding_drift" -> embeddingDriftOracleSql) +
+      ("q135_bootstrap_ci" -> bootstrapOracleSql)
 }

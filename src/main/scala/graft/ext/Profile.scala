@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the pre-flight report (null rates,
@@ -72,6 +72,75 @@ object Profile {
         zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z)), 6))
       .select("label", "cos_drift", "l2_shift")
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..5 — the
+    * inverse-CDF lookup both engines share as double literals (mass
+    * above k = 5 is ~6e-5; those draws cap at 6). */
+  val PoissonCum: Seq[Double] = {
+    val pdf = (0 to 5).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+    pdf.take(6).scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy
+    * et al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012): each of `reps` replicates reweights every row by a
+    * Poisson(1) draw and the replicate means' empirical quantiles give
+    * the CI — the one bootstrap that works in one pass over distributed
+    * data (no resampling shuffle; weights are per-row arithmetic).
+    *
+    * Every "draw" is DETERMINISTIC: u = h60(salt:rep:id)/2^60 through
+    * the shared Poisson CDF table — so the interval is reproducible
+    * across engines, partitionings, and retries, and the DuckDB oracle
+    * hash-matches it (the epoch-shuffle no-RNG discipline applied to
+    * resampling). `value` must be integer-valued (counts, lengths —
+    * cast to long internally): replicate sums then stay exact integers
+    * and the means are portable doubles. Returns ONE row:
+    * (n_rows, n_reps, point_mean, ci_lo, ci_hi) with the
+    * ceil(α/2·B)-rank quantile convention.
+    *
+    * Shape at scale: one map-only ×`reps` fan-out (short integer rows),
+    * one partial-agg'd groupBy(rep) to `reps` rows, quantile extraction
+    * over those `reps` rows (driver-trivial window). Cost ≈ reps × one
+    * metric aggregation — B = 50–200 buys honest error bars on any
+    * corpus-level statistic before a curation decision. */
+  def bootstrapCI(df: DataFrame, value: Column, idCol: String,
+                  reps: Int = 50, salt: String = "boot",
+                  alpha: Double = 0.05): DataFrame = {
+    require(reps >= 10, s"bootstrap needs >= 10 replicates, got $reps")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      value.cast("long").as("__x"))
+    val u = graft.ext.TextAnalysis.h60(concat(lit(salt), lit(":"),
+      col("__rep").cast("string"), lit(":"), col("__id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = PoissonCum.zipWithIndex.reverse
+      .foldLeft(lit(6): Column) { case (acc, (c, k)) =>
+        when(col("__u") < lit(c), lit(k)).otherwise(acc)
+      }
+    val repMeans = base
+      .withColumn("__rep", explode(array((1 to reps).map(lit(_)): _*)))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy("__rep")
+      .agg(sum(col("__w") * col("__x")).as("__wx"), sum("__w").as("__sw"))
+      .withColumn("rep_mean",
+        round(col("__wx").cast("double") / col("__sw"), 6))
+    val loRank = math.max(1, math.ceil(alpha / 2 * reps).toInt)
+    val hiRank = math.max(1, math.ceil((1 - alpha / 2) * reps).toInt)
+    val ranked = repMeans.withColumn("__r",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("rep_mean", "__rep")))
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      round(sum("__x").cast("double") / count(lit(1)), 6).as("point_mean"))
+    point.crossJoin(
+      ranked.filter(col("__r") === loRank)
+        .select(col("rep_mean").as("ci_lo")))
+      .crossJoin(ranked.filter(col("__r") === hiRank)
+        .select(col("rep_mean").as("ci_hi")))
+      .select(col("n_rows"), lit(reps.toLong).as("n_reps"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -1537,6 +1537,25 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("bootstrapCI: interval brackets the mean, tightens with lower variance, partition-invariant") {
+    val tight = (1L to 400L).map(i => (i, 100L + (i % 3))).toDF("id", "x")
+    val loose = (1L to 400L).map(i => (i, (i % 200) * 2)).toDF("id", "x")
+    def ci(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.ext.Profile.bootstrapCI(df, $"x", "id").head()
+      (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    val (n1, p1, lo1, hi1) = ci(tight)
+    assert(n1 === 400L && lo1 <= p1 && p1 <= hi1, s"CI must bracket: $p1 in [$lo1, $hi1]")
+    val (_, p2, lo2, hi2) = ci(loose)
+    assert(lo2 <= p2 && p2 <= hi2)
+    assert(hi1 - lo1 < hi2 - lo2,
+      s"lower-variance data must give a tighter interval: ${hi1 - lo1} vs ${hi2 - lo2}")
+    val again = ci(tight.repartition(7))
+    assert(again === ((n1, p1, lo1, hi1)), "hash-derived draws must be partition-invariant")
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.bootstrapCI(tight, $"x", "id", reps = 5) }
+  }
+
   test("embeddingDrift: identical slices score cos=1/l2=0; a shifted label flags; one-sided labels drop") {
     val base = (1 to 40).map(i => (i % 2, Array(1.0f, 2.0f, 3.0f + (i % 4))))
     val a = base.toDF("label", "embedding")
