@@ -1274,6 +1274,17 @@ object ExtQueries {
           size(TextAnalysis.tokens(col("text")))),
         col("n_tok"), "doc_id")),
 
+    // Per-source error bars — the dashboard form of q135: is src2's
+    // token mean REALLY above src4's, or inside the noise? One keyed
+    // groupBy more than the global form; rank windows carry 50 rows per
+    // source.
+    "q136_bootstrap_by_source" -> ((s, dir) =>
+      graft.ext.Profile.bootstrapCI(
+        docs(s, dir).withColumn("n_tok",
+          size(TextAnalysis.tokens(col("text")))),
+        col("n_tok"), "doc_id", keys = Seq("source"))
+        .orderBy("source")),
+
     // Embedding drift monitor: per-label centroid cosine + shift length
     // between the even/odd vec_id halves — the model/data drift alarm a
     // standing embedding pipeline checks between drops. Dim-bounded
@@ -4324,38 +4335,49 @@ object ExtQueries {
     * literal table via Double.toString — both engines parse the same
     * IEEE value), replicate means over exact-integer sums, the same
     * ceil-rank quantile convention. */
-  private def bootstrapOracleSql: String = {
+  private def bootstrapOracleSql(key: Option[String]): String = {
     val cases = graft.ext.Profile.PoissonCum.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    val kSel = key.map(k => s"$k, ").getOrElse("")
+    val kPart = key.map(k => s"PARTITION BY $k ").getOrElse("")
+    val joinLo = key.map(k => s"JOIN lo USING ($k)")
+      .getOrElse("CROSS JOIN lo")
+    val joinHi = key.map(k => s"JOIN hi USING ($k)")
+      .getOrElse("CROSS JOIN hi")
+    val order = key.map(k => s"\nORDER BY $k").getOrElse("")
     s"""WITH base AS (
-       |  SELECT CAST(doc_id AS VARCHAR) AS id,
+       |  SELECT ${kSel}CAST(doc_id AS VARCHAR) AS id,
        |         CAST(len($toksSql) AS BIGINT) AS x
        |  FROM documents),
        |reps AS (SELECT unnest(range(1, 51)) AS rep),
        |drw AS (
-       |  SELECT rep, x,
+       |  SELECT ${kSel}rep, x,
        |         CASE $cases ELSE 6 END AS w
        |  FROM (
-       |    SELECT rep, x,
+       |    SELECT ${kSel}rep, x,
        |           CAST(${TextAnalysis.h60Sql(
                 "'boot:' || CAST(rep AS VARCHAR) || ':' || id")} AS DOUBLE)
        |             / 1152921504606846976.0 AS u
        |    FROM base CROSS JOIN reps)),
        |rm AS (
-       |  SELECT rep, round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS rep_mean
-       |  FROM drw GROUP BY 1),
+       |  SELECT ${kSel}rep, round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS rep_mean
+       |  FROM drw GROUP BY ${kSel}rep),
        |rk AS (
-       |  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, rep) AS r
+       |  SELECT ${kSel}rep_mean,
+       |         row_number() OVER (${kPart}ORDER BY rep_mean, rep) AS r
        |  FROM rm),
        |pt AS (
-       |  SELECT count(*) AS n_rows,
+       |  SELECT ${kSel}count(*) AS n_rows,
        |         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS point_mean
-       |  FROM base)
-       |SELECT pt.n_rows, CAST(50 AS BIGINT) AS n_reps, pt.point_mean,
-       |       lo.rep_mean AS ci_lo, hi.rep_mean AS ci_hi
+       |  FROM base${key.map(k => s" GROUP BY $k").getOrElse("")}),
+       |lo AS (SELECT ${kSel}rep_mean AS ci_lo FROM rk WHERE r = 2),
+       |hi AS (SELECT ${kSel}rep_mean AS ci_hi FROM rk WHERE r = 49)
+       |SELECT ${key.map(k => s"pt.$k, ").getOrElse("")}pt.n_rows,
+       |       CAST(50 AS BIGINT) AS n_reps, pt.point_mean,
+       |       lo.ci_lo, hi.ci_hi
        |FROM pt
-       |CROSS JOIN (SELECT rep_mean FROM rk WHERE r = 2) lo
-       |CROSS JOIN (SELECT rep_mean FROM rk WHERE r = 49) hi""".stripMargin
+       |$joinLo
+       |$joinHi$order""".stripMargin
   }
 
   /** q131's oracle: the q21 mirror's pairs symmetrized, then the
@@ -4470,5 +4492,6 @@ object ExtQueries {
       ("q131_pagerank" -> pageRankOracleSql(5)) +
       ("q132_column_profile" -> columnProfileOracleSql) +
       ("q133_embedding_drift" -> embeddingDriftOracleSql) +
-      ("q135_bootstrap_ci" -> bootstrapOracleSql)
+      ("q135_bootstrap_ci" -> bootstrapOracleSql(None)) +
+      ("q136_bootstrap_by_source" -> bootstrapOracleSql(Some("source")))
 }

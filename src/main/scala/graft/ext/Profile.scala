@@ -95,9 +95,13 @@ object Profile {
     * hash-matches it (the epoch-shuffle no-RNG discipline applied to
     * resampling). `value` must be integer-valued (counts, lengths —
     * cast to long internally): replicate sums then stay exact integers
-    * and the means are portable doubles. Returns ONE row:
-    * (n_rows, n_reps, point_mean, ci_lo, ci_hi) with the
-    * ceil(α/2·B)-rank quantile convention.
+    * and the means are portable doubles. Returns one row per `keys`
+    * group (one total row when `keys` is empty):
+    * (keys..., n_rows, n_reps, point_mean, ci_lo, ci_hi) with the
+    * ceil(α/2·B)-rank quantile convention — the per-group form is the
+    * dashboard shape (per-source/per-language means with error bars),
+    * and the rank window partitions by group carrying `reps` rows each,
+    * never data.
     *
     * Shape at scale: one map-only ×`reps` fan-out (short integer rows),
     * one partial-agg'd groupBy(rep) to `reps` rows, quantile extraction
@@ -106,11 +110,12 @@ object Profile {
     * corpus-level statistic before a curation decision. */
   def bootstrapCI(df: DataFrame, value: Column, idCol: String,
                   reps: Int = 50, salt: String = "boot",
-                  alpha: Double = 0.05): DataFrame = {
+                  alpha: Double = 0.05, keys: Seq[String] = Nil): DataFrame = {
     require(reps >= 10, s"bootstrap needs >= 10 replicates, got $reps")
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
-    val base = df.select(col(idCol).cast("string").as("__id"),
-      value.cast("long").as("__x"))
+    val keyCols = keys.map(col)
+    val base = df.select((keyCols :+ col(idCol).cast("string").as("__id")
+      :+ value.cast("long").as("__x")): _*)
     val u = graft.ext.TextAnalysis.h60(concat(lit(salt), lit(":"),
       col("__rep").cast("string"), lit(":"), col("__id")))
       .cast("double") / lit(1152921504606846976.0) // 2^60
@@ -122,25 +127,29 @@ object Profile {
       .withColumn("__rep", explode(array((1 to reps).map(lit(_)): _*)))
       .withColumn("__u", u)
       .withColumn("__w", w)
-      .groupBy("__rep")
+      .groupBy((keyCols :+ col("__rep")): _*)
       .agg(sum(col("__w") * col("__x")).as("__wx"), sum("__w").as("__sw"))
       .withColumn("rep_mean",
         round(col("__wx").cast("double") / col("__sw"), 6))
     val loRank = math.max(1, math.ceil(alpha / 2 * reps).toInt)
     val hiRank = math.max(1, math.ceil((1 - alpha / 2) * reps).toInt)
+    // per-group rank window: `reps` rows per group partition, never data
+    val rankPart = if (keys.isEmpty) Seq(lit(0)) else keyCols
     val ranked = repMeans.withColumn("__r",
       org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window.partitionBy(rankPart: _*)
           .orderBy("rep_mean", "__rep")))
-    val point = base.agg(count(lit(1)).as("n_rows"),
+    val point = base.groupBy(keyCols: _*).agg(count(lit(1)).as("n_rows"),
       round(sum("__x").cast("double") / count(lit(1)), 6).as("point_mean"))
-    point.crossJoin(
-      ranked.filter(col("__r") === loRank)
-        .select(col("rep_mean").as("ci_lo")))
-      .crossJoin(ranked.filter(col("__r") === hiRank)
-        .select(col("rep_mean").as("ci_hi")))
-      .select(col("n_rows"), lit(reps.toLong).as("n_reps"), col("point_mean"),
-        col("ci_lo"), col("ci_hi"))
+    val lo = ranked.filter(col("__r") === loRank)
+      .select((keyCols :+ col("rep_mean").as("ci_lo")): _*)
+    val hi = ranked.filter(col("__r") === hiRank)
+      .select((keyCols :+ col("rep_mean").as("ci_hi")): _*)
+    val joined =
+      if (keys.isEmpty) point.crossJoin(lo).crossJoin(hi)
+      else point.join(lo, keys).join(hi, keys)
+    joined.select((keyCols :+ col("n_rows") :+ lit(reps.toLong).as("n_reps")
+      :+ col("point_mean") :+ col("ci_lo") :+ col("ci_hi")): _*)
   }
 
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {

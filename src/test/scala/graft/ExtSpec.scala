@@ -1554,6 +1554,16 @@ class SketchesSpec extends SparkTestBase {
     assert(again === ((n1, p1, lo1, hi1)), "hash-derived draws must be partition-invariant")
     intercept[IllegalArgumentException] {
       graft.ext.Profile.bootstrapCI(tight, $"x", "id", reps = 5) }
+
+    // grouped form: each group's row equals the global form run on that
+    // group alone (draws key on (rep, id), not the group)
+    val mixed = tight.withColumn("g", $"id" % 2)
+    val grouped = graft.ext.Profile.bootstrapCI(mixed, $"x", "id", keys = Seq("g"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val solo0 = ci(mixed.filter($"g" === 0))
+    assert(grouped(0L) === ((solo0._1, solo0._2, solo0._3, solo0._4)),
+      "a group's CI must equal the global bootstrap over that group alone")
   }
 
   test("embeddingDrift: identical slices score cos=1/l2=0; a shifted label flags; one-sided labels drop") {
