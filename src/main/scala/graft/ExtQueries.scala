@@ -1274,6 +1274,16 @@ object ExtQueries {
           size(TextAnalysis.tokens(col("text")))),
         col("n_tok"), "doc_id")),
 
+    // Paired bootstrap A/B test: src0 vs src1 token means through the
+    // SAME deterministic draw stream per replicate — the difference CI
+    // answers "really better, or noise?" the way overlapping per-group
+    // bars can't. significant = 0 outside the interval.
+    "q137_bootstrap_ab" -> ((s, dir) =>
+      graft.ext.Profile.bootstrapDiffCI(
+        docs(s, dir).withColumn("n_tok",
+          size(TextAnalysis.tokens(col("text")))),
+        col("n_tok"), "doc_id", "source", "src0", "src1")),
+
     // Per-source error bars — the dashboard form of q135: is src2's
     // token mean REALLY above src4's, or inside the noise? One keyed
     // groupBy more than the global form; rank windows carry 50 rows per
@@ -4493,5 +4503,48 @@ object ExtQueries {
       ("q132_column_profile" -> columnProfileOracleSql) +
       ("q133_embedding_drift" -> embeddingDriftOracleSql) +
       ("q135_bootstrap_ci" -> bootstrapOracleSql(None)) +
-      ("q136_bootstrap_by_source" -> bootstrapOracleSql(Some("source")))
+      ("q136_bootstrap_by_source" -> bootstrapOracleSql(Some("source"))) +
+      // paired diff: the q136 keyed replicate chain restricted to the two
+      // groups, differenced per replicate, ranked
+      ("q137_bootstrap_ab" -> {
+        val cases = graft.ext.Profile.PoissonCum.zipWithIndex
+          .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+        s"""WITH base AS (
+           |  SELECT source, CAST(doc_id AS VARCHAR) AS id,
+           |         CAST(len($toksSql) AS BIGINT) AS x
+           |  FROM documents WHERE source IN ('src0', 'src1')),
+           |reps AS (SELECT unnest(range(1, 51)) AS rep),
+           |drw AS (
+           |  SELECT source, rep, x, CASE $cases ELSE 6 END AS w
+           |  FROM (
+           |    SELECT source, rep, x,
+           |           CAST(${TextAnalysis.h60Sql(
+                    "'boot:' || CAST(rep AS VARCHAR) || ':' || id")} AS DOUBLE)
+           |             / 1152921504606846976.0 AS u
+           |    FROM base CROSS JOIN reps)),
+           |rm AS (
+           |  SELECT source, rep,
+           |         round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS rep_mean
+           |  FROM drw GROUP BY source, rep),
+           |d AS (
+           |  SELECT a.rep, round(a.rep_mean - b.rep_mean, 6) AS rep_diff
+           |  FROM (SELECT rep, rep_mean FROM rm WHERE source = 'src0') a
+           |  JOIN (SELECT rep, rep_mean FROM rm WHERE source = 'src1') b
+           |    USING (rep)),
+           |rk AS (
+           |  SELECT rep_diff, row_number() OVER (ORDER BY rep_diff, rep) AS r
+           |  FROM d),
+           |pt AS (
+           |  SELECT source, count(*) AS n,
+           |         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS m
+           |  FROM base GROUP BY 1)
+           |SELECT pa.n AS n_a, pb.n AS n_b,
+           |       round(pa.m - pb.m, 6) AS point_diff,
+           |       lo.rep_diff AS ci_lo, hi.rep_diff AS ci_hi,
+           |       (lo.rep_diff > 0 OR hi.rep_diff < 0) AS significant
+           |FROM (SELECT n, m FROM pt WHERE source = 'src0') pa
+           |CROSS JOIN (SELECT n, m FROM pt WHERE source = 'src1') pb
+           |CROSS JOIN (SELECT rep_diff FROM rk WHERE r = 2) lo
+           |CROSS JOIN (SELECT rep_diff FROM rk WHERE r = 49) hi""".stripMargin
+      })
 }

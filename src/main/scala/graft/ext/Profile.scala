@@ -116,21 +116,7 @@ object Profile {
     val keyCols = keys.map(col)
     val base = df.select((keyCols :+ col(idCol).cast("string").as("__id")
       :+ value.cast("long").as("__x")): _*)
-    val u = graft.ext.TextAnalysis.h60(concat(lit(salt), lit(":"),
-      col("__rep").cast("string"), lit(":"), col("__id")))
-      .cast("double") / lit(1152921504606846976.0) // 2^60
-    val w = PoissonCum.zipWithIndex.reverse
-      .foldLeft(lit(6): Column) { case (acc, (c, k)) =>
-        when(col("__u") < lit(c), lit(k)).otherwise(acc)
-      }
-    val repMeans = base
-      .withColumn("__rep", explode(array((1 to reps).map(lit(_)): _*)))
-      .withColumn("__u", u)
-      .withColumn("__w", w)
-      .groupBy((keyCols :+ col("__rep")): _*)
-      .agg(sum(col("__w") * col("__x")).as("__wx"), sum("__w").as("__sw"))
-      .withColumn("rep_mean",
-        round(col("__wx").cast("double") / col("__sw"), 6))
+    val repMeans = replicateMeans(base, keys, reps, salt)
     val loRank = math.max(1, math.ceil(alpha / 2 * reps).toInt)
     val hiRank = math.max(1, math.ceil((1 - alpha / 2) * reps).toInt)
     // per-group rank window: `reps` rows per group partition, never data
@@ -150,6 +136,80 @@ object Profile {
       else point.join(lo, keys).join(hi, keys)
     joined.select((keyCols :+ col("n_rows") :+ lit(reps.toLong).as("n_reps")
       :+ col("point_mean") :+ col("ci_lo") :+ col("ci_hi")): _*)
+  }
+
+  /** Shared replicate stage: `base` must carry keys ++ (__id, __x); one
+    * ×reps fan-out, the deterministic Poisson weight, one partial-agg'd
+    * groupBy to (keys, __rep, rep_mean). */
+  private def replicateMeans(base: DataFrame, keys: Seq[String],
+                             reps: Int, salt: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val u = graft.ext.TextAnalysis.h60(concat(lit(salt), lit(":"),
+      col("__rep").cast("string"), lit(":"), col("__id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = PoissonCum.zipWithIndex.reverse
+      .foldLeft(lit(6): Column) { case (acc, (c, k)) =>
+        when(col("__u") < lit(c), lit(k)).otherwise(acc)
+      }
+    base
+      .withColumn("__rep", explode(array((1 to reps).map(lit(_)): _*)))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy((keyCols :+ col("__rep")): _*)
+      .agg(sum(col("__w") * col("__x")).as("__wx"), sum("__w").as("__sw"))
+      .withColumn("rep_mean",
+        round(col("__wx").cast("double") / col("__sw"), 6))
+  }
+
+  /** Paired bootstrap difference CI: is group `a`'s mean REALLY above
+    * group `b`'s, or inside the noise? Per replicate, the SAME
+    * deterministic draw stream produces both groups' reweighted means
+    * (draws key on (rep, id) — group membership never changes a row's
+    * weight), the per-replicate DIFFERENCE mean(a) − mean(b) is the
+    * bootstrap statistic, and its empirical quantiles give the CI.
+    * `significant` = the interval excludes zero — the proper paired
+    * answer to the A/B question a bare q136-style per-group CI overlap
+    * only approximates. One row:
+    * (n_a, n_b, point_diff, ci_lo, ci_hi, significant). Same exactness
+    * and determinism contract as [[bootstrapCI]]; same one-pass shape
+    * plus one `reps`-row self-join on the replicate id. */
+  def bootstrapDiffCI(df: DataFrame, value: Column, idCol: String,
+                      groupCol: String, a: String, b: String,
+                      reps: Int = 50, salt: String = "boot",
+                      alpha: Double = 0.05): DataFrame = {
+    require(reps >= 10, s"bootstrap needs >= 10 replicates, got $reps")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    require(a != b, s"compare two distinct groups, got '$a' twice")
+    val base = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("string").as("__id"), value.cast("long").as("__x"))
+    val rm = replicateMeans(base, Seq("__g"), reps, salt)
+    val diffs = rm.filter(col("__g") === a)
+      .select(col("__rep"), col("rep_mean").as("__ma"))
+      .join(rm.filter(col("__g") === b)
+        .select(col("__rep"), col("rep_mean").as("__mb")), "__rep")
+      .withColumn("rep_diff", round(col("__ma") - col("__mb"), 6))
+    val loRank = math.max(1, math.ceil(alpha / 2 * reps).toInt)
+    val hiRank = math.max(1, math.ceil((1 - alpha / 2) * reps).toInt)
+    val ranked = diffs.withColumn("__r",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("rep_diff", "__rep")))
+    val point = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        round(sum("__x").cast("double") / count(lit(1)), 6).as("__m"))
+    val pa = point.filter(col("__g") === a)
+      .select(col("__n").as("n_a"), col("__m").as("__pma"))
+    val pb = point.filter(col("__g") === b)
+      .select(col("__n").as("n_b"), col("__m").as("__pmb"))
+    pa.crossJoin(pb)
+      .crossJoin(ranked.filter(col("__r") === loRank)
+        .select(col("rep_diff").as("ci_lo")))
+      .crossJoin(ranked.filter(col("__r") === hiRank)
+        .select(col("rep_diff").as("ci_hi")))
+      .withColumn("point_diff", round(col("__pma") - col("__pmb"), 6))
+      .withColumn("significant", col("ci_lo") > 0.0 || col("ci_hi") < 0.0)
+      .select("n_a", "n_b", "point_diff", "ci_lo", "ci_hi", "significant")
   }
 
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -1566,6 +1566,27 @@ class SketchesSpec extends SparkTestBase {
       "a group's CI must equal the global bootstrap over that group alone")
   }
 
+  test("bootstrapDiffCI: a real shift flags significant; identical groups do not") {
+    // group A: values ~100, group B: values ~90 — a 10-point true shift
+    // far beyond the resampling noise of 200 rows each
+    val shifted = ((1L to 200L).map(i => ("A", i, 100L + i % 3)) ++
+      (201L to 400L).map(i => ("B", i, 90L + i % 3)))
+      .toDF("g", "id", "x")
+    val r = graft.ext.Profile.bootstrapDiffCI(shifted, $"x", "id", "g", "A", "B").head()
+    assert(r.getLong(0) === 200L && r.getLong(1) === 200L)
+    assert(r.getDouble(2) > 9.0 && r.getDouble(2) < 11.0, s"point diff ~10: $r")
+    assert(r.getBoolean(5) && r.getDouble(3) > 0, s"true shift must flag significant: $r")
+    // identical distributions: point diff 0, interval straddles 0
+    val same = ((1L to 200L).map(i => ("A", i, 50L + i % 5)) ++
+      (201L to 400L).map(i => ("B", i, 50L + i % 5)))
+      .toDF("g", "id", "x")
+    val r2 = graft.ext.Profile.bootstrapDiffCI(same, $"x", "id", "g", "A", "B").head()
+    assert(r2.getDouble(2) === 0.0 && !r2.getBoolean(5),
+      s"identical groups must not flag: $r2")
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.bootstrapDiffCI(same, $"x", "id", "g", "A", "A") }
+  }
+
   test("embeddingDrift: identical slices score cos=1/l2=0; a shifted label flags; one-sided labels drop") {
     val base = (1 to 40).map(i => (i % 2, Array(1.0f, 2.0f, 3.0f + (i % 4))))
     val a = base.toDF("label", "embedding")
