@@ -1335,6 +1335,24 @@ object ExtQueries {
         .orderBy("node")
     }),
 
+    // Personalized PageRank from a curated seed set (Haveliwala 2002):
+    // rank the near-dup graph by proximity to the src0 documents — the
+    // seed-expansion move of focused corpus curation, as one bounded
+    // graph job. Unreachable nodes converge to 0; that distance signal
+    // is the product.
+    "q138_personalized_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = d.filter(col("source") === "src0")
+        .select(col("doc_id").as("node"))
+      graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 5)
+        .select(col("node"), col("rank").cast("double").as("rank"))
+        .orderBy("node")
+    }),
+
     // Prefix-filtered EXHAUSTIVE exact similarity self-join (Bayardo et
     // al. WWW 2007): every pair at true Jaccard >= 0.5, no block key to
     // miss cross-block pairs, no banding to miss unlucky signatures —
@@ -4268,6 +4286,52 @@ object ExtQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tier")
   }
 
+  /** q138's oracle: the q131 graph CTEs plus a seed-teleport vector
+    * (src0 docs ∩ graph nodes, 1/|S| each) threaded through the same
+    * recurrence — the (1−d) literal interpolates from the engine's own
+    * Scala arithmetic so even its last-ulp value matches. */
+  private def pprOracleSql(iters: Int, damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS node,
+         |         sum(CAST(round(CAST(rank AS DOUBLE) / deg, 6)
+         |                  AS DECIMAL(20,6))) AS cin
+         |  FROM e
+         |  JOIN r${r - 1} pr ON pr.node = e.src
+         |  JOIN odeg ON odeg.src = e.src
+         |  GROUP BY 1),
+         |r$r AS (
+         |  SELECT tp.node,
+         |         CAST(round(${1.0 - damping} * tp.t
+         |                    + $damping * CAST(coalesce(cin, 0) AS DOUBLE), 6)
+         |              AS DECIMAL(20,6)) AS rank
+         |  FROM tp LEFT JOIN c$r ON c$r.node = tp.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${baseOracleSql("q21_minhash_lsh")})),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |odeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |seeds AS (
+       |  SELECT node FROM nodes
+       |  JOIN (SELECT doc_id AS node FROM documents WHERE source = 'src0') s
+       |    USING (node)),
+       |sn AS (SELECT count(*) AS s FROM seeds),
+       |tp AS (
+       |  SELECT n.node,
+       |         CASE WHEN sd.node IS NOT NULL
+       |              THEN CAST(1.0 AS DOUBLE) / sn.s
+       |              ELSE CAST(0 AS DOUBLE) END AS t
+       |  FROM nodes n CROSS JOIN sn LEFT JOIN seeds sd ON sd.node = n.node),
+       |r0 AS (
+       |  SELECT node, CAST(round(t, 6) AS DECIMAL(20,6)) AS rank FROM tp),
+       |$rounds
+       |SELECT node, CAST(rank AS DOUBLE) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** q132's oracle: four per-column UNION ALL branches fold into the
     * same (col_name, v) stream the engine explodes, then the q48 HLL
     * register mirror keyed by col_name — even the approximate
@@ -4500,6 +4564,7 @@ object ExtQueries {
            |LEFT JOIN (${baseOracleSql("q21_minhash_lsh")}) l
            |  USING (doc_a, doc_b)""".stripMargin) +
       ("q131_pagerank" -> pageRankOracleSql(5)) +
+      ("q138_personalized_pagerank" -> pprOracleSql(5)) +
       ("q132_column_profile" -> columnProfileOracleSql) +
       ("q133_embedding_drift" -> embeddingDriftOracleSql) +
       ("q135_bootstrap_ci" -> bootstrapOracleSql(None)) +

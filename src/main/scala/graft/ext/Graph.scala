@@ -79,4 +79,70 @@ object Graph {
         s"pagerank-r$i")
     }
   }
+
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002): the teleport lands on
+    * a SEED SET instead of everywhere — rank = (1−d)·t + d·Σ rank/deg
+    * with t = 1/|S| on seeds, 0 elsewhere, r0 = t. The graph-expansion
+    * move of seed-based corpus curation: given a hand-curated seed set,
+    * rank the rest of the near-dup/link graph by proximity to it and
+    * take the head (the BootCaT/focused-crawl idea as one bounded graph
+    * job). Seeds outside the graph are ignored (loudly failing only when
+    * NONE intersects — a wholly disjoint seed set means the wrong graph).
+    * Same determinism discipline, materialization schedule, dangling
+    * convention, and per-round cost as [[pageRank]]; nodes unreachable
+    * from the seeds converge to rank 0 — that distance signal IS the
+    * product. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5, damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "node"): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val dec = DecimalType(20, 6)
+    val e = graft.ops.Materialize.stable(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      "ppr-edges")
+    val nodes = graft.ops.Materialize.stable(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "ppr-nodes")
+    val outDeg = graft.ops.Materialize.stable(
+      e.groupBy("src").agg(count(lit(1)).as("__deg")),
+      "ppr-outdeg")
+    val seedsIn = graft.ops.Materialize.stable(
+      nodes.join(seeds.select(col(seedCol).as("node")).distinct(), "node"),
+      "ppr-seeds")
+    require(seedsIn.limit(1).count() == 1L,
+      "no seed id appears in the graph — personalized PageRank over a " +
+        "disjoint seed set is the zero vector; check the id spaces")
+    val sCount = seedsIn.agg(count(lit(1)).as("__s"))
+    val tp = graft.ops.Materialize.stable(
+      nodes.join(seedsIn.withColumn("__is", lit(1)), Seq("node"), "left")
+        .crossJoin(broadcast(sCount))
+        .withColumn("__t", when(col("__is").isNotNull,
+          lit(1.0) / col("__s")).otherwise(lit(0.0)))
+        .select("node", "__t"),
+      "ppr-teleport")
+    val r0 = graft.ops.Materialize.stable(
+      tp.withColumn("rank", round(col("__t"), 6).cast(dec))
+        .select("node", "rank"),
+      "ppr-r0")
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .withColumn("__c",
+          round(col("rank").cast("double") / col("__deg"), 6).cast(dec))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("__c").as("__in"))
+      graft.ops.Materialize.stable(
+        tp.join(contrib, Seq("node"), "left")
+          .withColumn("__in", coalesce(col("__in"), lit(0).cast(dec)))
+          .withColumn("rank", round(lit(1.0 - damping) * col("__t")
+            + lit(damping) * col("__in").cast("double"), 6).cast(dec))
+          .select("node", "rank"),
+        s"ppr-r$i")
+    }
+  }
 }

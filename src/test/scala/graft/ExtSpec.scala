@@ -587,6 +587,25 @@ class DedupSpec extends SparkTestBase {
       graft.ext.Graph.pageRank(edges, iters = 0) }
   }
 
+  test("personalizedPageRank: mass stays near the seed; disconnected components score 0; disjoint seeds fail loudly") {
+    // two components: seed-side star 0<->1..3, far component 10<->11
+    val one = (1L to 3L).flatMap(l => Seq((0L, l), (l, 0L))) ++ Seq((10L, 11L), (11L, 10L))
+    val edges = one.toDF("src", "dst").repartition(3)
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(pr(1L) > 3 * pr(2L),
+      s"the seed leaf must far outrank the symmetric non-seed leaves: $pr")
+    assert(pr(0L) > pr(1L),
+      s"the hub drains every seed round-trip and tops the component: $pr")
+    assert(pr(2L) === pr(3L), "non-seed leaves are symmetric")
+    assert(pr(10L) === 0.0 && pr(11L) === 0.0,
+      s"unreachable component must converge to zero: $pr")
+    intercept[IllegalArgumentException] {
+      graft.ext.Graph.personalizedPageRank(edges,
+        Seq(Tuple1(99L)).toDF("node"), iters = 5) }
+  }
+
   test("allPairsExact property: == brute-force exact join on random corpora; prefix filter prunes") {
     val rnd = new scala.util.Random(41)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
