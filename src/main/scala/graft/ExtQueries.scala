@@ -984,6 +984,15 @@ object ExtQueries {
         zThresh = 2.0)
         .orderBy("event_type", "bucket")),
 
+    // Zero-filled hourly rate grid: the dense (type × hour) series with
+    // explicit 0 rows for silent hours — the gap-alarm/forecast input
+    // where q128 deliberately scores only observed buckets. Grid from
+    // sequence() against a 1-row broadcast bounds row; never
+    // event-sized after the first groupBy.
+    "q141_rate_filled" -> ((s, dir) =>
+      graft.ext.Events.rateSeriesFilled(Ingest.eventsWithTs(s, dir))
+        .orderBy("event_type", "bucket")),
+
     // Cohort retention: users bucketed by first-signup day vs the days
     // they stayed active — the triangular matrix every growth dashboard
     // opens with. One min-groupBy for cohorts, one DISTINCT (user, day)
@@ -1351,6 +1360,38 @@ object ExtQueries {
       graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 5)
         .select(col("node"), col("rank").cast("double").as("rank"))
         .orderBy("node")
+    }),
+
+    // Corpus snapshot diff: the change audit between two drops of the
+    // documents table (derived here: new removes doc_id%13==5, edits
+    // %17==2, old lacks %11==3) — added/removed/changed/unchanged per
+    // id off an id+digest full-outer join that never shuffles text.
+    // The oracle diffs the COLUMN VALUES directly, so the engine's
+    // md5-digest channel is proven against plain semantics.
+    "q140_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 17 === 2,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+      graft.ext.Profile.corpusDiff(oldSnap, newSnap, "doc_id",
+          Seq("text", "source"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("status")
+    }),
+
+    // Per-node triangle counts over the near-dup graph (Suri &
+    // Vassilvitskii, WWW 2011 degree orientation): the local-clustering
+    // evidence beyond q131's global rank — a doc whose neighbors are
+    // near-dups of EACH OTHER sits in a dense boilerplate cluster, a
+    // triangle-free hub bridges unrelated content. Exact integer counts,
+    // wedge work bounded O(sqrt(m)) per node by the orientation.
+    "q139_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.ext.Graph.triangleCounts(pairs).orderBy("node")
     }),
 
     // Prefix-filtered EXHAUSTIVE exact similarity self-join (Bayardo et
@@ -3840,6 +3881,20 @@ object ExtQueries {
         |SELECT event_type, bucket, cnt, z, abs(z) >= 2.0 AS is_spike
         |FROM z ORDER BY event_type, bucket""".stripMargin,
 
+    // Dense grid mirror: generate_series over the same global bucket
+    // bounds, zero-filled by the same left join.
+    "q141_rate_filled" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+        |g AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN b)
+        |SELECT g.event_type, g.bucket,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.bucket = g.bucket
+        |ORDER BY g.event_type, g.bucket""".stripMargin,
+
     // First-signup-day cohorts joined to distinct active days; integer
     // division matches the engine's `ts_ms div` exactly.
     "q124_retention_cohorts" ->
@@ -4493,8 +4548,56 @@ object ExtQueries {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q139's oracle: q21's pair mirror canonicalized (it already emits
+    * doc_a < doc_b), triangles enumerated once each by the id-order
+    * three-way self-join a < b < c — orientation changes the JOIN
+    * GEOMETRY, never the triangle set, so the degree-oriented engine and
+    * the id-ordered mirror must land on identical integers. */
+  private def triangleOracleSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM (${baseOracleSql("q21_minhash_lsh")})),
+       |nodes AS (SELECT DISTINCT a AS node FROM pairs
+       |          UNION SELECT DISTINCT b FROM pairs),
+       |t AS (
+       |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+       |  FROM pairs p1
+       |  JOIN pairs p2 ON p2.a = p1.b
+       |  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+       |m AS (SELECT x AS node FROM t
+       |      UNION ALL SELECT y FROM t
+       |      UNION ALL SELECT z FROM t),
+       |c AS (SELECT node, count(*) AS n_tri FROM m GROUP BY 1)
+       |SELECT n.node, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+       |FROM nodes n LEFT JOIN c USING (node)
+       |ORDER BY node""".stripMargin
+
+  /** q140's oracle: the same derived snapshots diffed by DIRECT column
+    * comparison — no digests anywhere — so the engine's md5 channel is
+    * checked against plain value semantics, not a mirror of itself. */
+  private def corpusDiffOracleSql: String =
+    """WITH oldd AS (
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 3),
+      |newd AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 2 THEN text || '!' ELSE text END AS text,
+      |         source
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.text <> n.text OR o.source <> n.source
+      |                THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
+      ("q139_triangles" -> triangleOracleSql) +
+      ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
       // increment == rebuild: the oracle is q99's from-scratch rebuild
       // VERBATIM; the engine side answers it via merged per-batch states

@@ -145,6 +145,50 @@ object Events {
       .select("event_type", "base_mean", "base_std")
   }
 
+  /** Zero-filled per-type rate series: (event_type, bucket, cnt) over the
+    * GLOBAL observed bucket span, absent buckets explicit at cnt = 0 — the
+    * dense grid a dashboard, a forecast model, or a gap alarm needs where
+    * [[rateBaseline]]/[[rateAnomalies]] deliberately score only OBSERVED
+    * buckets (there, absent hour ≠ zero; here the silence is the signal).
+    * All types share one grid, so cross-type comparisons align.
+    *
+    * Shape at scale: the event stream collapses to a bucket-counts table
+    * first (one groupBy with map-side partials — everything after is
+    * type × span sized, never event-sized). The grid comes from
+    * `sequence()` exploded per type against a 1-row broadcast bounds
+    * table — no driver-side min/max action — and the zero-fill is a
+    * left join back onto the counts. An in-plan guard on the bounds row
+    * fails loudly when span × bucketMs would explode the grid (a
+    * sub-second bucket over years), naming the knob. */
+  def rateSeriesFilled(events: DataFrame, bucketMs: Long = 3600000L,
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts_ms",
+                       maxGridBuckets: Long = 10000000L): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(maxGridBuckets > 0, s"maxGridBuckets must be positive")
+    val counts = graft.ops.Materialize.stable(
+      events
+        .groupBy(col(typeCol).as("event_type"),
+          expr(s"$tsCol div $bucketMs").as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      "rate-grid-counts")
+    val bounds = counts.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .withColumn("__hi",
+        when(col("__hi") - col("__lo") >= maxGridBuckets,
+          raise_error(lit(
+            s"rateSeriesFilled: grid span exceeds $maxGridBuckets buckets " +
+              s"at bucketMs=$bucketMs — widen bucketMs or raise " +
+              "maxGridBuckets deliberately")))
+          .otherwise(col("__hi")))
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    grid.join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Cohort retention matrix: users grouped by the PERIOD of their first
     * `anchorType` event (integer period index = ts div periodMs —
     * calendar-free, engine-portable), against the periods they were

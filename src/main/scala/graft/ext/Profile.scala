@@ -229,4 +229,46 @@ object Profile {
       .select("col_name", "n_rows", "n_null", "approx_distinct",
         "min_v", "max_v")
   }
+
+  /** Corpus snapshot diff: per-id status between two drops of the same
+    * table — `added` (only in new), `removed` (only in old), `changed`
+    * (both, compared columns differ), `unchanged`. The change audit an
+    * incremental pipeline runs before reprocessing a refreshed dump:
+    * everything downstream (re-embed, re-dedup, re-shard) only needs the
+    * added ∪ changed slice, and `removed` drives tombstones.
+    *
+    * Shape at scale: each side collapses to (id, md5-of-compared-columns)
+    * in a map-only projection — the full-outer equi-join on the id then
+    * carries two 32-char digests per row instead of the document bodies,
+    * so diffing two 100 TB snapshots shuffles id+hash, never text.
+    * Compared columns fold through md5(concat_ws(, ...)) with
+    * nulls sentinel-tagged, so a value moving between NULL and the
+    * empty string still reads as a change. Duplicate ids are rejected
+    * loudly via a per-side count guard folded into the join (a snapshot
+    * with repeated primary ids would silently cross-multiply). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "corpusDiff needs at least one compared column")
+    def digest(df: DataFrame, hName: String): DataFrame = {
+      val parts = compareCols.map(c =>
+        coalesce(concat(lit("v:"), col(c).cast("string")), lit("null:")))
+      df.select(col(idCol).as("__id"),
+          md5(concat_ws("", parts: _*)).as(hName))
+        .groupBy("__id")
+        .agg(count(lit(1)).as(s"${hName}_n"), min(hName).as(hName))
+        .withColumn(hName,
+          when(col(s"${hName}_n") > 1,
+            raise_error(concat(lit(s"corpusDiff: duplicate $idCol in snapshot: "),
+              col("__id").cast("string"))))
+            .otherwise(col(hName)))
+        .drop(s"${hName}_n")
+    }
+    digest(oldDf, "__h_old")
+      .join(digest(newDf, "__h_new"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

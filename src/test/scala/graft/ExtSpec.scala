@@ -606,6 +606,39 @@ class DedupSpec extends SparkTestBase {
         Seq(Tuple1(99L)).toDF("node"), iters = 5) }
   }
 
+  test("triangleCounts: == brute-force enumeration on random graphs; star has zero; orientation-invariant") {
+    // K4 plus a pendant: each K4 node sits in C(3,2)=3 triangles, the
+    // pendant in none.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val tri = graft.ext.Graph.triangleCounts(
+        (k4 :+ (3L, 9L)).toDF("src", "dst").repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(tri(_) === 3L), s"K4 nodes: $tri")
+    assert(tri(9L) === 0L, "pendant node closes nothing")
+    // star: hub never forms a triangle
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    assert(graft.ext.Graph.triangleCounts(star)
+      .agg(sum("n_tri")).head.getLong(0) === 0L)
+    // random graph vs brute force; duplicate + reversed edges tolerated
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 120).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    val dfE = (es ++ es.map(_.swap)).toDF("src", "dst").repartition(5)
+    val got = graft.ext.Graph.triangleCounts(dfE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = es.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    val brute = nodes.map { n =>
+      n -> nodes.subsets(2).count { s =>
+        val Seq(x, y) = s.toSeq
+        und(math.min(x, n) -> math.max(x, n)) &&
+          und(math.min(y, n) -> math.max(y, n)) &&
+          und(math.min(x, y) -> math.max(x, y)) && x != n && y != n
+      }.toLong
+    }.toMap
+    assert(got === brute, "degree-oriented counts must equal brute force")
+  }
+
   test("allPairsExact property: == brute-force exact join on random corpora; prefix filter prunes") {
     val rnd = new scala.util.Random(41)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
@@ -1556,6 +1589,27 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("corpusDiff: statuses partition the id union; null vs empty distinguished; duplicate ids fail loudly") {
+    val oldDf = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
+      (3L, Some(""), "s"), (4L, None, "s")).toDF("id", "text", "src")
+    val newDf = Seq((2L, Some("b"), "s"), (3L, Option.empty[String], "s"),
+      (4L, None, "s"), (5L, Some("e"), "s")).toDF("id", "text", "src")
+    val got = graft.ext.Profile.corpusDiff(oldDf, newDf, "id",
+        Seq("text", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"),
+      s"empty-string -> NULL must read as changed, NULL==NULL unchanged: $got")
+    val dup = Seq((1L, Some("a"), "s"), (1L, Some("z"), "s"))
+      .toDF("id", "text", "src")
+    val ex = intercept[Exception] {
+      graft.ext.Profile.corpusDiff(dup, newDf, "id", Seq("text", "src"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("duplicate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate")))
+  }
+
   test("bootstrapCI: interval brackets the mean, tightens with lower variance, partition-invariant") {
     val tight = (1L to 400L).map(i => (i, 100L + (i % 3))).toDF("id", "x")
     val loose = (1L to 400L).map(i => (i, (i % 200) * 2)).toDF("id", "x")
@@ -2119,6 +2173,29 @@ class EventsSpec extends SparkTestBase {
     assert(a._4 > 50, s"z should be huge against sigma=1 history: $a")
     val b = got.find(_._1 == "b").get
     assert(b._4 === 0.0 && !b._5, s"constant history must score z=0: $b")
+  }
+
+  test("rateSeriesFilled: gaps become explicit zeros on one shared grid; span guard trips loudly") {
+    val hour = 3600000L
+    // "a" observed hours 0 and 3; "b" only hour 1 — the shared grid is
+    // hours 0..3 for BOTH types
+    val ev = Seq(("a", 0L), ("a", 1L), ("a", 3 * hour),
+      ("b", hour)).toDF("event_type", "ts_ms")
+    val got = Events.rateSeriesFilled(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a", 0L, 2L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 0L), ("b", 3L, 0L)),
+      s"zero-filled shared grid: $got")
+    assert(Events.rateSeriesFilled(ev.limit(0)).count() === 0L,
+      "empty input -> empty grid, no null explosion")
+    val ex = intercept[Exception] {
+      Events.rateSeriesFilled(ev, bucketMs = 1L, maxGridBuckets = 100L)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("grid span exceeds")))
   }
 
   test("retentionCohorts: triangular matrix; pre-anchor activity excluded; hot users count once per period") {
