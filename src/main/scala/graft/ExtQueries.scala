@@ -1131,6 +1131,33 @@ object ExtQueries {
         .orderBy(desc("n"), col("subword")).limit(30)
     }),
 
+    // Tokenizer fertility by language: subword tokens per word and per
+    // char under the learned q114 merges — THE cross-lingual tokenizer
+    // health metric (a language whose fertility is 2x pays 2x the
+    // sequence length for the same text; the number that drives
+    // merge-budget and mixture decisions). Same vocab-sized economics
+    // as q123: the rule chain never touches corpus rows; per-language
+    // counts ride one (lang, word) groupBy + one unhinted vocab join.
+    "q143_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rules = TextAnalysis.bpeTrainRules(d, "text", nMerges = 8)
+      val wordLen = TextAnalysis.bpeEncode(d, "text", rules)
+        .select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+      d.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+        .join(wordLen, "w")
+        .groupBy("lang").agg(
+          sum("freq").as("n_words"),
+          sum(col("freq") * col("n_sym")).as("n_subtok"),
+          sum(col("freq") * length(col("w")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_subtok").cast("double") / col("n_words"), 6))
+        .withColumn("toks_per_char",
+          round(col("n_subtok").cast("double") / col("n_chars"), 6))
+        .orderBy("lang")
+    }),
+
     // PMI collocation mining (Church & Hanks 1990): the phrase detector
     // a tokenizer pipeline consults. One gram pass, two unhinted vocab
     // joins, exact-integer ratios under the log, rounded before the
@@ -1361,6 +1388,15 @@ object ExtQueries {
         .select(col("node"), col("rank").cast("double").as("rank"))
         .orderBy("node")
     }),
+
+    // Robust per-source length screen: exact quartiles (order
+    // statistics, not interpolated floats) + Tukey 1.5*IQR fence
+    // counts — the outlier alarm a mean/sigma screen can't give on
+    // heavy-tailed document lengths (the outliers wreck the sigma).
+    "q142_tukey_outliers" -> ((s, dir) =>
+      graft.ext.Profile.tukeyOutliers(docs(s, dir), "n_chars",
+          Seq("source"))
+        .orderBy("source")),
 
     // Corpus snapshot diff: the change audit between two drops of the
     // documents table (derived here: new removes doc_id%13==5, edits
@@ -4594,10 +4630,56 @@ object ExtQueries {
       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** q142's oracle: the same rank-selected order statistics via
+    * row_number, fences compared in double space (long < double
+    * promotes identically in both engines). */
+  private def tukeyOracleSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars AS x,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, max(n) AS n,
+      |         min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q1,
+      |         min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q3
+      |  FROM r GROUP BY 1),
+      |f AS (SELECT source, n, q1, q3, q3 - q1 AS iqr FROM q)
+      |SELECT f.source, f.n, f.q1, f.q3, f.iqr,
+      |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+      |                     < CAST(f.q1 AS DOUBLE) - 1.5 * CAST(f.iqr AS DOUBLE)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+      |                     > CAST(f.q3 AS DOUBLE) + 1.5 * CAST(f.iqr AS DOUBLE)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM documents d JOIN f USING (source)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY f.source""".stripMargin
+
+  /** q143's oracle: the q114/q115 capped-iteration BPE mirror's round-8
+    * symbol table joined to an independent (lang, word) frequency table
+    * — fertility falls out as exact-integer ratios. */
+  private def fertilityOracleSql: String =
+    s"""${bpeCtesSql(8)},
+       |lw AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+       |g AS (SELECT lang, w, count(*) AS freq FROM lw GROUP BY 1, 2)
+       |SELECT g.lang,
+       |  CAST(sum(g.freq) AS BIGINT) AS n_words,
+       |  CAST(sum(g.freq * len(s.syms)) AS BIGINT) AS n_subtok,
+       |  CAST(sum(g.freq * length(g.w)) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(g.freq * len(s.syms)) AS DOUBLE)
+       |        / sum(g.freq), 6) AS fertility,
+       |  round(CAST(sum(g.freq * len(s.syms)) AS DOUBLE)
+       |        / sum(g.freq * length(g.w)), 6) AS toks_per_char
+       |FROM g JOIN s8 s ON s.w = g.w
+       |GROUP BY 1 ORDER BY g.lang""".stripMargin
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
+      ("q142_tukey_outliers" -> tukeyOracleSql) +
+      ("q143_bpe_fertility" -> fertilityOracleSql) +
       ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
       // increment == rebuild: the oracle is q99's from-scratch rebuild
       // VERBATIM; the engine side answers it via merged per-batch states

@@ -230,6 +230,54 @@ object Profile {
         "min_v", "max_v")
   }
 
+  /** Per-group Tukey-fence outlier screen: exact quartiles (percentile_disc
+    * semantics — the value at rank ceil(p·n), an ORDER STATISTIC, never an
+    * interpolated float) and the counts beyond the classic 1.5·IQR fences.
+    * The robust length/quality screen a heterogeneous corpus needs where
+    * a z-score screen is itself wrecked by the outliers it hunts: a
+    * handful of 100 MB documents moves the mean and sigma arbitrarily
+    * but cannot move Q1/Q3. Returns one row per group:
+    * (keys..., n, q1, q3, iqr, n_low, n_high).
+    *
+    * Shape at scale: one rank window PARTITIONED BY the group keys
+    * (the per-group rank precedent — one shuffle+sort by key), one
+    * groupBy selecting the two order statistics, then the fence counts
+    * via a second key-joined aggregation (the quartile table is
+    * group-cardinality-sized and joins via [[graft.ops.Guards.broadcastIfSmall]]
+    * — degrades to a shuffled join past the bound instead of melting
+    * the driver). Order statistics of an integer column are exact
+    * integers, so the whole row hashes engine-portably; the fences
+    * compare in double space where long < double promotes identically
+    * in both engines. For groups too large to sort, the sketch path is
+    * [[Sketches.histQuantiles]] — this operator is the EXACT member of
+    * that family. */
+  def tukeyOutliers(df: DataFrame, valueCol: String,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tukeyOutliers needs at least one group key")
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__x"))
+    val ranked = df.select(kc :+ col(valueCol).as("__x"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+    val quart = ranked.groupBy(kc: _*).agg(
+      max("__n").as("n"),
+      min(when(col("__rn") === ceil(col("__n") * 0.25), col("__x"))).as("q1"),
+      min(when(col("__rn") === ceil(col("__n") * 0.75), col("__x"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    df.select(kc :+ col(valueCol).as("__x"): _*)
+      .join(graft.ops.Guards.broadcastIfSmall(quart), keys)
+      .groupBy(kc: _*)
+      .agg(max("n").as("n"), max("q1").as("q1"), max("q3").as("q3"),
+        max("iqr").as("iqr"),
+        sum(when(col("__x").cast("double") <
+          col("q1").cast("double") - lit(1.5) * col("iqr").cast("double"),
+          1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__x").cast("double") >
+          col("q3").cast("double") + lit(1.5) * col("iqr").cast("double"),
+          1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Corpus snapshot diff: per-id status between two drops of the same
     * table — `added` (only in new), `removed` (only in old), `changed`
     * (both, compared columns differ), `unchanged`. The change audit an

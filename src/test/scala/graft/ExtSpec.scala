@@ -1589,6 +1589,20 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("tukeyOutliers: hand-computed order statistics; fat tail flags only in its own group") {
+    // g1: 1..8 plus a 100-outlier -> n=9, q1=rank ceil(2.25)=3 -> 3,
+    // q3=rank ceil(6.75)=7 -> 7, iqr=4, high fence 13 -> one outlier.
+    // g2: constant 5s -> iqr=0, no outliers.
+    val df = ((1L to 8L).map(("g1", _)) :+ ("g1", 100L)) ++
+      (1 to 4).map(_ => ("g2", 5L)) match { case rows => rows.toDF("g", "x") }
+    val got = graft.ext.Profile.tukeyOutliers(df.repartition(3), "x", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("g1") === ((9L, 3L, 7L, 4L, 0L, 1L)), s"g1: ${got("g1")}")
+    assert(got("g2") === ((4L, 5L, 5L, 0L, 0L, 0L)), s"g2: ${got("g2")}")
+  }
+
   test("corpusDiff: statuses partition the id union; null vs empty distinguished; duplicate ids fail loudly") {
     val oldDf = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
       (3L, Some(""), "s"), (4L, None, "s")).toDF("id", "text", "src")
