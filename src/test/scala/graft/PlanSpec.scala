@@ -188,6 +188,45 @@ class PlanSpec extends SparkTestBase {
       "cohort/activity aggregations must partial-aggregate:\n" + p)
   }
 
+  test("q139 triangles: wedge closure stays an equi-join; loop inputs materialized") {
+    val p = plan("q139_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "degree orientation must keep every join an equi-join:\n" + p)
+    assert(p.contains("partial_"),
+      "degree and triangle counts must partial-aggregate map-side:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "the oriented edge table must be materialized once, not re-derived per reference:\n" + p)
+  }
+
+  test("q140 corpus diff: the full-outer join carries digests, never document text") {
+    val p = plan("q140_corpus_diff")
+    assert(p.contains("FullOuter"), "diff must plan a full-outer id join:\n" + p)
+    // text may survive ONLY inside the scan-side md5 projection — every
+    // shuffled/joined row above it carries id + digest, never the body
+    val leaky = p.linesIterator.filter(_.contains("text#"))
+      .filterNot(l => l.contains("md5(") || l.contains("Scan parquet") ||
+        l.contains("ReadSchema") || l.contains("PushedFilters"))
+    assert(leaky.isEmpty,
+      "text must fold to md5 at the scan — the join shuffles id+digest only:\n" + p)
+  }
+
+  test("q141 rate grid: bounds ride a 1-row broadcast; grid joins the materialized counts") {
+    val p = plan("q141_rate_filled")
+    assert(p.contains("BroadcastExchange"),
+      "the min/max bounds row must broadcast in-plan, not collect to the driver:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "the bucket-counts table must materialize once and feed bounds, types, and the fill join:\n" + p)
+    assert(!p.contains("user_id"),
+      "raw event columns must be pruned before any shuffle:\n" + p)
+  }
+
+  test("q142 tukey: the rank window sees only (source, n_chars); text never reads") {
+    val p = plan("q142_tukey_outliers")
+    assert(p.contains("Window"), "order statistics need the rank window:\n" + p)
+    assert(!p.contains("text#"),
+      "the scan must prune to the key and value columns:\n" + p)
+  }
+
   test("q128 anomalies: the z window runs over the aggregated count table, not raw events") {
     val p = plan("q128_rate_anomalies")
     assert(p.contains("Window"), "trailing stats need the window:\n" + p)
