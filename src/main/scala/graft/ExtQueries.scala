@@ -201,6 +201,28 @@ object ExtQueries {
       SimSearch.knnIvfAuto(probes(s, dir), corpus(s, dir), k = 5, cells = 8, iters = 2)
         .orderBy("probe_id", "rnk")),
 
+    // Cluster-balanced sampling (the DCLM/DoReMi flattening move):
+    // cap every k-means cell at an exact per-cell quota so dominant
+    // modes stop drowning the tail — q33's cells composed with q77's
+    // deterministic exact-quota rank, reported as per-cell
+    // total/kept/checksum. The quota window partitions by CELL (never
+    // global); the assignment materializes once and feeds both the
+    // size table and the quota rank.
+    "q144_cluster_balanced" -> ((s, dir) => {
+      val assigned = graft.ops.Materialize.stable(
+        SimSearch.kmeansAssign(corpus(s, dir), k = 8, iters = 2)
+          .select(col("vec_id"), col("cell")),
+        "cluster-balanced-assign")
+      val kept = TextAnalysis.exactQuotaSample(assigned, "cell", "vec_id",
+        quota = 40, salt = "cb-v1")
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_total"))
+      kept.groupBy("cell")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("kept_id_sum"))
+        .join(sizes, "cell")
+        .select("cell", "n_total", "n_kept", "kept_id_sum")
+        .orderBy("cell")
+    }),
+
     // The LARGE-K assignment strategy (maxLiteralK = 0 forces the
     // broadcast-centroid join + max(struct) argmax every assignment pass),
     // hash-checked against the SAME oracle as q33: the two physical
@@ -991,6 +1013,16 @@ object ExtQueries {
     // event-sized after the first groupBy.
     "q141_rate_filled" -> ((s, dir) =>
       graft.ext.Events.rateSeriesFilled(Ingest.eventsWithTs(s, dir))
+        .orderBy("event_type", "bucket")),
+
+    // The per-type-span grid (sharedGrid = false): each type spans its
+    // OWN [first, last] bucket — the exact batch semantics of the
+    // streaming gap-alarm twin (StreamOps.rateGridStream), hash-proven
+    // here so the stream==batch spec pin rests on an oracle-checked
+    // batch side.
+    "q145_rate_filled_pertype" -> ((s, dir) =>
+      graft.ext.Events.rateSeriesFilled(Ingest.eventsWithTs(s, dir),
+          sharedGrid = false)
         .orderBy("event_type", "bucket")),
 
     // Cohort retention: users bucketed by first-signup day vs the days
@@ -3931,6 +3963,19 @@ object ExtQueries {
         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.bucket = g.bucket
         |ORDER BY g.event_type, g.bucket""".stripMargin,
 
+    // Per-type bounds instead of the global pair; same zero-fill join
+    "q145_rate_filled_pertype" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM b)
+        |SELECT g.event_type, g.bucket,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.bucket = g.bucket
+        |ORDER BY g.event_type, g.bucket""".stripMargin,
+
     // First-signup-day cohorts joined to distinct active days; integer
     // division matches the engine's `ts_ms div` exactly.
     "q124_retention_cohorts" ->
@@ -4680,6 +4725,21 @@ object ExtQueries {
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +
+      // q33's k-means CTEs + q77's quota-rank mirror, per cell
+      ("q144_cluster_balanced" ->
+        s"""WITH ${kmeansCtes()},
+           |r AS (
+           |  SELECT cell, vec_id,
+           |         row_number() OVER (PARTITION BY cell ORDER BY
+           |           ${TextAnalysis.h60Sql("'cb-v1:' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rnk
+           |  FROM af),
+           |sz AS (SELECT cell, count(*) AS n_total FROM af GROUP BY 1),
+           |kp AS (SELECT cell, count(*) AS n_kept,
+           |              CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+           |       FROM r WHERE rnk <= 40 GROUP BY 1)
+           |SELECT CAST(sz.cell AS INT) AS cell, sz.n_total,
+           |       kp.n_kept, kp.kept_id_sum
+           |FROM sz JOIN kp USING (cell) ORDER BY cell""".stripMargin) +
       ("q116_ann_recall_tiers" -> tierRecallOracleSql) +
       // increment == rebuild: the oracle is q99's from-scratch rebuild
       // VERBATIM; the engine side answers it via merged per-batch states

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,11 +159,17 @@ object Events {
     * table — no driver-side min/max action — and the zero-fill is a
     * left join back onto the counts. An in-plan guard on the bounds row
     * fails loudly when span × bucketMs would explode the grid (a
-    * sub-second bucket over years), naming the knob. */
+    * sub-second bucket over years), naming the knob.
+    *
+    * `sharedGrid = false` spans each type's OWN [first, last] bucket
+    * instead of the global bounds — the semantics of the streaming twin
+    * ([[graft.streaming.StreamOps.rateGridStream]]), where a per-key
+    * state function cannot know the global minimum. */
   def rateSeriesFilled(events: DataFrame, bucketMs: Long = 3600000L,
                        typeCol: String = "event_type",
                        tsCol: String = "ts_ms",
-                       maxGridBuckets: Long = 10000000L): DataFrame = {
+                       maxGridBuckets: Long = 10000000L,
+                       sharedGrid: Boolean = true): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     require(maxGridBuckets > 0, s"maxGridBuckets must be positive")
     val counts = graft.ops.Materialize.stable(
@@ -172,18 +178,28 @@ object Events {
           expr(s"$tsCol div $bucketMs").as("bucket"))
         .agg(count(lit(1)).as("cnt")),
       "rate-grid-counts")
-    val bounds = counts.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
-      .withColumn("__hi",
-        when(col("__hi") - col("__lo") >= maxGridBuckets,
-          raise_error(lit(
-            s"rateSeriesFilled: grid span exceeds $maxGridBuckets buckets " +
-              s"at bucketMs=$bucketMs — widen bucketMs or raise " +
-              "maxGridBuckets deliberately")))
-          .otherwise(col("__hi")))
-    val grid = counts.select("event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    def guarded(hi: Column, lo: Column): Column =
+      when(hi - lo >= maxGridBuckets,
+        raise_error(lit(
+          s"rateSeriesFilled: grid span exceeds $maxGridBuckets buckets " +
+            s"at bucketMs=$bucketMs — widen bucketMs or raise " +
+            "maxGridBuckets deliberately")))
+        .otherwise(hi)
+    val grid =
+      if (sharedGrid) {
+        val bounds = counts
+          .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+          .withColumn("__hi", guarded(col("__hi"), col("__lo")))
+        counts.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+      } else
+        counts.groupBy("event_type")
+          .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+          .withColumn("__hi", guarded(col("__hi"), col("__lo")))
+          .select(col("event_type"),
+            explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
     grid.join(counts, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))

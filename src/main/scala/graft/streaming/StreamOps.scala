@@ -359,6 +359,73 @@ object StreamOps {
       }
   }
 
+  case class RateEv(event_type: String, ts: java.sql.Timestamp)
+  case class GridState(nextBucket: Long, pending: Map[Long, Long])
+  case class GridOut(event_type: String, bucket: Long, cnt: Long)
+
+  /** Streaming twin of the per-type zero-filled rate grid
+    * ([[graft.ext.Events.rateSeriesFilled]] with `sharedGrid = false`):
+    * per type, emit (bucket, cnt) for EVERY bucket from the type's first
+    * observed bucket onward — including explicit cnt = 0 rows for silent
+    * buckets. The silence IS the alarm: a type that stops emitting keeps
+    * producing zero rows as the event-time watermark advances (driven by
+    * the other types' traffic — event time is global), which is exactly
+    * the outage signal the observed-buckets-only anomaly screen
+    * ([[anomalyScreenStream]]) is structurally blind to.
+    *
+    * Bucket b finalizes when the watermark passes its end (wm ≥
+    * (b+1)·bucketMs) — late-but-in-watermark events still land in their
+    * bucket because nothing at or above the horizon has been emitted.
+    * State per type = the un-finalized buckets' counts (bounded by the
+    * watermark horizon), PLUS one long for the emit cursor; the key
+    * space is type-cardinality-sized, so this operator's total state is
+    * tiny by construction. The state never self-evicts — a standing
+    * alarm must keep firing zeros; decommissioning a type is a stream
+    * restart concern, not an eviction policy.
+    *
+    * StreamOpsSpec pins stream == batch(`sharedGrid = false`) on the
+    * finalized span, and the trailing-zero alarm rows beyond a type's
+    * last event explicitly. */
+  def rateGridStream(events: Dataset[RateEv], bucketMs: Long = 3600000L,
+                     watermark: String = "10 minutes"): Dataset[GridOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GridState, GridOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[RateEv], state: GroupState[GridState]) =>
+          val horizon = state.getCurrentWatermarkMs() / bucketMs
+          val newCounts = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            val b = e.ts.getTime / bucketMs
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          // first sight of a type anchors its grid at its first bucket
+          // (a per-key state fn cannot know the global minimum — the
+          // documented per-type-span semantics)
+          val st0 = state.getOption.getOrElse(
+            GridState(newCounts.keys.min, Map.empty))
+          val pending = newCounts.foldLeft(st0.pending) { case (m, (b, c)) =>
+            // the watermark already filtered rows below the horizon, so
+            // a bucket under the cursor cannot occur; guard anyway
+            if (b >= st0.nextBucket) m.updated(b, m.getOrElse(b, 0L) + c)
+            else m
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[GridOut]
+          var nb = st0.nextBucket
+          while (nb < horizon) {
+            out += GridOut(typ, nb, pending.getOrElse(nb, 0L))
+            nb += 1
+          }
+          state.update(GridState(nb, pending.filter(_._1 >= nb)))
+          // wake when the watermark can finalize the cursor bucket, even
+          // if this type never sends another event — the zero-row alarm
+          state.setTimeoutTimestamp((nb + 1) * bucketMs)
+          out.iterator
+      }
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -279,6 +279,66 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rateGridStream == batch per-type grid on the finalized span; silent types keep emitting zero-row alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val minMs = 60000L
+    val base = 1000L // minutes; keep clear of the epoch-0 watermark edge
+    def ev(t: String, m: Long) =
+      StreamOps.RateEv(t, new Timestamp((base + m) * minMs))
+    val in = MemoryStream[StreamOps.RateEv]
+    val q = StreamOps.toMemorySink(
+      StreamOps.rateGridStream(in.toDS(), bucketMs = minMs,
+        watermark = "0 seconds").toDF(),
+      "rate_grid_test", OutputMode.Append())
+    try {
+      // a: minutes 0 (x2) and 3; b: minute 1 — then b goes loud again at
+      // 20 while a goes SILENT; c starts late at 40
+      Seq(
+        Seq(ev("a", 0), ev("a", 0), ev("a", 3), ev("b", 1)),
+        Seq(ev("b", 20)),
+        Seq(ev("c", 40)), Seq(ev("c", 45)), Seq(ev("c", 50))
+      ).foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
+      val got = spark.table("rate_grid_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.length === got.map(r => (r._1, r._2)).distinct.length,
+        "every (type, bucket) cell emits exactly once")
+      val byType = got.groupBy(_._1)
+      // spot values: observed counts land in their buckets
+      val cell = got.map(r => (r._1, r._2 - base) -> r._3).toMap
+      assert(cell(("a", 0L)) === 2L && cell(("a", 3L)) === 1L &&
+        cell(("b", 1L)) === 1L && cell(("b", 20L)) === 1L, s"$cell")
+      // the alarm: a's last event is minute 3, yet zero rows keep coming
+      // as the other types drive the watermark forward
+      assert(byType("a").count(r => r._2 - base > 3 && r._3 == 0L) >= 10,
+        s"silent type must keep emitting zero-row alarms: ${byType("a").toSeq.sortBy(_._2)}")
+      // stream == batch(sharedGrid = false) on the finalized span: every
+      // streamed cell within a type's batch span matches the batch grid,
+      // every cell past it is an alarm zero, and each type's rows are
+      // contiguous from its batch minimum
+      val allEv = Seq(("a", 0L), ("a", 0L), ("a", 3L), ("b", 1L),
+        ("b", 20L), ("c", 40L), ("c", 45L), ("c", 50L))
+        .map { case (t, m) => (t, (base + m) * minMs) }
+        .toDF("event_type", "ts_ms")
+      val batchGrid = graft.ext.Events.rateSeriesFilled(allEv,
+          bucketMs = minMs, sharedGrid = false)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      byType.foreach { case (t, rows) =>
+        val bs = rows.map(_._2).sorted
+        val batchBuckets = batchGrid.keys.filter(_._1 == t).map(_._2)
+        assert(bs.head === batchBuckets.min,
+          s"$t grid must start at the type's first bucket")
+        assert(bs === (bs.head to bs.last),
+          s"$t rows must be gap-free: $bs")
+        rows.foreach { case (_, b, c) =>
+          if (b <= batchBuckets.max)
+            assert(c === batchGrid((t, b)), s"stream!=batch at ($t, $b)")
+          else assert(c === 0L, s"past-span rows are alarm zeros ($t, $b)")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel == batch funnel; out-of-order steps exact; quiet-horizon eviction") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "buy")
