@@ -1430,6 +1430,16 @@ object ExtQueries {
           Seq("source"))
         .orderBy("source")),
 
+    // q142's SKETCH sibling: the same Tukey screen with quartiles from
+    // histogram counters instead of a per-group sort — the shape that
+    // survives a billion-document group (<=128 counter rows shuffle per
+    // group; the sort never happens). Both forms green side by side IS
+    // the exact-vs-sketch trade, quantified.
+    "q146_tukey_sketch" -> ((s, dir) =>
+      graft.ext.Profile.tukeyOutliersSketch(docs(s, dir), col("n_chars"),
+          Seq("source"), lo = 0.0, hi = 1000.0)
+        .orderBy("source")),
+
     // Corpus snapshot diff: the change audit between two drops of the
     // documents table (derived here: new removes doc_id%13==5, edits
     // %17==2, old lacks %11==3) — added/removed/changed/unchanged per
@@ -1460,6 +1470,19 @@ object ExtQueries {
           minJaccard = 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.ext.Graph.triangleCounts(pairs).orderBy("node")
+    }),
+
+    // 2-core membership of the near-dup graph (Seidman 1983 peel):
+    // members sit in CYCLES of mutual near-dups — template-farm
+    // evidence one notch stronger than triangles (q139) — while chains
+    // peel away. Integer-pure iterated peel, each round materialized,
+    // loud contract if the cap can't reach the fixpoint; the oracle is
+    // the capped-iteration CTE mirror (post-fixpoint rounds no-op).
+    "q147_kcore" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.ext.Graph.kCore(pairs, k = 2, maxIters = 8).orderBy("node")
     }),
 
     // Prefix-filtered EXHAUSTIVE exact similarity self-join (Bayardo et
@@ -4652,6 +4675,36 @@ object ExtQueries {
        |FROM nodes n LEFT JOIN c USING (node)
        |ORDER BY node""".stripMargin
 
+  /** q147's oracle: the same peel as a capped CTE chain — `iters` rounds
+    * of degrees → keep(deg ≥ k) → filtered edges, all from q21's pair
+    * mirror. Rounds past the fixpoint are no-ops, so the engine's
+    * early-stopped fixpoint and this fixed-depth chain must agree. */
+  private def kCoreOracleSql(k: Int, iters: Int): String = {
+    // each e{r-1} is referenced three times per round — the CTEs MUST
+    // materialize or DuckDB's default inlining expands the chain 3^iters
+    // times (observed: fd exhaustion re-opening the parquet)
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${r - 1}
+         |    UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN k$r x ON x.node = e.a
+         |  JOIN k$r y ON y.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM (${baseOracleSql("q21_minhash_lsh")})),
+       |e0 AS MATERIALIZED (SELECT a, b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM e0
+       |          UNION SELECT DISTINCT b FROM e0),
+       |$rounds
+       |SELECT n.node, (k$iters.node IS NOT NULL) AS in_core
+       |FROM nodes n LEFT JOIN k$iters ON k$iters.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** q140's oracle: the same derived snapshots diffed by DIRECT column
     * comparison — no digests anywhere — so the engine's md5 channel is
     * checked against plain value semantics, not a mirror of itself. */
@@ -4723,8 +4776,60 @@ object ExtQueries {
     baseOracleSql +
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
+      ("q147_kcore" -> kCoreOracleSql(2, 8)) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +
+      // the q63 histogram-quantile mirror keyed by source, extended with
+      // the fence arithmetic and the second counting pass
+      ("q146_tukey_sketch" -> {
+        val (lo, hi) = (0.0, 1000.0)
+        val b = Sketches.HIST_BUCKETS
+        val w = (hi - lo) / b
+        s"""WITH h AS (
+           |  SELECT source,
+           |         CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - $lo) / $w),
+           |                             0), ${b - 1}) AS INT) AS hist_bucket,
+           |         count(*) AS hist_cnt
+           |  FROM documents GROUP BY 1, 2),
+           |c AS (
+           |  SELECT source, hist_bucket, hist_cnt,
+           |         sum(hist_cnt) OVER (PARTITION BY source ORDER BY hist_bucket
+           |                             ROWS UNBOUNDED PRECEDING) AS cum,
+           |         sum(hist_cnt) OVER (PARTITION BY source) AS n
+           |  FROM h),
+           |qs(q) AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE)),
+           |pick AS (
+           |  SELECT source, q, r, min(hist_bucket) AS hist_bucket
+           |  FROM (SELECT c.*, qs.q, greatest(CAST(ceil(qs.q * c.n) AS BIGINT), 1) AS r
+           |        FROM c CROSS JOIN qs)
+           |  WHERE cum >= r GROUP BY 1, 2, 3),
+           |est AS (
+           |  SELECT p.source, p.q,
+           |         round($lo + $w * (p.hist_bucket +
+           |               CAST(p.r - (c.cum - c.hist_cnt) AS DOUBLE) / c.hist_cnt), 6)
+           |           AS quantile_est
+           |  FROM pick p JOIN c ON c.source = p.source
+           |                    AND c.hist_bucket = p.hist_bucket),
+           |f0 AS (
+           |  SELECT source,
+           |         min(CASE WHEN q = 0.25 THEN quantile_est END) AS q1,
+           |         min(CASE WHEN q = 0.75 THEN quantile_est END) AS q3
+           |  FROM est GROUP BY 1),
+           |ff AS (
+           |  SELECT source, q1, q3,
+           |         round(q1 - 1.5 * round(q3 - q1, 6), 6) AS lo_fence,
+           |         round(q3 + 1.5 * round(q3 - q1, 6), 6) AS hi_fence
+           |  FROM f0)
+           |SELECT d.source, count(*) AS n, ff.q1, ff.q3,
+           |       ff.lo_fence, ff.hi_fence,
+           |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < ff.lo_fence
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > ff.hi_fence
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           |FROM documents d JOIN ff USING (source)
+           |GROUP BY 1, 3, 4, 5, 6
+           |ORDER BY d.source""".stripMargin
+      }) +
       // q33's k-means CTEs + q77's quota-rank mirror, per cell
       ("q144_cluster_balanced" ->
         s"""WITH ${kmeansCtes()},

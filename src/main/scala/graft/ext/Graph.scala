@@ -146,6 +146,75 @@ object Graph {
     }
   }
 
+  /** k-core membership (Seidman 1983 "Network structure and minimum
+    * degree"): the maximal subgraph where every node keeps degree ≥ k,
+    * found by iterated peeling — drop nodes under degree k, recompute,
+    * repeat to fixpoint. The dense-cluster detector of a near-dup graph:
+    * a 2-core member sits in a CYCLE of mutual near-dups (template
+    * farms), while tree-like chains peel away entirely — evidence one
+    * notch stronger than a triangle count of zero vs one. Returns
+    * (node, in_core) for every node of the input graph.
+    *
+    * Determinism: pure integer degrees and set membership — no float
+    * anywhere, any partitioning lands on the same fixpoint (the peel is
+    * confluent: removal order cannot change the maximal k-core).
+    *
+    * Shape at scale: each round is one degree groupBy (map-side
+    * partials) + two semi-join-shaped filters of the edge table against
+    * the node-sized keep set — edge-sized shuffles, node-sized state,
+    * every round MATERIALIZED (the CC/pageRank loop discipline, durable
+    * via `spark.graft.materialize.mode`). The convergence probe is one
+    * node-sized count per round (the CC loop's probe precedent). Rounds
+    * needed = peel depth, small on real graphs; a loud contract fails if
+    * `maxIters` rounds cannot reach the fixpoint rather than returning a
+    * half-peeled set — and the capped-mirror oracle stays exact because
+    * post-fixpoint rounds are no-ops. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 8,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1 && maxIters <= 50,
+      s"maxIters must be in [1, 50], got $maxIters")
+    val und0 = graft.ops.Materialize.stable(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      "kcore-e0")
+    val allNodes = graft.ops.Materialize.stable(
+      und0.select(col("a").as("node"))
+        .unionByName(und0.select(col("b").as("node"))).distinct(),
+      "kcore-nodes")
+    var e = und0
+    var keep: DataFrame = null
+    var prevCount = -1L
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__deg"))
+      keep = graft.ops.Materialize.stable(
+        deg.filter(col("__deg") >= k).select("node"), s"kcore-k$i")
+      val kc = keep.count()
+      if (kc == prevCount) converged = true
+      else {
+        prevCount = kc
+        e = graft.ops.Materialize.stable(
+          e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b"),
+          s"kcore-e${i + 1}")
+      }
+      i += 1
+    }
+    require(converged,
+      s"k-core peel did not reach its fixpoint within $maxIters rounds — " +
+        "raise maxIters (each round removes at least one node, so the " +
+        "peel depth of this graph exceeds the cap)")
+    allNodes
+      .join(keep.withColumn("__in", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__in"), lit(false)).as("in_core"))
+  }
+
   /** Per-node triangle counts over an undirected graph given as a pair
     * table (either orientation, self-loops ignored). Triangles are the
     * local-clustering signal of a near-dup graph: a doc whose neighbors

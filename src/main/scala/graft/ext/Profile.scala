@@ -278,6 +278,43 @@ object Profile {
           1L).otherwise(0L)).as("n_high"))
   }
 
+  /** The SKETCH member of the [[tukeyOutliers]] family: quartiles from
+    * per-group histogram counters ([[Sketches.histCounts]] →
+    * [[Sketches.histQuantiles]] — rank-interpolated inside deterministic
+    * fixed bins) instead of an exact per-group sort. For groups too large
+    * to sort in one window partition — a billion-document language — the
+    * histogram pass is ONE map-side-combined groupBy whose shuffle
+    * carries ≤ `buckets` counter rows per group, and the quantile
+    * extraction runs on sketch-sized data; the fence counts are a second
+    * map-only pass against the group-cardinality-sized fence table
+    * (broadcastIfSmall — degrades to a shuffled join past the bound).
+    * Same estimates whatever the partitioning (integer counters +
+    * fixed binning), so the approximate numbers are still hash-provable
+    * cross-engine. Returns (keys..., n, q1, q3, lo_fence, hi_fence,
+    * n_low, n_high) with the quantile estimates rounded to 6 dp. */
+  def tukeyOutliersSketch(df: DataFrame, valueCol: Column, keys: Seq[String],
+                          lo: Double, hi: Double,
+                          buckets: Int = Sketches.HIST_BUCKETS): DataFrame = {
+    require(keys.nonEmpty, "tukeyOutliersSketch needs at least one group key")
+    val kc = keys.map(col)
+    val hist = Sketches.histCounts(df, keys, valueCol, lo, hi, buckets)
+    val fences = Sketches
+      .histQuantiles(hist, keys, lo, hi, Seq(0.25, 0.75), buckets)
+      .groupBy(kc: _*)
+      .agg(min(when(col("q") === 0.25, col("quantile_est"))).as("q1"),
+        min(when(col("q") === 0.75, col("quantile_est"))).as("q3"))
+      .withColumn("iqr", round(col("q3") - col("q1"), 6))
+      .withColumn("lo_fence", round(col("q1") - lit(1.5) * col("iqr"), 6))
+      .withColumn("hi_fence", round(col("q3") + lit(1.5) * col("iqr"), 6))
+    df.select(kc :+ valueCol.cast("double").as("__x"): _*)
+      .join(graft.ops.Guards.broadcastIfSmall(fences), keys)
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"), max("q1").as("q1"), max("q3").as("q3"),
+        max("lo_fence").as("lo_fence"), max("hi_fence").as("hi_fence"),
+        sum(when(col("__x") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__x") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Corpus snapshot diff: per-id status between two drops of the same
     * table — `added` (only in new), `removed` (only in old), `changed`
     * (both, compared columns differ), `unchanged`. The change audit an

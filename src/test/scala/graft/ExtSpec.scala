@@ -639,6 +639,27 @@ class DedupSpec extends SparkTestBase {
     assert(got === brute, "degree-oriented counts must equal brute force")
   }
 
+  test("kCore: cycle survives the 2-core peel, tail chain peels away in cascade; cap contract trips loudly") {
+    // triangle 0-1-2 with a pendant chain 2-3-4: the chain must peel in
+    // CASCADE (4 first, then 3), proving the iteration, while the
+    // triangle survives
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.kCore(edges.repartition(3), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> true,
+      3L -> false, 4L -> false), s"2-core of triangle+chain: $got")
+    // k=3: the whole graph peels to empty, and every node still reports
+    val none = graft.ext.Graph.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(none.size === 5 && none.values.forall(_ == false))
+    // a long chain needs one peel round per link — cap 1 must trip
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.ext.Graph.kCore(chain, k = 2, maxIters = 1)
+    }
+  }
+
   test("allPairsExact property: == brute-force exact join on random corpora; prefix filter prunes") {
     val rnd = new scala.util.Random(41)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
@@ -1601,6 +1622,30 @@ class SketchesSpec extends SparkTestBase {
           r.getLong(5), r.getLong(6))).toMap
     assert(got("g1") === ((9L, 3L, 7L, 4L, 0L, 1L)), s"g1: ${got("g1")}")
     assert(got("g2") === ((4L, 5L, 5L, 0L, 0L, 0L)), s"g2: ${got("g2")}")
+  }
+
+  test("tukeyOutliersSketch: flags the fat tail like the exact form; estimates within one bin; partition-invariant") {
+    val df = (((1L to 8L).map(("g1", _)) :+ ("g1", 100L)) ++
+      (1 to 4).map(_ => ("g2", 5L))).toDF("g", "x")
+    val got = graft.ext.Profile.tukeyOutliersSketch(df.repartition(3),
+        col("x"), Seq("g"), lo = 0.0, hi = 128.0, buckets = 128)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(6), r.getLong(7))).toMap
+    val (n1, q1, q3, lo1, hi1) = got("g1")
+    assert(n1 === 9L && lo1 === 0L && hi1 === 1L,
+      s"sketch fences must flag exactly the 100-outlier: ${got("g1")}")
+    // exact quartiles are 3 and 7; bin-width-1 estimates land within one
+    assert(math.abs(q1 - 3.0) <= 1.0 && math.abs(q3 - 7.0) <= 1.0,
+      s"estimates within one bin of the exact quartiles: ${got("g1")}")
+    assert(got("g2")._4 === 0L && got("g2")._5 === 0L,
+      s"constant group has no outliers: ${got("g2")}")
+    val again = graft.ext.Profile.tukeyOutliersSketch(df.repartition(7),
+        col("x"), Seq("g"), lo = 0.0, hi = 128.0, buckets = 128)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(again === got, "sketch quantiles must be partitioning-invariant")
   }
 
   test("corpusDiff: statuses partition the id union; null vs empty distinguished; duplicate ids fail loudly") {
