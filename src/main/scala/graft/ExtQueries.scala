@@ -205,16 +205,19 @@ object ExtQueries {
     // cap every k-means cell at an exact per-cell quota so dominant
     // modes stop drowning the tail — q33's cells composed with q77's
     // deterministic exact-quota rank, reported as per-cell
-    // total/kept/checksum. The quota window partitions by CELL (never
-    // global); the assignment materializes once and feeds both the
+    // total/kept/checksum. The quota pass is the AT-SCALE form — a 100 TB
+    // cell is corpus-sized, so the direct per-cell rank window would
+    // single-partition-sort it; the hash-threshold pre-filter bounds the
+    // window input to ~margin*quota rows per cell with a provable-identity
+    // rescue path. The assignment materializes once and feeds both the
     // size table and the quota rank.
     "q144_cluster_balanced" -> ((s, dir) => {
       val assigned = graft.ops.Materialize.stable(
         SimSearch.kmeansAssign(corpus(s, dir), k = 8, iters = 2)
           .select(col("vec_id"), col("cell")),
         "cluster-balanced-assign")
-      val kept = TextAnalysis.exactQuotaSample(assigned, "cell", "vec_id",
-        quota = 40, salt = "cb-v1")
+      val kept = TextAnalysis.exactQuotaSampleAtScale(assigned, "cell",
+        "vec_id", quota = 40, salt = "cb-v1")
       val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_total"))
       kept.groupBy("cell")
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("kept_id_sum"))
