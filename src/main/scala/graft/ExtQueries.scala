@@ -1389,6 +1389,23 @@ object ExtQueries {
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
         .orderBy("col_name")),
 
+    // Incremental column profile: three per-shard q132 states merged ==
+    // the from-scratch profile, answered against q132's oracle VERBATIM
+    // (the q119/q125 increment==rebuild discipline applied to the
+    // data-quality report). Counts add, bounds min/max, HLL registers
+    // element-wise max — a standing profile never re-reads old drops.
+    "q148_profile_incremental" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val li = t(s, dir, "lineitem")
+      val states = (0 to 2).map(sh =>
+        graft.ext.Profile.profileColumnsState(
+          li.filter(col("l_orderkey") % 3 === sh), cols))
+        .reduce(_.unionByName(_))
+      graft.ext.Profile.profileFinalize(
+          graft.ext.Profile.profileMerge(states))
+        .orderBy("col_name")
+    }),
+
     // PageRank over the near-dup graph (Brin & Page 1998): rank docs by
     // duplicate-cluster centrality — the link-authority loop every
     // crawl-curation stack runs, here over the q21 pairs symmetrized.
@@ -4919,6 +4936,9 @@ object ExtQueries {
       ("q131_pagerank" -> pageRankOracleSql(5)) +
       ("q138_personalized_pagerank" -> pprOracleSql(5)) +
       ("q132_column_profile" -> columnProfileOracleSql) +
+      // increment == rebuild: q132's from-scratch oracle VERBATIM,
+      // answered through merged per-shard profile states
+      ("q148_profile_incremental" -> columnProfileOracleSql) +
       ("q133_embedding_drift" -> embeddingDriftOracleSql) +
       ("q135_bootstrap_ci" -> bootstrapOracleSql(None)) +
       ("q136_bootstrap_by_source" -> bootstrapOracleSql(Some("source"))) +

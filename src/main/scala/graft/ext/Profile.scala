@@ -278,6 +278,49 @@ object Profile {
           1L).otherwise(0L)).as("n_high"))
   }
 
+  /** MERGEABLE form of [[profileColumns]]: one state row per column —
+    * (col_name, n_rows, n_null, min_v, max_v, hll_registers) — where
+    * every field merges associatively (sums, min/max, register max).
+    * Real pipelines profile per drop/day/shard and combine: the state is
+    * what you persist, [[profileMerge]] combines states, and
+    * [[profileFinalize]] yields exactly [[profileColumns]]' report.
+    * merge == rebuild EXACTLY (register max is the sketch union), so an
+    * incremental profile never re-reads old drops. */
+  def profileColumnsState(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumnsState needs at least one column")
+    val entries = array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)
+    val stream = df.select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val base = stream.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    val regs = Sketches.hllRegisters(
+      stream.filter(col("v").isNotNull), Seq("col_name"), col("v"))
+    base.join(regs, Seq("col_name"), "left")
+  }
+
+  /** Merge profile states across rows (shards/days/engines) per column:
+    * counts add, string bounds min/max, registers element-wise max —
+    * all associative, so any merge tree gives the rebuild's state. */
+  def profileMerge(states: DataFrame): DataFrame = {
+    val base = states.groupBy("col_name").agg(
+      sum("n_rows").as("n_rows"), sum("n_null").as("n_null"),
+      min("min_v").as("min_v"), max("max_v").as("max_v"))
+    val regs = Sketches.hllMergeAgg(
+      states.select("col_name", "hll_registers").na.drop(Seq("hll_registers")),
+      Seq("col_name"))
+    base.join(regs, Seq("col_name"), "left")
+  }
+
+  /** State → the [[profileColumns]] report (identical schema/values). */
+  def profileFinalize(state: DataFrame): DataFrame =
+    state.select(col("col_name"), col("n_rows"), col("n_null"),
+      coalesce(Sketches.hllEstimate("hll_registers"), lit(0.0))
+        .as("approx_distinct"),
+      col("min_v"), col("max_v"))
+
   /** The SKETCH member of the [[tukeyOutliers]] family: quartiles from
     * per-group histogram counters ([[Sketches.histCounts]] →
     * [[Sketches.histQuantiles]] — rank-interpolated inside deterministic

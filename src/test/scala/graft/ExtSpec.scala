@@ -1624,6 +1624,23 @@ class SketchesSpec extends SparkTestBase {
     assert(got("g2") === ((4L, 5L, 5L, 0L, 0L, 0L)), s"g2: ${got("g2")}")
   }
 
+  test("profile states: merge == rebuild exactly, nulls and bounds included; finalize == profileColumns") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"v${i % 40}")).toDF("id", "s")
+    val cols = Seq("id", "s")
+    val whole = graft.ext.Profile.profileColumns(df, cols)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val merged = graft.ext.Profile.profileFinalize(
+        graft.ext.Profile.profileMerge(
+          (0 to 2).map(k =>
+            graft.ext.Profile.profileColumnsState(
+              df.filter(col("id") % 3 === k), cols))
+            .reduce(_.unionByName(_))))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged === whole,
+      s"merged per-shard states must equal the from-scratch profile:\n$merged\n$whole")
+  }
+
   test("tukeyOutliersSketch: flags the fat tail like the exact form; estimates within one bin; partition-invariant") {
     val df = (((1L to 8L).map(("g1", _)) :+ ("g1", 100L)) ++
       (1 to 4).map(_ => ("g2", 5L))).toDF("g", "x")
