@@ -183,6 +183,22 @@ object StreamOps {
                         value: org.apache.spark.sql.Column): DataFrame =
     graft.ext.Sketches.sparseRegisters(rows, keys, value)
 
+  /** Streaming count-min counters: [[graft.ext.Sketches.cmsCounters]]
+    * applied to the stream — one update-mode aggregation whose state is
+    * the (row, bucket) counter table, bounded at depth × width per key
+    * group whatever the stream's cardinality. Counters ADD across
+    * micro-batches (multiset union), so the standing state IS the batch
+    * sketch of everything seen: point it at
+    * [[graft.ext.Sketches.cmsEstimate]] for live heavy-hitter screens,
+    * or persist it and merge with batch counters via `cmsMergeAgg` (the
+    * q120 screen fed by a stream instead of a scan). The streaming
+    * sibling of [[hllRegisterStream]] — frequencies where that is
+    * distincts. */
+  def cmsCounterStream(rows: DataFrame, keys: Seq[String],
+                       value: org.apache.spark.sql.Column,
+                       width: Int = graft.ext.Sketches.CMS_WIDTH): DataFrame =
+    graft.ext.Sketches.cmsCounters(rows, keys, value, width)
+
   /** Exact-dedup ON INGEST: drop arriving rows whose dedup key (e.g.
     * md5(text)) already exists in the SEEN-corpus key table — a
     * stream-static LEFT ANTI join, map-only per micro-batch, zero

@@ -59,6 +59,41 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming count-min counters == batch sketch; estimates over stream state match batch estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.cmsCounterStream(in.toDF().toDF("g", "v"), Seq("g"), col("v")),
+      "cms_stream_test", OutputMode.Update())
+    try {
+      // skewed stream: "hot" dominates, split across two micro-batches
+      val batch1 = (1 to 300).map(i => ("g1", if (i % 3 == 0) "hot" else s"v$i"))
+      val batch2 = (1 to 200).map(i => ("g1", if (i % 2 == 0) "hot" else s"w$i"))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update-mode sink appends each counter's updates; counters only
+      // grow, so the latest value per cell is its max
+      val streamed = spark.table("cms_stream_test")
+        .groupBy("g", "cms_row", "cms_bucket")
+        .agg(max("cms_cnt").as("cms_cnt"))
+      val batch = graft.ext.Sketches.cmsCounters(
+        (batch1 ++ batch2).toDF("g", "v"), Seq("g"), col("v"))
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(cells(streamed) === cells(batch),
+        "streamed counter state must equal the batch sketch")
+      // and the estimate over the streamed state answers like batch
+      val probe = Seq(Tuple1("hot")).toDF("v")
+      val est = graft.ext.Sketches.cmsEstimate(probe,
+          streamed.drop("g"), col("v"))
+        .head.getLong(1)
+      assert(est >= 200L, s"the hot key's estimate must dominate: $est")
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup screen drops seen keys, passes fresh ones") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
