@@ -99,4 +99,16 @@ class MaterializeSpec extends SparkTestBase {
       ("u3", "view", 40L)).toDF("user_id", "event_type", "ts_ms")
     pinAcrossModes(Events.funnel(ev, Seq("view", "click", "buy")))
   }
+
+  test("graph loops (kCore, triangleCounts) and the rate grid identical across modes") {
+    val edges = (Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L)) ++
+      (10L to 14L).map(i => (i, i + 1))).toDF("src", "dst")
+    pinAcrossModes(graft.ext.Graph.kCore(edges, k = 2).orderBy("node"))
+    pinAcrossModes(
+      graft.ext.Graph.triangleCounts(edges).orderBy("node"))
+    val ev = Seq(("a", 0L), ("a", 3600000L * 3), ("b", 3600000L))
+      .toDF("event_type", "ts_ms")
+    pinAcrossModes(
+      Events.rateSeriesFilled(ev).orderBy("event_type", "bucket"))
+  }
 }
