@@ -1450,6 +1450,34 @@ object ExtQueries {
           Seq("source"))
         .orderBy("source")),
 
+    // Jaro-Winkler top-k fuzzy match — q08's shape under the OTHER
+    // classic name-matching metric: edit distance charges a keystroke
+    // swap two edits, JW forgives it and pays a prefix bonus. The
+    // scorer is a native codegen'd binary expression (the levenshtein
+    // rule: no UDF in a pairwise hot path), semantics pinned to
+    // DuckDB's jaro_winkler_similarity (floored half-transpositions,
+    // 0.7 boost threshold, 4-char prefix cap); round(6) BEFORE the
+    // rank per the rank-stability rule. Probe side is a structurally
+    // bounded dimension list -> broadcast nested loop, corpus side
+    // streams.
+    "q149_fuzzy_jw_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val search = t(s, dir, "supplier")
+        .select(col("s_name").as("search_val")).distinct()
+      val data = t(s, dir, "part")
+        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+      val w = Window.partitionBy("search_val")
+        .orderBy(desc("sim"), col("data_id"))
+      broadcast(search).crossJoin(data)
+        .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
+          graft.ops.Normalize.norm(col("search_val")),
+          graft.ops.Normalize.norm(col("match_val"))), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("search_val", "rnk", "match_val", "data_id", "sim")
+        .orderBy("search_val", "rnk")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -4797,6 +4825,26 @@ object ExtQueries {
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q147_kcore" -> kCoreOracleSql(2, 8)) +
+      // DuckDB's own jaro_winkler_similarity IS the independent scorer —
+      // the strongest possible oracle for a hand-built metric kernel
+      ("q149_fuzzy_jw_topk" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
+           |data AS (SELECT p_partkey AS data_id, p_name AS match_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, d.match_val, d.data_id,
+           |         round(jaro_winkler_similarity(${n("s.search_val")},
+           |                                       ${n("d.match_val")}), 6) AS sim
+           |  FROM search s CROSS JOIN data d),
+           |ranked AS (
+           |  SELECT search_val, match_val, data_id, sim,
+           |         CAST(row_number() OVER (PARTITION BY search_val
+           |                ORDER BY sim DESC, data_id) AS INT) AS rnk
+           |  FROM scored)
+           |SELECT search_val, rnk, match_val, data_id, sim
+           |FROM ranked WHERE rnk <= 3
+           |ORDER BY search_val, rnk""".stripMargin
+      }) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +
       // the q63 histogram-quantile mirror keyed by source, extended with

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -284,6 +284,60 @@ object TextKernels {
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)
   }
+
+  /** Standard Jaro–Winkler similarity (Winkler 1990) over code points:
+    * Jaro with match window max(|a|,|b|)/2 − 1, half-transpositions
+    * floored (the integer-division convention DuckDB's
+    * `jaro_winkler_similarity` follows — probed: 'abcdef'/'bcadef' =
+    * 0.944…, i.e. t = ⌊3/2⌋), then the Winkler prefix bonus (≤ 4 chars,
+    * p = 0.1) applied only above the 0.7 boost threshold. Complements
+    * the Levenshtein family: edit distance charges transposed PAIRS two
+    * edits, Jaro–Winkler forgives them — the right metric for
+    * keystroke-swap-heavy name matching. */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val s = ua.toString.codePoints().toArray
+    val t = ub.toString.codePoints().toArray
+    val la = s.length
+    val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val sM = new Array[Boolean](la)
+    val tM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tM(j) && t(j) == s(i)) {
+          sM(i) = true; tM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var d = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s(i) != t(k)) d += 1
+        k += 1
+      }
+      i += 1
+    }
+    val trans = d / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - trans).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(la, lb))
+    while (p < maxP && s(p) == t(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
 }
 
 /** `distinct_word_shingles(text, k)`: the DISTINCT set of k-token shingles
@@ -356,7 +410,40 @@ case class CdcChunksExpr(child: Expression, k: Int, modulus: Int) extends UnaryE
     copy(child = newChild)
 }
 
+/** `jaro_winkler(a, b)`: standard Jaro–Winkler similarity in [0, 1] —
+  * see [[TextKernels.jaroWinkler]]. A native codegen'd scalar so the
+  * fuzzy-join hot path stays inside whole-stage codegen (the same rule
+  * that keeps `levenshtein` native). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
+  /** Column API for [[JaroWinklerExpr]]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    bridge.column(JaroWinklerExpr(bridge.expression(a), bridge.expression(b)))
+
   /** Column API for [[DistinctWordShingles]]. */
   def distinctShingles(text: Column, k: Int = 3): Column =
     bridge.column(DistinctWordShingles(bridge.expression(text), k))

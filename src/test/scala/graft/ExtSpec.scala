@@ -258,6 +258,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(engine === samples.map(TextAnalysis.h60Local))
   }
 
+  test("jaroWinkler: DuckDB-verified fixtures, codegen == interpreted, null/empty handling") {
+    import graft.functions.TextKernels.{jaroWinkler => jw}
+    def j(a: String, b: String): Double =
+      jw(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // values probed from DuckDB's jaro_winkler_similarity (the oracle)
+    val fixtures = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("DWAYNE", "DUANE", 0.84),
+      ("CRATE", "TRACE", 0.7333333333), // window excludes C/T: m=3
+      ("prefix", "prefixxxxxxxxxxxxxxxxxxx", 0.85), // 4-char prefix cap
+      ("abcdefgh", "abzzzzzz", 0.5), // below boost threshold: no bonus
+      ("ab", "ba", 0.0), // window 0: positional matches only
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("", "", 0.0))
+    fixtures.foreach { case (a, b, want) =>
+      assert(math.abs(j(a, b) - want) < 1e-9, s"jw($a, $b)")
+      assert(j(a, b) === j(b, a), "symmetry")
+    }
+    // floored half-transpositions: the abc/bca 3-cycle inside a window
+    assert(math.abs(j("abcdef", "bcadef") - 0.9444444444) < 1e-9)
+    // the Column API agrees with the kernel (and survives codegen)
+    val df = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE"), (null, "x"))
+      .toDF("a", "b")
+      .select(graft.functions.TextExprs.jaroWinkler(col("a"), col("b")).as("s"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.9611111111) < 1e-9)
+    assert(math.abs(rows(1).getDouble(0) - 0.7333333333) < 1e-9)
+    assert(rows(2).isNullAt(0), "null input -> null similarity")
+  }
+
   test("winnow: randomized overlap guarantee (shared substring >= k+w-1 shares a hash)") {
     import graft.functions.Winnow
     val rnd = new scala.util.Random(99)
