@@ -600,6 +600,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q149 jaro-winkler: probe broadcasts, scorer stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q149_fuzzy_jw_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded probe list must broadcast; the corpus streams:\n" + p)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.linesIterator.exists(l => l.contains("jaro_winkler") && l.contains("*(")),
+      s"jaro_winkler must appear inside a WholeStageCodegen stage:\n$p")
+  }
+
   test("vector kernel stays inside whole-stage codegen") {
     // AQE wraps stages in codegen only at materialization; execute first,
     // then look for our expression inside a starred (*(n) = codegen) node.
