@@ -1478,6 +1478,29 @@ object ExtQueries {
         .orderBy("search_val", "rnk")
     }),
 
+    // Full Damerau-Levenshtein top-k (Lowrance-Wagner 1975, the
+    // unrestricted variant DuckDB implements): integer distances, the
+    // levenshtein column alongside so every row QUANTIFIES what the
+    // transposition discount buys on real names. Same broadcast
+    // nested-loop shape as q149/q08.
+    "q150_fuzzy_dl_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val search = t(s, dir, "supplier")
+        .select(col("s_name").as("search_val")).distinct()
+      val data = t(s, dir, "part")
+        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+      val na = graft.ops.Normalize.norm(col("search_val"))
+      val nb = graft.ops.Normalize.norm(col("match_val"))
+      val w = Window.partitionBy("search_val").orderBy("dl", "data_id")
+      broadcast(search).crossJoin(data)
+        .withColumn("dl", graft.functions.TextExprs.damerauLevenshtein(na, nb))
+        .withColumn("lev", levenshtein(na, nb))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("search_val", "rnk", "match_val", "data_id", "dl", "lev")
+        .orderBy("search_val", "rnk")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -4842,6 +4865,27 @@ object ExtQueries {
            |                ORDER BY sim DESC, data_id) AS INT) AS rnk
            |  FROM scored)
            |SELECT search_val, rnk, match_val, data_id, sim
+           |FROM ranked WHERE rnk <= 3
+           |ORDER BY search_val, rnk""".stripMargin
+      }) +
+      // DuckDB's own damerau_levenshtein scores the mirror
+      ("q150_fuzzy_dl_topk" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
+           |data AS (SELECT p_partkey AS data_id, p_name AS match_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, d.match_val, d.data_id,
+           |         CAST(damerau_levenshtein(${n("s.search_val")},
+           |                                  ${n("d.match_val")}) AS INT) AS dl,
+           |         CAST(levenshtein(${n("s.search_val")},
+           |                          ${n("d.match_val")}) AS INT) AS lev
+           |  FROM search s CROSS JOIN data d),
+           |ranked AS (
+           |  SELECT search_val, match_val, data_id, dl, lev,
+           |         CAST(row_number() OVER (PARTITION BY search_val
+           |                ORDER BY dl, data_id) AS INT) AS rnk
+           |  FROM scored)
+           |SELECT search_val, rnk, match_val, data_id, dl, lev
            |FROM ranked WHERE rnk <= 3
            |ORDER BY search_val, rnk""".stripMargin
       }) +

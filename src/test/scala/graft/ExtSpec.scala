@@ -290,6 +290,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(2).isNullAt(0), "null input -> null similarity")
   }
 
+  test("damerauLevenshtein: full (unrestricted) variant fixtures; transposition beats plain levenshtein by one") {
+    import graft.functions.TextKernels.{damerauLevenshtein => dl}
+    def d(a: String, b: String): Int =
+      dl(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // DuckDB-probed fixtures; ca/abc = 2 is the canonical full-vs-OSA
+    // discriminator (OSA prices it 3)
+    val fixtures = Seq(("ca", "abc", 2), ("abcdef", "abcfed", 2),
+      ("MARTHA", "MARHTA", 1), ("ab", "ba", 1), ("", "abc", 3),
+      ("kitten", "sitting", 3), ("aab", "aba", 1), ("abc", "abc", 0))
+    fixtures.foreach { case (a, b, want) =>
+      assert(d(a, b) === want, s"dl($a, $b)")
+      assert(d(a, b) === d(b, a), "symmetry")
+    }
+    // randomized sanity vs plain levenshtein: dl <= lev always, and a
+    // pure adjacent swap costs exactly 1
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+      val b = Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+      val lev = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).head.getInt(0)
+      assert(d(a, b) <= lev, s"dl must never exceed levenshtein: $a $b")
+    }
+    val rows = Seq(("smith", "simth"), (null, "x")).toDF("a", "b")
+      .select(graft.functions.TextExprs.damerauLevenshtein(col("a"), col("b"))
+        .as("d")).collect()
+    assert(rows(0).getInt(0) === 1, "adjacent swap costs 1 through the Column API")
+    assert(rows(1).isNullAt(0))
+  }
+
   test("winnow: randomized overlap guarantee (shared substring >= k+w-1 shares a hash)") {
     import graft.functions.Winnow
     val rnd = new scala.util.Random(99)
