@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, WinnowFingerprint, WordShingles}
+import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DistinctWordShingles, DotProduct, JaroWinklerExpr, WinnowFingerprint, WordShingles}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works anywhere the library is
@@ -19,6 +19,8 @@ import graft.functions.{CosineSimilarity, DistinctWordShingles, DotProduct, Winn
   *   - `distinct_word_shingles(text[, k])`  distinct k-token shingles (k=3)
   *   - `word_shingles(text[, k])`           ALL k-token shingles, positional (k=3)
   *   - `winnow_fingerprint(text[, k, w])`   winnowing hash set (k=5, w=4)
+  *   - `jaro_winkler(a, b)`                 Jaro–Winkler similarity [0, 1]
+  *   - `damerau_levenshtein(a, b)`          full (unrestricted) DL distance
   *
   * The integer parameters must be literals (they parameterize generated
   * code, not per-row data).
@@ -49,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (es: Seq[Expression]) => WordShingles(es.head,
         if (es.length > 1) litInt(es(1), "shingle size k") else 3)))
+
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinklerExpr(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName, "damerau_levenshtein"),
+      (es: Seq[Expression]) => DamerauLevenshteinExpr(es(0), es(1))))
 
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),

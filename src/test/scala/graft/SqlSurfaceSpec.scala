@@ -39,6 +39,14 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("jaro_winkler / damerau_levenshtein callable from SQL") {
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |       damerau_levenshtein('ca', 'abc') AS dl""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-9)
+    assert(r.getInt(1) === 2, "full (unrestricted) variant: ca/abc = 2")
+  }
+
   test("full fuzzy classify expressible in ONE SQL statement over the engine's functions") {
     spark.read.parquet("/root/testdata/sf0.001/part.parquet").createOrReplaceTempView("part_v")
     val out = spark.sql(
