@@ -1462,16 +1462,21 @@ object ExtQueries {
     // streams.
     "q149_fuzzy_jw_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // normalize each SIDE before the product (the FuzzyJoin.topK rule:
+      // 21k regex evaluations, not 40M inside the cross join — measured
+      // 60 s -> ~8 s at sf0.1)
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
-      val data = t(s, dir, "part")
-        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+        .withColumn("s_norm", graft.ops.Normalize.norm(col("search_val")))
+      val data = graft.ops.Partitioning.spread(t(s, dir, "part")
+        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val")))
+        .withColumn("m_norm", graft.ops.Normalize.norm(col("match_val")))
       val w = Window.partitionBy("search_val")
         .orderBy(desc("sim"), col("data_id"))
       broadcast(search).crossJoin(data)
         .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
-          graft.ops.Normalize.norm(col("search_val")),
-          graft.ops.Normalize.norm(col("match_val"))), 6))
+          col("s_norm"), col("m_norm")), 6))
+        .drop("s_norm", "m_norm")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("search_val", "rnk", "match_val", "data_id", "sim")
@@ -1485,16 +1490,19 @@ object ExtQueries {
     // nested-loop shape as q149/q08.
     "q150_fuzzy_dl_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // side-normalization before the product, per the FuzzyJoin rule
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
-      val data = t(s, dir, "part")
-        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
-      val na = graft.ops.Normalize.norm(col("search_val"))
-      val nb = graft.ops.Normalize.norm(col("match_val"))
+        .withColumn("s_norm", graft.ops.Normalize.norm(col("search_val")))
+      val data = graft.ops.Partitioning.spread(t(s, dir, "part")
+        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val")))
+        .withColumn("m_norm", graft.ops.Normalize.norm(col("match_val")))
       val w = Window.partitionBy("search_val").orderBy("dl", "data_id")
       broadcast(search).crossJoin(data)
-        .withColumn("dl", graft.functions.TextExprs.damerauLevenshtein(na, nb))
-        .withColumn("lev", levenshtein(na, nb))
+        .withColumn("dl", graft.functions.TextExprs.damerauLevenshtein(
+          col("s_norm"), col("m_norm")))
+        .withColumn("lev", levenshtein(col("s_norm"), col("m_norm")))
+        .drop("s_norm", "m_norm")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("search_val", "rnk", "match_val", "data_id", "dl", "lev")

@@ -285,6 +285,41 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-thread scratch for the pairwise metric kernels: a broadcast
+    * nested-loop fuzzy pass evaluates the kernel tens of millions of
+    * times per task, and per-call allocation (codepoint arrays, the DL
+    * matrix, a transposition map) made the first cut ~17× slower than
+    * Spark's allocation-free levenshtein at sf0.1 (59 s / 74 s for 20M
+    * pairs vs ~4 s). Buffers grow to the high-water mark and are reused;
+    * the `daStamp` version counter makes the ASCII transposition map
+    * O(1) to "clear". */
+  private final class MetricScratch {
+    var cpA = new Array[Int](64)
+    var cpB = new Array[Int](64)
+    var mA = new Array[Boolean](64)
+    var mB = new Array[Boolean](64)
+    var dlRows = new Array[Int](0)
+    val daAscii = new Array[Int](128)
+    val daStampArr = new Array[Int](128)
+    var daVersion = 0
+  }
+  private val scratch = new ThreadLocal[MetricScratch] {
+    override def initialValue(): MetricScratch = new MetricScratch
+  }
+  private def fillCps(s: String, buf0: Array[Int]): (Array[Int], Int) = {
+    var buf = buf0
+    if (buf.length < s.length) buf = new Array[Int](s.length)
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      buf(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    (buf, n)
+  }
+
   /** Standard Jaro–Winkler similarity (Winkler 1990) over code points:
     * Jaro with match window max(|a|,|b|)/2 − 1, half-transpositions
     * floored (the integer-division convention DuckDB's
@@ -293,16 +328,20 @@ object TextKernels {
     * p = 0.1) applied only above the 0.7 boost threshold. Complements
     * the Levenshtein family: edit distance charges transposed PAIRS two
     * edits, Jaro–Winkler forgives them — the right metric for
-    * keystroke-swap-heavy name matching. */
+    * keystroke-swap-heavy name matching. Allocation-free on the hot
+    * path (thread-local scratch — see [[MetricScratch]]). */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val s = ua.toString.codePoints().toArray
-    val t = ub.toString.codePoints().toArray
-    val la = s.length
-    val lb = t.length
+    val sc = scratch.get()
+    val (s, la) = fillCps(ua.toString, sc.cpA); sc.cpA = s
+    val (t, lb) = fillCps(ub.toString, sc.cpB); sc.cpB = t
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
-    val sM = new Array[Boolean](la)
-    val tM = new Array[Boolean](lb)
+    if (sc.mA.length < la) sc.mA = new Array[Boolean](la)
+    if (sc.mB.length < lb) sc.mB = new Array[Boolean](lb)
+    val sM = sc.mA
+    val tM = sc.mB
+    java.util.Arrays.fill(sM, 0, la, false)
+    java.util.Arrays.fill(tM, 0, lb, false)
     var m = 0
     var i = 0
     while (i < la) {
@@ -347,39 +386,62 @@ object TextKernels {
     * oracle can score with DuckDB's own function. A keystroke swap
     * costs 1 where plain Levenshtein charges 2. */
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
-    val la = a.length
-    val lb = b.length
+    if (ua.equals(ub)) return 0
+    val sc = scratch.get()
+    val (a, la) = fillCps(ua.toString, sc.cpA); sc.cpA = a
+    val (b, lb) = fillCps(ub.toString, sc.cpB); sc.cpB = b
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = inf
+    // flat (la+2) x (lb+2) matrix in reusable thread-local storage — the
+    // Lowrance–Wagner transposition term indexes ARBITRARY earlier rows,
+    // so the matrix cannot roll; reuse beats reallocation
+    val stride = lb + 2
+    val need = (la + 2) * stride
+    if (sc.dlRows.length < need) sc.dlRows = new Array[Int](need)
+    val d = sc.dlRows
+    d(0) = inf
     var i = 0
-    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    while (i <= la) { d((i + 1) * stride + 1) = i; d((i + 1) * stride) = inf; i += 1 }
     var j = 0
-    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val da = new java.util.HashMap[Int, Int]()
+    while (j <= lb) { d(stride + j + 1) = j; d(j + 1) = inf; j += 1 }
+    // last-seen-row map for the transposition term: version-stamped
+    // 128-slot array for ASCII codepoints (O(1) reset), HashMap spill
+    // for anything wider
+    sc.daVersion += 1
+    val ver = sc.daVersion
+    var wide: java.util.HashMap[Integer, Integer] = null
+    def daGet(cp: Int): Int =
+      if (cp < 128) { if (sc.daStampArr(cp) == ver) sc.daAscii(cp) else 0 }
+      else if (wide == null) 0
+      else { val v = wide.get(Integer.valueOf(cp)); if (v == null) 0 else v.intValue() }
+    def daPut(cp: Int, row: Int): Unit =
+      if (cp < 128) { sc.daAscii(cp) = row; sc.daStampArr(cp) = ver }
+      else {
+        if (wide == null) { wide = new java.util.HashMap[Integer, Integer]() }
+        wide.put(Integer.valueOf(cp), Integer.valueOf(row))
+      }
     i = 1
     while (i <= la) {
       var db = 0
+      val ai = a(i - 1)
       j = 1
       while (j <= lb) {
-        val k = da.getOrDefault(b(j - 1), 0)
+        val k = daGet(b(j - 1))
         val l = db
-        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
-        val sub = d(i)(j) + cost
-        val ins = d(i + 1)(j) + 1
-        val del = d(i)(j + 1) + 1
-        val trs = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
-        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trs))
+        val cost = if (ai == b(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * stride + j) + cost
+        val ins = d((i + 1) * stride + j) + 1
+        val del = d(i * stride + j + 1) + 1
+        val trs = d(k * stride + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * stride + j + 1) =
+          math.min(math.min(sub, ins), math.min(del, trs))
         j += 1
       }
-      da.put(a(i - 1), i)
+      daPut(ai, i)
       i += 1
     }
-    d(la + 1)(lb + 1)
+    d((la + 1) * stride + lb + 1)
   }
 }
 
