@@ -45,6 +45,7 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var runsSinceGc = 0
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       if (errors.contains(name)) None
       else try {
@@ -56,6 +57,22 @@ object Bench {
         // release between runs (untimed: caching is per-plan, so no rep
         // ever reuses a previous rep's cache anyway).
         spark.catalog.clearCache()
+        // clearCache() only drains CacheManager. Materialize.stable in
+        // ExecutorLocal mode goes through localCheckpoint(), whose RDDs
+        // live in sc.getPersistentRDDs and are otherwise freed only when
+        // the ContextCleaner GCs the handle (periodic GC default 30 min —
+        // longer than this whole bench). Left alone they accumulate across
+        // 147 queries x 4 rounds, fill storage memory, and the eviction/GC
+        // churn lands on whatever runs LAST — the r10 2-4x "regressions"
+        // on unchanged queries. Safe to drop: every rep builds fresh plans.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // Broadcast blocks are cleaned only after the driver GCs their
+        // TorrentBroadcast handles; nudge the collector every 25 runs
+        // (untimed) so the ContextCleaner can actually drain inside the
+        // ~20-min bench instead of at the 30-min periodic-GC default.
+        runsSinceGc += 1
+        if (runsSinceGc >= 25) { runsSinceGc = 0; System.gc() }
         Some(t)
       } catch {
         case e: Throwable =>

@@ -1457,28 +1457,17 @@ object ExtQueries {
     // rule: no UDF in a pairwise hot path), semantics pinned to
     // DuckDB's jaro_winkler_similarity (floored half-transpositions,
     // 0.7 boost threshold, 4-char prefix cap); round(6) BEFORE the
-    // rank per the rank-stability rule. Probe side is a structurally
-    // bounded dimension list -> broadcast nested loop, corpus side
-    // streams.
+    // rank per the rank-stability rule. Exact JW top-k admits no length
+    // band (a 1-char string can score 0.7+ vs a 4-char one), so this is
+    // a DOUBLY-GUARDED nested loop — probe side broadcast-bounded, data
+    // side capped with an error naming topKJaroWinklerBanded (the exact
+    // certified-bound two-phase) as the corpus-scale alternative.
     "q149_fuzzy_jw_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // normalize each SIDE before the product (the FuzzyJoin.topK rule:
-      // 21k regex evaluations, not 40M inside the cross join — measured
-      // 60 s -> ~8 s at sf0.1)
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
-        .withColumn("s_norm", graft.ops.Normalize.norm(col("search_val")))
-      val data = graft.ops.Partitioning.spread(t(s, dir, "part")
-        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val")))
-        .withColumn("m_norm", graft.ops.Normalize.norm(col("match_val")))
-      val w = Window.partitionBy("search_val")
-        .orderBy(desc("sim"), col("data_id"))
-      broadcast(search).crossJoin(data)
-        .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
-          col("s_norm"), col("m_norm")), 6))
-        .drop("s_norm", "m_norm")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val data = t(s, dir, "part")
+        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
+      graft.ops.FuzzyJoin.topKJaroWinkler(search, data, k = 3)
         .select("search_val", "rnk", "match_val", "data_id", "sim")
         .orderBy("search_val", "rnk")
     }),
@@ -1486,27 +1475,62 @@ object ExtQueries {
     // Full Damerau-Levenshtein top-k (Lowrance-Wagner 1975, the
     // unrestricted variant DuckDB implements): integer distances, the
     // levenshtein column alongside so every row QUANTIFIES what the
-    // transposition discount buys on real names. Same broadcast
-    // nested-loop shape as q149/q08.
+    // transposition discount buys on real names. Radius-first banded
+    // (|Δlen| ≤ DL holds for DL exactly as for Levenshtein), q08's data
+    // shape (parts ∪ suppliers) so the band genuinely certifies: the
+    // candidate join is a hash equi-join on exact length, never a cross
+    // product, and only residual probes pay a full scan. `lev` is
+    // computed on the FINAL k·|search| rows, never inside the product.
     "q150_fuzzy_dl_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // side-normalization before the product, per the FuzzyJoin rule
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
-        .withColumn("s_norm", graft.ops.Normalize.norm(col("search_val")))
-      val data = graft.ops.Partitioning.spread(t(s, dir, "part")
-        .select(col("p_partkey").as("data_id"), col("p_name").as("match_val")))
-        .withColumn("m_norm", graft.ops.Normalize.norm(col("match_val")))
-      val w = Window.partitionBy("search_val").orderBy("dl", "data_id")
-      broadcast(search).crossJoin(data)
-        .withColumn("dl", graft.functions.TextExprs.damerauLevenshtein(
-          col("s_norm"), col("m_norm")))
-        .withColumn("lev", levenshtein(col("s_norm"), col("m_norm")))
-        .drop("s_norm", "m_norm")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val data = graft.ops.Ingest.unionAllByName(Seq(
+        t(s, dir, "part")
+          .select(col("p_partkey").as("data_id"), col("p_name").as("match_val")),
+        t(s, dir, "supplier")
+          .select((col("s_suppkey") + 1000000L).as("data_id"),
+            col("s_name").as("match_val"))))
+      graft.ops.FuzzyJoin.topKDamerau(search, data, k = 3, radius = 3)
+        .withColumn("lev", levenshtein(
+          graft.ops.Normalize.norm(col("search_val")),
+          graft.ops.Normalize.norm(col("match_val"))))
         .select("search_val", "rnk", "match_val", "data_id", "dl", "lev")
         .orderBy("search_val", "rnk")
+    }),
+
+    // F4/F5 law channel (VERDICT r10 #3): the visual-diff trace output
+    // itself is not SQL-expressible (q03 is rows-only by design), but it
+    // OBEYS SQL-expressible laws, checked here row-by-row against DuckDB:
+    //   (1) splicesWithGaps tiles match_val exactly — concatenating the
+    //       flag-tagged texts in order REASSEMBLES the raw string
+    //       (main.py:290-300's interleave semantics), so the oracle can
+    //       emit match_val where the engine emits the actual concat;
+    //   (2) on distance==0 pairs the F2 walk emits exactly one symbol per
+    //       cleaned char, all matches (main.py:49-70) — so both count(1)
+    //       and total symbol count equal length(norm(match_val)), which
+    //       DuckDB computes independently. -1 sentinels (not NULL) keep
+    //       the int columns null-free across both engines' dtype bridges.
+    "q151_visual_reassembly" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val probes = part.select(col("p_name").as("search_val")).distinct()
+      val cands = part.select(col("p_partkey").as("data_id"),
+        col("p_name").as("match_val"))
+      val pairs = graft.ops.FuzzyJoin.fuzzyMatchPruned(probes, cands, 3)
+        .filter(col("bucket").isin("exact", "best"))
+        .select("search_val", "match_val", "distance", "bucket").distinct()
+      pairs
+        .withColumn("splices",
+          graft.ops.Distance.diffSplicesUdf(col("search_val"), col("match_val")))
+        .withColumn("vis",
+          graft.ops.Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
+        .select(col("search_val"), col("match_val"), col("distance"), col("bucket"),
+          array_join(expr("transform(splices, x -> x._2)"), "").as("reassembled"),
+          when(col("distance") === 0,
+            expr("aggregate(vis._2, 0, (a, x) -> a + x)"))
+            .otherwise(lit(-1)).as("n_match_when_exact"),
+          when(col("distance") === 0, size(col("vis._2")))
+            .otherwise(lit(-1)).as("n_syms_when_exact"))
+        .orderBy("search_val", "match_val")
     }),
 
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
@@ -1524,13 +1548,21 @@ object ExtQueries {
     // %17==2, old lacks %11==3) — added/removed/changed/unchanged per
     // id off an id+digest full-outer join that never shuffles text.
     // The oracle diffs the COLUMN VALUES directly, so the engine's
-    // md5-digest channel is proven against plain semantics.
+    // md5-digest channel is proven against plain semantics. The %19==7
+    // rows shift content ACROSS the column boundary (old appends "v:9"
+    // to text, new prepends "9v:" to source) — a pair a tag-only concat
+    // digest folds to identical bytes, so this case proves the
+    // length-prefixed encoding's injectivity (ADVICE r10).
     "q140_corpus_diff" -> ((s, dir) => {
       val d = docs(s, dir)
       val oldSnap = d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 19 === 7,
+          concat(col("text"), lit("v:9"))).otherwise(col("text")))
       val newSnap = d.filter(col("doc_id") % 13 =!= 5)
         .withColumn("text", when(col("doc_id") % 17 === 2,
           concat(col("text"), lit("!"))).otherwise(col("text")))
+        .withColumn("source", when(col("doc_id") % 19 === 7,
+          concat(lit("9v:"), col("source"))).otherwise(col("source")))
       graft.ext.Profile.corpusDiff(oldSnap, newSnap, "doc_id",
           Seq("text", "source"))
         .groupBy("status")
@@ -4789,17 +4821,21 @@ object ExtQueries {
     * checked against plain value semantics, not a mirror of itself. */
   private def corpusDiffOracleSql: String =
     """WITH oldd AS (
-      |  SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 3),
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 19 = 7 THEN text || 'v:9' ELSE text END AS text,
+      |         source
+      |  FROM documents WHERE doc_id % 11 <> 3),
       |newd AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 17 = 2 THEN text || '!' ELSE text END AS text,
-      |         source
+      |         CASE WHEN doc_id % 19 = 7 THEN '9v:' || source ELSE source END AS source
       |  FROM documents WHERE doc_id % 13 <> 5),
       |j AS (
       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |         CASE WHEN o.doc_id IS NULL THEN 'added'
       |              WHEN n.doc_id IS NULL THEN 'removed'
-      |              WHEN o.text <> n.text OR o.source <> n.source
+      |              WHEN o.text IS DISTINCT FROM n.text
+      |                OR o.source IS DISTINCT FROM n.source
       |                THEN 'changed'
       |              ELSE 'unchanged' END AS status
       |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
@@ -4880,7 +4916,9 @@ object ExtQueries {
       ("q150_fuzzy_dl_topk" -> {
         val n = graft.ops.Normalize.normSql _
         s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
-           |data AS (SELECT p_partkey AS data_id, p_name AS match_val FROM part),
+           |data AS (SELECT p_partkey AS data_id, p_name AS match_val FROM part
+           |          UNION ALL
+           |          SELECT s_suppkey + 1000000, s_name FROM supplier),
            |scored AS (
            |  SELECT s.search_val, d.match_val, d.data_id,
            |         CAST(damerau_levenshtein(${n("s.search_val")},
@@ -4896,6 +4934,38 @@ object ExtQueries {
            |SELECT search_val, rnk, match_val, data_id, dl, lev
            |FROM ranked WHERE rnk <= 3
            |ORDER BY search_val, rnk""".stripMargin
+      }) +
+      // the F4/F5 law channel: DuckDB re-derives the exact+best pairs and
+      // emits the LAW values (match_val for the reassembly; norm length
+      // for the d==0 trace counts) the engine must reproduce from the
+      // actual UDF output
+      ("q151_visual_reassembly" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH search AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val,
+           |         levenshtein(${n("s.search_val")}, ${n("p.p_name")}) AS distance
+           |  FROM search s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= 3 THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val),
+           |pairs AS (
+           |  SELECT DISTINCT sc.search_val, sc.match_val, sc.distance,
+           |         CASE WHEN sc.distance = 0 THEN 'exact' ELSE 'best' END AS bucket
+           |  FROM scored sc JOIN mins m USING (search_val)
+           |  WHERE sc.distance = 0
+           |     OR (sc.distance > 0 AND sc.distance <= 3 AND sc.distance = m.min_pos))
+           |SELECT search_val, match_val, distance, bucket,
+           |       match_val AS reassembled,
+           |       CASE WHEN distance = 0
+           |            THEN CAST(length(${n("match_val")}) AS INT)
+           |            ELSE -1 END AS n_match_when_exact,
+           |       CASE WHEN distance = 0
+           |            THEN CAST(length(${n("match_val")}) AS INT)
+           |            ELSE -1 END AS n_syms_when_exact
+           |FROM pairs
+           |ORDER BY search_val, match_val""".stripMargin
       }) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +

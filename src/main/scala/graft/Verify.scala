@@ -30,8 +30,13 @@ object Verify {
       // Queries that persist internally (topK's ranked band join) hand the
       // handle to their caller for release; this harness constructs each
       // query fresh per run, so the uniform release point is here — without
-      // it, 50+ cached plans accumulate across the dump.
+      // it, 50+ cached plans accumulate across the dump. localCheckpoint
+      // blocks (Materialize.stable, ExecutorLocal mode) live outside the
+      // CacheManager in sc.getPersistentRDDs — drain those too, or 147
+      // dumps accumulate every loop round's blocks (the r10 bench lesson).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -61,7 +61,7 @@ object Graph {
         .withColumn("rank", round(lit(1.0) / col("__n"), 6).cast(dec))
         .select("node", "rank"),
       "pagerank-r0")
-    (1 to iters).foldLeft(r0) { (r, i) =>
+    val out = (1 to iters).foldLeft(r0) { (r, i) =>
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
@@ -69,7 +69,7 @@ object Graph {
           round(col("rank").cast("double") / col("__deg"), 6).cast(dec))
         .groupBy(col("dst").as("node"))
         .agg(sum("__c").as("__in"))
-      graft.ops.Materialize.stable(
+      val next = graft.ops.Materialize.stable(
         nodes.join(contrib, Seq("node"), "left")
           .withColumn("__in", coalesce(col("__in"), lit(0).cast(dec)))
           .crossJoin(broadcast(nCount))
@@ -77,7 +77,16 @@ object Graph {
             + lit(damping) * col("__in").cast("double"), 6).cast(dec))
           .select("node", "rank"),
         s"pagerank-r$i")
+      // next is materialized (stable is eager) — round i-1's blocks are
+      // superseded; release so the loop holds 2 rounds of storage, not
+      // `iters` (Materialize.release scaladoc has the full story).
+      graft.ops.Materialize.release(r)
+      next
     }
+    // The returned round reads its own blocks only — the edge/node/degree
+    // tables are no longer referenced by any unexecuted plan.
+    Seq(e, nodes, outDeg).foreach(graft.ops.Materialize.release)
+    out
   }
 
   /** PERSONALIZED PageRank (Haveliwala, WWW 2002): the teleport lands on
@@ -128,7 +137,7 @@ object Graph {
       tp.withColumn("rank", round(col("__t"), 6).cast(dec))
         .select("node", "rank"),
       "ppr-r0")
-    (1 to iters).foldLeft(r0) { (r, i) =>
+    val out = (1 to iters).foldLeft(r0) { (r, i) =>
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
@@ -136,14 +145,18 @@ object Graph {
           round(col("rank").cast("double") / col("__deg"), 6).cast(dec))
         .groupBy(col("dst").as("node"))
         .agg(sum("__c").as("__in"))
-      graft.ops.Materialize.stable(
+      val next = graft.ops.Materialize.stable(
         tp.join(contrib, Seq("node"), "left")
           .withColumn("__in", coalesce(col("__in"), lit(0).cast(dec)))
           .withColumn("rank", round(lit(1.0 - damping) * col("__t")
             + lit(damping) * col("__in").cast("double"), 6).cast(dec))
           .select("node", "rank"),
         s"ppr-r$i")
+      graft.ops.Materialize.release(r) // superseded round (see pageRank)
+      next
     }
+    Seq(e, nodes, outDeg, seedsIn, tp).foreach(graft.ops.Materialize.release)
+    out
   }
 
   /** k-core membership (Seidman 1983 "Network structure and minimum
@@ -192,17 +205,26 @@ object Graph {
       val deg = e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("__deg"))
+      val prevKeep = keep
       keep = graft.ops.Materialize.stable(
         deg.filter(col("__deg") >= k).select("node"), s"kcore-k$i")
+      // keep(i) is materialized — keep(i-1) fed only the superseded edge
+      // filter; release so the peel holds 2 rounds of blocks, not `i`.
+      if (prevKeep != null) graft.ops.Materialize.release(prevKeep)
       val kc = keep.count()
       if (kc == prevCount) converged = true
       else {
         prevCount = kc
+        val prevE = e
         e = graft.ops.Materialize.stable(
           e.join(keep.withColumnRenamed("node", "a"), "a")
             .join(keep.withColumnRenamed("node", "b"), "b")
             .select("a", "b"),
           s"kcore-e${i + 1}")
+        // allNodes is its own materialization, so the superseded edge
+        // rounds (incl. und0) are unreferenced once the filtered round
+        // is readable.
+        graft.ops.Materialize.release(prevE)
       }
       i += 1
     }
@@ -210,6 +232,9 @@ object Graph {
       s"k-core peel did not reach its fixpoint within $maxIters rounds — " +
         "raise maxIters (each round removes at least one node, so the " +
         "peel depth of this graph exceeds the cap)")
+    // The return plan reads allNodes + the final keep; the final edge
+    // round is not referenced by anything downstream.
+    graft.ops.Materialize.release(e)
     allNodes
       .join(keep.withColumn("__in", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__in"), lit(false)).as("in_core"))

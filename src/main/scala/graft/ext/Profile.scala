@@ -369,8 +369,12 @@ object Profile {
     * in a map-only projection — the full-outer equi-join on the id then
     * carries two 32-char digests per row instead of the document bodies,
     * so diffing two 100 TB snapshots shuffles id+hash, never text.
-    * Compared columns fold through md5(concat_ws(, ...)) with
-    * nulls sentinel-tagged, so a value moving between NULL and the
+    * The per-column encoding is INJECTIVE across column boundaries:
+    * each value folds as `v<charlen>:<value>` (null as the distinct
+    * sentinel `null:`), so content shifting BETWEEN columns — e.g.
+    * (text="1v:2", src="3") vs (text="1", src="2v:3"), which a plain
+    * tag-only concat folds to the same "v:1v:2v:3" bytes — still
+    * digests differently; a value moving between NULL and the
     * empty string still reads as a change. Duplicate ids are rejected
     * loudly via a per-side count guard folded into the join (a snapshot
     * with repeated primary ids would silently cross-multiply). */
@@ -378,8 +382,14 @@ object Profile {
                  compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "corpusDiff needs at least one compared column")
     def digest(df: DataFrame, hName: String): DataFrame = {
-      val parts = compareCols.map(c =>
-        coalesce(concat(lit("v:"), col(c).cast("string")), lit("null:")))
+      // length-prefixed encoding — see the injectivity note above; a
+      // bare "v:"+value tag is NOT injective once values may contain
+      // the tag (ADVICE r10)
+      val parts = compareCols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(lit("v"), length(s).cast("string"), lit(":"), s),
+          lit("null:"))
+      }
       df.select(col(idCol).as("__id"),
           md5(concat_ws("", parts: _*)).as(hName))
         .groupBy("__id")

@@ -601,11 +601,17 @@ object TextAnalysis {
       else {
         val Array(a, b) = best(0).getString(0).split(" ", 2)
         rules += BpeMerge(r, a, b, best(0).getLong(1))
+        val prev = state
         state = graft.ops.Materialize.stable(
           state.withColumn("syms", bpeMergePass(col("syms"), a, b)), s"bpe-s$r")
+        // round r is materialized — round r-1's blocks are superseded;
+        // release so the merge loop holds 2 rounds of storage, not nMerges
+        graft.ops.Materialize.release(prev)
         r += 1
       }
     }
+    // the rules are driver-side — the final state table has no consumer
+    graft.ops.Materialize.release(state)
     rules.result()
   }
 
@@ -647,9 +653,11 @@ object TextAnalysis {
         graft.ops.Partitioning.spread(
           wf.withColumn("syms", bpeInitSyms(col("w"), eow))),
         "bpe-enc0")) { (df, m) =>
-      graft.ops.Materialize.stable(
+      val next = graft.ops.Materialize.stable(
         df.withColumn("syms", bpeMergePass(col("syms"), m.left, m.right)),
         s"bpe-enc-r${m.rank}")
+      graft.ops.Materialize.release(df) // superseded pass (see bpeTrainRules)
+      next
     }
   }
 

@@ -300,8 +300,13 @@ object TextKernels {
     var mB = new Array[Boolean](64)
     var dlRows = new Array[Int](0)
     val daAscii = new Array[Int](128)
-    val daStampArr = new Array[Int](128)
-    var daVersion = 0
+    // Long, not Int: the version counter increments once per call on a
+    // hot path sized for tens of millions of calls per task — an Int
+    // would wrap at 2^32 and a stale stamp slot could equal the current
+    // version again, silently returning a row index from a long-past
+    // invocation. 2^63 increments are unreachable.
+    val daStampArr = new Array[Long](128)
+    var daVersion = 0L
   }
   private val scratch = new ThreadLocal[MetricScratch] {
     override def initialValue(): MetricScratch = new MetricScratch

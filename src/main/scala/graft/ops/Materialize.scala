@@ -102,11 +102,43 @@ object Materialize {
         s"${snapshotId.incrementAndGet()}"
       df.write.mode("overwrite").parquet(path)
       // Read with the origin schema so names/types/order are exact.
+      // (Snapshot results are released by deleting the caller-owned
+      // directory — [[release]] is a no-op on them by design.)
       // Nullability still WIDENS to nullable — Spark marks every
       // file-source column nullable regardless of the supplied schema
       // (files can't prove non-null). That widening is semantically safe
       // (never narrowing) and disappears at any parquet sink; the other
       // two modes keep the origin nullability bit-for-bit.
       spark.read.schema(df.schema).parquet(path)
+  }
+
+  /** Release the storage behind a SUPERSEDED [[stable]] result.
+    *
+    * Iterative operators (PageRank, k-core peel, the BPE merge loop)
+    * materialize every round; without an explicit release a 50-iteration
+    * job pins 50 rounds of blocks — the ContextCleaner frees them only
+    * when the driver GCs the plan handles (periodic GC default: 30 min),
+    * so storage fills and eviction churn lands on whatever runs next
+    * (the round-10 bench regression signature). Loop discipline: after
+    * round N+1 is materialized (stable is eager, so its blocks are
+    * self-contained and no longer read round N's), release round N —
+    * a loop then holds TWO rounds of blocks, not `iters`.
+    *
+    * Mode behavior: [[ExecutorLocal]] unpersists the localCheckpoint
+    * RDD found on the plan's LogicalRDD leaves (the df handle itself is
+    * not registered with the CacheManager); [[Replicated]] unpersists
+    * the df's own persist handle; [[Snapshot]] is a no-op — the caller
+    * owns the directory lifecycle (the CC-loop contract, which deletes
+    * superseded snapshots itself). NEVER call this on a result still
+    * referenced by an unexecuted lazy plan: checkpointed RDDs have no
+    * lineage, so a later action would fail with a missing-block error
+    * rather than recompute. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false) // Replicated-mode handle; no-op otherwise
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 }

@@ -273,7 +273,11 @@ class TextAnalysisSpec extends SparkTestBase {
       ("prefix", "prefixxxxxxxxxxxxxxxxxxx", 0.85), // 4-char prefix cap
       ("abcdefgh", "abzzzzzz", 0.5), // below boost threshold: no bonus
       ("ab", "ba", 0.0), // window 0: positional matches only
-      ("abc", "abc", 1.0), ("", "abc", 0.0), ("", "", 0.0))
+      ("abc", "abc", 1.0), ("", "abc", 0.0),
+      // re-probed against the oracle DuckDB build (v1.0.0, 2026-08-14):
+      // jaro_winkler_similarity('','') = 0.0 there (NOT the rapidfuzz
+      // 1.0 convention), so the kernel's 0.0 is the aligned value
+      ("", "", 0.0))
     fixtures.foreach { case (a, b, want) =>
       assert(math.abs(j(a, b) - want) < 1e-9, s"jw($a, $b)")
       assert(j(a, b) === j(b, a), "symmetry")
@@ -1729,16 +1733,23 @@ class SketchesSpec extends SparkTestBase {
   }
 
   test("corpusDiff: statuses partition the id union; null vs empty distinguished; duplicate ids fail loudly") {
+    // id 6 is the cross-column boundary shift of ADVICE r10: a tag-only
+    // "v:"+value concat folds ("1v:2","3") and ("1","2v:3") to the same
+    // "v:1v:2v:3" bytes and reports 'unchanged' — the length-prefixed
+    // encoding must report 'changed'
     val oldDf = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
-      (3L, Some(""), "s"), (4L, None, "s")).toDF("id", "text", "src")
+      (3L, Some(""), "s"), (4L, None, "s"),
+      (6L, Some("1v:2"), "3")).toDF("id", "text", "src")
     val newDf = Seq((2L, Some("b"), "s"), (3L, Option.empty[String], "s"),
-      (4L, None, "s"), (5L, Some("e"), "s")).toDF("id", "text", "src")
+      (4L, None, "s"), (5L, Some("e"), "s"),
+      (6L, Some("1"), "2v:3")).toDF("id", "text", "src")
     val got = graft.ext.Profile.corpusDiff(oldDf, newDf, "id",
         Seq("text", "src"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "changed", 4L -> "unchanged", 5L -> "added"),
-      s"empty-string -> NULL must read as changed, NULL==NULL unchanged: $got")
+      3L -> "changed", 4L -> "unchanged", 5L -> "added", 6L -> "changed"),
+      s"empty-string -> NULL must read as changed, NULL==NULL unchanged, " +
+        s"cross-column shifts changed: $got")
     val dup = Seq((1L, Some("a"), "s"), (1L, Some("z"), "s"))
       .toDF("id", "text", "src")
     val ex = intercept[Exception] {

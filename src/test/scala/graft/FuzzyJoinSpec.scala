@@ -150,6 +150,58 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got.size === 4 * k) // every probe gets exactly k results
   }
 
+  test("topKDamerau radius-first == brute-force DL rank; keeps transpositions a lev filter would lose") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // "abcdefhg" is DL=1 but LEV=2 from abcdefgh — the band phase must
+    // filter by DL, not banded levenshtein, or this candidate is lost
+    val dlData = data.unionByName(Seq((9L, "abcdefhg")).toDF("data_id", "match_val"))
+    val k = 3
+    val got = FuzzyJoin.topKDamerau(search, dlData, k, radius = 3)
+      .select("search_val", "rnk", "data_id", "dl")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("search_val").orderBy(col("dl").asc, col("data_id").asc)
+    val expected = graft.ops.Partitioning.spread(dlData)
+      .withColumn("m_norm", graft.ops.Normalize.norm(col("match_val")))
+      .crossJoin(broadcast(search
+        .withColumn("s_norm", graft.ops.Normalize.norm(col("search_val")))))
+      .withColumn("dl", graft.functions.TextExprs.damerauLevenshtein(
+        col("s_norm"), col("m_norm")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("search_val", "rnk", "data_id", "dl")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === expected)
+    assert(got.size === 4 * k)
+    // the transposition candidate ties dl=1 with data_id 2 (id tiebreak)
+    // and must beat every d=2 candidate — rank 3 under k=3
+    assert(got.contains(("abcdefgh", 3, 9L, 1)),
+      "DL=1 transposition must outrank the lev-band d=2 survivors")
+  }
+
+  test("topKJaroWinklerBanded == topKJaroWinkler on strong AND weak matches") {
+    def rows(df: DataFrame): Set[(String, Int, Long)] =
+      df.select("search_val", "rnk", "data_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // strong: near-identical names — the certificate (kth sim > 0.9 at
+    // rho=0.5) fires and the fallback scan sees zero probes
+    val strongData = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
+      (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")
+    val strongSearch = Seq("jellyfish co").toDF("search_val")
+    assert(rows(FuzzyJoin.topKJaroWinklerBanded(strongSearch, strongData, 3)) ===
+      rows(FuzzyJoin.topKJaroWinkler(strongSearch, strongData, 3)))
+    // weak: nothing certifies — every probe must fall through to the
+    // exact scan and the result still matches the plain form
+    assert(rows(FuzzyJoin.topKJaroWinklerBanded(search, data, 2)) ===
+      rows(FuzzyJoin.topKJaroWinkler(search, data, 2)))
+  }
+
+  test("topKJaroWinkler corpus-side guard fires, naming the banded alternative") {
+    val e = intercept[IllegalArgumentException](
+      FuzzyJoin.topKJaroWinkler(search, data, 2, maxDataRows = 2))
+    assert(e.getMessage.contains("topKJaroWinklerBanded"),
+      "the error must point at the exact certified-bound two-phase form")
+  }
+
   test("topK onCache handle releases the internal cache in a loop") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val handles = scala.collection.mutable.Buffer.empty[DataFrame]

@@ -100,6 +100,43 @@ class MaterializeSpec extends SparkTestBase {
     pinAcrossModes(Events.funnel(ev, Seq("view", "click", "buy")))
   }
 
+  test("loop-round release keeps persistent-RDD count bounded (VERDICT r10 #5)") {
+    // A 5-round stable/release loop must hold ~2 rounds of blocks, never
+    // one per round — iterative operators (pageRank, kCore, BPE) follow
+    // exactly this discipline, so the bound here pins theirs too.
+    withSQLConf(Materialize.ModeKey -> "executor-local") {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      var state = Materialize.stable(
+        (1L to 100L).toDF("v"), "loop-r0")
+      for (i <- 1 to 5) {
+        val next = Materialize.stable(
+          state.withColumn("v", col("v") + 1), s"loop-r$i")
+        Materialize.release(state)
+        state = next
+        val live = spark.sparkContext.getPersistentRDDs.size
+        assert(live <= 2,
+          s"round $i left $live persistent RDDs — release is not draining")
+      }
+      assert(state.agg(sum("v")).head.getLong(0) === (6L to 105L).sum)
+      Materialize.release(state)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    }
+    // and the operators themselves: a 6-iteration pageRank leaves no
+    // persistent blocks beyond its returned final round
+    withSQLConf(Materialize.ModeKey -> "executor-local") {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+      val pr = graft.ext.Graph.pageRank(edges, iters = 6)
+      assert(pr.count() === 4L)
+      val live = spark.sparkContext.getPersistentRDDs.size
+      assert(live <= 2,
+        s"pageRank(iters=6) left $live persistent RDDs — loop hygiene broken")
+      Materialize.release(pr)
+    }
+  }
+
   test("graph loops (kCore, triangleCounts) and the rate grid identical across modes") {
     val edges = (Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L)) ++
       (10L to 14L).map(i => (i, i + 1))).toDF("src", "dst")

@@ -201,11 +201,14 @@ class PlanSpec extends SparkTestBase {
   test("q140 corpus diff: the full-outer join carries digests, never document text") {
     val p = plan("q140_corpus_diff")
     assert(p.contains("FullOuter"), "diff must plan a full-outer id join:\n" + p)
-    // text may survive ONLY inside the scan-side md5 projection — every
-    // shuffled/joined row above it carries id + digest, never the body
+    // text may survive ONLY inside the scan-side projections — the md5
+    // fold and the snapshot-derivation CASEs (the %17/%19 fixture edits,
+    // collapsed directly under it, still below every exchange). Every
+    // shuffled/joined row above carries id + digest, never the body.
     val leaky = p.linesIterator.filter(_.contains("text#"))
       .filterNot(l => l.contains("md5(") || l.contains("Scan parquet") ||
-        l.contains("ReadSchema") || l.contains("PushedFilters"))
+        l.contains("ReadSchema") || l.contains("PushedFilters") ||
+        l.contains("% 17)") || l.contains("% 19)"))
     assert(leaky.isEmpty,
       "text must fold to md5 at the scan — the join shuffles id+digest only:\n" + p)
   }
@@ -609,6 +612,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
     assert(p.linesIterator.exists(l => l.contains("jaro_winkler") && l.contains("*(")),
       s"jaro_winkler must appear inside a WholeStageCodegen stage:\n$p")
+  }
+
+  test("q150 damerau top-k: band phase plans a hash equi-join on the length key (VERDICT r10 #2)") {
+    val df = SparkEntry.queries("q150_fuzzy_dl_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [m_len"),
+      "DL candidates must come from a hash EQUI-join on the exact length " +
+        "band key, never an unpruned product:\n" + p)
+    assert(!p.contains("SortMergeJoin"))
+    // the nested loop that remains is the residual-probe fallback, which
+    // certification empties at runtime on this data (suppliers certify
+    // against each other within radius 3) — the BAND phase itself must
+    // never plan one
+    assert(p.linesIterator.exists(l => l.contains("damerau_levenshtein") && l.contains("*(")),
+      s"damerau_levenshtein must appear inside a WholeStageCodegen stage:\n$p")
   }
 
   test("vector kernel stays inside whole-stage codegen") {
