@@ -1533,6 +1533,81 @@ object ExtQueries {
         .orderBy("search_val", "match_val")
     }),
 
+    // First STREAMING query under the oracle gate (VERDICT r10 #6): the
+    // events table re-lands as a multi-file directory, a file-source
+    // stream consumes it 2 files per trigger (several genuine
+    // micro-batches, not one batch in disguise), a windowed streaming
+    // aggregation accumulates in complete mode, and the FINAL table is
+    // hashed against the same DuckDB mirror as batch q14 — proving
+    // stream == batch == oracle, not just stream == batch (the
+    // StreamOpsSpec pins). DECIMAL sum keeps the cross-batch accumulation
+    // order-free (the float-sum rule); complete mode needs no watermark,
+    // so no row can be late-dropped however the files interleave.
+    "q152_stream_hourly" -> ((s, dir) => {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-q152-landing").toString
+      graft.ops.Ingest.table(s, dir, "events").repartition(8)
+        .write.mode("overwrite").parquet(landing)
+      val stream = graft.streaming.StreamOps
+        .eventsFileStream(s, landing, maxFilesPerTrigger = 2)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      val name = "graft_q152_acc"
+      s.catalog.dropTempView(name)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n_events"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    }),
+
+    // R3 write-path under the oracle gate (VERDICT r10 #7), in the
+    // q92/q122 write->read-back->audit style: q05's decision derivation
+    // feeds Resolve.writeSinks with BOTH gates on, both parquet sinks are
+    // read back, and a per-sink audit (row count, distinct values, id
+    // checksum) is hashed against a DuckDB mirror that derives the same
+    // kept/chosen rows from SQL alone — covering S3/S4/R3 end-to-end
+    // where previously only ResolveSpec exercised the writes.
+    "q153_resolve_sinks_audit" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val probes = part.select(col("p_name").as("search_val")).distinct()
+      val cands = part.select(col("p_partkey").as("data_id"),
+        col("p_name").as("match_val"))
+      val search = graft.ops.Resolve.withRowId(probes, "search_val")
+      val d = col("distance")
+      val decisions = graft.ops.FuzzyJoin.scoreBanded(probes, cands, 3)
+        .filter(d > 0)
+        .groupBy("search_val")
+        .agg(min_by(col("match_val"), struct(d, col("data_id"))).as("new_val"))
+        .withColumn("action", lit("replace"))
+      val resolved = search.join(broadcast(decisions), Seq("search_val"), "left")
+        .withColumn("action", coalesce(col("action"), lit("keep")))
+        .withColumn("resolved_val",
+          when(col("action") === "replace", col("new_val"))
+            .otherwise(col("search_val")))
+        .drop("new_val")
+      val base = java.nio.file.Files.createTempDirectory("graft-q153").toString
+      graft.ops.Resolve.writeSinks(resolved, cands, "match_val",
+        out1 = true, out2 = true, s"$base/out1", s"$base/out2")
+      val s1 = s.read.parquet(s"$base/out1")
+      val s2 = s.read.parquet(s"$base/out2")
+      s1.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("resolved_val")).as("n_vals"),
+          sum(col("row_id").cast("long")).as("id_sum"))
+        .select(lit("out1").as("sink"), col("n_rows"), col("n_vals"), col("id_sum"))
+        .unionByName(
+          s2.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("match_val")).as("n_vals"),
+              sum(col("data_id")).as("id_sum"))
+            .select(lit("out2").as("sink"), col("n_rows"), col("n_vals"), col("id_sum")))
+        .orderBy("sink")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -4966,6 +5041,57 @@ object ExtQueries {
            |            ELSE -1 END AS n_syms_when_exact
            |FROM pairs
            |ORDER BY search_val, match_val""".stripMargin
+      }) +
+      // q14's mirror verbatim: the streaming path must land the exact
+      // batch answer (stream == batch == oracle)
+      ("q152_stream_hourly" ->
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY hour_epoch, event_type""".stripMargin) +
+      // the R3 audit mirror: same decisions (q05's argmin), same gated
+      // sink populations, derived in SQL with no files anywhere
+      ("q153_resolve_sinks_audit" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH search0 AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |search AS (SELECT search_val, CAST(row_number() OVER (ORDER BY search_val) AS INT) AS row_id FROM search0),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val, p.p_partkey AS data_id,
+           |         levenshtein(${n("s.search_val")}, ${n("p.p_name")}) AS distance
+           |  FROM search0 s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= 3 THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val),
+           |best AS (
+           |  SELECT sc.search_val, sc.match_val,
+           |         row_number() OVER (PARTITION BY sc.search_val ORDER BY sc.data_id) AS rn
+           |  FROM scored sc JOIN mins m USING (search_val)
+           |  WHERE sc.distance > 0 AND sc.distance <= 3 AND sc.distance = m.min_pos),
+           |decisions AS (SELECT search_val, 'replace' AS action, match_val AS new_val
+           |              FROM best WHERE rn = 1),
+           |res AS (
+           |  SELECT s.row_id, s.search_val,
+           |         CASE WHEN d.action = 'replace' THEN d.new_val
+           |              ELSE s.search_val END AS resolved_val,
+           |         coalesce(d.action, 'keep') AS action
+           |  FROM search s LEFT JOIN decisions d USING (search_val)),
+           |sink1 AS (SELECT * FROM res WHERE action IN ('keep', 'replace')),
+           |chosen AS (SELECT DISTINCT resolved_val FROM res WHERE action = 'replace'),
+           |sink2 AS (
+           |  SELECT p.p_partkey AS data_id, p.p_name AS match_val
+           |  FROM part p JOIN chosen c ON p.p_name = c.resolved_val)
+           |SELECT 'out1' AS sink, count(*) AS n_rows,
+           |       count(DISTINCT resolved_val) AS n_vals,
+           |       CAST(sum(row_id) AS BIGINT) AS id_sum
+           |FROM sink1
+           |UNION ALL
+           |SELECT 'out2', count(*), count(DISTINCT match_val),
+           |       CAST(sum(data_id) AS BIGINT)
+           |FROM sink2
+           |ORDER BY sink""".stripMargin
       }) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +

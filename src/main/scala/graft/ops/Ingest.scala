@@ -93,14 +93,15 @@ object Ingest {
   }
 
   /** S2 widened to mixed formats: the reference's data_folder holds
-    * arbitrary tabular files (xlsx there; parquet/csv/json/orc here —
-    * Excel earns no first-class path at scale, convert it at landing). One
-    * multi-path scan PER FORMAT — partition-parallel, with pushdown where
-    * the format supports it — then one union by name with null fill, so a
-    * folder mixing formats and schemas reads like the reference's concat.
-    * The file LISTING is driver-side metadata only, but schema INFERENCE
-    * for csv/json costs one extra pass over those files — at scale, pass
-    * explicit schemas (or convert to parquet at landing) instead. */
+    * arbitrary tabular files (xlsx there — read natively via [[Xlsx]],
+    * the reference's ONLY input format, main.py:19-21 — plus
+    * parquet/csv/json/orc). One multi-path scan PER FORMAT —
+    * partition-parallel, with pushdown where the format supports it —
+    * then one union by name with null fill, so a folder mixing formats
+    * and schemas reads like the reference's concat. The file LISTING is
+    * driver-side metadata only, but schema INFERENCE for csv/json costs
+    * one extra pass over those files (xlsx: one aggregate) — at scale,
+    * pass explicit schemas (or convert to parquet at landing) instead. */
   def folderMixed(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,9 +119,12 @@ object Ingest {
       // ORC: the other self-describing columnar format Spark speaks
       // natively — full pushdown + pruning, no inference pass needed
       Some(grp(".orc")).filter(_.nonEmpty).map(ps =>
-        spark.read.orc(ps: _*))
+        spark.read.orc(ps: _*)),
+      // the reference's native format, one task per workbook (see Xlsx)
+      Some(grp(".xlsx")).filter(_.nonEmpty).map(ps =>
+        Xlsx.read(spark, ps))
     ).flatten
-    require(perFormat.nonEmpty, s"no parquet/csv/json/orc files under $dir")
+    require(perFormat.nonEmpty, s"no parquet/csv/json/orc/xlsx files under $dir")
     unionAllByName(perFormat)
   }
 }

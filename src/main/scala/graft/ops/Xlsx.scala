@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal, dependency-free .xlsx ingestion.
+  *
+  * The reference's ONLY input format is Excel (reference
+  * /root/reference/main.py:19-21 `pd.read_excel`, driven by folders of
+  * .xlsx named in config.ini:5-6), which the port previously substituted
+  * with parquet/csv/json/orc because no Excel connector exists offline.
+  * An xlsx is just a ZIP of small XML parts, so this closes the gap with
+  * `java.util.zip` + a tolerant hand parser — no new dependencies.
+  *
+  * Parts read (ECMA-376 / ISO 29500 SpreadsheetML, the public format):
+  *   - `xl/sharedStrings.xml` — `<si>` entries; all `<t>` runs of an entry
+  *     are concatenated (rich-text runs split one logical string).
+  *   - first `xl/worksheets/sheet*.xml` (natural order — pandas
+  *     `read_excel` default sheet 0): `<row>` / `<c r=.. t=..><v>..`
+  *     cells. Cell types handled: `s` (shared string), `str` (formula
+  *     string), `inlineStr` (`<is><t>`), `b` (boolean -> true/false),
+  *     default numeric/general (the raw `<v>` text).
+  *
+  * Contract (pandas-concat shape, same as the rest of S2):
+  *   - Row 1 is the header; its cell texts are the column names.
+  *   - Values land as STRINGS, then one distributed aggregate infers each
+  *     column as BIGINT / DOUBLE / STRING (all non-null values must
+  *     parse; the aggregate's driver state is 2 flags per column). That
+  *     keeps `unionByName` against typed parquet working under ANSI.
+  *   - Date serials are NOT decoded (they surface as their numeric
+  *     serial) — the reference's own sheets are string/number tables.
+  *
+  * Shape at scale: one task PER FILE (`parallelize(paths)`), each parsing
+  * its own workbook — the format itself caps a sheet at ~1M rows, so a
+  * file is a natural, bounded partition; a folder of many workbooks
+  * parses fully parallel. The only driver-side work is reading the FIRST
+  * file's header row (schema must exist at plan time). Anything that has
+  * outgrown Excel belongs in parquet at landing — this reader is for
+  * fidelity with the reference's actual inputs, not a columnar path (no
+  * pushdown, no pruning; the scaladoc on [[Ingest.folderMixed]] says the
+  * same).
+  */
+object Xlsx {
+
+  // ---- pure XML-subset parsing (unit-testable without Spark) ----
+
+  private def unescape(s: String): String = {
+    if (!s.contains('&')) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val ent = if (semi > i) s.substring(i + 1, semi) else ""
+        ent match {
+          case "amp" => out += '&'; i = semi + 1
+          case "lt" => out += '<'; i = semi + 1
+          case "gt" => out += '>'; i = semi + 1
+          case "quot" => out += '"'; i = semi + 1
+          case "apos" => out += '\''; i = semi + 1
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            out += Integer.parseInt(e.drop(2), 16).toChar; i = semi + 1
+          case e if e.startsWith("#") =>
+            out += e.drop(1).toInt.toChar; i = semi + 1
+          case _ => out += c; i += 1 // not an entity we know — literal '&'
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** All top-level element bodies `<tag ...>BODY</tag>` for `tag`,
+    * in document order. Self-closed `<tag/>` yields an empty body. */
+  private def elements(xml: String, tag: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var from = 0
+    while (from < xml.length) {
+      val open = xml.indexOf("<" + tag, from)
+      if (open < 0 || open + 1 + tag.length >= xml.length) from = xml.length
+      else {
+        val tagEnd = xml.indexOf('>', open)
+        // guard against <tagX...> matching <tag
+        val nextCh = xml.charAt(open + 1 + tag.length)
+        if (nextCh != ' ' && nextCh != '>' && nextCh != '/') from = open + 1
+        else if (xml.charAt(tagEnd - 1) == '/') { out += ""; from = tagEnd + 1 }
+        else {
+          val close = xml.indexOf("</" + tag + ">", tagEnd)
+          out += xml.substring(tagEnd + 1, close)
+          from = close + tag.length + 3
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def attr(openTag: String, name: String): Option[String] = {
+    val k = name + "=\""
+    val i = openTag.indexOf(k)
+    if (i < 0) None
+    else {
+      val start = i + k.length
+      Some(openTag.substring(start, openTag.indexOf('"', start)))
+    }
+  }
+
+  /** `<si>` entries of sharedStrings.xml: concatenated `<t>` runs. */
+  private[ops] def parseSharedStrings(xml: String): IndexedSeq[String] =
+    elements(xml, "si").map(si =>
+      elements(si, "t").map(unescape).mkString).toIndexedSeq
+
+  /** "A"->0, "AB"->27 — the column index of an A1-style reference. */
+  private[ops] def colIndex(ref: String): Int = {
+    var i = 0; var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  /** Sheet XML -> rows of (colIndex, text); null text for empty `<v/>`. */
+  private[ops] def parseSheet(xml: String,
+                              shared: IndexedSeq[String]): Seq[Array[(Int, String)]] =
+    elements(xml, "row").map { row =>
+      var nextPos = 0
+      // cells need their OPEN TAG attributes (r=, t=), so scan manually
+      val cells = Seq.newBuilder[(Int, String)]
+      var from = 0
+      while (from < row.length) {
+        val open = row.indexOf("<c", from)
+        if (open < 0 || open + 2 >= row.length) from = row.length
+        else if (!" />".contains(row.charAt(open + 2))) from = open + 1
+        else {
+          val tagEnd = row.indexOf('>', open)
+          val openTag = row.substring(open, tagEnd)
+          val selfClosed = row.charAt(tagEnd - 1) == '/'
+          val body =
+            if (selfClosed) ""
+            else {
+              val close = row.indexOf("</c>", tagEnd)
+              row.substring(tagEnd + 1, close)
+            }
+          val pos = attr(openTag, "r").map(colIndex).getOrElse(nextPos)
+          nextPos = pos + 1
+          val t = attr(openTag, "t").getOrElse("")
+          val raw = t match {
+            case "inlineStr" => Some(elements(body, "t").map(unescape).mkString)
+            case _ => elements(body, "v").headOption.map(unescape)
+          }
+          val value = raw.map { v =>
+            t match {
+              case "s" => shared(v.trim.toInt)
+              case "b" => if (v.trim == "1" || v.trim.equalsIgnoreCase("true")) "true" else "false"
+              case _ => v
+            }
+          }.orNull
+          cells += ((pos, value))
+          from = tagEnd + (if (selfClosed) 1 else body.length + 5)
+        }
+      }
+      cells.result().toArray
+    }
+
+  /** Read the first worksheet of one workbook: (header?, data rows),
+    * every row padded/ordered to the max column index seen in row 1. */
+  private[ops] def parseWorkbook(bytes: Array[Byte]): Seq[Array[String]] = {
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var shared = IndexedSeq.empty[String]
+    var sheets = List.empty[(String, String)] // (entry name, xml)
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (name == "xl/sharedStrings.xml" ||
+          (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml"))) {
+          val xml = new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(xml)
+          else sheets ::= (name, xml)
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    require(sheets.nonEmpty, "xlsx has no xl/worksheets/sheet*.xml entry")
+    // natural order on the numeric suffix — sheet2 < sheet10
+    def sheetNo(n: String) =
+      n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toIntOption
+        .getOrElse(Int.MaxValue)
+    val first = sheets.minBy(s => (sheetNo(s._1), s._1))._2
+    val rows = parseSheet(first, shared)
+    if (rows.isEmpty) return Seq.empty
+    val width = rows.head.map(_._1).maxOption.fold(0)(_ + 1)
+    rows.map { cells =>
+      val arr = new Array[String](width)
+      cells.foreach { case (i, v) => if (i < width) arr(i) = v }
+      arr
+    }
+  }
+
+  // ---- the Spark-facing reader ----
+
+  /** Read a set of .xlsx files as ONE DataFrame: header from the first
+    * file's row 1, rows from every file aligned positionally to it
+    * (the pandas `read_excel` + `concat` shape the reference runs),
+    * column types inferred BIGINT / DOUBLE / STRING by one distributed
+    * aggregate over all values. */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "Xlsx.read needs at least one path")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    def readBytes(p: String, hc: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val in = hp.getFileSystem(hc).open(hp)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    // schema must exist at PLAN time: read only the first file's header
+    // on the driver (one small zip), everything else parses in executors
+    val header = parseWorkbook(readBytes(paths.head, spark.sparkContext.hadoopConfiguration))
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"${paths.head} has no rows — cannot take a header"))
+      .map(h => Option(h).getOrElse(""))
+    require(header.forall(_.nonEmpty) && header.distinct.length == header.length,
+      s"header row must be non-empty and unique, got: ${header.mkString(", ")}")
+    val width = header.length
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val rows = spark.sparkContext
+      .parallelize(paths, paths.size)
+      .flatMap { p =>
+        parseWorkbook(readBytes(p, conf.value)).drop(1).map { r =>
+          Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+        }
+      }
+    val raw = spark.createDataFrame(rows, schema)
+    // type inference, distributed: a column is BIGINT if every non-null
+    // value try_casts; else DOUBLE on the same rule; else STRING. One
+    // aggregate row = 2 longs per column of driver state.
+    val flags = raw.select(header.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNotNull &&
+          expr(s"try_cast(`$c` AS BIGINT)").isNull, 1L).otherwise(0L))
+          .as(s"${c}__notlong"),
+        sum(when(col(c).isNotNull &&
+          expr(s"try_cast(`$c` AS DOUBLE)").isNull, 1L).otherwise(0L))
+          .as(s"${c}__notdbl"))
+    }: _*).head()
+    raw.select(header.zipWithIndex.map { case (c, i) =>
+      val notLong = Option(flags.get(2 * i)).fold(0L)(_.asInstanceOf[Long])
+      val notDbl = Option(flags.get(2 * i + 1)).fold(0L)(_.asInstanceOf[Long])
+      if (notLong == 0L) col(c).cast("bigint").as(c)
+      else if (notDbl == 0L) col(c).cast("double").as(c)
+      else col(c)
+    }: _*)
+  }
+}

@@ -46,4 +46,104 @@ class IngestSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Ingest.folderMixed(spark, dir))
     assert(e.getMessage.contains("no parquet/csv/json"))
   }
+
+  /** Write a minimal SpreadsheetML workbook the way openpyxl/Excel lay it
+    * out: sharedStrings + one worksheet, rich-text runs, inline strings,
+    * bools, self-closed empty cells, XML entities — the surface
+    * Xlsx.parseWorkbook must survive. */
+  private def writeWorkbook(path: String, sharedXml: String, sheetXml: String): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", "<Types/>") // present in real files, ignored
+    put("xl/workbook.xml", "<workbook><sheets><sheet name=\"S1\" sheetId=\"1\"/></sheets></workbook>")
+    if (sharedXml.nonEmpty) put("xl/sharedStrings.xml", sharedXml)
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    zos.close()
+  }
+
+  test("xlsx: round-trips a generated workbook — shared/rich/inline strings, bools, blanks, types inferred") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val shared =
+      """<sst count="4" uniqueCount="4">
+        |<si><t>id</t></si>
+        |<si><t>name</t></si>
+        |<si><t>score</t></si>
+        |<si><r><t>al</t></r><r><t>pha</t></r></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="str"><v>flag</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>9.5</v></c><c r="D2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="inlineStr"><is><t>be&amp;ta &lt;x&gt;</t></is></c><c r="C3"/><c r="D3" t="b"><v>0</v></c></row>
+        |<row r="4"><c r="A4"><v>3</v></c><c r="C4"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/t.xlsx", shared, sheet)
+    val df = graft.ops.Xlsx.read(spark, Seq(s"$dir/t.xlsx"))
+    assert(df.columns.toSeq === Seq("id", "name", "score", "flag"))
+    // inference: id all-long -> bigint; score has 9.5 -> double; rest string
+    assert(df.schema("id").dataType.typeName === "long")
+    assert(df.schema("score").dataType.typeName === "double")
+    assert(df.schema("name").dataType.typeName === "string")
+    val byId = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId.size === 3)
+    assert(byId(1L).getAs[String]("name") === "alpha") // rich-text runs joined
+    assert(byId(1L).getAs[Double]("score") === 9.5)
+    assert(byId(1L).getAs[String]("flag") === "true")
+    assert(byId(2L).getAs[String]("name") === "be&ta <x>") // entities unescaped
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("score"))) // self-closed cell
+    assert(byId(2L).getAs[String]("flag") === "false")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("name"))) // skipped cell (B4 absent)
+    assert(byId(3L).getAs[Double]("score") === 7.0)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("flag"))) // short row padded
+  }
+
+  test("xlsx: folderMixed unions a workbook with parquet by name (VERDICT r10 #4)") {
+    val dir = Files.createTempDirectory("graft-xlsx-mixed").toString
+    Seq((1L, "alpha", 1.5)).toDF("id", "name", "score")
+      .coalesce(1).write.parquet(dir + "/p")
+    for (f <- new java.io.File(dir, "p").listFiles if f.getName.endsWith(".parquet"))
+      Files.copy(f.toPath, java.nio.file.Paths.get(dir, f.getName))
+    val shared = "<sst><si><t>id</t></si><si><t>name</t></si><si><t>beta</t></si></sst>"
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>2</v></c><c r="B2" t="s"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/w.xlsx", shared, sheet)
+    val out = Ingest.folderMixed(spark, dir)
+    assert(out.columns.toSet === Set("id", "name", "score"))
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[String]("name") === "alpha")
+    assert(byId(2L).getAs[String]("name") === "beta") // xlsx row
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("score"))) // null-filled
+  }
+
+  test("xlsx: two workbooks concat like the reference's folder loop; bad header fails loudly") {
+    val dir = Files.createTempDirectory("graft-xlsx2").toString
+    val shared = "<sst><si><t>id</t></si><si><t>v</t></si></sst>"
+    def sheet(idVal: Int) =
+      s"""<worksheet><sheetData>
+         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+         |<row r="2"><c r="A2"><v>$idVal</v></c><c r="B2"><v>${idVal * 10}</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/a.xlsx", shared, sheet(1))
+    writeWorkbook(s"$dir/b.xlsx", shared, sheet(2))
+    val df = graft.ops.Xlsx.read(spark, Seq(s"$dir/a.xlsx", s"$dir/b.xlsx"))
+    assert(df.count() === 2)
+    assert(df.select(org.apache.spark.sql.functions.sum("v")).head.getLong(0) === 30L)
+    // duplicate header names must fail loudly, not silently misalign
+    val dupShared = "<sst><si><t>x</t></si></sst>"
+    val dupSheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/dup.xlsx", dupShared, dupSheet)
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Xlsx.read(spark, Seq(s"$dir/dup.xlsx")))
+    assert(e.getMessage.contains("unique"))
+  }
 }
