@@ -1608,6 +1608,52 @@ object ExtQueries {
         .orderBy("sink")
     }),
 
+    // The reference's INTERACTIVE per-row resolution loop
+    // (main.py:556-581: a cursor advances per Confirm/Skip, appending one
+    // resolved row at a time) as incremental STREAM arrival with an
+    // oracle (VERDICT r10 missing #2): decisions land as a directory of
+    // small files, a file stream consumes them one file per trigger, and
+    // each micro-batch applies its decisions against the static search
+    // table and APPENDS to the sink — the cursor's read-modify-append,
+    // batched. The fully-arrived sink must equal q05's batch answer,
+    // proven by the same oracle derivation.
+    "q154_resolve_incremental" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val probes = part.select(col("p_name").as("search_val")).distinct()
+      val cands = part.select(col("p_partkey").as("data_id"),
+        col("p_name").as("match_val"))
+      val search = graft.ops.Resolve.withRowId(probes, "search_val")
+      val d = col("distance")
+      val decisions = graft.ops.FuzzyJoin.scoreBanded(probes, cands, 3)
+        .filter(d > 0)
+        .groupBy("search_val")
+        .agg(min_by(col("match_val"), struct(d, col("data_id"))).as("new_val"))
+        .withColumn("action", lit("replace"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q154").toString
+      val (landing, sink) = (s"$base/landing", s"$base/sink")
+      // decisions arrive in 5 waves (the cursor's forward walk, batched)
+      search.join(broadcast(decisions), Seq("search_val"), "left")
+        .withColumn("action", coalesce(col("action"), lit("keep")))
+        .withColumn("wave", pmod(col("row_id"), lit(5)))
+        .repartition(5, col("wave"))
+        .write.parquet(landing)
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // per-arrival apply + append — the reference's cursor body
+          batch.withColumn("resolved_val",
+              when(col("action") === "replace", col("new_val"))
+                .otherwise(col("search_val")))
+            .select("row_id", "search_val", "resolved_val", "action")
+            .write.mode("append").parquet(sink)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(sink).orderBy("row_id")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -5092,6 +5138,34 @@ object ExtQueries {
            |       CAST(sum(data_id) AS BIGINT)
            |FROM sink2
            |ORDER BY sink""".stripMargin
+      }) +
+      // q05's mirror: the incrementally-arrived sink must equal the batch
+      // resolution exactly (incremental == batch == oracle)
+      ("q154_resolve_incremental" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH search0 AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |search AS (SELECT search_val, CAST(row_number() OVER (ORDER BY search_val) AS INT) AS row_id FROM search0),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val, p.p_partkey AS data_id,
+           |         levenshtein(${n("s.search_val")}, ${n("p.p_name")}) AS distance
+           |  FROM search0 s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= 3 THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val),
+           |best AS (
+           |  SELECT sc.search_val, sc.match_val,
+           |         row_number() OVER (PARTITION BY sc.search_val ORDER BY sc.data_id) AS rn
+           |  FROM scored sc JOIN mins m USING (search_val)
+           |  WHERE sc.distance > 0 AND sc.distance <= 3 AND sc.distance = m.min_pos),
+           |decisions AS (SELECT search_val, 'replace' AS action, match_val AS new_val
+           |              FROM best WHERE rn = 1)
+           |SELECT s.row_id, s.search_val,
+           |       CASE WHEN d.action = 'replace' THEN d.new_val
+           |            ELSE s.search_val END AS resolved_val,
+           |       coalesce(d.action, 'keep') AS action
+           |FROM search s LEFT JOIN decisions d USING (search_val)
+           |ORDER BY s.row_id""".stripMargin
       }) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +

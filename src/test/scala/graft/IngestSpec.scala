@@ -122,6 +122,54 @@ class IngestSpec extends SparkTestBase {
     assert(byId(2L).isNullAt(byId(2L).fieldIndex("score"))) // null-filled
   }
 
+  test("config: INI round-trip with the reference's exact conventions (S5)") {
+    import graft.ops.Config
+    // the reference's own config.ini shape (main.py:643-686)
+    val text =
+      """; engine settings
+        |[multithreading]
+        |multithreading = False
+        |
+        |[pre_browse]
+        |search_file = /data/sort.xlsx
+        |data_folder =
+        |
+        |[settings]
+        |out_1 = True
+        |out_2 = true
+        |column_index1 = 0
+        |column_index2 = 3
+        |threshold = 3
+        |""".stripMargin
+    val ini = Config.parse(text)
+    val s = Config.Settings.fromIni(ini)
+    assert(!s.multithreading)
+    assert(s.searchFile === Some("/data/sort.xlsx"))
+    assert(s.dataFolder === None) // empty string means unset (main.py:655)
+    assert(s.out1)
+    assert(!s.out2, "only the literal 'True' enables — the reference compares strings")
+    assert(s.columnIndex2 === 3 && s.threshold === 3)
+    // the GUI's mutate-threshold-then-write loop (main.py:370-374)
+    val dir = Files.createTempDirectory("graft-ini").toString
+    Config.save(spark, s"$dir/config.ini", s.copy(threshold = 7).toIni(ini))
+    val back = Config.load(spark, s"$dir/config.ini")
+    assert(Config.Settings.fromIni(back) === s.copy(threshold = 7))
+    // comments dropped on write — configparser-faithful lossiness
+    assert(!Config.render(back).contains("engine settings"))
+    // section/key ORDER survives the round trip (configparser preserves it)
+    assert(back.sections.map(_._1) === Vector("multithreading", "pre_browse", "settings"))
+    assert(back.sections.last._2.map(_._1) ===
+      Vector("out_1", "out_2", "column_index1", "column_index2", "threshold"))
+    // session bridge: conf keys carry every setting and read back equal
+    Config.applyToSession(spark, s.copy(threshold = 7))
+    assert(Config.sessionSettings(spark) === s.copy(threshold = 7))
+    // unknown junk fails loudly, never silently skips a setting
+    intercept[IllegalArgumentException](Config.parse("[a]\nnot a kv line"))
+    intercept[IllegalArgumentException](Config.parse("orphan = 1"))
+    intercept[IllegalArgumentException](
+      Config.Settings.fromIni(Config.parse("[settings]\nthreshold = x")))
+  }
+
   test("xlsx: two workbooks concat like the reference's folder loop; bad header fails loudly") {
     val dir = Files.createTempDirectory("graft-xlsx2").toString
     val shared = "<sst><si><t>id</t></si><si><t>v</t></si></sst>"
