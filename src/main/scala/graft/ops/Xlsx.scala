@@ -198,6 +198,139 @@ object Xlsx {
     }
   }
 
+  // ---- the writer (the reference's SINK format) ----
+
+  /** The xlsx row-count format cap (ECMA-376 worksheet limit). */
+  val MaxRows = 1048576L
+
+  private def xmlEscape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => out ++= "&amp;"
+      case '<' => out ++= "&lt;"
+      case '>' => out ++= "&gt;"
+      case '"' => out ++= "&quot;"
+      case c => out += c
+    }
+    out.toString
+  }
+
+  private def colLetters(i0: Int): String = {
+    var i = i0 + 1
+    val sb = new StringBuilder
+    while (i > 0) { val r = (i - 1) % 26; sb.insert(0, ('A' + r).toChar); i = (i - 1) / 26 }
+    sb.toString
+  }
+
+  /** Write `df` as one workbook — the reference's OUTPUT side
+    * (main.py:521-553 appends resolved rows to `output.xlsx`; its
+    * checked-in sample stores strings as `t="inlineStr"` and numbers as
+    * plain `<v>`, which is exactly what this emits, so the reference's
+    * own tooling reads the result). Strings go inline (no shared-string
+    * table — append-friendly and simpler), numeric/boolean columns go
+    * native, nulls leave the cell absent.
+    *
+    * SCALE GUARD, loud: an xlsx sheet is format-capped at [[MaxRows]]
+    * rows and is a single driver-written file — this is a REPORTING
+    * sink for resolved/decision tables, not a data path. Rows stream
+    * through `toLocalIterator` (one partition in driver memory at a
+    * time), and exceeding the cap throws naming the parquet sink.
+    * Append semantics (S3) = read existing + union + rewrite, WITHOUT
+    * the reference's off-by-one spacer row (main.py:533 leaves a blank
+    * row per append batch — documented, not ported; SURVEY §2.1 S3). */
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val header = df.columns.toSeq
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val zos = new java.util.zip.ZipOutputStream(fs.create(p, true))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new java.io.OutputStreamWriter(zos, java.nio.charset.StandardCharsets.UTF_8)
+      w.write("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+      def cell(ref: String, v: Any): String = v match {
+        case null => ""
+        case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
+                  _: java.math.BigDecimal | _: scala.math.BigDecimal) =>
+          s"""<c r="$ref"><v>$n</v></c>"""
+        case s => s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(s.toString)}</t></is></c>"""
+      }
+      def rowXml(rowNo: Long, vals: Seq[Any]): String =
+        s"""<row r="$rowNo">""" +
+          vals.zipWithIndex.map { case (v, i) => cell(colLetters(i) + rowNo, v) }.mkString +
+          "</row>"
+      w.write(rowXml(1L, header))
+      var n = 1L
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        n += 1
+        require(n <= MaxRows,
+          s"xlsx sheets are format-capped at $MaxRows rows — this is a " +
+            "reporting sink for resolved/decision tables; write parquet " +
+            "(Resolve.writeSink) for data-scale output")
+        w.write(rowXml(n, it.next().toSeq))
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  /** S3 append semantics: existing rows (if any) + `df`'s rows, one
+    * rewrite. Columns must match the existing header by name/order. */
+  def append(spark: SparkSession, path: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) write(df, path)
+    else {
+      val existing = read(spark, Seq(path))
+      require(existing.columns.sameElements(df.columns),
+        s"append column mismatch: existing ${existing.columns.mkString(",")} " +
+          s"vs new ${df.columns.mkString(",")}")
+      // MATERIALIZE the existing rows before the rewrite: write() truncates
+      // the file first and a lazy plan would then re-parse the truncated
+      // zip mid-stream. Driver memory is bounded by the format's own
+      // MaxRows cap — this is a reporting sink (see write()).
+      val snapshot = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(existing.collect(): _*)),
+        existing.schema)
+      // union on the existing file's INFERRED types — a type-incompatible
+      // append fails loudly instead of silently stringifying
+      write(snapshot.unionByName(df.selectExpr(existing.schema.fields.map(f =>
+        s"CAST(`${f.name}` AS ${f.dataType.sql}) AS `${f.name}`").toIndexedSeq: _*)), path)
+    }
+  }
+
   // ---- the Spark-facing reader ----
 
   /** Read a set of .xlsx files as ONE DataFrame: header from the first

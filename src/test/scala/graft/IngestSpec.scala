@@ -122,6 +122,40 @@ class IngestSpec extends SparkTestBase {
     assert(byId(2L).isNullAt(byId(2L).fieldIndex("score"))) // null-filled
   }
 
+  test("xlsx writer: write -> read round-trip; inline strings match the reference's own output shape; append (S3)") {
+    import graft.ops.Xlsx
+    val dir = Files.createTempDirectory("graft-xlsx-w").toString
+    val df = Seq(
+      (1L, "CH-S09FTXD-BL/SC", 762.5, true),
+      (2L, "a <tag> & \"quote\"", 610.0, false))
+      .toDF("row_id", "sku", "price", "kept")
+    Xlsx.write(df, s"$dir/out.xlsx")
+    val back = Xlsx.read(spark, Seq(s"$dir/out.xlsx"))
+    assert(back.columns.toSeq === Seq("row_id", "sku", "price", "kept"))
+    assert(back.schema("row_id").dataType.typeName === "long")
+    assert(back.schema("price").dataType.typeName === "double")
+    val byId = back.collect().map(r => r.getAs[Long]("row_id") -> r).toMap
+    assert(byId(1L).getAs[String]("sku") === "CH-S09FTXD-BL/SC")
+    assert(byId(2L).getAs[String]("sku") === "a <tag> & \"quote\"") // escape round-trip
+    assert(byId(1L).getAs[Double]("price") === 762.5)
+    assert(byId(1L).getAs[String]("kept") === "true") // bools read back as strings
+    // the bytes really are the reference's output shape: inline strings
+    val zf = new java.util.zip.ZipFile(s"$dir/out.xlsx")
+    val sheet = new String(zf.getInputStream(
+      zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    zf.close()
+    assert(sheet.contains("t=\"inlineStr\""), "strings must store inline like output.xlsx")
+    assert(!sheet.contains("t=\"s\""), "no shared-string table on the write path")
+    // S3 append: existing + new rows, no spacer row (the main.py:533
+    // off-by-one is documented as not ported)
+    Xlsx.append(spark, s"$dir/out.xlsx",
+      Seq((3L, "new", 1.0, true)).toDF("row_id", "sku", "price", "kept"))
+    assert(Xlsx.read(spark, Seq(s"$dir/out.xlsx")).count() === 3)
+    intercept[IllegalArgumentException](Xlsx.append(spark, s"$dir/out.xlsx",
+      Seq((4L, "x")).toDF("row_id", "other")))
+  }
+
   test("config: INI round-trip with the reference's exact conventions (S5)") {
     import graft.ops.Config
     // the reference's own config.ini shape (main.py:643-686)
