@@ -162,9 +162,10 @@ object Xlsx {
       cells.result().toArray
     }
 
-  /** Read the first worksheet of one workbook: (header?, data rows),
-    * every row padded/ordered to the max column index seen in row 1. */
-  private[ops] def parseWorkbook(bytes: Array[Byte]): Seq[Array[String]] = {
+  /** Read one worksheet of one workbook (0-based `sheet`, natural
+    * sheetN.xml order — pandas `read_excel(sheet_name=N)`): data rows
+    * padded/ordered to the max column index seen in row 1. */
+  private[ops] def parseWorkbook(bytes: Array[Byte], sheet: Int = 0): Seq[Array[String]] = {
     val zis = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     var shared = IndexedSeq.empty[String]
@@ -187,8 +188,10 @@ object Xlsx {
     def sheetNo(n: String) =
       n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toIntOption
         .getOrElse(Int.MaxValue)
-    val first = sheets.minBy(s => (sheetNo(s._1), s._1))._2
-    val rows = parseSheet(first, shared)
+    val ordered = sheets.sortBy(s => (sheetNo(s._1), s._1))
+    require(sheet >= 0 && sheet < ordered.length,
+      s"sheet index $sheet out of range — workbook has ${ordered.length} sheet(s)")
+    val rows = parseSheet(ordered(sheet)._2, shared)
     if (rows.isEmpty) return Seq.empty
     val width = rows.head.map(_._1).maxOption.fold(0)(_ + 1)
     rows.map { cells =>
@@ -337,8 +340,10 @@ object Xlsx {
     * file's row 1, rows from every file aligned positionally to it
     * (the pandas `read_excel` + `concat` shape the reference runs),
     * column types inferred BIGINT / DOUBLE / STRING by one distributed
-    * aggregate over all values. */
-  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    * aggregate over all values. `sheet` selects the 0-based worksheet
+    * in every workbook (the reference's selectable `sheet=0` default,
+    * main.py:19-21); extra cells beyond the header width are dropped. */
+  def read(spark: SparkSession, paths: Seq[String], sheet: Int = 0): DataFrame = {
     require(paths.nonEmpty, "Xlsx.read needs at least one path")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -355,7 +360,7 @@ object Xlsx {
     }
     // schema must exist at PLAN time: read only the first file's header
     // on the driver (one small zip), everything else parses in executors
-    val header = parseWorkbook(readBytes(paths.head, spark.sparkContext.hadoopConfiguration))
+    val header = parseWorkbook(readBytes(paths.head, spark.sparkContext.hadoopConfiguration), sheet)
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"${paths.head} has no rows — cannot take a header"))
       .map(h => Option(h).getOrElse(""))
@@ -366,7 +371,7 @@ object Xlsx {
     val rows = spark.sparkContext
       .parallelize(paths, paths.size)
       .flatMap { p =>
-        parseWorkbook(readBytes(p, conf.value)).drop(1).map { r =>
+        parseWorkbook(readBytes(p, conf.value), sheet).drop(1).map { r =>
           Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
         }
       }
