@@ -140,7 +140,11 @@ object SparkEntry {
         .orderBy("row_id")
     }),
 
-    // P3/W2: 1-based display index over an explicit order.
+    // P3/W2: 1-based display index over an explicit order. The
+    // unpartitioned window is DELIBERATE: W2's display index is a total
+    // order over the probe table, which is Guards-bounded; the
+    // corpus-scale form is Partitioning.contiguousIds (see
+    // Resolve.withRowId's scaladoc).
     "q06_display_index" -> ((s, dir) =>
       probes(s, dir)
         .withColumn("display_index", row_number().over(Window.orderBy("search_val")))

@@ -468,10 +468,17 @@ object FuzzyJoin {
       .persist()
     onCache(ranked)
     // certificate: the k-th ranked in-band sim strictly beats the
-    // out-of-band ceiling — computed per probe off the same exchange
+    // out-of-band ceiling — computed per probe off the same exchange.
+    // The +5e-7 margin closes the 6-dp rounding gap (ADVICE r11): sims are
+    // round(x, 6), so when `bound` is not itself on the 1e-6 grid an
+    // out-of-band candidate with true sim just below bound can round UP
+    // onto the same grid value as the k-th in-band row and displace it
+    // under the data_id tiebreak. Requiring the k-th ROUNDED sim to clear
+    // bound + 5e-7 means it sits at least one half-grid-step above any
+    // rounded out-of-band sim, so no tie is possible.
     val certified = ranked
       .withColumn("kth_sim", max(when(col("rnk") === k, col("sim"))).over(w))
-      .filter(col("kth_sim") > bound)
+      .filter(col("kth_sim") > bound + 5e-7)
       .drop("kth_sim")
     val filledTopK = certified.filter(col("rnk") <= k)
 

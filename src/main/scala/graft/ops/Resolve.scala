@@ -21,7 +21,12 @@ object Resolve {
   /** W2/P3 (main.py:584-592): stamp a deterministic 1-based row id. The
     * reference relies on pandas' implicit positional index; Spark requires an
     * explicit order. A global row_number is a single-partition sort at scale —
-    * fine for probe-sized tables (the search side), not for fact tables. */
+    * fine for probe-sized tables (the search side, which every caller
+    * already bounds to broadcastable size via Guards), DELIBERATELY so:
+    * W2's 1-based display index is a total order by definition. Do NOT
+    * copy this onto a corpus-sized table — the scale-safe replacement is
+    * [[graft.ops.Partitioning.contiguousIds]] (per-partition counts + one
+    * tiny offset broadcast, no single-partition funnel). */
   def withRowId(df: DataFrame, orderCols: String*): DataFrame =
     df.withColumn("row_id",
       row_number().over(Window.orderBy(orderCols.map(col): _*)))

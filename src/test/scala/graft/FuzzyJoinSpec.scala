@@ -195,6 +195,17 @@ class FuzzyJoinSpec extends SparkTestBase {
       rows(FuzzyJoin.topKJaroWinkler(search, data, 2)))
   }
 
+  test("q155 (banded) answers q149 (exact) identically at the query level") {
+    // the two queries share one DuckDB mirror (ExtQueries.jwTopkOracleSql);
+    // this pins the same identity engine-side on real testdata, including
+    // the projection, rounding, and ordering the oracle hashes
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q149_fuzzy_jw_topk")(spark, dir).collect().toSeq
+    val banded = SparkEntry.queries("q155_fuzzy_jw_banded")(spark, dir).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(banded === exact)
+  }
+
   test("topKJaroWinkler corpus-side guard fires, naming the banded alternative") {
     val e = intercept[IllegalArgumentException](
       FuzzyJoin.topKJaroWinkler(search, data, 2, maxDataRows = 2))

@@ -228,4 +228,143 @@ class IngestSpec extends SparkTestBase {
       graft.ops.Xlsx.read(spark, Seq(s"$dir/dup.xlsx")))
     assert(e.getMessage.contains("unique"))
   }
+
+  /** A 2-sheet workbook with workbook.xml + rels (real Excel layout) and
+    * a styles part whose cellXf index 1 is a date format. */
+  private def writeWorkbook2(path: String, stylesXml: String,
+                             sheets: Seq[(String, String)]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", "<Types/>")
+    put("xl/workbook.xml",
+      "<workbook><sheets>" + sheets.zipWithIndex.map { case ((nm, _), i) =>
+        s"""<sheet name="$nm" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString + "</sheets></workbook>")
+    put("xl/_rels/workbook.xml.rels",
+      "<Relationships>" + sheets.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet${i + 1}.xml"/>"""
+      }.mkString + "</Relationships>")
+    if (stylesXml.nonEmpty) put("xl/styles.xml", stylesXml)
+    sheets.zipWithIndex.foreach { case ((_, xml), i) =>
+      put(s"xl/worksheets/sheet${i + 1}.xml", xml)
+    }
+    zos.close()
+  }
+
+  test("xlsx: sheet selection by NAME via workbook.xml + rels (VERDICT r11 #1)") {
+    val dir = Files.createTempDirectory("graft-xlsx-name").toString
+    def sheet(hdr: String, v: Int) =
+      s"""<worksheet><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>$hdr</t></is></c></row>
+         |<row r="2"><c r="A2"><v>$v</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    writeWorkbook2(s"$dir/m.xlsx", "",
+      Seq("Summary" -> sheet("a", 1), "Costs" -> sheet("b", 2)))
+    val byName = graft.ops.Xlsx.readByName(spark, Seq(s"$dir/m.xlsx"), "Costs")
+    assert(byName.columns.toSeq === Seq("b"))
+    assert(byName.head.getLong(0) === 2L)
+    // index selection follows the DECLARED workbook order, same as pandas
+    assert(graft.ops.Xlsx.read(spark, Seq(s"$dir/m.xlsx"), sheet = 1)
+      .columns.toSeq === Seq("b"))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Xlsx.readByName(spark, Seq(s"$dir/m.xlsx"), "Nope").collect())
+    assert(e.getMessage.contains("Summary") && e.getMessage.contains("Costs"),
+      "the error must list the available sheet names")
+  }
+
+  test("xlsx: date-styled serial cells decode; all-date columns infer DATE/TIMESTAMP (VERDICT r11 #2)") {
+    val dir = Files.createTempDirectory("graft-xlsx-date").toString
+    // cellXf 0 = general, 1 = builtin date 14, 2 = custom date code
+    val styles =
+      """<styleSheet><numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    // 45292 = 2024-01-01; 45292.5 = noon (1899-12-30 epoch)
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c><c r="B1" t="inlineStr"><is><t>at</t></is></c><c r="C1" t="inlineStr"><is><t>plain</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2"><v>45292</v></c></row>
+        |<row r="3"><c r="A3" s="1"><v>45323</v></c><c r="B3" s="2"><v>45323.25</v></c><c r="C3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook2(s"$dir/d.xlsx", styles, Seq("S" -> sheet))
+    val df = graft.ops.Xlsx.read(spark, Seq(s"$dir/d.xlsx"))
+    assert(df.schema("day").dataType.typeName === "date",
+      "all-date column with no time-of-day must infer DATE")
+    assert(df.schema("at").dataType.typeName === "timestamp",
+      "custom y/m/d format code must register as a date style")
+    assert(df.schema("plain").dataType.typeName === "long",
+      "unstyled serial stays a number — style drives the decode")
+    val rows = df.orderBy("day").collect()
+    assert(rows(0).getDate(0).toString === "2024-01-01")
+    assert(rows(0).getTimestamp(1).toString.startsWith("2024-01-01 12:00:00"))
+    assert(rows(1).getDate(0).toString === "2024-02-01")
+    assert(rows(1).getTimestamp(1).toString.startsWith("2024-02-01 06:00:00"))
+  }
+
+  test("xlsx: heterogeneous folder aligns by column NAME, pandas-concat style (ADVICE r11)") {
+    val dir = Files.createTempDirectory("graft-xlsx-het").toString
+    val shared = "<sst><si><t>id</t></si><si><t>v</t></si><si><t>extra</t></si></sst>"
+    // file a: (id, v); file b: REVERSED order (v, id) plus a new column
+    val sheetA =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>10</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheetB =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>1</v></c><c r="B1" t="s"><v>0</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>20</v></c><c r="B2"><v>2</v></c><c r="C2"><v>99</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/a.xlsx", shared, sheetA)
+    writeWorkbook(s"$dir/b.xlsx", shared, sheetB)
+    val df = graft.ops.Xlsx.read(spark, Seq(s"$dir/a.xlsx", s"$dir/b.xlsx"))
+    // union header in first-seen order; b's rows align by NAME, not position
+    assert(df.columns.toSeq === Seq("id", "v", "extra"))
+    val byId = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Long]("v") === 10L)
+    assert(byId(2L).getAs[Long]("v") === 20L, "reversed columns must not swap values")
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("extra")), "missing column null-fills")
+    assert(byId(2L).getAs[Long]("extra") === 99L)
+  }
+
+  test("xlsx: string-TYPED numeric-looking cells stay STRING — no leading-zero loss (ADVICE r11)") {
+    val dir = Files.createTempDirectory("graft-xlsx-sku").toString
+    val shared = "<sst><si><t>sku</t></si><si><t>n</t></si><si><t>007</t></si><si><t>042</t></si></sst>"
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook(s"$dir/s.xlsx", shared, sheet)
+    val df = graft.ops.Xlsx.read(spark, Seq(s"$dir/s.xlsx"))
+    assert(df.schema("sku").dataType.typeName === "string",
+      "string-typed cells must never be retyped by their text")
+    assert(df.schema("n").dataType.typeName === "long")
+    assert(df.select("sku").collect().map(_.getString(0)).toSet === Set("007", "042"))
+  }
+
+  test("xlsx writer: TIMESTAMP/DATE columns round-trip through date-styled serials") {
+    import graft.ops.Xlsx
+    val dir = Files.createTempDirectory("graft-xlsx-wd").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:30:45"),
+        java.sql.Date.valueOf("2024-02-01")),
+      (2L, java.sql.Timestamp.valueOf("2023-06-15 00:00:00"),
+        java.sql.Date.valueOf("2023-06-15")))
+      .toDF("id", "at", "day")
+    Xlsx.write(df, s"$dir/d.xlsx")
+    val back = Xlsx.read(spark, Seq(s"$dir/d.xlsx"))
+    assert(back.schema("at").dataType.typeName === "timestamp")
+    assert(back.schema("day").dataType.typeName === "date")
+    val byId = back.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[java.sql.Timestamp]("at").toString
+      .startsWith("2024-01-01 12:30:45"))
+    assert(byId(1L).getAs[java.sql.Date]("day").toString === "2024-02-01")
+    assert(byId(2L).getAs[java.sql.Date]("day").toString === "2023-06-15")
+  }
 }

@@ -201,16 +201,19 @@ class PlanSpec extends SparkTestBase {
   test("q140 corpus diff: the full-outer join carries digests, never document text") {
     val p = plan("q140_corpus_diff")
     assert(p.contains("FullOuter"), "diff must plan a full-outer id join:\n" + p)
-    // text may survive ONLY inside the scan-side projections — the md5
-    // fold and the snapshot-derivation CASEs (the %17/%19 fixture edits,
-    // collapsed directly under it, still below every exchange). Every
-    // shuffled/joined row above carries id + digest, never the body.
-    val leaky = p.linesIterator.filter(_.contains("text#"))
-      .filterNot(l => l.contains("md5(") || l.contains("Scan parquet") ||
-        l.contains("ReadSchema") || l.contains("PushedFilters") ||
-        l.contains("% 17)") || l.contains("% 19)"))
+    // text may survive ONLY below the exchanges (the scan-side md5 fold
+    // and the %17/%19 snapshot-derivation CASEs collapsed onto it).
+    // Scope the check to the plan ABOVE the first Exchange (printed
+    // plans are root-first, scans last), where no excuse applies — a
+    // regression that shuffles raw text inside a projection that also
+    // carries a fixture CASE must still fail (ADVICE r11).
+    val lines = p.linesIterator.toVector
+    val firstEx = lines.indexWhere(_.contains("Exchange"))
+    assert(firstEx >= 0, "expected at least one Exchange in the plan:\n" + p)
+    val leaky = lines.take(firstEx).filter(_.contains("text#"))
     assert(leaky.isEmpty,
-      "text must fold to md5 at the scan — the join shuffles id+digest only:\n" + p)
+      "text must fold to md5 at the scan — every row above the exchanges " +
+        "carries id + digest only:\n" + p)
   }
 
   test("q141 rate grid: bounds ride a 1-row broadcast; grid joins the materialized counts") {
@@ -628,6 +631,22 @@ class PlanSpec extends SparkTestBase {
     // never plan one
     assert(p.linesIterator.exists(l => l.contains("damerau_levenshtein") && l.contains("*(")),
       s"damerau_levenshtein must appear inside a WholeStageCodegen stage:\n$p")
+  }
+
+  test("q155 banded jaro-winkler: band phase plans a hash equi-join on the length key (VERDICT r11 #1)") {
+    val df = SparkEntry.queries("q155_fuzzy_jw_banded")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [m_len"),
+      "JW band candidates must come from a hash EQUI-join on the exact " +
+        "length band key — the corpus is never cross-joined in phase 1:\n" + p)
+    assert(!p.contains("SortMergeJoin"))
+    // the nested loop that remains is the residual-probe fallback (on this
+    // weak-match data it genuinely runs — the honest worst case); the band
+    // phase itself must never plan one, which the equi-join pin above plus
+    // the banded == exact hash identity (q155's oracle IS q149's) prove
+    assert(p.linesIterator.exists(l => l.contains("jaro_winkler") && l.contains("*(")),
+      s"jaro_winkler must appear inside a WholeStageCodegen stage:\n$p")
   }
 
   test("vector kernel stays inside whole-stage codegen") {
