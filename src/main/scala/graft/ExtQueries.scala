@@ -1759,6 +1759,133 @@ object ExtQueries {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // The STATEFUL streaming operator family under the oracle gate:
+    // sessionWindows (flatMapGroupsWithState + EventTimeTimeout, the
+    // production shape for custom state) must equal BATCH gap
+    // sessionization when arrival is in time order — so events land as 3
+    // chronological wave files (wave = time third, so every later wave
+    // is entirely after every earlier one: nothing is ever late, and
+    // stream == batch is exact, not approximate). Sessions close either
+    // when a later event passes the 30-min gap or when the sentinel-
+    // advanced watermark fires their EventTimeTimeout; the no-data flush
+    // batch emits the tail. The DuckDB mirror is plain lag()-based gap
+    // sessionization in ms — the first hash proof that the custom-state
+    // operator computes the BATCH answer, not just the StreamOpsSpec
+    // stream==batch pin.
+    "q159_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratchDir("q159")
+      val landing = s"$base/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val ev = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
+        .select("user_id", "ts")
+      val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+      val third = math.max(1L, (hiMs - loMs) / 3 + 1)
+      def land(df: DataFrame, name: String, seq: Int): Unit = {
+        val tmp = s"$base/stage-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dst = new java.io.File(landing, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + seq * 60000L)
+      }
+      val waved = ev.withColumn("wave",
+        floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
+      (0 to 2).foreach(w => land(waved.filter(col("wave") === w).drop("wave"), s"w$w", w))
+      land(Seq((-1L, new java.sql.Timestamp(hiMs + 10L * 24 * 3600 * 1000)))
+        .toDF("user_id", "ts"), "w3-sentinel", 3)
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .as[graft.streaming.StreamOps.EvT]
+      val sessions = graft.streaming.StreamOps.sessionWindows(stream,
+        gapMs = 30 * 60 * 1000L, watermark = "30 minutes")
+      val name = "graft_q159_sessions"
+      s.catalog.dropTempView(name)
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "start_ms")
+    }),
+
+    // The xlsx SINK under the oracle gate (the q153 write->read-back->
+    // audit pattern, moved onto the reference's ACTUAL sink format):
+    // a bounded reporting slice of orders writes to one workbook, a
+    // second slice APPENDS (S3's read-existing+union+rewrite), the
+    // workbook reads back through the kind-aware inference — BIGINT ids,
+    // DOUBLE totals, DATE day column via the round-12 date-serial
+    // styles — and the audit hashes against a DuckDB mirror that derives
+    // the same numbers from SQL alone. A retyping bug anywhere in the
+    // write->append->read chain (leading-zero loss, serial drift,
+    // header misalignment) lands in the hash. Bounded by construction:
+    // ~2/97 of orders rows, far under the format's 1M cap.
+    "q157_xlsx_sink_audit" -> ((s, dir) => {
+      val base = scratchDir("q157")
+      val path = s"$base/report.xlsx"
+      def slice(rem: Int): DataFrame = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === rem)
+        .select(col("o_orderkey").as("order_id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total"),
+          col("o_orderdate").cast("date").as("order_day"))
+        .orderBy("order_id")
+      graft.ops.Xlsx.write(slice(0), path)
+      graft.ops.Xlsx.append(s, path, slice(1))
+      val back = graft.ops.Xlsx.read(s, Seq(path))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("order_id")).as("id_sum"),
+        countDistinct(col("status")).as("n_status"),
+        min(col("order_day")).cast("string").as("first_day"),
+        max(col("order_day")).cast("string").as("last_day"),
+        sum(col("total").cast("decimal(18,4)")).cast("double").as("total_sum"))
+    }),
+
+    // The REAL image decode channel under the oracle gate: per selected
+    // doc, the engine ENCODES a PNG whose dimensions are SQL-derivable
+    // arithmetic (doc_id modulos), then DECODES it back with the
+    // ImageIO path (ext/Multimodal.decode) and emits the decoded
+    // dimensions + the PNG magic head byte. The oracle computes the same
+    // dimensions without ever seeing an image — so the hash only matches
+    // if the JDK decode really ran (the stub fallback would emit
+    // length-derived fakes). PNG bytes themselves are never hashed
+    // (deflate output may vary by JVM); the decode LAW is the oracle.
+    "q158_image_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .filter(col("doc_id") % 29 === 0) // bound the per-row encode cost
+        .select(col("doc_id"),
+          (col("doc_id") % 61 + 5).cast("int").as("w"),
+          (col("doc_id") % 37 + 3).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((x * 2654435761L + y * 40503L + id) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val (len, head, _, dw, dh) = Multimodal.decode(bos.toByteArray)
+          (id, dw, dh, head, len > 0)
+        }
+        .toDF("doc_id", "width", "height", "head_byte", "nonempty")
+        .orderBy("doc_id")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -5316,6 +5443,50 @@ object ExtQueries {
           |FROM kept
           |GROUP BY 1, 2
           |ORDER BY hour_epoch, event_type""".stripMargin) +
+      // the custom-state law: in-order arrival makes streaming session
+      // windows equal plain lag()-based gap sessionization — the same
+      // 30-min gap, in ms, floor-truncated exactly as Timestamp.getTime
+      ("q159_stream_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+          |o AS (SELECT user_id, ts_ms,
+          |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev
+          |      FROM e),
+          |s AS (SELECT user_id, ts_ms,
+          |        sum(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+          |                 THEN 1 ELSE 0 END)
+          |          OVER (PARTITION BY user_id ORDER BY ts_ms
+          |                ROWS UNBOUNDED PRECEDING) AS sess
+          |      FROM o)
+          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id, sess
+          |ORDER BY user_id, start_ms""".stripMargin) +
+      // the xlsx sink audit mirror: both slices derived in SQL, no files
+      // anywhere — if the write->append->read chain retypes or misaligns
+      // anything, the engine's read-back aggregate can't reach this
+      ("q157_xlsx_sink_audit" ->
+        """WITH sel AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status,
+          |         o_totalprice AS total, CAST(o_orderdate AS DATE) AS order_day
+          |  FROM orders WHERE o_orderkey % 97 IN (0, 1))
+          |SELECT count(*) AS n_rows,
+          |       CAST(sum(order_id) AS BIGINT) AS id_sum,
+          |       count(DISTINCT status) AS n_status,
+          |       CAST(min(order_day) AS VARCHAR) AS first_day,
+          |       CAST(max(order_day) AS VARCHAR) AS last_day,
+          |       CAST(sum(CAST(total AS DECIMAL(18,4))) AS DOUBLE) AS total_sum
+          |FROM sel""".stripMargin) +
+      // the decode LAW: dimensions are pure doc_id arithmetic, 137 is the
+      // PNG magic byte — DuckDB derives them without any image in sight;
+      // only a REAL JDK decode on the engine side can match
+      ("q158_image_decode_real" ->
+        """SELECT doc_id,
+          |       CAST(doc_id % 61 + 5 AS INT) AS width,
+          |       CAST(doc_id % 37 + 3 AS INT) AS height,
+          |       CAST(137 AS INT) AS head_byte,
+          |       TRUE AS nonempty
+          |FROM documents WHERE doc_id % 29 = 0
+          |ORDER BY doc_id""".stripMargin) +
       ("q142_tukey_outliers" -> tukeyOracleSql) +
       ("q143_bpe_fertility" -> fertilityOracleSql) +
       // the q63 histogram-quantile mirror keyed by source, extended with
