@@ -44,6 +44,26 @@ object ExtQueries {
     p.toString
   }
 
+  /** Land `df` as ONE parquet file `landing/name.parquet` with mtime
+    * `1700000000000 + seq*60s` — the file-source arrival-order fixture
+    * shared by the streaming oracle rows (q156/q159/q160/q161): one
+    * file == one micro-batch under maxFilesPerTrigger=1, and strictly
+    * increasing mtimes make the file-source walk order deterministic.
+    * The stage dir sits BESIDE the landing dir (`landing.stage-name`)
+    * so two landings under one scratch base never collide. */
+  private def landFile(df: DataFrame, landing: String,
+                       name: String, seq: Int): Unit = {
+    val tmp = s"$landing.stage-$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dst = new java.io.File(landing, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(1700000000000L + seq * 60000L)
+  }
+
   private def probes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_embedding"))
@@ -1722,23 +1742,12 @@ object ExtQueries {
       // plain TIMESTAMP and the sentinel row types identically)
       val ev = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
         .select("event_id", "ts", "event_type", "value")
-      def land(df: DataFrame, name: String, seq: Int): Unit = {
-        val tmp = s"$base/stage-$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        val dst = new java.io.File(landing, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // strictly increasing mtimes fix the file-source arrival order
-        dst.setLastModified(1700000000000L + seq * 60000L)
-      }
-      (0 to 2).foreach(w => land(ev.filter(pmod(col("event_id"), lit(3)) === w), s"w$w", w))
+      (0 to 2).foreach(w =>
+        landFile(ev.filter(pmod(col("event_id"), lit(3)) === w), landing, s"w$w", w))
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0) // bounded: 1 row
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
-      land(Seq((-1L, sentTs, "__sentinel", 0.0))
-        .toDF("event_id", "ts", "event_type", "value"), "w3-sentinel", 3)
+      landFile(Seq((-1L, sentTs, "__sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value"), landing, "w3-sentinel", 3)
       val stream = graft.streaming.StreamOps.eventsFileStream(s, landing, maxFilesPerTrigger = 1)
       val agg = stream
         .withWatermark("ts", "30 minutes")
@@ -1782,22 +1791,12 @@ object ExtQueries {
       val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
       val (loMs, hiMs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
       val third = math.max(1L, (hiMs - loMs) / 3 + 1)
-      def land(df: DataFrame, name: String, seq: Int): Unit = {
-        val tmp = s"$base/stage-$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
-        val dst = new java.io.File(landing, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1700000000000L + seq * 60000L)
-      }
       val waved = ev.withColumn("wave",
         floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
-      (0 to 2).foreach(w => land(waved.filter(col("wave") === w).drop("wave"), s"w$w", w))
-      land(Seq((-1L, new java.sql.Timestamp(hiMs + 10L * 24 * 3600 * 1000)))
-        .toDF("user_id", "ts"), "w3-sentinel", 3)
+      (0 to 2).foreach(w =>
+        landFile(waved.filter(col("wave") === w).drop("wave"), landing, s"w$w", w))
+      landFile(Seq((-1L, new java.sql.Timestamp(hiMs + 10L * 24 * 3600 * 1000)))
+        .toDF("user_id", "ts"), landing, "w3-sentinel", 3)
       val schema = s.read.parquet(landing).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
@@ -1884,6 +1883,197 @@ object ExtQueries {
         }
         .toDF("doc_id", "width", "height", "head_byte", "nonempty")
         .orderBy("doc_id")
+    }),
+
+    // Streaming exact dedup at the INGESTION edge under the oracle gate
+    // (StreamOps.dedupStream = dropDuplicatesWithinWatermark, the
+    // batch Dedup.exact's streaming twin): the landed stream carries
+    // engineered duplicates — every event_id%7==0 row lands AGAIN in
+    // the next wave, every %13==0 row twice within its own wave — and
+    // the operator must collapse the lot back to EXACTLY the source
+    // table (first arrival wins; copies carry identical payload). Waves
+    // are chronological time-thirds, and the delay is sized past the
+    // corpus span so no id's state can evict before its copies arrive:
+    // every copy is dropped BY STATE, which is the dedup law under
+    // proof (the production-tuned tight delay bounds state instead —
+    // its late-drop law is q156's; StreamOpsSpec pins the operator).
+    // Dedup is a stateful filter, not an aggregation, so append mode
+    // emits survivors immediately — no sentinel flush needed. If even
+    // one copy leaks through, or one original is wrongly dropped, the
+    // row count and hash diverge from the plain source mirror.
+    "q160_stream_dedup" -> ((s, dir) => {
+      val base = scratchDir("q160")
+      val landing = s"$base/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val ev = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val (loMs, hiMs) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+      val third = math.max(1L, (hiMs - loMs) / 3 + 1)
+      val waved = ev.withColumn("wave",
+        floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
+      (0 to 2).foreach { w =>
+        val own = waved.filter(col("wave") === w).drop("wave")
+        val inWave = own.filter(col("event_id") % 13 === 0)   // same-batch dup
+        val fromPrev = waved.filter(col("wave") === w - 1 &&  // cross-batch dup
+            col("event_id") % 7 === 0).drop("wave")
+        landFile(own.unionByName(inWave).unionByName(fromPrev), landing, s"w$w", w)
+      }
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val deduped = graft.streaming.StreamOps.dedupStream(stream, "event_id", "ts",
+        watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
+      val name = "graft_q160_dedup"
+      s.catalog.dropTempView(name)
+      val q = deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // The stream-stream JOIN family under the oracle gate
+    // (StreamOps.attributionStream): multi-touch attribution — every
+    // click/view pairs with EVERY purchase by the same user in the
+    // preceding hour, LEFT OUTER so untouched events survive. Both
+    // sides land as chronological time-third wave files and advance
+    // together (one file per source per trigger); the watermark delay
+    // is sized past the corpus span so arrival interleaving is
+    // immaterial — no row is ever late and no join state evicts before
+    // its partner can arrive — and the outer rows flush when the
+    // sentinel PAIR (10 days past max ts, on BOTH sides, because the
+    // global watermark is the min across sources) drives the no-data
+    // batch. Timestamps are ms-floored at landing on the engine side so
+    // the interval boundary arithmetic is bit-identical to the oracle's
+    // epoch-ms SQL; outer NULLs are coalesced to -1 on both engines so
+    // ordering and hashing never meet an engine-specific NULL rule.
+    "q161_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratchDir("q161")
+      val (landEv, landPur) = (s"$base/ev", s"$base/pur")
+      Seq(landEv, landPur).foreach(p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+      val ev0 = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      val views = ev0.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev0.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val b = ev0.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val (loMs, hiMs) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+      val third = math.max(1L, (hiMs - loMs) / 3 + 1)
+      def waveOf(df: DataFrame): DataFrame = df.withColumn("wave",
+        floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
+      (0 to 2).foreach { w =>
+        landFile(waveOf(views).filter(col("wave") === w).drop("wave"),
+          landEv, s"w$w", w)
+        landFile(waveOf(purchases).filter(col("wave") === w).drop("wave"),
+          landPur, s"w$w", w)
+      }
+      // THREE sentinel waves per side, not one: outer-row emission
+      // happens in the batch whose PLANNING watermark has passed the
+      // event's horizon, and the planning watermark lags arrival by two
+      // batches (the SPARK-24634 split q156 documents). Sentinel 1
+      // advances the post-batch watermark past every real row; sentinels
+      // 2-3 are the extra DATA batches that let that watermark become
+      // the planning watermark — so every real outer row flushes inside
+      // a deterministic data batch that processAllAvailable is
+      // guaranteed to complete, never inside a racy post-stop no-data
+      // batch (with one sentinel the dump caught a partial flush:
+      // 1267/3920 outer rows).
+      (3 to 5).foreach { i =>
+        val sentTs = new java.sql.Timestamp(hiMs + i * 10L * 24 * 3600 * 1000)
+        landFile(Seq((-1L, -1L, sentTs)).toDF("event_id", "user_id", "ts"),
+          landEv, s"w$i-sentinel", i)
+        landFile(Seq((-1L, -1L, sentTs)).toDF("purchase_id", "user_id", "ts"),
+          landPur, s"w$i-sentinel", i)
+      }
+      def fileStream(path: String): DataFrame = {
+        val schema = s.read.parquet(path).schema
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+      }
+      val joined = graft.streaming.StreamOps.attributionStream(
+        fileStream(landEv), fileStream(landPur), horizon = "1 hour",
+        watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
+      val name = "graft_q161_attr"
+      s.catalog.dropTempView(name)
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(unix_millis(col("p_ts")), lit(-1L)).as("p_ts_ms"))
+        .orderBy("event_id", "purchase_id")
+    }),
+
+    // The SECOND custom-state streaming operator under the gate
+    // (StreamOps.funnelStream: flatMapGroupsWithState with a per-user
+    // event buffer + quiet-period EventTimeTimeout), answering q117's
+    // BATCH 24h-window funnel oracle VERBATIM — the q02-proves-q01
+    // discipline for the stateful funnel, on the oracle with real
+    // drop-off (the unbounded q103 funnel converts every test user, so
+    // it could not tell a correct funnel from count-distinct-users;
+    // the windowed one drops 150→60→21→10 at sf0.01 and every boundary
+    // rides the recurrence). Chronological time-third waves mean every
+    // user's buffer is complete before any timeout can fire (the
+    // span-wide delay keeps the watermark below the corpus until the
+    // sentinels land), and the three sentinel waves walk the planning
+    // watermark past every user's lastMs+quiet inside DATA batches, so
+    // all finalizations are deterministic (the q161 lesson). Per-user
+    // FunnelOut rows then fold to the oracle's (step, step_name,
+    // n_users) shape: a user who reached step k counts toward steps
+    // 0..k-1, which is exactly the batch funnel's nested-count law.
+    "q162_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratchDir("q162")
+      val landing = s"$base/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val steps = Seq("view", "click", "signup", "purchase")
+      val ev = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val (loMs, hiMs) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+      val third = math.max(1L, (hiMs - loMs) / 3 + 1)
+      val waved = ev.withColumn("wave",
+        floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
+      (0 to 2).foreach(w =>
+        landFile(waved.filter(col("wave") === w).drop("wave"), landing, s"w$w", w))
+      (3 to 5).foreach { i =>
+        // sentinel event_type must be a STEP type: the watermark node
+        // sits after funnelStream's step filter, so a non-step sentinel
+        // would never advance event time
+        val sentTs = new java.sql.Timestamp(hiMs + i * 10L * 24 * 3600 * 1000)
+        landFile(Seq((-1L, steps.head, sentTs)).toDF("user_id", "event_type", "ts"),
+          landing, s"w$i-sentinel", i)
+      }
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .as[graft.streaming.StreamOps.FunnelEv]
+      val out = graft.streaming.StreamOps.funnelStream(stream, steps,
+        watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes",
+        windowMs = Some(86400000L))
+      val name = "graft_q162_funnel"
+      s.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val fo = s.table(name).filter(col("user_id") >= 0)
+      steps.indices.map { i =>
+        fo.filter(col("steps_reached") > i)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(steps(i)).as("step_name"),
+            col("n_users"))
+      }.reduce(_ unionByName _).orderBy("step")
     }),
 
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
@@ -4482,43 +4672,10 @@ object ExtQueries {
 
     // Step-for-step funnel mirror: epoch_ms truncation == ts div 1000000,
     // same strict-inequality earliest-entry chain.
-    "q103_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-        |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
-        |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t GROUP BY 1),
-        |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
-        |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t GROUP BY 1),
-        |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
-        |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
-        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
-        |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
-        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-        |ORDER BY step""".stripMargin,
+    "q103_funnel" -> funnelOracleSql,
 
     // q103's chain with the 24h conversion bound on every step join
-    "q117_funnel_window" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-        |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
-        |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t
-        |         AND ev.ts_ms <= s0.t + 86400000 GROUP BY 1),
-        |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
-        |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t
-        |         AND ev.ts_ms <= s1.t + 86400000 GROUP BY 1),
-        |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
-        |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t
-        |         AND ev.ts_ms <= s2.t + 86400000 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
-        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
-        |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
-        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-        |ORDER BY step""".stripMargin,
+    "q117_funnel_window" -> funnelWindowOracleSql,
 
     "q106_nb_quality" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
@@ -5248,6 +5405,51 @@ object ExtQueries {
     * banded (q155) engines answer a byte-identical oracle — output
     * identity between the two Spark plans is then proven transitively
     * through the hash gate, the q01/q02 discipline. */
+  /** q103's greedy earliest-entry funnel mirror — shared verbatim by
+    * q162_stream_funnel (the q02-proves-q01 discipline: the streaming
+    * custom-state funnel answers the BATCH oracle). */
+  private def funnelOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
+      |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
+      |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
+      |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
+      |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+      |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
+  /** q117's 24h-conversion-window funnel mirror — shared verbatim by
+    * q162_stream_funnel: the windowed form has real drop-off on the
+    * test events (150/60/21/10 at sf0.01) where the unbounded funnel
+    * converts every user, so it is the DISCRIMINATING oracle for the
+    * streaming custom-state funnel. */
+  private def funnelWindowOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s0 AS (SELECT user_id, min(ts_ms) AS t FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s0 USING (user_id)
+      |       WHERE ev.event_type = 'click' AND ev.ts_ms > s0.t
+      |         AND ev.ts_ms <= s0.t + 86400000 GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s1 USING (user_id)
+      |       WHERE ev.event_type = 'signup' AND ev.ts_ms > s1.t
+      |         AND ev.ts_ms <= s1.t + 86400000 GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(ev.ts_ms) AS t FROM ev JOIN s2 USING (user_id)
+      |       WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t
+      |         AND ev.ts_ms <= s2.t + 86400000 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
+      |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+      |  UNION ALL SELECT 2, 'signup', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
   private def jwTopkOracleSql: String = {
     val n = graft.ops.Normalize.normSql _
     s"""WITH search AS (SELECT DISTINCT s_name AS search_val FROM supplier),
@@ -5461,6 +5663,35 @@ object ExtQueries {
           |       count(*) AS n_events
           |FROM s GROUP BY user_id, sess
           |ORDER BY user_id, start_ms""".stripMargin) +
+      // the streaming-dedup law: the engineered duplicate landing (%7
+      // next-wave copies, %13 same-wave copies) must collapse back to
+      // EXACTLY the source table — the mirror is the source itself, so
+      // one leaked copy or one wrongly-dropped original breaks the hash
+      ("q160_stream_dedup" ->
+        """SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+          |       event_type, value
+          |FROM events
+          |ORDER BY event_id""".stripMargin) +
+      // the stream-stream interval-join law: plain SQL left join with
+      // the same ms-floored hour-window condition; outer NULLs -> -1
+      ("q161_stream_attribution" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+          |  FROM events WHERE event_type IN ('click', 'view')),
+          |p AS (
+          |  SELECT event_id AS purchase_id, user_id,
+          |         epoch_ns(ts) // 1000000 AS p_ts_ms
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT e.event_id, e.user_id, e.ts_ms,
+          |       coalesce(p.purchase_id, -1) AS purchase_id,
+          |       coalesce(p.p_ts_ms, -1) AS p_ts_ms
+          |FROM e LEFT JOIN p
+          |  ON e.user_id = p.user_id
+          | AND p.p_ts_ms <= e.ts_ms
+          | AND p.p_ts_ms >= e.ts_ms - 3600000
+          |ORDER BY event_id, purchase_id""".stripMargin) +
+      // the streaming funnel answers the BATCH windowed-funnel mirror
+      ("q162_stream_funnel" -> funnelWindowOracleSql) +
       // the xlsx sink audit mirror: both slices derived in SQL, no files
       // anywhere — if the write->append->read chain retypes or misaligns
       // anything, the engine's read-back aggregate can't reach this
