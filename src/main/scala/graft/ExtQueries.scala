@@ -2076,6 +2076,36 @@ object ExtQueries {
       }.reduce(_ unionByName _).orderBy("step")
     }),
 
+    // Small-file compaction under the oracle gate (ops/Compaction, the
+    // lakehouse OPTIMIZE primitive): documents is deliberately
+    // fragmented into 64 tiny files — the streaming-sink pathology —
+    // then compacted BOTH ways (shuffle-free coalesce; range-clustered
+    // by doc_id), and both read-backs must aggregate to the same
+    // per-source numbers SQL derives from the table alone. A row lost,
+    // duplicated, or corrupted by either rewrite lands in the hash;
+    // CompactionSpec pins the physical claims the oracle can't see
+    // (file counts hit the byte-derived plan, the coalesce path plans
+    // ZERO exchanges, clustered files cover disjoint doc_id ranges).
+    "q163_compaction_audit" -> ((s, dir) => {
+      val base = scratchDir("q163")
+      val frag = s"$base/frag"
+      docs(s, dir).repartition(64).write.parquet(frag)
+      val (plain, clustered) = (s"$base/plain", s"$base/clustered")
+      graft.ops.Compaction.compact(s, frag, plain, targetBytes = 1L << 20)
+      graft.ops.Compaction.compact(s, frag, clustered, targetBytes = 1L << 20,
+        clusterCol = Some("doc_id"))
+      def audit(path: String, kind: String): DataFrame =
+        s.read.parquet(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text"))).as("chars"))
+          .select(lit(kind).as("kind"), col("source"),
+            col("n_docs"), col("id_sum"), col("chars"))
+      audit(plain, "coalesced").unionByName(audit(clustered, "clustered"))
+        .orderBy("kind", "source")
+    }),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -5692,6 +5722,18 @@ object ExtQueries {
           |ORDER BY event_id, purchase_id""".stripMargin) +
       // the streaming funnel answers the BATCH windowed-funnel mirror
       ("q162_stream_funnel" -> funnelWindowOracleSql) +
+      // the compaction identity law: both rewrites must aggregate to
+      // numbers SQL derives from the table alone, files never in sight
+      ("q163_compaction_audit" ->
+        """WITH a AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |         CAST(sum(length(text)) AS BIGINT) AS chars
+          |  FROM documents GROUP BY 1),
+          |k AS (SELECT unnest(['coalesced', 'clustered']) AS kind)
+          |SELECT k.kind, a.source, a.n_docs, a.id_sum, a.chars
+          |FROM k CROSS JOIN a
+          |ORDER BY kind, source""".stripMargin) +
       // the xlsx sink audit mirror: both slices derived in SQL, no files
       // anywhere — if the write->append->read chain retypes or misaligns
       // anything, the engine's read-back aggregate can't reach this
