@@ -2106,6 +2106,86 @@ object ExtQueries {
         .orderBy("kind", "source")
     }),
 
+    // Interchange-format round trip: documents written as JSONL and as
+    // quoted CSV (the two formats corpora actually arrive/leave in), read
+    // back through the library's OWN explicit-schema sources, and the full
+    // rows — text bytes included — must equal the source table. The oracle
+    // never sees a file: if either codec drops, retypes, or re-escapes
+    // anything, the read-back rows can't reach the files-free mirror.
+    "q164_interchange_roundtrip" -> ((s, dir) => {
+      val base = scratchDir("q164")
+      val d = docs(s, dir)
+      Ingest.writeJsonl(d, s"$base/jsonl")
+      Ingest.writeCsv(d, s"$base/csv")
+      def tag(df: DataFrame, kind: String): DataFrame =
+        df.select(lit(kind).as("kind"), col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      tag(Ingest.jsonl(s, s"$base/jsonl", d.schema), "jsonl")
+        .unionByName(tag(Ingest.csv(s, s"$base/csv", d.schema), "csv"))
+        .orderBy("kind", "doc_id")
+    }),
+
+    // Overlapping token chunks (RAG / context-window prep): every chunk's
+    // joined text, per-chunk token count, and the chunk-count law
+    // ceil(max(n - overlap, 1) / step) — the oracle re-derives each chunk
+    // by slicing the token list in SQL, so a off-by-one in either the
+    // start arithmetic or the tail rule hash-fails.
+    "q165_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // SCD Type-2 history from the event change log: per user, fold
+    // consecutive same-state rows into validity intervals. The oracle
+    // rebuilds the history with plain window SQL (lag to find change
+    // points, lead to close intervals) — the engine's struct-equality
+    // change detection and dual-window plan must reproduce it exactly,
+    // ties on ts broken by event_id in both engines.
+    "q166_scd2_history" -> ((s, dir) =>
+      graft.ext.Events.scd2History(
+          Ingest.eventsWithTs(s, dir)
+            .select("user_id", "ts_ms", "event_id", "event_type"),
+          keyCol = "user_id", orderCol = "ts_ms", tieCol = "event_id",
+          stateCols = Seq("event_type"))
+        .orderBy("user_id", "version")),
+
+    // Unicode normalization laws, cross-engine: per document, append a
+    // DECOMPOSED accented tail (base letter + combining mark, chosen by
+    // doc_id so all four mark classes occur), then prove the engine's
+    // codegen'd nfc_normalize/strip_accents equal DuckDB's (utf8proc)
+    // via md5 + length channels. NFC must COMPOSE (len drops by exactly
+    // one) and strip must drop ONLY the mark — ASCII text passes through
+    // both kernels' fast path untouched.
+    "q167_unicode_normalize" -> ((s, dir) => {
+      // decomposed ON PURPOSE: base letter + COMBINING mark (U+0301
+      // acute, U+0303 tilde, U+0308 diaeresis, U+0327 cedilla) -- NFC
+      // must fold each to its one-codepoint composed form (len_nfc ==
+      // len_raw - 1), strip must drop exactly the mark
+      val tails = array(lit("e\u0301"), lit("n\u0303"),
+        lit("u\u0308"), lit("c\u0327"))
+      val raw = concat(col("text"), lit(" x"),
+        element_at(tails, (col("doc_id") % 4).cast("int") + 1))
+      val nfc = graft.functions.TextExprs.nfcNormalize(raw)
+      val stripped = graft.functions.TextExprs.stripAccents(raw)
+      docs(s, dir).select(col("doc_id"),
+        length(raw).as("len_raw"),
+        length(nfc).as("len_nfc"),
+        md5(nfc).as("nfc_md5"),
+        length(stripped).as("len_strip"),
+        md5(stripped).as("strip_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // k-anonymity audit over quasi-identifiers (lang x source x length
+    // decile): class sizes + violation flags, the release gate next to
+    // the PII scrub (q64). Oracle is the same GROUP BY in SQL.
+    "q168_k_anonymity" -> ((s, dir) =>
+      graft.ext.Profile.kAnonymity(
+          docs(s, dir).withColumn("len_decile",
+            (col("n_chars") / lit(100)).cast("int")),
+          Seq("lang", "source", "len_decile"), k = 5)
+        .orderBy("lang", "source", "len_decile")),
+
     // q142's SKETCH sibling: the same Tukey screen with quartiles from
     // histogram counters instead of a per-group sort — the shape that
     // survives a billion-document group (<=128 counter rows shuffle per
@@ -5947,5 +6027,78 @@ object ExtQueries {
            |CROSS JOIN (SELECT n, m FROM pt WHERE source = 'src1') pb
            |CROSS JOIN (SELECT rep_diff FROM rk WHERE r = 2) lo
            |CROSS JOIN (SELECT rep_diff FROM rk WHERE r = 49) hi""".stripMargin
-      })
+      }) +
+      // interchange round trip: the mirror is the TABLE itself, twice —
+      // files never appear; any codec lossiness on the engine side
+      // (dropped nulls, retyped numbers, re-escaped text) hash-fails
+      ("q164_interchange_roundtrip" ->
+        """WITH k AS (SELECT unnest(['jsonl', 'csv']) AS kind)
+          |SELECT k.kind, d.doc_id, d.text, d.lang, d.source, d.n_chars
+          |FROM k CROSS JOIN documents d
+          |ORDER BY kind, doc_id""".stripMargin) +
+      // chunking law re-derived by slicing the token list in SQL:
+      // chunkSize=32, overlap=8, step=24; chunk count =
+      // ceil(max(n - overlap, 1) / step)
+      ("q165_chunk_overlap" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksSql AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n_tokens
+           |      FROM t WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, toks, n_tokens,
+           |        unnest(range(CAST(ceil(greatest(n_tokens - 8, 1) / 24.0)
+           |                          AS BIGINT))) AS ci
+           |      FROM n)
+           |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           |       array_to_string(list_slice(toks, ci * 24 + 1,
+           |           least(ci * 24 + 32, n_tokens)), ' ') AS chunk_text,
+           |       CAST(least(32, n_tokens - ci * 24) AS INT) AS n_chunk_tokens,
+           |       CAST(n_tokens AS INT) AS n_tokens
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) +
+      // SCD2 rebuilt with plain window SQL: lag finds change points,
+      // lead closes intervals — same (ts_ms, event_id) ordering
+      ("q166_scd2_history" ->
+        """WITH log AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+          |  FROM events),
+          |c AS (SELECT *, lag(event_type) OVER w AS prev FROM log
+          |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          |ch AS (SELECT user_id, ts_ms, event_id, event_type FROM c
+          |       WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type,
+          |       CAST(row_number() OVER w2 AS INT) AS version,
+          |       ts_ms AS effective_from,
+          |       lead(ts_ms) OVER w2 AS effective_to,
+          |       (lead(ts_ms) OVER w2 IS NULL) AS is_current
+          |FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+          |ORDER BY user_id, version""".stripMargin) +
+      // unicode normalization laws: DuckDB's utf8proc nfc_normalize /
+      // strip_accents vs the engine's JDK-Normalizer kernels, md5 +
+      // length channels; the decomposed tails are built from the SAME
+      // code points (chr(769/771/776/807)) both sides
+      ("q167_unicode_normalize" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |         text || ' x' ||
+          |         (['e' || chr(769), 'n' || chr(771),
+          |           'u' || chr(776), 'c' || chr(807)])[CAST(doc_id % 4 AS INT) + 1]
+          |           AS raw
+          |  FROM documents)
+          |SELECT doc_id,
+          |       length(raw) AS len_raw,
+          |       length(nfc_normalize(raw)) AS len_nfc,
+          |       md5(nfc_normalize(raw)) AS nfc_md5,
+          |       length(strip_accents(raw)) AS len_strip,
+          |       md5(strip_accents(raw)) AS strip_md5
+          |FROM r ORDER BY doc_id""".stripMargin) +
+      // k-anonymity: the same GROUP BY in SQL (floor-division decile —
+      // DuckDB's double->int CAST rounds, so floor() is explicit)
+      ("q168_k_anonymity" ->
+        """SELECT lang, source, len_decile,
+          |       count(*) AS class_size,
+          |       count(*) < 5 AS violates_k
+          |FROM (SELECT lang, source,
+          |        CAST(floor(n_chars / 100.0) AS INT) AS len_decile
+          |      FROM documents)
+          |GROUP BY 1, 2, 3
+          |ORDER BY lang, source, len_decile""".stripMargin)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DistinctWordShingles, DotProduct, JaroWinklerExpr, WinnowFingerprint, WordShingles}
+import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DistinctWordShingles, DotProduct, JaroWinklerExpr, NfcNormalizeExpr, StripAccentsExpr, WinnowFingerprint, WordShingles}
 
 /** Registers the engine's native expressions as SQL functions, so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works anywhere the library is
@@ -21,6 +21,8 @@ import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DistinctWordSh
   *   - `winnow_fingerprint(text[, k, w])`   winnowing hash set (k=5, w=4)
   *   - `jaro_winkler(a, b)`                 Jaro–Winkler similarity [0, 1]
   *   - `damerau_levenshtein(a, b)`          full (unrestricted) DL distance
+  *   - `nfc_normalize(text)`                Unicode NFC canonical composition
+  *   - `strip_accents(text)`                diacritic removal (NFD, drop Mn)
   *
   * The integer parameters must be literals (they parameterize generated
   * code, not per-row data).
@@ -59,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("damerau_levenshtein"),
       new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName, "damerau_levenshtein"),
       (es: Seq[Expression]) => DamerauLevenshteinExpr(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)))
+
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
+      (es: Seq[Expression]) => StripAccentsExpr(es.head)))
 
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),

@@ -272,4 +272,54 @@ object Events {
           col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** SCD Type-2 history builder: fold a change LOG (one row per observed
+    * state, many consecutive repeats) into a dimension HISTORY (one row per
+    * state RUN, with a validity interval) — the warehouse primitive behind
+    * every "what was this entity's state at time T" join (which
+    * [[graft.ops.AsOfJoin]] then answers without scanning the raw log).
+    *
+    *   1. drop no-op rows: a row whose state equals the PREVIOUS row's
+    *      state (per key, ordered by `(orderCol, tieCol)`) opens no new
+    *      version — `lag` over the key window;
+    *   2. close intervals: `effective_from` = the change row's `orderCol`,
+    *      `effective_to` = the NEXT change's `orderCol` (NULL on the open,
+    *      current version) — `lead` over the same window;
+    *   3. `version` = 1-based change ordinal per key, `is_current` =
+    *      open-interval flag.
+    *
+    * The state may span several columns; they are compared as a struct so
+    * a NULL field participates in equality the way a reader expects
+    * (struct equality is null-safe per field). `tieCol` makes equal
+    * timestamps deterministic — REQUIRED, because a log that can carry two
+    * states at one instant has no well-defined history without one.
+    *
+    * Scale: both windows share ONE partitioning (`keyCol`), so the whole
+    * operator is a single hash shuffle followed by two sort-window passes
+    * that Spark plans over the same sort — per-key state is a row of lag
+    * memory, never a buffer. Skew bound: the largest key's LOG size, same
+    * bound as sessionize. At 100 TB the change log is typically
+    * time-partitioned; the shuffle is the unavoidable group-by-entity. */
+  def scd2History(log: DataFrame, keyCol: String, orderCol: String,
+                  tieCol: String, stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd2History needs at least one state column")
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val state = struct(stateCols.map(col): _*)
+    val changes = log
+      .withColumn("__prev_state", lag(state, 1).over(byKey))
+      // first row per key: lag is NULL -> always a change (null-safe <=>)
+      .filter(!(state <=> col("__prev_state")))
+      .drop("__prev_state")
+    val chgByKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    changes
+      .withColumn("version", row_number().over(chgByKey))
+      .withColumn("effective_from", col(orderCol))
+      .withColumn("effective_to", lead(col(orderCol), 1).over(chgByKey))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((Seq(keyCol) ++ stateCols).map(col) ++ Seq(
+        col("version"), col("effective_from"), col("effective_to"),
+        col("is_current")): _*)
+  }
 }

@@ -409,4 +409,25 @@ object Profile {
           .when(col("__h_old") =!= col("__h_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns — the
+    * re-identification complement to [[graft.ext.TextAnalysis.piiScrubbed]]:
+    * scrubbing removes DIRECT identifiers, but a row is still
+    * re-identifiable when its quasi-identifier COMBINATION (language ×
+    * source × length bucket × …) is shared by fewer than k rows. Emits one
+    * row per quasi-identifier class: its values, its size, and whether it
+    * violates k — the release gate suppresses or generalizes the violating
+    * classes before data leaves the boundary.
+    *
+    * One hash-aggregate with map-side partials (class count ≤ the
+    * quasi-space's cardinality, never row count) — the 100 TB cost is the
+    * scan, and the audit output is small enough to join back as a
+    * broadcast suppression filter. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2 to be an anonymity bound, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates_k", col("class_size") < k)
+  }
 }

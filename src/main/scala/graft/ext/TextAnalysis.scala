@@ -133,6 +133,50 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Overlapping fixed-size token chunks — the RAG / context-window
+    * primitive: each document becomes windows of `chunkSize` tokens whose
+    * starts step by `chunkSize - overlap`, so consecutive chunks share
+    * `overlap` tokens of context (retrieval hits keep their surroundings;
+    * training examples don't cut mid-thought at every boundary).
+    *
+    * Chunk-count law: `nChunks = ceil(max(nTokens - overlap, 1) / step)`.
+    * Every token is covered, the LAST chunk may be short, and — unlike the
+    * naive "every start < nTokens" rule — no chunk is ever fully contained
+    * in its predecessor (with n=chunkSize the naive rule emits a redundant
+    * second chunk that is a strict suffix of the first).
+    *
+    * Map-only: tokenize → explode the start range → slice. No shuffle, no
+    * UDF — at 100 TB chunking is a scan-side transform that stays inside
+    * whole-stage codegen, and the output inherits the input's
+    * partitioning (doc-contiguous chunks, which downstream embedding
+    * batches want). Emits one row per chunk:
+    * `(idCol, chunk_idx, chunk_text, n_chunk_tokens, n_tokens)`;
+    * zero-token documents emit nothing. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap (chunkSize=$chunkSize)")
+    val step = chunkSize - overlap
+    // zero-token screen as a CHEAP predicate: tokens (split on ' ') is
+    // empty iff text is all spaces — `trim != ''` is equivalent, costs no
+    // tokenize, and Catalyst pushes it to the scan; filtering on
+    // size(toks) > 0 instead gets pushed BELOW the projection and
+    // re-tokenizes every row twice (observed in the physical plan)
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        ceil(greatest(col("n_tokens") - overlap, lit(1)) / lit(step.toDouble))
+          .cast("int") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("toks"), col("chunk_idx") * step + 1,
+          lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), col("n_tokens") - col("chunk_idx") * step)
+          .as("n_chunk_tokens"),
+        col("n_tokens"))
+  }
+
   /** Stable per-row bucket in [0, buckets): hash of a salted key. Unlike
     * `df.sample()` (partition-order-dependent RNG), this is reproducible
     * across runs, engines, and repartitioning — the right primitive for

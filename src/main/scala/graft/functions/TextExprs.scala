@@ -448,6 +448,61 @@ object TextKernels {
     }
     d((la + 1) * stride + lb + 1)
   }
+
+  /** Unicode NFC (canonical composition) of `text` — the normalization a
+    * training-data pipeline applies BEFORE any hash/dedup/fingerprint step,
+    * because the same visible string arrives from the web in both composed
+    * (U+00E9) and decomposed (`e` + U+0301) forms and every byte-level
+    * operator downstream (md5 dedup, minhash shingles, simhash) would
+    * otherwise treat them as distinct documents. Pure per-row JDK call
+    * (`java.text.Normalizer`), no allocation beyond the output string;
+    * the ASCII-only fast path below skips the Normalizer entirely — at
+    * corpus scale the overwhelmingly-common all-ASCII document pays one
+    * byte scan and zero copies. Cross-engine law: equals DuckDB 1.x
+    * `nfc_normalize` (both implement UAX #15). */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    if (isAscii(text)) return text
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Diacritic removal: NFD-decompose, drop COMBINING marks (Unicode
+    * category Mn), keep everything else byte-for-byte. Matches DuckDB's
+    * `strip_accents` (utf8proc) on all canonically-decomposable letters
+    * (é→e, ñ→n, ç→c, ü→u …); letters with no decomposition (ø, æ, ß)
+    * pass through unchanged in BOTH engines. Same ASCII fast path as
+    * [[nfcNormalize]]. */
+  def stripAccents(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    if (isAscii(text)) return text
+    val nfd = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** One pass over the UTF-8 BYTES: any byte >= 0x80 means non-ASCII.
+    * ASCII is closed under NFC and accent-stripping, so both kernels can
+    * return the input UTF8String unchanged (no toString, no copy). */
+  private def isAscii(text: UTF8String): Boolean = {
+    val n = text.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((text.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** `distinct_word_shingles(text, k)`: the DISTINCT set of k-token shingles
@@ -615,6 +670,60 @@ object TextExprs {
   /** Column API for [[CdcChunksExpr]]. */
   def cdcChunks(text: Column, k: Int = 3, modulus: Int = 8): Column =
     bridge.column(CdcChunksExpr(bridge.expression(text), k, modulus))
+
+  /** Column API for [[NfcNormalizeExpr]]. */
+  def nfcNormalize(text: Column): Column =
+    bridge.column(NfcNormalizeExpr(bridge.expression(text)))
+
+  /** Column API for [[StripAccentsExpr]]. */
+  def stripAccents(text: Column): Column =
+    bridge.column(StripAccentsExpr(bridge.expression(text)))
+}
+
+/** `nfc_normalize(text)`: Unicode NFC canonical composition — see
+  * [[TextKernels.nfcNormalize]]. Codegen'd so a normalize-then-dedup
+  * pipeline stays inside whole-stage codegen; the all-ASCII fast path
+  * makes it nearly free on typical corpora. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `strip_accents(text)`: diacritic removal (NFD + drop Mn marks) — see
+  * [[TextKernels.stripAccents]]. */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `simhash60(text)`: 60-bit SimHash signature of the whitespace token

@@ -127,4 +127,43 @@ object Ingest {
     require(perFormat.nonEmpty, s"no parquet/csv/json/orc/xlsx files under $dir")
     unionAllByName(perFormat)
   }
+
+  /** JSONL (newline-delimited JSON) sink — the interchange format LLM data
+    * pipelines actually exchange corpora in. One JSON object per line, one
+    * file per partition, written in parallel (no driver funnel). Spark's
+    * JSON writer omits null fields per line (standard JSONL practice);
+    * [[jsonl]] restores them as typed nulls via the explicit schema. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL source with an EXPLICIT schema — at scale, schema inference
+    * costs a full extra pass over the data and silently widens types on
+    * dirty lines; production readers pass the contract instead. Malformed
+    * lines fail loudly (FAILFAST) rather than becoming a row of nulls. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** CSV sink: header, full quoting, escaped quotes — the conservative
+    * dialect every downstream parser (including this library's own
+    * [[csv]]) reads back byte-exactly, embedded delimiters and newlines
+    * included. NULL is encoded as the `\N` token (the one CSV convention
+    * that keeps null distinct from empty string — a field whose VALUE is
+    * literally `\N` is the format's inherent ambiguity; JSONL has none). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").option("escape", "\"")
+      .option("nullValue", "\\N").csv(path)
+
+  /** CSV source with an explicit schema (same rationale as [[jsonl]]);
+    * `multiLine` so quoted embedded newlines survive the round trip. Scale
+    * note: multiLine makes each file NON-SPLITTABLE (one task per file —
+    * record boundaries can't be found mid-file), so keep landing files
+    * partition-sized and convert to parquet before the hot path; JSONL has
+    * no such penalty (newlines inside values are always escaped). */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("escape", "\"").option("multiLine", "true")
+      .option("nullValue", "\\N").option("mode", "FAILFAST").csv(path)
 }

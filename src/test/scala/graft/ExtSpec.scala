@@ -590,6 +590,81 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.bpeEncode(tiny, "text", r2)
       .head.getSeq[String](2) === Seq("ab</w>"))
   }
+
+  test("chunkTokens: coverage, overlap, tail, and guard laws") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c d"),                        // exactly chunkSize
+      (3L, "a b c d e"),                      // chunkSize + 1
+      (4L, " "),                              // zero tokens
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 1: step=2, nChunks=ceil((10-2)/2)=4 -> starts 0,2,4,6
+    val c1 = byDoc(1L).map(_.getString(2)).toSeq
+    assert(c1 === Seq("t1 t2 t3 t4", "t3 t4 t5 t6",
+      "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    // consecutive chunks share exactly `overlap` tokens
+    c1.sliding(2).foreach { w =>
+      assert(w(0).split(" ").takeRight(2).toSeq ===
+        w(1).split(" ").take(2).toSeq)
+    }
+    // coverage: chunk 0 + each later chunk minus its overlap == the doc
+    val rebuilt = c1.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ").toSeq
+      if (i == 0) toks else toks.drop(2)
+    }
+    assert(rebuilt === (1 to 10).map("t" + _))
+    // n == chunkSize -> ONE chunk (the naive start<n rule would emit a
+    // redundant second chunk that is a strict suffix of the first)
+    assert(byDoc(2L).map(_.getString(2)).toSeq === Seq("a b c d"))
+    // one extra token -> short overlap-anchored tail
+    assert(byDoc(3L).map(_.getString(2)).toSeq === Seq("a b c d", "c d e"))
+    assert(byDoc(3L).last.getInt(3) === 3) // n_chunk_tokens of the tail
+    // zero tokens emit nothing; one token is its own chunk
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).map(_.getString(2)).toSeq === Seq("solo"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", 4, 4) }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", 0, 0) }
+  }
+
+  test("nfc_normalize / strip_accents: compose, strip, ASCII fast path, null-safe") {
+    import graft.functions.TextExprs
+    val df = Seq(
+      Tuple1("cafe\u0301"),       // decomposed: NFC must compose
+      Tuple1("caf\u00e9"),        // composed: NFC identity, strip decomposes
+      Tuple1("man\u0303ana u\u0308ber c\u0327a"), // decomposed tilde/diaeresis/cedilla
+      Tuple1("stra\u00dfe \u00f8re"), // eszett and o-slash have no decomposition
+      Tuple1("plain ascii"),
+      Tuple1(null.asInstanceOf[String])
+    ).toDF("s").select(col("s"),
+      TextExprs.nfcNormalize(col("s")).as("n"),
+      TextExprs.stripAccents(col("s")).as("a"),
+      length(col("s")).as("lr"), length(col("n")).as("ln"))
+    val r = df.collect()
+    assert(r(0).getString(1) === "caf\u00e9" && r(0).getInt(4) === 4
+      && r(0).getInt(3) === 5)
+    assert(r(1).getString(1) === "caf\u00e9") // already NFC
+    // strip works on BOTH forms (NFD internally), composed included
+    assert(r(0).getString(2) === "cafe" && r(1).getString(2) === "cafe")
+    assert(r(2).getString(1) === "ma\u00f1ana \u00fcber \u00e7a")
+    assert(r(2).getString(2) === "manana uber ca")
+    // no decomposition -> both kernels pass through
+    assert(r(3).getString(1) === "stra\u00dfe \u00f8re"
+      && r(3).getString(2) === "stra\u00dfe \u00f8re")
+    assert(r(4).getString(1) === "plain ascii"
+      && r(4).getString(2) === "plain ascii")
+    assert(r(5).isNullAt(1) && r(5).isNullAt(2))
+    // idempotence of NFC on every non-null row
+    val again = df.filter(col("s").isNotNull)
+      .select(TextExprs.nfcNormalize(col("n")) === col("n")).collect()
+    assert(again.forall(_.getBoolean(0)))
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -1760,6 +1835,21 @@ class SketchesSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("duplicate")))
   }
 
+  test("kAnonymity: class sizes, violation flags, guards") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("fr", "b")).toDF("lang", "src")
+    val got = graft.ext.Profile.kAnonymity(df, Seq("lang", "src"), k = 2)
+      .orderBy("lang", "src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(("en", "a", 3L, false), ("en", "b", 1L, true),
+      ("fr", "b", 1L, true)))
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.kAnonymity(df, Seq(), 2) }
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.kAnonymity(df, Seq("lang"), 1) }
+  }
+
   test("bootstrapCI: interval brackets the mean, tightens with lower variance, partition-invariant") {
     val tight = (1L to 400L).map(i => (i, 100L + (i % 3))).toDF("id", "x")
     val loose = (1L to 400L).map(i => (i, (i % 200) * 2)).toDF("id", "x")
@@ -2457,6 +2547,56 @@ class EventsSpec extends SparkTestBase {
     assert(open.toSeq === Seq(3L, 3L, 2L))
     intercept[IllegalArgumentException] {
       Events.funnel(ev, Seq("view"), windowMs = Some(0L)) }
+  }
+
+  test("scd2History: runs fold to intervals, ties break on tieCol, NULL is a real state") {
+    val log = Seq(
+      // user 100: A A B B A -> three versions
+      (100L, 1L, 1L, Some("A")), (100L, 2L, 2L, Some("A")),
+      (100L, 3L, 3L, Some("B")), (100L, 4L, 4L, Some("B")),
+      (100L, 5L, 5L, Some("A")),
+      // user 200: two DIFFERENT states at ts=1 — event_id orders them, so
+      // X opens a zero-width interval closed by Y at the same instant
+      (200L, 1L, 10L, Some("X")), (200L, 1L, 11L, Some("Y")),
+      (200L, 2L, 12L, Some("Y")),
+      // user 300: NULL state between two As is its own version (struct
+      // equality is null-safe — a null run folds like any other)
+      (300L, 1L, 20L, Some("A")), (300L, 2L, 21L, None),
+      (300L, 3L, 22L, Some("A"))
+    ).toDF("user_id", "ts_ms", "event_id", "state")
+    val h = Events.scd2History(log, "user_id", "ts_ms", "event_id",
+        Seq("state"))
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getInt(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(h.toSeq === Seq(
+      (100L, "A", 1, 1L, 3L, false),
+      (100L, "B", 2, 3L, 5L, false),
+      (100L, "A", 3, 5L, -1L, true),
+      (200L, "X", 1, 1L, 1L, false),
+      (200L, "Y", 2, 1L, -1L, true),
+      (300L, "A", 1, 1L, 2L, false),
+      (300L, null, 2, 2L, 3L, false),
+      (300L, "A", 3, 3L, -1L, true)))
+    // exactly one current version per key
+    assert(h.filter(_._6).map(_._1).toSeq === Seq(100L, 200L, 300L))
+    intercept[IllegalArgumentException] {
+      Events.scd2History(log, "user_id", "ts_ms", "event_id", Seq()) }
+  }
+
+  test("scd2History: multi-column state changes when ANY field differs") {
+    val log = Seq(
+      (1L, 1L, 1L, "gold", "eu"), (1L, 2L, 2L, "gold", "us"), // region flips
+      (1L, 3L, 3L, "gold", "us"), (1L, 4L, 4L, "pro", "us")   // tier flips
+    ).toDF("id", "ts_ms", "seq", "tier", "region")
+    val h = Events.scd2History(log, "id", "ts_ms", "seq",
+        Seq("tier", "region"))
+      .orderBy("version").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3)))
+    assert(h.toSeq === Seq(("gold", "eu", 1), ("gold", "us", 2),
+      ("pro", "us", 3)))
   }
 }
 

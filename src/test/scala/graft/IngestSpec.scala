@@ -47,6 +47,47 @@ class IngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("no parquet/csv/json"))
   }
 
+  test("jsonl/csv round trip: embedded delimiters, quotes, newlines, null vs empty, unicode") {
+    val dir = Files.createTempDirectory("graft-rt").toString
+    val df = Seq(
+      (1L, "plain", Option("en"), 10L),
+      (2L, "comma, \"quote\" and\nnewline\ttab", Option(""), 0L),
+      (3L, "unicode café ☃ snowman", Option.empty[String], -5L),
+      (4L, "", Option("backslash \\N literal-ish \\"), 7L)
+    ).toDF("id", "text", "lang", "n")
+    Ingest.writeJsonl(df, s"$dir/j")
+    Ingest.writeCsv(df, s"$dir/c")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (1L, "plain", "en", 10L),
+      (2L, "comma, \"quote\" and\nnewline\ttab", "", 0L),
+      (3L, "unicode café ☃ snowman", null, -5L),
+      (4L, "", "backslash \\N literal-ish \\", 7L))
+    assert(rows(Ingest.jsonl(spark, s"$dir/j", df.schema)) === want,
+      "JSONL must round-trip every value byte-exactly, null/empty distinct")
+    assert(rows(Ingest.csv(spark, s"$dir/c", df.schema)) === want,
+      "CSV must round-trip via quoteAll + escape + \\N null token")
+  }
+
+  test("jsonl FAILFAST: a malformed line is a loud error, not a null row") {
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      "{\"id\": 1, \"text\": \"ok\"}\n{not json at all\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Ingest.jsonl(spark, dir, schema).collect()
+    }
+    assert(e.getMessage.contains("Malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed")))
+  }
+
   /** Write a minimal SpreadsheetML workbook the way openpyxl/Excel lay it
     * out: sharedStrings + one worksheet, rich-text runs, inline strings,
     * bools, self-closed empty cells, XML entities — the surface

@@ -658,4 +658,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("vec_cosine") && l.contains("*(")),
       s"vec_cosine must appear inside a WholeStageCodegen stage:\n$p")
   }
+
+  test("chunkTokens: map-only — zero exchanges, zero-token screen reaches the scan filters") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ext.TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunking must stay a scan-side transform with no shuffle:\n$p")
+    assert(p.sliding("split(".length).count(_ == "split(") == 1,
+      "tokenize must run ONCE per row — a size(toks)>0 screen pushed " +
+        s"below the projection duplicates it (the bug this pin guards):\n$p")
+  }
+
+  test("scd2History: ONE hash exchange on the key — both windows share the shuffle and sort") {
+    val ev = graft.ops.Ingest.eventsWithTs(spark, dir)
+      .select("user_id", "ts_ms", "event_id", "event_type")
+    val p = graft.ext.Events.scd2History(ev, "user_id", "ts_ms",
+        "event_id", Seq("event_type"))
+      .queryExecution.executedPlan.toString
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"lag-window and lead/row_number-window must reuse one partitioning:\n$p")
+    assert(p.sliding("Sort [".length).count(_ == "Sort [") == 1,
+      s"the two window passes must share one sort:\n$p")
+  }
 }

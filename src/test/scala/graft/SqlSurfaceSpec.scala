@@ -47,6 +47,17 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r.getInt(1) === 2, "full (unrestricted) variant: ca/abc = 2")
   }
 
+  test("nfc_normalize / strip_accents callable from SQL") {
+    // 'cafe' + U+0301 combining acute: NFC composes to 4 chars, strip
+    // drops the mark; both must run inside the SQL surface
+    val dec = "cafe\u0301"
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$dec') AS n, length(nfc_normalize('$dec')) AS ln, " +
+        s"strip_accents('$dec') AS a, strip_accents('caf\u00e9') AS ac").head()
+    assert(r.getString(0) === "caf\u00e9" && r.getInt(1) === 4)
+    assert(r.getString(2) === "cafe" && r.getString(3) === "cafe")
+  }
+
   test("full fuzzy classify expressible in ONE SQL statement over the engine's functions") {
     spark.read.parquet("/root/testdata/sf0.001/part.parquet").createOrReplaceTempView("part_v")
     val out = spark.sql(
