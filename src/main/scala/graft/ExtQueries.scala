@@ -2176,6 +2176,107 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Point-in-time law: answering "state at time T" through the SCD2
+    // HISTORY (via the as-of join, the operator built for exactly this)
+    // must equal the DIRECT raw-log lookup ("last event <= T"). This is
+    // the consumer-side proof that q166's compression is lossless for
+    // temporal queries — including the tie case: zero-width versions
+    // (two changes at one instant) are dropped before the as-of, which
+    // is precisely what interval containment does. Probes are every
+    // 7th event shifted +1ms so each probe strictly follows its event.
+    "q169_point_in_time" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir)
+        .select("user_id", "ts_ms", "event_id", "event_type")
+      val hist = graft.ext.Events.scd2History(ev, "user_id", "ts_ms",
+          "event_id", Seq("event_type"))
+        .filter(col("effective_to").isNull ||
+          col("effective_to") > col("effective_from"))
+        .select(col("user_id"), col("effective_from").as("ts_ms"),
+          col("event_type"))
+      val probes = ev.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), (col("ts_ms") + 1).as("ts_ms"),
+          col("event_id").as("probe_id"))
+      graft.ops.AsOfJoin.asof(probes, hist, "user_id", "ts_ms")
+        .select(col("user_id"), col("probe_id"),
+          col("ts_ms").as("probe_ts"),
+          col("__r_event_type").as("state"),
+          col("__r_ts").as("state_since"))
+        .orderBy("user_id", "probe_id")
+    }),
+
+    // CUBE rollup of the corpus (lang x source, all four grouping sets in
+    // ONE pass): the dataset-card aggregation shape — Spark expands the
+    // sets BEFORE the shuffle so partial aggregation still applies; the
+    // oracle is DuckDB's own GROUP BY CUBE with the same GROUPING bit
+    // order (leftmost column = most significant, verified).
+    "q170_cube_rollup" -> ((s, dir) =>
+      docs(s, dir).cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "lang", "source")),
+
+    // Chunk-reassembly integrity law: dropping each non-first chunk's
+    // overlap prefix and concatenating in chunk order must rebuild every
+    // document's exact token stream — the provenance guarantee RAG
+    // serving relies on, proven cross-engine (the oracle recomputes the
+    // token stream from the source table; the engine only sees chunks).
+    "q171_chunk_reassembly" -> ((s, dir) => {
+      val ch = TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      val toks = split(col("chunk_text"), " ")
+      val keep = when(col("chunk_idx") === 0, toks)
+        .otherwise(slice(toks, lit(9), size(toks))) // drop the 8 overlap tokens
+      ch.select(col("doc_id"),
+          struct(col("chunk_idx"), keep.as("toks")).as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          array_join(flatten(transform(array_sort(collect_list(col("p"))),
+            p => p.getField("toks"))), " ").as("rebuilt"))
+        .orderBy("doc_id")
+    }),
+
+    // Dataset-card pivot: source rows x lang columns, docs + chars per
+    // cell, in ONE hash aggregate — the lang domain is EXPLICIT and the
+    // multi-measure matrix goes through Reshape.pivotDense (longhand
+    // conditional aggregates; Spark's own multi-agg pivot would plan
+    // PivotFirst: two shuffles and NULL absent cells). Dense by
+    // construction: absent combos are 0 in both engines.
+    "q172_pivot_matrix" -> ((s, dir) =>
+      graft.ops.Reshape.pivotDense(docs(s, dir), "source", "lang",
+          Seq("de", "en", "es", "fr", "zh"),
+          Seq("n" -> (c => count(when(c, 1))),
+            "chars" -> (c => coalesce(sum(when(c, col("n_chars"))), lit(0L)))))
+        .orderBy("source")),
+
+    // Reshape round-trip law: unpivot(pivot(docs)) with empty cells
+    // dropped == the direct groupBy(source, lang) counts — proven
+    // cross-engine (the oracle never pivots; it is the plain GROUP BY
+    // the wide matrix must reduce back to). The unpivot is a map-only
+    // Expand over the pivot's single-shuffle output.
+    "q173_unpivot_roundtrip" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = graft.ops.Reshape.pivotDense(docs(s, dir), "source", "lang",
+        langs, Seq("" -> (c => count(when(c, 1)))))
+      graft.ops.Reshape.unpivot(wide, Seq("source"), langs, "lang", "n_docs")
+        .filter(col("n_docs") > 0)
+        .orderBy("source", "lang")
+    }),
+
+    // Blocking-scheme audit: reduction ratio + pairs completeness for the
+    // length band (the prune q02/q150/q155 rely on), two prefix blocks,
+    // and a shared-3-gram block — against EXHAUSTIVE ground truth on a
+    // deterministic h60-sampled probe set (the scale knob, exercised
+    // here at mod 2 so the sampling twin is itself under the gate).
+    // Expect completeness 1.0 for len_band (lossless by the edit-distance
+    // length argument) and < 1.0 for the heuristic blocks.
+    "q174_blocking_audit" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name"))
+      graft.ext.Blocking.audit(names, "p_name", names, "p_name",
+          threshold = 3, graft.ext.Blocking.standardSchemes(3),
+          probeHashMod = 2)
+        .orderBy("scheme")
+    }),
+
     // k-anonymity audit over quasi-identifiers (lang x source x length
     // decile): class sizes + violation flags, the release gate next to
     // the PII scrub (q64). Oracle is the same GROUP BY in SQL.
@@ -6090,6 +6191,110 @@ object ExtQueries {
           |       length(strip_accents(raw)) AS len_strip,
           |       md5(strip_accents(raw)) AS strip_md5
           |FROM r ORDER BY doc_id""".stripMargin) +
+      // point-in-time: the DIRECT raw-log lookup — last event <= probe
+      // by (ts, event_id) — never touching versions/intervals; the
+      // state_since channel is the last CHANGE <= probe (same tie rule)
+      ("q169_point_in_time" ->
+        """WITH log AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+          |  FROM events),
+          |p AS (SELECT user_id, ts_ms + 1 AS probe_ts, event_id AS probe_id
+          |      FROM log WHERE event_id % 7 = 0),
+          |st AS (
+          |  SELECT p.user_id, p.probe_id, p.probe_ts, l.event_type,
+          |         row_number() OVER (PARTITION BY p.user_id, p.probe_id
+          |           ORDER BY l.ts_ms DESC, l.event_id DESC) AS rn
+          |  FROM p JOIN log l
+          |    ON l.user_id = p.user_id AND l.ts_ms <= p.probe_ts),
+          |c AS (SELECT *, lag(event_type) OVER
+          |        (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+          |      FROM log),
+          |ch AS (SELECT user_id, ts_ms, event_id, event_type FROM c
+          |       WHERE prev IS NULL OR prev <> event_type),
+          |si AS (
+          |  SELECT p.user_id, p.probe_id, ch.ts_ms,
+          |         row_number() OVER (PARTITION BY p.user_id, p.probe_id
+          |           ORDER BY ch.ts_ms DESC, ch.event_id DESC) AS rn
+          |  FROM p JOIN ch
+          |    ON ch.user_id = p.user_id AND ch.ts_ms <= p.probe_ts)
+          |SELECT st.user_id, st.probe_id, st.probe_ts,
+          |       st.event_type AS state, si.ts_ms AS state_since
+          |FROM st JOIN si ON si.user_id = st.user_id
+          |              AND si.probe_id = st.probe_id
+          |              AND si.rn = 1
+          |WHERE st.rn = 1
+          |ORDER BY st.user_id, st.probe_id""".stripMargin) +
+      // cube rollup: DuckDB's own GROUP BY CUBE; GROUPING(lang, source)
+      // uses the same leftmost-is-MSB bit order as Spark's grouping_id
+      ("q170_cube_rollup" ->
+        """SELECT lang, source, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS chars,
+          |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+          |FROM documents
+          |GROUP BY CUBE(lang, source)
+          |ORDER BY gid, lang, source""".stripMargin) +
+      // reassembly law: the oracle recomputes the token stream from the
+      // SOURCE table — the engine must rebuild it from chunks alone
+      ("q171_chunk_reassembly" ->
+        s"""SELECT doc_id,
+           |  CAST(ceil(greatest(len($toksSql) - 8, 1) / 24.0) AS BIGINT)
+           |    AS n_chunks,
+           |  array_to_string($toksSql, ' ') AS rebuilt
+           |FROM documents WHERE trim(text) <> ''
+           |ORDER BY doc_id""".stripMargin) +
+      // pivot: the conditional-aggregation form Catalyst itself rewrites
+      // the explicit-values pivot into — written out longhand in SQL.
+      // FILTER count gives 0 (matching Spark's pivot-count); sums are
+      // coalesced to 0 and de-HUGEINT'd on both sides.
+      ("q172_pivot_matrix" -> {
+        val cells = Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"""count(*) FILTER (WHERE lang = '$l') AS ${l}_n,
+             |       CAST(coalesce(sum(n_chars) FILTER (WHERE lang = '$l'), 0)
+             |         AS BIGINT) AS ${l}_chars""".stripMargin)
+          .mkString(",\n       ")
+        s"""SELECT source,
+           |       $cells
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      }) +
+      // round-trip law: the oracle never pivots — the wide matrix must
+      // reduce back to the plain long GROUP BY
+      ("q173_unpivot_roundtrip" ->
+        """SELECT source, lang, count(*) AS n_docs
+          |FROM documents GROUP BY 1, 2
+          |ORDER BY source, lang""".stripMargin) +
+      // blocking audit: the same exhaustive product + conditional counts
+      // in SQL — norm, h60 sample, 3-gram lists all portable twins
+      ("q174_blocking_audit" -> {
+        val n = graft.ops.Normalize.normSql _
+        def g(e: String) =
+          s"list_transform(generate_series(1, greatest(length($e)-2, 0)), " +
+            s"i -> $e[i:i+2])"
+        val schemes = Seq(
+          "len_band" -> "abs(length(s) - length(m)) <= 3",
+          "prefix1" -> "substring(s, 1, 1) = substring(m, 1, 1)",
+          "prefix2" -> "substring(s, 1, 2) = substring(m, 1, 2)",
+          "qgram3" -> s"list_has_any(${g("s")}, ${g("m")})")
+        val cells = schemes.zipWithIndex.map { case ((_, p), i) =>
+          s"count(*) FILTER (WHERE $p) AS c_$i, " +
+            s"count(*) FILTER (WHERE ($p) AND im) AS r_$i" }.mkString(",\n  ")
+        val arms = schemes.zipWithIndex.map { case ((name, _), i) =>
+          s"""SELECT '$name' AS scheme, c_$i AS candidates, r_$i AS retained,
+             |  total_pairs, true_matches,
+             |  1.0 - CAST(c_$i AS DOUBLE) / total_pairs AS reduction_ratio,
+             |  CAST(r_$i AS DOUBLE) / true_matches AS completeness
+             |FROM a""".stripMargin }.mkString("\nUNION ALL\n")
+        s"""WITH p0 AS (SELECT DISTINCT ${n("p_name")} AS s FROM part),
+           |p AS (SELECT s FROM p0 WHERE ${TextAnalysis.h60Sql("s")} % 2 = 0),
+           |d AS (SELECT ${n("p_name")} AS m FROM part),
+           |pr AS (SELECT s, m, levenshtein(s, m) <= 3 AS im
+           |       FROM p CROSS JOIN d),
+           |a AS (SELECT count(*) AS total_pairs,
+           |  count(*) FILTER (WHERE im) AS true_matches,
+           |  $cells
+           |FROM pr)
+           |$arms
+           |ORDER BY scheme""".stripMargin
+      }) +
       // k-anonymity: the same GROUP BY in SQL (floor-division decile —
       // DuckDB's double->int CAST rounds, so floor() is explicit)
       ("q168_k_anonymity" ->

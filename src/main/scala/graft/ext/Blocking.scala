@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Normalize
+
+/** Blocking-scheme evaluation for record linkage — the measurement that
+  * justifies (or indicts) every pruned fuzzy engine in this repo.
+  *
+  * A blocking scheme is a cheap pair predicate (same first char, length
+  * within the edit bound, shared character q-gram, …) used to avoid the
+  * full probe x data product. Its quality is two numbers, both defined
+  * against exhaustive ground truth:
+  *   - reduction ratio  = 1 − candidates / total_pairs (work avoided);
+  *   - pairs completeness = retained_true_matches / true_matches
+  *     (recall of the block — 1.0 means the prune is LOSSLESS, which is
+  *     the claim q02/q150/q155 make via the length band).
+  *
+  * Like [[Dedup.allPairsExact]], this is an EXHAUSTIVE auditor: ground
+  * truth needs true distances on the full product, so the operator is
+  * run on a deterministic probe sample at scale (`probeHashMod`, the
+  * portable-h60 filter — no RNG, both engines can reproduce the sample)
+  * rather than on every probe. One pass computes every scheme's counts
+  * as conditional aggregates (single 1-row aggregate, map-side partials;
+  * per-side features like q-gram sets are projected BEFORE the join so
+  * the per-pair work is one codegen'd predicate each), then the 1-row
+  * result is exploded to one row per scheme — no second scan.
+  */
+object Blocking {
+
+  /** name -> pair predicate over the two NORMALIZED string columns. */
+  final case class Scheme(name: String, pred: (Column, Column) => Column)
+
+  /** Character 3-gram set of a normalized string column; empty array
+    * below 3 chars (Spark `sequence` would count DOWN on a negative
+    * span, so the short case is guarded explicitly). */
+  def grams3(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The standard scheme set audited by q174: the length band the pruned
+    * engines actually use, two prefix blocks, and a shared-3-gram block. */
+  def standardSchemes(threshold: Int): Seq[Scheme] = Seq(
+    Scheme("len_band", (s, m) => abs(length(s) - length(m)) <= threshold),
+    Scheme("prefix1", (s, m) => s.substr(1, 1) === m.substr(1, 1)),
+    Scheme("prefix2", (s, m) => s.substr(1, 2) === m.substr(1, 2)),
+    Scheme("qgram3", (s, m) => arrays_overlap(grams3(s), grams3(m))))
+
+  /** One row per scheme: candidates, retained, total_pairs, true_matches,
+    * reduction_ratio, completeness. `probeHashMod` keeps every probe
+    * whose h60 ≡ 0 (mod m) — the deterministic sample both engines agree
+    * on; 1 = exhaustive. */
+  def audit(probes: DataFrame, probeCol: String,
+            data: DataFrame, dataCol: String,
+            threshold: Int, schemes: Seq[Scheme],
+            probeHashMod: Int = 1): DataFrame = {
+    require(schemes.nonEmpty, "audit needs at least one scheme")
+    require(probeHashMod >= 1, s"probeHashMod must be >= 1, got $probeHashMod")
+    val s = Normalize.norm(col(probeCol))
+    val p = probes.select(s.as("s"), grams3(s).as("s_g3")).distinct()
+      .filter(pmod(TextAnalysis.h60(col("s")), lit(probeHashMod)) === 0)
+    val m = Normalize.norm(col(dataCol))
+    val d = data.select(m.as("m"), grams3(m).as("m_g3"))
+    // grams are precomputed per SIDE; per pair only the predicates run.
+    val pairs = broadcast(p).crossJoin(d)
+      .withColumn("im", levenshtein(col("s"), col("m")) <= threshold)
+    val aggCols =
+      Seq(count(lit(1)).as("total_pairs"),
+        count(when(col("im"), 1)).as("true_matches")) ++
+      schemes.zipWithIndex.flatMap { case (sch, i) =>
+        val b = sch.pred(col("s"), col("m"))
+        Seq(count(when(b, 1)).as(s"c_$i"),
+          count(when(b && col("im"), 1)).as(s"r_$i"))
+      }
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+    val rows = array(schemes.zipWithIndex.map { case (sch, i) =>
+      struct(lit(sch.name).as("scheme"), col(s"c_$i").as("candidates"),
+        col(s"r_$i").as("retained"))
+    }: _*)
+    one.select(explode(rows).as("x"), col("total_pairs"), col("true_matches"))
+      .select(col("x.scheme").as("scheme"),
+        col("x.candidates").as("candidates"), col("x.retained").as("retained"),
+        col("total_pairs"), col("true_matches"),
+        (lit(1.0) - col("x.candidates") / col("total_pairs"))
+          .as("reduction_ratio"),
+        (col("x.retained") / col("true_matches")).as("completeness"))
+  }
+}
