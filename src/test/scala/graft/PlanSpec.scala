@@ -681,4 +681,42 @@ class PlanSpec extends SparkTestBase {
     assert(p.sliding("Sort [".length).count(_ == "Sort [") == 1,
       s"the two window passes must share one sort:\n$p")
   }
+
+  test("q170 cube: grouping sets expand BEFORE the shuffle so partials still apply") {
+    val p = plan("q170_cube_rollup")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"all four grouping sets must ride ONE aggregate shuffle:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("partial_", ex)
+    val expand = p.indexOf("Expand", ex)
+    assert(partial >= 0 && expand >= 0 && partial < expand,
+      "partial aggregation must run on the EXPANDED rows below the " +
+        s"exchange (map-side combine over grouping sets):\n$p")
+  }
+
+  test("q172 pivotDense: one hash aggregate, never PivotFirst") {
+    val p = plan("q172_pivot_matrix")
+    assert(!p.contains("pivotfirst"),
+      s"pivotDense must never fall back to two-phase PivotFirst:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"the whole matrix must ride ONE aggregate shuffle:\n$p")
+  }
+
+  test("q171 chunk reassembly: map-only chunking, one aggregate shuffle") {
+    val p = plan("q171_chunk_reassembly")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"chunk -> reassemble must shuffle once, on doc_id:\n$p")
+  }
+
+  test("q174 blocking audit: probe side broadcasts; counts reduce map-side to one row") {
+    val p = plan("q174_blocking_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"the audit product must broadcast the sampled probes:\n$p")
+    assert(p.contains("Exchange SinglePartition") && p.contains("partial_count"),
+      "every scheme's counts must partial-aggregate per partition and " +
+        s"ship ONE row to the final aggregate:\n$p")
+  }
 }
