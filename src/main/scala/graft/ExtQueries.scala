@@ -2277,6 +2277,39 @@ object ExtQueries {
         .orderBy("scheme")
     }),
 
+    // Join-size estimation WITHOUT running the join: count-min inner
+    // product (min over depth rows of the bucket-wise count dot). The
+    // pre-flight a planner asks before committing to a shuffle — two
+    // one-pass sketches sized depth x width no matter the input. The
+    // exact size rides along as the audit channel: soundness (est >=
+    // exact, guaranteed) and the 1/width tightness law (8x width ->
+    // ~8x less overshoot) are both under the gate. Integer end-to-end.
+    "q175_join_size_sketch" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      val ords = t(s, dir, "orders").select(col("o_custkey"))
+      def est(w: Int, name: String) =
+        Sketches.cmsJoinSize(
+          Sketches.cmsCounters(cust, Nil, col("c_custkey"), width = w),
+          Sketches.cmsCounters(ords, Nil, col("o_custkey"), width = w))
+          .select(col("join_size_est").as(name))
+      val exact = cust.join(ords, cust("c_custkey") === ords("o_custkey"))
+        .agg(count(lit(1)).as("join_size_exact"))
+      exact.crossJoin(est(1024, "est_w1024")).crossJoin(est(8192, "est_w8192"))
+        .select(col("join_size_exact"), col("est_w1024"), col("est_w8192"),
+          (col("est_w1024") / col("join_size_exact")).as("ratio_w1024"),
+          (col("est_w8192") / col("join_size_exact")).as("ratio_w8192"),
+          (col("est_w1024") >= col("join_size_exact")).as("sound_w1024"),
+          (col("est_w8192") >= col("join_size_exact")).as("sound_w8192"))
+    }),
+
+    // Token-distribution entropy per document: the model-free
+    // repetition/diversity quality signal (template spam and stuck
+    // loops concentrate mass -> low H) beside q76's model-based
+    // log-prob and q49's duplicated-n-gram fraction.
+    "q176_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // k-anonymity audit over quasi-identifiers (lang x source x length
     // decile): class sizes + violation flags, the release gate next to
     // the PII scrub (q64). Oracle is the same GROUP BY in SQL.
@@ -6262,6 +6295,49 @@ object ExtQueries {
         """SELECT source, lang, count(*) AS n_docs
           |FROM documents GROUP BY 1, 2
           |ORDER BY source, lang""".stripMargin) +
+      // join-size sketch: rebuild both CM counter tables (portable h60,
+      // same depth/width), dot per depth row, min with the missing-row
+      // guard; exact size + soundness + width-tightness alongside
+      ("q175_join_size_sketch" -> {
+        val d_ = graft.ext.Sketches.CMS_DEPTH
+        def h(e: String) =
+          TextAnalysis.h60Sql(s"CAST(i AS VARCHAR) || ':' || CAST($e AS VARCHAR)")
+        def estCte(w: Int) =
+          s"""a$w AS (SELECT i, ${h("c_custkey")} % $w AS bucket, count(*) AS c
+             |  FROM customer CROSS JOIN r GROUP BY 1, 2),
+             |b$w AS (SELECT i, ${h("o_custkey")} % $w AS bucket, count(*) AS c
+             |  FROM orders CROSS JOIN r GROUP BY 1, 2),
+             |d$w AS (SELECT a$w.i, CAST(sum(a$w.c * b$w.c) AS BIGINT) AS dot
+             |  FROM a$w JOIN b$w ON a$w.i = b$w.i AND a$w.bucket = b$w.bucket
+             |  GROUP BY a$w.i),
+             |e$w AS (SELECT CAST(CASE WHEN count(*) < $d_ THEN 0
+             |    ELSE min(dot) END AS BIGINT) AS est FROM d$w)""".stripMargin
+        s"""WITH r AS (SELECT unnest(range(0, $d_)) AS i),
+           |${estCte(1024)},
+           |${estCte(8192)},
+           |x AS (SELECT CAST(count(*) AS BIGINT) AS exact
+           |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+           |SELECT x.exact AS join_size_exact,
+           |  e1024.est AS est_w1024, e8192.est AS est_w8192,
+           |  CAST(e1024.est AS DOUBLE) / x.exact AS ratio_w1024,
+           |  CAST(e8192.est AS DOUBLE) / x.exact AS ratio_w8192,
+           |  e1024.est >= x.exact AS sound_w1024,
+           |  e8192.est >= x.exact AS sound_w8192
+           |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // token entropy: H = ln N - (sum n ln n)/N, same rounded-DECIMAL
+      // contribution sum, final arithmetic in double both engines
+      ("q176_token_entropy" ->
+        s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term
+           |  FROM documents),
+           |c AS (SELECT doc_id, term, count(*) AS n_t FROM tk GROUP BY 1, 2),
+           |a AS (SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_toks,
+           |         count(*) AS n_unique,
+           |         sum(CAST(round(n_t * ln(n_t), 6) AS DECIMAL(20, 6))) AS s
+           |       FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_toks, n_unique,
+           |       round(ln(n_toks) - CAST(s AS DOUBLE) / n_toks, 6) AS entropy
+           |FROM a ORDER BY doc_id""".stripMargin) +
       // blocking audit: the same exhaustive product + conditional counts
       // in SQL — norm, h60 sample, 3-gram lists all portable twins
       ("q174_blocking_audit" -> {

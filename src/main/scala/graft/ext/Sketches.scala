@@ -173,6 +173,33 @@ object Sketches {
       .agg(min("cms_cnt").as("cms_est"))
   }
 
+  /** Join-cardinality estimate from two count-min counter tables over the
+    * SAME width (the count-min inner-product estimator, Cormode &
+    * Muthukrishnan): per depth row, dot = Σ_bucket aᵣ(b)·bᵣ(b); the
+    * estimate is the MIN of the row dots and NEVER underestimates
+    * |A ⋈ B| on the sketched key — every true (key-match) product is in
+    * every row's dot, collisions only add. Expected overshoot is
+    * ‖a‖₁·‖b‖₁ / width, so width is the tightness knob (q175 measures
+    * the 1/width shrink); the sketches stay ≤ depth·width rows each
+    * regardless of input size, the estimator is one tiny counter join,
+    * and the join being sized NEVER runs — this is the pre-flight a
+    * planner (or a skew guard) asks before committing to a shuffle.
+    * A depth row with no shared buckets means a zero dot: the fold
+    * guards on row count so a missing group yields 0, not the min of
+    * the surviving rows. Integer arithmetic end-to-end — the estimate
+    * is engine-exact, not approximately reproducible. */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val a = countersA.select(col("cms_row"), col("cms_bucket"),
+      col("cms_cnt").as("a_cnt"))
+    val b = countersB.select(col("cms_row"), col("cms_bucket"),
+      col("cms_cnt").as("b_cnt"))
+    a.join(b, Seq("cms_row", "cms_bucket"))
+      .groupBy("cms_row")
+      .agg(sum(col("a_cnt") * col("b_cnt")).as("dot"))
+      .agg(when(count(lit(1)) < CMS_DEPTH, lit(0L))
+        .otherwise(min(col("dot"))).cast("long").as("join_size_est"))
+  }
+
   // ---- Bloom filter (set membership) ----
 
   /** Bloom hash count. */

@@ -237,6 +237,29 @@ object TextAnalysis {
         round(col("sum_logp").cast("double") / col("n_scored"), 6))
   }
 
+  /** Per-document Shannon entropy (nats) of the token distribution — the
+    * model-free diversity/repetition signal next to [[unigramLogProb]]'s
+    * model-based one: template spam and stuck-generation loops score low
+    * (mass concentrated on few tokens), fluent prose scores near ln of
+    * its vocabulary size. Computed as H = ln N − (Σ n_t·ln n_t)/N so the
+    * whole thing is TWO hash aggregates (doc,token) → (doc), both with
+    * map-side partials, no window and no per-doc buffer; per-term
+    * contributions round to 6 decimals and sum as DECIMAL per the house
+    * float-sum rule (aggregation order can never move the hash). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("n_t"))
+      .groupBy(col(idCol))
+      .agg(sum("n_t").as("n_toks"), count(lit(1)).as("n_unique"),
+        sum(round(col("n_t") * log(col("n_t").cast("double")), 6).cast(dec))
+          .as("__s"))
+      .withColumn("entropy",
+        round(log(col("n_toks").cast("double")) -
+          col("__s").cast("double") / col("n_toks"), 6))
+      .drop("__s")
+  }
+
   /** Model-based quality classifier — the "quality filter" step of the
     * GPT-3/CCNet-style curation recipe (seed corpus vs raw crawl),
     * re-expressed as pure aggregation: multinomial naive Bayes with add-1
