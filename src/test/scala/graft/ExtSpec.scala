@@ -1752,6 +1752,36 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === whole, "counter sum across shards must equal the union's counters")
   }
 
+  test("cmsJoinSize: sound, exact without collisions, shard-merge law") {
+    // A: k1 x3; B: k1 x5 + k2 x2 -> true join size 15. With two values
+    // the only way the estimate exceeds 15 is k1/k2 colliding in ALL
+    // four depth rows (deterministic h60 — verified not to happen).
+    val a = Seq.fill(3)("k1").toDF("v")
+    val b = (Seq.fill(5)("k1") ++ Seq.fill(2)("k2")).toDF("v")
+    val ca = Sketches.cmsCounters(a, Nil, $"v")
+    val cb = Sketches.cmsCounters(b, Nil, $"v")
+    assert(Sketches.cmsJoinSize(ca, cb).head.getLong(0) === 15L)
+
+    // zipf-ish load: estimate never below the exact equi-join size
+    val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"w$i")).map(Tuple1(_))
+    val big = rows.toDF("v")
+    val half = rows.take(10000).toDF("v")
+    val exact = big.join(half.withColumnRenamed("v", "w"), $"v" === $"w")
+      .count()
+    val cBig = Sketches.cmsCounters(big, Nil, $"v")
+    val cHalf = Sketches.cmsCounters(half, Nil, $"v")
+    val est = Sketches.cmsJoinSize(cBig, cHalf).head.getLong(0)
+    assert(est >= exact, s"join-size estimate $est below exact $exact")
+
+    // sizing from per-shard sketches merged later == sizing the union
+    val (sh1, sh2) = (rows.take(7000).toDF("v"), rows.drop(7000).toDF("v"))
+    val merged = Sketches.cmsMergeAgg(
+      Sketches.cmsCounters(sh1, Nil, $"v")
+        .unionByName(Sketches.cmsCounters(sh2, Nil, $"v")), Nil)
+    assert(Sketches.cmsJoinSize(merged, cHalf).head.getLong(0) === est,
+      "merged-shard sketch must size the join exactly like the union's")
+  }
+
   test("tukeyOutliers: hand-computed order statistics; fat tail flags only in its own group") {
     // g1: 1..8 plus a 100-outlier -> n=9, q1=rank ceil(2.25)=3 -> 3,
     // q3=rank ceil(6.75)=7 -> 7, iqr=4, high fence 13 -> one outlier.

@@ -94,6 +94,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming pivotDense (complete mode) == batch matrix over everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(String, String, Long)]
+    val langs = Seq("de", "en", "fr")
+    def matrix(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Reshape.pivotDense(df, "source", "lang", langs,
+        Seq("n" -> (c => count(when(c, 1))),
+          "chars" -> (c => coalesce(sum(when(c, col("n_chars"))), lit(0L)))))
+    val q = StreamOps.toMemorySink(
+      matrix(in.toDF().toDF("source", "lang", "n_chars")),
+      "pivot_stream_test", OutputMode.Complete())
+    try {
+      val b1 = Seq(("s0", "en", 10L), ("s0", "de", 5L), ("s1", "fr", 3L))
+      val b2 = Seq(("s0", "en", 20L), ("s1", "de", 7L), ("s2", "zh", 9L))
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("pivot_stream_test").collect()
+        .map(_.toString).sorted.toSeq
+      val batch = matrix((b1 ++ b2).toDF("source", "lang", "n_chars"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed === batch,
+        "complete-mode streaming matrix must equal the batch pivot")
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup screen drops seen keys, passes fresh ones") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
