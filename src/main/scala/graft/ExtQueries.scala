@@ -2687,6 +2687,22 @@ object ExtQueries {
         .as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media).toDF().orderBy("doc_id")
     }),
+
+    // REAL audio decode under the gate: payloads are byte-faithful WAV
+    // files (44-byte RIFF header + PCM16LE) synthesized from an integer
+    // formula; the engine parses the BYTES back into sample features,
+    // while the oracle recomputes the features from the FORMULA — the
+    // hash can only match if encoder and parser are exact inverses and
+    // the parser reads rate/channels/samples from the right offsets.
+    // (The golden-byte layout itself is pinned in MultimodalSpec.)
+    "q177_wav_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "events")
+        .select(col("event_id")).filter(col("event_id") % 16 === 0)
+        .as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id)))
+      Multimodal.audioFeatures(media).toDF().orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -6338,6 +6354,21 @@ object ExtQueries {
            |SELECT doc_id, n_toks, n_unique,
            |       round(ln(n_toks) - CAST(s AS DOUBLE) / n_toks, 6) AS entropy
            |FROM a ORDER BY doc_id""".stripMargin) +
+      // wav features: the oracle recomputes every feature from the
+      // generating FORMULA — it never sees a byte, so only a correct
+      // encode->parse inverse can reproduce these numbers
+      ("q177_wav_features" ->
+        """WITH e AS (SELECT event_id FROM events WHERE event_id % 16 = 0),
+          |ix AS (SELECT unnest(range(0, 256)) AS i),
+          |s AS (SELECT event_id, ((event_id * 31 + i * 17) % 4096) - 2048 AS v
+          |      FROM e CROSS JOIN ix)
+          |SELECT event_id AS doc_id, TRUE AS ok,
+          |       8000 AS sample_rate, 1 AS channels,
+          |       CAST(256 AS BIGINT) AS n_samples,
+          |       CAST(max(abs(v)) AS INT) AS peak,
+          |       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+          |       CAST(32 AS BIGINT) AS duration_ms
+          |FROM s GROUP BY event_id ORDER BY doc_id""".stripMargin) +
       // blocking audit: the same exhaustive product + conditional counts
       // in SQL — norm, h60 sample, 3-gram lists all portable twins
       ("q174_blocking_audit" -> {

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media payloads as opaque BINARY columns with
   * typed metadata, and batched per-partition feature extraction.
   *
-  * STUB NOTICE: no image/audio codecs exist in this container, so
-  * [[decodeStub]] is a clearly-marked deterministic fake over the raw bytes.
-  * Everything around it — the binary column plumbing, the typed schema, the
-  * batched mapPartitions shape (decoder state initialized once per
-  * partition, not per row, exactly where a JNI codec handle would go) — is
-  * real and tested.
+  * Decode reality, by format: IMAGE decode is REAL for PNG/JPEG/GIF/BMP
+  * ([[decode]], JDK ImageIO — no external codecs needed); AUDIO decode is
+  * REAL for RIFF/WAVE PCM16 ([[wavDecode]], a from-scratch chunk-walking
+  * parser — the format needs no codec library at all). Only COMPRESSED
+  * media (MP3/AAC/video) has no decoder in this container, and for those
+  * [[decodeStub]]/[[resizeStub]]/[[sampleFrames]] are clearly-marked
+  * deterministic fakes over the raw bytes. Everything around the codecs —
+  * the binary column plumbing, the typed schemas, the batched
+  * mapPartitions shape (decoder state initialized once per partition, not
+  * per row, exactly where a JNI codec handle would go) — is real and
+  * tested either way.
   */
 object Multimodal {
 
@@ -114,6 +119,111 @@ object Multimodal {
       rows.map { r =>
         val (w, h, thumb) = resizeStub(r.payload, targetW, targetH)
         ResizedMedia(r.doc_id, w, h, thumb)
+      }
+    }
+  }
+
+  // ---- REAL audio decode: RIFF/WAVE PCM16 needs no codec library ----
+
+  case class WavFeatures(doc_id: Long, ok: Boolean, sample_rate: Int,
+                         channels: Int, n_samples: Long, peak: Int,
+                         sum_sq: Long, duration_ms: Long)
+
+  /** Canonical 44-byte-header mono PCM16LE WAV encoder (RIFF spec; pure
+    * JVM). Production never calls this — it exists so the harness can
+    * synthesize byte-faithful audio payloads (and so the golden-byte
+    * spec can pin the exact layout the decoder must invert). */
+  def wavEncode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV decode: walks the RIFF chunk list (not fixed offsets — real
+    * encoders insert LIST/fact chunks before data), reads the fmt chunk
+    * (PCM16 only), and folds the PCM stream into exact-integer features:
+    * sample count, peak |amplitude|, energy (Σ s², exact in a long up to
+    * ~2^32 samples), duration. Returns None for anything that is not a
+    * parseable PCM16 WAV — callers keep the row with ok=false rather
+    * than silently dropping it. */
+  def wavDecode(payload: Array[Byte]): Option[(Int, Int, Long, Int, Long, Long)] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, len
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag4(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > payload.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          val audioFormat = bb.getShort(off + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
+            bb.getShort(off + 22).toInt))
+        case "data" => data = Some((off + 8, len))
+        case _ => // LIST/fact/...: skip
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((channels, rate, 16)), Some((dOff, dLen)))
+          if channels >= 1 && rate > 0 =>
+        val n = dLen / 2
+        var i = 0
+        var sumSq = 0L
+        var peak = 0
+        while (i < n) {
+          val s = bb.getShort(dOff + 2 * i).toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        val nPerChannel = n.toLong / channels
+        Some((rate, channels, nPerChannel, peak, sumSq,
+          nPerChannel * 1000L / rate))
+      case _ => None
+    }
+  }
+
+  /** Deterministic audio synthesizer for the harness (the audio twin of
+    * withPayload's text bytes): 256 mono PCM16 samples at 8 kHz,
+    * s_i = ((id·31 + i·17) mod 4096) − 2048 — integer arithmetic both
+    * engines can reproduce without parsing a byte, which is exactly what
+    * makes the q177 oracle independent of the codec under test. */
+  def synthWav(id: Long, n: Int = 256, rate: Int = 8000): Array[Byte] =
+    wavEncode(rate, Array.tabulate(n)(i =>
+      (((id * 31 + i.toLong * 17) % 4096) - 2048).toShort))
+
+  /** Batched audio feature extraction — same partition-batched shape as
+    * [[extractFeatures]]; undecodable payloads keep their row (ok=false,
+    * zeroed features) so corrupt media is COUNTABLE downstream. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        wavDecode(r.payload) match {
+          case Some((rate, ch, n, peak, sumSq, durMs)) =>
+            WavFeatures(r.doc_id, ok = true, rate, ch, n, peak, sumSq, durMs)
+          case None =>
+            WavFeatures(r.doc_id, ok = false, 0, 0, 0L, 0, 0L, 0L)
+        }
       }
     }
   }

@@ -2674,6 +2674,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).width === ("plain text".length % 640) + 1, "stub fallback shape")
   }
 
+  test("wavEncode golden bytes: the exact RIFF/PCM16LE layout, pinned byte-for-byte") {
+    // samples 1 and -2 -> little-endian 01 00, FE FF; every header field
+    // at its spec offset. This is the pin that stops a matched
+    // encoder/decoder bug (e.g. both big-endian) from canceling out in
+    // q177's formula oracle.
+    val b = Multimodal.wavEncode(8000, Array[Short](1, -2))
+    assert(b.length === 48)
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    def le32(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    assert(ascii(0, 4) === "RIFF" && le32(4) === 40 && ascii(8, 4) === "WAVE")
+    assert(ascii(12, 4) === "fmt " && le32(16) === 16)
+    assert(le16(20) === 1 && le16(22) === 1, "PCM, mono")
+    assert(le32(24) === 8000 && le32(28) === 16000, "rate, byte rate")
+    assert(le16(32) === 2 && le16(34) === 16, "block align, bits")
+    assert(ascii(36, 4) === "data" && le32(40) === 4)
+    assert((b(44), b(45), b(46), b(47)) ===
+      ((1.toByte, 0.toByte, 0xFE.toByte, 0xFF.toByte)))
+  }
+
+  test("wavDecode inverts wavEncode; walks interposed chunks; rejects non-WAV") {
+    val samples = Array.tabulate(300)(i => ((i * 37) % 4096 - 2048).toShort)
+    val Some((rate, ch, n, peak, sumSq, durMs)) =
+      Multimodal.wavDecode(Multimodal.wavEncode(11025, samples))
+    assert((rate, ch, n) === ((11025, 1, 300L)))
+    assert(peak === samples.map(s => math.abs(s.toInt)).max)
+    assert(sumSq === samples.map(s => s.toLong * s).sum)
+    assert(durMs === 300L * 1000 / 11025)
+
+    // real encoders interpose LIST/fact chunks (odd lengths word-pad):
+    // splice a 5-byte LIST chunk between fmt and data and re-parse
+    val plain = Multimodal.wavEncode(8000, Array[Short](5, -5, 1000))
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = plain.slice(0, 36) ++ extra ++ plain.drop(36)
+    // RIFF size field must cover the new chunk for a well-formed file
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    val Some((_, _, n2, _, sumSq2, _)) = Multimodal.wavDecode(spliced)
+    assert(n2 === 3L && sumSq2 === (25L + 25 + 1000000))
+
+    assert(Multimodal.wavDecode("RIFFnot really".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.wavDecode("plain text".getBytes("US-ASCII")).isEmpty)
+
+    // dataset path: decodable and undecodable side by side, nothing dropped
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.synthWav(1L)),
+      Multimodal.MediaRow(2L, "corrupt".getBytes("US-ASCII"))).toDS()
+    val out = Multimodal.audioFeatures(media).orderBy("doc_id").collect()
+    assert(out(0).ok && out(0).n_samples === 256L &&
+      out(0).sample_rate === 8000)
+    assert(!out(1).ok && out(1).n_samples === 0L)
+  }
+
   test("resize plumbing: fixed-size thumbnails, deterministic, empty-safe") {
     val docs = Seq((1L, "payload-bytes"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.withPayload(docs, "doc_id", "text").as[Multimodal.MediaRow]
