@@ -2302,6 +2302,28 @@ object ExtQueries {
           (col("est_w8192") >= col("join_size_exact")).as("sound_w8192"))
     }),
 
+    // Markup strip law: wrap every document in a full HTML shell
+    // (script with code the tag regex must NOT eat char-by-char, style,
+    // comment, attributes, entities — the text itself entity-encoded),
+    // strip it, and the original must come back exactly. The oracle
+    // NEVER wraps or strips — it computes the expected restoration from
+    // the source text directly, so extractor bugs cannot cancel.
+    "q178_markup_strip" -> ((s, dir) => {
+      val e0 = regexp_replace(col("text"), "&", "&amp;")
+      val e1 = regexp_replace(e0, "<", "&lt;")
+      val enc = regexp_replace(e1, ">", "&gt;")
+      val wrapped = concat(
+        lit("<html><head><script type=\"text/javascript\">if (1 < 2) " +
+          "{ var x = \"&amp;\"; }</script><style>.a{color:red}</style>" +
+          "</head><!-- strip me --><body><p class=\"c\">" +
+          "PRE &amp;&lt;&gt;&quot;&#39; :: "),
+        enc, lit(" </p><br/></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.stripMarkup(wrapped).as("restored"))
+        .withColumn("n_restored", length(col("restored")))
+        .orderBy("doc_id")
+    }),
+
     // Token-distribution entropy per document: the model-free
     // repetition/diversity quality signal (template spam and stuck
     // loops concentrate mass -> low H) beside q76's model-based
@@ -6341,6 +6363,17 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // markup strip: the oracle rebuilds the expected restoration from
+      // the SOURCE text (prefix literal + whitespace-collapsed text) —
+      // it never wraps, never strips, never decodes an entity
+      ("q178_markup_strip" ->
+        """WITH c AS (SELECT doc_id,
+          |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |  trim('PRE &<>"'' :: ' || t) AS restored,
+          |  CAST(length(trim('PRE &<>"'' :: ' || t)) AS INT) AS n_restored
+          |FROM c ORDER BY doc_id""".stripMargin) +
       // token entropy: H = ln N - (sum n ln n)/N, same rounded-DECIMAL
       // contribution sum, final arithmetic in double both engines
       ("q176_token_entropy" ->

@@ -237,6 +237,26 @@ object TextAnalysis {
         round(col("sum_logp").cast("double") / col("n_scored"), 6))
   }
 
+  /** Markup/boilerplate stripper — the extract-text step every web-crawl
+    * pipeline runs before any quality/dedup signal: drops script/style
+    * blocks WITH their contents, then comments, then remaining tags, then
+    * decodes the five predefined entities (amp LAST, so double-encoded
+    * text decodes one level per pass — sanitizer convention: a decoded
+    * `<` can never be re-parsed as markup because tag removal already
+    * happened), then collapses whitespace. Pure codegen'd regexp_replace
+    * chain: map-only, scan-fused, no UDF; every pattern is RE2-safe (no
+    * backreferences) so an engine twin can run the identical program. */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Per-document Shannon entropy (nats) of the token distribution — the
     * model-free diversity/repetition signal next to [[unigramLogProb]]'s
     * model-based one: template spam and stuck-generation loops score low

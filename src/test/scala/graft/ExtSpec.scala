@@ -665,6 +665,27 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextExprs.nfcNormalize(col("n")) === col("n")).collect()
     assert(again.forall(_.getBoolean(0)))
   }
+
+  test("stripMarkup: blocks eaten whole, tags spaced, entities decoded one level, ws collapsed") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("h")
+        .select(TextAnalysis.stripMarkup(col("h"))).head.getString(0)
+    // script/style bodies vanish WITH their content — including '<' in code
+    assert(strip("""a<script>if (1 < 2) alert("&amp;")</script>b""") === "a b")
+    assert(strip("<style>.x{color:red}</style>text") === "text")
+    assert(strip("<!-- <p>not text</p> -->only") === "only")
+    // tags become separators, never concatenators
+    assert(strip("<p>one</p><p>two</p>") === "one two")
+    // entities: one decode level; &amp;lt; means the LITERAL string &lt;
+    assert(strip("x &lt;tag&gt; &quot;q&quot; &#39;a&#39; &amp; y") ===
+      """x <tag> "q" 'a' & y""")
+    assert(strip("&amp;lt;") === "&lt;")
+    // a decoded '<' is NOT re-parsed as markup (decode runs after strip)
+    assert(strip("&lt;script&gt;evil()&lt;/script&gt;") ===
+      "<script>evil()</script>")
+    // whitespace collapse + trim
+    assert(strip("  a\n\n<b>  c\t</b> ") === "a c")
+  }
 }
 
 class DedupSpec extends SparkTestBase {
