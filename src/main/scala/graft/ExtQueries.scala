@@ -2324,6 +2324,46 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization law: messy URLs (case-shuffled scheme/host,
+    // default and explicit ports, empty paths, unsorted query params,
+    // fragments) built from a deterministic formula; the oracle writes
+    // the EXPECTED canonical form directly from the same components —
+    // it never parses a URL, so normalizer bugs cannot cancel.
+    "q179_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("hTTps")), lit("://"),
+        lit("WWW."), col("source"), lit(".EXAMPLE.com"),
+        when(id % 3 === 0, when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+        when(id % 5 === 0, lit("")).otherwise(concat(lit("/Docs/"), id)),
+        when(id % 4 === 0, lit(""))
+          .otherwise(concat(lit("?z=9&a="), col("lang"), lit("&m="), id % 7)),
+        when(id % 2 === 0, lit("#Sec5")).otherwise(lit("")))
+      docs(s, dir).select(id, graft.ext.Web.normalizeUrl(messy).as("url"),
+          graft.ext.Web.hostOf(messy).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // Longest-prefix blocklist (robots.txt semantics): a deeper allow
+    // rule carves an exception out of a broader block; matching is a
+    // bounded prefix explode + broadcast equi-join, never a product.
+    // The oracle restates the POLICY as CASE arms over the generating
+    // columns — it never enumerates a prefix.
+    "q180_prefix_blocklist" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val pages = docs(s, dir).select(col("doc_id"),
+        concat(lit("/Docs/"), col("lang"), lit("/"), col("source"),
+          lit("/"), col("doc_id")).as("path"))
+      val rules = Seq(
+        ("/Docs/de", "block"), ("/Docs/de/src3", "allow"),
+        ("/Docs/en/src1", "block"), ("/Docs/zh", "review"))
+        .toDF("prefix", "action")
+      graft.ext.Web.blocklistVerdict(pages, "path", rules)
+        .withColumn("match_len", length(col("matched_prefix")))
+        .orderBy("doc_id")
+    }),
+
     // Token-distribution entropy per document: the model-free
     // repetition/diversity quality signal (template spam and stuck
     // loops concentrate mass -> low H) beside q76's model-based
@@ -6362,6 +6402,40 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // url normalize: the EXPECTED canonical form written straight from
+      // the generating components — scheme case, default ports, empty
+      // path, param order, fragment all resolved by construction
+      ("q179_url_normalize" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+          |  || '://www.' || source || '.example.com'
+          |  || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN '/'
+          |       ELSE '/Docs/' || doc_id END
+          |  || CASE WHEN doc_id % 4 = 0 THEN ''
+          |       ELSE '?a=' || lang || '&m=' || (doc_id % 7) || '&z=9' END
+          |    AS url,
+          |  'www.' || source || '.example.com' AS host
+          |FROM documents ORDER BY doc_id""".stripMargin) +
+      // prefix blocklist: the policy restated as CASE arms (deeper allow
+      // beats broader block; en blocked only for src1; zh review)
+      ("q180_prefix_blocklist" -> {
+        val pfx = """CASE WHEN lang = 'de' AND source = 'src3' THEN '/Docs/de/src3'
+                    |    WHEN lang = 'de' THEN '/Docs/de'
+                    |    WHEN lang = 'en' AND source = 'src1' THEN '/Docs/en/src1'
+                    |    WHEN lang = 'zh' THEN '/Docs/zh'
+                    |    ELSE '' END""".stripMargin
+        s"""SELECT doc_id,
+           |  '/Docs/' || lang || '/' || source || '/' || doc_id AS path,
+           |  CASE WHEN lang = 'de' AND source = 'src3' THEN 'allow'
+           |       WHEN lang = 'de' THEN 'block'
+           |       WHEN lang = 'en' AND source = 'src1' THEN 'block'
+           |       WHEN lang = 'zh' THEN 'review'
+           |       ELSE 'allow' END AS action,
+           |  $pfx AS matched_prefix,
+           |  CAST(length($pfx) AS INT) AS match_len
+           |FROM documents ORDER BY doc_id""".stripMargin
       }) +
       // markup strip: the oracle rebuilds the expected restoration from
       // the SOURCE text (prefix literal + whitespace-collapsed text) —

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-pipeline primitives: URL canonicalization and path-blocklist
+  * policy — the steps between "crawl frontier" and "document table" that
+  * decide whether two fetches are the same page and whether a page may
+  * be used at all.
+  *
+  * Scale shape: everything here is map-only per URL except the blocklist
+  * join, which is a bounded prefix explode (path depth, ≤ maxDepth rows
+  * per URL) against a broadcast rule table — longest-prefix matching
+  * without a theta-join, the same enumerate-the-bounded-side trick as
+  * the length-band fuzzy prune. A rule table too big to broadcast (a
+  * per-host robots corpus) drops the hint and becomes a plain equi-join
+  * on the prefix — still never a product.
+  */
+object Web {
+
+  /** Canonical URL form (conservative RFC 3986 subset, all codegen'd or
+    * map-only expressions): scheme and host lowercase; default port
+    * (:80 http, :443 https) dropped; empty path becomes "/"; query
+    * parameters sorted bytewise with empty fragments of "&&" removed;
+    * the #fragment dropped. Path case, encoding, and dot segments are
+    * preserved — resolving them needs origin-server semantics this
+    * layer must not guess. Non-URL strings pass through unchanged. */
+  def normalizeUrl(c: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    val scheme = lower(regexp_extract(c, re, 1))
+    val host0 = lower(regexp_extract(c, re, 2))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(c, re, 3)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = array_sort(filter(split(regexp_extract(c, re, 4), "&"),
+      p => length(p) > 0))
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(regexp_extract(c, re, 1) === "", c)
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** Registrable host of a URL (lowercased authority minus port and
+    * userinfo) — the key host-level dedup and per-site rate stats group
+    * on. Empty string for non-URLs. */
+  def hostOf(c: Column): Column = {
+    val re = "^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]*).*$"
+    lower(regexp_extract(c, re, 1))
+  }
+
+  /** Directory-boundary prefixes of an absolute path, shortest first:
+    * "/a/b/c" -> ["/a", "/a/b", "/a/b/c"], capped at `maxDepth`
+    * segments. This is the bounded enumeration that turns
+    * longest-prefix-match into an equi-join. */
+  def pathPrefixes(path: Column, maxDepth: Int = 16): Column = {
+    val parts = split(path, "/") // leading "" for absolute paths
+    val n = least(size(parts) - 1, lit(maxDepth))
+    when(n >= 1, transform(sequence(lit(1), n),
+      i => array_join(slice(parts, lit(1), i + 1), "/")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Longest-prefix blocklist verdict per row: every rule whose `prefix`
+    * is a directory-boundary prefix of `pathCol` competes and the
+    * LONGEST wins (so a deeper allow rule can carve an exception out of
+    * a broader block — robots.txt semantics). Unmatched rows keep
+    * `defaultAction` with an empty matched_prefix. `rules(prefix,
+    * action)` must have distinct prefixes; it broadcasts (policy tables
+    * are small — see object scaladoc for the unbounded variant). Adds
+    * `action` and `matched_prefix`. */
+  def blocklistVerdict(df: DataFrame, pathCol: String, rules: DataFrame,
+                       defaultAction: String = "allow",
+                       maxDepth: Int = 16): DataFrame = {
+    val exploded = df.withColumn("__pfx",
+      explode_outer(pathPrefixes(col(pathCol), maxDepth)))
+    val hit = exploded.join(broadcast(rules.withColumnRenamed("prefix", "__pfx")),
+      Seq("__pfx"), "left")
+    hit.groupBy(df.columns.map(col): _*)
+      .agg(max(when(col("action").isNotNull,
+        struct(length(col("__pfx")).as("l"), col("__pfx").as("p"),
+          col("action").as("a")))).as("__m"))
+      .withColumn("action", coalesce(col("__m.a"), lit(defaultAction)))
+      .withColumn("matched_prefix", coalesce(col("__m.p"), lit("")))
+      .drop("__m")
+  }
+}
