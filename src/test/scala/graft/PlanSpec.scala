@@ -711,6 +711,26 @@ class PlanSpec extends SparkTestBase {
       s"chunk -> reassemble must shuffle once, on doc_id:\n$p")
   }
 
+  test("q178/q179 strip + normalize: map-only — no aggregate exchange, no Generate, no UDF") {
+    Seq("q178_markup_strip", "q179_url_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must stay a scan-side projection (orderBy range only):\n$p")
+      assert(!p.contains("Generate"),
+        s"$q must not explode anything:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must stay inside codegen'd expressions:\n$p")
+    }
+  }
+
+  test("q180 blocklist: rules broadcast onto the bounded prefix explode, never a product") {
+    val p = plan("q180_prefix_blocklist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rule table must broadcast as an EQUI-join on the prefix:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"longest-prefix match must never plan a product or sort-merge:\n$p")
+  }
+
   test("q174 blocking audit: probe side broadcasts; counts reduce map-side to one row") {
     val p = plan("q174_blocking_audit")
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
