@@ -125,10 +125,14 @@ object Bench {
     detail ++= "\n  },\n  \"errors\": {\n"
     detail ++= errors.map { case (k, m) => s"    ${jstr(k)}: ${jstr(m)}" }.mkString(",\n")
     detail ++= "\n  }\n}\n"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"), detail.toString)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_detail.json: $e") }
+    // Filtered spot-check runs must not clobber the committed full-suite
+    // artifact — only a full run rewrites bench_detail.json.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_detail.json"), detail.toString)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_detail.json: $e") }
+    }
     spark.stop()
   }
 }
