@@ -2324,6 +2324,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Schema evolution law: two parquet shards written at DIFFERENT
+    // schema versions (v1: doc_id+lang; v2: doc_id+source+n_chars),
+    // read back as ONE dataset via mergeSchema — name-aligned,
+    // null-filled, no writer rewritten. The oracle computes the
+    // expected merged table from the source directly (CASE on the
+    // shard-split predicate); it never touches a file.
+    "q181_schema_evolution" -> ((s, dir) => {
+      val base = scratchDir("q181")
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      Ingest.readEvolved(s, Seq(s"$base/v1", s"$base/v2"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization law: messy URLs (case-shuffled scheme/host,
     // default and explicit ports, empty paths, unsorted query params,
     // fragments) built from a deterministic formula; the oracle writes
@@ -6403,6 +6422,14 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // schema evolution: the expected merged table straight from the
+      // source — CASE on the shard-split predicate, no files involved
+      ("q181_schema_evolution" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+          |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+          |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin) +
       // url normalize: the EXPECTED canonical form written straight from
       // the generating components — scheme case, default ports, empty
       // path, param order, fragment all resolved by construction

@@ -166,4 +166,16 @@ object Ingest {
     spark.read.schema(schema).option("header", "true")
       .option("escape", "\"").option("multiLine", "true")
       .option("nullValue", "\\N").option("mode", "FAILFAST").csv(path)
+
+  /** Schema-evolution read: parquet shards written at DIFFERENT schema
+    * versions, aligned by NAME with null-fill (mergeSchema) — a column
+    * a shard's writer never knew about is NULL there, exactly the
+    * pandas-concat / UNION-BY-NAME law S2's mixed-folder union follows
+    * (q04), now across schema VERSIONS of one dataset. Scale note:
+    * mergeSchema reads one footer per file as a distributed job —
+    * fine for a bounded shard set; a 10^6-file lake should pass its
+    * target schema explicitly (`spark.read.schema(...)`) and skip the
+    * merge job, at the price of silently ignoring novel columns. */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }
