@@ -2324,6 +2324,50 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Capstone composition: the round-12 operators chained as ONE
+    // curation pass — markup extraction (q178's law feeds the text),
+    // token entropy (q176), longest-prefix policy (q180's rules),
+    // prefix-fingerprint dedup (min-id survivor), verdicts with fixed
+    // priority (blocked > low_entropy > dupe > keep), and the dataset
+    // card as a pivotDense matrix (q172). The oracle rebuilds every
+    // stage independently in SQL over the source table.
+    "q182_curation_v2" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (from, to)) =>
+          regexp_replace(c, from, to) }
+      val wrapped = concat(lit("<body><p class=\"d\">"), esc,
+        lit(" </p><!-- x --></body>"))
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), TextAnalysis.stripMarkup(wrapped).as("txt"))
+      val ent = TextAnalysis.tokenEntropy(base, "doc_id", "txt")
+        .select(col("doc_id"), col("entropy"))
+      val paged = base.withColumn("path", concat(lit("/Docs/"), col("lang"),
+        lit("/"), col("source"), lit("/"), col("doc_id")))
+      val rules = Seq(
+        ("/Docs/de", "block"), ("/Docs/de/src3", "allow"),
+        ("/Docs/en/src1", "block"), ("/Docs/zh", "review"))
+        .toDF("prefix", "action")
+      val pol = graft.ext.Web.blocklistVerdict(paged, "path", rules)
+        .select(col("doc_id"), col("action"))
+      val keyed = base.withColumn("k", md5(substring(col("txt"), 1, 40)))
+      val owner = keyed.groupBy("k").agg(min("doc_id").as("owner_id"))
+      val dedup = keyed.join(owner, "k")
+        .select(col("doc_id"), (col("doc_id") === col("owner_id")).as("is_owner"))
+      val verdict = base.select("doc_id", "lang", "source")
+        .join(ent, "doc_id").join(pol, "doc_id").join(dedup, "doc_id")
+        .withColumn("verdict",
+          when(col("action") === "block", "blocked")
+            .when(col("entropy") < 2.8, "low_entropy")
+            .when(!col("is_owner"), "dupe")
+            .otherwise("keep"))
+        .withColumn("key", concat_ws("|", col("lang"), col("source")))
+      graft.ops.Reshape.pivotDense(verdict, "key", "verdict",
+          Seq("keep", "blocked", "low_entropy", "dupe"),
+          Seq("" -> (c => count(when(c, 1)))))
+        .orderBy("key")
+    }),
+
     // Schema evolution law: two parquet shards written at DIFFERENT
     // schema versions (v1: doc_id+lang; v2: doc_id+source+n_chars),
     // read back as ONE dataset via mergeSchema — name-aligned,
@@ -6422,6 +6466,40 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // curation capstone: every stage rebuilt independently — collapsed
+      // text (the strip law's expectation), q176's entropy chain, the
+      // q180 policy as CASE arms, window-min dedup, conditional counts
+      ("q182_curation_v2" ->
+        s"""WITH src AS (SELECT doc_id, lang, source,
+           |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+           |  FROM documents),
+           |tk AS (SELECT doc_id,
+           |    unnest(list_filter(string_split(txt, ' '),
+           |      x -> length(x) > 0)) AS term FROM src),
+           |c AS (SELECT doc_id, term, count(*) AS n_t FROM tk GROUP BY 1, 2),
+           |a AS (SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_toks,
+           |    sum(CAST(round(n_t * ln(n_t), 6) AS DECIMAL(20, 6))) AS sm
+           |  FROM c GROUP BY doc_id),
+           |e AS (SELECT doc_id,
+           |    round(ln(n_toks) - CAST(sm AS DOUBLE) / n_toks, 6) AS entropy
+           |  FROM a),
+           |k AS (SELECT doc_id, min(doc_id) OVER
+           |    (PARTITION BY md5(substring(txt, 1, 40))) AS owner_id
+           |  FROM src),
+           |v AS (SELECT src.doc_id, src.lang, src.source,
+           |    CASE WHEN (src.lang = 'de' AND src.source <> 'src3')
+           |           OR (src.lang = 'en' AND src.source = 'src1')
+           |           THEN 'blocked'
+           |         WHEN e.entropy < 2.8 THEN 'low_entropy'
+           |         WHEN k.owner_id <> src.doc_id THEN 'dupe'
+           |         ELSE 'keep' END AS verdict
+           |  FROM src JOIN e USING (doc_id) JOIN k ON k.doc_id = src.doc_id)
+           |SELECT lang || '|' || source AS key,
+           |  count(*) FILTER (WHERE verdict = 'keep') AS keep,
+           |  count(*) FILTER (WHERE verdict = 'blocked') AS blocked,
+           |  count(*) FILTER (WHERE verdict = 'low_entropy') AS low_entropy,
+           |  count(*) FILTER (WHERE verdict = 'dupe') AS dupe
+           |FROM v GROUP BY 1 ORDER BY key""".stripMargin) +
       // schema evolution: the expected merged table straight from the
       // source — CASE on the shard-split predicate, no files involved
       ("q181_schema_evolution" ->
