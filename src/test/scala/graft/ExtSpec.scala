@@ -2750,6 +2750,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(!out(1).ok && out(1).n_samples === 0L)
   }
 
+  test("wav roundtrip property: decode(encode(s)) recovers exact features for arbitrary PCM") {
+    // deterministic scalacheck sweep (DistanceSpec convention): arbitrary
+    // sample vectors including the Short extremes and empty audio
+    var seed = org.scalacheck.rng.Seed(7L)
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(0, 400)
+      rate <- org.scalacheck.Gen.oneOf(8000, 11025, 16000, 44100)
+      s <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.chooseNum(
+        Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, s.map(_.toShort).toArray)
+    (1 to 80).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach {
+        case (rate, samples) =>
+          val Some((r, ch, n, peak, sumSq, durMs)) =
+            Multimodal.wavDecode(Multimodal.wavEncode(rate, samples))
+          assert(r === rate && ch === 1 && n === samples.length.toLong)
+          assert(peak === (if (samples.isEmpty) 0
+            else samples.map(s => math.abs(s.toInt)).max))
+          assert(sumSq === samples.map(s => s.toLong * s).sum)
+          assert(durMs === samples.length.toLong * 1000 / rate)
+      }
+      seed = seed.next
+    }
+  }
+
   test("resize plumbing: fixed-size thumbnails, deterministic, empty-safe") {
     val docs = Seq((1L, "payload-bytes"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.withPayload(docs, "doc_id", "text").as[Multimodal.MediaRow]

@@ -42,6 +42,65 @@ class WebSpec extends SparkTestBase {
     assert(pfx("") === Seq.empty)
   }
 
+  test("normalizeUrl idempotence property over generated messy URLs") {
+    var seed = org.scalacheck.rng.Seed(11L)
+    val seg = org.scalacheck.Gen.oneOf("Ab", "c9", "D-e", "ff")
+    val gen = for {
+      scheme <- org.scalacheck.Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp")
+      h1 <- seg; h2 <- seg
+      port <- org.scalacheck.Gen.oneOf("", ":80", ":443", ":8080")
+      path <- org.scalacheck.Gen.oneOf("", "/", "/P/q", "/UPPER/x")
+      query <- org.scalacheck.Gen.oneOf("", "?z=1&a=2", "?b=1&&a=3&")
+      frag <- org.scalacheck.Gen.oneOf("", "#F")
+    } yield s"$scheme://$h1.$h2$port$path$query$frag"
+    val urls = (1 to 150).map { _ =>
+      val u = gen.apply(org.scalacheck.Gen.Parameters.default, seed).get
+      seed = seed.next; u
+    }
+    val out = urls.map(Tuple1(_)).toDF("u")
+      .select(Web.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), Web.normalizeUrl(col("n1")).as("n2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"normalize must be idempotent, diverged on: ${r.getString(0)}"))
+  }
+
+  test("blocklistVerdict == independent brute-force longest-prefix on random sets") {
+    // Brute force uses the INDEPENDENT formulation (path == rule ||
+    // path.startsWith(rule + "/")) — not the operator's prefix
+    // enumeration — so a shared boundary bug cannot cancel.
+    var seed = org.scalacheck.rng.Seed(23L)
+    def draw[A](g: org.scalacheck.Gen[A]): A = {
+      val v = g.apply(org.scalacheck.Gen.Parameters.default, seed).get
+      seed = seed.next; v
+    }
+    val seg = org.scalacheck.Gen.oneOf("a", "b", "c", "ab")
+    val ruleGen = for {
+      d <- org.scalacheck.Gen.choose(1, 3)
+      segs <- org.scalacheck.Gen.listOfN(d, seg)
+      act <- org.scalacheck.Gen.oneOf("block", "allow", "review")
+    } yield ("/" + segs.mkString("/"), act)
+    val rules = (1 to 12).map(_ => draw(ruleGen))
+      .groupBy(_._1).map(_._2.head).toSeq // distinct prefixes
+    val pathGen = for {
+      d <- org.scalacheck.Gen.choose(1, 5)
+      segs <- org.scalacheck.Gen.listOfN(d, seg)
+    } yield "/" + segs.mkString("/")
+    val paths = (1 to 120).map(i => (i.toLong, draw(pathGen)))
+    def brute(p: String): (String, String) = {
+      val hits = rules.filter { case (r, _) => p == r || p.startsWith(r + "/") }
+      if (hits.isEmpty) ("allow", "")
+      else { val (r, a) = hits.maxBy(_._1.length); (a, r) }
+    }
+    val got = Web.blocklistVerdict(paths.toDF("id", "path"), "path",
+        rules.toDF("prefix", "action"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3)))
+      .toMap
+    paths.foreach { case (id, p) =>
+      assert(got(id) === brute(p), s"mismatch on path $p (rules: $rules)")
+    }
+  }
+
   test("blocklistVerdict: longest prefix wins; allow carves out of block; default for misses") {
     val pages = Seq(
       (1L, "/x/secret/deep/file"), (2L, "/x/secret/ok/file"),

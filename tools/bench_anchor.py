@@ -76,4 +76,7 @@ if __name__ == "__main__":
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
     t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    sys.exit(main(sys.argv[1], sys.argv[2], t))
+    try:
+        sys.exit(main(sys.argv[1], sys.argv[2], t))
+    except BrokenPipeError:  # | head; the consumer has what it wanted
+        sys.exit(0)
