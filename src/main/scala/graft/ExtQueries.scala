@@ -2324,6 +2324,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic negative sampling: k partners per anchor at
+    // salted-hash offsets in the contiguous-id ring — the contrastive-
+    // training pair generator, cross-join-free (one equi-join on the
+    // partner id) and RNG-free (both engines re-derive the same draw).
+    "q183_negative_pairs" -> ((s, dir) =>
+      graft.ops.Partitioning.negativePairs(docs(s, dir), "doc_id",
+          k = 3, salt = "neg-v1")
+        .orderBy("anchor_id", "j")),
+
     // Capstone composition: the round-12 operators chained as ONE
     // curation pass — markup extraction (q178's law feeds the text),
     // token entropy (q176), longest-prefix policy (q180's rules),
@@ -6465,6 +6474,28 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // negative pairs: the ring arithmetic re-derived — bucketed hash
+      // order (contiguousIds' construction as one ORDER BY), hash
+      // offsets, modular partner lookup
+      ("q183_negative_pairs" -> {
+        def h(e: String) = TextAnalysis.h60Sql(e)
+        s"""WITH hh AS (SELECT doc_id,
+           |    ${h("'gid:' || CAST(doc_id AS VARCHAR)")} AS hv
+           |  FROM documents),
+           |ids AS (SELECT doc_id, row_number() OVER
+           |    (ORDER BY CAST(hv % 64 AS INT), hv, doc_id) - 1 AS gid
+           |  FROM hh),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |o AS (SELECT j, (${h("'neg-v1:' || CAST(j AS VARCHAR)")} % (n - 1))
+           |        + 1 AS off, n
+           |      FROM (SELECT unnest(range(1, 4)) AS j), nn),
+           |p AS (SELECT i.doc_id AS anchor_id, o.j,
+           |        (i.gid + o.off) % o.n AS pgid
+           |      FROM ids i CROSS JOIN o)
+           |SELECT p.anchor_id, CAST(p.j AS INT) AS j, i2.doc_id AS neg_id
+           |FROM p JOIN ids i2 ON i2.gid = p.pgid
+           |ORDER BY anchor_id, j""".stripMargin
       }) +
       // curation capstone: every stage rebuilt independently — collapsed
       // text (the strip law's expectation), q176's entropy chain, the

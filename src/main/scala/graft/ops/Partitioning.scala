@@ -157,6 +157,35 @@ object Partitioning {
                    buckets: Int = 64): DataFrame =
     hashOrderIds(df, idCol, s"ep$epoch:", buckets, "pos")
 
+  /** Deterministic negative-pair sampling for contrastive training: each
+    * anchor draws `k` partners at salted-hash OFFSETS in the
+    * [[contiguousIds]] ring — partner(gid) = (gid + off_j) mod n with
+    * off_j = h60(salt:j) % (n−1) + 1, so a partner is never the anchor
+    * and the whole draw is engine-reproducible (no RNG — the q47/q97
+    * rule: retries, engines, and partitionings all agree). Scale shape:
+    * the two-phase hash-order ids, a 1-row count broadcast, a k-row
+    * offset explode, and ONE equi-join on the partner id — never a
+    * cross join, never a per-anchor shuffle of the corpus. Offsets for
+    * different j are independent hash draws and may coincide; n must be
+    * >= 2 (at n = 1 the modulo nulls out and the join drops the row
+    * rather than pairing an anchor with itself). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+                    salt: String): DataFrame = {
+    require(k >= 1, s"negativePairs needs k >= 1, got $k")
+    import org.apache.spark.sql.functions._
+    val ids = contiguousIds(df, idCol).select(col(idCol), col("global_id"))
+    val n = ids.agg(count(lit(1)).as("__n"))
+    val withJ = ids.crossJoin(broadcast(n))
+      .withColumn("j", explode(array((1 to k).map(lit(_)): _*)))
+      .withColumn("__off", graft.ext.TextAnalysis.h60(
+        concat(lit(salt + ":"), col("j").cast("string"))) % (col("__n") - 1) + 1)
+      .withColumn("__pgid", (col("global_id") + col("__off")) % col("__n"))
+    val partners = ids.select(col(idCol).as("neg_id"),
+      col("global_id").as("__pgid"))
+    withJ.join(partners, "__pgid")
+      .select(col(idCol).as("anchor_id"), col("j"), col("neg_id"))
+  }
+
   private def hashOrderIds(df: DataFrame, idCol: String, salt: String,
                            buckets: Int, outCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
