@@ -448,6 +448,33 @@ class PlanSpec extends SparkTestBase {
       "grouped top-k must never fall back to a per-group rank window:\n" + p)
   }
 
+  test("negativePairs: k rows per anchor, never self, partitioning-invariant, no cross join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).map(i => i -> s"d$i").toDF("id", "v")
+    val got = graft.ops.Partitioning.negativePairs(df, "id", k = 3, salt = "t1")
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === 600, "every anchor must draw exactly k partners")
+    assert(rows.forall { case (a, _, n) => a != n },
+      "a partner may never be the anchor itself")
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq ===
+      Seq(1, 2, 3)), "each anchor carries offsets j = 1..k once each")
+    // deterministic under any input partitioning (the no-RNG rule)
+    val again = graft.ops.Partitioning
+      .negativePairs(df.repartition(13), "id", k = 3, salt = "t1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet === again.toSet)
+    // a different salt is a different (but again deterministic) draw
+    val other = graft.ops.Partitioning
+      .negativePairs(df, "id", k = 3, salt = "t2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.toSet !== rows.toSet)
+    // partner lookup is an equi-join: no cartesian/nested-loop anywhere
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "the pair draw must never plan a cartesian product:\n" + p)
+  }
+
   test("contiguousIds: ids are 0..n-1, partitioning-invariant, and never a global-sort plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
