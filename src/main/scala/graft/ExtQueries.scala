@@ -2324,6 +2324,33 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Declarative data contract (the quality gate): nine checks over
+    // lineitem, four of which FAIL (a gate that cannot fail proves
+    // nothing): discounts exceed the declared 0.05 cap, returnflag
+    // 'R' escapes the two-letter regex, l_orderkey alone is not
+    // unique — and the gate EARNED its keep by also catching that the
+    // synthetic lineitem violates even the intended (l_orderkey,
+    // l_linenumber) primary key (25953 rows at sf0.01; both engines
+    // agree). Row checks fold into ONE pass; unique is one key
+    // aggregate; FKs are anti-joins. Oracle recomputes every count
+    // independently in SQL.
+    "q184_contract_audit" -> ((s, dir) => {
+      import graft.ext.Contract._
+      graft.ext.Contract.audit(t(s, dir, "lineitem"), Seq(
+          NotNull("l_shipdate"),
+          InRange("l_quantity", 1, 50),
+          InRange("l_discount", 0, 0.05),
+          OneOf("l_returnflag", Seq("A", "N", "R")),
+          Matches("l_returnflag", "^[AN]$"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          Unique(Seq("l_orderkey")),
+          ForeignKey("l_orderkey", "orders", "o_orderkey"),
+          ForeignKey("l_partkey", "part", "p_partkey")),
+          refs = Map("orders" -> t(s, dir, "orders"),
+            "part" -> t(s, dir, "part")))
+        .orderBy("check_name")
+    }),
+
     // Deterministic negative sampling: k partners per anchor at
     // salted-hash offsets in the contiguous-id ring — the contrastive-
     // training pair generator, cross-join-free (one equi-join on the
@@ -6475,6 +6502,46 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // contract audit: every check's count recomputed independently;
+      // check_name strings must match the engine's constructors exactly
+      ("q184_contract_audit" ->
+        """WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+          |c AS (
+          |  SELECT 'not_null(l_shipdate)' AS check_name,
+          |    (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+          |      AS n_violations
+          |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)',
+          |    (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+          |       AND NOT (l_quantity >= 1.0 AND l_quantity <= 50.0))
+          |  UNION ALL SELECT 'in_range(l_discount,0.0,0.05)',
+          |    (SELECT count(*) FROM lineitem WHERE l_discount IS NOT NULL
+          |       AND NOT (l_discount >= 0.0 AND l_discount <= 0.05))
+          |  UNION ALL SELECT 'one_of(l_returnflag)',
+          |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+          |       AND l_returnflag NOT IN ('A', 'N', 'R'))
+          |  UNION ALL SELECT 'matches(l_returnflag)',
+          |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+          |       AND NOT regexp_matches(l_returnflag, '^[AN]$'))
+          |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+          |    (SELECT CAST(coalesce(sum(g), 0) AS BIGINT) FROM
+          |      (SELECT count(*) AS g FROM lineitem
+          |       GROUP BY l_orderkey, l_linenumber) WHERE g > 1)
+          |  UNION ALL SELECT 'unique(l_orderkey)',
+          |    (SELECT CAST(coalesce(sum(g), 0) AS BIGINT) FROM
+          |      (SELECT count(*) AS g FROM lineitem
+          |       GROUP BY l_orderkey) WHERE g > 1)
+          |  UNION ALL SELECT 'fk(l_orderkey->orders.o_orderkey)',
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          |       ON o.o_orderkey = l.l_orderkey
+          |     WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+          |  UNION ALL SELECT 'fk(l_partkey->part.p_partkey)',
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN part p
+          |       ON p.p_partkey = l.l_partkey
+          |     WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL))
+          |SELECT c.check_name, n.n_rows,
+          |  CAST(c.n_violations AS BIGINT) AS n_violations,
+          |  c.n_violations = 0 AS pass
+          |FROM c, n ORDER BY check_name""".stripMargin) +
       // negative pairs: the ring arithmetic re-derived — bucketed hash
       // order (contiguousIds' construction as one ORDER BY), hash
       // offsets, modular partner lookup
