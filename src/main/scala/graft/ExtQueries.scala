@@ -3596,7 +3596,7 @@ object ExtQueries {
          |         CAST(round(ln(CAST(ctf AS DOUBLE) / n_total), 6) AS DECIMAL(20,6)) AS lp
          |  FROM tok JOIN freq USING (term) CROSS JOIN total)
          |SELECT doc_id, count(*) AS n_scored,
-         |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+         |       ${TextAnalysis.round6PortableSql("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Rank-for-rank quota mirror: same (hash, id) order, same cutoff.
@@ -3879,7 +3879,7 @@ object ExtQueries {
       val b = graft.ext.Sketches.HIST_BUCKETS
       s"""WITH $bigramLpCtesSql,
          |score AS (
-         |  SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+         |  SELECT doc_id, ${TextAnalysis.round6PortableSql("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_lp
          |  FROM lp GROUP BY doc_id),
          |bounds AS (SELECT min(avg_lp) AS lo, max(avg_lp) AS hi FROM score),
          |v AS (
@@ -4499,7 +4499,7 @@ object ExtQueries {
     "q95_bigram_logprob" ->
       s"""WITH $bigramLpCtesSql
          |SELECT doc_id, count(*) AS n_scored,
-         |       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+         |       ${TextAnalysis.round6PortableSql("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_lp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Word-frequency-weighted char-pair counts: same end-of-word marker,

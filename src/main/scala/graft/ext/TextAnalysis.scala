@@ -35,6 +35,22 @@ object TextAnalysis {
   def h60Sql(e: String): String =
     s"CAST(CONCAT('0x', substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** IEEE-deterministic half-up 6-dp rounding: floor(x·1e6 + 0.5)/1e6,
+    * composed only of correctly-rounded double ops, so ANY engine
+    * computes identical bits — unlike native round(x, 6), where Spark's
+    * exact-BigDecimal HALF_UP and DuckDB's double-space rounding can
+    * disagree when x sits on (or within an ulp of) a half-grid boundary.
+    * Exists because sf0.1 HAS such a document: doc 1958's average
+    * log-prob rounds to −3.410089 vs −3.41009 across engines (q95/q121
+    * hash-diverged, round 12). Use for FINAL float outputs whose inputs
+    * are already engine-identical; "half-up" here means toward +inf at
+    * .5 even for negatives — fine, both engines run the same formula. */
+  def round6Portable(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** DuckDB twin of [[round6Portable]]. */
+  def round6PortableSql(e: String): String =
+    s"floor(($e) * 1000000 + 0.5) / 1000000"
+
   /** Driver-side twin of [[h60]] for generating portable constants (e.g.
     * LSH hyperplane coefficients) that BOTH engines can also derive. */
   def h60Local(s: String): Long = {
@@ -234,7 +250,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"), sum("__lp").as("sum_logp"))
       .withColumn("avg_logp",
-        round(col("sum_logp").cast("double") / col("n_scored"), 6))
+        round6Portable(col("sum_logp").cast("double") / col("n_scored")))
   }
 
   /** Markup/boilerplate stripper — the extract-text step every web-crawl
@@ -923,7 +939,8 @@ object TextAnalysis {
         .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
       .groupBy(col(idCol))
       .agg(sum("__n").as("n_scored"), sum(col("__n") * col("__lp")).as("sum_lp"))
-      .withColumn("avg_lp", round(col("sum_lp").cast("double") / col("n_scored"), 6))
+      .withColumn("avg_lp",
+        round6Portable(col("sum_lp").cast("double") / col("n_scored")))
       .drop("sum_lp")
   }
 }
