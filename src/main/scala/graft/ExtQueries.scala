@@ -5511,9 +5511,9 @@ object ExtQueries {
          |              AS DECIMAL(20,6)) AS rank
          |  FROM tp LEFT JOIN c$r ON c$r.node = tp.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${baseOracleSql("q21_minhash_lsh")})),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM e
        |          UNION SELECT DISTINCT dst FROM e),
@@ -5681,9 +5681,9 @@ object ExtQueries {
          |  FROM nodes n CROSS JOIN nn
          |  LEFT JOIN c$r ON c$r.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${baseOracleSql("q21_minhash_lsh")})),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM e
        |          UNION SELECT DISTINCT dst FROM e),
