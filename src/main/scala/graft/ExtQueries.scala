@@ -2334,6 +2334,27 @@ object ExtQueries {
     // agree). Row checks fold into ONE pass; unique is one key
     // aggregate; FKs are anti-joins. Oracle recomputes every count
     // independently in SQL.
+    // Orderless whole-table fingerprint: the migration/versioning audit
+    // — count + sum-mod-(2^61-1) + xor over a portable length-prefixed
+    // row hash, invariant to row order, partition layout, and file
+    // count (commutative monoids only). The "roundtrip" channel WRITES
+    // a repartitioned copy to parquet and reads it back: equal
+    // fingerprints certify the rewrite carried every row exactly once.
+    // The oracle computes the fingerprint ONCE from the source and
+    // emits it under both labels — only a content-preserving roundtrip
+    // can match.
+    "q185_table_fingerprint" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      val li = t(s, dir, "lineitem").select(cols.map(col): _*)
+      val base = graft.ext.Profile.tableFingerprint(li, cols, "base")
+      val out = s"${scratchDir("q185")}/copy"
+      li.repartition(7, col("l_suppkey")).write.mode("overwrite").parquet(out)
+      val rt = graft.ext.Profile.tableFingerprint(
+        s.read.parquet(out), cols, "roundtrip")
+      base.unionByName(rt).orderBy("label")
+    }),
+
     "q184_contract_audit" -> ((s, dir) => {
       import graft.ext.Contract._
       graft.ext.Contract.audit(t(s, dir, "lineitem"), Seq(
@@ -6501,6 +6522,25 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // table fingerprint: the oracle hashes the SOURCE once (same
+      // length-prefixed encoding, same h60, same mod/xor folds) and
+      // emits it under both labels — the engine's parquet roundtrip
+      // must reproduce the multiset exactly to match
+      ("q185_table_fingerprint" -> {
+        val enc = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus").map(c =>
+          s"coalesce('v' || length(CAST($c AS VARCHAR)) || ':' || " +
+            s"CAST($c AS VARCHAR), 'null:')").mkString(" || ")
+        val h = graft.ext.TextAnalysis.h60Sql(s"($enc)")
+        s"""WITH h AS (SELECT $h AS h FROM lineitem),
+           |f AS (SELECT count(*) AS n_rows,
+           |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_mod,
+           |  bit_xor(h) AS xor60 FROM h)
+           |SELECT 'base' AS label, n_rows, sum_mod, xor60 FROM f
+           |UNION ALL
+           |SELECT 'roundtrip' AS label, n_rows, sum_mod, xor60 FROM f
+           |ORDER BY label""".stripMargin
       }) +
       // contract audit: every check's count recomputed independently;
       // check_name strings must match the engine's constructors exactly

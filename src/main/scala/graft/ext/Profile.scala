@@ -430,4 +430,54 @@ object Profile {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("violates_k", col("class_size") < k)
   }
+
+  /** 2^61 − 1: the Mersenne modulus the fingerprint sum folds into so
+    * its output stays a plain BIGINT in every engine. */
+  val fingerprintMod: Long = 2305843009213693951L
+
+  /** Orderless whole-table content fingerprint — the dataset-versioning /
+    * migration audit: three commutative-monoid aggregates over a portable
+    * per-row hash, so fingerprint(A) == fingerprint(B) iff (w.h.p.) A and
+    * B hold the SAME MULTISET of rows, regardless of row order, partition
+    * layout, file count, or the path the bytes took to get there. Run it
+    * on a table before and after a rewrite (compaction, engine migration,
+    * format change, Z-order): equal fingerprints certify the copy carried
+    * every row exactly once; xor catches a flipped row, sum-mod catches a
+    * dropped+duplicated pair that xor alone cancels, n_rows anchors both.
+    *
+    * Row hash = h60 (portable md5-derived 60-bit) over the SAME
+    * length-prefixed injective encoding [[corpusDiff]] uses
+    * (`v<len>:<value>`, nulls as `null:`) — a value containing the tag
+    * bytes cannot collide with a neighboring column (ADVICE r10's
+    * injectivity rule). Columns hash through their string form: callers
+    * pick columns whose casts are engine-portable (integers, strings,
+    * dates — not raw doubles, the cross-engine caveat [[profileColumns]]
+    * documents).
+    *
+    * Shape at 100 TB: ONE scan, map-side partial aggregation, a 1-row
+    * result — no shuffle wider than the partial-agg exchange, no sort,
+    * no window. The sum accumulates in DECIMAL(38,0) (exact to 10^38,
+    * far past 10^12 rows × 2^60) and folds modulo 2^61−1 into a BIGINT
+    * so the OUTPUT type is engine-portable; the xor is bitwise and never
+    * overflows. Associativity/commutativity of (+, xor, count) is what
+    * makes the fingerprint layout-invariant AND incrementally mergeable:
+    * fingerprint(A ∪ B) folds from fingerprint(A) and fingerprint(B)
+    * without rescanning — the per-shard audit ledger pattern. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String],
+                       label: String): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    val parts = cols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(lit("v"), length(s).cast("string"), lit(":"), s),
+        lit("null:"))
+    }
+    val h = TextAnalysis.h60(concat_ws("", parts: _*))
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % fingerprintMod)
+          .cast("long").as("sum_mod"),
+        expr("bit_xor(h)").as("xor60"))
+      .select(lit(label).as("label"), col("n_rows"), col("sum_mod"),
+        col("xor60"))
+  }
 }

@@ -766,4 +766,14 @@ class PlanSpec extends SparkTestBase {
       "every scheme's counts must partial-aggregate per partition and " +
         s"ship ONE row to the final aggregate:\n$p")
   }
+
+  test("q185 fingerprint: commutative folds partial-aggregate map-side; one row ships") {
+    val p = plan("q185_table_fingerprint")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"count/sum/xor must reduce per partition before the exchange:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"the final fold receives ONE pre-reduced row per partition:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      "an orderless fingerprint must never plan a window or a join:\n" + p)
+  }
 }
