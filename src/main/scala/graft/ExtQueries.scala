@@ -2343,6 +2343,21 @@ object ExtQueries {
     // The oracle computes the fingerprint ONCE from the source and
     // emits it under both labels — only a content-preserving roundtrip
     // can match.
+    // Distribution drift between two corpus drops: TV distance on an
+    // exact integer core, PSI via the q176 DECIMAL contribution-sum
+    // discipline, and the worst bin's gap — the release alarm that
+    // fires BEFORE a model trains on a shifted drop. The "new" snapshot
+    // plants real drift (drops %13==5, shifts a third of lengths +96);
+    // the oracle rebuilds both histograms and all three scores in SQL.
+    "q186_histogram_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDrop = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+          col("n_chars") + 96).otherwise(col("n_chars")))
+      graft.ext.Profile.histogramDrift(d, newDrop, col("n_chars"),
+        lo = 0.0, hi = 1024.0, bins = 16)
+    }),
+
     "q185_table_fingerprint" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_returnflag", "l_linestatus")
@@ -6522,6 +6537,39 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // histogram drift: both histograms, the exact TV/gap integer
+      // cores, and the smoothed-PSI DECIMAL sum rebuilt in SQL
+      ("q186_histogram_drift" -> {
+        def bin(v: String) =
+          s"least(15, greatest(0, CAST(floor(($v) / 64.0) AS INT)))"
+        val pa = "((c_a + 0.5) / (n_a + 8.0))"
+        val pb = "((c_b + 0.5) / (n_b + 8.0))"
+        val gap = "abs(CAST(c_a AS DECIMAL(38,0)) * n_b" +
+          " - CAST(c_b AS DECIMAL(38,0)) * n_a)"
+        s"""WITH a AS (SELECT ${bin("n_chars")} AS bin, count(*) AS c_a
+           |  FROM documents GROUP BY 1),
+           |b0 AS (SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 96
+           |    ELSE n_chars END AS n_chars
+           |  FROM documents WHERE doc_id % 13 <> 5),
+           |b AS (SELECT ${bin("n_chars")} AS bin, count(*) AS c_b
+           |  FROM b0 GROUP BY 1),
+           |jn AS (SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+           |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+           |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+           |  CAST(sum(c_b) AS BIGINT) AS n_b FROM jn),
+           |s AS (SELECT sum($gap) AS tv_num, max($gap) AS gap_num,
+           |    sum(CAST(round(($pa - $pb) * ln($pa / $pb), 6)
+           |      AS DECIMAL(20,6))) AS psi_sum
+           |  FROM jn, t)
+           |SELECT t.n_a, t.n_b,
+           |  ${graft.ext.TextAnalysis.round6PortableSql(
+                  "CAST(tv_num AS DOUBLE) / (2.0 * n_a * n_b)")} AS tv,
+           |  ${graft.ext.TextAnalysis.round6PortableSql(
+                  "CAST(gap_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")}
+           |    AS max_bin_gap,
+           |  CAST(psi_sum AS DOUBLE) AS psi
+           |FROM s, t""".stripMargin
       }) +
       // table fingerprint: the oracle hashes the SOURCE once (same
       // length-prefixed encoding, same h60, same mod/xor folds) and

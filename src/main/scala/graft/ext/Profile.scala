@@ -431,6 +431,62 @@ object Profile {
       .withColumn("violates_k", col("class_size") < k)
   }
 
+  /** Distribution drift between two corpus snapshots over ONE scalar
+    * feature — the release gate that catches "the new drop's length
+    * profile moved" before a model trains on it. Bins both sides into a
+    * shared fixed-width histogram (clamped to [lo, hi)), then scores the
+    * two count vectors:
+    *
+    *   - `tv`  — total-variation distance Σ|p_a − p_b|/2, computed on an
+    *     EXACT integer core (Σ|c_a·N_b − c_b·N_a| in DECIMAL, one final
+    *     correctly-rounded division) so both engines produce identical
+    *     bits;
+    *   - `psi` — population-stability index with Laplace smoothing
+    *     (+0.5/bin), the industry drift alarm. Its per-bin ln terms ride
+    *     the q176 DECIMAL contribution-sum discipline (round 6 dp per
+    *     term, exact sum) because ln is the one non-correctly-rounded op
+    *     in the pipeline;
+    *   - `max_bin_gap` — the single worst bin's |p_a − p_b|, which names
+    *     where the drift lives.
+    *
+    * Shape at 100 TB: each side is one scan folding to ≤ bins rows with
+    * map-side partials; the compare is a bins-sized full-outer join and
+    * a 1-row fold. Nothing row-sized ever shuffles. Pick lo/hi/bins so
+    * the bin width is a dyadic rational (e.g. 0..1024 × 16) and the bin
+    * assignment's double arithmetic is exact in any engine. Bins empty
+    * on BOTH sides contribute 0 to every score (smoothed ratio = 1), so
+    * the missing-bin spine is unnecessary by construction. */
+  def histogramDrift(a: DataFrame, b: DataFrame, value: Column,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need bins>=2 and hi>lo, got $bins, [$lo,$hi)")
+    val w = (hi - lo) / bins
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.select(least(lit(bins - 1), greatest(lit(0),
+          floor((value - lo) / w))).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = joined.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val j = joined.crossJoin(broadcast(tot))
+    val pa = (col("c_a") + 0.5) / (col("n_a") + 0.5 * bins)
+    val pb = (col("c_b") + 0.5) / (col("n_b") + 0.5 * bins)
+    val psiTerm = round((pa - pb) * log(pa / pb), 6).cast("decimal(20,6)")
+    val gapNum = abs(col("c_a").cast("decimal(38,0)") * col("n_b")
+      - col("c_b").cast("decimal(38,0)") * col("n_a"))
+    j.agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        sum(gapNum).as("tv_num"), max(gapNum).as("gap_num"),
+        sum(psiTerm).as("psi_sum"))
+      .select(col("n_a"), col("n_b"),
+        TextAnalysis.round6Portable(col("tv_num").cast("double")
+          / (lit(2.0) * col("n_a") * col("n_b"))).as("tv"),
+        TextAnalysis.round6Portable(col("gap_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b"))).as("max_bin_gap"),
+        col("psi_sum").cast("double").as("psi"))
+  }
+
   /** 2^61 − 1: the Mersenne modulus the fingerprint sum folds into so
     * its output stays a plain BIGINT in every engine. */
   val fingerprintMod: Long = 2305843009213693951L

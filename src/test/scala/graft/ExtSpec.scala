@@ -1901,6 +1901,28 @@ class SketchesSpec extends SparkTestBase {
       graft.ext.Profile.kAnonymity(df, Seq("lang"), 1) }
   }
 
+  test("histogramDrift: identical snapshots score zero; a shifted bin raises every score") {
+    val a = Seq.tabulate(64)(i => (i.toLong, (i % 8) * 100L)).toDF("id", "v")
+    val zero = graft.ext.Profile.histogramDrift(a, a, col("v"), 0.0, 1024.0, 16)
+      .collect()(0)
+    assert(zero.getAs[Long]("n_a") === 64L && zero.getAs[Long]("n_b") === 64L)
+    assert(zero.getAs[Double]("tv") === 0.0)
+    assert(zero.getAs[Double]("max_bin_gap") === 0.0)
+    assert(zero.getAs[Double]("psi") === 0.0)
+    // shift half the mass one bin up: tv > 0, psi > 0, and the gap names it
+    val b = a.withColumn("v", when(col("id") % 2 === 0, col("v") + 100)
+      .otherwise(col("v")))
+    val d = graft.ext.Profile.histogramDrift(a, b, col("v"), 0.0, 1024.0, 16)
+      .collect()(0)
+    assert(d.getAs[Double]("tv") > 0.0 && d.getAs[Double]("psi") > 0.0)
+    assert(d.getAs[Double]("max_bin_gap") >= d.getAs[Double]("tv") / 16)
+    // out-of-range values clamp instead of vanishing: row counts hold
+    val c = a.withColumn("v", col("v") * 100 - 5000)
+    val e = graft.ext.Profile.histogramDrift(a, c, col("v"), 0.0, 1024.0, 16)
+      .collect()(0)
+    assert(e.getAs[Long]("n_b") === 64L)
+  }
+
   test("bootstrapCI: interval brackets the mean, tightens with lower variance, partition-invariant") {
     val tight = (1L to 400L).map(i => (i, 100L + (i % 3))).toDF("id", "x")
     val loose = (1L to 400L).map(i => (i, (i % 200) * 2)).toDF("id", "x")

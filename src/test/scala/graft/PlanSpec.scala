@@ -767,6 +767,16 @@ class PlanSpec extends SparkTestBase {
         s"ship ONE row to the final aggregate:\n$p")
   }
 
+  test("q186 drift: both sides fold to bin counts map-side; text never scans") {
+    val p = plan("q186_histogram_drift")
+    assert(p.contains("partial_count"),
+      s"bin counts must partial-aggregate before any exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast onto the bins-sized join:\n$p")
+    assert(!p.contains("text#"),
+      s"the scan must prune to doc_id + n_chars:\n$p")
+  }
+
   test("q185 fingerprint: commutative folds partial-aggregate map-side; one row ships") {
     val p = plan("q185_table_fingerprint")
     assert(p.contains("partial_count") && p.contains("partial_sum"),
