@@ -2343,6 +2343,43 @@ object ExtQueries {
     // The oracle computes the fingerprint ONCE from the source and
     // emits it under both labels — only a content-preserving roundtrip
     // can match.
+    // Outlink graph off rendered markup: pages carry 3 anchor links at
+    // quadratic ring offsets (plus a data-href decoy a naive extractor
+    // would count), hrefs extract by regex, normalize (q179's
+    // canonicalizer), resolve to target docs by id equi-join, and
+    // aggregate to host-pair citation counts. The oracle re-derives the
+    // EDGES from the generating formula — it never parses a byte of
+    // markup — so only a correct render->extract->normalize->join chain
+    // reproduces its counts.
+    "q187_link_graph" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nRow = broadcast(d.agg(count(lit(1)).as("n")))
+      val page = d.crossJoin(nRow).select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><body data-href=\"https://decoy.example.com/x\"><p>"),
+          substring(col("text"), 1, 40), lit("</p>"),
+          concat_ws("", transform(sequence(lit(0), lit(2)), j =>
+            concat(lit("<a class=\"l\" href=\"HTTPS://WWW.EXAMPLE.COM:443/Docs/"),
+              (col("doc_id") * col("doc_id") + j * col("doc_id") + j * j)
+                % col("n"),
+              lit("?b=2&a=1#f\">t</a>")))),
+          lit("</body></html>")).as("markup"))
+      val links = page.select(col("doc_id").as("src_id"),
+          col("source").as("src_source"),
+          explode(graft.ext.Web.extractHrefs(col("markup"))).as("href"))
+        .withColumn("url", graft.ext.Web.normalizeUrl(col("href")))
+        .withColumn("dst_id", regexp_extract(col("url"),
+          "^https://www\\.example\\.com/Docs/([0-9]+)\\?a=1&b=2$", 1)
+          .cast("long"))
+      links
+        .join(d.select(col("doc_id").as("dst_id"),
+          col("source").as("dst_source")), Seq("dst_id"))
+        .groupBy("src_source", "dst_source")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct("dst_id").as("n_unique_dst"))
+        .orderBy("src_source", "dst_source")
+    }),
+
     // Distribution drift between two corpus drops: TV distance on an
     // exact integer core, PSI via the q176 DECIMAL contribution-sum
     // discipline, and the worst bin's gap — the release alarm that
@@ -6538,6 +6575,22 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // link graph: the oracle derives every edge from the quadratic
+      // ring FORMULA — it never parses markup, so extraction, the
+      // decoy filter, normalization, and the id join are all on trial
+      ("q187_link_graph" ->
+        """WITH n AS (SELECT count(*) AS n FROM documents),
+          |js AS (SELECT unnest(range(0, 3)) AS j),
+          |l AS (SELECT d.source AS src_source,
+          |    (d.doc_id * d.doc_id + js.j * d.doc_id + js.j * js.j) % n.n
+          |      AS dst_id
+          |  FROM documents d CROSS JOIN n CROSS JOIN js),
+          |e AS (SELECT l.src_source, dd.source AS dst_source, l.dst_id
+          |  FROM l JOIN documents dd ON dd.doc_id = l.dst_id)
+          |SELECT src_source, dst_source,
+          |  count(*) AS n_links,
+          |  count(DISTINCT dst_id) AS n_unique_dst
+          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       // histogram drift: both histograms, the exact TV/gap integer
       // cores, and the smoothed-PSI DECIMAL sum rebuilt in SQL
       ("q186_histogram_drift" -> {

@@ -767,6 +767,17 @@ class PlanSpec extends SparkTestBase {
         s"ship ONE row to the final aggregate:\n$p")
   }
 
+  test("q187 link graph: codegen'd extraction, equi-join edge resolution, no UDF") {
+    val p = plan("q187_link_graph")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"href extraction must be built-in regex, never a UDF:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"edge resolution must be an id EQUI-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin [") ||
+      p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"the only product allowed is the 1-row count broadcast:\n$p")
+  }
+
   test("q186 drift: both sides fold to bin counts map-side; text never scans") {
     val p = plan("q186_histogram_drift")
     assert(p.contains("partial_count"),

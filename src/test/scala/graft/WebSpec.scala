@@ -115,4 +115,20 @@ class WebSpec extends SparkTestBase {
     assert(got(3L) === (("allow", "")))
     assert(got(4L) === (("allow", "")))
   }
+
+  test("extractHrefs: anchors only — decoys, non-anchor hrefs, and order pinned") {
+    def links(s: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("m").select(Web.extractHrefs(col("m")))
+        .head.getSeq[String](0)
+    assert(links("""<a href="u1">x</a><p>t</p><a class="c" href="u2">y</a>""")
+      === Seq("u1", "u2"))
+    // data-href on a non-anchor tag and bare text mentions never match
+    assert(links("""<body data-href="d"><p>href="t"</p></body>""") === Seq())
+    // one tag, one match: the non-greedy attr scan stops at the first href
+    assert(links("""<a id="i" href="u" data-href="d">z</a>""") === Seq("u"))
+    // an href in a SELF-closing or later tag still requires the <a anchor
+    assert(links("""<img href="pic"/><a\thref="u3">w</a>""".replace("\\t", "\t"))
+      === Seq("u3"))
+    assert(links("no markup at all") === Seq())
+  }
 }
