@@ -2343,6 +2343,27 @@ object ExtQueries {
     // The oracle computes the fingerprint ONCE from the source and
     // emits it under both labels — only a content-preserving roundtrip
     // can match.
+    // Mutual k-NN graph -> clusters: the k-NN-graph construction under
+    // graph-based semantic clustering — q33's cells make the graph
+    // cell-local (blocked, never a self-product), TopK heaps rank
+    // within-cell neighbors, the symmetric filter keeps only mutual
+    // edges, and q27's connected components label the clusters. The
+    // oracle replays cells, ranking, mutuality, and the recursive
+    // closure entirely in SQL.
+    "q188_mutual_knn" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val assigned = SimSearch.kmeansAssign(c, k = 8, iters = 2)
+        .select(col("vec_id"), col("cell"))
+        .join(c.select(col("vec_id"), col("embedding")), "vec_id")
+      val cc = Dedup.connectedComponents(
+        SimSearch.mutualKnnCells(assigned, k = 4))
+      cc.join(cc.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size")),
+          "cluster_rep")
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    }),
+
     // Outlink graph off rendered markup: pages carry 3 anchor links at
     // quadratic ring offsets (plus a data-href decoy a naive extractor
     // would count), hrefs extract by regex, normalize (q179's
@@ -6574,6 +6595,43 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // mutual kNN: q33's k-means chain, within-cell raw-cos ranking
+      // with the id tiebreak, symmetric filter, recursive closure —
+      // multi-referenced CTEs materialized per the q138 lesson
+      ("q188_mutual_knn" -> {
+        def ip(x: String, y: String) = s"list_inner_product($x, $y)"
+        s"""WITH RECURSIVE ${kmeansCtes()},
+           |sc AS MATERIALIZED (
+           |  SELECT a.vec_id AS a, b.vec_id AS b,
+           |    (${ip("a.emb", "b.emb")}
+           |     / (sqrt(${ip("a.emb", "a.emb")})
+           |        * sqrt(${ip("b.emb", "b.emb")}))) AS cos
+           |  FROM af a JOIN af b
+           |    ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+           |tk AS MATERIALIZED (
+           |  SELECT a, b, cos FROM (
+           |    SELECT a, b, cos, row_number() OVER (
+           |      PARTITION BY a ORDER BY cos DESC, b) AS rnk FROM sc)
+           |  WHERE rnk <= 4),
+           |mut AS MATERIALIZED (
+           |  SELECT t1.a AS doc_a, t1.b AS doc_b
+           |  FROM tk t1 JOIN tk t2 ON t2.a = t1.b AND t2.b = t1.a
+           |  WHERE t1.a < t1.b),
+           |edges AS MATERIALIZED (
+           |  SELECT doc_a AS src, doc_b AS dst FROM mut
+           |  UNION SELECT doc_b, doc_a FROM mut),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+           |rep AS (SELECT node AS vec_id, min(r) AS cluster_rep
+           |  FROM reach GROUP BY node),
+           |cs AS (SELECT cluster_rep, count(*) AS cluster_size
+           |  FROM rep GROUP BY cluster_rep)
+           |SELECT r.vec_id, r.cluster_rep, c.cluster_size
+           |FROM rep r JOIN cs c USING (cluster_rep)
+           |ORDER BY vec_id""".stripMargin
       }) +
       // link graph: the oracle derives every edge from the quadratic
       // ring FORMULA — it never parses markup, so extraction, the

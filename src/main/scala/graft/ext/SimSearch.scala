@@ -365,6 +365,43 @@ object SimSearch {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Mutual k-NN edge list within IVF cells — the k-NN-GRAPH construction
+    * step under graph-based dedup/clustering (and the neighborhood seed
+    * for HNSW-style indexes): an edge (a, b) exists iff b is in a's
+    * within-cell top-k AND a is in b's, the standard symmetric filter
+    * that drops hub-dominated one-way links. Cells come from the caller
+    * ([[kmeansAssign]] output or a persisted index) so the graph is
+    * cell-LOCAL by construction — the blocked regime, never a corpus
+    * self-product: cost is Σ|cell|², the [[semDedup]] bound, and every
+    * step is an equi-join on the cell key plus [[graft.ops.TopK]]'s
+    * per-partition heaps (no global sort, no window over the raw scored
+    * set). Ranking compares RAW cosines (index-order fold, engine-
+    * portable) with the id tiebreak; output rounds to 6 dp. A pair whose
+    * members land in different cells is invisible (IVF recall, not a
+    * bug) — at 100 TB the recall knob is the cell count/nprobe, audited
+    * the q74/q116 way. */
+  def mutualKnnCells(withCell: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     cellCol: String = "cell"): DataFrame = {
+    require(k >= 1, s"mutualKnnCells needs k >= 1, got $k")
+    val left = withCell.select(col(cellCol).as("cell"), col(idCol).as("a"),
+      col(embCol).as("ea"))
+    val right = withCell.select(col(cellCol).as("cell"), col(idCol).as("b"),
+      col(embCol).as("eb"))
+    val scored = left.join(right, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+    val topk = graft.ops.TopK.groupedTopK(scored, Seq("a"), col("cos"),
+        col("b"), k)
+      .select(col("a").cast("long").as("a"), col("id").as("b"),
+        col("score").as("cos"))
+    val rev = topk.filter(col("a") > col("b"))
+      .select(col("b").as("a"), col("a").as("b"))
+    topk.filter(col("a") < col("b")).join(rev, Seq("a", "b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** BUILD-ONCE IVF index persistence: cluster the corpus, write the
     * assigned vectors PARTITIONED BY CELL plus the centroid table. The
     * search-many economics: every subsequent query reads the cells-sized

@@ -1314,6 +1314,28 @@ class SimSearchSpec extends SparkTestBase {
   private val probes = corpus.filter($"vec_id" === 0L)
     .select($"vec_id".as("probe_id"), $"embedding".as("p_embedding"))
 
+  test("mutualKnnCells: symmetric filter drops one-way hub links; cell-local; partition-invariant") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(0.1f, 0.99f), 0),
+      (4L, Array(0.7f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "cell")
+    def edges(df: org.apache.spark.sql.DataFrame, k: Int) =
+      SimSearch.mutualKnnCells(df, k).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k=1: the tight pairs are mutual; the hub's one-way link to v1 is not
+    assert(edges(vs, 1) === Set((0L, 1L), (2L, 3L)))
+    // k=2: v4 enters everyone's second slot and its own top-2 reciprocate
+    assert(edges(vs, 2).contains((1L, 4L)) || edges(vs, 2).contains((3L, 4L)))
+    assert(edges(vs.repartition(7), 1) === edges(vs, 1),
+      "heap ranking must be partition-invariant")
+    // cells bound the candidate set: splitting the pairs into different
+    // cells leaves pair edges intact and keeps cross-cell pairs invisible
+    val split = vs.withColumn("cell", when(col("vec_id") < 2, 0).otherwise(1))
+    assert(edges(split, 1) === Set((0L, 1L), (2L, 3L)))
+    intercept[IllegalArgumentException] { SimSearch.mutualKnnCells(vs, 0) }
+  }
+
   test("IVF index persistence: search against the written index == direct knnIvf; assignNew ties to smallest cell") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     try {

@@ -767,6 +767,22 @@ class PlanSpec extends SparkTestBase {
         s"ship ONE row to the final aggregate:\n$p")
   }
 
+  test("q188 mutual kNN edge stage: cell equi-join candidates, heap top-k — never a self-product") {
+    // q188's final plan is CC's materialized output (LocalTableScan on the
+    // driver fast path), so pin the EDGE stage's plan directly — that is
+    // where an accidental corpus self-product would hide.
+    val withCell = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label").as("cell"))
+    val p = graft.ext.SimSearch.mutualKnnCells(withCell, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell scoring must stay an equi-join on the cell key:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-probe ranking must ride the TopK heap aggregator, not a raw window:\n$p")
+  }
+
   test("q187 link graph: codegen'd extraction, equi-join edge resolution, no UDF") {
     val p = plan("q187_link_graph")
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
