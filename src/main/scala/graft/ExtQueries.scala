@@ -2343,6 +2343,23 @@ object ExtQueries {
     // The oracle computes the fingerprint ONCE from the source and
     // emits it under both labels — only a content-preserving roundtrip
     // can match.
+    // Markov transition matrix over per-user event streams: counts and
+    // row-normalized probabilities for every (from -> next) adjacency
+    // in (ts, event_id) order — one user-keyed sort produces every
+    // adjacency; output is |types|^2-sized. Oracle: the same lead()
+    // window in SQL.
+    "q189_transitions" -> ((s, dir) =>
+      graft.ext.Events.transitionMatrix(Ingest.eventsWithTs(s, dir))
+        .orderBy("from_type", "to_type")),
+
+    // Half-life-decayed engagement per user: dyadic weights (exact
+    // shift-and-divide, zero beyond the horizon) make the per-user sum
+    // EXACT in a double regardless of partition layout — recency
+    // scoring with no libm in the loop. Oracle: same formula in SQL.
+    "q190_decayed_engagement" -> ((s, dir) =>
+      graft.ext.Events.decayedEngagement(Ingest.eventsWithTs(s, dir))
+        .orderBy("user_id")),
+
     // Mutual k-NN graph -> clusters: the k-NN-graph construction under
     // graph-based semantic clustering — q33's cells make the graph
     // cell-local (blocked, never a self-product), TopK heaps rank
@@ -6596,6 +6613,37 @@ object ExtQueries {
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
       }) +
+      // transitions: the same lead() adjacency, counts, row totals,
+      // and the portable-rounded division
+      ("q189_transitions" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS ts_ms FROM events),
+          |nx AS (SELECT event_type AS from_type,
+          |    lead(event_type) OVER (
+          |      PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+          |  FROM ev),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+          |  FROM c GROUP BY 1)
+          |SELECT c.from_type, c.to_type, c.n, t.n_from,
+          |  floor(CAST(c.n AS DOUBLE) / t.n_from * 1000000 + 0.5) / 1000000
+          |    AS p
+          |FROM c JOIN t USING (from_type)
+          |ORDER BY 1, 2""".stripMargin) +
+      // decayed engagement: dyadic weights via shift-and-divide, the
+      // same horizon cutoff, exact sums
+      ("q190_decayed_engagement" ->
+        """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+          |  WHERE ts IS NOT NULL),
+          |r AS (SELECT max(ts_ms) AS ref_ms FROM ev),
+          |w AS (SELECT user_id,
+          |    CAST(floor((ref_ms - ts_ms) / 604800000.0) AS INT) AS k
+          |  FROM ev, r)
+          |SELECT user_id, count(*) AS n_events,
+          |  sum(CASE WHEN k <= 20 THEN 1.0 / (CAST(1 AS BIGINT) << k)
+          |      ELSE 0.0 END) AS score
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) +
       // mutual kNN: q33's k-means chain, within-cell raw-cos ranking
       // with the id tiebreak, symmetric filter, recursive closure —
       // multi-referenced CTEs materialized per the q138 lesson

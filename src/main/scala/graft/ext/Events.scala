@@ -300,6 +300,70 @@ object Events {
     * memory, never a buffer. Skew bound: the largest key's LOG size, same
     * bound as sessionize. At 100 TB the change log is typically
     * time-partitioned; the shuffle is the unavoidable group-by-entity. */
+  /** First-order transition matrix over each entity's event stream: for
+    * every (from_type → to_type) adjacency in (ts, event_id) order, the
+    * count and the row-normalized probability — the Markov-chain view of
+    * user behavior (what follows an error? where do signups go next?)
+    * that feeds next-event prediction features and funnel design.
+    *
+    * Scale: ONE hash shuffle by `keyCol` + one within-key sort (the
+    * sessionize economics) produces every adjacency via lag-memory lead;
+    * the aggregation output is ≤ |types|² rows, so the second exchange
+    * and the per-from total window are type-cardinality-sized, never
+    * row-sized. The probability is one correctly-rounded division of
+    * exact integers → engine-identical bits under round6Portable. */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy("ts_ms", "event_id")
+    val pairs = events
+      .withColumn("__to", lead(col(typeCol), 1).over(byKey))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p", TextAnalysis.round6Portable(
+        col("n").cast("double") / col("n_from")))
+      .select("from_type", "to_type", "n", "n_from", "p")
+  }
+
+  /** Half-life-decayed engagement per entity: each event contributes
+    * 2^-floor(age/halfLife), summed — the recency-weighted activity
+    * score behind churn features and freshness-weighted sampling, with
+    * the decay math built for engine determinism rather than exp():
+    * weights are DYADIC (1 / (1 << k), an exact shift-and-divide, never
+    * pow/exp whose last ulp is libm-specific), and ages beyond
+    * `horizonHalfLives` contribute exactly 0, so every weight is a
+    * multiple of 2^-horizon and the per-entity sum is EXACT in a double
+    * regardless of summation order — partition-layout-invariant and
+    * identical across engines. floor(age/halfLifeMs) is safe in double
+    * space: integer inputs keep the true quotient ≥ 1/halfLifeMs away
+    * from the next integer, far beyond one ulp.
+    *
+    * Scale: the reference instant (max ts) broadcasts as one row; the
+    * score is one groupBy with map-side partials. At 100 TB the weight
+    * column costs nothing (arithmetic on the scanned row) and nothing
+    * row-sized shuffles except the keyed aggregation itself. */
+  def decayedEngagement(events: DataFrame, keyCol: String = "user_id",
+                        halfLifeDays: Int = 7,
+                        horizonHalfLives: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(horizonHalfLives >= 1 && horizonHalfLives <= 52,
+      s"horizonHalfLives must be in [1, 52], got $horizonHalfLives")
+    val halfLifeMs = halfLifeDays * 86400000L
+    val ref = events.agg(max("ts_ms").as("__ref_ms"))
+    events.filter(col("ts_ms").isNotNull)
+      .crossJoin(broadcast(ref))
+      .withColumn("__k",
+        floor((col("__ref_ms") - col("ts_ms")) / lit(halfLifeMs.toDouble))
+          .cast("int"))
+      .withColumn("__w", when(col("__k") <= horizonHalfLives,
+        lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), __k)"))
+        .otherwise(lit(0.0)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("__w").as("score"))
+  }
+
   def scd2History(log: DataFrame, keyCol: String, orderCol: String,
                   tieCol: String, stateCols: Seq[String]): DataFrame = {
     require(stateCols.nonEmpty, "scd2History needs at least one state column")

@@ -2516,6 +2516,50 @@ class RetrievalSpec extends SparkTestBase {
 class EventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("transitionMatrix: adjacency in (ts, id) order, per-key boundaries, rows normalize to 1") {
+    val ev = Seq(
+      (1L, 100L, 0L, "a"), (2L, 100L, 10L, "b"), (3L, 100L, 20L, "a"),
+      // a ts tie: event_id breaks it (4 before 5)
+      (4L, 100L, 30L, "c"), (5L, 100L, 30L, "a"),
+      // user 200's stream never chains into user 100's
+      (6L, 200L, 5L, "b")
+    ).toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")))
+    assert(got(("a", "b")) === ((1L, 2L, 0.5)))
+    assert(got(("a", "c")) === ((1L, 2L, 0.5)))
+    assert(got(("b", "a")) === ((1L, 1L, 1.0)))
+    // single-event user contributes no adjacency
+    assert(got.values.map(_._1).sum === 4L)
+    // partition-layout invariance
+    val again = Events.transitionMatrix(ev.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again === got.map { case (k, v) => k -> v._1 })
+  }
+
+  test("decayedEngagement: dyadic weights, horizon zeroing, exact order-free sums") {
+    val day = 86400000L
+    val ref = 1000L * day
+    val ev = Seq(
+      (1L, 7L, ref),             // age 0   -> weight 1
+      (2L, 7L, ref - 7 * day),   // 1 half-life -> 0.5
+      (3L, 7L, ref - 14 * day),  // 2 -> 0.25
+      (4L, 7L, ref - 300 * day), // beyond 20 half-lives -> exactly 0
+      (5L, 8L, ref - 6 * day)    // age < halfLife -> still weight 1
+    ).toDF("event_id", "user_id", "ts_ms")
+    val got = Events.decayedEngagement(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(7L) === ((4L, 1.75)))
+    assert(got(8L) === ((1L, 1.0)))
+    val again = Events.decayedEngagement(ev.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again === got, "dyadic sums must be bit-identical under any layout")
+    intercept[IllegalArgumentException] { Events.decayedEngagement(ev, halfLifeDays = 0) }
+    intercept[IllegalArgumentException] { Events.decayedEngagement(ev, horizonHalfLives = 60) }
+  }
+
   test("gap sessionization: 30-min gap starts a new session") {
     val min = 60000L
     val ev = Seq(

@@ -767,6 +767,21 @@ class PlanSpec extends SparkTestBase {
         s"ship ONE row to the final aggregate:\n$p")
   }
 
+  test("q189 transitions: one user-keyed window; props/value never scan") {
+    val p = plan("q189_transitions")
+    assert(p.contains("Window"), s"adjacency must ride the lead window:\n$p")
+    assert(!p.contains("props#") && !p.contains("value#"),
+      s"the scan must prune to id/user/type/ts:\n$p")
+  }
+
+  test("q190 decayed engagement: ref broadcasts as one row; sums partial map-side") {
+    val p = plan("q190_decayed_engagement")
+    assert(p.contains("BroadcastExchange"),
+      s"the max-ts reference must broadcast in-plan, not collect:\n$p")
+    assert(p.contains("partial_sum") && !p.contains("Window"),
+      s"scores must partial-aggregate; no window belongs here:\n$p")
+  }
+
   test("q188 mutual kNN edge stage: cell equi-join candidates, heap top-k — never a self-product") {
     // q188's final plan is CC's materialized output (LocalTableScan on the
     // driver fast path), so pin the EDGE stage's plan directly — that is
