@@ -2343,6 +2343,23 @@ object ExtQueries {
     // The oracle computes the fingerprint ONCE from the source and
     // emits it under both labels — only a content-preserving roundtrip
     // can match.
+    // The fingerprint LEDGER law: per-source shard fingerprints fold —
+    // by residue arithmetic alone, no rescan — into exactly the
+    // whole-table fingerprint ("merged" == "direct"). This is what
+    // makes q185's audit incremental at 100 TB: each ingestion shard
+    // records three integers once; any subset audits by folding ledger
+    // rows. The oracle computes per-source and global fingerprints
+    // independently from the source and emits the global under both
+    // labels.
+    "q191_fingerprint_ledger" -> ((s, dir) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val d = docs(s, dir)
+      val ledger = graft.ext.Profile.groupedFingerprint(d, cols, "source")
+      val merged = graft.ext.Profile.mergeFingerprints(ledger, "zz_merged")
+      val direct = graft.ext.Profile.tableFingerprint(d, cols, "zz_direct")
+      ledger.unionByName(merged).unionByName(direct).orderBy("label")
+    }),
+
     // Markov transition matrix over per-user event streams: counts and
     // row-normalized probabilities for every (from -> next) adjacency
     // in (ts, event_id) order — one user-keyed sort produces every
@@ -6612,6 +6629,26 @@ object ExtQueries {
            |  e1024.est >= x.exact AS sound_w1024,
            |  e8192.est >= x.exact AS sound_w8192
            |FROM x, e1024, e8192""".stripMargin
+      }) +
+      // fingerprint ledger: per-source + global fingerprints computed
+      // independently; the global emits under BOTH merged labels, so
+      // only a correct residue fold can match
+      ("q191_fingerprint_ledger" -> {
+        val enc = Seq("doc_id", "lang", "source", "n_chars").map(c =>
+          s"coalesce('v' || length(CAST($c AS VARCHAR)) || ':' || " +
+            s"CAST($c AS VARCHAR), 'null:')").mkString(" || ")
+        val h = graft.ext.TextAnalysis.h60Sql(s"($enc)")
+        s"""WITH h AS (SELECT source, $h AS h FROM documents),
+           |per AS (SELECT source AS label, count(*) AS n_rows,
+           |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_mod,
+           |  bit_xor(h) AS xor60 FROM h GROUP BY source),
+           |g AS (SELECT count(*) AS n_rows,
+           |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_mod,
+           |  bit_xor(h) AS xor60 FROM h)
+           |SELECT label, n_rows, sum_mod, xor60 FROM per
+           |UNION ALL SELECT 'zz_merged', n_rows, sum_mod, xor60 FROM g
+           |UNION ALL SELECT 'zz_direct', n_rows, sum_mod, xor60 FROM g
+           |ORDER BY label""".stripMargin
       }) +
       // transitions: the same lead() adjacency, counts, row totals,
       // and the portable-rounded division

@@ -519,21 +519,54 @@ object Profile {
     * makes the fingerprint layout-invariant AND incrementally mergeable:
     * fingerprint(A ∪ B) folds from fingerprint(A) and fingerprint(B)
     * without rescanning — the per-shard audit ledger pattern. */
-  def tableFingerprint(df: DataFrame, cols: Seq[String],
-                       label: String): DataFrame = {
-    require(cols.nonEmpty, "tableFingerprint needs at least one column")
+  /** Fold per-shard [[tableFingerprint]] rows into the fingerprint of the
+    * union — the audit-ledger half of the fingerprint design: each
+    * ingestion shard records its (n_rows, sum_mod, xor60) once, and ANY
+    * subset's combined fingerprint is three residue folds over the ledger
+    * rows — no rescan, ever. Residue arithmetic is exact: counts add,
+    * xors xor, and sum-mods add in DECIMAL then fold modulo 2^61−1
+    * (each input is already a residue, so the sum of ≤ 10^15 ledger rows
+    * stays far below DECIMAL(38)'s range). Equality with the whole-table
+    * fingerprint is algebra, and q191 pins it cross-engine. */
+  def mergeFingerprints(ledger: DataFrame, label: String): DataFrame =
+    ledger.agg(sum("n_rows").as("n_rows"),
+        (sum(col("sum_mod").cast("decimal(38,0)")) % fingerprintMod)
+          .cast("long").as("sum_mod"),
+        expr("bit_xor(xor60)").as("xor60"))
+      .select(lit(label).as("label"), col("n_rows"), col("sum_mod"),
+        col("xor60"))
+
+  private def fingerprintRowHash(cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
     val parts = cols.map { c =>
       val s = col(c).cast("string")
       coalesce(concat(lit("v"), length(s).cast("string"), lit(":"), s),
         lit("null:"))
     }
-    val h = TextAnalysis.h60(concat_ws("", parts: _*))
-    df.select(h.as("h"))
+    TextAnalysis.h60(concat_ws("", parts: _*))
+  }
+
+  def tableFingerprint(df: DataFrame, cols: Seq[String],
+                       label: String): DataFrame =
+    df.select(fingerprintRowHash(cols).as("h"))
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("h").cast("decimal(38,0)")) % fingerprintMod)
           .cast("long").as("sum_mod"),
         expr("bit_xor(h)").as("xor60"))
       .select(lit(label).as("label"), col("n_rows"), col("sum_mod"),
         col("xor60"))
-  }
+
+  /** Per-shard fingerprint ledger: one [[tableFingerprint]] row per value
+    * of `groupCol` (label = the group value's string form). Same one-scan
+    * map-side-partial shape — the per-shard rows [[mergeFingerprints]]
+    * folds without rescanning. */
+  def groupedFingerprint(df: DataFrame, cols: Seq[String],
+                         groupCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("label"),
+        fingerprintRowHash(cols).as("h"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % fingerprintMod)
+          .cast("long").as("sum_mod"),
+        expr("bit_xor(h)").as("xor60"))
 }

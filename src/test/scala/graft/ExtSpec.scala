@@ -1923,6 +1923,34 @@ class SketchesSpec extends SparkTestBase {
       graft.ext.Profile.kAnonymity(df, Seq("lang"), 1) }
   }
 
+  test("tableFingerprint: layout-invariant, ledger folds to direct, swap-and-encode traps") {
+    val df = Seq.tabulate(40)(i => (i.toLong, s"v$i", i % 4))
+      .toDF("id", "s", "grp")
+    val cols = Seq("id", "s")
+    def row(d: org.apache.spark.sql.DataFrame) = {
+      val r = d.collect()(0); (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val direct = row(graft.ext.Profile.tableFingerprint(df, cols, "x"))
+    assert(row(graft.ext.Profile.tableFingerprint(
+      df.repartition(7).sortWithinPartitions("s"), cols, "x")) === direct,
+      "fingerprint must not depend on layout")
+    val merged = row(graft.ext.Profile.mergeFingerprints(
+      graft.ext.Profile.groupedFingerprint(df, cols, "grp"), "x"))
+    assert(merged === direct, "ledger fold must equal the direct fingerprint")
+    // duplicate one row, drop another: count matches, sum_mod catches it
+    val swapped = df.filter(col("id") =!= 3L)
+      .unionByName(df.filter(col("id") === 5L))
+    val sw = row(graft.ext.Profile.tableFingerprint(swapped, cols, "x"))
+    assert(sw._1 == direct._1 && sw._2 != direct._2,
+      "a dropped+duplicated pair must move sum_mod")
+    // length-prefixed encoding: shifting bytes across the column boundary
+    // must change the fingerprint
+    val a = Seq(("ab", "c")).toDF("x", "y")
+    val b = Seq(("a", "bc")).toDF("x", "y")
+    assert(row(graft.ext.Profile.tableFingerprint(a, Seq("x", "y"), "x"))
+      !== row(graft.ext.Profile.tableFingerprint(b, Seq("x", "y"), "x")))
+  }
+
   test("histogramDrift: identical snapshots score zero; a shifted bin raises every score") {
     val a = Seq.tabulate(64)(i => (i.toLong, (i % 8) * 100L)).toDF("id", "v")
     val zero = graft.ext.Profile.histogramDrift(a, a, col("v"), 0.0, 1024.0, 16)

@@ -828,4 +828,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
       "an orderless fingerprint must never plan a window or a join:\n" + p)
   }
+
+  test("q191 ledger: per-shard fold partial-aggregates; residue merge ships ledger rows only") {
+    val p = plan("q191_fingerprint_ledger")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"the grouped fingerprint must reduce per partition before its exchange:\n$p")
+    assert(p.contains("Exchange hashpartitioning(label"),
+      s"the ledger fold must shuffle pre-reduced per-source rows on label:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      "ledger + merge + direct are all pure aggregations — no window, no join:\n" + p)
+    assert(!p.contains("text#"),
+      s"the fingerprint columns exclude text; the scan must prune it:\n$p")
+  }
 }
