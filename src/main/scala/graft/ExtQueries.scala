@@ -2360,6 +2360,86 @@ object ExtQueries {
       ledger.unionByName(merged).unionByName(direct).orderBy("label")
     }),
 
+    // Keyed snapshot diff — the explanation to q185/q191's verdict:
+    // when fingerprints disagree, WHICH keys appeared/vanished and
+    // WHICH columns moved. Two snapshots derive deterministically from
+    // documents (old drops doc_id%5==0; new drops doc_id%7==0, bumps
+    // n_chars on %3==0 and nulls lang on %11==0 — the null-safe-compare
+    // case); one full-outer join classifies every key and counts
+    // per-column changes. The oracle derives the SAME snapshots by
+    // formula and diffs them with its own FULL OUTER JOIN + IS NOT
+    // DISTINCT FROM — the engine's join/compare cannot cancel.
+    "q192_snapshot_diff" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      val oldSnap = base.filter(col("doc_id") % 5 =!= 0)
+      val newSnap = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+          col("n_chars") + 10L).otherwise(col("n_chars")))
+        .withColumn("lang", when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(col("lang")))
+      graft.ext.Profile.snapshotDiff(oldSnap, newSnap, Seq("doc_id"),
+        Seq("lang", "source", "n_chars")).orderBy("label")
+    }),
+
+    // Forward fill (last observation carried forward): only purchase
+    // events carry a value; every event gets the user's most recent
+    // purchase value plus the running observation count — the gap-repair
+    // primitive for sparse state streams, one running frame, no second
+    // pass. Oracle: the same IGNORE NULLS running window in SQL.
+    "q193_forward_fill" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir)
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+      graft.ext.Events.forwardFill(ev, "user_id", "pv",
+          Seq("ts_ms", "event_id"), "last_purchase_value")
+        .select("event_id", "user_id", "last_purchase_value", "obs_seen")
+        .orderBy("event_id")
+    }),
+
+    // Golden-record survivorship: multi-source records of one entity
+    // merge column-by-column — each column independently surviving from
+    // the first precedence row where it is non-null (a high-priority
+    // source missing a field yields THAT FIELD only). Aggregate arg-min,
+    // no window, no sort. The oracle rebuilds the survivors with its own
+    // IGNORE NULLS first_value windows over the same derived records.
+    "q194_golden_record" -> ((s, dir) => {
+      val recs = docs(s, dir).select(
+        (col("doc_id") % 120L).as("entity_id"),
+        (col("doc_id") % 7L).as("pri"),
+        col("doc_id"),
+        when(col("doc_id") % 4 =!= 0, col("lang")).as("lang"),
+        when(col("doc_id") % 6 =!= 0, col("n_chars")).as("n_chars"))
+      graft.ext.Blocking.goldenRecord(recs, "entity_id",
+        Seq("pri", "doc_id"), Seq("lang", "n_chars")).orderBy("entity_id")
+    }),
+
+    // CDC changelog materialization: last-writer-wins MERGE of an
+    // I/U/D full-row-image log onto a base snapshot — log folds to one
+    // arg-max row per key (no window), then one full-outer join decides
+    // kept/upserted/deleted. Base and log derive from orders by residue
+    // classes; the oracle replays the same log with its own row_number
+    // + full-outer join.
+    "q195_apply_changelog" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val ins = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit(0L).as("seq"), lit("I").as("op"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"))
+      val del = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val log = ins.unionByName(upd).unionByName(del)
+      val base = o.filter(col("o_orderkey") % 4 =!= 0)
+      graft.ops.Resolve.applyChangelog(base, log, "o_orderkey",
+          Seq("seq"), "op", Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Markov transition matrix over per-user event streams: counts and
     // row-normalized probabilities for every (from -> next) adjacency
     // in (ts, event_id) order — one user-keyed sort produces every
@@ -6650,6 +6730,107 @@ object ExtQueries {
            |UNION ALL SELECT 'zz_direct', n_rows, sum_mod, xor60 FROM g
            |ORDER BY label""".stripMargin
       }) +
+      // snapshot diff: the oracle derives the same two snapshots by
+      // formula and diffs them with its own full-outer join + IS NOT
+      // DISTINCT FROM null-safe compares
+      ("q192_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, lang, source, n_chars
+          |  FROM documents WHERE doc_id % 5 <> 0),
+          |n AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+          |    source,
+          |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 10
+          |         ELSE n_chars END AS n_chars
+          |  FROM documents WHERE doc_id % 7 <> 0),
+          |j AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+          |    o.lang AS ol, n.lang AS nl, o.source AS os, n.source AS ns,
+          |    o.n_chars AS oc, n.n_chars AS nc
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+          |f AS (SELECT
+          |  count(*) FILTER (WHERE ok IS NULL) AS zz_added,
+          |  count(*) FILTER (WHERE nk IS NULL) AS zz_removed,
+          |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+          |    AND (ol IS DISTINCT FROM nl OR os IS DISTINCT FROM ns
+          |         OR oc IS DISTINCT FROM nc)) AS zz_changed,
+          |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+          |    AND ol IS NOT DISTINCT FROM nl AND os IS NOT DISTINCT FROM ns
+          |    AND oc IS NOT DISTINCT FROM nc) AS zz_unchanged,
+          |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+          |    AND ol IS DISTINCT FROM nl) AS chg_lang,
+          |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+          |    AND os IS DISTINCT FROM ns) AS chg_source,
+          |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+          |    AND oc IS DISTINCT FROM nc) AS chg_n_chars
+          |  FROM j)
+          |SELECT label, n FROM (
+          |  SELECT 'chg_lang' AS label, chg_lang AS n FROM f
+          |  UNION ALL SELECT 'chg_source', chg_source FROM f
+          |  UNION ALL SELECT 'chg_n_chars', chg_n_chars FROM f
+          |  UNION ALL SELECT 'zz_added', zz_added FROM f
+          |  UNION ALL SELECT 'zz_removed', zz_removed FROM f
+          |  UNION ALL SELECT 'zz_changed', zz_changed FROM f
+          |  UNION ALL SELECT 'zz_unchanged', zz_unchanged FROM f)
+          |ORDER BY label""".stripMargin) +
+      // forward fill: the same IGNORE NULLS running window
+      ("q193_forward_fill" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          |    CASE WHEN event_type = 'purchase' THEN value END AS pv
+          |  FROM events)
+          |SELECT event_id, user_id,
+          |  last_value(pv IGNORE NULLS) OVER w AS last_purchase_value,
+          |  count(pv) OVER w AS obs_seen
+          |FROM ev
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin) +
+      // golden record: per-column IGNORE NULLS first_value in the same
+      // (pri, doc_id) precedence, provenance from the surviving row
+      ("q194_golden_record" ->
+        """WITH recs AS (SELECT doc_id % 120 AS entity_id,
+          |    doc_id % 7 AS pri, doc_id,
+          |    CASE WHEN doc_id % 4 <> 0 THEN lang END AS lang,
+          |    CASE WHEN doc_id % 6 <> 0 THEN n_chars END AS n_chars
+          |  FROM documents)
+          |SELECT DISTINCT entity_id,
+          |  count(*) OVER w AS n_rows,
+          |  first_value(lang IGNORE NULLS) OVER w AS lang,
+          |  first_value(CASE WHEN lang IS NOT NULL THEN pri END
+          |    IGNORE NULLS) OVER w AS lang_pri,
+          |  first_value(n_chars IGNORE NULLS) OVER w AS n_chars,
+          |  first_value(CASE WHEN n_chars IS NOT NULL THEN pri END
+          |    IGNORE NULLS) OVER w AS n_chars_pri
+          |FROM recs
+          |WINDOW w AS (PARTITION BY entity_id ORDER BY pri, doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY entity_id""".stripMargin) +
+      // changelog apply: latest log row per key via row_number, then a
+      // full-outer join against the base with the delete filter
+      ("q195_apply_changelog" ->
+        """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+          |  FROM orders),
+          |chlog AS (
+          |  SELECT o_orderkey, 0 AS seq, 'I' AS op,
+          |    'N' AS o_orderstatus, o_totalprice
+          |  FROM o WHERE o_orderkey % 4 = 0
+          |  UNION ALL SELECT o_orderkey, 1, 'U', 'X', o_totalprice + 1.0
+          |  FROM o WHERE o_orderkey % 3 = 0
+          |  UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL
+          |  FROM o WHERE o_orderkey % 5 = 0),
+          |latest AS (SELECT * FROM (
+          |    SELECT o_orderkey, op, o_orderstatus, o_totalprice,
+          |      row_number() OVER (PARTITION BY o_orderkey
+          |        ORDER BY seq DESC) AS rn
+          |    FROM chlog) WHERE rn = 1),
+          |base AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0)
+          |SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+          |  CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+          |       ELSE b.o_orderstatus END AS o_orderstatus,
+          |  CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+          |       ELSE b.o_totalprice END AS o_totalprice
+          |FROM base b FULL OUTER JOIN latest l
+          |  ON b.o_orderkey = l.o_orderkey
+          |WHERE l.op IS NULL OR l.op <> 'D'
+          |ORDER BY o_orderkey""".stripMargin) +
       // transitions: the same lead() adjacency, counts, row totals,
       // and the portable-rounded division
       ("q189_transitions" ->

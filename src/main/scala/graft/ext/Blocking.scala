@@ -87,4 +87,40 @@ object Blocking {
           .as("reduction_ratio"),
         (col("x.retained") / col("true_matches")).as("completeness"))
   }
+
+  /** Golden-record survivorship — the merge step AFTER matching/blocking
+    * has clustered records of one entity: per entity key, each value
+    * column independently takes its value from the FIRST row (in
+    * `orderCols` precedence — source priority, then a deterministic
+    * tiebreak) where that column is non-null. Column-level survivorship,
+    * not row-level: a high-priority source missing one field yields that
+    * field to the next source instead of nulling the golden record —
+    * the difference from [[Dedup]]'s keepBest, which keeps one whole row.
+    *
+    * Shape at scale: NO window, NO sort — each column's survivor is
+    * min(struct(orderCols..., value)) over rows where the value is
+    * non-null (nulls drop out of MIN via the when-guard), a plain
+    * aggregate with map-side partials; one shuffle on the entity key
+    * carries one partially-folded struct per column. `orderCols` must be
+    * non-null and total (enforce with a tiebreak id) or two rows tied on
+    * precedence could surface either value. Also emits n_rows (cluster
+    * size) and, per column, the surviving row's first precedence column
+    * (`<col>_pri`) — the provenance a survivorship audit wants. */
+  def goldenRecord(records: DataFrame, keyCol: String,
+                   orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "goldenRecord needs precedence columns")
+    require(valueCols.nonEmpty, "goldenRecord needs value columns")
+    val prec = orderCols.map(col)
+    val aggs = count(lit(1)).as("n_rows") +: valueCols.flatMap { c =>
+      val winner = min(when(col(c).isNotNull,
+        struct(prec :+ col(c).as("__v"): _*))).as(s"__w_$c")
+      Seq(winner)
+    }
+    val folded = records.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    folded.select(col(keyCol) +: col("n_rows") +: valueCols.flatMap { c =>
+      Seq(col(s"__w_$c.__v").as(c),
+        col(s"__w_$c.${orderCols.head}").as(s"${c}_pri"))
+    }: _*)
+  }
 }

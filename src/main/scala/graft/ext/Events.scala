@@ -364,6 +364,31 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum("__w").as("score"))
   }
 
+  /** Per-key forward fill (last observation carried forward): in
+    * (`orderCols`) order within each key, replace every null of
+    * `valueCol` with the most recent non-null value, and count the
+    * observations seen so far (`obs_seen` — 0 until the first
+    * observation, so a still-null fill is distinguishable from a filled
+    * zero). The gap-repair primitive behind sparse sensor/price/state
+    * streams where only change events carry the value.
+    *
+    * Shape at scale: ONE shuffle+sort on the key; both outputs ride a
+    * running frame (UNBOUNDED PRECEDING .. CURRENT ROW), which Spark
+    * executes as an O(1)-per-row accumulator — no per-partition
+    * buffering, no second pass, no driver state. Keys are independent,
+    * so 100 TB parallelizes by key; a single pathological key serializes
+    * only its own rows (the sort is the cost, not the frame). */
+  def forwardFill(events: DataFrame, keyCol: String, valueCol: String,
+                  orderCols: Seq[String] = Seq("ts_ms", "event_id"),
+                  outCol: String = "filled"): DataFrame = {
+    require(orderCols.nonEmpty, "forwardFill needs at least one order column")
+    val run = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(run))
+      .withColumn("obs_seen", count(col(valueCol)).over(run))
+  }
+
   def scd2History(log: DataFrame, keyCol: String, orderCol: String,
                   tieCol: String, stateCols: Seq[String]): DataFrame = {
     require(stateCols.nonEmpty, "scd2History needs at least one state column")

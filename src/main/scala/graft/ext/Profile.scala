@@ -569,4 +569,52 @@ object Profile {
         (sum(col("h").cast("decimal(38,0)")) % fingerprintMod)
           .cast("long").as("sum_mod"),
         expr("bit_xor(h)").as("xor60"))
+
+  /** Keyed two-snapshot diff — the EXPLANATION to [[tableFingerprint]]'s
+    * verdict: when the fingerprints disagree, this says how. One keyed
+    * full-outer join classifies every key as added (new only), removed
+    * (old only), changed (both, any compare column differs under
+    * null-safe equality) or unchanged, and counts, per compare column,
+    * how many common keys changed THAT column. Output is one (label, n)
+    * row per compare column (`chg_<col>`) plus the four `zz_` status
+    * totals — a |cols|+4-row report.
+    *
+    * Shape at scale: the join shuffles each side once on the key (or
+    * broadcasts a small snapshot — Catalyst's choice); everything after
+    * it is a conditional single-row aggregate with map-side partials, and
+    * the long-format reshape explodes that ONE row. No window, no driver
+    * state, no second scan of either snapshot. Keys must be unique per
+    * snapshot (a keyed diff is meaningless under duplicates): duplicate
+    * keys multiply through the join and inflate counts — run
+    * [[tableFingerprint]]'s n_rows or a key-uniqueness Contract first. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compare column")
+    val o = oldDf.select(
+      keyCols.map(col) ++ (compareCols.map(c => col(c).as(s"o_$c")) :+
+        lit(1).as("o_present")): _*)
+    val n = newDf.select(
+      keyCols.map(col) ++ (compareCols.map(c => col(c).as(s"n_$c")) :+
+        lit(1).as("n_present")): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val both = col("o_present").isNotNull && col("n_present").isNotNull
+    val same = compareCols.map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduce(_ && _)
+    val aggs = Seq(
+      sum(when(col("o_present").isNull, 1L).otherwise(0L)).as("zz_added"),
+      sum(when(col("n_present").isNull, 1L).otherwise(0L)).as("zz_removed"),
+      sum(when(both && !same, 1L).otherwise(0L)).as("zz_changed"),
+      sum(when(both && same, 1L).otherwise(0L)).as("zz_unchanged")) ++
+      compareCols.map(c =>
+        sum(when(both && !(col(s"o_$c") <=> col(s"n_$c")), 1L)
+          .otherwise(0L)).as(s"chg_$c"))
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    val labels = compareCols.map(c => s"chg_$c") ++
+      Seq("zz_added", "zz_removed", "zz_changed", "zz_unchanged")
+    one.select(explode(array(labels.map(l =>
+        struct(lit(l).as("label"), col(l).as("n"))): _*)).as("kv"))
+      .select(col("kv.label").as("label"), col("kv.n").as("n"))
+  }
 }

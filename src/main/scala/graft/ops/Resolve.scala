@@ -68,4 +68,45 @@ object Resolve {
         .write.mode("append").parquet(path2)
     }
   }
+
+  /** CDC changelog materialization — last-writer-wins MERGE of a
+    * full-row-image change log (op ∈ I/U/D, ordered by `seqCols` within
+    * each key) onto a base snapshot: keys untouched by the log keep
+    * their base row; keys whose LATEST log entry is an upsert take that
+    * entry's values; keys whose latest entry is a delete vanish. The
+    * batch twin of applying a replication/Debezium-style feed — distinct
+    * from [[applyDecisions]] (keyed human decisions, no ordering) and
+    * from scd2History (which keeps every version; this keeps the END
+    * state).
+    *
+    * Shape at scale: the log first folds to ONE row per key — an
+    * aggregate arg-max (max of struct(seqCols..., op, values...)), NO
+    * window, map-side partials absorb hot keys — then ONE full-outer
+    * join against the base on the key decides survivor vs delete. The
+    * log fold shuffles pre-reduced rows; nothing rescans either input.
+    * `seqCols` must totally order each key's entries (ties would let
+    * either entry win — feed a log sequence number as the last column);
+    * null seq values are rejected by the struct MIN/MAX null-drop only
+    * if the FIRST seq col is null, so enforce non-null upstream. */
+  def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
+                     seqCols: Seq[String], opCol: String,
+                     valueCols: Seq[String]): DataFrame = {
+    require(seqCols.nonEmpty, "applyChangelog needs ordering columns")
+    require(valueCols.nonEmpty, "applyChangelog needs value columns")
+    val packed = struct(
+      seqCols.map(col) ++ ((opCol +: valueCols).map(col)): _*)
+    val latest = log.groupBy(col(keyCol))
+      .agg(max(packed).as("__last"))
+      .select(col(keyCol),
+        col(s"__last.$opCol").as("__op"),
+        struct(valueCols.map(c => col(s"__last.$c").as(c)): _*).as("__lv"))
+    val b = base.select(col(keyCol),
+      struct(valueCols.map(col): _*).as("__bv"))
+    b.join(latest, Seq(keyCol), "full_outer")
+      // op null (no log entry) keeps the base row; 'D' drops; I/U upsert
+      .filter(coalesce(col("__op") =!= "D", lit(true)))
+      .select(col(keyCol) +: valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__lv.$c"))
+          .otherwise(col(s"__bv.$c")).as(c)): _*)
+  }
 }

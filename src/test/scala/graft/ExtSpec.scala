@@ -1951,6 +1951,24 @@ class SketchesSpec extends SparkTestBase {
       !== row(graft.ext.Profile.tableFingerprint(b, Seq("x", "y"), "x")))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged with null-safe column compares") {
+    val oldDf = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, None: Option[String], 30L), (4L, Option("d"), 40L),
+      (5L, Option("e"), 50L)).toDF("id", "s", "v")
+    val newDf = Seq((1L, Option("a"), 10L),          // unchanged
+      (2L, None: Option[String], 20L),               // s: value -> null
+      (3L, Option("c"), 30L),                        // s: null -> value
+      (4L, Option("d"), 41L),                        // v changed
+      (6L, Option("f"), 60L)).toDF("id", "s", "v")   // added; 5 removed
+    val got = graft.ext.Profile.snapshotDiff(oldDf, newDf, Seq("id"),
+        Seq("s", "v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("chg_s" -> 2L, "chg_v" -> 1L, "zz_added" -> 1L,
+      "zz_removed" -> 1L, "zz_changed" -> 3L, "zz_unchanged" -> 1L))
+    intercept[IllegalArgumentException] {
+      graft.ext.Profile.snapshotDiff(oldDf, newDf, Seq("id"), Seq()) }
+  }
+
   test("histogramDrift: identical snapshots score zero; a shifted bin raises every score") {
     val a = Seq.tabulate(64)(i => (i.toLong, (i % 8) * 100L)).toDF("id", "v")
     val zero = graft.ext.Profile.histogramDrift(a, a, col("v"), 0.0, 1024.0, 16)
@@ -2764,6 +2782,63 @@ class EventsSpec extends SparkTestBase {
       .map(r => (r.getString(1), r.getString(2), r.getInt(3)))
     assert(h.toSeq === Seq(("gold", "eu", 1), ("gold", "us", 2),
       ("pro", "us", 3)))
+  }
+
+  test("forwardFill: carries last non-null per key in order; obs_seen 0 before first") {
+    val ev = Seq(
+      (1L, 1L, 100L, None: Option[Double]),
+      (2L, 1L, 200L, Some(5.0)),
+      (3L, 1L, 300L, None: Option[Double]),
+      (4L, 1L, 400L, Some(7.0)),
+      (5L, 2L, 100L, None: Option[Double]),
+      (6L, 2L, 200L, None: Option[Double]))
+      .toDF("event_id", "user_id", "ts_ms", "v")
+    val got = Events.forwardFill(ev, "user_id", "v",
+        Seq("ts_ms", "event_id"), "f")
+      .orderBy("event_id")
+      .collect().map(r => (Option(r.get(4)), r.getLong(5)))
+    assert(got.toSeq === Seq((None, 0L), (Some(5.0), 1L), (Some(5.0), 1L),
+      (Some(7.0), 2L), (None, 0L), (None, 0L)))
+    // layout-invariant: the running frame sorts inside the key
+    val again = Events.forwardFill(ev.repartition(5), "user_id", "v",
+        Seq("ts_ms", "event_id"), "f")
+      .orderBy("event_id").collect().map(r => (Option(r.get(4)), r.getLong(5)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("applyChangelog: latest op wins, D deletes, I inserts new keys, untouched base survives") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val log = Seq(
+      (2L, 1L, "U", "b2", 21.0), (2L, 2L, "U", "b3", 22.0), // last wins
+      (3L, 1L, "D", null.asInstanceOf[String], 0.0),        // delete
+      (4L, 1L, "I", "d", 40.0),                             // insert
+      (5L, 1L, "I", "e", 50.0), (5L, 2L, "D", null.asInstanceOf[String], 0.0))
+      .toDF("k", "seq", "op", "s", "v")
+    val got = graft.ops.Resolve.applyChangelog(base, log, "k",
+        Seq("seq"), "op", Seq("s", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "b3", 22.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("goldenRecord: each column survives independently from first non-null precedence row") {
+    val recs = Seq(
+      (1L, 0L, 10L, None: Option[String], Some(100L)),  // top pri: name null
+      (1L, 1L, 11L, Some("alice"), None: Option[Long]), // name from here
+      (1L, 2L, 12L, Some("alicia"), Some(200L)),
+      (2L, 0L, 20L, None: Option[String], None: Option[Long]))
+      .toDF("entity_id", "pri", "rid", "name", "size")
+    val got = graft.ext.Blocking.goldenRecord(recs, "entity_id",
+        Seq("pri", "rid"), Seq("name", "size"))
+      .orderBy("entity_id").collect()
+    val e1 = got(0)
+    assert((e1.getLong(1), e1.getString(2), e1.getLong(3),
+      e1.getLong(4), e1.getLong(5)) === (3L, "alice", 1L, 100L, 0L))
+    val e2 = got(1) // all-null entity: null survivors, null provenance
+    assert(e2.getLong(1) === 1L && e2.isNullAt(2) && e2.isNullAt(3) &&
+      e2.isNullAt(4) && e2.isNullAt(5))
   }
 }
 

@@ -829,6 +829,49 @@ class PlanSpec extends SparkTestBase {
       "an orderless fingerprint must never plan a window or a join:\n" + p)
   }
 
+  test("q192 snapshot diff: one keyed join, conditional single-row agg, no window") {
+    val p = plan("q192_snapshot_diff")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"the diff must classify via ONE full-outer join on the key:\n$p")
+    assert(p.sliding("Join".length).count(_ == "Join") <= 2,
+      s"one keyed join — no second pass over either snapshot:\n$p")
+    assert(p.contains("partial_sum"),
+      s"status counts must partial-aggregate before the final fold:\n$p")
+    assert(!p.contains("Window"),
+      s"a diff is a join + fold — never a window:\n$p")
+    assert(!p.contains("text#"),
+      s"the compared columns exclude text; the scan must prune it:\n$p")
+  }
+
+  test("q193 forward fill: both running outputs share ONE key shuffle + sort") {
+    val p = plan("q193_forward_fill")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"fill + obs_seen must ride one user_id shuffle, not two:\n$p")
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"both running frames must fold into ONE Window node:\n$p")
+  }
+
+  test("q194 golden record: aggregate arg-min — no window, no sort, partial min") {
+    val p = plan("q194_golden_record")
+    assert(p.contains("partial_min"),
+      s"survivors must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"column survivorship is an aggregate, never a window:\n$p")
+    assert(!p.contains("text#"),
+      s"the record columns exclude text; the scan must prune it:\n$p")
+  }
+
+  test("q195 changelog: log folds via partial max; one full-outer join; no window") {
+    val p = plan("q195_apply_changelog")
+    assert(p.contains("partial_max"),
+      s"the latest-entry fold must partial-aggregate map-side:\n$p")
+    assert(p.contains("FullOuter"),
+      s"base vs latest must meet in ONE full-outer join:\n$p")
+    assert(!p.contains("Window"),
+      s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
+  }
+
   test("q191 ledger: per-shard fold partial-aggregates; residue merge ships ledger rows only") {
     val p = plan("q191_fingerprint_ledger")
     assert(p.contains("partial_count") && p.contains("partial_sum"),
