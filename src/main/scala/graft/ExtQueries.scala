@@ -2440,6 +2440,67 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Point-in-time trailing features: for EVERY event, its user's
+    // 24 h-trailing totals (all events, purchases, max value) off one
+    // RANGE frame — no self-join, exact domains only (counts + MAX;
+    // a trailing double SUM would hash-drift across engines). Oracle:
+    // the same RANGE window in SQL.
+    "q196_trailing_features" -> ((s, dir) =>
+      graft.ext.Events.trailingWindowFeatures(Ingest.eventsWithTs(s, dir),
+          "user_id", "ts_ms", 86400000L, "purchase")
+        .select("event_id", "user_id", "n_window", "n_marked", "max_value")
+        .orderBy("event_id")),
+
+    // Chi-square independence of lang x source — the corpus-balance
+    // audit. Zero cells included (textbook statistic); per-cell terms
+    // ride an exact DECIMAL integer core into one rounded division
+    // each, then an order-free DECIMAL sum. The oracle rebuilds the
+    // whole contingency grid and statistic from scratch in SQL.
+    "q197_chi_square" -> ((s, dir) =>
+      graft.ext.Profile.chiSquare(docs(s, dir), "lang", "source")),
+
+    // ROC-AUC of n_chars predicting lang='en' via the tie-corrected
+    // Mann-Whitney rank statistic: integer arithmetic end-to-end
+    // (average tie ranks kept doubled), one final rounded division.
+    // The oracle recomputes the rank statistic with its own window.
+    "q198_roc_auc" -> ((s, dir) =>
+      graft.ext.Profile.rocAuc(docs(s, dir), "n_chars",
+        col("lang") === "en")),
+
+    // Calibration/reliability bins of q41's capped stopword-ratio
+    // score against lang='en': per bin, volume, observed rate, mean
+    // prediction, and Brier contribution — 6-dp-rounded terms, DECIMAL
+    // sums, one division per output cell. Oracle: same bins, same
+    // rounding chain.
+    "q199_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_en", TextAnalysis.stopwordHits(col("toks"), "en"))
+        .withColumn("pred", when(col("n_tok") > 0,
+          least(col("stop_en").cast("double") * 5.0 / col("n_tok"),
+            lit(1.0))).otherwise(0.0))
+      graft.ext.Profile.calibration(d, col("pred"), col("lang") === "en", 10)
+        .orderBy("bin")
+    }),
+
+    // Cohen's kappa between the engine's stopword lang-ID (q40's
+    // classifier) and the labeled lang column — chance-corrected
+    // agreement from the exact integer identity (agree*N - S)/(N^2 - S).
+    // The oracle re-runs the classifier AND the kappa algebra in SQL.
+    "q200_cohen_kappa" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks",
+        TextAnalysis.tokens(col("text")))
+      val scored = Seq("en", "es", "fr", "de", "zh").foldLeft(d) {
+        (df, l) => df.withColumn(s"s_$l",
+          TextAnalysis.stopwordHits(col("toks"), l))
+      }
+      val withPred = scored.withColumn("pred_lang",
+        TextAnalysis.predictLang(col("s_en"), col("s_es"), col("s_fr"),
+          col("s_de"), col("s_zh")))
+      graft.ext.Profile.cohenKappa(withPred, col("pred_lang"), col("lang"))
+    }),
+
     // Markov transition matrix over per-user event streams: counts and
     // row-normalized probabilities for every (from -> next) adjacency
     // in (ts, event_id) order — one user-keyed sort produces every
@@ -6831,6 +6892,126 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // trailing features: the same RANGE frame in SQL
+      ("q196_trailing_features" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          |    event_type, value FROM events)
+          |SELECT event_id, user_id,
+          |  count(*) OVER w AS n_window,
+          |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+          |    OVER w AS n_marked,
+          |  max(value) OVER w AS max_value
+          |FROM ev
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin) +
+      // chi-square: grid rebuilt from scratch, HUGEINT exact core,
+      // identical rounding chain
+      ("q197_chi_square" -> {
+        val dnum = "CAST(CAST(o AS HUGEINT)*n - CAST(ra AS HUGEINT)*cb " +
+          "AS DOUBLE)"
+        val term = graft.ext.TextAnalysis.round6PortableSql(
+          s"$dnum * $dnum / (CAST(CAST(ra AS HUGEINT)*cb AS DOUBLE) * " +
+            "CAST(n AS DOUBLE))")
+        s"""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+           |  FROM documents GROUP BY 1, 2),
+           |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+           |  GROUP BY a),
+           |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+           |  GROUP BY b),
+           |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           |grid AS (SELECT rt.a, ct.b, rt.ra, ct.cb, tot.n,
+           |    coalesce(cells.o, 0) AS o
+           |  FROM rt CROSS JOIN ct CROSS JOIN tot
+           |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+           |SELECT max(n) AS n,
+           |  count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+           |  (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+           |  CAST(sum(CAST($term AS DECIMAL(24,6))) AS DOUBLE) AS chi2
+           |FROM grid""".stripMargin
+      }) +
+      // ROC-AUC: grouped scores + running window, doubled tie ranks,
+      // one rounded division
+      ("q198_roc_auc" -> {
+        val auc = graft.ext.TextAnalysis.round6PortableSql(
+          "CAST(t2 - CAST(n_pos AS HUGEINT)*(n_pos + 1) AS DOUBLE) / " +
+            "CAST(2 * CAST(n_pos AS HUGEINT) * (n - n_pos) AS DOUBLE)")
+        s"""WITH g AS (SELECT n_chars AS s, count(*) AS n,
+           |    count(*) FILTER (WHERE lang = 'en') AS np
+           |  FROM documents GROUP BY 1),
+           |r AS (SELECT s, n, np,
+           |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM g),
+           |a AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+           |    CAST(sum(np) AS BIGINT) AS n_pos,
+           |    count(*) AS n_scores,
+           |    sum(CAST(np AS HUGEINT) * (2*cum + n + 1)) AS t2
+           |  FROM r)
+           |SELECT n, n_pos, n - n_pos AS n_neg, n_scores, $auc AS auc
+           |FROM a""".stripMargin
+      }) +
+      // calibration: same bins, same 6-dp round-then-DECIMAL-sum chain
+      ("q199_calibration" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH toks AS (SELECT lang, $toksSql AS t FROM documents),
+           |m AS (SELECT lang, len(t) AS n_tok, ${hits("en")} AS s_en
+           |  FROM toks),
+           |d AS (SELECT
+           |    CASE WHEN n_tok > 0 THEN
+           |      least(CAST(s_en AS DOUBLE) * 5.0 / n_tok, 1.0)
+           |      ELSE 0.0 END AS pred,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM m),
+           |b AS (SELECT CAST(least(floor(pred * 10), 9) AS INTEGER) AS bin,
+           |    CAST(${r6("pred")} AS DECIMAL(24,6)) AS p6,
+           |    CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS is_pos,
+           |    CAST(${r6("(pred - y) * (pred - y)")} AS DECIMAL(24,6)) AS sq6
+           |  FROM d),
+           |a AS (SELECT bin, count(*) AS n,
+           |    CAST(sum(is_pos) AS BIGINT) AS n_pos,
+           |    sum(p6) AS sp, sum(sq6) AS sb
+           |  FROM b GROUP BY bin)
+           |SELECT bin, n, n_pos,
+           |  ${r6("CAST(n_pos AS DOUBLE) / n")} AS frac_pos,
+           |  ${r6("CAST(sp AS DOUBLE) / n")} AS mean_pred,
+           |  ${r6("CAST(sb AS DOUBLE) / n")} AS brier
+           |FROM a ORDER BY bin""".stripMargin
+      }) +
+      // kappa: q40's classifier CTEs + the exact integer identity
+      ("q200_cohen_kappa" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t
+           |  FROM documents),
+           |scored AS (SELECT lang,
+           |    ${hits("en")} AS s_en, ${hits("es")} AS s_es,
+           |    ${hits("fr")} AS s_fr, ${hits("de")} AS s_de,
+           |    ${hits("zh")} AS s_zh
+           |  FROM toks),
+           |r AS (SELECT
+           |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+           |        AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh
+           |        THEN 'es'
+           |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           |       WHEN s_de >= s_zh THEN 'de'
+           |       ELSE 'zh' END AS ra,
+           |  lang AS rb FROM scored),
+           |base AS (SELECT count(*) AS n,
+           |    count(*) FILTER (WHERE ra IS NOT DISTINCT FROM rb) AS agree
+           |  FROM r),
+           |ma AS (SELECT ra, count(*) AS ca FROM r GROUP BY ra),
+           |mb AS (SELECT rb, count(*) AS cb FROM r GROUP BY rb),
+           |se AS (SELECT coalesce(sum(CAST(ca AS HUGEINT) * cb),
+           |    CAST(0 AS HUGEINT)) AS s_e
+           |  FROM ma JOIN mb ON ma.ra = mb.rb)
+           |SELECT n, agree,
+           |  ${r6("CAST(agree AS DOUBLE) / n")} AS p_o,
+           |  ${r6("CAST(s_e AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)")} AS p_e,
+           |  ${r6("CAST(CAST(agree AS HUGEINT) * n - s_e AS DOUBLE) / " +
+                  "CAST(CAST(n AS HUGEINT) * n - s_e AS DOUBLE)")} AS kappa
+           |FROM base, se""".stripMargin
+      }) +
       // transitions: the same lead() adjacency, counts, row totals,
       // and the portable-rounded division
       ("q189_transitions" ->

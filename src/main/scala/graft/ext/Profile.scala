@@ -617,4 +617,145 @@ object Profile {
         struct(lit(l).as("label"), col(l).as("n"))): _*)).as("kv"))
       .select(col("kv.label").as("label"), col("kv.n").as("n"))
   }
+
+  import org.apache.spark.sql.types.DecimalType
+  import org.apache.spark.sql.expressions.Window
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the "is lang independent of source?" audit a corpus
+    * balance report runs. Includes EMPTY cells (every row-category ×
+    * col-category pair contributes its expected count), so the statistic
+    * matches the textbook definition, not a present-cells-only variant.
+    *
+    * Determinism: each cell term is ((o·N − r·c)² in exact DECIMAL →
+    * double) / ((r·c → double) · (N → double)), rounded to 6 dp, then
+    * DECIMAL-summed — order-free and engine-identical. The integer core
+    * is exact while N² fits DECIMAL(38) (N ≤ ~10¹⁹ᐟ²); the final square
+    * is a correctly-rounded double op in both engines.
+    *
+    * Shape at scale: one (a,b) groupBy folds 100 TB to |A|·|B| cells
+    * with map-side partials; marginals and the zero-cell grid are
+    * cells-sized cross/left joins; the output is ONE row. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o").as("n"))
+    val grid = ra.crossJoin(cb).crossJoin(broadcast(n))
+      .join(cells, Seq("a", "b"), "left").na.fill(0L, Seq("o"))
+    val dnum = (col("o").cast(dec) * col("n").cast(dec) -
+      col("ra").cast(dec) * col("cb").cast(dec)).cast("double")
+    val rc = (col("ra").cast(dec) * col("cb").cast(dec)).cast("double")
+    val term = TextAnalysis.round6Portable(
+      dnum * dnum / (rc * col("n").cast("double")))
+    grid.agg(max("n").as("n"),
+        countDistinct("a").as("n_a"), countDistinct("b").as("n_b"),
+        sum(term.cast(DecimalType(24, 6))).cast("double").as("chi2"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"), col("chi2"))
+  }
+
+  /** ROC-AUC of a score against a boolean outcome, computed as the
+    * tie-corrected Mann-Whitney rank statistic: with average ranks over
+    * ascending scores, AUC = (Σ ranks₊ − P(P+1)/2) / (P·Nneg). The
+    * threshold-free classifier-quality audit run before trusting any
+    * quality score as a filter.
+    *
+    * EXACT integer core: scores fold to one row per DISTINCT value
+    * (map-side partials), a running count gives each tie group's rank
+    * offset, and 2·Σranks₊ = Σ np·(2·cum_before + n + 1) stays integral
+    * in DECIMAL — the single final division is rounded to 6 dp. No
+    * float enters until that division.
+    *
+    * Shape at scale: the per-score fold is the only full shuffle; the
+    * running window then orders DISTINCT scores in ONE partition —
+    * deliberate and bounded: callers must feed a bounded-cardinality
+    * score (integers, or a 6-dp-rounded float ⇒ ≤ ~2M distinct values),
+    * the same contract as [[Sketches]] histograms. */
+  def rocAuc(df: DataFrame, scoreCol: String, pos: Column): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("np"))
+    val before = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum_before",
+      coalesce(sum("n").over(before), lit(0L)))
+    val twice = (col("np").cast("decimal(38,0)") *
+      (lit(2) * col("cum_before") + col("n") + 1)).as("t")
+    ranked.agg(sum("n").as("n"), sum("np").as("n_pos"),
+        count(lit(1)).as("n_scores"), sum(twice).as("t2"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("n_scores"),
+        // null when either class is empty (AUC undefined)
+        when(col("n_pos") > 0 && col("n") > col("n_pos"),
+          TextAnalysis.round6Portable(
+            (col("t2") - col("n_pos").cast("decimal(38,0)") *
+              (col("n_pos") + 1)).cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("n_pos") *
+              (col("n") - col("n_pos"))).cast("double"))).as("auc"))
+  }
+
+  /** Calibration-by-bins (reliability diagram rows): predictions in
+    * [0,1] bucket into `bins` equal-width bins (the top edge closes into
+    * the last bin); each bin reports volume, observed positive rate,
+    * mean prediction, and its Brier contribution — miscalibration is
+    * mean_pred far from frac_pos. Per-row doubles are 6-dp-rounded then
+    * DECIMAL-summed (order-free); each per-bin division rounds once.
+    * One groupBy on the bin: map-side partials, `bins` output rows. */
+  def calibration(df: DataFrame, pred: Column, pos: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins must be in [2,10000]: $bins")
+    val bin = least(floor(pred * bins), lit(bins - 1)).cast("int")
+    val y = when(pos, 1.0).otherwise(0.0)
+    val sq = (pred - y) * (pred - y)
+    df.select(bin.as("bin"),
+        TextAnalysis.round6Portable(pred).cast(DecimalType(24, 6)).as("p6"),
+        when(pos, 1L).otherwise(0L).as("is_pos"),
+        TextAnalysis.round6Portable(sq).cast(DecimalType(24, 6)).as("sq6"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("is_pos").as("n_pos"),
+        sum("p6").as("sp"), sum("sq6").as("sb"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        TextAnalysis.round6Portable(
+          col("n_pos").cast("double") / col("n")).as("frac_pos"),
+        TextAnalysis.round6Portable(
+          col("sp").cast("double") / col("n")).as("mean_pred"),
+        TextAnalysis.round6Portable(
+          col("sb").cast("double") / col("n")).as("brier"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two raters
+    * (model vs labels, two model versions, annotator vs annotator):
+    * κ = (p_o − p_e)/(1 − p_e) computed from the EXACT integer identity
+    * κ = (agree·N − Σₖ aₖ·bₖ) / (N² − Σₖ aₖ·bₖ); the only float op is
+    * the final 6-dp-rounded division (κ is null when p_e = 1 — a
+    * degenerate single-class pair of raters). One pass for agreement +
+    * two class-sized marginal folds joined on the class: map-side
+    * partials everywhere, one output row. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val r = df.select(raterA.cast("string").as("ra"),
+      raterB.cast("string").as("rb"))
+    val base = r.agg(count(lit(1)).as("n"),
+      sum(when(col("ra") <=> col("rb"), 1L).otherwise(0L)).as("agree"))
+    val s = r.groupBy("ra").agg(count(lit(1)).as("ca"))
+      .join(r.groupBy("rb").agg(count(lit(1)).as("cb")),
+        col("ra") === col("rb"))
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0).cast("decimal(38,0)")).as("s_e"))
+    val j = base.crossJoin(broadcast(s))
+    val nDec = col("n").cast("decimal(38,0)")
+    val kden = (nDec * nDec - col("s_e")).cast("double")
+    j.select(col("n"), col("agree"),
+      when(col("n") > 0, TextAnalysis.round6Portable(
+        col("agree").cast("double") / col("n"))).as("p_o"),
+      when(col("n") > 0, TextAnalysis.round6Portable(
+        col("s_e").cast("double") / (nDec * nDec).cast("double")))
+        .as("p_e"),
+      when(kden =!= 0.0, TextAnalysis.round6Portable(
+        (col("agree").cast("decimal(38,0)") * col("n") - col("s_e"))
+          .cast("double") / kden)).as("kappa"))
+  }
 }

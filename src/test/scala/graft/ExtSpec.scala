@@ -1951,6 +1951,58 @@ class SketchesSpec extends SparkTestBase {
       !== row(graft.ext.Profile.tableFingerprint(b, Seq("x", "y"), "x")))
   }
 
+  test("chiSquare: textbook 2x2 value; empty cells contribute their expected counts") {
+    val sym = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val r1 = graft.ext.Profile.chiSquare(sym, "a", "b").collect()(0)
+    assert((r1.getLong(0), r1.getLong(3)) === (60L, 1L))
+    assert(r1.getDouble(4) === 6.666668) // 4 * round6(25/15)
+    // zero cell (y,q): term (0*N - ra*cb)^2/(ra*cb*N) must still count
+    val hole = (Seq.fill(3)(("x", "p")) ++ Seq(("x", "q")) ++
+      Seq.fill(2)(("y", "p"))).toDF("a", "b")
+    val r2 = graft.ext.Profile.chiSquare(hole, "a", "b").collect()(0)
+    assert(r2.getDouble(4) === 0.6 && r2.getLong(3) === 1L)
+  }
+
+  test("rocAuc: perfect=1, inverted=0, all-ties=0.5, and the tie-averaged hand case") {
+    def auc(rows: Seq[(Long, Boolean)]): Double = {
+      val df = rows.toDF("s", "y")
+      graft.ext.Profile.rocAuc(df, "s", col("y")).collect()(0).getDouble(4)
+    }
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true))) === 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false))) === 0.0)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) === 0.5)
+    // ranks: 1 -> 1; {2,2} -> 2.5 each; 3 -> 4. AUC = (6.5 - 3)/4
+    assert(auc(Seq((1L, false), (2L, true), (2L, false), (3L, true))) === 0.875)
+  }
+
+  test("calibration: bin edges close into the last bin; per-bin means and brier") {
+    val df = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true))
+      .toDF("p", "y")
+    val got = graft.ext.Profile.calibration(df, col("p"), col("y"), 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (0, 1L, 0L, 0.0, 0.05, 0.0025),
+      (1, 1L, 1L, 1.0, 0.15, 0.7225),
+      (9, 2L, 2L, 1.0, 0.975, 0.00125)))
+  }
+
+  test("cohenKappa: hand-computed 0.4; degenerate single-class pair yields null kappa") {
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(15)(("b", "b")) ++
+      Seq.fill(10)(("a", "b")) ++ Seq.fill(5)(("b", "a"))
+    val r = graft.ext.Profile.cohenKappa(rows.toDF("ra", "rb"),
+      col("ra"), col("rb")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (50L, 35L))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) === (0.7, 0.5, 0.4))
+    val degen = graft.ext.Profile.cohenKappa(
+      Seq.fill(4)(("a", "a")).toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert(degen.isNullAt(4), "p_e = 1 must yield null kappa, not a crash")
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged with null-safe column compares") {
     val oldDf = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
       (3L, None: Option[String], 30L), (4L, Option("d"), 40L),
@@ -2804,6 +2856,24 @@ class EventsSpec extends SparkTestBase {
         Seq("ts_ms", "event_id"), "f")
       .orderBy("event_id").collect().map(r => (Option(r.get(4)), r.getLong(5)))
     assert(again.toSeq === got.toSeq)
+  }
+
+  test("trailingWindowFeatures: RANGE frame includes tie peers and the exact window edge") {
+    val ev = Seq(
+      (1L, 1L, 1000L, "view", 1.0),
+      (2L, 1L, 1000L, "purchase", 9.0),   // tie with event 1: peers see each other
+      (3L, 1L, 1500L, "view", 2.0),
+      (4L, 1L, 2000L, "view", 3.0),       // window 1000: includes ts>=1000 (edge)
+      (5L, 1L, 5000L, "purchase", 4.0),   // far: only itself
+      (6L, 2L, 1000L, "view", 7.0))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+    val got = Events.trailingWindowFeatures(ev, "user_id", "ts_ms",
+        1000L, "purchase")
+      .orderBy("event_id")
+      .select("n_window", "n_marked", "max_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, 1L, 9.0), (2L, 1L, 9.0), (3L, 1L, 9.0),
+      (4L, 1L, 9.0), (1L, 1L, 4.0), (1L, 0L, 7.0)))
   }
 
   test("applyChangelog: latest op wins, D deletes, I inserts new keys, untouched base survives") {

@@ -872,6 +872,58 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q196 trailing features: all three outputs share ONE key shuffle and Window") {
+    val p = plan("q196_trailing_features")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"three RANGE-frame features must ride one user_id shuffle:\n$p")
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"one Window node, not one per feature:\n$p")
+    assert(!p.contains("Join"), s"trailing features must never self-join:\n$p")
+  }
+
+  test("q197 chi-square: cells fold first; grid joins are cells-sized; no window") {
+    val p = plan("q197_chi_square")
+    assert(p.contains("partial_count"),
+      s"the contingency cells must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"chi-square is folds + tiny joins, never a window:\n$p")
+    assert(!p.contains("text#"),
+      s"lang x source needs no text; the scan must prune it:\n$p")
+  }
+
+  test("q198 ROC-AUC: scores fold before the bounded rank window") {
+    val p = plan("q198_roc_auc")
+    assert(p.contains("partial_count"),
+      s"per-score fold must partial-aggregate before any exchange:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, s"the distinct-score fold must shuffle on the score:\n$p")
+    assert(p.indexOf("Window") >= 0 && p.indexOf("Window") < ex,
+      s"the rank window must sit ABOVE the fold (distinct scores only):\n$p")
+    assert(!p.contains("text#"),
+      s"n_chars + lang only; the scan must prune text:\n$p")
+  }
+
+  test("q199 calibration: one bin fold, no window, no join") {
+    val p = plan("q199_calibration")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"one bin-keyed fold:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"reliability bins are one conditional fold:\n$p")
+  }
+
+  test("q200 kappa: marginal folds partial-aggregate; one-row joins broadcast") {
+    val p = plan("q200_cohen_kappa")
+    assert(p.contains("partial_count"),
+      s"agreement and marginals must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"kappa is integer folds, never a window:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row S_e side must broadcast:\n$p")
+  }
+
   test("q191 ledger: per-shard fold partial-aggregates; residue merge ships ledger rows only") {
     val p = plan("q191_fingerprint_ledger")
     assert(p.contains("partial_count") && p.contains("partial_sum"),
