@@ -2440,6 +2440,46 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Gaps-and-islands interval merge: per-event intervals of varying
+    // width (event_id-derived, so they nest and overlap) coalesce into
+    // disjoint islands per user — validity-window/downtime coverage.
+    // Oracle: the same running-max island pattern in SQL.
+    "q201_interval_islands" -> ((s, dir) => {
+      val iv = Ingest.eventsWithTs(s, dir).select(col("user_id"),
+        col("ts_ms").as("iv_start"),
+        (col("ts_ms") + lit(60000L) * (lit(1L) + col("event_id") % 30))
+          .as("iv_end"))
+      graft.ext.Events.mergeIntervals(iv, "user_id", "iv_start", "iv_end")
+        .orderBy("user_id", "island_id")
+    }),
+
+    // Dyadic-exact EWMA over the trailing 8 observations per user:
+    // 6-dp-quantized values, power-of-two weights, everything integral
+    // until one rounded division — no pow/exp, no accumulation-order
+    // drift. Oracle: the same lag chain and integer algebra in SQL.
+    "q202_ewma" -> ((s, dir) =>
+      graft.ext.Events.ewmaDyadic(Ingest.eventsWithTs(s, dir),
+          "user_id", "value", Seq("ts_ms", "event_id"), horizon = 8)
+        .select("event_id", "user_id", "ewma")
+        .orderBy("event_id")),
+
+    // CUSUM level-shift alarm per user: centered prefix sums kept as
+    // exact integers (n*prefix - t*total), first threshold crossing +
+    // peak excursion. Oracle: identical integer algebra in SQL.
+    "q203_cusum" -> ((s, dir) =>
+      graft.ext.Events.cusumShift(Ingest.eventsWithTs(s, dir),
+          "user_id", "value", Seq("ts_ms", "event_id"), threshold = 300.0)
+        .orderBy("user_id")),
+
+    // Funnel with exclusion: signup -> purchase with NO error between,
+    // per user — running counters + the carry-at-start trick make
+    // "between" a subtraction, never a range self-join. Oracle: arg-min
+    // CTEs + a between-count join, built independently.
+    "q204_funnel_exclusion" -> ((s, dir) =>
+      graft.ext.Events.funnelWithExclusion(Ingest.eventsWithTs(s, dir),
+          "signup", "purchase", "error")
+        .orderBy("user_id")),
+
     // Point-in-time trailing features: for EVERY event, its user's
     // 24 h-trailing totals (all events, purchases, max value) off one
     // RANGE frame — no self-join, exact domains only (counts + MAX;
@@ -6892,6 +6932,111 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // interval islands: the same running-max boundary + running-sum id
+      ("q201_interval_islands" ->
+        """WITH iv AS (SELECT user_id, epoch_ms(ts) AS iv_start,
+          |    epoch_ms(ts) + 60000 * (1 + event_id % 30) AS iv_end
+          |  FROM events),
+          |t AS (SELECT user_id, iv_start, iv_end,
+          |    CASE WHEN max(iv_end) OVER (PARTITION BY user_id
+          |        ORDER BY iv_start, iv_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      >= iv_start THEN 0 ELSE 1 END AS nw
+          |  FROM iv),
+          |i AS (SELECT user_id, iv_start, iv_end,
+          |    CAST(sum(nw) OVER (PARTITION BY user_id
+          |      ORDER BY iv_start, iv_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS island_id
+          |  FROM t)
+          |SELECT user_id, island_id, min(iv_start) AS island_start,
+          |  max(iv_end) AS island_end, count(*) AS n_intervals
+          |FROM i GROUP BY user_id, island_id
+          |ORDER BY user_id, island_id""".stripMargin) +
+      // EWMA: the same lag chain, integer weights, one rounded division
+      ("q202_ewma" -> {
+        val h = 8
+        val sTerms = (0 to h).map(k =>
+          s"coalesce(lag(v6, $k) OVER w * ${1L << (h - k)}, 0)")
+          .mkString(" + ")
+        val mTerms = (0 to h).map(k =>
+          s"CASE WHEN lag(v6, $k) OVER w IS NOT NULL THEN ${1L << (h - k)} " +
+            "ELSE 0 END").mkString(" + ")
+        val e = graft.ext.TextAnalysis.round6PortableSql(
+          "CAST(s AS DOUBLE) / m / 1000000.0")
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+           |  FROM events),
+           |t AS (SELECT event_id, user_id, $sTerms AS s, $mTerms AS m
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+           |SELECT event_id, user_id, $e AS ewma
+           |FROM t ORDER BY event_id""".stripMargin
+      }) +
+      // CUSUM: identical integer algebra, first alarm via qualify
+      ("q203_cusum" -> {
+        val peak = graft.ext.TextAnalysis.round6PortableSql(
+          "CAST(peak AS DOUBLE) / n / 1000000.0")
+        s"""WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+           |  FROM events),
+           |r AS (SELECT user_id, ts_ms, event_id,
+           |    CAST(sum(v6) OVER w AS HUGEINT) AS pre,
+           |    CAST(count(*) OVER w AS HUGEINT) AS t
+           |  FROM ev WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY ts_ms, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |tot AS (SELECT user_id, CAST(sum(v6) AS HUGEINT) AS s,
+           |    CAST(count(*) AS HUGEINT) AS n
+           |  FROM ev GROUP BY user_id),
+           |d AS (SELECT r.user_id, r.ts_ms, r.event_id,
+           |    tot.n * r.pre - r.t * tot.s AS dd, tot.n AS n
+           |  FROM r JOIN tot ON r.user_id = tot.user_id),
+           |al AS (SELECT user_id, ts_ms, event_id FROM d
+           |  WHERE abs(CAST(dd AS DOUBLE)) >
+           |    300.0 * CAST(n AS DOUBLE) * 1000000.0
+           |  QUALIFY row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts_ms, event_id) = 1),
+           |pk AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+           |    max(abs(dd)) AS peak
+           |  FROM d GROUP BY user_id)
+           |SELECT pk.user_id, pk.n, al.ts_ms AS alarm_ts_ms,
+           |  al.event_id AS alarm_event_id, $peak AS peak_shift
+           |FROM pk LEFT JOIN al ON pk.user_id = al.user_id
+           |ORDER BY pk.user_id""".stripMargin
+      }) +
+      // funnel with exclusion: independent arg-min CTEs + a
+      // between-count join
+      ("q204_funnel_exclusion" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          |    event_type FROM events),
+          |st AS (SELECT user_id, ts_ms AS start_ts_ms,
+          |    event_id AS start_event_id
+          |  FROM ev WHERE event_type = 'signup'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts_ms, event_id) = 1),
+          |en AS (SELECT e.user_id, e.ts_ms AS end_ts_ms,
+          |    e.event_id AS end_event_id,
+          |    st.start_ts_ms, st.start_event_id
+          |  FROM ev e JOIN st ON e.user_id = st.user_id
+          |  WHERE e.event_type = 'purchase'
+          |    AND (e.ts_ms, e.event_id) > (st.start_ts_ms, st.start_event_id)
+          |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+          |    ORDER BY e.ts_ms, e.event_id) = 1),
+          |ex AS (SELECT en.user_id, count(er.event_id) AS nx
+          |  FROM en LEFT JOIN ev er ON er.user_id = en.user_id
+          |    AND er.event_type = 'error'
+          |    AND (er.ts_ms, er.event_id) > (en.start_ts_ms, en.start_event_id)
+          |    AND (er.ts_ms, er.event_id) < (en.end_ts_ms, en.end_event_id)
+          |  GROUP BY en.user_id)
+          |SELECT st.user_id, st.start_ts_ms, st.start_event_id,
+          |  en.end_ts_ms, en.end_event_id,
+          |  CASE WHEN en.user_id IS NOT NULL THEN ex.nx END
+          |    AS n_excluded_between,
+          |  en.user_id IS NOT NULL AND ex.nx = 0 AS converted
+          |FROM st LEFT JOIN en ON st.user_id = en.user_id
+          |LEFT JOIN ex ON st.user_id = ex.user_id
+          |ORDER BY st.user_id""".stripMargin) +
       // trailing features: the same RANGE frame in SQL
       ("q196_trailing_features" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

@@ -364,6 +364,152 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum("__w").as("score"))
   }
 
+  /** Gaps-and-islands INTERVAL merge: per key, coalesce overlapping or
+    * touching [start, end] intervals (closed ends; `start <= running
+    * max end so far` joins the island) into disjoint islands with their
+    * extent and member count — the validity-window/downtime/coverage
+    * primitive. Differs from sessionize (point events + gap) in that
+    * intervals carry width and can nest or overlap arbitrarily.
+    *
+    * Shape at scale: one shuffle+sort per key; the island boundary is a
+    * running MAX(end) over preceding rows (O(1)-per-row accumulator),
+    * the island id a running SUM, and the fold a plain groupBy with
+    * map-side partials. All exact integer domains. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val tagged = df
+      .withColumn("__new", when(prevMax >= col(startCol), 0L).otherwise(1L))
+      .withColumn("island_id", sum("__new").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tagged.groupBy(col(keyCol), col("island_id"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Dyadic-exact EWMA over the trailing `horizon` observations: weight
+    * 2^-k at row distance k, normalized by the weights actually present
+    * (short histories renormalize instead of decaying toward zero).
+    * Engine-portable by construction: values quantize to 6 dp integers
+    * (v6), each term is v6 · 2^(horizon−k) — an exact integer — and
+    * both the weighted sum and the weight mass stay integral until ONE
+    * final rounded division. No pow/exp, no order-dependent double
+    * accumulation, no drift.
+    *
+    * Shape at scale: `horizon+1` lag() exprs share ONE window spec —
+    * one shuffle+sort per key, one Window node (codegen'd), output a
+    * column per row. Horizon is capped so terms fit a long:
+    * |v6·2^horizon| ≤ 2^63 ⇒ horizon ≤ 40 for |v| ≤ 4·10⁵. */
+  def ewmaDyadic(df: DataFrame, keyCol: String, valueCol: String,
+                 orderCols: Seq[String], horizon: Int = 20,
+                 outCol: String = "ewma"): DataFrame = {
+    require(horizon >= 1 && horizon <= 40,
+      s"horizon must be in [1, 40], got $horizon")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val v6 = floor(col(valueCol) * 1e6 + 0.5).cast("long")
+    val base = df.withColumn("__v6", v6)
+    val lags = (0 to horizon).map(k => lag(col("__v6"), k).over(w))
+    val s = lags.zipWithIndex.map { case (l, k) =>
+      coalesce(l * (1L << (horizon - k)), lit(0L)) }.reduce(_ + _)
+    val m = lags.zipWithIndex.map { case (l, k) =>
+      when(l.isNotNull, lit(1L << (horizon - k))).otherwise(0L) }
+      .reduce(_ + _)
+    base.withColumn(outCol, TextAnalysis.round6Portable(
+        s.cast("double") / m / 1e6))
+      .drop("__v6")
+  }
+
+  /** CUSUM level-shift detection with an EXACT integer core: per key,
+    * the centered prefix sum D_t = n·Σ_{i≤t} v6_i − t·Σ v6 (v6 = value
+    * at 6 dp; both terms integral, so D_t is the textbook CUSUM
+    * scaled by n·10⁶ — no float ever enters the recursion). Reports the
+    * first instant |D_t| exceeds `threshold` (in value·rows units) and
+    * the peak normalized excursion — the "did the level shift, and
+    * when" alarm for rates, quality scores, and queue depths.
+    *
+    * Shape at scale: one shuffle+sort per key for the running sum, one
+    * keyed fold for the totals (broadcast back cells-sized), one final
+    * fold to a row per key. DECIMAL(38) carries n·prefix exactly to
+    * ~10¹⁸ rows·value6 per key. */
+  def cusumShift(df: DataFrame, keyCol: String, valueCol: String,
+                 orderCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v6 = floor(col(valueCol) * 1e6 + 0.5).cast("long")
+    val run = df.withColumn("__v6", v6)
+      .withColumn("__pre", sum("__v6").over(w).cast("decimal(38,0)"))
+      .withColumn("__t", count(lit(1)).over(w).cast("decimal(38,0)"))
+    val tot = run.groupBy(col(keyCol))
+      .agg(sum("__v6").cast("decimal(38,0)").as("__s"),
+        count(lit(1)).cast("decimal(38,0)").as("__n"))
+    val d = run.join(tot, Seq(keyCol))
+      .withColumn("__d", col("__n") * col("__pre") - col("__t") * col("__s"))
+      .withColumn("__alarm",
+        abs(col("__d")).cast("double") >
+          lit(threshold) * col("__n").cast("double") * 1e6)
+    d.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__alarm"),
+          struct(orderCols.map(col): _*))).as("__first"),
+        max(abs(col("__d"))).as("__peak"))
+      .select(col(keyCol) +: col("n") +:
+        orderCols.map(c => col(s"__first.$c").as(s"alarm_$c")) :+
+        TextAnalysis.round6Portable(col("__peak").cast("double") /
+          col("n") / 1e6).as("peak_shift"): _*)
+  }
+
+  /** Funnel step with EXCLUSION — "startType then endType with no
+    * excludeType between", the negative-condition funnel ("signup →
+    * purchase with no error between") plain funnels cannot express.
+    * Per key: the FIRST start event, the first end event after it, and
+    * the number of excluded events strictly between the two; converted
+    * means the end exists and nothing excluded intervened.
+    *
+    * One window pass carries three running values — the excluded-event
+    * count, the first start instant, and the excluded-count AT that
+    * first start (the [[forwardFill]] carry trick: min of a struct
+    * tagged at start rows) — so "between" is a subtraction of two
+    * running counters, never a range self-join. One shuffle+sort per
+    * key, then a keyed arg-min fold. */
+  def funnelWithExclusion(events: DataFrame, startType: String,
+                          endType: String, excludeType: String,
+                          keyCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          orderCols: Seq[String] = Seq("ts_ms", "event_id"))
+      : DataFrame = {
+    val run = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = struct(orderCols.map(col): _*)
+    // tags precede the windows so exc_run and first_start share ONE
+    // Window node; the carry (exc_run AT the first start) depends on
+    // exc_run, so it is the second — same shuffle and sort, no third
+    val tagged = events
+      .withColumn("__is_exc", when(col(typeCol) === excludeType, 1))
+      .withColumn("__start_ord", when(col(typeCol) === startType, ord))
+      .withColumn("__exc_run", count(col("__is_exc")).over(run))
+      .withColumn("__first_start", min(col("__start_ord")).over(run))
+      .withColumn("__start_carry", when(col("__start_ord").isNotNull,
+        struct(col("__start_ord").as("o"), col("__exc_run").as("e"))))
+      .withColumn("__exc_at_start", min(col("__start_carry")).over(run))
+    val ends = tagged.filter(col(typeCol) === endType &&
+        col("__first_start").isNotNull && ord > col("__first_start"))
+      .groupBy(col(keyCol))
+      .agg(min(struct(ord.as("o"), col("__first_start").as("s"),
+        (col("__exc_run") - col("__exc_at_start.e")).as("x"))).as("__w"))
+    val starts = tagged.filter(col(typeCol) === startType)
+      .groupBy(col(keyCol)).agg(min(ord).as("__start"))
+    starts.join(ends, Seq(keyCol), "left")
+      .select(col(keyCol) +:
+        orderCols.map(c => col(s"__start.$c").as(s"start_$c")) ++:
+        orderCols.map(c => col(s"__w.o.$c").as(s"end_$c")) :+
+        col("__w.x").as("n_excluded_between") :+
+        (col("__w").isNotNull && col("__w.x") === 0L).as("converted"): _*)
+  }
+
   /** Trailing event-time window features — for EVERY event, the
     * activity of its key over the preceding `windowMs` (inclusive of
     * the current instant): total events, events of a marked type, and

@@ -2858,6 +2858,80 @@ class EventsSpec extends SparkTestBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("mergeIntervals: overlapping/nested/touching merge; disjoint split; per-key isolation") {
+    val iv = Seq(
+      (1L, 0L, 10L),   // island 1: [0,10]
+      (1L, 5L, 7L),    //   nested
+      (1L, 10L, 20L),  //   touching (closed ends merge)
+      (1L, 25L, 30L),  // island 2
+      (2L, 0L, 100L))  // other key untouched
+      .toDF("k", "s", "e")
+    val got = graft.ext.Events.mergeIntervals(iv, "k", "s", "e")
+      .orderBy("k", "island_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 1L, 0L, 20L, 3L), (1L, 2L, 25L, 30L, 1L),
+      (2L, 1L, 0L, 100L, 1L)))
+    // an interval swallowed by a PREDECESSOR'S reach (not its immediate
+    // neighbor) must still merge: running max, not lag
+    val reach = Seq((1L, 0L, 50L), (1L, 10L, 20L), (1L, 30L, 40L))
+      .toDF("k", "s", "e")
+    assert(graft.ext.Events.mergeIntervals(reach, "k", "s", "e").count() === 1)
+  }
+
+  test("ewmaDyadic: exact dyadic weights, short-history renormalization, horizon cutoff") {
+    val ev = Seq((1L, 1L, 1L, 8.0), (2L, 1L, 2L, 4.0), (3L, 1L, 3L, 2.0))
+      .toDF("event_id", "k", "ts", "v")
+    val got = graft.ext.Events.ewmaDyadic(ev, "k", "v", Seq("ts", "event_id"),
+        horizon = 2)
+      .orderBy("event_id").collect().map(_.getAs[Double]("ewma"))
+    // row1: 8; row2: (4*4 + 8*2)/6 = 5.333333; row3: (2*4+4*2+8*1)/7 = 24/7
+    assert(got.toSeq === Seq(8.0, 5.333333, 3.428571))
+    // beyond the horizon the old value drops out entirely
+    val ev4 = Seq((1L, 1L, 1L, 800.0), (2L, 1L, 2L, 4.0), (3L, 1L, 3L, 2.0),
+      (4L, 1L, 4L, 2.0)).toDF("event_id", "k", "ts", "v")
+    val last = graft.ext.Events.ewmaDyadic(ev4, "k", "v",
+        Seq("ts", "event_id"), horizon = 2)
+      .orderBy("event_id").collect().last.getAs[Double]("ewma")
+    assert(last === 2.285714) // round6 of 16/7: the 800 fell off entirely
+  }
+
+  test("cusumShift: flat series never alarms; a step shift alarms at the right instant") {
+    val flat = Seq.tabulate(20)(i => (i.toLong, 1L, i.toLong, 10.0))
+      .toDF("event_id", "k", "ts", "v")
+    val r1 = graft.ext.Events.cusumShift(flat, "k", "v",
+      Seq("ts", "event_id"), threshold = 0.5).collect()(0)
+    assert(r1.isNullAt(2) && r1.getDouble(4) === 0.0)
+    // 10 rows at 0 then 10 rows at 10: mean 5; |D_t|/n peaks mid-series
+    val step = Seq.tabulate(20)(i =>
+      (i.toLong, 1L, i.toLong, if (i < 10) 0.0 else 10.0))
+      .toDF("event_id", "k", "ts", "v")
+    val r2 = graft.ext.Events.cusumShift(step, "k", "v",
+      Seq("ts", "event_id"), threshold = 20.0).collect()(0)
+    // cum deviation after t rows of zeros = 5t; crosses 20 at t=5 (ts 4)
+    assert(r2.getLong(2) === 4L && r2.getDouble(4) === 50.0)
+  }
+
+  test("funnelWithExclusion: error between blocks; error outside does not; no-end is unconverted") {
+    val ev = Seq(
+      // user 1: signup(1) -> error(2) -> purchase(3): blocked
+      (1L, 1L, 1L, "signup"), (2L, 1L, 2L, "error"), (3L, 1L, 3L, "purchase"),
+      // user 2: error(0) -> signup(1) -> purchase(2) -> error(3): converts
+      (4L, 2L, 0L, "error"), (5L, 2L, 1L, "signup"),
+      (6L, 2L, 2L, "purchase"), (7L, 2L, 3L, "error"),
+      // user 3: signup, no purchase
+      (8L, 3L, 1L, "signup"),
+      // user 4: purchase BEFORE signup only: not converted
+      (9L, 4L, 0L, "purchase"), (10L, 4L, 1L, "signup"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = graft.ext.Events.funnelWithExclusion(ev, "signup", "purchase",
+        "error")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(5)), r.getBoolean(6)))
+    assert(got.toSeq === Seq((1L, Some(1L), false), (2L, Some(0L), true),
+      (3L, None, false), (4L, None, false)))
+  }
+
   test("trailingWindowFeatures: RANGE frame includes tie peers and the exact window edge") {
     val ev = Seq(
       (1L, 1L, 1000L, "view", 1.0),

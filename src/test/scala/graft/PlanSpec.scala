@@ -872,6 +872,45 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q201 interval islands: boundary, id, and fold share ONE key shuffle") {
+    val p = plan("q201_interval_islands")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"(key, island) fold must reuse the key partitioning:\n$p")
+    assert(!p.contains("Join"), s"island merge must never self-join:\n$p")
+  }
+
+  test("q202 EWMA: nine lags share one shuffle, one Window node") {
+    val p = plan("q202_ewma")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"the lag chain must ride one user_id shuffle:\n$p")
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"all horizon+1 lags must fold into ONE Window node:\n$p")
+  }
+
+  test("q203 CUSUM: running sums share one Window; totals fold off the scan") {
+    val p = plan("q203_cusum")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2,
+      s"window shuffle + (pruned) totals fold only:\n$p")
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"prefix sum and row count share one running frame:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-key totals must partial-aggregate map-side:\n$p")
+  }
+
+  test("q204 funnel exclusion: two Window nodes (carry depends on exc_run), no range self-join") {
+    val p = plan("q204_funnel_exclusion")
+    assert(p.sliding("Window".length).count(_ == "Window") == 2,
+      s"exc_run + first_start share a node; only the carry needs a second:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2,
+      s"starts fold (pruned scan) + window shuffle only:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"'between' is a counter subtraction — key-sized joins broadcast:\n$p")
+  }
+
   test("q196 trailing features: all three outputs share ONE key shuffle and Window") {
     val p = plan("q196_trailing_features")
     assert(p.sliding("Exchange hashpartitioning".length)
