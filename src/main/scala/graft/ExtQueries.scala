@@ -2440,6 +2440,73 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Functional-dependency discovery: which sources map to more than
+    // one lang — the does-this-key-determine-that-column profiling
+    // question. Two-level fold (pair fold first) so nothing rescans raw
+    // rows for the distinct count. Oracle: same two-level SQL.
+    "q205_fd_violations" -> ((s, dir) =>
+      graft.ext.Contract.fdViolations(docs(s, dir), Seq("source"), "lang")
+        .orderBy("source")),
+
+    // Dictionary encoding: dense ids by (freq DESC, value ASC) — a pure
+    // function of the data — then the encode join on a sampled slice.
+    // decode(encode(x)) == x is spec-pinned; the oracle rebuilds the
+    // dictionary with its own rank and joins it independently.
+    "q206_dict_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dict = graft.ext.Features.dictionary(d, "source")
+      graft.ext.Features.dictEncode(
+          d.filter(col("doc_id") % 7 === 0), "source", dict)
+        .select("doc_id", "source", "source_id")
+        .orderBy("doc_id")
+    }),
+
+    // Leave-one-out target encoding of source against lang='en': each
+    // row gets its category's positive rate computed WITHOUT itself —
+    // the leakage-safe target statistic. Integer core, one rounded
+    // division, null for singleton categories. Oracle: the same LOO
+    // algebra via window sums.
+    "q207_target_encode" -> ((s, dir) =>
+      graft.ext.Features.targetEncodeLoo(docs(s, dir), "source",
+          col("lang") === "en")
+        .select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("te_loo"))
+        .orderBy("doc_id")),
+
+    // Incremental view maintenance: status counts maintained from base
+    // counts + changelog deltas (pre-state -1 / post-state +1 per
+    // touched key) must equal a recount of the materialized q195 state.
+    // The engine emits BOTH channels; the oracle replays the changelog
+    // independently and emits its recount under both labels — only a
+    // correct delta fold can match.
+    "q208_ivm_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val ins = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit(0L).as("seq"), lit("I").as("op"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"))
+      val del = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val log = ins.unionByName(upd).unionByName(del)
+      val base = o.filter(col("o_orderkey") % 4 =!= 0)
+      val ivm = graft.ops.Resolve.ivmCounts(base, log, "o_orderkey",
+          Seq("seq"), "op", "o_orderstatus")
+        .select(lit("ivm").as("label"), col("o_orderstatus"), col("n"))
+      val recount = graft.ops.Resolve.applyChangelog(base, log,
+          "o_orderkey", Seq("seq"), "op",
+          Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(lit("recount").as("label"), col("o_orderstatus"), col("n"))
+      ivm.unionByName(recount).orderBy("label", "o_orderstatus")
+    }),
+
     // Gaps-and-islands interval merge: per-event intervals of varying
     // width (event_id-derived, so they nest and overlap) coalesce into
     // disjoint islands per user — validity-window/downtime coverage.
@@ -6932,6 +6999,68 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // FD violations: the same two-level fold
+      ("q205_fd_violations" ->
+        """WITH pairs AS (SELECT source, lang, count(*) AS n
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+          |  count(*) AS n_rhs, min(lang) AS rhs_min, max(lang) AS rhs_max
+          |FROM pairs GROUP BY source HAVING count(*) > 1
+          |ORDER BY source""".stripMargin) +
+      // dictionary: independent rank + join
+      ("q206_dict_encode" ->
+        """WITH dict AS (SELECT
+          |    CAST(row_number() OVER (ORDER BY freq DESC,
+          |      value ASC NULLS FIRST) AS BIGINT) AS id, value
+          |  FROM (SELECT source AS value, count(*) AS freq
+          |        FROM documents GROUP BY 1))
+          |SELECT d.doc_id, d.source, dict.id AS source_id
+          |FROM documents d JOIN dict ON d.source IS NOT DISTINCT FROM
+          |  dict.value
+          |WHERE d.doc_id % 7 = 0
+          |ORDER BY d.doc_id""".stripMargin) +
+      // LOO target encoding: the same algebra via window sums
+      ("q207_target_encode" -> {
+        val te = graft.ext.TextAnalysis.round6PortableSql(
+          "CAST(sy - y AS DOUBLE) / (nc - 1)")
+        s"""WITH d AS (SELECT doc_id, source,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |w AS (SELECT doc_id, source, y,
+           |    CAST(sum(y) OVER (PARTITION BY source) AS BIGINT) AS sy,
+           |    count(*) OVER (PARTITION BY source) AS nc
+           |  FROM d)
+           |SELECT doc_id, source, CAST(y AS BIGINT) AS y,
+           |  CASE WHEN nc > 1 THEN $te END AS te_loo
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) +
+      // IVM: the oracle replays the changelog (as in q195), recounts,
+      // and emits under BOTH labels
+      ("q208_ivm_counts" ->
+        """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+          |chlog AS (
+          |  SELECT o_orderkey, 0 AS seq, 'I' AS op, 'N' AS o_orderstatus
+          |  FROM o WHERE o_orderkey % 4 = 0
+          |  UNION ALL SELECT o_orderkey, 1, 'U', 'X'
+          |  FROM o WHERE o_orderkey % 3 = 0
+          |  UNION ALL SELECT o_orderkey, 2, 'D', NULL
+          |  FROM o WHERE o_orderkey % 5 = 0),
+          |latest AS (SELECT * FROM (
+          |    SELECT o_orderkey, op, o_orderstatus,
+          |      row_number() OVER (PARTITION BY o_orderkey
+          |        ORDER BY seq DESC) AS rn
+          |    FROM chlog) WHERE rn = 1),
+          |base AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0),
+          |fin AS (SELECT
+          |    CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+          |         ELSE b.o_orderstatus END AS o_orderstatus
+          |  FROM base b FULL OUTER JOIN latest l
+          |    ON b.o_orderkey = l.o_orderkey
+          |  WHERE l.op IS NULL OR l.op <> 'D'),
+          |rc AS (SELECT o_orderstatus, count(*) AS n FROM fin GROUP BY 1)
+          |SELECT 'ivm' AS label, o_orderstatus, n FROM rc
+          |UNION ALL SELECT 'recount', o_orderstatus, n FROM rc
+          |ORDER BY label, o_orderstatus""".stripMargin) +
       // interval islands: the same running-max boundary + running-sum id
       ("q201_interval_islands" ->
         """WITH iv AS (SELECT user_id, epoch_ms(ts) AS iv_start,

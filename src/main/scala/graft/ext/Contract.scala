@@ -124,4 +124,26 @@ object Contract {
       .orderBy("check_id")
       .drop("check_id")
   }
+
+  /** Functional-dependency violation discovery: which values of `lhs`
+    * map to MORE than one value of `rhs` — the "is this column really
+    * determined by that key?" profiling question behind normalization,
+    * dedup-key choice, and schema inference. Returns one row per
+    * violating lhs value with its row count, the number of distinct rhs
+    * values, and the lexicographic min/max rhs as the witness pair.
+    *
+    * Shape at scale: a two-level fold — groupBy(lhs, rhs) with map-side
+    * partials (the only row-scale shuffle, keyed by the pair), then a
+    * groupBy(lhs) over the pair-distinct rows. Never count(DISTINCT)
+    * over raw rows: the pair fold bounds what shuffles at the number of
+    * DISTINCT pairs, not rows. Output is violating-groups-sized. */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one lhs column")
+    df.groupBy((lhs :+ rhs).map(col): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(lhs.map(col): _*)
+      .agg(sum("__n").as("n_rows"), count(lit(1)).as("n_rhs"),
+        min(col(rhs)).as("rhs_min"), max(col(rhs)).as("rhs_max"))
+      .filter(col("n_rhs") > 1)
+  }
 }

@@ -109,4 +109,47 @@ object Resolve {
         when(col("__op").isNotNull, col(s"__lv.$c"))
           .otherwise(col(s"__bv.$c")).as(c)): _*)
   }
+
+  /** Incremental view maintenance of grouped COUNTs under the same
+    * changelog [[applyChangelog]] materializes: maintained counts =
+    * base counts + per-group deltas, where each touched key contributes
+    * −1 to its PRE-state group (its base row's group, if it had one)
+    * and +1 to its POST-state group (the latest log entry's group,
+    * unless that entry is a delete). The IVM promise — the refreshed
+    * aggregate never rescans the base beyond the touched keys' lookups.
+    *
+    * Shape at scale: the log folds to one row per touched key (the
+    * applyChangelog arg-max, partial_max map-side), joins the BASE KEYS
+    * only (key-partitioned equi-join — in a real serving store this is
+    * the point lookup), and the ±1s fold to group-sized deltas. The
+    * base counts fold once; nothing row-scale shuffles twice. The law
+    * (maintained == recount of the materialized state) is q208's
+    * hash-proven channel. */
+  def ivmCounts(base: DataFrame, log: DataFrame, keyCol: String,
+                seqCols: Seq[String], opCol: String,
+                groupCol: String): DataFrame = {
+    require(seqCols.nonEmpty, "ivmCounts needs ordering columns")
+    val packed = struct(seqCols.map(col) ++ Seq(col(opCol), col(groupCol)): _*)
+    val latest = log.groupBy(col(keyCol))
+      .agg(max(packed).as("__last"))
+      .select(col(keyCol), col(s"__last.$opCol").as("__op"),
+        col(s"__last.$groupCol").as("__new_g"))
+    val pre = base.select(col(keyCol), col(groupCol).as("__old_g"))
+      .join(latest, Seq(keyCol), "right")
+    val deltas = pre.select(explode(array(
+        struct(col("__old_g").as("g"),
+          when(col("__old_g").isNotNull, -1L).otherwise(0L).as("d")),
+        struct(col("__new_g").as("g"),
+          when(col("__op") =!= "D", 1L).otherwise(0L).as("d")))).as("x"))
+      .select(col("x.g").as(groupCol), col("x.d").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .groupBy(col(groupCol)).agg(sum("__d").as("__delta"))
+    val baseCounts = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n0"))
+    baseCounts.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("__n0"), lit(0L)) + coalesce(col("__delta"), lit(0L)))
+          .as("n"))
+      .filter(col("n") =!= 0L)
+  }
 }

@@ -2967,6 +2967,67 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("fdViolations: holding dependencies are silent; violations carry the witness pair") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s2", "en"), ("s2", "fr"),
+      ("s2", "de")).toDF("src", "lg")
+    val got = graft.ext.Contract.fdViolations(df, Seq("src"), "lg").collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getString(4)) === ("s2", 3L, 3L, "de", "fr"))
+  }
+
+  test("dictionary: frequency-then-value order, NULL encodable, decode∘encode == id") {
+    val df = Seq(Some("b"), Some("b"), Some("a"), Some("a"), Some("c"),
+      None).toDF("v")
+    val dict = graft.ext.Features.dictionary(df, "v")
+    val ids = dict.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    // freq 2 ties a<b; then c; NULL sorts first among freq-1? No: 'a'/'b'
+    // have freq 2; NULL and 'c' freq 1 with NULL first (asc_nulls_first)
+    assert(ids.toSeq === Seq((1L, Some("a"), 2L), (2L, Some("b"), 2L),
+      (3L, None, 1L), (4L, Some("c"), 1L)))
+    val enc = graft.ext.Features.dictEncode(df, "v", dict)
+    assert(enc.filter(col("v_id").isNull).count() === 0,
+      "every category incl. NULL must encode")
+    val back = graft.ext.Features.dictDecode(enc.drop("v"), "v", dict)
+    val orig = df.groupBy("v").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val rest = back.groupBy("v").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rest === orig, "decode(encode(x)) must restore the column")
+  }
+
+  test("targetEncodeLoo: peers-only rate, singleton null") {
+    val df = Seq(("A", true), ("A", false), ("A", true), ("B", true))
+      .toDF("cat", "y")
+    val got = graft.ext.Features.targetEncodeLoo(df, "cat", col("y"))
+      .orderBy("cat", "y").collect()
+      .map(r => (r.getString(0), Option(r.get(2))))
+    assert(got.toSeq === Seq(("A", Some(1.0)), ("A", Some(0.5)),
+      ("A", Some(0.5)), ("B", None)))
+  }
+
+  test("ivmCounts: deltas fold to exactly the recount of the materialized state") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "g")
+    val log = Seq(
+      (2L, 1L, "U", "g2"),                  // b -> g2
+      (3L, 1L, "D", null.asInstanceOf[String]),
+      (4L, 1L, "I", "a"),                   // new key into a
+      (5L, 1L, "I", "e"), (5L, 2L, "D", null.asInstanceOf[String]))
+      .toDF("k", "seq", "op", "g")
+    val ivm = graft.ops.Resolve.ivmCounts(base, log, "k", Seq("seq"),
+        "op", "g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ivm === Map("a" -> 2L, "g2" -> 1L))
+    val recount = graft.ops.Resolve.applyChangelog(
+        base.withColumn("v", lit(0)),
+        log.withColumn("v", lit(0)), "k", Seq("seq"), "op", Seq("g", "v"))
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ivm === recount, "IVM law: maintained == recount")
+  }
+
   test("goldenRecord: each column survives independently from first non-null precedence row") {
     val recs = Seq(
       (1L, 0L, 10L, None: Option[String], Some(100L)),  // top pri: name null

@@ -872,6 +872,42 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q205 FD violations: two-level fold, never count(DISTINCT) over raw rows") {
+    val p = plan("q205_fd_violations")
+    assert(p.contains("partial_count"),
+      s"the pair fold must partial-aggregate map-side:\n$p")
+    assert(!p.contains("distinct"),
+      s"the distinct-rhs count must come from the pair fold, not an expand:\n$p")
+    assert(!p.contains("text#"),
+      s"source+lang only; the scan must prune text:\n$p")
+  }
+
+  test("q206 dict encode: category-sized dictionary broadcasts onto the rows") {
+    val p = plan("q206_dict_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the dictionary side must broadcast, never shuffle the rows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"encode must not sort-merge a category-sized dictionary:\n$p")
+  }
+
+  test("q207 target encode: category stats broadcast back; no row-scale window") {
+    val p = plan("q207_target_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"category stats are category-sized — broadcast them:\n$p")
+    assert(!p.contains("Window"),
+      s"LOO encoding is a fold + join, not a per-row window:\n$p")
+    assert(p.contains("partial_count"),
+      s"category stats must partial-aggregate map-side:\n$p")
+  }
+
+  test("q208 IVM: log folds with partial max; touched-key join; no base rescan windows") {
+    val p = plan("q208_ivm_counts")
+    assert(p.contains("partial_max"),
+      s"the latest-entry fold must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"IVM is folds + joins — a window would rescan rows:\n$p")
+  }
+
   test("q201 interval islands: boundary, id, and fold share ONE key shuffle") {
     val p = plan("q201_interval_islands")
     assert(p.sliding("Exchange hashpartitioning".length)
