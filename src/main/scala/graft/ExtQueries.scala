@@ -2507,6 +2507,119 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // STREAM twin of q193: events arrive as time-ordered waves, each
+    // user's history buffers under an event-time watermark and replays
+    // in (ts, event_id) order at its quiet-period timeout — the fill a
+    // disorder-tolerant stream can actually guarantee. Sentinel files
+    // push the watermark past every timeout so all keys finalize. The
+    // final table answers q193's oracle VERBATIM: stream == batch == SQL.
+    "q209_stream_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratchDir("q209")
+      val landing = s"$base/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val ev = graft.ops.Ingest.withTsCols(t(s, dir, "events"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+      val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val (loMs, hiMs) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+      val third = math.max(1L, (hiMs - loMs) / 3 + 1)
+      val waved = ev.withColumn("wave",
+        floor((unix_millis(col("ts")) - lit(loMs)) / lit(third)).cast("int"))
+      (0 to 2).foreach(w =>
+        landFile(waved.filter(col("wave") === w).drop("wave"),
+          landing, s"w$w", w))
+      val quietMs = (hiMs - loMs) + 3600000L
+      (3 to 5).foreach { i =>
+        val sentTs = new java.sql.Timestamp(
+          hiMs + quietMs + i * 10L * 24 * 3600 * 1000)
+        landFile(Seq((-1L, -1L, sentTs, Option.empty[Double]))
+            .toDF("user_id", "event_id", "ts", "pv"),
+          landing, s"w$i-sentinel", i)
+      }
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .as[graft.streaming.StreamOps.FfEv]
+      val out = graft.streaming.StreamOps.forwardFillStream(stream,
+        quietMs, watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
+      val name = "graft_q209_ffill"
+      s.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).filter(col("user_id") >= 0)
+        .select("event_id", "user_id", "last_purchase_value", "obs_seen")
+        .orderBy("event_id")
+    }),
+
+    // STREAM twin of q208: changelog entries arrive SHUFFLED across
+    // waves (late-wave updates superseded by early-wave deletes and
+    // vice versa), each key's state emits correction rows, and the
+    // summed corrections + base counts must equal the batch recount —
+    // q208's oracle verbatim. Order-insensitivity is the law: the
+    // supersession retractions cancel whatever the arrival order was.
+    "q210_stream_ivm" -> ((s, dir) => {
+      import s.implicits._
+      val base0 = scratchDir("q210")
+      val landing = s"$base0/landing"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val ins = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), lit(0L).as("seq"),
+          lit("I").as("op"), col("o_orderstatus"))
+        .withColumn("o_orderstatus", lit("N"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+          lit("U").as("op"), lit("X").as("o_orderstatus"))
+      val del = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+          lit("D").as("op"), lit(null).cast("string").as("o_orderstatus"))
+      val baseT = o.filter(col("o_orderkey") % 4 =!= 0)
+      // pre-state lookup materialized into the fixture (the stateless
+      // stream-static join a live pipeline would run upstream)
+      val log = ins.unionByName(upd).unionByName(del)
+        .join(baseT.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("old_g")), Seq("k"), "left")
+        .select(col("k"), col("seq"), col("op"),
+          col("o_orderstatus").as("g"), col("old_g"))
+      // deliberately order-scrambling waves: (seq*7 + k) mod 4
+      (0 to 3).foreach(w =>
+        landFile(log.filter(pmod(col("seq") * 7 + col("k"), lit(4)) === w),
+          landing, s"w$w", w))
+      val schema = s.read.parquet(landing).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .as[graft.streaming.StreamOps.CdcEv]
+      val out = graft.streaming.StreamOps.ivmDeltaStream(stream)
+      val name = "graft_q210_ivm"
+      s.catalog.dropTempView(name)
+      val q = out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base0/ckpt")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val deltas = s.table(name).groupBy(col("g").as("o_orderstatus"))
+        .agg(sum("d").as("__delta"))
+      val maintained = baseT.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("__n0"))
+        .join(deltas, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("__n0"), lit(0L)) +
+            coalesce(col("__delta"), lit(0L))).as("n"))
+        .filter(col("n") =!= 0L)
+        .select(lit("ivm").as("label"), col("o_orderstatus"), col("n"))
+      val recount = graft.ops.Resolve.applyChangelog(
+          baseT.withColumn("__x", lit(0)),
+          ins.unionByName(upd).unionByName(del)
+            .select(col("k").as("o_orderkey"), col("seq"), col("op"),
+              col("o_orderstatus")).withColumn("__x", lit(0)),
+          "o_orderkey", Seq("seq"), "op", Seq("o_orderstatus", "__x"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(lit("recount").as("label"), col("o_orderstatus"), col("n"))
+      maintained.unionByName(recount).orderBy("label", "o_orderstatus")
+    }),
+
     // Gaps-and-islands interval merge: per-event intervals of varying
     // width (event_id-derived, so they nest and overlap) coalesce into
     // disjoint islands per user — validity-window/downtime coverage.
@@ -3248,6 +3361,49 @@ object ExtQueries {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Shared by q193 (batch forward fill) and q209 (its stream twin):
+    * both must hash to the SAME independently-derived fill. */
+  private val ffillOracleSql =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS pv
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(pv IGNORE NULLS) OVER w AS last_purchase_value,
+      |  count(pv) OVER w AS obs_seen
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Shared by q208 (batch IVM) and q210 (its stream twin): the oracle
+    * replays the changelog independently and emits its recount under
+    * BOTH labels — only a correct delta fold can match either channel. */
+  private val ivmOracleSql =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+      |chlog AS (
+      |  SELECT o_orderkey, 0 AS seq, 'I' AS op, 'N' AS o_orderstatus
+      |  FROM o WHERE o_orderkey % 4 = 0
+      |  UNION ALL SELECT o_orderkey, 1, 'U', 'X'
+      |  FROM o WHERE o_orderkey % 3 = 0
+      |  UNION ALL SELECT o_orderkey, 2, 'D', NULL
+      |  FROM o WHERE o_orderkey % 5 = 0),
+      |latest AS (SELECT * FROM (
+      |    SELECT o_orderkey, op, o_orderstatus,
+      |      row_number() OVER (PARTITION BY o_orderkey
+      |        ORDER BY seq DESC) AS rn
+      |    FROM chlog) WHERE rn = 1),
+      |base AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0),
+      |fin AS (SELECT
+      |    CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+      |         ELSE b.o_orderstatus END AS o_orderstatus
+      |  FROM base b FULL OUTER JOIN latest l
+      |    ON b.o_orderkey = l.o_orderkey
+      |  WHERE l.op IS NULL OR l.op <> 'D'),
+      |rc AS (SELECT o_orderstatus, count(*) AS n FROM fin GROUP BY 1)
+      |SELECT 'ivm' AS label, o_orderstatus, n FROM rc
+      |UNION ALL SELECT 'recount', o_orderstatus, n FROM rc
+      |ORDER BY label, o_orderstatus""".stripMargin
 
   /** Shared WITH-clause chain for the interpolated bigram LM (q95/q121):
     * per-position rounded DECIMAL log-probs in `lp` — ONE definition so
@@ -6940,17 +7096,10 @@ object ExtQueries {
           |  UNION ALL SELECT 'zz_unchanged', zz_unchanged FROM f)
           |ORDER BY label""".stripMargin) +
       // forward fill: the same IGNORE NULLS running window
-      ("q193_forward_fill" ->
-        """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-          |    CASE WHEN event_type = 'purchase' THEN value END AS pv
-          |  FROM events)
-          |SELECT event_id, user_id,
-          |  last_value(pv IGNORE NULLS) OVER w AS last_purchase_value,
-          |  count(pv) OVER w AS obs_seen
-          |FROM ev
-          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |ORDER BY event_id""".stripMargin) +
+      ("q193_forward_fill" -> ffillOracleSql) +
+      // the stream twin answers the SAME oracle: stream == batch == SQL
+      ("q209_stream_ffill" -> ffillOracleSql) +
+      ("q210_stream_ivm" -> ivmOracleSql) +
       // golden record: per-column IGNORE NULLS first_value in the same
       // (pri, doc_id) precedence, provenance from the surviving row
       ("q194_golden_record" ->
@@ -7036,31 +7185,7 @@ object ExtQueries {
       }) +
       // IVM: the oracle replays the changelog (as in q195), recounts,
       // and emits under BOTH labels
-      ("q208_ivm_counts" ->
-        """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
-          |chlog AS (
-          |  SELECT o_orderkey, 0 AS seq, 'I' AS op, 'N' AS o_orderstatus
-          |  FROM o WHERE o_orderkey % 4 = 0
-          |  UNION ALL SELECT o_orderkey, 1, 'U', 'X'
-          |  FROM o WHERE o_orderkey % 3 = 0
-          |  UNION ALL SELECT o_orderkey, 2, 'D', NULL
-          |  FROM o WHERE o_orderkey % 5 = 0),
-          |latest AS (SELECT * FROM (
-          |    SELECT o_orderkey, op, o_orderstatus,
-          |      row_number() OVER (PARTITION BY o_orderkey
-          |        ORDER BY seq DESC) AS rn
-          |    FROM chlog) WHERE rn = 1),
-          |base AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0),
-          |fin AS (SELECT
-          |    CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
-          |         ELSE b.o_orderstatus END AS o_orderstatus
-          |  FROM base b FULL OUTER JOIN latest l
-          |    ON b.o_orderkey = l.o_orderkey
-          |  WHERE l.op IS NULL OR l.op <> 'D'),
-          |rc AS (SELECT o_orderstatus, count(*) AS n FROM fin GROUP BY 1)
-          |SELECT 'ivm' AS label, o_orderstatus, n FROM rc
-          |UNION ALL SELECT 'recount', o_orderstatus, n FROM rc
-          |ORDER BY label, o_orderstatus""".stripMargin) +
+      ("q208_ivm_counts" -> ivmOracleSql) +
       // interval islands: the same running-max boundary + running-sum id
       ("q201_interval_islands" ->
         """WITH iv AS (SELECT user_id, epoch_ms(ts) AS iv_start,

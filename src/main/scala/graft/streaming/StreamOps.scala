@@ -442,6 +442,104 @@ object StreamOps {
       }
   }
 
+  case class FfEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                  pv: Option[Double])
+  case class FfBuf(evs: List[(Long, Long, Option[Double])], lastMs: Long)
+  case class FfOut(user_id: Long, event_id: Long,
+                   last_purchase_value: Option[Double], obs_seen: Long)
+
+  /** Streaming twin of [[graft.ext.Events.forwardFill]]: per key, every
+    * event is emitted with the most recent non-null observation at or
+    * before it and the running observation count. Arrival order inside
+    * the watermark does NOT matter: events buffer per key and the fill
+    * replays in (ts, event_id) order when the key's quiet-period timeout
+    * fires — the same disorder-tolerant finalize shape as
+    * [[funnelStream]]/[[sessionWindows]]. The cost is state = the key's
+    * in-flight events (bounded by the watermark horizon); a pipeline
+    * that can GUARANTEE per-key ordered arrival keeps just (last value,
+    * count) — the buffered form is the one that stays correct when it
+    * can't. Stream == batch is q209's oracle-proven law. */
+  def forwardFillStream(events: Dataset[FfEv], quietMs: Long,
+                        watermark: String): Dataset[FfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FfBuf, FfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FfEv], state: GroupState[FfBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { b =>
+              val sorted = b.evs.sortBy(e => (e._1, e._2))
+              val res = scala.collection.mutable.ListBuffer.empty[FfOut]
+              var last: Option[Double] = None
+              var seen = 0L
+              sorted.foreach { case (_, id, pv) =>
+                if (pv.isDefined) { last = pv; seen += 1 }
+                res += FfOut(user, id, last, seen)
+              }
+              res.iterator
+            }.getOrElse(Iterator.empty)
+            state.remove()
+            out
+          } else {
+            val add = rows.map(e => (e.ts.getTime, e.event_id, e.pv)).toList
+            val prev = state.getOption
+            val buf = FfBuf(prev.map(_.evs).getOrElse(Nil) ++ add,
+              (prev.map(_.lastMs).getOrElse(Long.MinValue) ::
+                add.map(_._1)).max)
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.lastMs + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  case class CdcEv(k: Long, seq: Long, op: String, g: Option[String],
+                   old_g: Option[String])
+  case class CdcState(maxSeq: Long, prevNew: Option[String],
+                      oldEmitted: Boolean)
+  case class DeltaOut(g: String, d: Long)
+
+  /** Streaming twin of [[graft.ops.Resolve.ivmCounts]]: changelog
+    * entries arrive as a stream (joined upstream to the base's pre-state
+    * group), and each key's state emits CORRECTION rows — −1 against the
+    * pre-state group the first time the key is touched, +1 for the
+    * current post-state group, and a retraction pair whenever a
+    * higher-seq entry supersedes the one already applied. Summing every
+    * emission per group (a downstream streaming aggregation) converges
+    * to exactly the batch delta REGARDLESS of arrival order — late or
+    * out-of-order entries only ever add a retraction pair; entries with
+    * seq ≤ the applied one emit nothing. NoTimeout: corrections flow
+    * per micro-batch, state is three small fields per touched key.
+    * Stream-final == batch-IVM == recount is q210's oracle-proven law. */
+  def ivmDeltaStream(log: Dataset[CdcEv]): Dataset[DeltaOut] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.k)
+      .flatMapGroupsWithState[CdcState, DeltaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[CdcEv], state: GroupState[CdcState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[DeltaOut]
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, None, false))
+          // apply in seq order within the batch; cross-batch order is
+          // irrelevant because supersession emits retractions
+          rows.toList.sortBy(_.seq).foreach { e =>
+            if (e.seq > st.maxSeq) {
+              if (!st.oldEmitted) {
+                e.old_g.foreach(g => out += DeltaOut(g, -1L))
+                st = st.copy(oldEmitted = true)
+              }
+              st.prevNew.foreach(g => out += DeltaOut(g, -1L))
+              val nw = if (e.op != "D") e.g else None
+              nw.foreach(g => out += DeltaOut(g, 1L))
+              st = CdcState(e.seq, nw, st.oldEmitted)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Convenience writer for tests/demos: stream to an in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

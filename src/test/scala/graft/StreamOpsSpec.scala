@@ -576,4 +576,59 @@ class StreamOpsSpec extends SparkTestBase {
       assert(out.head.getLong(1) === 2L)
     } finally q.stop()
   }
+
+  test("forwardFillStream: out-of-order arrival INSIDE the watermark still fills in event order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.FfEv]
+    val out = StreamOps.forwardFillStream(in.toDS(),
+      quietMs = 60000L, watermark = "1 hour")
+    val q = StreamOps.toMemorySink(out.toDF(), "ffill_test", OutputMode.Append())
+    def ts(ms: Long) = new Timestamp(86400000L + ms)
+    try {
+      // arrival order scrambles event order: the late-arriving EARLIER
+      // observation (5.0 at t=1s) must still fill the t=2s row
+      in.addData(StreamOps.FfEv(1L, 3L, ts(2000), None))
+      in.addData(StreamOps.FfEv(1L, 2L, ts(1000), Some(5.0)))
+      in.addData(StreamOps.FfEv(1L, 4L, ts(3000), Some(7.0)))
+      // watermark far past quiet timeout -> finalize user 1
+      in.addData(StreamOps.FfEv(99L, 9L, ts(2L * 3600 * 1000 + 120000), None))
+      q.processAllAvailable()
+      val got = spark.table("ffill_test").filter("user_id = 1")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)), r.getLong(3)))
+      assert(got.toSeq === Seq((2L, Some(5.0), 1L), (3L, Some(5.0), 1L),
+        (4L, Some(7.0), 2L)))
+    } finally q.stop()
+  }
+
+  test("ivmDeltaStream: supersession retractions make the sum order-insensitive") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def run(batches: Seq[Seq[StreamOps.CdcEv]], name: String): Map[String, Long] = {
+      val in = MemoryStream[StreamOps.CdcEv]
+      val q = StreamOps.toMemorySink(
+        StreamOps.ivmDeltaStream(in.toDS()).toDF(), name, OutputMode.Append())
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).groupBy("g").agg(sum("d").as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.filter(_._2 != 0L)
+    }
+    // key 1: base group a, U to b (seq 1), then D (seq 2)  -> -a
+    // key 2: no base, I to c (seq 1)                       -> +c
+    val fwd = Seq(
+      Seq(StreamOps.CdcEv(1L, 1L, "U", Some("b"), Some("a"))),
+      Seq(StreamOps.CdcEv(1L, 2L, "D", None, Some("a")),
+        StreamOps.CdcEv(2L, 1L, "I", Some("c"), None)))
+    // same entries, REVERSED arrival: the delete lands first, the
+    // stale update arrives later and must emit nothing
+    val rev = Seq(
+      Seq(StreamOps.CdcEv(1L, 2L, "D", None, Some("a")),
+        StreamOps.CdcEv(2L, 1L, "I", Some("c"), None)),
+      Seq(StreamOps.CdcEv(1L, 1L, "U", Some("b"), Some("a"))))
+    val a = run(fwd, "ivm_fwd")
+    val b = run(rev, "ivm_rev")
+    assert(a === Map("a" -> -1L, "c" -> 1L))
+    assert(b === a, "arrival order must not change the converged deltas")
+  }
 }
