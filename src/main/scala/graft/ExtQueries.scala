@@ -2507,6 +2507,53 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // Parent-pointer hierarchy resolved by pointer doubling: every doc
+    // maps to its forest root + depth in log2(depth) self-joins (the
+    // recursive-CTE question answered distributively). The oracle IS a
+    // recursive CTE — DuckDB walks every chain step by step; only a
+    // correct doubling loop matches it.
+    "q211_hierarchy_roots" -> ((s, dir) => {
+      val nodes = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") >= 10, expr("doc_id div 2")).as("parent"))
+      graft.ext.Graph.ancestorRoots(nodes, "doc_id", "parent", rounds = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Confusion-matrix report of the q40 lang-ID against the labels:
+    // per class, support on both sides, tp, and precision/recall/F1
+    // from exact integer forms (F1 = 2tp/(n_pred+n_actual), never the
+    // rounded p*r composite). Oracle: re-runs the classifier AND the
+    // report in SQL.
+    "q212_confusion_stats" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks",
+        TextAnalysis.tokens(col("text")))
+      val scored = Seq("en", "es", "fr", "de", "zh").foldLeft(d) {
+        (df, l) => df.withColumn(s"s_$l",
+          TextAnalysis.stopwordHits(col("toks"), l))
+      }
+      val withPred = scored.withColumn("pred_lang",
+        TextAnalysis.predictLang(col("s_en"), col("s_es"), col("s_fr"),
+          col("s_de"), col("s_zh")))
+      graft.ext.Profile.confusionStats(withPred, col("pred_lang"),
+        col("lang")).orderBy("clazz")
+    }),
+
+    // BPE decode-roundtrip law: for EVERY vocabulary word, gluing the
+    // encoded subwords back together and stripping the end-of-word
+    // marker must restore the word exactly, at any number of merges —
+    // and the subword count must match the oracle's own 8-round merge
+    // chain. decode . encode == id, cross-engine.
+    "q213_bpe_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rules = TextAnalysis.bpeTrainRules(d, "text", nMerges = 8)
+      TextAnalysis.bpeEncode(d, "text", rules)
+        .select(col("w"),
+          replace(concat_ws("", col("syms")), lit("</w>"), lit(""))
+            .as("decoded"),
+          size(col("syms")).cast("long").as("n_syms"))
+        .orderBy("w")
+    }),
+
     // STREAM twin of q193: events arrive as time-ordered waves, each
     // user's history buffers under an event-time watermark and replays
     // in (ts, event_id) order at its quiet-period timeout — the fill a
@@ -7148,6 +7195,69 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // hierarchy: the oracle walks every chain with a RECURSIVE CTE
+      ("q211_hierarchy_roots" ->
+        """WITH RECURSIVE d AS (SELECT doc_id,
+          |    CASE WHEN doc_id >= 10 THEN doc_id // 2 END AS parent
+          |  FROM documents),
+          |walk AS (
+          |  SELECT doc_id AS node, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+          |  FROM d
+          |  UNION ALL
+          |  SELECT w.node, d2.parent, w.depth + 1
+          |  FROM walk w JOIN d d2 ON w.cur = d2.doc_id
+          |  WHERE d2.parent IS NOT NULL)
+          |SELECT node AS doc_id, cur AS root, depth FROM walk
+          |QUALIFY row_number() OVER (PARTITION BY node
+          |  ORDER BY depth DESC) = 1
+          |ORDER BY doc_id""".stripMargin) +
+      // confusion report: classifier + integer PRF rebuilt in SQL
+      ("q212_confusion_stats" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t
+           |  FROM documents),
+           |scored AS (SELECT lang,
+           |    ${hits("en")} AS s_en, ${hits("es")} AS s_es,
+           |    ${hits("fr")} AS s_fr, ${hits("de")} AS s_de,
+           |    ${hits("zh")} AS s_zh
+           |  FROM toks),
+           |r AS (SELECT
+           |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+           |        AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh
+           |        THEN 'es'
+           |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           |       WHEN s_de >= s_zh THEN 'de'
+           |       ELSE 'zh' END AS p,
+           |  lang AS a FROM scored),
+           |cells AS (SELECT p, a, count(*) AS n FROM r GROUP BY 1, 2),
+           |bp AS (SELECT p AS clazz, CAST(sum(n) AS BIGINT) AS n_pred
+           |  FROM cells GROUP BY p),
+           |ba AS (SELECT a AS clazz, CAST(sum(n) AS BIGINT) AS n_actual
+           |  FROM cells GROUP BY a),
+           |tp AS (SELECT p AS clazz, CAST(n AS BIGINT) AS tp FROM cells
+           |  WHERE p IS NOT DISTINCT FROM a),
+           |j AS (SELECT coalesce(bp.clazz, ba.clazz) AS clazz,
+           |    coalesce(n_pred, 0) AS n_pred,
+           |    coalesce(n_actual, 0) AS n_actual,
+           |    coalesce(tp.tp, 0) AS tp
+           |  FROM bp FULL OUTER JOIN ba ON bp.clazz = ba.clazz
+           |  LEFT JOIN tp ON coalesce(bp.clazz, ba.clazz) = tp.clazz)
+           |SELECT clazz, n_pred, n_actual, tp,
+           |  CASE WHEN n_pred > 0 THEN
+           |    ${r6("CAST(tp AS DOUBLE) / n_pred")} END AS precision,
+           |  CASE WHEN n_actual > 0 THEN
+           |    ${r6("CAST(tp AS DOUBLE) / n_actual")} END AS recall,
+           |  CASE WHEN n_pred + n_actual > 0 THEN
+           |    ${r6("CAST(2 * tp AS DOUBLE) / (n_pred + n_actual)")} END AS f1
+           |FROM j ORDER BY clazz""".stripMargin
+      }) +
+      // BPE roundtrip: the oracle's own 8-round merge chain supplies
+      // the word, the identity, and the independent subword count
+      ("q213_bpe_roundtrip" ->
+        s"""${bpeCtesSql(8)}
+           |SELECT w, w AS decoded, CAST(len(syms) AS BIGINT) AS n_syms
+           |FROM s8 ORDER BY w""".stripMargin) +
       // FD violations: the same two-level fold
       ("q205_fd_violations" ->
         """WITH pairs AS (SELECT source, lang, count(*) AS n

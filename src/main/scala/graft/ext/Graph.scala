@@ -311,4 +311,56 @@ object Graph {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Resolve every node of a parent-pointer FOREST (org charts, category
+    * trees, reply threads, file systems) to its root and depth by
+    * pointer doubling: the state (node → current ancestor, steps) is
+    * ITSELF the jump function, so joining the state to itself doubles
+    * every pointer's reach — depth 2^rounds resolves in `rounds`
+    * equi-joins, where the naive parent-walk would need depth joins.
+    * Roots hold a zero-step self-loop, the squaring fixed point.
+    *
+    * Shape at scale: each round is ONE equi-join of two node-sized
+    * tables (shuffle on the ancestor key), materialized-and-released so
+    * the loop holds two rounds of blocks ([[pageRank]]'s discipline —
+    * Materialize.release scaladoc). After the loop, one verification
+    * join asserts every pointer reached a fixed point and throws loudly
+    * if the forest is deeper than 2^rounds (or cyclic — a cycle never
+    * resolves and is caught by the same audit). */
+  def ancestorRoots(nodes: DataFrame, idCol: String, parentCol: String,
+                    rounds: Int = 7): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"rounds must be in [1, 12] (depth reach 2^rounds), got $rounds")
+    val s0 = graft.ops.Materialize.stable(
+      nodes.select(col(idCol).as("node"),
+        coalesce(col(parentCol), col(idCol)).as("cur"),
+        when(col(parentCol).isNotNull, 1L).otherwise(0L).as("depth")),
+      "anc-s0")
+    val out = (1 to rounds).foldLeft(s0) { (s, i) =>
+      val jump = s.select(col("node").as("__jn"), col("cur").as("__jc"),
+        col("depth").as("__jd"))
+      val next = graft.ops.Materialize.stable(
+        s.join(jump, col("cur") === col("__jn"))
+          .select(col("node"), col("__jc").as("cur"),
+            (col("depth") + col("__jd")).as("depth")),
+        s"anc-s$i")
+      graft.ops.Materialize.release(s)
+      next
+    }
+    // root audit: every final pointer must land on a TRUE root (null
+    // parent in the ORIGINAL table). A mere self-loop fixed point is
+    // not enough — an even-length cycle converges to self-pointers, so
+    // checking against the original parents is what catches both the
+    // too-shallow-rounds case and cycles of any length.
+    val parents = nodes.select(col(idCol).as("__vn"),
+      col(parentCol).as("__vp"))
+    val unresolved = out.join(parents, col("cur") === col("__vn"))
+      .filter(col("__vp").isNotNull).count()
+    require(unresolved == 0L,
+      s"ancestorRoots: $unresolved pointers unresolved after $rounds " +
+        "rounds — forest deeper than 2^rounds, or cyclic; raise `rounds`")
+    // the final round's blocks back the returned frame — the caller
+    // consumes them (pageRank's convention; Bench unpersists per query)
+    out.select(col("node").as(idCol), col("cur").as("root"), col("depth"))
+  }
 }

@@ -727,6 +727,44 @@ object Profile {
           col("sb").cast("double") / col("n")).as("brier"))
   }
 
+  /** Per-class precision/recall/F1 from a predicted-vs-actual pair —
+    * the confusion-matrix report behind every classifier gate. All
+    * three scores come from EXACT integer forms (precision tp/(tp+fp),
+    * recall tp/(tp+fn), F1 as 2tp/(2tp+fp+fn) — never the rounded
+    * p·r composite), one rounded division each; a class never predicted
+    * gets null precision, never present gets null recall. Classes are
+    * the union of both sides (full outer on the marginals).
+    *
+    * Shape at scale: one (pred, actual) cell fold with map-side
+    * partials; marginals and tp are cells-sized folds joined class-to-
+    * class. One row per class. */
+  def confusionStats(df: DataFrame, pred: Column, actual: Column): DataFrame = {
+    val cells = df.groupBy(pred.cast("string").as("p"),
+        actual.cast("string").as("a"))
+      .agg(count(lit(1)).as("n"))
+    val byPred = cells.groupBy(col("p").as("clazz"))
+      .agg(sum("n").as("n_pred"))
+    val byAct = cells.groupBy(col("a").as("clazz"))
+      .agg(sum("n").as("n_actual"))
+    val tp = cells.filter(col("p") <=> col("a"))
+      .select(col("p").as("clazz"), col("n").as("tp"))
+    byPred.join(byAct, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        TextAnalysis.round6Portable(
+          col("tp").cast("double") / col("n_pred"))))
+      .withColumn("recall", when(col("n_actual") > 0,
+        TextAnalysis.round6Portable(
+          col("tp").cast("double") / col("n_actual"))))
+      .withColumn("f1", when(col("n_pred") + col("n_actual") > 0,
+        TextAnalysis.round6Portable((lit(2L) * col("tp")).cast("double") /
+          (col("n_pred") + col("n_actual")))))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two raters
     * (model vs labels, two model versions, annotator vs annotator):
     * κ = (p_o − p_e)/(1 − p_e) computed from the EXACT integer identity

@@ -2967,6 +2967,35 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("ancestorRoots: chains, singleton roots, forest isolation; cycle throws loudly") {
+    // two trees: 1 <- 2 <- 4 <- 8 (depth 3) and 3 <- 6; singleton 5
+    val nodes = Seq((1L, None), (2L, Some(1L)), (4L, Some(2L)),
+      (8L, Some(4L)), (3L, None), (6L, Some(3L)), (5L, None))
+      .toDF("id", "parent")
+    val got = graft.ext.Graph.ancestorRoots(nodes, "id", "parent", rounds = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 0L),
+      (4L, 1L, 2L), (5L, 5L, 0L), (6L, 3L, 1L), (8L, 1L, 3L)))
+    // a cycle can never resolve to a fixed point: the audit throws
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
+    intercept[IllegalArgumentException] {
+      graft.ext.Graph.ancestorRoots(cyc, "id", "parent", rounds = 3) }
+  }
+
+  test("confusionStats: per-class integer PRF; never-predicted class has null precision") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"),
+      ("a", "c")).toDF("p", "a")
+    val got = graft.ext.Profile.confusionStats(df, col("p"), col("a"))
+      .orderBy("clazz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+    assert(got.toSeq === Seq(
+      ("a", 4L, 3L, 2L, Some(0.5), Some(0.666667), Some(0.571429)),
+      ("b", 1L, 1L, 0L, Some(0.0), Some(0.0), Some(0.0)),
+      ("c", 0L, 1L, 0L, None, Some(0.0), Some(0.0))))
+  }
+
   test("fdViolations: holding dependencies are silent; violations carry the witness pair") {
     val df = Seq(("s1", "en"), ("s1", "en"), ("s2", "en"), ("s2", "fr"),
       ("s2", "de")).toDF("src", "lg")

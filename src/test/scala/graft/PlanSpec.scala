@@ -872,6 +872,18 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q212 confusion stats: one cell fold, cells-sized joins, no window") {
+    val p = plan("q212_confusion_stats")
+    assert(p.contains("partial_count"),
+      s"the (pred, actual) cells must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"PRF is folds + class-sized joins, never a window:\n$p")
+    // the marginals meet in a FULL OUTER join, which Spark can never
+    // broadcast — a sort-merge of two class-sized aggregates is the
+    // right plan; what must NOT happen is a row-scale join, which the
+    // partial_count-before-exchange pin above already excludes.
+  }
+
   test("q205 FD violations: two-level fold, never count(DISTINCT) over raw rows") {
     val p = plan("q205_fd_violations")
     assert(p.contains("partial_count"),
