@@ -2507,6 +2507,55 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // Pre-join skew report for lineitem's supplier key: exact p50/p99
+    // group sizes from counts-of-counts (never a row sort), max share —
+    // the numbers that pick plain vs salted vs AQE-skew join. Oracle:
+    // the same integer rank arithmetic in SQL.
+    "q214_skew_report" -> ((s, dir) =>
+      graft.ops.JoinOps.skewReport(t(s, dir, "lineitem"), "l_suppkey")),
+
+    // Merkle-style replica diff: both sides fold to 64 bucket
+    // fingerprints (keyed hash partitioning, exact monoids) and only
+    // disagreeing buckets return — the anti-entropy screen that makes
+    // 100 TB replica repair exchange 64 rows, not rows. The perturbed
+    // side drops doc_id%97==0 and bumps n_chars on %89==0. Oracle:
+    // rebuilds both sides' bucket fingerprints from scratch.
+    "q215_bucket_diff" -> ((s, dir) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val a = docs(s, dir).select(cols.map(col): _*)
+      val b = a.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 89 === 0,
+          col("n_chars") + 1L).otherwise(col("n_chars")))
+      graft.ext.Profile.bucketDiff(a, b, Seq("doc_id"), cols, 64)
+        .orderBy("bucket")
+    }),
+
+    // The repair-plan capstone: bucketDiff finds the dirty buckets,
+    // the row-level snapshotDiff runs on THOSE buckets ONLY, and the
+    // plan reports per-column damage + the dirty-bucket count — the
+    // full anti-entropy protocol in one audit. The oracle rebuilds the
+    // dirty-bucket set AND the scoped diff independently.
+    "q216_repair_plan" -> ((s, dir) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val a = docs(s, dir).select(cols.map(col): _*)
+      val b = a.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 89 === 0,
+          col("n_chars") + 1L).otherwise(col("n_chars")))
+      val dirty = graft.ext.Profile.bucketDiff(a, b, Seq("doc_id"), cols, 64)
+        .select("bucket")
+      val bucketOf = pmod(graft.ext.TextAnalysis.h60(
+        concat(lit("v"), length(col("doc_id").cast("string")), lit(":"),
+          col("doc_id").cast("string"))), lit(64))
+      def scoped(df: DataFrame) = df.withColumn("__b", bucketOf)
+        .join(broadcast(dirty), col("__b") === col("bucket"), "left_semi")
+        .drop("__b")
+      val diff = graft.ext.Profile.snapshotDiff(scoped(a), scoped(b),
+        Seq("doc_id"), Seq("lang", "source", "n_chars"))
+      diff.unionByName(dirty.agg(count(lit(1)).as("n"))
+          .select(lit("zz_dirty_buckets").as("label"), col("n")))
+        .orderBy("label")
+    }),
+
     // Parent-pointer hierarchy resolved by pointer doubling: every doc
     // maps to its forest root + depth in log2(depth) self-joins (the
     // recursive-CTE question answered distributively). The oracle IS a
@@ -3408,6 +3457,77 @@ object ExtQueries {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** q215/q216 mirror: both replica sides derived by formula, bucket
+    * fingerprints rebuilt from scratch; `withRepair` adds the scoped
+    * row-level diff + dirty-bucket count (the q216 plan). */
+  private def bucketDiffOracleSql(withRepair: Boolean): String = {
+    val encK = "'v' || length(CAST(doc_id AS VARCHAR)) || ':' || " +
+      "CAST(doc_id AS VARCHAR)"
+    val hK = graft.ext.TextAnalysis.h60Sql(s"($encK)")
+    val encAll = Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"coalesce('v' || length(CAST($c AS VARCHAR)) || ':' || " +
+        s"CAST($c AS VARCHAR), 'null:')").mkString(" || ")
+    val hAll = graft.ext.TextAnalysis.h60Sql(s"($encAll)")
+    val common =
+      s"""WITH a AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         |b AS (SELECT doc_id, lang, source,
+         |    CASE WHEN doc_id % 89 = 0 THEN n_chars + 1
+         |         ELSE n_chars END AS n_chars
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |fa AS (SELECT $hK % 64 AS bucket, count(*) AS n_a,
+         |    CAST(sum($hAll) % 2305843009213693951 AS BIGINT) AS sum_a,
+         |    bit_xor($hAll) AS xor_a FROM a GROUP BY 1),
+         |fb AS (SELECT $hK % 64 AS bucket, count(*) AS n_b,
+         |    CAST(sum($hAll) % 2305843009213693951 AS BIGINT) AS sum_b,
+         |    bit_xor($hAll) AS xor_b FROM b GROUP BY 1),
+         |dirty AS (SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+         |    n_a, sum_a, xor_a, n_b, sum_b, xor_b
+         |  FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+         |  WHERE n_a IS DISTINCT FROM n_b OR sum_a IS DISTINCT FROM sum_b
+         |     OR xor_a IS DISTINCT FROM xor_b)""".stripMargin
+    if (!withRepair)
+      s"""$common
+         |SELECT bucket, n_a, sum_a, xor_a, n_b, sum_b, xor_b
+         |FROM dirty ORDER BY bucket""".stripMargin
+    else
+      s"""$common,
+         |sa AS (SELECT * FROM a
+         |  WHERE $hK % 64 IN (SELECT bucket FROM dirty)),
+         |sb AS (SELECT * FROM b
+         |  WHERE $hK % 64 IN (SELECT bucket FROM dirty)),
+         |j AS (SELECT sa.doc_id AS ok, sb.doc_id AS nk,
+         |    sa.lang AS ol, sb.lang AS nl, sa.source AS os,
+         |    sb.source AS ns, sa.n_chars AS oc, sb.n_chars AS nc
+         |  FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id),
+         |f AS (SELECT
+         |  count(*) FILTER (WHERE ok IS NULL) AS zz_added,
+         |  count(*) FILTER (WHERE nk IS NULL) AS zz_removed,
+         |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+         |    AND (ol IS DISTINCT FROM nl OR os IS DISTINCT FROM ns
+         |         OR oc IS DISTINCT FROM nc)) AS zz_changed,
+         |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+         |    AND ol IS NOT DISTINCT FROM nl AND os IS NOT DISTINCT FROM ns
+         |    AND oc IS NOT DISTINCT FROM nc) AS zz_unchanged,
+         |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+         |    AND ol IS DISTINCT FROM nl) AS chg_lang,
+         |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+         |    AND os IS DISTINCT FROM ns) AS chg_source,
+         |  count(*) FILTER (WHERE ok IS NOT NULL AND nk IS NOT NULL
+         |    AND oc IS DISTINCT FROM nc) AS chg_n_chars
+         |  FROM j)
+         |SELECT label, n FROM (
+         |  SELECT 'chg_lang' AS label, chg_lang AS n FROM f
+         |  UNION ALL SELECT 'chg_source', chg_source FROM f
+         |  UNION ALL SELECT 'chg_n_chars', chg_n_chars FROM f
+         |  UNION ALL SELECT 'zz_added', zz_added FROM f
+         |  UNION ALL SELECT 'zz_removed', zz_removed FROM f
+         |  UNION ALL SELECT 'zz_changed', zz_changed FROM f
+         |  UNION ALL SELECT 'zz_unchanged', zz_unchanged FROM f
+         |  UNION ALL SELECT 'zz_dirty_buckets',
+         |    (SELECT count(*) FROM dirty))
+         |ORDER BY label""".stripMargin
+  }
 
   /** Shared by q193 (batch forward fill) and q209 (its stream twin):
     * both must hash to the SAME independently-derived fill. */
@@ -7195,6 +7315,31 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // skew report: same counts-of-counts + integer rank arithmetic
+      ("q214_skew_report" -> {
+        val share = graft.ext.TextAnalysis.round6PortableSql(
+          "CAST(max_gs AS DOUBLE) / n_rows")
+        s"""WITH g AS (SELECT l_suppkey, count(*) AS gs FROM lineitem
+           |  GROUP BY 1),
+           |d AS (SELECT gs, count(*) AS nk FROM g GROUP BY gs),
+           |c AS (SELECT gs, nk, sum(nk) OVER (ORDER BY gs
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d),
+           |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+           |    CAST(sum(gs * nk) AS BIGINT) AS n_rows,
+           |    max(gs) AS max_gs FROM c),
+           |p5 AS (SELECT min(gs) AS p50_gs FROM c, t
+           |  WHERE cum >= (50 * n_keys + 99) // 100),
+           |p9 AS (SELECT min(gs) AS p99_gs FROM c, t
+           |  WHERE cum >= (99 * n_keys + 99) // 100)
+           |SELECT n_rows, n_keys, max_gs, p50_gs, p99_gs,
+           |  $share AS top1_share
+           |FROM t, p5, p9""".stripMargin
+      }) +
+      // bucket diff: both sides' bucket fingerprints from scratch
+      ("q215_bucket_diff" -> bucketDiffOracleSql(withRepair = false)) +
+      // repair plan: dirty buckets + the scoped row diff, independent
+      ("q216_repair_plan" -> bucketDiffOracleSql(withRepair = true)) +
       // hierarchy: the oracle walks every chain with a RECURSIVE CTE
       ("q211_hierarchy_roots" ->
         """WITH RECURSIVE d AS (SELECT doc_id,

@@ -570,6 +570,35 @@ object Profile {
           .cast("long").as("sum_mod"),
         expr("bit_xor(h)").as("xor60"))
 
+  /** Merkle-style anti-entropy screen between two replicas/snapshots:
+    * rows hash-partition into `buckets` by KEY (so a changed value
+    * stays in its bucket), each side folds to one fingerprint row per
+    * bucket ([[groupedFingerprint]]'s exact monoids), and only buckets
+    * whose (n_rows, sum_mod, xor60) triples disagree come back. The
+    * replica-repair protocol at 100 TB: exchange `buckets` rows of
+    * three integers each, then run the row-level [[snapshotDiff]] on
+    * the dirty buckets ONLY — never full-table compare traffic.
+    * q216 chains exactly that repair plan. */
+  def bucketDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                 cols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "bucketDiff needs key columns")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    def side(df: DataFrame): DataFrame =
+      groupedFingerprint(
+        df.withColumn("__bucket",
+          pmod(fingerprintRowHash(keyCols), lit(buckets)).cast("string")),
+        cols, "__bucket")
+    side(a).select(col("label").cast("long").as("bucket"),
+        col("n_rows").as("n_a"), col("sum_mod").as("sum_a"),
+        col("xor60").as("xor_a"))
+      .join(side(b).select(col("label").cast("long").as("bucket"),
+        col("n_rows").as("n_b"), col("sum_mod").as("sum_b"),
+        col("xor60").as("xor_b")), Seq("bucket"), "full_outer")
+      .filter(!(col("n_a") <=> col("n_b")) ||
+        !(col("sum_a") <=> col("sum_b")) || !(col("xor_a") <=> col("xor_b")))
+  }
+
   /** Keyed two-snapshot diff — the EXPLANATION to [[tableFingerprint]]'s
     * verdict: when the fingerprints disagree, this says how. One keyed
     * full-outer join classifies every key as added (new only), removed

@@ -138,4 +138,38 @@ object JoinOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(reserved)
   }
+
+  /** Pre-join skew report for a key column — the numbers that decide
+    * between a plain join, [[saltedEquiJoin]], and AQE skew handling:
+    * row/key counts, the largest group, exact p50/p99 group sizes, and
+    * the heaviest key's share of all rows. ONE row out.
+    *
+    * Exact quantiles WITHOUT sorting rows: group sizes fold to
+    * counts-of-counts (distinct-sizes-sized — the q205 two-level-fold
+    * idiom), and the percentile is the smallest size whose running key
+    * count reaches ceil(p·n_keys/100) — integer rank arithmetic on a
+    * window over DISTINCT sizes only (the bounded-cardinality contract
+    * shared with rocAuc). The share is the single rounded division. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("gs"))
+    val dist = sizes.groupBy("gs").agg(count(lit(1)).as("nk"))
+    val run = Window.orderBy("gs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist.withColumn("cum", sum("nk").over(run))
+    val tot = cum.agg(sum("nk").as("n_keys"),
+      sum(col("gs") * col("nk")).as("n_rows"), max("gs").as("max_gs"))
+    def pct(p: Int) = {
+      // smallest size whose cumulative key count reaches ceil(p*n/100),
+      // in INTEGER arithmetic ((p*n + 99) div 100 — never a double rank)
+      cum.crossJoin(broadcast(tot.select("n_keys")))
+        .filter(col("cum") >= expr(s"($p * n_keys + 99) div 100"))
+        .agg(min("gs").as(s"p${p}_gs"))
+    }
+    tot.crossJoin(broadcast(pct(50))).crossJoin(broadcast(pct(99)))
+      .select(col("n_rows"), col("n_keys"), col("max_gs"),
+        col("p50_gs"), col("p99_gs"),
+        graft.ext.TextAnalysis.round6Portable(
+          col("max_gs").cast("double") / col("n_rows")).as("top1_share"))
+  }
 }

@@ -2967,6 +2967,32 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("skewReport: exact rank percentiles from counts-of-counts; top-1 share") {
+    val rows = Seq.tabulate(4)(i => (s"k$i", 0)) ++
+      Seq.fill(97)(("hot", 0))
+    val r = graft.ops.JoinOps.skewReport(rows.toDF("k", "x"), "k")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (101L, 5L, 97L, 1L, 97L))
+    assert(r.getDouble(5) === 0.960396) // round6(97/101)
+  }
+
+  test("bucketDiff: identical replicas are silent; one perturbed row dirties its bucket only") {
+    val a = Seq.tabulate(200)(i => (i.toLong, s"v$i")).toDF("id", "s")
+    assert(graft.ext.Profile.bucketDiff(a, a, Seq("id"), Seq("id", "s"),
+      16).count() === 0L, "clean replicas must exchange zero dirty buckets")
+    val b = a.withColumn("s",
+      when(col("id") === 42L, lit("changed")).otherwise(col("s")))
+    val dirty = graft.ext.Profile.bucketDiff(a, b, Seq("id"),
+      Seq("id", "s"), 16).collect()
+    assert(dirty.length === 1, "one changed row must dirty exactly one bucket")
+    val d = dirty(0)
+    assert(d.getLong(1) === d.getLong(4),
+      "a value change keeps the bucket's row count")
+    assert(d.getLong(2) !== d.getLong(5),
+      "sum_mod must catch the changed value")
+  }
+
   test("ancestorRoots: chains, singleton roots, forest isolation; cycle throws loudly") {
     // two trees: 1 <- 2 <- 4 <- 8 (depth 3) and 3 <- 6; singleton 5
     val nodes = Seq((1L, None), (2L, Some(1L)), (4L, Some(2L)),

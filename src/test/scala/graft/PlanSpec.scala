@@ -872,6 +872,27 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q214 skew report: counts-of-counts folds, bounded window, 1-row broadcasts") {
+    val p = plan("q214_skew_report")
+    assert(p.contains("partial_count"),
+      s"group sizes must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals/percentiles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"everything after the size fold is rows-of-sizes tiny:\n$p")
+  }
+
+  test("q215 bucket diff: both sides fold to bucket fingerprints before meeting") {
+    val p = plan("q215_bucket_diff")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"bucket fingerprints must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"anti-entropy is folds + a bucket-sized join, never a window:\n$p")
+    assert(!p.contains("text#"),
+      s"the fingerprint columns exclude text; the scan must prune it:\n$p")
+  }
+
   test("q212 confusion stats: one cell fold, cells-sized joins, no window") {
     val p = plan("q212_confusion_stats")
     assert(p.contains("partial_count"),
