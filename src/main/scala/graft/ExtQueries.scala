@@ -2507,6 +2507,47 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // Largest-remainder apportionment: a 1000-row sample budget split
+    // across sources EXACTLY proportionally — floors + one seat per
+    // largest remainder, pure integer compares, sum == budget always.
+    // Oracle: the same Hamilton algebra in SQL.
+    "q217_apportion" -> ((s, dir) =>
+      TextAnalysis.apportion(docs(s, dir), "source", 1000L)
+        .orderBy("source")),
+
+    // Per-source dataset card: the datasheet row a corpus release
+    // ships — volume, char mass, language mix share, English fraction,
+    // mean quality-proxy (stopword ratio), distinct langs — every
+    // float 6-dp-rounded off an exact integer/DECIMAL core. Oracle:
+    // rebuilds the card from the raw table.
+    "q218_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_en", TextAnalysis.stopwordHits(col("toks"), "en"))
+        .withColumn("sr", when(col("n_tok") > 0,
+          TextAnalysis.round6Portable(
+            col("stop_en").cast("double") / col("n_tok"))).otherwise(0.0))
+      val tot = d.agg(count(lit(1)).as("__n_all"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          countDistinct("lang").as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(col("sr").cast(DecimalType(24, 6))).as("__sr_sum"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("n_langs"),
+          TextAnalysis.round6Portable(
+            col("n_docs").cast("double") / col("__n_all")).as("share"),
+          TextAnalysis.round6Portable(
+            col("n_en").cast("double") / col("n_docs")).as("frac_en"),
+          TextAnalysis.round6Portable(
+            col("__sr_sum").cast("double") / col("n_docs"))
+            .as("mean_stop_ratio"))
+        .orderBy("source")
+    }),
+
     // Pre-join skew report for lineitem's supplier key: exact p50/p99
     // group sizes from counts-of-counts (never a row sort), max share —
     // the numbers that pick plain vs salted vs AQE-skew join. Oracle:
@@ -7315,6 +7356,47 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // apportionment: the same Hamilton integer algebra
+      ("q217_apportion" ->
+        """WITH g AS (SELECT source, count(*) AS n_rows FROM documents
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM g),
+          |b AS (SELECT source, n_rows,
+          |    (1000 * n_rows) // tot AS fl,
+          |    1000 * n_rows - ((1000 * n_rows) // tot) * tot AS rem
+          |  FROM g, t),
+          |k AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS k FROM b),
+          |r AS (SELECT source, n_rows, fl,
+          |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+          |  FROM b)
+          |SELECT source, n_rows,
+          |  CAST(fl + CASE WHEN rk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+          |    AS quota
+          |FROM r, k ORDER BY source""".stripMargin) +
+      // dataset card: rebuilt from the raw table
+      ("q218_dataset_card" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH d AS (SELECT source, lang, n_chars, $toksSql AS t
+           |  FROM documents),
+           |m AS (SELECT source, lang, n_chars, len(t) AS n_tok,
+           |    ${hits("en")} AS s_en FROM d),
+           |sr AS (SELECT source, lang, n_chars,
+           |    CASE WHEN n_tok > 0 THEN
+           |      ${r6("CAST(s_en AS DOUBLE) / n_tok")} ELSE 0.0 END AS sr
+           |  FROM m),
+           |t AS (SELECT count(*) AS n_all FROM sr),
+           |g AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    count(DISTINCT lang) AS n_langs,
+           |    count(*) FILTER (WHERE lang = 'en') AS n_en,
+           |    sum(CAST(sr AS DECIMAL(24,6))) AS sr_sum
+           |  FROM sr GROUP BY source)
+           |SELECT source, n_docs, n_chars, n_langs,
+           |  ${r6("CAST(n_docs AS DOUBLE) / n_all")} AS share,
+           |  ${r6("CAST(n_en AS DOUBLE) / n_docs")} AS frac_en,
+           |  ${r6("CAST(sr_sum AS DOUBLE) / n_docs")} AS mean_stop_ratio
+           |FROM g, t ORDER BY source""".stripMargin
+      }) +
       // skew report: same counts-of-counts + integer rank arithmetic
       ("q214_skew_report" -> {
         val share = graft.ext.TextAnalysis.round6PortableSql(

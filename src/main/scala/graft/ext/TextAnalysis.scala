@@ -350,6 +350,39 @@ object TextAnalysis {
     * the GROUP's row count — fine for eval-sized strata, and at
     * corpus-sized groups pre-filter with a hash threshold slightly above
     * the target rate, then exact-rank the survivors. */
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across groups proportional to their sizes: quota_i =
+    * floor(N·n_i/total) plus one extra seat for the k largest
+    * remainders (k = N − Σ floors; ties broken by group value
+    * ascending — fully deterministic). The standard way to turn "mix
+    * 35% web / 40% books / 25% code" into EXACT per-source sample
+    * budgets that sum to N precisely — proportional rounding that
+    * never over- or under-shoots the budget.
+    *
+    * EXACT integer algebra: the scaled remainder N·n_i − q_i·total is
+    * an integer, compared without division. Shape at scale: one group
+    * fold (map-side partials), then rank + distribute over the
+    * groups-sized table (the bounded-cardinality window contract).
+    * Σ quota == N is spec-pinned. */
+  def apportion(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = g.agg(sum("n_rows").as("__tot"))
+    val based = g.crossJoin(broadcast(tot))
+      .withColumn("__floor",
+        expr(s"($budget * n_rows) div __tot"))
+      .withColumn("__rem",
+        lit(budget) * col("n_rows") - col("__floor") * col("__tot"))
+    val short = based.agg((lit(budget) - sum("__floor")).as("__k"))
+    val ranked = based.crossJoin(broadcast(short))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(groupCol).asc)))
+    ranked.select(col(groupCol), col("n_rows"),
+      (col("__floor") + when(col("__rk") <= col("__k"), 1L).otherwise(0L))
+        .as("quota"))
+  }
+
   def exactQuotaSample(df: DataFrame, groupCol: String, keyCol: String,
                        quota: Int, salt: String): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")

@@ -2967,6 +2967,23 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("apportion: quotas sum to the budget exactly; remainder ties break by group value") {
+    // sizes 1/1/1: budget 4 -> floors 1 each, one seat left, tie on
+    // remainder 1/3 -> lexicographically first group gets it
+    val df = Seq("a", "b", "c").map(g => (g, 0)).toDF("g", "x")
+    val got = graft.ext.TextAnalysis.apportion(df, "g", 4L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    // skewed sizes: proportionality + exact-sum invariant
+    val big = (Seq.fill(70)("w") ++ Seq.fill(20)("x") ++ Seq.fill(7)("y") ++
+      Seq.fill(3)("z")).map(g => (g, 0)).toDF("g", "x")
+    val q = graft.ext.TextAnalysis.apportion(big, "g", 37L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q.values.sum === 37L, "quotas must sum to the budget EXACTLY")
+    assert(q("w") >= 25L && q("z") >= 1L,
+      "proportionality: the 70% group dominates, the 3% group still seats")
+  }
+
   test("skewReport: exact rank percentiles from counts-of-counts; top-1 share") {
     val rows = Seq.tabulate(4)(i => (s"k$i", 0)) ++
       Seq.fill(97)(("hot", 0))

@@ -872,6 +872,17 @@ class PlanSpec extends SparkTestBase {
       s"last-writer-wins is an arg-max aggregate, never a window:\n$p")
   }
 
+  test("q217 apportion: one group fold; rank + seats over the groups-sized table") {
+    val p = plan("q217_apportion")
+    assert(p.contains("partial_count"),
+      s"group sizes must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total/shortfall frames must broadcast:\n$p")
+    assert(!p.contains("text#"),
+      s"apportionment needs only the group column; the scan must prune:\n$p")
+  }
+
   test("q214 skew report: counts-of-counts folds, bounded window, 1-row broadcasts") {
     val p = plan("q214_skew_report")
     assert(p.contains("partial_count"),
