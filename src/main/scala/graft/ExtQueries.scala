@@ -2507,6 +2507,26 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // Corpus concentration: Gini of the source-size distribution on an
+    // exact integer core + Shannon entropy via the PSI rounded-term
+    // rule — the mixture designer's "one domain in a trenchcoat"
+    // numbers. Oracle: same rank algebra and term rounding in SQL.
+    // (source sizes are uniform in the testdata, which would pin gini
+    //  at 0 — the digit-count grouping is exactly skewed 10/90/900/...
+    //  and string-exact in both engines)
+    "q219_concentration" -> ((s, dir) =>
+      graft.ext.Profile.concentration(
+        docs(s, dir).withColumn("digits",
+          length(col("doc_id").cast("string"))), "digits")),
+
+    // Coverage curve: how many of the heaviest sources cover 50/90/99%
+    // of the corpus — integer rank arithmetic over the groups-sized
+    // running window. Oracle: same in SQL.
+    "q220_coverage_curve" -> ((s, dir) =>
+      graft.ext.Profile.coverageCurve(
+        docs(s, dir).withColumn("digits",
+          length(col("doc_id").cast("string"))), "digits")),
+
     // Largest-remainder apportionment: a 1000-row sample budget split
     // across sources EXACTLY proportionally — floors + one seat per
     // largest remainder, pure integer compares, sum == budget always.
@@ -7356,6 +7376,48 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // concentration: same rank algebra, same rounded ln terms
+      ("q219_concentration" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH g AS (SELECT length(CAST(doc_id AS VARCHAR)) AS digits,
+           |    count(*) AS x FROM documents GROUP BY 1),
+           |t AS (SELECT count(*) AS n_groups,
+           |    CAST(sum(x) AS BIGINT) AS n_rows FROM g),
+           |r AS (SELECT x,
+           |    row_number() OVER (ORDER BY x ASC, digits ASC) AS i
+           |  FROM g),
+           |f AS (SELECT
+           |    CAST(sum(CAST(2 * i - n_groups - 1 AS HUGEINT) * x)
+           |      AS HUGEINT) AS gn,
+           |    sum(CAST(${r6("-(CAST(x AS DOUBLE) / n_rows) * " +
+                "ln(CAST(x AS DOUBLE) / n_rows)")}
+           |      AS DECIMAL(24,6))) AS hs
+           |  FROM r, t)
+           |SELECT n_groups, n_rows,
+           |  ${r6("CAST(gn AS DOUBLE) / " +
+              "CAST(CAST(n_groups AS HUGEINT) * n_rows AS DOUBLE)")} AS gini,
+           |  CAST(hs AS DOUBLE) AS entropy
+           |FROM f, t""".stripMargin
+      }) +
+      // coverage curve: same integer rank thresholds
+      ("q220_coverage_curve" ->
+        """WITH g AS (SELECT length(CAST(doc_id AS VARCHAR)) AS digits,
+          |    count(*) AS x FROM documents GROUP BY 1),
+          |r AS (SELECT digits, x,
+          |    CAST(row_number() OVER w AS BIGINT) AS k,
+          |    sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS cum
+          |  FROM g WINDOW w AS (ORDER BY x DESC, digits ASC)),
+          |t AS (SELECT count(*) AS n_groups,
+          |    CAST(sum(x) AS BIGINT) AS n_rows FROM g)
+          |SELECT max(n_groups) AS n_groups,
+          |  min(CASE WHEN cum >= (50 * n_rows + 99) // 100 THEN k END)
+          |    AS k_50,
+          |  min(CASE WHEN cum >= (90 * n_rows + 99) // 100 THEN k END)
+          |    AS k_90,
+          |  min(CASE WHEN cum >= (99 * n_rows + 99) // 100 THEN k END)
+          |    AS k_99
+          |FROM r, t""".stripMargin) +
       // apportionment: the same Hamilton integer algebra
       ("q217_apportion" ->
         """WITH g AS (SELECT source, count(*) AS n_rows FROM documents

@@ -756,6 +756,65 @@ object Profile {
           col("sb").cast("double") / col("n")).as("brier"))
   }
 
+  /** Corpus-concentration report for a categorical (source, domain,
+    * license): group count, row count, the Gini coefficient of the
+    * group-size distribution, and its Shannon entropy (nats) — the
+    * "is this corpus one giant domain in a trenchcoat" numbers a
+    * mixture designer reads before setting quotas.
+    *
+    * Gini rides an EXACT integer core: with sizes ranked ascending,
+    * G = Σ(2i − n − 1)·x_i / (n·Σx) — both sides integral in DECIMAL,
+    * one rounded division. Entropy terms p·ln(p) round to 6 dp then
+    * DECIMAL-sum (the [[histogramDrift]] PSI rule: ln is the one
+    * non-correctly-rounded op, so round each term, sum exactly).
+    * Shape: one group fold, then rank + folds over the groups-sized
+    * table (bounded-cardinality window contract). ONE row out. */
+  def concentration(df: DataFrame, groupCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("x"))
+    val tot = g.agg(count(lit(1)).as("n_groups"), sum("x").as("n_rows"))
+    val ranked = g.withColumn("i",
+      row_number().over(Window.orderBy(col("x").asc,
+        col(groupCol).asc)).cast("long"))
+    val folded = ranked.crossJoin(broadcast(tot))
+      .withColumn("__gnum", (lit(2L) * col("i") - col("n_groups") - 1L)
+        .cast("decimal(38,0)") * col("x"))
+      .withColumn("__p", col("x").cast("double") / col("n_rows"))
+      .withColumn("__h",
+        TextAnalysis.round6Portable(-col("__p") * log(col("__p")))
+          .cast(DecimalType(24, 6)))
+      .agg(max("n_groups").as("n_groups"), max("n_rows").as("n_rows"),
+        sum("__gnum").as("__gn"), sum("__h").as("__hs"))
+    folded.select(col("n_groups"), col("n_rows"),
+      TextAnalysis.round6Portable(col("__gn").cast("double") /
+        (col("n_groups").cast("decimal(38,0)") * col("n_rows"))
+          .cast("double")).as("gini"),
+      col("__hs").cast("double").as("entropy"))
+  }
+
+  /** Coverage curve: how many of the heaviest groups it takes to cover
+    * p% of the rows, for each requested percentile — "3 domains are
+    * half the corpus" as one row (k_50, k_90, k_99, ...). Integer rank
+    * arithmetic throughout: k_p = min k with running row count ≥
+    * ceil(p·total/100) over sizes ranked DESC (ties by group value).
+    * One group fold + one groups-sized running window. */
+  def coverageCurve(df: DataFrame, groupCol: String,
+                    pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be within [1,100]: $pcts")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("x"))
+    val run = Window.orderBy(col("x").desc, col(groupCol).asc)
+    val ranked = g.withColumn("k", row_number().over(run).cast("long"))
+      .withColumn("cum", sum("x").over(
+        run.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.agg(count(lit(1)).as("n_groups"),
+      sum("x").as("n_rows"))
+    val aggs = pcts.map(p => min(when(
+      col("cum") >= expr(s"($p * n_rows + 99) div 100"), col("k")))
+      .as(s"k_$p"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max("n_groups").as("n_groups"), aggs: _*)
+  }
+
   /** Per-class precision/recall/F1 from a predicted-vs-actual pair —
     * the confusion-matrix report behind every classifier gate. All
     * three scores come from EXACT integer forms (precision tp/(tp+fp),

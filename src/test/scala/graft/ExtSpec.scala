@@ -2967,6 +2967,21 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("concentration + coverageCurve: hand-computed gini/entropy/k; uniform gini is 0") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).map(g => (g, 0))
+      .toDF("g", "x")
+    val c = graft.ext.Profile.concentration(df, "g").collect()(0)
+    // ranks asc: (a,1),(b,3): sum (2i-n-1)x = -1 + 3 = 2; / (2*4) = 0.25
+    assert((c.getLong(0), c.getLong(1), c.getDouble(2)) === (2L, 4L, 0.25))
+    assert(c.getDouble(3) === 0.562336) // round6(.25 ln4) + round6(.75 ln(4/3))
+    val uni = Seq(("a", 0), ("b", 0)).toDF("g", "x")
+    assert(graft.ext.Profile.concentration(uni, "g").collect()(0)
+      .getDouble(2) === 0.0, "uniform sizes mean zero gini")
+    val k = graft.ext.Profile.coverageCurve(df, "g").collect()(0)
+    assert((k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(3)) ===
+      (2L, 1L, 2L, 2L))
+  }
+
   test("apportion: quotas sum to the budget exactly; remainder ties break by group value") {
     // sizes 1/1/1: budget 4 -> floors 1 each, one seat left, tie on
     // remainder 1/3 -> lexicographically first group gets it
