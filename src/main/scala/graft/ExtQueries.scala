@@ -2507,6 +2507,24 @@ object ExtQueries {
       ivm.unionByName(recount).orderBy("label", "o_orderstatus")
     }),
 
+    // Two-proportion z-test: is the English rate of src0 really
+    // different from src1's — counts exact, the z chain all
+    // correctly-rounded IEEE ops in one shared expression order, one
+    // rounded z. The closed-form complement to the bootstrap CIs.
+    // Oracle: the same algebra in SQL.
+    "q221_ab_ztest" -> ((s, dir) =>
+      graft.ext.Profile.twoProportionTest(docs(s, dir),
+        col("source") === "src0", col("source") === "src1",
+        col("lang") === "en")),
+
+    // Inter-arrival cadence per event type: exact p50/p95/max of the
+    // per-user gap between consecutive same-type events — counts-of-
+    // counts integer quantiles, no row sort. Oracle: same lag + rank
+    // arithmetic in SQL.
+    "q222_interarrival" -> ((s, dir) =>
+      graft.ext.Events.interArrivalStats(Ingest.eventsWithTs(s, dir))
+        .orderBy("event_type")),
+
     // Corpus concentration: Gini of the source-size distribution on an
     // exact integer core + Shannon entropy via the PSI rounded-term
     // rule — the mixture designer's "one domain in a trenchcoat"
@@ -7376,6 +7394,58 @@ object ExtQueries {
           |  ON b.o_orderkey = l.o_orderkey
           |WHERE l.op IS NULL OR l.op <> 'D'
           |ORDER BY o_orderkey""".stripMargin) +
+      // z-test: same counts, same IEEE chain, same rounding
+      ("q221_ab_ztest" -> {
+        def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)
+        s"""WITH f AS (SELECT
+           |    count(*) FILTER (WHERE source = 'src0') AS n_a,
+           |    count(*) FILTER (WHERE source = 'src0' AND lang = 'en')
+           |      AS k_a,
+           |    count(*) FILTER (WHERE source = 'src1') AS n_b,
+           |    count(*) FILTER (WHERE source = 'src1' AND lang = 'en')
+           |      AS k_b
+           |  FROM documents),
+           |c AS (SELECT n_a, k_a, n_b, k_b,
+           |    CAST(k_a AS DOUBLE) / n_a AS pa,
+           |    CAST(k_b AS DOUBLE) / n_b AS pb,
+           |    CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp
+           |  FROM f),
+           |zc AS (SELECT n_a, k_a, n_b, k_b, pa, pb,
+           |    CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0
+           |      THEN ${r6("(pa - pb) / sqrt(pp * (1.0 - pp) * " +
+                "(1.0 / n_a + 1.0 / n_b))")} END AS z
+           |  FROM c)
+           |SELECT n_a, k_a, n_b, k_b,
+           |  ${r6("pa")} AS p_a, ${r6("pb")} AS p_b, z,
+           |  abs(z) > 1.96 AS significant
+           |FROM zc""".stripMargin
+      }) +
+      // inter-arrival: same lag + counts-of-counts rank arithmetic
+      ("q222_interarrival" ->
+        """WITH ev AS (SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
+          |    event_id FROM events),
+          |g0 AS (SELECT event_type,
+          |    ts_ms - lag(ts_ms) OVER (PARTITION BY event_type, user_id
+          |      ORDER BY ts_ms, event_id) AS gap
+          |  FROM ev),
+          |g AS (SELECT event_type, gap, count(*) AS nk FROM g0
+          |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT event_type, gap, nk,
+          |    sum(nk) OVER (PARTITION BY event_type ORDER BY gap
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM g),
+          |t AS (SELECT event_type, CAST(sum(nk) AS BIGINT) AS n_gaps,
+          |    max(gap) AS max_gap FROM g GROUP BY 1),
+          |p5 AS (SELECT c.event_type, min(gap) AS p50_gap
+          |  FROM c JOIN t ON c.event_type = t.event_type
+          |  WHERE cum >= (50 * n_gaps + 99) // 100 GROUP BY 1),
+          |p9 AS (SELECT c.event_type, min(gap) AS p95_gap
+          |  FROM c JOIN t ON c.event_type = t.event_type
+          |  WHERE cum >= (95 * n_gaps + 99) // 100 GROUP BY 1)
+          |SELECT t.event_type, n_gaps, p50_gap, p95_gap, max_gap
+          |FROM t JOIN p5 ON t.event_type = p5.event_type
+          |JOIN p9 ON t.event_type = p9.event_type
+          |ORDER BY t.event_type""".stripMargin) +
       // concentration: same rank algebra, same rounded ln terms
       ("q219_concentration" -> {
         def r6(e: String) = graft.ext.TextAnalysis.round6PortableSql(e)

@@ -364,6 +364,38 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum("__w").as("score"))
   }
 
+  /** Per-type inter-arrival quantiles: for each event type, the exact
+    * p50/p95/max of the millisecond gap between a user's consecutive
+    * events OF THAT TYPE — the cadence profile behind rate alarms and
+    * retention heuristics ("purchases arrive weekly, errors in
+    * bursts"). Exact integer quantiles via the counts-of-counts idiom
+    * ([[graft.ops.JoinOps.skewReport]]): gaps fold to (type, gap) →
+    * count, the percentile is the smallest gap whose running count
+    * reaches ceil(p·n/100) — integer rank arithmetic on a window over
+    * DISTINCT (type, gap) pairs only; gap values in ms quantize
+    * naturally, so the distinct-pair table stays bounded. One lag
+    * window (shuffle on (type, key)) + bounded folds. */
+  def interArrivalStats(events: DataFrame, typeCol: String = "event_type",
+                        keyCol: String = "user_id"): DataFrame = {
+    val byKey = Window.partitionBy(col(typeCol), col(keyCol))
+      .orderBy("ts_ms", "event_id")
+    val gaps = events
+      .withColumn("__gap", col("ts_ms") - lag("ts_ms", 1).over(byKey))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol), col("__gap")).agg(count(lit(1)).as("nk"))
+    val run = Window.partitionBy(col(typeCol)).orderBy("__gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gaps.withColumn("cum", sum("nk").over(run))
+    val tot = cum.groupBy(col(typeCol))
+      .agg(sum("nk").as("n_gaps"), max("__gap").as("max_gap"))
+    def pct(p: Int) = cum.join(tot, Seq(typeCol))
+      .filter(col("cum") >= expr(s"($p * n_gaps + 99) div 100"))
+      .groupBy(col(typeCol)).agg(min("__gap").as(s"p${p}_gap"))
+    tot.join(pct(50), Seq(typeCol)).join(pct(95), Seq(typeCol))
+      .select(col(typeCol), col("n_gaps"), col("p50_gap"),
+        col("p95_gap"), col("max_gap"))
+  }
+
   /** Gaps-and-islands INTERVAL merge: per key, coalesce overlapping or
     * touching [start, end] intervals (closed ends; `start <= running
     * max end so far` joins the island) into disjoint islands with their

@@ -756,6 +756,41 @@ object Profile {
           col("sb").cast("double") / col("n")).as("brier"))
   }
 
+  /** Two-proportion z-test — the closed-form A/B significance check
+    * (is variant B's rate really higher, or is the diff noise): z =
+    * (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) under the pooled
+    * null. The algebraic complement to the bootstrap CIs (q135–q137):
+    * O(1) after one fold, no resampling.
+    *
+    * Portability: counts are exact; every division/multiplication/sqrt
+    * after them is a correctly-rounded IEEE op (sqrt included — unlike
+    * ln), evaluated in the SAME expression order both engines, then the
+    * z rounds to 6 dp. One conditional fold over the rows; ONE row out
+    * with both rates, z, and the |z| > 1.96 verdict. Degenerate pooled
+    * rates (0 or 1 — zero variance) yield null z. */
+  def twoProportionTest(df: DataFrame, isA: Column, isB: Column,
+                        pos: Column): DataFrame = {
+    val one = df.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA && pos, 1L).otherwise(0L)).as("k_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB && pos, 1L).otherwise(0L)).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 &&
+        pp > 0.0 && pp < 1.0,
+      TextAnalysis.round6Portable((pa - pb) / se))
+    one.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      TextAnalysis.round6Portable(pa).as("p_a"),
+      TextAnalysis.round6Portable(pb).as("p_b"),
+      z.as("z"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
   /** Corpus-concentration report for a categorical (source, domain,
     * license): group count, row count, the Gini coefficient of the
     * group-size distribution, and its Shannon entropy (nats) — the

@@ -2967,6 +2967,35 @@ class EventsSpec extends SparkTestBase {
       (4L, "d", 40.0)))
   }
 
+  test("twoProportionTest: hand z; zero-variance pooled rate yields null, not a crash") {
+    // A: 30/100, B: 10/100 -> pooled 0.2; se = sqrt(.2*.8*.02) = .056569
+    // z = .2/.056569 = 3.535534 -> significant
+    val rows = Seq.fill(30)(("a", true)) ++ Seq.fill(70)(("a", false)) ++
+      Seq.fill(10)(("b", true)) ++ Seq.fill(90)(("b", false))
+    val r = graft.ext.Profile.twoProportionTest(rows.toDF("g", "y"),
+      col("g") === "a", col("g") === "b", col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (100L, 30L, 100L, 10L))
+    assert(r.getDouble(6) === 3.535534 && r.getBoolean(7))
+    val degen = Seq(("a", false), ("b", false)).toDF("g", "y")
+    val d = graft.ext.Profile.twoProportionTest(degen,
+      col("g") === "a", col("g") === "b", col("y")).collect()(0)
+    assert(d.isNullAt(6), "pooled rate 0 has zero variance: z must be null")
+  }
+
+  test("interArrivalStats: gaps are same-type per-user; exact rank percentiles") {
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "a"), (3L, 1L, 40L, "a"),
+      (4L, 1L, 5L, "b"),                      // other type: no a-gap
+      (5L, 2L, 100L, "a"), (6L, 2L, 110L, "a"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = graft.ext.Events.interArrivalStats(ev).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // type a gaps: 10, 30 (user1), 10 (user2): p50 = 10, p95 = 30
+    assert(got.toSeq === Seq(("a", 3L, 10L, 30L, 30L)))
+  }
+
   test("concentration + coverageCurve: hand-computed gini/entropy/k; uniform gini is 0") {
     val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).map(g => (g, 0))
       .toDF("g", "x")
