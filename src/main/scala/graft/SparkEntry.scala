@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Distance, FuzzyJoin, Ingest, Normalize, Resolve}
+import graft.ops.{Config, Distance, FuzzyJoin, Ingest, Normalize, Resolve}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -299,6 +299,90 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // S5/X2 oracle gate (VERDICT r12 #2): the INI config round-trip
+    // drives a LIVE fuzzy run. The threshold, data folder, and output
+    // gates flow INI text -> parse -> save/load through the Hadoop FS ->
+    // Settings.fromIni (reference main.py:643-686 conventions) ->
+    // applyToSession -> sessionSettings -> fuzzyMatchPruned; the oracle
+    // mirrors the SAME literals the INI carries, so a break anywhere on
+    // that path (threshold mis-parse, boolean not literal-"True",
+    // empty-path-not-unset) diverges the bucket counts or echo columns.
+    // `out_2 = TRUE` (uppercase) deliberately pins the reference's exact
+    // string comparison: only the literal "True" enables (main.py:650).
+    "q223_config_driven" -> ((s, dir) => {
+      val base = ExtQueries.scratchDir("q223")
+      val iniText =
+        s"""[multithreading]
+           |multithreading = True
+           |
+           |[pre_browse]
+           |search_file =
+           |data_folder = $dir
+           |
+           |[settings]
+           |out_1 = True
+           |out_2 = TRUE
+           |column_index1 = 0
+           |column_index2 = 1
+           |threshold = $T
+           |""".stripMargin
+      Config.save(s, s"$base/config.ini", Config.parse(iniText))
+      Config.applyToSession(s,
+        Config.Settings.fromIni(Config.load(s, s"$base/config.ini")))
+      val live = Config.sessionSettings(s) // session conf = source of truth
+      val folder = live.dataFolder.getOrElse(
+        sys.error("q223: data_folder must survive the round-trip"))
+      FuzzyJoin.fuzzyMatchPruned(probes(s, folder), candidates(s, folder),
+          live.threshold)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("distance").as("min_d"), max("distance").as("max_d"))
+        .withColumn("threshold", lit(live.threshold))
+        .withColumn("multithreading", lit(live.multithreading))
+        .withColumn("out_1", lit(live.out1))
+        .withColumn("out_2", lit(live.out2))
+        .withColumn("search_file_set", lit(live.searchFile.isDefined))
+        .orderBy("bucket")
+    }),
+
+    // F2 trace-law gate (VERDICT r12 #4, corrected): SQL-expressible laws
+    // of the greedy alignment trace, hash-gated per exact/best pair.
+    // NOTE the VERDICT-proposed laws `count_0 <= distance` and
+    // `distance=0 <=> count_0=0` are FALSE for the reference's walk
+    // (main.py:24-70): greedy substitution can emit more 0-symbols than
+    // the optimal distance ("abcd" vs "bcd" -> 3 zeros, distance 1), and
+    // a pure prefix pair walks all-1s at distance>0 ("ab" vs "abc").
+    // The laws that DO hold, each proved by the walk's invariants
+    // (every step consumes >=1 char, ends when either side exhausts,
+    // match steps consume one char of each):
+    //   zero_free      — n_zero = 0  <=>  the cleaned min-prefixes are
+    //                    equal (mirrored as a VALUE: oracle computes the
+    //                    prefix test, engine the trace count);
+    //   law_len        — min(lc_s,lc_t) <= n_sym <= lc_s+lc_t;
+    //   law_match_cap  — n_one <= min(lc_s, lc_t);
+    //   law_prefix_dist— zero_free => distance = |lc_s - lc_t|.
+    "q224_trace_laws" -> ((s, dir) => {
+      val pairs = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
+        .filter(col("bucket").isin("exact", "best"))
+        .select("search_val", "match_val", "distance").distinct()
+      pairs
+        .withColumn("vis", Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
+        .withColumn("lc_s", length(Normalize.norm(col("search_val"))))
+        .withColumn("lc_t", length(Normalize.norm(col("match_val"))))
+        .withColumn("n_sym", size(col("vis._2")))
+        .withColumn("n_one", expr("aggregate(vis._2, 0, (a, x) -> a + x)"))
+        .withColumn("n_zero", col("n_sym") - col("n_one"))
+        .select(col("search_val"), col("match_val"), col("distance"),
+          col("lc_s"), col("lc_t"),
+          (col("n_zero") === 0).as("zero_free"),
+          (col("n_sym") >= least(col("lc_s"), col("lc_t")) &&
+            col("n_sym") <= col("lc_s") + col("lc_t")).as("law_len"),
+          (col("n_one") <= least(col("lc_s"), col("lc_t"))).as("law_match_cap"),
+          (col("n_zero") > 0 ||
+            col("distance") === abs(col("lc_s") - col("lc_t"))).as("law_prefix_dist"))
+        .orderBy("search_val", "match_val")
+    }),
+
     // Semi-structured: JSON prop extraction + aggregation.
     "q15_props_stats" -> ((s, dir) =>
       t(s, dir, "events")
@@ -338,9 +422,76 @@ object SparkEntry {
          |  WHERE min_pos IS NULL AND distance = min_all
          |ORDER BY search_val, bucket, distance, data_id, match_val""".stripMargin
 
+    // q223's mirror embeds the SAME literals the query's INI text
+    // carries (threshold T, multithreading True, out_1 True, out_2
+    // NOT-"True", search_file empty) — computed WITHOUT running the
+    // config machinery, so a parse/round-trip/session-bridge break on
+    // the engine side cannot cancel.
+    val configDrivenSql =
+      s"""WITH search AS (SELECT DISTINCT p_name AS search_val FROM part),
+         |scored AS (
+         |  SELECT s.search_val, p.p_name AS match_val, p.p_partkey AS data_id,
+         |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
+         |  FROM search s CROSS JOIN part p),
+         |mins AS (
+         |  SELECT search_val,
+         |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos,
+         |         min(distance) AS min_all
+         |  FROM scored GROUP BY search_val),
+         |joined AS (SELECT sc.*, m.min_pos, m.min_all FROM scored sc JOIN mins m USING (search_val)),
+         |cls AS (
+         |  SELECT distance, 'exact' AS bucket FROM joined WHERE distance = 0
+         |  UNION ALL
+         |  SELECT distance, 'best' FROM joined
+         |    WHERE distance > 0 AND distance <= $T AND distance = min_pos
+         |  UNION ALL
+         |  SELECT distance, 'potential' FROM joined
+         |    WHERE distance > 0 AND distance <= $T AND distance > min_pos
+         |  UNION ALL
+         |  SELECT distance, 'poor_best' FROM joined
+         |    WHERE min_pos IS NULL AND distance = min_all)
+         |SELECT bucket, count(*) AS n, min(distance) AS min_d, max(distance) AS max_d,
+         |       $T AS threshold, TRUE AS multithreading, TRUE AS out_1,
+         |       FALSE AS out_2, FALSE AS search_file_set
+         |FROM cls GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+
     Map(
       "q01_fuzzy_classify" -> fuzzyClassifySql,
       "q02_fuzzy_pruned" -> fuzzyClassifySql,
+      "q223_config_driven" -> configDrivenSql,
+      // q224: the oracle recomputes every non-trace column from scratch
+      // (pairs + distance via its own fuzzy SQL, lengths + prefix test
+      // from the normalized strings) and asserts the trace-only laws as
+      // literal TRUE — zero_free is the strong one: the ENGINE counts
+      // trace zeros, the ORACLE tests prefix equality, and the walk's
+      // biconditional says they must agree bit-for-bit per pair.
+      "q224_trace_laws" ->
+        s"""WITH search AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val,
+           |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
+           |  FROM search s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val),
+           |pairs AS (
+           |  SELECT DISTINCT sc.search_val, sc.match_val, sc.distance
+           |  FROM scored sc JOIN mins m USING (search_val)
+           |  WHERE sc.distance = 0
+           |     OR (sc.distance > 0 AND sc.distance <= $T AND sc.distance = m.min_pos))
+           |SELECT search_val, match_val, distance,
+           |       length(${norm("search_val")}) AS lc_s,
+           |       length(${norm("match_val")}) AS lc_t,
+           |       substr(${norm("search_val")}, 1,
+           |              least(length(${norm("search_val")}), length(${norm("match_val")})))
+           |         = substr(${norm("match_val")}, 1,
+           |              least(length(${norm("search_val")}), length(${norm("match_val")})))
+           |         AS zero_free,
+           |       TRUE AS law_len, TRUE AS law_match_cap, TRUE AS law_prefix_dist
+           |FROM pairs
+           |ORDER BY search_val, match_val""".stripMargin,
       // q03_visual_diff: UDF trace output, not SQL-expressible (rows-only).
       // q09 proves the trace's distance channel: vis_distance must equal the
       // normalized Levenshtein DuckDB computes itself on the 'best' pairs.

@@ -433,8 +433,12 @@ object Events {
     *
     * Shape at scale: `horizon+1` lag() exprs share ONE window spec —
     * one shuffle+sort per key, one Window node (codegen'd), output a
-    * column per row. Horizon is capped so terms fit a long:
-    * |v6·2^horizon| ≤ 2^63 ⇒ horizon ≤ 40 for |v| ≤ 4·10⁵. */
+    * column per row. Each term v6·2^(horizon−k) accumulates in
+    * DECIMAL(38,0) (cusumShift's discipline), so the weighted sum is
+    * exact for |v6|·2^(horizon+1) ≤ 10³⁸ — i.e. any |value| up to
+    * ~10¹⁸ even at horizon = 40; a Long accumulator would wrap at
+    * |value| ≈ 4 there. The weight mass Σ 2^(horizon−k) < 2^(horizon+1)
+    * always fits a long. */
   def ewmaDyadic(df: DataFrame, keyCol: String, valueCol: String,
                  orderCols: Seq[String], horizon: Int = 20,
                  outCol: String = "ewma"): DataFrame = {
@@ -444,8 +448,10 @@ object Events {
     val v6 = floor(col(valueCol) * 1e6 + 0.5).cast("long")
     val base = df.withColumn("__v6", v6)
     val lags = (0 to horizon).map(k => lag(col("__v6"), k).over(w))
+    val zero = lit(0).cast("decimal(38,0)")
     val s = lags.zipWithIndex.map { case (l, k) =>
-      coalesce(l * (1L << (horizon - k)), lit(0L)) }.reduce(_ + _)
+      coalesce(l.cast("decimal(38,0)") * (1L << (horizon - k)), zero) }
+      .reduce(_ + _).cast("decimal(38,0)")
     val m = lags.zipWithIndex.map { case (l, k) =>
       when(l.isNotNull, lit(1L << (horizon - k))).otherwise(0L) }
       .reduce(_ + _)

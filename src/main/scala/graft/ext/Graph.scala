@@ -331,6 +331,17 @@ object Graph {
                     rounds: Int = 7): DataFrame = {
     require(rounds >= 1 && rounds <= 12,
       s"rounds must be in [1, 12] (depth reach 2^rounds), got $rounds")
+    // Dangling audit FIRST: the doubling join is inner on the ancestor
+    // key, so a parent id absent from the id column would silently drop
+    // its children in round 1 — make that loud instead. One anti-join
+    // count over node-sized tables.
+    val dangling = nodes
+      .select(col(parentCol).as("__ep")).filter(col("__ep").isNotNull)
+      .join(nodes.select(col(idCol).as("__ep")), Seq("__ep"), "left_anti")
+      .count()
+    require(dangling == 0L,
+      s"ancestorRoots: $dangling parent pointers reference ids absent " +
+        s"from `$idCol` — dangling forest; repair the pointers first")
     val s0 = graft.ops.Materialize.stable(
       nodes.select(col(idCol).as("node"),
         coalesce(col(parentCol), col(idCol)).as("cur"),

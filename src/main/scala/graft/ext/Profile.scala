@@ -460,9 +460,13 @@ object Profile {
                      lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 2 && hi > lo, s"need bins>=2 and hi>lo, got $bins, [$lo,$hi)")
     val w = (hi - lo) / bins
+    // NULL features are excluded, not binned: greatest/least skip nulls,
+    // so an unfiltered null would land in bin 0 and silently inflate
+    // both the lowest bin and the totals.
     def counts(df: DataFrame, n: String): DataFrame =
-      df.select(least(lit(bins - 1), greatest(lit(0),
-          floor((value - lo) / w))).cast("int").as("bin"))
+      df.select(value.as("__v")).filter(col("__v").isNotNull)
+        .select(least(lit(bins - 1), greatest(lit(0),
+          floor((col("__v") - lo) / w))).cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(n))
     val ca = counts(a, "c_a")
     val cb = counts(b, "c_b")
@@ -901,9 +905,12 @@ object Profile {
       raterB.cast("string").as("rb"))
     val base = r.agg(count(lit(1)).as("n"),
       sum(when(col("ra") <=> col("rb"), 1L).otherwise(0L)).as("agree"))
+    // Null-safe marginal join: `agree` counts null<=>null as agreement,
+    // so a NULL rater class must also contribute its aₖ·bₖ term to the
+    // chance mass s_e — a null-unsafe === would drop it and overstate κ.
     val s = r.groupBy("ra").agg(count(lit(1)).as("ca"))
       .join(r.groupBy("rb").agg(count(lit(1)).as("cb")),
-        col("ra") === col("rb"))
+        col("ra") <=> col("rb"))
       .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
         lit(0).cast("decimal(38,0)")).as("s_e"))
     val j = base.crossJoin(broadcast(s))

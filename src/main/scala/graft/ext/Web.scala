@@ -81,20 +81,30 @@ object Web {
     * `defaultAction` with an empty matched_prefix. `rules(prefix,
     * action)` must have distinct prefixes; it broadcasts (policy tables
     * are small — see object scaladoc for the unbounded variant). Adds
-    * `action` and `matched_prefix`. */
+    * `action` and `matched_prefix`.
+    *
+    * Rows carry a surrogate id through the explode→max fold, so exact
+    * duplicate input rows keep their multiplicity and non-groupable
+    * column types (map) pass through untouched; only (id, path)
+    * explodes, the payload re-joins once per row at the end. */
   def blocklistVerdict(df: DataFrame, pathCol: String, rules: DataFrame,
                        defaultAction: String = "allow",
                        maxDepth: Int = 16): DataFrame = {
-    val exploded = df.withColumn("__pfx",
-      explode_outer(pathPrefixes(col(pathCol), maxDepth)))
+    require(!df.columns.contains("action") &&
+        !df.columns.contains("matched_prefix"),
+      "blocklistVerdict adds `action`/`matched_prefix` — input already has one")
+    val tagged = df.withColumn("__rid", monotonically_increasing_id())
+    val exploded = tagged.select(col("__rid"), col(pathCol))
+      .withColumn("__pfx", explode_outer(pathPrefixes(col(pathCol), maxDepth)))
     val hit = exploded.join(broadcast(rules.withColumnRenamed("prefix", "__pfx")),
       Seq("__pfx"), "left")
-    hit.groupBy(df.columns.map(col): _*)
+    val verdict = hit.groupBy("__rid")
       .agg(max(when(col("action").isNotNull,
         struct(length(col("__pfx")).as("l"), col("__pfx").as("p"),
           col("action").as("a")))).as("__m"))
+    tagged.join(verdict, Seq("__rid"), "left")
       .withColumn("action", coalesce(col("__m.a"), lit(defaultAction)))
       .withColumn("matched_prefix", coalesce(col("__m.p"), lit("")))
-      .drop("__m")
+      .drop("__m", "__rid")
   }
 }

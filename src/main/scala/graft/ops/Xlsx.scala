@@ -200,15 +200,22 @@ object Xlsx {
     }.toSet
   }
 
-  /** Excel day serial (1899-12-30 epoch, the openpyxl/pandas convention —
-    * serials < 61 inherit Lotus's fictitious 1900-02-29 offset) to an ISO
-    * "yyyy-MM-dd HH:mm:ss" string; time-of-day rounds to the second. */
-  private[ops] def dateSerialToIso(serial: Double): String = {
+  /** Excel day serial to an ISO "yyyy-MM-dd HH:mm:ss" string;
+    * time-of-day rounds to the second. Two epochs exist in the wild
+    * (ADVICE/VERDICT r12 #5): the default 1899-12-30 (serials < 61
+    * inherit Lotus's fictitious 1900-02-29 offset — the openpyxl/pandas
+    * convention) and the Mac 1904-01-01 epoch, declared by
+    * `<workbookPr date1904="1"/>` in workbook.xml; decoding a 1904
+    * workbook against the 1900 epoch lands every date 1,462 days early,
+    * which pandas/openpyxl (the reference's readers, main.py:19-21)
+    * never do. */
+  private[ops] def dateSerialToIso(serial: Double,
+                                   date1904: Boolean = false): String = {
     val days = math.floor(serial).toLong
     val secs = math.round((serial - days) * 86400.0)
-    java.time.LocalDate.of(1899, 12, 30).atStartOfDay
-      .plusDays(days).plusSeconds(secs)
-      .format(IsoFmt)
+    val epoch = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+                else java.time.LocalDate.of(1899, 12, 30)
+    epoch.atStartOfDay.plusDays(days).plusSeconds(secs).format(IsoFmt)
   }
 
   private val IsoFmt =
@@ -230,7 +237,8 @@ object Xlsx {
 
   /** Sheet XML -> rows of cells; empty `<v/>` cells carry kind '0'. */
   private[ops] def parseSheet(xml: String, shared: IndexedSeq[String],
-                              dateStyles: Set[Int]): Seq[Array[XCell]] =
+                              dateStyles: Set[Int],
+                              date1904: Boolean = false): Seq[Array[XCell]] =
     elements(xml, "row").map { row =>
       var nextPos = 0
       // cells need their OPEN TAG attributes (r=, t=, s=), so scan manually
@@ -271,7 +279,7 @@ object Xlsx {
                 XCell(pos, if (iso.length == 10) iso + " 00:00:00" else iso.take(19), 'd')
               case _ if styleIsDate => // numeric serial + date style = a date
                 v.trim.toDoubleOption match {
-                  case Some(d) => XCell(pos, dateSerialToIso(d), 'd')
+                  case Some(d) => XCell(pos, dateSerialToIso(d, date1904), 'd')
                   case None => XCell(pos, v, 'n') // malformed; surface raw
                 }
               case _ => XCell(pos, v, 'n')
@@ -290,7 +298,8 @@ object Xlsx {
       shared: IndexedSeq[String],
       sheetsByEntry: Map[String, String], // entry name -> sheet xml
       declared: Seq[(String, String)],    // workbook order: (sheet name, entry name)
-      dateStyles: Set[Int])
+      dateStyles: Set[Int],
+      date1904: Boolean)                  // <workbookPr date1904/> Mac epoch
 
   private def readParts(bytes: Array[Byte]): WorkbookParts = {
     val zis = new java.util.zip.ZipInputStream(
@@ -328,7 +337,10 @@ object Xlsx {
            entry <- relTargets.get(rid)) yield (unescape(nm), entry)
     }
     val dateStyles = if (stylesXml.isEmpty) Set.empty[Int] else parseDateStyles(stylesXml)
-    WorkbookParts(shared, sheets.toMap, declared, dateStyles)
+    // ECMA-376 §18.2.28: date1904 accepts "1"/"true" (absent -> 1900 epoch)
+    val date1904 = openTags(workbookXml, "workbookPr").exists(t =>
+      attr(t, "date1904").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+    WorkbookParts(shared, sheets.toMap, declared, dateStyles, date1904)
   }
 
   /** Read one worksheet of one workbook. `sel` is `Left(0-based index)`
@@ -360,7 +372,8 @@ object Xlsx {
             s"no sheet named '$name' — workbook has: " +
               parts.declared.map(_._1).mkString(", ")))
     }
-    parseSheet(parts.sheetsByEntry(entry), parts.shared, parts.dateStyles)
+    parseSheet(parts.sheetsByEntry(entry), parts.shared, parts.dateStyles,
+      parts.date1904)
   }
 
   /** Backwards-compatible index form. */

@@ -2001,6 +2001,18 @@ class SketchesSpec extends SparkTestBase {
       Seq.fill(4)(("a", "a")).toDF("ra", "rb"), col("ra"), col("rb"))
       .collect()(0)
     assert(degen.isNullAt(4), "p_e = 1 must yield null kappa, not a crash")
+    // NULL rater classes: agree counts null<=>null, so the chance term
+    // must include the null marginal product too (null-safe join).
+    // ra: a×3, null×2; rb: a×2, null×3 → s_e = 3·2 + 2·3 = 12,
+    // agree = 4, N = 5 → κ = (4·5 − 12)/(25 − 12) = 8/13
+    val nr = Seq((Some("a"), Some("a")), (Some("a"), Some("a")),
+      (None: Option[String], None: Option[String]),
+      (None: Option[String], None: Option[String]),
+      (Some("a"), None: Option[String])).toDF("ra", "rb")
+    val nk = graft.ext.Profile.cohenKappa(nr, col("ra"), col("rb"))
+      .collect()(0)
+    assert(nk.getDouble(3) === 0.48, "p_e must include the null marginal")
+    assert(nk.getDouble(4) === 0.615385)
   }
 
   test("snapshotDiff: added/removed/changed/unchanged with null-safe column compares") {
@@ -2041,6 +2053,15 @@ class SketchesSpec extends SparkTestBase {
     val e = graft.ext.Profile.histogramDrift(a, c, col("v"), 0.0, 1024.0, 16)
       .collect()(0)
     assert(e.getAs[Long]("n_b") === 64L)
+    // NULL features are excluded, not binned into bin 0: padding one
+    // side with nulls must change neither the totals nor any score
+    val an = a.select(when(col("id") >= 0, col("v")).as("v"))
+      .union(Seq.fill(10)(Tuple1(null.asInstanceOf[java.lang.Long]))
+        .toDF("v"))
+    val f = graft.ext.Profile.histogramDrift(an, a, col("v"), 0.0, 1024.0, 16)
+      .collect()(0)
+    assert(f.getAs[Long]("n_a") === 64L, "nulls must not inflate n_a")
+    assert(f.getAs[Double]("tv") === 0.0 && f.getAs[Double]("psi") === 0.0)
   }
 
   test("bootstrapCI: interval brackets the mean, tightens with lower variance, partition-invariant") {
@@ -2894,6 +2915,16 @@ class EventsSpec extends SparkTestBase {
         Seq("ts", "event_id"), horizon = 2)
       .orderBy("event_id").collect().last.getAs[Double]("ewma")
     assert(last === 2.285714) // round6 of 16/7: the 800 fell off entirely
+    // DECIMAL accumulator: horizon=40 with |v| = 10⁶ makes each term
+    // v6·2^40 ≈ 1.1·10²⁴ — far past Long — yet a constant series must
+    // still return exactly the constant (a wrapped Long would not)
+    val big = Seq.tabulate(3)(i => (i.toLong, 1L, i.toLong, 1000000.0))
+      .toDF("event_id", "k", "ts", "v")
+    val bigGot = graft.ext.Events.ewmaDyadic(big, "k", "v",
+        Seq("ts", "event_id"), horizon = 40)
+      .collect().map(_.getAs[Double]("ewma"))
+    assert(bigGot.forall(_ === 1000000.0),
+      s"horizon-40 large-value EWMA wrapped: ${bigGot.toSeq}")
   }
 
   test("cusumShift: flat series never alarms; a step shift alarms at the right instant") {
@@ -3068,6 +3099,12 @@ class EventsSpec extends SparkTestBase {
     val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
     intercept[IllegalArgumentException] {
       graft.ext.Graph.ancestorRoots(cyc, "id", "parent", rounds = 3) }
+    // a parent id absent from the id column is a LOUD failure, not a
+    // silently dropped subtree (the doubling join is inner)
+    val dangling = Seq((2L, Some(1L)), (3L, Some(2L))).toDF("id", "parent")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Graph.ancestorRoots(dangling, "id", "parent", rounds = 3) }
+    assert(ex.getMessage.contains("dangling"))
   }
 
   test("confusionStats: per-class integer PRF; never-predicted class has null precision") {

@@ -273,7 +273,8 @@ class IngestSpec extends SparkTestBase {
   /** A 2-sheet workbook with workbook.xml + rels (real Excel layout) and
     * a styles part whose cellXf index 1 is a date format. */
   private def writeWorkbook2(path: String, stylesXml: String,
-                             sheets: Seq[(String, String)]): Unit = {
+                             sheets: Seq[(String, String)],
+                             workbookPr: String = ""): Unit = {
     val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
     def put(name: String, body: String): Unit = {
       zos.putNextEntry(new java.util.zip.ZipEntry(name))
@@ -282,7 +283,7 @@ class IngestSpec extends SparkTestBase {
     }
     put("[Content_Types].xml", "<Types/>")
     put("xl/workbook.xml",
-      "<workbook><sheets>" + sheets.zipWithIndex.map { case ((nm, _), i) =>
+      "<workbook>" + workbookPr + "<sheets>" + sheets.zipWithIndex.map { case ((nm, _), i) =>
         s"""<sheet name="$nm" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
       }.mkString + "</sheets></workbook>")
     put("xl/_rels/workbook.xml.rels",
@@ -344,6 +345,34 @@ class IngestSpec extends SparkTestBase {
     assert(rows(0).getTimestamp(1).toString.startsWith("2024-01-01 12:00:00"))
     assert(rows(1).getDate(0).toString === "2024-02-01")
     assert(rows(1).getTimestamp(1).toString.startsWith("2024-02-01 06:00:00"))
+  }
+
+  test("xlsx: <workbookPr date1904/> decodes serials against the Mac epoch (VERDICT r12 #5)") {
+    val dir = Files.createTempDirectory("graft-xlsx-1904").toString
+    val styles =
+      """<styleSheet><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    // 1904-epoch serials sit 1,462 days below 1900-epoch ones:
+    // 45292 - 1462 = 43830 = 2024-01-01 under date1904
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>43830</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeWorkbook2(s"$dir/mac.xlsx", styles, Seq("S" -> sheet),
+      workbookPr = """<workbookPr date1904="1"/>""")
+    val mac = graft.ops.Xlsx.read(spark, Seq(s"$dir/mac.xlsx"))
+    assert(mac.head.getDate(0).toString === "2024-01-01",
+      "date1904 workbook must decode against the 1904-01-01 epoch")
+    // the SAME serial without the flag is 1,462 days earlier (1900 epoch)
+    writeWorkbook2(s"$dir/win.xlsx", styles, Seq("S" -> sheet))
+    val win = graft.ops.Xlsx.read(spark, Seq(s"$dir/win.xlsx"))
+    assert(win.head.getDate(0).toString === "2019-12-31")
+    // date1904="false" and absent mean the same thing
+    writeWorkbook2(s"$dir/win2.xlsx", styles, Seq("S" -> sheet),
+      workbookPr = """<workbookPr date1904="false"/>""")
+    assert(graft.ops.Xlsx.read(spark, Seq(s"$dir/win2.xlsx"))
+      .head.getDate(0).toString === "2019-12-31")
   }
 
   test("xlsx: heterogeneous folder aligns by column NAME, pandas-concat style (ADVICE r11)") {

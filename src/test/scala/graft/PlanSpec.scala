@@ -674,6 +674,15 @@ class PlanSpec extends SparkTestBase {
     // the banded == exact hash identity (q155's oracle IS q149's) prove
     assert(p.linesIterator.exists(l => l.contains("jaro_winkler") && l.contains("*(")),
       s"jaro_winkler must appear inside a WholeStageCodegen stage:\n$p")
+    // round 13 (VERDICT r12 #3): ranking must be the k-BOUNDED partial
+    // aggregate, never a product-sized window sort — the scored pairs
+    // fold to <= k rows per probe per partition BEFORE any exchange, so
+    // no reducer ever sorts a probe's full candidate list
+    assert(!p.contains("Window"),
+      s"no window may rank the scored product — TopK.groupedTopK only:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") && l.contains("partial_")),
+      s"the top-k fold must partial-aggregate map-side:\n$p")
   }
 
   test("vector kernel stays inside whole-stage codegen") {

@@ -116,6 +116,20 @@ class WebSpec extends SparkTestBase {
     assert(got(4L) === (("allow", "")))
   }
 
+  test("blocklistVerdict: duplicate rows keep multiplicity; column collision throws") {
+    val rules = Seq(("/x", "block")).toDF("prefix", "action")
+    // exact-duplicate input rows must each produce an output row — the
+    // surrogate-id regroup must not collapse them
+    val dup = Seq(("/x/a"), ("/x/a"), ("/y")).map(Tuple1(_)).toDF("path")
+    val out = Web.blocklistVerdict(dup, "path", rules).collect()
+    assert(out.length === 3, "duplicate rows must keep their multiplicity")
+    assert(out.count(r => r.getString(1) === "block") === 2)
+    // pre-existing `action` column would be silently clobbered — refuse
+    val clash = Seq(("/x/a", "keep")).toDF("path", "action")
+    intercept[IllegalArgumentException] {
+      Web.blocklistVerdict(clash, "path", rules) }
+  }
+
   test("extractHrefs: anchors only — decoys, non-anchor hrefs, and order pinned") {
     def links(s: String): Seq[String] =
       Seq(Tuple1(s)).toDF("m").select(Web.extractHrefs(col("m")))
