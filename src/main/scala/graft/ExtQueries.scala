@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.{Dedup, Events, Multimodal, Retrieval, SimSearch, Sketches, TextAnalysis}
+import graft.ext.{Blocking, Dedup, Events, Multimodal, Profile, Retrieval, SimSearch, Sketches, TextAnalysis}
 import graft.ops.Ingest
 
 /** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
@@ -3542,6 +3542,251 @@ object ExtQueries {
         .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id)))
       Multimodal.audioFeatures(media).toDF().orderBy("doc_id")
     }),
+
+    // END-TO-END curation capstone (VERDICT r12 #8): ONE query chains
+    // the whole training-data pipeline — exact dedup (40-char-prefix
+    // owner), quality gate (n_chars band), semantic dedup (pairwise
+    // cosine within the pretrained label cell, q65's greedy keep-min-id
+    // law), language mixing (exactQuotaSample, the q77 operator), and
+    // sequence packing (packSequences, the q82 operator) — and emits a
+    // per-stage audit row: surviving doc count plus an ORDER-FREE id
+    // checksum (sum of (doc_id·2654435761) mod 1e9+7 — exact BIGINT in
+    // both engines), so the oracle catches a wrong SET even when the
+    // count matches. The oracle recomputes every stage from the source
+    // tables in one SQL chain; no engine value is echoed.
+    //
+    // Scale shape: dedup/quality are one groupBy + map-only filters;
+    // the semantic stage is a within-cell pairwise join (Σ|cell|²
+    // bounded — the label cell is the IVF-style partition, same
+    // contract as semDedup/mutualKnn); mixing is the quota window on
+    // eval-sized strata (exactQuotaSampleAtScale is the corpus-scale
+    // twin); packing shuffles metadata rows only. Stage frames rebuild
+    // from the same scan per audit row — five cheap passes beat a
+    // persist at this size; a production run would checkpoint stage D.
+    "q225_curation_capstone" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chk = sum((col("doc_id") * 2654435761L) % 1000000007L)
+      def audit(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), chk.as("id_sum"))
+          .select(lit(name).as("stage"), col("n_docs"), col("id_sum"),
+            lit(-1L).as("extra"))
+      // A: exact dedup — first doc_id owns each 40-char-prefix key
+      val keyed = d.withColumn("k", md5(substring(lower(col("text")), 1, 40)))
+      val owners = keyed.groupBy("k").agg(min("doc_id").as("doc_id"))
+      val a = keyed.join(owners, Seq("k", "doc_id"))
+      // B: quality gate
+      val b = a.filter(col("n_chars").between(120, 500))
+      // C: semantic dedup within the label cell among B-survivors
+      val be = b.select("doc_id", "lang", "n_chars")
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label"), col("embedding")),
+          "doc_id")
+      val removed = be.select(col("label"), col("doc_id").as("ida"),
+          col("embedding").as("ea"))
+        .join(be.select(col("label"), col("doc_id").as("idb"),
+          col("embedding").as("eb")), "label")
+        .filter(col("ida") < col("idb"))
+        .filter(graft.functions.VectorExprs.cosine(col("ea"), col("eb")) >= 0.3)
+        .select(col("idb").as("doc_id")).distinct()
+      val c = be.join(removed, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+      // D: language mixing — deterministic per-lang quota
+      val dMix = TextAnalysis.exactQuotaSample(c, "lang", "doc_id",
+        quota = 40, salt = "cap-v1")
+      // E: packing — n_chars as the budget weight, bins audited
+      val packed = TextAnalysis.packSequences(dMix, "doc_id", "n_chars",
+        budget = 4096, buckets = 8)
+      audit(a, "a_exact")
+        .unionByName(audit(b, "b_quality"))
+        .unionByName(audit(c, "c_semantic"))
+        .unionByName(audit(dMix, "d_mix"))
+        .unionByName(packed.agg(count(lit(1)).as("n_docs"), chk.as("id_sum"),
+            countDistinct(struct(col("pack_bucket"), col("pack_bin")))
+              .as("extra"))
+          .select(lit("e_pack").as("stage"), col("n_docs"), col("id_sum"),
+            col("extra")))
+        .orderBy("stage")
+    }),
+
+    // Fellegi–Sunter match-weight estimation over length-band-blocked
+    // part-name pairs: ground truth = levenshtein <= 2 on the raw name,
+    // fields = adjective / noun word agreement plus the brand and type
+    // attributes. The discriminative shape the estimator must recover:
+    // the noun field carries strong positive evidence (m >> u), the
+    // brand/type fields carry none (m ≈ u, weights ≈ 0). Probe side is
+    // the deterministic p_partkey % 5 sample (both engines agree on it);
+    // the pair stream is a banded equi-join, never a product.
+    "q226_fs_weights" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      def side(tag: String) = p.select(
+        col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
+        col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
+        expr("length(p_name) div 4").as("band"))
+      val pairs = side("a").filter(col("ka") % 5 === 0)
+        .join(side("b"), "band").filter(col("ka") < col("kb"))
+      Blocking.fsWeights(pairs,
+        levenshtein(col("na"), col("nb")) <= 2,
+        Seq(
+          "adj" -> (split(col("na"), " ").getItem(0) === split(col("nb"), " ").getItem(0)),
+          "noun" -> (split(col("na"), " ").getItem(1) === split(col("nb"), " ").getItem(1)),
+          "brand" -> (col("ba") === col("bb")),
+          "ptype" -> (col("ta") === col("tb"))))
+        .orderBy("field")
+    }),
+
+    // Sorted-neighborhood candidate generation (Hernández-Stolfo) over
+    // part names: every row pairs with its w=5 successors in (p_name,
+    // p_partkey) order, global ranks from the bucket-offset pattern (no
+    // global sort), pairing by rank-block equi-join (each row fans out
+    // exactly twice). The emitted levenshtein shows the window catching
+    // near-matches that share no exact block value.
+    "q227_sorted_neighborhood" -> ((s, dir) => {
+      Blocking.sortedNeighborhood(t(s, dir, "part"), "p_name", "p_partkey", w = 5)
+        .withColumn("d", levenshtein(col("key_a"), col("key_b")))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Deterministic stratified train/val/test split: 80/10/10 per
+    // language with EXACT integer cutoffs ((pm*n) div 1000) under the
+    // salted-hash order — audited per (lang, split) with the order-free
+    // id checksum so the oracle catches a wrong membership SET even at
+    // equal counts.
+    "q228_split_assign" -> ((s, dir) => {
+      TextAnalysis.stratifiedSplit(docs(s, dir), "lang", "doc_id",
+          trainPm = 800, valPm = 100, salt = "split-v1")
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"))
+        .orderBy("lang", "split")
+    }),
+
+    // Mergeable minhash source signatures: the engine folds per-DOC
+    // signatures into per-source signatures by 16 MIN aggregates (the
+    // sketch-merge path an incremental pipeline maintains), then scores
+    // every source pair with the seed-agreement Jaccard estimate next to
+    // the exact shingle-union Jaccard. The oracle recomputes each
+    // source's signature DIRECTLY from its union of distinct shingles —
+    // hash equality proves the min-merge law end to end.
+    "q229_source_similarity" -> ((s, dir) =>
+      Dedup.sourceSimilarity(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("src_a", "src_b")),
+
+    // Per-dimension embedding-matrix profile: count/mean/variance/range
+    // per vector position plus each dimension's share of total variance
+    // (dead dims ≈ 0, rogue dims >> 1/64) — exact v6-quantized DECIMAL
+    // cores, one posexplode + one dim-keyed fold.
+    "q230_embed_dims" -> ((s, dir) =>
+      Profile.dimProfile(t(s, dir, "embeddings")).orderBy("dim")),
+
+    // Hampel robust-outlier screen on the long-tailed event values:
+    // median/MAD from counts-of-counts (never a row sort), integer
+    // compare dev > k·mad on the v6-quantized values — one summary row
+    // with the flagged-set checksum so the oracle catches a wrong
+    // member set at equal counts.
+    "q231_robust_outliers" -> ((s, dir) => {
+      val src = Ingest.eventsWithTs(s, dir).select(col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      Profile.robustOutliers(src, col("v6"), k = 3)
+        .agg(max("n").as("n"), max("median").as("median_v6"),
+          max("mad").as("mad_v6"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          coalesce(sum(when(col("is_outlier"),
+            (col("event_id") * 2654435761L) % 1000000007L)), lit(0L))
+            .as("out_id_sum"))
+    }),
+
+    // Probabilistic-linkage capstone: LEARN the Fellegi-Sunter weights
+    // from the banded labeled pairs (q226's estimator), generate
+    // sorted-neighborhood candidates (q227's operator), score each
+    // candidate with the learned agree/disagree weights, and keep the
+    // confident matches — the full production linker in one plan. The
+    // weights pivot to ONE broadcast row; the score is a fixed-order
+    // sum of the 6-dp weights, so both engines agree bitwise.
+    "q232_linkage_pipeline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      def side(tag: String) = p.select(
+        col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
+        col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
+        expr("length(p_name) div 4").as("band"))
+      val labeled = side("a").filter(col("ka") % 5 === 0)
+        .join(side("b"), "band").filter(col("ka") < col("kb"))
+      val weights = Blocking.fsWeights(labeled,
+        levenshtein(col("na"), col("nb")) <= 2,
+        Seq(
+          "adj" -> (split(col("na"), " ").getItem(0) === split(col("nb"), " ").getItem(0)),
+          "noun" -> (split(col("na"), " ").getItem(1) === split(col("nb"), " ").getItem(1)),
+          "brand" -> (col("ba") === col("bb")),
+          "ptype" -> (col("ta") === col("tb"))))
+      val wCols = Seq("adj", "noun", "brand", "ptype").flatMap(f => Seq(
+        max(when(col("field") === f, col("w_agree"))).as(s"wa_$f"),
+        max(when(col("field") === f, col("w_disagree"))).as(s"wd_$f")))
+      val w1 = weights.agg(wCols.head, wCols.tail: _*)
+      val attrs = p.select(col("p_partkey"), col("p_brand"), col("p_type"))
+      val cand = Blocking.sortedNeighborhood(p, "p_name", "p_partkey", w = 5)
+        .join(attrs.select(col("p_partkey").as("id_a"),
+          col("p_brand").as("ba"), col("p_type").as("ta")), "id_a")
+        .join(attrs.select(col("p_partkey").as("id_b"),
+          col("p_brand").as("bb"), col("p_type").as("tb")), "id_b")
+      val agrees = Seq(
+        "adj" -> (split(col("key_a"), " ").getItem(0) === split(col("key_b"), " ").getItem(0)),
+        "noun" -> (split(col("key_a"), " ").getItem(1) === split(col("key_b"), " ").getItem(1)),
+        "brand" -> (col("ba") === col("bb")),
+        "ptype" -> (col("ta") === col("tb")))
+      val score = TextAnalysis.round6Portable(agrees.map { case (f, a) =>
+        when(a, col(s"wa_$f")).otherwise(col(s"wd_$f")) }.reduce(_ + _))
+      val nAgree = agrees.map { case (_, a) => when(a, 1).otherwise(0) }
+        .reduce(_ + _).cast("int")
+      cand.crossJoin(broadcast(w1))
+        .withColumn("score", score).withColumn("n_agree", nAgree)
+        .filter(col("score") >= 2.0)
+        .select("id_a", "id_b", "score", "n_agree")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Rank-biased overlap between two retrieval scorers (BM25 vs raw
+    // term frequency) at depth 10, p=1/2: dyadic weights make every
+    // term one rounded division of exact integers; the whole comparison
+    // is ranking-sized. High RBO = the cheap scorer agrees with BM25
+    // where it matters (the top).
+    "q233_rank_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1, "spark"), (1, "query"), (2, "window"), (2, "stream"),
+        (3, "data"), (3, "table"), (3, "join")).toDF("query_id", "term")
+      val d = docs(s, dir)
+      val bmTop = graft.ops.TopK.groupedTopK(
+          Retrieval.bm25Queries(d, "doc_id", "text", q),
+          Seq("query_id"), col("score"), col("doc_id"), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rnk"))
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .join(q, "term")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("cnt"))
+      val tfTop = graft.ops.TopK.groupedTopK(tf,
+          Seq("query_id"), col("cnt").cast("double"), col("doc_id"), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rnk"))
+      Retrieval.rboTruncated(bmTop, tfTop, "query_id", "doc_id", "rnk",
+          depth = 10)
+        .orderBy("query_id")
+    }),
+
+    // Leave-one-source-out influence on mean document length: the
+    // jackknife identity turns |sources| ablation passes into ONE fold
+    // + a 1-row totals broadcast.
+    "q234_source_influence" -> ((s, dir) =>
+      Profile.leaveOneOutMeans(docs(s, dir), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Operating-point selection: the largest en-stopword-count
+    // threshold whose recall of English documents still meets 80% —
+    // integer recall compares over a distinct-value-sized cumulative,
+    // never a row sort.
+    "q235_operating_point" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Profile.operatingPoint(d,
+        TextAnalysis.stopwordHits(TextAnalysis.tokens(col("text")), "en"),
+        col("lang") === "en", recallPm = 800)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -6682,8 +6927,362 @@ object ExtQueries {
        |ORDER BY search_val, rnk""".stripMargin
   }
 
+  /** q225's mirror: the whole five-stage curation chain recomputed from
+    * the source tables in one CTE pipeline — dedup owners, the quality
+    * band, the within-cell pairwise cosine removals, the quota window
+    * (h60 hash order, q77's mirror verbatim), and the pack-bin
+    * arithmetic (q82's mirror) — with the same order-free id checksum.
+    * SUMs are cast back to BIGINT (DuckDB widens to HUGEINT, which the
+    * dtype bridge floats). */
+  private def curationCapstoneOracleSql: String = {
+    val h = TextAnalysis.h60Sql _
+    def cos(x: String, y: String) =
+      s"""(list_inner_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))
+         | / (sqrt(list_inner_product(CAST($x AS DOUBLE[]), CAST($x AS DOUBLE[])))
+         |    * sqrt(list_inner_product(CAST($y AS DOUBLE[]), CAST($y AS DOUBLE[])))))""".stripMargin
+    s"""WITH a AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT md5(substr(lower(text), 1, 40)) AS k, min(doc_id) AS doc_id
+       |        FROM documents GROUP BY 1) o USING (doc_id)),
+       |b AS (SELECT * FROM a WHERE n_chars BETWEEN 120 AND 500),
+       |be AS (SELECT b.doc_id, b.lang, b.n_chars, e.label, e.embedding
+       |       FROM b JOIN embeddings e ON e.vec_id = b.doc_id),
+       |removed AS (
+       |  SELECT DISTINCT y.doc_id FROM be x JOIN be y
+       |  ON x.label = y.label AND x.doc_id < y.doc_id
+       |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.3),
+       |c AS (SELECT be.doc_id, be.lang, be.n_chars FROM be
+       |      LEFT JOIN removed r USING (doc_id) WHERE r.doc_id IS NULL),
+       |d AS (
+       |  SELECT doc_id, lang, n_chars FROM (
+       |    SELECT c.*, row_number() OVER (PARTITION BY lang ORDER BY
+       |      ${h("'cap-v1:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk FROM c)
+       |  WHERE rnk <= 40),
+       |packed AS (
+       |  SELECT doc_id, n_chars,
+       |         ${h("'pack:' || CAST(doc_id AS VARCHAR)")} AS ph,
+       |         CAST(${h("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS pack_bucket
+       |  FROM d),
+       |bins AS (
+       |  SELECT doc_id, pack_bucket,
+       |         (SUM(n_chars) OVER (PARTITION BY pack_bucket ORDER BY ph, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - n_chars) // 4096 AS pack_bin
+       |  FROM packed)
+       |SELECT 'a_exact' AS stage, count(*) AS n_docs,
+       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT) AS id_sum,
+       |       CAST(-1 AS BIGINT) AS extra FROM a
+       |UNION ALL SELECT 'b_quality', count(*),
+       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM b
+       |UNION ALL SELECT 'c_semantic', count(*),
+       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM c
+       |UNION ALL SELECT 'd_mix', count(*),
+       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM d
+       |UNION ALL SELECT 'e_pack', count(*),
+       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT),
+       |       count(DISTINCT (pack_bucket, pack_bin)) FROM bins
+       |ORDER BY stage""".stripMargin
+  }
+
+  /** q226's mirror: the banded pair stream, the levenshtein ground truth,
+    * and every field's Laplace-smoothed m/u estimate recomputed from the
+    * source table; weights via the same IEEE ln-ratio chain (explicit
+    * ln(x)/ln2 both sides — never the engine's log2, whose libm could
+    * differ) rounded at 6 dp. */
+  private def fsWeightsOracleSql: String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    val fields = Seq(
+      "adj" -> "split_part(na, ' ', 1) = split_part(nb, ' ', 1)",
+      "noun" -> "split_part(na, ' ', 2) = split_part(nb, ' ', 2)",
+      "brand" -> "ba = bb",
+      "ptype" -> "ta = tb")
+    val counts = fields.map { case (f, pred) =>
+      s"""  CAST(count(*) FILTER (WHERE m AND $pred) AS BIGINT) AS ma_$f,
+         |  CAST(count(*) FILTER (WHERE NOT m AND $pred) AS BIGINT) AS ua_$f""".stripMargin
+    }.mkString(",\n")
+    val rows = fields.map { case (f, _) =>
+      val mk = s"CAST(ma_$f + 1 AS DOUBLE) / (n_m + 2)"
+      val uk = s"CAST(ua_$f + 1 AS DOUBLE) / (n_u + 2)"
+      s"""SELECT '$f' AS field, n_m, n_u, ma_$f AS n_m_agree, ua_$f AS n_u_agree,
+         |  ${r6(mk)} AS m_prob, ${r6(uk)} AS u_prob,
+         |  ${r6(s"(ln($mk) - ln($uk)) / 0.6931471805599453")} AS w_agree,
+         |  ${r6(s"(ln(1.0 - ($mk)) - ln(1.0 - ($uk))) / 0.6931471805599453")}
+         |    AS w_disagree
+         |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_type,
+       |    length(p_name) // 4 AS band FROM part),
+       |pairs AS (
+       |  SELECT a.p_name AS na, b.p_name AS nb, a.p_brand AS ba,
+       |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
+       |         (levenshtein(a.p_name, b.p_name) <= 2) AS m
+       |  FROM p a JOIN p b ON a.band = b.band AND a.p_partkey < b.p_partkey
+       |  WHERE a.p_partkey % 5 = 0),
+       |f AS (SELECT
+       |  CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_m,
+       |  CAST(count(*) FILTER (WHERE NOT m) AS BIGINT) AS n_u,
+       |$counts
+       |FROM pairs)
+       |SELECT * FROM ($rows) ORDER BY field""".stripMargin
+  }
+
+  /** q229's mirror: per-source signatures recomputed DIRECTLY from the
+    * union of distinct (source, shingle) sets — the other side of the
+    * min-merge law the engine exercises by folding per-doc signatures. */
+  private def sourceSimilarityOracleSql: String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    s"""WITH $shinglesCte,
+       |ssh AS (SELECT DISTINCT d.source, s.sh
+       |        FROM sh s JOIN documents d USING (doc_id)),
+       |hashed AS (SELECT source, sh,
+       |    ${TextAnalysis.h60Sql("sh")} % ${Dedup.P} AS hm FROM ssh),
+       |coef(i, a, b) AS (VALUES $coefValues),
+       |sigs AS (
+       |  SELECT source, c.i, min((c.a * hm + c.b) % ${Dedup.P}) AS sig
+       |  FROM hashed CROSS JOIN coef c GROUP BY source, c.i),
+       |est AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(count(*) FILTER (WHERE a.sig = b.sig) AS BIGINT)
+       |           AS n_seed_eq
+       |  FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT source, count(*) AS n FROM ssh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT e.src_a, e.src_b, e.n_seed_eq,
+       |  ${r6(s"CAST(e.n_seed_eq AS DOUBLE) / ${Dedup.minhashCoeffs.size}")}
+       |    AS est_jaccard,
+       |  ${r6("CAST(coalesce(i.n_inter, 0) AS DOUBLE) / " +
+          "(za.n + zb.n - coalesce(i.n_inter, 0))")} AS jaccard
+       |FROM est e
+       |LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+       |JOIN sizes za ON za.source = e.src_a
+       |JOIN sizes zb ON zb.source = e.src_b
+       |ORDER BY e.src_a, e.src_b""".stripMargin
+  }
+
+  /** q230's mirror: zip-unnest positions, the same v6 quantization, and
+    * the same exact HUGEINT variance core with one final IEEE chain. */
+  private def dimProfileOracleSql: String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    s"""WITH ex0 AS (SELECT unnest(range(len(embedding))) AS pos,
+       |    unnest(embedding) AS v FROM embeddings),
+       |ex AS (SELECT CAST(pos AS INT) AS pos, CAST(v AS DOUBLE) AS v
+       |       FROM ex0),
+       |d AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(floor(v * 1000000 + 0.5) AS HUGEINT)) AS s1,
+       |    sum(CAST(floor(v * 1000000 + 0.5) AS HUGEINT)
+       |        * CAST(floor(v * 1000000 + 0.5) AS HUGEINT)) AS s2,
+       |    min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+       |vn AS (SELECT pos, n, s1, mn, mx, n * s2 - s1 * s1 AS varnum FROM d),
+       |t AS (SELECT sum(varnum) AS tv FROM vn)
+       |SELECT pos AS dim, n,
+       |  ${r6("CAST(s1 AS DOUBLE) / n / 1000000.0")} AS mean,
+       |  ${r6("CAST(varnum AS DOUBLE) / n / n / 1000000000000.0")} AS variance,
+       |  ${r6("mn")} AS min_v, ${r6("mx")} AS max_v,
+       |  ${r6("CAST(varnum AS DOUBLE) / CAST(tv AS DOUBLE)")} AS var_share
+       |FROM vn, t ORDER BY dim""".stripMargin
+  }
+
+  /** q232's mirror: the whole linker re-derived in one CTE chain — the
+    * q226 weight estimator (same Laplace + rounded ln-ratio chain), the
+    * q227 rank-window candidates, and the fixed-order score sum of the
+    * 6-dp weights. No engine value is echoed. */
+  private def linkagePipelineOracleSql: String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    val fields = Seq(
+      "adj" -> ("split_part(na, ' ', 1) = split_part(nb, ' ', 1)",
+        "split_part(key_a, ' ', 1) = split_part(key_b, ' ', 1)"),
+      "noun" -> ("split_part(na, ' ', 2) = split_part(nb, ' ', 2)",
+        "split_part(key_a, ' ', 2) = split_part(key_b, ' ', 2)"),
+      "brand" -> ("ba = bb", "ba = bb"),
+      "ptype" -> ("ta = tb", "ta = tb"))
+    val counts = fields.map { case (f, (pred, _)) =>
+      s"""  count(*) FILTER (WHERE m AND $pred) AS ma_$f,
+         |  count(*) FILTER (WHERE NOT m AND $pred) AS ua_$f""".stripMargin
+    }.mkString(",\n")
+    val ws = fields.map { case (f, _) =>
+      val mk = s"CAST(ma_$f + 1 AS DOUBLE) / (n_m + 2)"
+      val uk = s"CAST(ua_$f + 1 AS DOUBLE) / (n_u + 2)"
+      s"""  ${r6(s"(ln($mk) - ln($uk)) / 0.6931471805599453")} AS wa_$f,
+         |  ${r6(s"(ln(1.0 - ($mk)) - ln(1.0 - ($uk))) / 0.6931471805599453")}
+         |    AS wd_$f""".stripMargin
+    }.mkString(",\n")
+    val scoreSum = fields.map { case (f, (_, cp)) =>
+      s"CASE WHEN $cp THEN wa_$f ELSE wd_$f END" }.mkString(" + ")
+    val agreeSum = fields.map { case (_, (_, cp)) =>
+      s"CASE WHEN $cp THEN 1 ELSE 0 END" }.mkString(" + ")
+    s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_type,
+       |    length(p_name) // 4 AS band FROM part),
+       |pairs AS (
+       |  SELECT a.p_name AS na, b.p_name AS nb, a.p_brand AS ba,
+       |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
+       |         (levenshtein(a.p_name, b.p_name) <= 2) AS m
+       |  FROM p a JOIN p b ON a.band = b.band AND a.p_partkey < b.p_partkey
+       |  WHERE a.p_partkey % 5 = 0),
+       |f AS (SELECT
+       |  count(*) FILTER (WHERE m) AS n_m,
+       |  count(*) FILTER (WHERE NOT m) AS n_u,
+       |$counts
+       |FROM pairs),
+       |w AS (SELECT
+       |$ws
+       |FROM f),
+       |r AS (SELECT p_partkey, p_name, p_brand, p_type,
+       |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS g
+       |  FROM part),
+       |cand AS (
+       |  SELECT a.p_partkey AS id_a, a.p_name AS key_a, a.p_brand AS ba,
+       |         a.p_type AS ta, b.p_partkey AS id_b, b.p_name AS key_b,
+       |         b.p_brand AS bb, b.p_type AS tb
+       |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 5),
+       |scored AS (
+       |  SELECT id_a, id_b, ${r6(s"($scoreSum)")} AS score,
+       |         CAST($agreeSum AS INT) AS n_agree
+       |  FROM cand, w)
+       |SELECT id_a, id_b, score, n_agree FROM scored
+       |WHERE score >= 2.0 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q233's mirror: the q78 BM25 chain re-ranked at depth 10, the raw
+    * term-frequency ranking, and the dyadic RBO fold — every term one
+    * rounded division of exact integers, summed as DECIMAL. */
+  private def rankAgreementOracleSql: String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    s"""WITH q(query_id, term) AS (
+       |  VALUES (1, 'spark'), (1, 'query'),
+       |         (2, 'window'), (2, 'stream'),
+       |         (3, 'data'), (3, 'table'), (3, 'join')),
+       |toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |                    * tf * (1.2 + 1.0)
+       |                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+       |              AS DECIMAL(20,6)) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |sc AS (SELECT q.query_id, contrib.doc_id, sum(c) AS score
+       |       FROM contrib JOIN q USING (term) GROUP BY 1, 2),
+       |ra AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS ra FROM sc),
+       |tfc AS (SELECT q.query_id, u.doc_id, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+       |        JOIN q USING (term) GROUP BY 1, 2),
+       |rb AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cnt DESC, doc_id) AS rb FROM tfc),
+       |jo AS (SELECT a.query_id, greatest(a.ra, b.rb) AS m
+       |       FROM ra a JOIN rb b
+       |         ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       |       WHERE a.ra <= 10 AND b.rb <= 10),
+       |dd AS (SELECT query_id, unnest(range(m, 11)) AS d FROM jo),
+       |terms AS (SELECT query_id, d, count(*) AS ov FROM dd GROUP BY 1, 2)
+       |SELECT query_id,
+       |  CAST(sum(CAST(${r6("CAST(ov AS DOUBLE) / " +
+          "(CAST(d AS DOUBLE) * pow(2.0, CAST(d AS DOUBLE)))")}
+       |    AS DECIMAL(24,6))) AS DOUBLE) AS rbo,
+       |  CAST(max(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS overlap_10
+       |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
+      ("q225_curation_capstone" -> curationCapstoneOracleSql) +
+      ("q226_fs_weights" -> fsWeightsOracleSql) +
+      ("q227_sorted_neighborhood" ->
+        """WITH r AS (SELECT p_partkey, p_name,
+          |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS g
+          |  FROM part)
+          |SELECT a.p_partkey AS id_a, a.p_name AS key_a,
+          |       b.p_partkey AS id_b, b.p_name AS key_b,
+          |       b.g - a.g AS gap,
+          |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS d
+          |FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 5
+          |ORDER BY id_a, id_b""".stripMargin) +
+      ("q228_split_assign" -> {
+        val h = TextAnalysis.h60Sql("'split-v1:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH r AS (SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id)
+           |      AS rk,
+           |    count(*) OVER (PARTITION BY lang) AS n FROM documents)
+           |SELECT lang,
+           |  CASE WHEN rk <= (800 * n) // 1000 THEN 'train'
+           |       WHEN rk <= (900 * n) // 1000 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |    AS id_sum
+           |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+      }) +
+      ("q229_source_similarity" -> sourceSimilarityOracleSql) +
+      ("q230_embed_dims" -> dimProfileOracleSql) +
+      ("q233_rank_agreement" -> rankAgreementOracleSql) +
+      // jackknife identity: same exact sums, same IEEE division chain
+      ("q234_source_influence" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH g AS (SELECT source, count(*) AS n_rows,
+           |    sum(n_chars) AS sg FROM documents GROUP BY 1),
+           |t AS (SELECT sum(n_rows) AS nn, sum(sg) AS ss FROM g)
+           |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+           |  ${r6("CAST(ss AS DOUBLE) / nn")} AS mean_all,
+           |  CASE WHEN nn = n_rows THEN NULL ELSE
+           |    ${r6("CAST(ss - sg AS DOUBLE) / (nn - n_rows)")} END
+           |    AS mean_loo,
+           |  CASE WHEN nn = n_rows THEN NULL ELSE
+           |    ${r6("CAST(ss - sg AS DOUBLE) / (nn - n_rows) " +
+              "- CAST(ss AS DOUBLE) / nn")} END AS influence
+           |FROM g, t ORDER BY source""".stripMargin
+      }) +
+      // operating point: same counts-of-counts, same integer recall gate
+      ("q235_operating_point" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH sc AS (SELECT ${hits("en")} AS s, (lang = 'en') AS y
+           |  FROM (SELECT lang, $toksSql AS t FROM documents)),
+           |c AS (SELECT s, count(*) AS n,
+           |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM sc GROUP BY 1),
+           |cum AS (SELECT s, sum(n) OVER (ORDER BY s DESC) AS cn,
+           |    sum(p) OVER (ORDER BY s DESC) AS cp FROM c),
+           |t AS (SELECT sum(p) AS tp FROM c),
+           |pick AS (SELECT max(s) AS thr FROM cum, t
+           |         WHERE tp > 0 AND cp * 1000 >= 800 * tp)
+           |SELECT CAST(thr AS BIGINT) AS threshold,
+           |  CAST(cn AS BIGINT) AS n_flagged,
+           |  ${r6("CAST(cp AS DOUBLE) / tp")} AS recall,
+           |  ${r6("CAST(cp AS DOUBLE) / cn")} AS precision
+           |FROM cum, t, pick WHERE cum.s = pick.thr""".stripMargin
+      }) +
+      // Hampel screen: same counts-of-counts medians, same integer flag
+      ("q231_robust_outliers" ->
+        """WITH src AS (SELECT event_id,
+          |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          |  FROM events),
+          |c AS (SELECT v, count(*) AS nk FROM src GROUP BY 1),
+          |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n FROM c),
+          |m AS (SELECT min(v) AS med FROM
+          |  (SELECT v, sum(nk) OVER (ORDER BY v) AS cum FROM c), t
+          |  WHERE cum >= (n + 1) // 2),
+          |d AS (SELECT event_id, abs(v - med) AS dev FROM src, m),
+          |dc AS (SELECT dev, count(*) AS nk FROM d GROUP BY 1),
+          |md AS (SELECT min(dev) AS mad FROM
+          |  (SELECT dev, sum(nk) OVER (ORDER BY dev) AS cum FROM dc), t
+          |  WHERE cum >= (n + 1) // 2)
+          |SELECT n, med AS median_v6, mad AS mad_v6,
+          |  CAST(count(*) FILTER (WHERE dev > 3 * mad) AS BIGINT)
+          |    AS n_outliers,
+          |  CAST(coalesce(sum((event_id * 2654435761) % 1000000007)
+          |    FILTER (WHERE dev > 3 * mad), 0) AS BIGINT) AS out_id_sum
+          |FROM d, t, m, md GROUP BY n, med, mad""".stripMargin) +
+      ("q232_linkage_pipeline" -> linkagePipelineOracleSql) +
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q147_kcore" -> kCoreOracleSql(2, 8)) +

@@ -123,4 +123,104 @@ object Blocking {
         col(s"__w_$c.${orderCols.head}").as(s"${c}_pri"))
     }: _*)
   }
+
+  /** Fellegi–Sunter match-weight estimation (Fellegi & Sunter 1969;
+    * the probabilistic-linkage standard behind Splink/RecordLinkage):
+    * from LABELED candidate pairs, estimate per comparison field k
+    *   m_k = P(field agrees | pair is a match)
+    *   u_k = P(field agrees | pair is a non-match)
+    * and the log-likelihood-ratio weights a linker scores with:
+    *   w_agree = log2(m/u),  w_disagree = log2((1−m)/(1−u)).
+    * Inputs: `pairs` (one row per candidate pair), `isMatch` (the
+    * ground-truth label column), and named agreement predicates. Laplace
+    * smoothing (add-1 over add-2) keeps every ratio finite on degenerate
+    * fields — m and u land strictly inside (0, 1).
+    *
+    * Shape at scale: ONE conditional-aggregate pass over the pairs (a
+    * 1-row aggregate with map-side partials — 2 sums per field + 2
+    * totals), then the 1-row result explodes to one row per field; the
+    * pair stream itself is whatever blocking produced it (never built
+    * here), so the estimator adds no join and no second scan. All
+    * probability cores are exact BIGINT counts; each output float is ONE
+    * double division (m, u) or the ln-ratio chain rounded at 6 dp —
+    * portable per the q197/q221 precedent.
+    *
+    * Reference framing: the fuzzy engine (main.py:181-289) hard-codes
+    * its match rule; FS weights are how a production linker LEARNS the
+    * per-field evidence instead. */
+  def fsWeights(pairs: DataFrame, isMatch: Column,
+                fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fsWeights needs at least one field")
+    val m = isMatch.cast("boolean")
+    val aggs =
+      sum(when(m, 1L).otherwise(0L)).as("n_m") +:
+      sum(when(!m, 1L).otherwise(0L)).as("n_u") +:
+      fields.flatMap { case (name, agree) => Seq(
+        sum(when(m && agree, 1L).otherwise(0L)).as(s"__ma_$name"),
+        sum(when(!m && agree, 1L).otherwise(0L)).as(s"__ua_$name")) }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    val ln2 = 0.6931471805599453
+    def w(p: Column, q: Column): Column =
+      TextAnalysis.round6Portable((log(p) - log(q)) / ln2)
+    val fieldRows = fields.map { case (name, _) =>
+      val mk = (col(s"__ma_$name") + 1).cast("double") / (col("n_m") + 2)
+      val uk = (col(s"__ua_$name") + 1).cast("double") / (col("n_u") + 2)
+      struct(lit(name).as("field"),
+        col(s"__ma_$name").as("n_m_agree"), col(s"__ua_$name").as("n_u_agree"),
+        TextAnalysis.round6Portable(mk).as("m_prob"),
+        TextAnalysis.round6Portable(uk).as("u_prob"),
+        w(mk, uk).as("w_agree"),
+        w(lit(1.0) - mk, lit(1.0) - uk).as("w_disagree"))
+    }
+    one.select(col("n_m"), col("n_u"),
+        explode(array(fieldRows: _*)).as("f"))
+      .select(col("f.field").as("field"), col("n_m"), col("n_u"),
+        col("f.n_m_agree"), col("f.n_u_agree"), col("f.m_prob"),
+        col("f.u_prob"), col("f.w_agree"), col("f.w_disagree"))
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995): sort
+    * the corpus by a blocking key and pair every row with its `w`
+    * successors in that order — the classic sliding-window alternative
+    * to equality blocking, catching near-matches that share no exact
+    * block value.
+    *
+    * Scale shape — NO global sort, NO full window: global ranks come
+    * from the [[graft.ops.Partitioning.contiguousIds]] two-phase
+    * bucket-offset pattern, but ordered by (key, id) with the bucket a
+    * MONOTONE prefix of the key (`bucketOf`, default first char), so
+    * (bucket, key, id) order == (key, id) order and each rank window is
+    * bounded by its bucket; per-bucket offsets are a bucket-count-sized
+    * broadcast. Pairing is then an EQUI-join on the rank block
+    * floor(rank/w): row a meets block g and g+1 only (any successor
+    * within w lives there), filtered to 1 <= rank_b − rank_a <= w — the
+    * join fans each row out exactly twice regardless of corpus size.
+    * `idCol` must be unique (rank ties would be order-unstable).
+    * Emits (id_a, key_a, id_b, key_b, gap); gap = rank distance. */
+  def sortedNeighborhood(df: DataFrame, keyCol: String, idCol: String,
+                         w: Int,
+                         bucketOf: Column => Column = _.substr(1, 1)): DataFrame = {
+    require(w >= 1, s"sortedNeighborhood needs window >= 1, got $w")
+    val local = df.select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .withColumn("__b", bucketOf(col("__k")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__b")
+          .orderBy("__k", "__id")))
+    val offsets = local.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__b", "__off")
+    val ranked = local.join(broadcast(offsets), "__b")
+      .select(col("__id"), col("__k"), (col("__off") + col("__r") - 1).as("__g"))
+    val blk = expr(s"__g div $w")
+    val a = ranked.select(col("__id").as("id_a"), col("__k").as("key_a"),
+        col("__g").as("__ga"), explode(array(blk, blk + 1)).as("__blk"))
+    val b = ranked.select(col("__id").as("id_b"), col("__k").as("key_b"),
+      col("__g").as("__gb"), blk.as("__blk"))
+    a.join(b, "__blk")
+      .filter(col("__gb") - col("__ga") >= 1 && col("__gb") - col("__ga") <= w)
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
+        (col("__gb") - col("__ga")).as("gap"))
+  }
 }

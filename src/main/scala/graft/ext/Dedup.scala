@@ -140,6 +140,66 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Per-SOURCE minhash signatures by MERGING the per-doc signatures —
+    * the minhash-as-mergeable-sketch law (Broder 1997): min over a UNION
+    * of sets equals the min of the per-set minima, so a source's
+    * signature folds from its documents' signatures without ever
+    * rebuilding the union shingle set. That is what makes the signature
+    * a sketch a 100 TB pipeline can maintain incrementally: per-shard /
+    * per-day doc signatures merge by 16 MIN aggregates (one partial-agg
+    * shuffle on the source key, |sources|·16 longs of state), and the
+    * oracle proves the law by recomputing each source's signature
+    * DIRECTLY from its union of distinct shingles — the two paths must
+    * agree bit-for-bit. */
+  def sourceSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String): DataFrame = {
+    val docSigs = minhashSignatures(
+      shingled(docs, idCol, textCol))
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
+    val aggs = minhashCoeffs.indices.map(i => min(s"sig_$i").as(s"sig_$i"))
+    docSigs.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Source-to-source similarity from merged signatures + exact truth:
+    * for every source pair, the signature-agreement estimate of corpus
+    * Jaccard (fraction of the 16 seeds whose merged minima coincide —
+    * the classic minhash estimator, resolution 1/16) next to the EXACT
+    * shingle-union Jaccard computed by equi-joining the distinct
+    * (source, shingle) sets. The pairing is a crossJoin of the
+    * |sources|-row signature table against itself — sources are a
+    * BOUNDED dimension (like k-means centroids), so the product is
+    * metadata-sized no matter the corpus; the corpus-sized work (shingle
+    * join, signature fold) is all equi-keyed. Output per pair:
+    * (src_a, src_b, n_seed_eq, est_jaccard, jaccard) — the drift audit
+    * that says which sources overlap before any doc-level dedup runs. */
+  def sourceSimilarity(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String): DataFrame = {
+    val sigs = sourceSignatures(docs, idCol, textCol, srcCol)
+    val a = sigs.toDF(sigs.columns.map(c => if (c == "source") "src_a" else s"a_$c"): _*)
+    val b = sigs.toDF(sigs.columns.map(c => if (c == "source") "src_b" else s"b_$c"): _*)
+    val nEq = minhashCoeffs.indices
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), nEq.cast("long").as("n_seed_eq"))
+    val srcSh = shingled(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
+      .select("source", "sh").distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = srcSh.select(col("source").as("src_a"), col("sh"))
+      .join(srcSh.select(col("source").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_seed_eq"),
+        TextAnalysis.round6Portable(col("n_seed_eq").cast("double") /
+          minhashCoeffs.size).as("est_jaccard"),
+        TextAnalysis.round6Portable(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidate pairs with verified
     * Jaccard >= minJaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,

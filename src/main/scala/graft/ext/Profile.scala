@@ -74,6 +74,166 @@ object Profile {
       .select("label", "cos_drift", "l2_shift")
   }
 
+  /** Per-DIMENSION embedding-matrix profile — the anisotropy/QA report
+    * an embedding pipeline runs before trusting a new encoder drop: for
+    * each vector position, count, mean, variance, min, max, plus each
+    * dimension's share of total variance (a collapsed/dead dimension
+    * shows up as var_share ≈ 0, a dominant rogue dimension as a share
+    * far above 1/dim — the "anisotropy" symptom that kills cosine
+    * retrieval, Ethayarajh 2019).
+    *
+    * Shape at scale: ONE posexplode (map-only ×dim fan-out of floats)
+    * into ONE (pos) groupBy with map-side partials — dim-bounded output
+    * — plus a 1-row total-variance broadcast for the share. Exact
+    * engine-portable cores: values quantize to 6-dp integers (v6 =
+    * floor(v·1e6+0.5), the EWMA/CUSUM rule), sums and sums-of-squares
+    * accumulate in DECIMAL(38,0) (|v6| ≤ 2e6 ⇒ v6² ≤ 4e12 — a 2^63
+    * Long would overflow near ~2e6 rows per dim; DECIMAL doesn't), and
+    * the variance core n·S2 − S² stays an exact decimal integer until a
+    * final correctly-rounded IEEE double chain — so the hash is stable
+    * across engines, partitionings, and row order. */
+  def dimProfile(embs: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val v6 = floor(col("v").cast("double") * 1e6 + 0.5).cast("decimal(38,0)")
+    val perDim = embs
+      .select(posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(v6).as("s1"), sum(v6 * v6).as("s2"),
+        min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .withColumn("varnum", col("n") * col("s2") - col("s1") * col("s1"))
+    // fixed-width embeddings ⇒ n is identical across dims, so each dim's
+    // variance share reduces to the pure integer ratio varnum / Σvarnum
+    // (no per-dim n² normalization needed). Every division below is a
+    // correctly-rounded IEEE double op on EXACT decimal inputs — both
+    // engines produce the same bits (the q221 sqrt-chain precedent).
+    val tot = perDim.agg(sum(col("varnum")).as("__tv"))
+    perDim.crossJoin(broadcast(tot))
+      .select(col("pos").as("dim"), col("n"),
+        TextAnalysis.round6Portable(col("s1").cast("double") / col("n") / 1e6)
+          .as("mean"),
+        TextAnalysis.round6Portable(
+          col("varnum").cast("double") / col("n") / col("n") / 1e12)
+          .as("variance"),
+        TextAnalysis.round6Portable(col("mn")).as("min_v"),
+        TextAnalysis.round6Portable(col("mx")).as("max_v"),
+        TextAnalysis.round6Portable(
+          col("varnum").cast("double") / col("__tv").cast("double"))
+          .as("var_share"))
+  }
+
+  /** Exact lower median of an INTEGER column via counts-of-counts: the
+    * smallest value whose cumulative count reaches (n+1) div 2. Never
+    * sorts rows — one value-keyed fold (map-side partials) plus a
+    * distinct-value-sized running window, the q214/q222 quantile shape.
+    * Returns a 1-row (n, median) DataFrame for broadcasting. */
+  def exactMedian(df: DataFrame, value: Column): DataFrame = {
+    val counts = df.select(value.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__nk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    counts.withColumn("__cum", sum("__nk").over(run))
+      .crossJoin(broadcast(counts.agg(sum("__nk").as("n"))))
+      .filter(col("__cum") >= expr("(n + 1) div 2"))
+      .groupBy("n").agg(min("__v").as("median"))
+  }
+
+  /** Robust outlier screen by median/MAD (Hampel filter): a row is an
+    * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
+    * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot
+    * be dragged by the outliers it is hunting — the reason every data
+    * validation suite ships it. EXACT end to end on integer columns:
+    * both medians come from [[exactMedian]]'s counts-of-counts (no row
+    * sort, distinct-value-sized state), they broadcast as 1-row tables,
+    * and the flag `dev > k·mad` is a pure integer compare — so both
+    * engines agree on every boundary row. Doubles: quantize to v6 first
+    * (the EWMA rule). Two value-fold passes over the column + map-only
+    * flagging; at 100 TB the fold state is |distinct values|, not rows. */
+  def robustOutliers(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 1, s"robustOutliers needs k >= 1, got $k")
+    val med = exactMedian(df, value).select(col("n"), col("median"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("dev", abs(value.cast("long") - col("median")))
+    val mad = exactMedian(dev, col("dev"))
+      .select(col("median").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+  }
+
+  /** Leave-one-SOURCE-out influence on a corpus mean — the cheap source
+    * ablation: for each group g, the corpus mean of `value` with g
+    * removed, mean_loo = (S − S_g)/(N − N_g), next to the overall mean
+    * and the delta — which source is dragging average quality/length,
+    * WITHOUT |sources| recomputation passes (the jackknife identity
+    * makes it one fold). `value` must be integer-typed (cast/quantize
+    * first): S and the per-group sums stay exact DECIMAL(38,0), and
+    * each output is ONE IEEE double division (then a subtraction)
+    * rounded at 6 dp. Shape: one groupBy(group) fold with map-side
+    * partials + a 1-row totals broadcast — group-count-sized output. A
+    * group covering the whole corpus (N = N_g) nulls its mean_loo and
+    * influence rather than dividing by zero. */
+  def leaveOneOutMeans(df: DataFrame, groupCol: String,
+                       value: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(value.cast("decimal(38,0)")).as("__sg"))
+    val tot = g.agg(sum("n_rows").as("__N"), sum("__sg").as("__S"))
+    val meanAll = col("__S").cast("double") / col("__N")
+    val meanLoo = (col("__S") - col("__sg")).cast("double") /
+      (col("__N") - col("n_rows"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"),
+        TextAnalysis.round6Portable(meanAll).as("mean_all"),
+        when(col("__N") === col("n_rows"), lit(null).cast("double"))
+          .otherwise(TextAnalysis.round6Portable(meanLoo)).as("mean_loo"),
+        when(col("__N") === col("n_rows"), lit(null).cast("double"))
+          .otherwise(TextAnalysis.round6Portable(meanLoo - meanAll))
+          .as("influence"))
+  }
+
+  /** Operating-point selection for a score vs a binary label: the
+    * LARGEST threshold t (flag = score >= t) whose recall still meets
+    * `recallPm` per-mille — i.e. the fewest-flagged operating point
+    * achieving the recall target — plus the achieved recall, precision,
+    * and flagged count. The thresholding every production quality /
+    * moderation classifier ships with, chosen exactly.
+    *
+    * Exactness and shape: score-value counts-of-counts (one fold,
+    * map-side partials) + a distinct-value-sized descending running
+    * window; the recall test is the integer compare
+    * 1000·cum_pos >= recallPm·P (never a float recall), and the chosen
+    * row is an arg-max struct fold — no row sort, no row-scale window.
+    * Integer scores only (quantize doubles to v6 first). Returns one
+    * row; recall/precision are single rounded IEEE divisions. Empty or
+    * zero-positive inputs return no row (a recall target over zero
+    * positives is undefined) — contract-check P > 0 upstream. */
+  def operatingPoint(df: DataFrame, score: Column, label: Column,
+                     recallPm: Int): DataFrame = {
+    require(recallPm >= 1 && recallPm <= 1000,
+      s"recallPm must be in [1, 1000], got $recallPm")
+    val c = df.select(score.cast("long").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("__s").agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__s").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = c.withColumn("__cn", sum("__n").over(w))
+      .withColumn("__cp", sum("__p").over(w))
+    val tot = c.agg(sum("__p").as("__ptot"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__ptot") > 0 &&
+        col("__cp") * 1000 >= lit(recallPm) * col("__ptot"))
+      .agg(max(struct(col("__s"), col("__cn"), col("__cp"), col("__ptot")))
+        .as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("b.__s").as("threshold"), col("b.__cn").as("n_flagged"),
+        TextAnalysis.round6Portable(col("b.__cp") / col("b.__ptot"))
+          .as("recall"),
+        TextAnalysis.round6Portable(col("b.__cp") / col("b.__cn"))
+          .as("precision"))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..5 — the
     * inverse-CDF lookup both engines share as double literals (mass
     * above k = 5 is ~6e-5; those draws cap at 6). */

@@ -255,4 +255,45 @@ object Retrieval {
       .agg(sum("df").as("df"), sum("cf").as("cf"),
         array_sort(flatten(collect_list(col("postings")))).as("postings"))
   }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) between
+    * two top-`depth` rankings per query, at persistence p = 1/2:
+    * RBO = Σ_{d=1..depth} (1−p)·p^(d−1) · |A_d ∩ B_d| / d, i.e. each
+    * depth's prefix-overlap fraction weighted 2^−d — the standard
+    * "how much do two rankers agree, top-weighted" number for comparing
+    * scoring functions (identical rankings score 1 − 2^−depth; the
+    * truncated tail mass is the documented remainder).
+    *
+    * Exactness: p = 1/2 makes every weight dyadic, so a term is ONE
+    * double division of exact integers (overlap / (d·2^d), both ≤ 2^63
+    * and the product exact in double for depth ≤ 50), rounded to 6 dp,
+    * then summed as DECIMAL — order-free and engine-identical (the PSI
+    * rounded-term rule). Shape at scale: the rankings join on
+    * (query, id) — each side is ≤ depth rows per query, so the join,
+    * the d-explode (≤ depth fan-out), and the (query, d) fold are all
+    * ranking-sized, never corpus-sized. Queries whose rankings share NO
+    * documents emit no row (overlap 0 everywhere) — outer-join a query
+    * list downstream if silence must be visible. Both inputs must rank
+    * 1..depth with a deterministic tiebreak (the groupedTopK contract);
+    * `rankCol` values beyond `depth` are filtered here. */
+  def rboTruncated(a: DataFrame, b: DataFrame, queryCol: String,
+                   idCol: String, rankCol: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 50,
+      s"rboTruncated needs 1 <= depth <= 50, got $depth")
+    val joined = a.select(col(queryCol), col(idCol), col(rankCol).as("__ra"))
+      .join(b.select(col(queryCol), col(idCol), col(rankCol).as("__rb")),
+        Seq(queryCol, idCol))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")).cast("int"))
+      .filter(col("__m") <= depth)
+      .withColumn("__d", explode(sequence(col("__m"), lit(depth))))
+    joined.groupBy(col(queryCol), col("__d"))
+      .agg(count(lit(1)).as("__ov"))
+      .withColumn("__term", TextAnalysis.round6Portable(
+        col("__ov").cast("double") /
+          (col("__d").cast("double") * pow(lit(2.0), col("__d").cast("double")))))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__term").cast("decimal(24,6)")).cast("double").as("rbo"),
+        coalesce(max(when(col("__d") === depth, col("__ov"))), lit(0L))
+          .as(s"overlap_$depth"))
+  }
 }

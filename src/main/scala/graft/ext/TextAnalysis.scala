@@ -383,6 +383,40 @@ object TextAnalysis {
         .as("quota"))
   }
 
+  /** Deterministic stratified train/val/test assignment with EXACT
+    * per-stratum proportions: within each stratum, rows rank by the
+    * salted portable hash (h60 — an engine-reproducible shuffle, the
+    * q47/q97 rule: no RNG, so retries/engines/partitionings all assign
+    * identically) and the first floor(f_train·n) ranks are `train`, the
+    * next ranks through floor((f_train+f_val)·n) are `val`, the rest
+    * `test`. Cutoffs are EXACT integer arithmetic — fractions enter as
+    * per-mille integers (`trainPm`/`valPm`, e.g. 800/100 = 80%/10%) and
+    * the cutoff is (pm·n) div 1000 — so both engines agree on every
+    * boundary row (a double multiply could round a cutoff differently).
+    *
+    * vs the naive global `hash % 10 < 8`: that only approximates the
+    * split per stratum (binomial noise — a 50-doc language could land
+    * 70/30), while eval sets want exact counts. Scale: one window per
+    * stratum (the [[exactQuotaSample]] shape — see
+    * exactQuotaSampleAtScale for corpus-sized strata) and a broadcast of
+    * stratum counts; appends `split` without dropping columns. */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, keyCol: String,
+                      trainPm: Int, valPm: Int, salt: String): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= 1000,
+      s"per-mille fractions must be >= 0 and sum <= 1000, got $trainPm/$valPm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))), col(keyCol))
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), stratumCol)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("split",
+        when(col("__rk") <= expr(s"($trainPm * __n) div 1000"), "train")
+          .when(col("__rk") <= expr(s"((${trainPm + valPm}) * __n) div 1000"), "val")
+          .otherwise("test"))
+      .drop("__n", "__rk")
+  }
+
   def exactQuotaSample(df: DataFrame, groupCol: String, keyCol: String,
                        quota: Int, salt: String): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")

@@ -3343,3 +3343,200 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.frame.length === 64))
   }
 }
+
+/** Wave-13 linkage + split + profile operators: Fellegi–Sunter weights,
+  * sorted-neighborhood candidates, stratified split, source-signature
+  * merge law, per-dimension embedding profile. */
+class LinkageSplitSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.ext.{Blocking, Dedup, Profile, TextAnalysis}
+
+  test("sortedNeighborhood: exactly the rank-window pairs, count law n·w − w(w+1)/2") {
+    import spark.implicits._
+    val df = Seq((1L, "apple"), (2L, "apricot"), (3L, "banana"), (4L, "band"),
+      (5L, "bandana"), (6L, "cherry"), (7L, "citrus"), (8L, "date"))
+      .toDF("id", "k")
+    val got = Blocking.sortedNeighborhood(df, "k", "id", w = 3).collect()
+    val n = 8; val w = 3
+    val expect = (for { a <- 1 to n; b <- a + 1 to math.min(a + w, n) }
+      yield (a.toLong, b.toLong, (b - a).toLong)).toSet
+    assert(got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("gap"))).toSet === expect)
+    assert(got.length === n * w - w * (w + 1) / 2)
+  }
+
+  test("sortedNeighborhood: key ties break by id; the window crosses bucket boundaries") {
+    import spark.implicits._
+    // rank order by (k, id): (alpha,2), (alpha,7), (mid,4), (zeta,10) —
+    // pairs must cross the first-char buckets a→m→z
+    val df = Seq((10L, "zeta"), (2L, "alpha"), (7L, "alpha"), (4L, "mid"))
+      .toDF("id", "k")
+    val got = Blocking.sortedNeighborhood(df, "k", "id", w = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got === Set((2L, 7L), (2L, 4L), (7L, 4L), (7L, 10L), (4L, 10L)))
+  }
+
+  test("fsWeights: hand-computed Laplace m/u and log2 weights") {
+    import spark.implicits._
+    val pairs = Seq(
+      (true, true, true), (true, true, false), (true, false, true),
+      (false, false, true), (false, true, false), (false, false, false))
+      .toDF("m", "f1", "f2")
+    val got = Blocking.fsWeights(pairs, col("m"),
+      Seq("f1" -> col("f1"), "f2" -> col("f2"))).collect()
+    val f1 = got.find(_.getAs[String]("field") == "f1").get
+    // n_m = n_u = 3; f1 agrees on 2 matches, 1 non-match:
+    // m = 3/5, u = 2/5 → w_agree = log2(1.5), w_disagree = log2(2/3)
+    assert(f1.getAs[Long]("n_m") === 3L && f1.getAs[Long]("n_u") === 3L)
+    assert(f1.getAs[Long]("n_m_agree") === 2L && f1.getAs[Long]("n_u_agree") === 1L)
+    assert(math.abs(f1.getAs[Double]("w_agree") - math.log(1.5) / math.log(2)) < 2e-6)
+    assert(math.abs(f1.getAs[Double]("w_disagree") - math.log(2.0 / 3) / math.log(2)) < 2e-6)
+    assert(math.abs(f1.getAs[Double]("m_prob") - 0.6) < 2e-6)
+    assert(math.abs(f1.getAs[Double]("u_prob") - 0.4) < 2e-6)
+  }
+
+  test("stratifiedSplit: exact integer cutoffs per stratum, total cover, deterministic") {
+    import spark.implicits._
+    val df = (1 to 37).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val s1 = TextAnalysis.stratifiedSplit(df, "g", "id", 800, 100, "s")
+    val counts = s1.groupBy("g", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a: n=12 → train (800·12) div 1000 = 9, val through rank 10 → 1, test 2
+    assert(counts(("a", "train")) === 9L && counts(("a", "val")) === 1L &&
+      counts(("a", "test")) === 2L)
+    // b: n=25 → train 20, val through rank 22 → 2, test 3
+    assert(counts(("b", "train")) === 20L && counts(("b", "val")) === 2L &&
+      counts(("b", "test")) === 3L)
+    assert(s1.count() === 37L)
+    val s2 = TextAnalysis.stratifiedSplit(df, "g", "id", 800, 100, "s")
+    assert(s1.orderBy("id").collect().toSeq === s2.orderBy("id").collect().toSeq)
+  }
+
+  test("sourceSignatures: min-merge law — folded doc sigs equal sigs of the union shingle set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "the quick brown cat naps under the warm sun", "s1"),
+      (3L, "a completely different corpus of words entirely here", "s2"),
+      (4L, "the quick brown fox jumps over the lazy dog again today", "s2"))
+      .toDF("doc_id", "text", "source")
+    val merged = Dedup.sourceSignatures(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    // the other path: signature computed DIRECTLY on each source's union
+    // of distinct shingles (source plays the doc_id role)
+    val unionSh = Dedup.shingled(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source").as("doc_id"), col("sh")).distinct()
+    val direct = Dedup.minhashSignatures(unionSh)
+      .withColumnRenamed("doc_id", "source").orderBy("source").collect()
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("robustOutliers: hand-computed median/MAD; boundary dev == k*mad is NOT flagged") {
+    import spark.implicits._
+    // values: 1,2,3,4,100 -> median 3, devs 2,1,0,1,97 -> MAD 1
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 100L))
+      .toDF("id", "v")
+    val got = Profile.robustOutliers(df, col("v"), k = 3)
+      .select("id", "v", "dev", "median", "mad", "is_outlier")
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[Long]("median")).distinct.toSeq === Seq(3L))
+    assert(got.map(_.getAs[Long]("mad")).distinct.toSeq === Seq(1L))
+    assert(got.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("id")).toSeq === Seq(5L))
+    // boundary: dev exactly k*mad must NOT flag (strict >)
+    val c = Seq((1L, 7L), (2L, 9L), (3L, 10L), (4L, 11L), (5L, 13L)).toDF("id", "v")
+    // median 10, devs 3,1,0,1,3 -> MAD 1; k=3 -> dev 3 == 3*1 not flagged
+    val gc = Profile.robustOutliers(c, col("v"), k = 3).collect()
+    assert(!gc.exists(_.getAs[Boolean]("is_outlier")))
+    // degenerate MAD = 0 (majority at one value): ANY deviation flags
+    val b = Seq((1L, 0L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 13L)).toDF("id", "v")
+    // median 10, devs 10,0,0,0,3 -> MAD 0
+    val gb = Profile.robustOutliers(b, col("v"), k = 3).collect()
+    assert(gb.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("id"))
+      .sorted.toSeq === Seq(1L, 5L))
+  }
+
+  test("exactMedian: lower-median convention on even n; counts-of-counts path") {
+    import spark.implicits._
+    val even = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val r = Profile.exactMedian(even, col("v")).collect()
+    assert(r.length === 1 && r(0).getAs[Long]("n") === 4L &&
+      r(0).getAs[Long]("median") === 2L)
+    val odd = Seq(5L, 1L, 9L).toDF("v")
+    assert(Profile.exactMedian(odd, col("v")).collect()(0)
+      .getAs[Long]("median") === 5L)
+  }
+
+  test("rboTruncated: identical rankings score 1 - 2^-depth (rounded); hand case; disjoint is silent") {
+    import spark.implicits._
+    val a = Seq((1, 101L, 1), (1, 102L, 2), (1, 103L, 3))
+      .toDF("q", "doc", "rnk")
+    val same = graft.ext.Retrieval
+      .rboTruncated(a, a, "q", "doc", "rnk", depth = 3).collect()
+    // full-depth identical rankings: sum of 2^-d, d=1..3 = 1 - 2^-3
+    assert(same.length === 1 && same(0).getAs[Double]("rbo") === 0.875)
+    assert(same(0).getAs[Long]("overlap_3") === 3L)
+    // A=[1,2,3], B=[2,1,4]: overlaps 0,2,2 -> 0 + 2/8 + round6(2/24)
+    val b = Seq((1, 102L, 1), (1, 101L, 2), (1, 104L, 3)).toDF("q", "doc", "rnk")
+    val mixed = graft.ext.Retrieval
+      .rboTruncated(a, b, "q", "doc", "rnk", depth = 3).collect()
+    assert(mixed(0).getAs[Double]("rbo") === 0.333333)
+    assert(mixed(0).getAs[Long]("overlap_3") === 2L)
+    // no shared docs -> no row
+    val c = Seq((1, 201L, 1)).toDF("q", "doc", "rnk")
+    assert(graft.ext.Retrieval
+      .rboTruncated(a, c, "q", "doc", "rnk", depth = 3).count() === 0L)
+  }
+
+  test("leaveOneOutMeans: jackknife identity by hand; whole-corpus group nulls") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 60L)).toDF("g", "v")
+    val got = Profile.leaveOneOutMeans(df, "g", col("v")).orderBy("g").collect()
+    // overall mean 30; drop a -> 60; drop b -> 15
+    assert(got(0).getAs[Double]("mean_all") === 30.0)
+    assert(got(0).getAs[Double]("mean_loo") === 60.0 &&
+      got(0).getAs[Double]("influence") === 30.0)
+    assert(got(1).getAs[Double]("mean_loo") === 15.0 &&
+      got(1).getAs[Double]("influence") === -15.0)
+    val solo = Profile.leaveOneOutMeans(
+      Seq(("a", 1L)).toDF("g", "v"), "g", col("v")).collect()
+    assert(solo(0).isNullAt(solo(0).fieldIndex("mean_loo")))
+  }
+
+  test("operatingPoint: largest threshold meeting recall; exact boundary; zero-positive silent") {
+    import spark.implicits._
+    // scores: pos at 5,4,3; neg at 5,1. recall 2/3 at t=4, 3/3 at t=3.
+    val df = Seq((5L, true), (4L, true), (3L, true), (5L, false), (1L, false))
+      .toDF("s", "y")
+    val r800 = Profile.operatingPoint(df, col("s"), col("y"), 800).collect()
+    assert(r800(0).getAs[Long]("threshold") === 3L &&
+      r800(0).getAs[Long]("n_flagged") === 4L &&
+      r800(0).getAs[Double]("recall") === 1.0 &&
+      r800(0).getAs[Double]("precision") === 0.75)
+    // boundary: recall target exactly met (2/3 >= 666 per-mille fails at
+    // integer compare 2000 >= 666*3=1998 -> passes; 667 -> 2001 fails)
+    val r666 = Profile.operatingPoint(df, col("s"), col("y"), 666).collect()
+    assert(r666(0).getAs[Long]("threshold") === 4L)
+    val r667 = Profile.operatingPoint(df, col("s"), col("y"), 667).collect()
+    assert(r667(0).getAs[Long]("threshold") === 3L)
+    // no positives -> no row
+    assert(Profile.operatingPoint(
+      Seq((1L, false)).toDF("s", "y"), col("s"), col("y"), 800).count() === 0L)
+  }
+
+  test("dimProfile: exact moments on a tiny matrix; var shares sum to 1") {
+    import spark.implicits._
+    val rows = Seq(Array(1.0f, 2.0f), Array(3.0f, 6.0f), Array(5.0f, 10.0f))
+      .toDF("embedding")
+    val got = Profile.dimProfile(rows).orderBy("dim").collect()
+    // dim0 = (1,3,5): mean 3, population var 8/3; dim1 = 2·dim0 → var ×4,
+    // so shares are 24e12/120e12 = 0.2 and 0.8
+    assert(got(0).getAs[Double]("mean") === 3.0)
+    assert(math.abs(got(0).getAs[Double]("variance") - 8.0 / 3) < 2e-6)
+    assert(got(0).getAs[Double]("min_v") === 1.0 && got(0).getAs[Double]("max_v") === 5.0)
+    assert(math.abs(got(0).getAs[Double]("var_share") - 0.2) < 2e-6)
+    assert(math.abs(got(1).getAs[Double]("var_share") - 0.8) < 2e-6)
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(3L, 3L))
+  }
+}

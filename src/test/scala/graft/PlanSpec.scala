@@ -1063,4 +1063,143 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("text#"),
       s"the fingerprint columns exclude text; the scan must prune it:\n$p")
   }
+
+  test("q225 capstone: five-stage chain stays equi-join — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("q225_curation_capstone")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the semantic stage's within-cell pairwise compare must join on the
+    // label key; nothing in the chain may plan an unkeyed product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no stage of the capstone may cross-join:\n$p")
+    // exact-dedup owners and every audit fold partial-aggregate map-side
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"the dedup/audit folds must reduce per partition first:\n$p")
+    // exactly the two designed windows: the quota rank and the pack
+    // running sum — both partitioned (lang / pack_bucket), never global
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.size <= 2,
+      s"only the quota + pack windows may plan, got ${windows.size}:\n$p")
+    assert(windows.forall(w => w.contains("windowspecdefinition(lang") ||
+        w.contains("windowspecdefinition(pack_bucket")),
+      s"every window must partition by lang or pack_bucket:\n$p")
+  }
+
+  test("q226 FS weights: banded equi-join pair stream, map-side partial fold, no product") {
+    val df = SparkEntry.queries("q226_fs_weights")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair stream must join on the length band, never a product:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the conditional-agg estimator must fold map-side:\n$p")
+  }
+
+  test("q227 sorted-neighborhood: rank-block equi-join, no product, bucketed windows only") {
+    val df = SparkEntry.queries("q227_sorted_neighborhood")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be the floor(rank/w) equi-join, never a product:\n$p")
+    // the per-bucket rank window partitions by the key-prefix bucket;
+    // the offsets prefix-sum window is bucket-count-sized by design
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.size <= 2, s"only the rank + offset windows may plan:\n$p")
+  }
+
+  test("q229 source similarity: shingle joins stay equi; only the bounded sigs table crosses") {
+    val df = SparkEntry.queries("q229_source_similarity")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // AQE prints the one bounded join twice (stage + inline reuse); what
+    // matters is that EVERY nest-loop line is the |sources|-row signature
+    // pairing (join condition on src_a), never a corpus-sized product
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("src_a")),
+      s"only the signature pairing may nest-loop:\n$p")
+    assert(p.contains("partial_min"),
+      s"the signature merge must fold MIN map-side:\n$p")
+  }
+
+  test("q231 robust outliers: counts-of-counts medians — value-sized state, no row sort") {
+    val df = SparkEntry.queries("q231_robust_outliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the value folds must reduce map-side:\n$p")
+    // every sort in the plan orders the distinct-VALUE tables for the
+    // running windows, never the raw event rows (whose order col event_id
+    // would then appear in a Sort node)
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("event_id#")),
+      s"medians must never sort the raw rows:\n$p")
+  }
+
+  test("q232 linkage pipeline: learned weights broadcast as ONE row onto equi-keyed candidates") {
+    val df = SparkEntry.queries("q232_linkage_pipeline")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // the only nest-loop is the 1-row pivoted-weights broadcast (AQE can
+    // print it twice: stage + inline reuse)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the 1-row weights broadcast may cross:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"estimator + pivot must fold map-side:\n$p")
+  }
+
+  test("q233 RBO: ranking-sized equi-joins only — no product anywhere") {
+    val df = SparkEntry.queries("q233_rank_agreement")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // BM25's 1-row corpus-stats broadcasts are the only nest-loops
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"tf/overlap folds must reduce map-side:\n$p")
+  }
+
+  test("q234 LOO influence: one group fold + 1-row totals broadcast") {
+    val df = SparkEntry.queries("q234_source_influence")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the 1-row totals broadcast may cross:\n$p")
+    assert(p.contains("partial_sum"), s"the group fold must be partial:\n$p")
+    assert(!p.contains("text#"), s"the scan must prune text:\n$p")
+  }
+
+  test("q235 operating point: value-sized cumulative, never a row sort") {
+    val df = SparkEntry.queries("q235_operating_point")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the score fold must reduce map-side:\n$p")
+    // sorts may only order the distinct-score table (column __s), never
+    // the raw document rows (whose doc_id would appear in a Sort node)
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("doc_id#")),
+      s"the cumulative must never sort raw rows:\n$p")
+  }
+
+  test("q230 dim profile: one dim-keyed partial fold off a pruned scan") {
+    val df = SparkEntry.queries("q230_embed_dims")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // one bounded cross (the 1-row total-variance broadcast); AQE prints
+    // it at most twice (stage + inline reuse)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the 1-row total-variance broadcast may cross:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_min"),
+      s"the moment sums must fold map-side:\n$p")
+    assert(!p.contains("vec_id#"),
+      s"the scan must prune vec_id (only embedding is read):\n$p")
+  }
 }
