@@ -3622,7 +3622,12 @@ object ExtQueries {
         col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
         col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
         expr("length(p_name) div 4").as("band"))
-      val pairs = side("a").filter(col("ka") % 5 === 0)
+      // spread the probe stream: the small parquet arrives as ONE scan
+      // partition, which would run the 33M-pair levenshtein fold on one
+      // core (the compute-heavy-small-input trap Partitioning.spread
+      // exists for)
+      val pairs = graft.ops.Partitioning.spread(
+          side("a").filter(col("ka") % 5 === 0))
         .join(side("b"), "band").filter(col("ka") < col("kb"))
       Blocking.fsWeights(pairs,
         levenshtein(col("na"), col("nb")) <= 2,
@@ -3708,19 +3713,20 @@ object ExtQueries {
         col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
         col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
         expr("length(p_name) div 4").as("band"))
-      val labeled = side("a").filter(col("ka") % 5 === 0)
+      val labeled = graft.ops.Partitioning.spread(
+          side("a").filter(col("ka") % 5 === 0))
         .join(side("b"), "band").filter(col("ka") < col("kb"))
-      val weights = Blocking.fsWeights(labeled,
+      // the 1-row pivoted estimator (NOT a max(CASE) re-pivot of the
+      // per-field rows — that explode+re-aggregate knocks the 33M-pair
+      // levenshtein fold out of whole-stage codegen)
+      val w1 = Blocking.fsWeightsWide(labeled,
         levenshtein(col("na"), col("nb")) <= 2,
         Seq(
           "adj" -> (split(col("na"), " ").getItem(0) === split(col("nb"), " ").getItem(0)),
           "noun" -> (split(col("na"), " ").getItem(1) === split(col("nb"), " ").getItem(1)),
           "brand" -> (col("ba") === col("bb")),
           "ptype" -> (col("ta") === col("tb"))))
-      val wCols = Seq("adj", "noun", "brand", "ptype").flatMap(f => Seq(
-        max(when(col("field") === f, col("w_agree"))).as(s"wa_$f"),
-        max(when(col("field") === f, col("w_disagree"))).as(s"wd_$f")))
-      val w1 = weights.agg(wCols.head, wCols.tail: _*)
+        .drop("n_m", "n_u")
       val attrs = p.select(col("p_partkey"), col("p_brand"), col("p_type"))
       val cand = Blocking.sortedNeighborhood(p, "p_name", "p_partkey", w = 5)
         .join(attrs.select(col("p_partkey").as("id_a"),
@@ -3787,6 +3793,133 @@ object ExtQueries {
         TextAnalysis.stopwordHits(TextAnalysis.tokens(col("text")), "en"),
         col("lang") === "en", recallPm = 800)
     }),
+
+    // Exact two-sample KS drift between the even- and odd-id halves of
+    // the event values (a self-split SHOULD read as no drift — the
+    // statistic is the monitor's null-calibration point): sup gap over
+    // integer cross-products, one division at the end, argmax location
+    // tie-broken to the smallest value. The oracle rebuilds the whole
+    // curve independently and picks its max by ORDER BY.
+    "q236_ks_drift" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir).select(col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      Profile.ksTwoSample(ev, col("v6"),
+        col("event_id") % 2 === 0, col("event_id") % 2 === 1)
+    }),
+
+    // Benford first-digit audit of the price column (cents): observed
+    // vs pinned 6-dp expected shares plus an EXACT integer deviation
+    // per digit — TPC-H prices are uniform-ish, so the audit should
+    // show fat deviations (the point: the report, not conformance).
+    "q237_benford" -> ((s, dir) =>
+      Profile.benfordDigits(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5)).orderBy("digit")),
+
+    // EXACT heavy hitters over the corpus token stream via the
+    // Misra-Gries two-pass (k=30 counters -> candidates -> exact
+    // recount, threshold share 1/31): the oracle computes the exact
+    // answer from the full token counts — hash equality proves the
+    // MG candidate union lost no heavy hitter.
+    "q238_heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      Sketches.heavyHittersExact(toks, col("w"), k = 30).orderBy("item")
+    }),
+
+    // Rendezvous (HRW) sharding of doc ids into 8 shards, with the
+    // minimal-disruption law IN the output: n_moved counts this
+    // shard's keys that relocate when shard 7 is removed — it must
+    // equal n_keys on shard 7 and 0 everywhere else, and the oracle
+    // recomputes both assignments from the affine-hash formula.
+    "q239_rendezvous" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val a8 = graft.ops.Partitioning.rendezvousShard(d, "doc_id", 8, "shard")
+      val a7 = graft.ops.Partitioning.rendezvousShard(a8, "doc_id", 7, "shard7")
+      a7.groupBy("shard").agg(
+        count(lit(1)).as("n_keys"),
+        sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"),
+        sum(when(col("shard") =!= col("shard7"), 1L).otherwise(0L))
+          .as("n_moved"))
+        .orderBy("shard")
+    }),
+
+    // Exact equi-depth quartile binning of price cents (type-1 edges
+    // from counts-of-counts, map-only assignment), folded to the
+    // per-bin census a feature-store discretizer materializes. The
+    // oracle re-derives the edges from its own cumulative curve and
+    // re-assigns every row with a correlated count.
+    "q240_quantile_bins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      Profile.quantileBins(li, col("cents"), bins = 4)
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bin")
+    }),
+
+    // Exact 2-D Pareto frontier of parts — cheapest price per size
+    // class and above (minimize cents, maximize size): the engine's
+    // counts-of-counts sweep (distinct-x folds + one strict-prefix
+    // window) vs the oracle's textbook NOT EXISTS domination scan —
+    // maximally independent constructions of the same set.
+    "q241_pareto_front" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+      Profile.paretoFront(p, col("cents"), -col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // Hilbert-curve layout audit on the full 64x64 grid: the defining
+    // laws (bijection onto 0..4095; EVERY consecutive step is a grid
+    // neighbor — the property Morton lacks) plus the locality payoff
+    // measured: summed bounding-box half-perimeters of 100-cell curve
+    // segments, Hilbert vs Morton from the SAME grid. The oracle
+    // recomputes the whole curve from the CTE-rendered transform.
+    "q242_hilbert_layout" -> ((s, dir) => {
+      val grid = s.range(64).select(col("id").as("x"))
+        .crossJoin(s.range(64).select(col("id").as("y")))
+      val h = graft.ops.Partitioning.hilbertValue(grid, "x", "y", 6, "h")
+        .withColumn("z", graft.ops.Partitioning.zValue(col("x"), col("y"), 6))
+      // 4096-row bounded grid: the single-partition window is
+      // grid-sized by construction, never data-sized
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy("h")
+      val steps = h.withColumn("step",
+        abs(col("x") - lag("x", 1).over(w)) +
+          abs(col("y") - lag("y", 1).over(w)))
+      val law = steps.agg(count(lit(1)).as("n_cells"),
+        countDistinct(col("h")).as("n_distinct_h"),
+        min("h").as("min_h"), max("h").as("max_h"),
+        max("step").as("max_step"),
+        sum(when(col("step") === 1L, 1L).otherwise(0L)).as("n_unit_steps"))
+      def halfPerim(key: String, out: String) =
+        h.groupBy(expr(s"$key div 100").as("__s"))
+          .agg((max("x") - min("x") + max("y") - min("y")).as("__hp"))
+          .agg(sum("__hp").as(out))
+      law.crossJoin(broadcast(halfPerim("h", "hp_hilbert")))
+        .crossJoin(broadcast(halfPerim("z", "hp_z")))
+    }),
+
+    // Batch resample-to-grid + forward fill over the sampled users'
+    // event values (6-hour buckets): per-bucket argmax representative,
+    // calendar-sized grid, watermark-free batch twin of the q209
+    // streaming ffill. Oracle rebuilds grid and fill with
+    // generate_series + IGNORE NULLS last_value.
+    "q243_resample_ffill" -> ((s, dir) =>
+      Events.resampleFfill(
+        Ingest.eventsWithTs(s, dir).filter(col("user_id") % 10 === 0),
+        "user_id", "ts_ms", col("value"), "event_id",
+        bucketMs = 6L * 3600 * 1000)
+        .orderBy("key", "bucket")),
+
+    // Asymmetric shingle containment (quote/sub-document detection):
+    // C(a,b) = |S(a) n S(b)| / |S(a)| >= 0.6, found via the a-side
+    // prefix filter + exact verification. The oracle thresholds the
+    // UNFILTERED all-pairs ground truth — hash equality proves the
+    // prefix candidate set lost no qualifying pair.
+    "q244_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", 0.6)
+        .orderBy("doc_a", "doc_b")),
   )
 
   // ------------------------------------------------------------------
@@ -7260,6 +7393,189 @@ object ExtQueries {
            |  ${r6("CAST(cp AS DOUBLE) / tp")} AS recall,
            |  ${r6("CAST(cp AS DOUBLE) / cn")} AS precision
            |FROM cum, t, pick WHERE cum.s = pick.thr""".stripMargin
+      }) +
+      // KS: the oracle rebuilds the full cumulative gap curve and picks
+      // its sup by ORDER BY (gap DESC, v ASC) — independent of the
+      // engine's max(struct) fold
+      ("q236_ks_drift" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH src AS (SELECT
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+           |  FROM events),
+           |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS na,
+           |    CAST(sum(b) AS BIGINT) AS nb FROM src GROUP BY v),
+           |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b FROM c),
+           |cum AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+           |    sum(nb) OVER (ORDER BY v) AS cb FROM c),
+           |pick AS (SELECT v, abs(ca * n_b - cb * n_a) AS gap
+           |  FROM cum, t ORDER BY gap DESC, v ASC LIMIT 1)
+           |SELECT n_a, n_b,
+           |  ${r6("CAST(gap AS DOUBLE) / (n_a * n_b)")} AS d_stat,
+           |  v AS at_v FROM t, pick""".stripMargin
+      }) +
+      // Benford: expected shares are the SAME pinned 6-dp literals; the
+      // deviation is exact integer arithmetic both sides
+      ("q237_benford" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        val lits = graft.ext.Profile.BenfordE6.toSeq.sorted
+          .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+        s"""WITH src AS (SELECT
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+           |      AS digit, count(*) AS n_obs
+           |  FROM src WHERE cents > 0 GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d),
+           |e(digit, e6) AS (VALUES $lits)
+           |SELECT d.digit, CAST(n_obs AS BIGINT) AS n_obs, n,
+           |  ${r6("CAST(n_obs AS DOUBLE) / n")} AS obs_share,
+           |  CAST(e6 AS DOUBLE) / 1000000 AS exp_share,
+           |  CAST(abs(n_obs * 1000000 - n * e6) AS BIGINT) AS dev_num
+           |FROM d JOIN e ON d.digit = e.digit CROSS JOIN t
+           |ORDER BY d.digit""".stripMargin
+      }) +
+      // heavy hitters: the oracle computes the EXACT answer from full
+      // token counts — the MG candidate pass must have lost nothing
+      ("q238_heavy_hitters" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH tk AS (SELECT unnest($toksSql) AS item FROM documents),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+           |c AS (SELECT item, CAST(count(*) AS BIGINT) AS freq
+           |  FROM tk GROUP BY 1)
+           |SELECT item, freq, n,
+           |  ${r6("CAST(freq AS DOUBLE) / n")} AS share
+           |FROM c, t WHERE freq * 31 > n ORDER BY item""".stripMargin
+      }) +
+      // rendezvous: both assignments recomputed from the affine-hash
+      // formula via unnest + window argmax (independent of the engine's
+      // greatest(struct) unroll)
+      ("q239_rendezvous" ->
+        """WITH ids AS (SELECT doc_id FROM documents),
+          |w8 AS (SELECT doc_id, s,
+          |    ((doc_id % 1000000007) * ((2654435761 * (s + 1)) % 1000000007)
+          |      + s) % 1000000007 AS wt
+          |  FROM ids, (SELECT unnest(range(8)) AS s)),
+          |a8 AS (SELECT doc_id, CAST(s AS INT) AS shard FROM
+          |  (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+          |     ORDER BY wt DESC, s ASC) AS rn FROM w8) WHERE rn = 1),
+          |w7 AS (SELECT doc_id, s,
+          |    ((doc_id % 1000000007) * ((2654435761 * (s + 1)) % 1000000007)
+          |      + s) % 1000000007 AS wt
+          |  FROM ids, (SELECT unnest(range(7)) AS s)),
+          |a7 AS (SELECT doc_id, CAST(s AS INT) AS shard7 FROM
+          |  (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+          |     ORDER BY wt DESC, s ASC) AS rn FROM w7) WHERE rn = 1)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(sum((a8.doc_id * 2654435761) % 1000000007) AS BIGINT)
+          |    AS id_sum,
+          |  CAST(count(*) FILTER (WHERE shard <> shard7) AS BIGINT)
+          |    AS n_moved
+          |FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id
+          |GROUP BY shard ORDER BY shard""".stripMargin) +
+      // equi-depth bins: edges re-derived from the oracle's own
+      // cumulative curve, rows re-assigned by a correlated edge count
+      ("q240_quantile_bins" ->
+        """WITH src AS (SELECT
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem),
+          |c AS (SELECT cents AS v, count(*) AS nk FROM src GROUP BY 1),
+          |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n FROM c),
+          |cum AS (SELECT v, sum(nk) OVER (ORDER BY v) AS cum FROM c),
+          |b AS (SELECT q, min(v) AS edge FROM cum, t,
+          |    (SELECT unnest(range(1, 4)) AS q)
+          |  WHERE cum * 4 >= q * n GROUP BY q),
+          |assigned AS (SELECT s.cents, CAST(1 +
+          |    (SELECT count(*) FROM b WHERE s.cents > b.edge) AS INT) AS bin
+          |  FROM src s)
+          |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+          |  min(cents) AS min_cents, max(cents) AS max_cents
+          |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin) +
+      // Pareto frontier: the textbook NOT EXISTS domination scan —
+      // the engine's window sweep must reproduce it exactly
+      ("q241_pareto_front" ->
+        """WITH p AS (SELECT p_partkey, p_size,
+          |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM part)
+          |SELECT p_partkey, p_size, cents FROM p q
+          |WHERE NOT EXISTS (SELECT 1 FROM p o
+          |  WHERE o.cents <= q.cents AND o.p_size >= q.p_size
+          |    AND (o.cents < q.cents OR o.p_size > q.p_size))
+          |ORDER BY p_partkey""".stripMargin) +
+      // Hilbert: the full transform re-rendered as a linear CTE chain
+      // (hilbertCtesSql), Morton re-rendered as the q68 bit terms;
+      // laws and locality sums recomputed from scratch
+      ("q242_hilbert_layout" -> {
+        val zterms = (0 until 6).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH grid AS (SELECT a.x, b.y
+           |  FROM (SELECT unnest(range(64)) AS x) a,
+           |       (SELECT unnest(range(64)) AS y) b),
+           |${graft.ops.Partitioning.hilbertCtesSql("grid", 6)},
+           |hz AS (SELECT x, y, hd6 AS h, $zterms AS z FROM h6),
+           |st AS (SELECT x, y, h,
+           |    abs(x - lag(x) OVER (ORDER BY h)) +
+           |    abs(y - lag(y) OVER (ORDER BY h)) AS step FROM hz),
+           |law AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+           |    min(h) AS min_h, max(h) AS max_h, max(step) AS max_step,
+           |    CAST(count(*) FILTER (WHERE step = 1) AS BIGINT)
+           |      AS n_unit_steps FROM st),
+           |hp1 AS (SELECT CAST(sum(hp) AS BIGINT) AS hp_hilbert FROM
+           |  (SELECT h // 100 AS s, max(x) - min(x) + max(y) - min(y) AS hp
+           |   FROM hz GROUP BY 1)),
+           |hp2 AS (SELECT CAST(sum(hp) AS BIGINT) AS hp_z FROM
+           |  (SELECT z // 100 AS s, max(x) - min(x) + max(y) - min(y) AS hp
+           |   FROM hz GROUP BY 1))
+           |SELECT * FROM law, hp1, hp2""".stripMargin
+      }) +
+      // resample+ffill: grid via generate_series, fill via IGNORE NULLS
+      ("q243_resample_ffill" ->
+        """WITH src AS (SELECT user_id AS key,
+          |    epoch_ms(ts) // 21600000 AS bucket, epoch_ms(ts) AS t,
+          |    event_id AS tie,
+          |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+          |  FROM events WHERE user_id % 10 = 0),
+          |obs AS (SELECT key, bucket, v6 AS obs_v6 FROM
+          |  (SELECT key, bucket, v6, row_number() OVER
+          |     (PARTITION BY key, bucket ORDER BY t DESC, tie DESC) AS rn
+          |   FROM src) WHERE rn = 1),
+          |gmax AS (SELECT max(bucket) AS g FROM obs),
+          |grid AS (SELECT key, unnest(generate_series(b0, g)) AS bucket
+          |  FROM (SELECT key, min(bucket) AS b0 FROM obs GROUP BY 1), gmax),
+          |j AS (SELECT g.key, g.bucket, o.obs_v6
+          |  FROM grid g LEFT JOIN obs o
+          |    ON g.key = o.key AND g.bucket = o.bucket)
+          |SELECT key, bucket, obs_v6,
+          |  last_value(obs_v6 IGNORE NULLS) OVER (PARTITION BY key
+          |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |    CURRENT ROW) AS filled_v6,
+          |  obs_v6 IS NOT NULL AS is_observed
+          |FROM j ORDER BY key, bucket""".stripMargin) +
+      // containment: UNFILTERED all-pairs ground truth — no candidate
+      // rule mirrored, so a lossy engine prefix would hash-mismatch
+      ("q244_containment" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(t)-1),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM sh GROUP BY 1),
+           |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(count(*) AS BIGINT) AS n_inter
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+           |  ${r6("CAST(n_inter AS DOUBLE) / sa.n")} AS containment
+           |FROM i JOIN sz sa ON sa.doc_id = doc_a
+           |       JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE CAST(n_inter AS DOUBLE) / sa.n >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin
       }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->

@@ -150,6 +150,54 @@ object Blocking {
     * per-field evidence instead. */
   def fsWeights(pairs: DataFrame, isMatch: Column,
                 fields: Seq[(String, Column)]): DataFrame = {
+    val one = fsCounts(pairs, isMatch, fields)
+    val fieldRows = fields.map { case (name, _) =>
+      val mk = fsMProb(name)
+      val uk = fsUProb(name)
+      struct(lit(name).as("field"),
+        col(s"__ma_$name").as("n_m_agree"), col(s"__ua_$name").as("n_u_agree"),
+        TextAnalysis.round6Portable(mk).as("m_prob"),
+        TextAnalysis.round6Portable(uk).as("u_prob"),
+        fsW(mk, uk).as("w_agree"),
+        fsW(lit(1.0) - mk, lit(1.0) - uk).as("w_disagree"))
+    }
+    one.select(col("n_m"), col("n_u"),
+        explode(array(fieldRows: _*)).as("f"))
+      .select(col("f.field").as("field"), col("n_m"), col("n_u"),
+        col("f.n_m_agree"), col("f.n_u_agree"), col("f.m_prob"),
+        col("f.u_prob"), col("f.w_agree"), col("f.w_disagree"))
+  }
+
+  /** The 1-ROW pivoted form of [[fsWeights]]: per field f, columns
+    * `wa_f`/`wd_f` (agree/disagree log2 weights, identical formulas) —
+    * exactly what a scorer broadcasts onto candidates.
+    *
+    * Exists for a PLAN reason, not a convenience one: re-pivoting
+    * [[fsWeights]]' exploded rows with max(CASE) re-aggregates through
+    * a `Generate explode(array(struct(...)))` whose generated code is
+    * large enough to knock the WHOLE stage out of whole-stage codegen —
+    * including the upstream pair-stream partial aggregate, whose
+    * levenshtein ground-truth predicate then runs INTERPRETED (~50×:
+    * 49s vs 1s on the 33M-pair q232 stream). This shape is one
+    * Project over the counts fold — no Generate anywhere, codegen
+    * stays on (PlanSpec pins the `*(N) ... partial_sum(... levenshtein`
+    * line). */
+  def fsWeightsWide(pairs: DataFrame, isMatch: Column,
+                    fields: Seq[(String, Column)]): DataFrame = {
+    val one = fsCounts(pairs, isMatch, fields)
+    val outCols = fields.flatMap { case (name, _) =>
+      val mk = fsMProb(name)
+      val uk = fsUProb(name)
+      Seq(fsW(mk, uk).as(s"wa_$name"),
+        fsW(lit(1.0) - mk, lit(1.0) - uk).as(s"wd_$name"))
+    }
+    one.select(col("n_m") +: col("n_u") +: outCols: _*)
+  }
+
+  /** Shared counts fold of the FS estimator: ONE pass over the pair
+    * stream, 2 + 2·|fields| conditional sums with map-side partials. */
+  private def fsCounts(pairs: DataFrame, isMatch: Column,
+                       fields: Seq[(String, Column)]): DataFrame = {
     require(fields.nonEmpty, "fsWeights needs at least one field")
     val m = isMatch.cast("boolean")
     val aggs =
@@ -158,26 +206,15 @@ object Blocking {
       fields.flatMap { case (name, agree) => Seq(
         sum(when(m && agree, 1L).otherwise(0L)).as(s"__ma_$name"),
         sum(when(!m && agree, 1L).otherwise(0L)).as(s"__ua_$name")) }
-    val one = pairs.agg(aggs.head, aggs.tail: _*)
-    val ln2 = 0.6931471805599453
-    def w(p: Column, q: Column): Column =
-      TextAnalysis.round6Portable((log(p) - log(q)) / ln2)
-    val fieldRows = fields.map { case (name, _) =>
-      val mk = (col(s"__ma_$name") + 1).cast("double") / (col("n_m") + 2)
-      val uk = (col(s"__ua_$name") + 1).cast("double") / (col("n_u") + 2)
-      struct(lit(name).as("field"),
-        col(s"__ma_$name").as("n_m_agree"), col(s"__ua_$name").as("n_u_agree"),
-        TextAnalysis.round6Portable(mk).as("m_prob"),
-        TextAnalysis.round6Portable(uk).as("u_prob"),
-        w(mk, uk).as("w_agree"),
-        w(lit(1.0) - mk, lit(1.0) - uk).as("w_disagree"))
-    }
-    one.select(col("n_m"), col("n_u"),
-        explode(array(fieldRows: _*)).as("f"))
-      .select(col("f.field").as("field"), col("n_m"), col("n_u"),
-        col("f.n_m_agree"), col("f.n_u_agree"), col("f.m_prob"),
-        col("f.u_prob"), col("f.w_agree"), col("f.w_disagree"))
+    pairs.agg(aggs.head, aggs.tail: _*)
   }
+
+  private def fsMProb(name: String): Column =
+    (col(s"__ma_$name") + 1).cast("double") / (col("n_m") + 2)
+  private def fsUProb(name: String): Column =
+    (col(s"__ua_$name") + 1).cast("double") / (col("n_u") + 2)
+  private def fsW(p: Column, q: Column): Column =
+    TextAnalysis.round6Portable((log(p) - log(q)) / 0.6931471805599453)
 
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995): sort
     * the corpus by a blocking key and pair every row with its `w`

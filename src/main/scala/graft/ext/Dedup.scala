@@ -819,6 +819,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact asymmetric CONTAINMENT pairs: every ordered pair (a, b),
+    * a ≠ b, with C(a,b) = |S(a) ∩ S(b)| / |S(a)| ≥ minContainment over
+    * distinct k-shingles — the quote/sub-document detector. A short doc
+    * pasted into a long one scores near-1 containment while its Jaccard
+    * (which [[allPairsExact]] thresholds) stays low — the dedup gap
+    * symmetric measures cannot see.
+    *
+    * Same prefix-filter economics as [[allPairsExact]] but ASYMMETRIC:
+    * only the a-side is prefix-reduced (its first
+    * n_a − ceil(t·n_a) + 2 shingles in the global (df, shingle) order),
+    * joined against the FULL b-side stream — pigeonhole: if a and b
+    * share none of a's first n_a − m + 1 shingles (m = fewest
+    * intersecting shingles that pass t), the intersection is < m. The
+    * "+2" (one more than the tight bound) absorbs the ±1-ulp slack of
+    * the double product t·n_a, so the candidate set provably covers
+    * every qualifying pair and the final EXACT filter does the rest —
+    * the oracle checks against an unfiltered all-pairs ground truth.
+    * Size gate: C ≥ t forces n_b ≥ t·n_a. The b side is the raw shingle
+    * stream (one row per (doc, shingle)) — no window, no product; the
+    * a-prefix join is rarity-ordered so hot shingles rarely appear in
+    * prefixes. Emits (doc_a, doc_b, n_a, n_b, n_inter, containment). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment < 1.0,
+      s"containmentPairs needs 0 < minContainment < 1, got $minContainment")
+    val sh = shingled(docs, idCol, textCol)
+    val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("__df", "sh")
+    val prefixA = sh.join(dfTbl, "sh")
+      .withColumn("__rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("__rnk") <=
+        col("__n") - ceil(lit(minContainment) * col("__n")) + lit(2))
+      .select(col("doc_id").as("doc_a"), col("sh"), col("__n").as("__na"))
+    val fullB = sh.join(sizes, "doc_id")
+      .select(col("doc_id").as("doc_b"), col("sh"), col("__n").as("__nb"))
+    val cand = prefixA.join(fullB, "sh")
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("__nb").cast("double") >= lit(minContainment) * col("__na"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("n_b")), "doc_b")
+      .filter(col("n_inter").cast("double") / col("n_a") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        TextAnalysis.round6Portable(
+          col("n_inter").cast("double") / col("n_a")).as("containment"))
+  }
+
   /** Cross-corpus (INCREMENTAL) [[allPairsExact]]: every (new doc,
     * corpus doc) pair at true Jaccard >= minJaccard — the exact ground
     * truth for a per-batch dedup screen, the operation

@@ -632,4 +632,48 @@ object Events {
         col("version"), col("effective_from"), col("effective_to"),
         col("is_current")): _*)
   }
+
+  /** Batch resample-to-grid with forward fill — the feature-serving
+    * twin of the streaming ffill (StreamOps): per key, one row per
+    * fixed-width time bucket from the key's FIRST observation to the
+    * corpus-wide LAST bucket, carrying the latest observed value
+    * forward through empty buckets. What a training pipeline joins
+    * against to get "sensor state at every hour" without nulls.
+    *
+    * Determinism: the per-bucket representative is the LAST event in
+    * the bucket, ties on ts_ms broken by largest `tieCol` — one
+    * max(struct) fold, engine-portable. Values quantize to v6 BEFORE
+    * the argmax so the carried value is exact.
+    *
+    * Shape at scale: one (key, bucket) fold with map-side partials,
+    * ONE 1-row global-max broadcast, a `sequence()` explode that is
+    * calendar-sized per key (grid = span/width buckets — bounded by
+    * the calendar, never by event count; the q124/q189 contract), and
+    * one per-key window over grid rows for the fill. The window
+    * partitions by key — corpus-parallel, state bounded by the
+    * per-key grid. */
+  def resampleFfill(events: DataFrame, keyCol: String, tsMsCol: String,
+                    valueCol: Column, tieCol: String,
+                    bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1L, s"bucketMs must be >= 1: $bucketMs")
+    val obs = events
+      .select(col(keyCol).as("key"),
+        expr(s"CAST($tsMsCol AS BIGINT) div $bucketMs").as("bucket"),
+        col(tsMsCol).cast("long").as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        floor(valueCol * 1e6 + 0.5).cast("long").as("__v6"))
+      .groupBy("key", "bucket")
+      .agg(max(struct(col("__ts"), col("__tie"), col("__v6"))).as("__m"))
+      .select(col("key"), col("bucket"), col("__m.__v6").as("obs_v6"))
+    val gmax = obs.agg(max("bucket").as("__gmax"))
+    val grid = obs.groupBy("key").agg(min("bucket").as("__b0"))
+      .crossJoin(broadcast(gmax))
+      .select(col("key"),
+        explode(sequence(col("__b0"), col("__gmax"))).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("filled_v6", last(col("obs_v6"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("obs_v6").isNotNull)
+  }
 }

@@ -1086,4 +1086,149 @@ object Profile {
         (col("agree").cast("decimal(38,0)") * col("n") - col("s_e"))
           .cast("double") / kden)).as("kappa"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic on an INTEGER column
+    * (quantize doubles to v6 first, the EWMA rule): D = sup over values
+    * of |F_a(v) − F_b(v)| — the distribution-drift alarm that catches
+    * shape changes a mean/variance monitor misses. EXACT end to end:
+    * the sup is maximized over the INTEGER cross-products
+    * |ca·n_b − cb·n_a| (DECIMAL(38,0) — at 100 TB row counts the
+    * product leaves BIGINT), so the argmax never compares rounded
+    * doubles; ONE division at the end produces the 6-dp D. Ties in the
+    * gap resolve to the SMALLEST attaining value via a max(struct)
+    * fold, so both engines name the same location. Shape: one
+    * value-keyed fold with map-side partials, one distinct-value-sized
+    * running window (the [[exactMedian]] counts-of-counts contract —
+    * state is |distinct values|, never rows), one 1-row broadcast. */
+  def ksTwoSample(df: DataFrame, value: Column,
+                  isA: Column, isB: Column): DataFrame = {
+    val counts = df.select(value.cast("long").as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"),
+        when(isB, 1L).otherwise(0L).as("__b"))
+      .filter(col("__a") === 1L || col("__b") === 1L)
+      .groupBy("__v").agg(sum("__a").as("na_v"), sum("__b").as("nb_v"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val tot = counts.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+    counts
+      .withColumn("__ca", sum("na_v").over(run).cast("decimal(38,0)"))
+      .withColumn("__cb", sum("nb_v").over(run).cast("decimal(38,0)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+      .groupBy("n_a", "n_b")
+      .agg(max(struct(col("__gap").as("g"), (-col("__v")).as("nv")))
+        .as("__mx"))
+      .select(col("n_a"), col("n_b"),
+        TextAnalysis.round6Portable(col("__mx.g").cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double"))
+          .as("d_stat"),
+        (-col("__mx.nv")).as("at_v"))
+  }
+
+  /** Benford first-digit shares of 0.301030 … 0.045757, pinned as 6-dp
+    * literals so both engines consume IDENTICAL constants — log10 is
+    * not correctly rounded and may differ in the last ulp across libm
+    * implementations, so the law itself is the one thing not computed
+    * at runtime. */
+  val BenfordE6: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-significant-digit audit of a POSITIVE integer
+    * measure (quantize money to cents first): per digit 1–9, the
+    * observed count, observed share, expected Benford share, and an
+    * EXACT integer deviation |n_obs·10⁶ − n·e6| — a fabricated or
+    * truncated numeric column announces itself as a fat deviation on
+    * one digit. Rows with value ≤ 0 are excluded (Benford is defined on
+    * positive magnitudes). The first digit comes from the decimal
+    * STRING form — exact, no log10 in the row path. Shape: map-only
+    * digit extraction, one 9-group fold with map-side partials, one
+    * 1-row broadcast; 9 rows out. */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.select(value.cast("long").as("__v"))
+      .filter(col("__v") > 0L)
+      .select(substring(col("__v").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val e6 = BenfordE6.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(digits.agg(sum("n_obs").as("n"))))
+      .withColumn("e6", e6)
+      .select(col("digit"), col("n_obs"), col("n"),
+        TextAnalysis.round6Portable(
+          col("n_obs").cast("double") / col("n")).as("obs_share"),
+        (col("e6").cast("double") / 1e6).as("exp_share"),
+        abs(col("n_obs").cast("decimal(38,0)") * 1000000L -
+          col("n").cast("decimal(38,0)") * col("e6")).cast("long")
+          .as("dev_num"))
+  }
+
+  /** Exact 2-D Pareto frontier (skyline), both dimensions MINIMIZED
+    * (negate a column to maximize it): keep every row no other row
+    * dominates, where p dominates q iff p.x ≤ q.x ∧ p.y ≤ q.y ∧ (p.x <
+    * q.x ∨ p.y < q.y). All copies of a frontier point are kept (no
+    * arbitrary dedup). The quality-vs-cost trade-off curve a curation
+    * pass reads before picking thresholds.
+    *
+    * Never a pair join and never a row sort — the domination test
+    * factors through x: q is dominated iff
+    *   min{y : x < q.x} ≤ q.y   (strictly-better-x side), or
+    *   min{y : x = q.x} < q.y   (equal-x side).
+    * Both minima come from the counts-of-counts shape: one groupBy(x)
+    * fold (map-side partials) to a distinct-x-sized table, one running
+    * strict-prefix window over THAT table, then a broadcast equi-join
+    * back to the rows — the [[exactMedian]] contract (state is
+    * |distinct x|, not rows), vs the textbook NOT EXISTS self-join the
+    * oracle runs. Integer columns only (cast/quantize first) so every
+    * boundary compare is exact. */
+  def paretoFront(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val keyed = df.withColumn("__x", x.cast("long"))
+      .withColumn("__y", y.cast("long"))
+    val perX = keyed.groupBy("__x").agg(min("__y").as("__ymin"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__x")
+      .rowsBetween(Long.MinValue, -1)
+    val marks = perX.withColumn("__yprev", min("__ymin").over(run))
+      .select(col("__x"), col("__ymin"), col("__yprev"))
+    keyed.join(graft.ops.Guards.broadcastIfSmall(marks), Seq("__x"))
+      .filter((col("__yprev").isNull || col("__yprev") > col("__y")) &&
+        col("__ymin") === col("__y"))
+      .drop("__ymin", "__yprev", "__x", "__y")
+  }
+
+  /** Exact equi-depth (quantile) binning of an INTEGER column: type-1
+    * quantile edges — edge_q = min v with cum·bins ≥ q·n — from the
+    * counts-of-counts fold, then a map-only assignment
+    * bin = 1 + |{q : v > edge_q}| against the broadcast (bins−1)-row
+    * edge set. All ties of one value land in one bin by construction
+    * (edges are VALUES, not row ranks), so the binning is a pure
+    * function of v — the property a feature-store discretizer needs
+    * for train/serve consistency. Integer compares end to end; no row
+    * ever sorts. Returns per-row input plus `bin`; aggregate downstream
+    * as needed. */
+  def quantileBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
+    val counts = df.select(value.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__nk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val qs = (1 until bins).map(q => lit(q.toLong))
+    val edges = counts.withColumn("__cum", sum("__nk").over(run))
+      .crossJoin(broadcast(counts.agg(sum("__nk").as("__n"))))
+      .select(col("__v"), col("__cum"), col("__n"),
+        explode(array(qs: _*)).as("__q"))
+      .filter(col("__cum").cast("decimal(38,0)") * bins >=
+        col("__q").cast("decimal(38,0)") * col("__n"))
+      .groupBy("__q").agg(min("__v").as("__edge"))
+      .agg(array_sort(collect_list("__edge")).as("__edges"))
+    df.withColumn("__v", value.cast("long"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (size(filter(col("__edges"), e => col("__v") > e)) + 1))
+      .drop("__edges", "__v")
+  }
 }

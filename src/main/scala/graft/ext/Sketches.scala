@@ -599,4 +599,68 @@ object Sketches {
           .otherwise(col("__graft_hll_raw")), 6))
       .select((keyCols :+ col("approx_distinct")): _*)
   }
+
+  /** EXACT heavy hitters (items with frequency > n/(k+1)) without ever
+    * shuffling the full item domain — the Misra–Gries two-pass:
+    *
+    *   1. each partition runs a k-counter Misra–Gries summary (Misra &
+    *      Gries 1982, "Finding repeated elements") and emits only its
+    *      surviving candidate items. Pigeonhole across partitions: if
+    *      freq(x) > n/(k+1) = Σ_p n_p/(k+1), then freq_p(x) > n_p/(k+1)
+    *      in at least one partition p — and MG's per-stream guarantee
+    *      keeps exactly those items — so the candidate union contains
+    *      EVERY global heavy hitter (no false negatives);
+    *   2. an exact recount of the candidates only (broadcast semi-join,
+    *      map-side partials over a ≤ k·partitions key domain) discards
+    *      the false positives with the integer gate freq·(k+1) > n.
+    *
+    * The naive `groupBy(item).count` shuffles every distinct item of a
+    * 100 TB corpus; this shuffles ≤ k·partitions candidate rows plus a
+    * candidate-sized count — output-proportional, and the final result
+    * is EXACT (count, share, and membership), not an estimate. The
+    * candidate set passes [[graft.ops.Guards.requireBroadcastable]] so
+    * a pathological k·partitions blow-up fails loudly. Returns
+    * (item, freq, n, share) for every item with freq·(k+1) > n.
+    *
+    * Sibling of [[heavyHitters]] (the CMS-screened recount): that one
+    * answers "items with count ≥ c" (absolute threshold, sketch-width
+    * tunable false-positive screen), this one answers "items with share
+    * > 1/(k+1)" (relative threshold) with a DETERMINISTIC candidate
+    * bound of k per partition — no width/bias knob to size. */
+  def heavyHittersExact(items: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1,100000]: $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val keyed = items.select(key.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val candidates = keyed.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        counters.get(x) match {
+          case Some(c) => counters(x) = c + 1L
+          case None if counters.size < k => counters(x) = 1L
+          case None =>
+            // decrement-all step: every counter drops by 1, zeros evicted
+            val dead = counters.iterator.collect {
+              case (key0, 1L) => key0
+            }.toList
+            counters.mapValuesInPlace((_, c) => c - 1L)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("item").distinct()
+    val guarded = graft.ops.Guards.requireBroadcastable(candidates,
+      s"Misra-Gries candidate set (k=$k x partitions)",
+      "a smaller k, fewer/larger input partitions, or the CMS sketch " +
+        "(Sketches.cmsRegisters) when approximate counts suffice")
+    val tot = keyed.agg(count(lit(1)).as("n"))
+    keyed.join(broadcast(guarded), "item")
+      .groupBy("item").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq").cast("decimal(38,0)") * (k + 1) > col("n"))
+      .select(col("item"), col("freq"), col("n"),
+        TextAnalysis.round6Portable(
+          col("freq").cast("double") / col("n")).as("share"))
+  }
 }

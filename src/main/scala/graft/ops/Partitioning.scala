@@ -270,4 +270,135 @@ object Partitioning {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Modulus for the portable rendezvous weights: products of two
+    * residues stay under 2^60, inside BIGINT on every engine (DuckDB
+    * ERRORS on 64-bit overflow, Spark wraps — neither may happen). */
+  val RendezvousP = 1000000007L
+
+  /** The highest-random-weight score of (id, shard): an affine hash in
+    * Z_P, portable to any SQL engine verbatim. */
+  def rendezvousWeight(id: org.apache.spark.sql.Column,
+                       shard: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (pmod(id.cast("long"), lit(RendezvousP)) *
+      lit((2654435761L * (shard + 1)) % RendezvousP) + shard) % RendezvousP
+  }
+
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1996: key → argmax over shards of a per-(key, shard) hash weight.
+    * The property that matters at fleet scale: REMOVING a shard
+    * relocates exactly the keys that lived on it (each surviving
+    * shard's weight is unchanged, so every other key keeps its argmax)
+    * — no ring, no token table, no remap storm; consistent-hashing
+    * semantics from pure arithmetic. Weights are affine hashes mod a
+    * 31-bit prime so any SQL engine reproduces every assignment
+    * bit-for-bit (no library murmur). Ties break to the SMALLER shard
+    * id via a max(struct(weight, −shard)) over the unrolled shard list.
+    * Shape: MAP-ONLY — the assignment is a per-row expression over
+    * `shards` inline structs; nothing shuffles until the caller
+    * aggregates or writes by `shard`. Adds a `shard` column. */
+  def rendezvousShard(df: DataFrame, idCol: String, shards: Int,
+                      outCol: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(shards >= 1 && shards <= 4096,
+      s"shards must be in [1,4096]: $shards")
+    val arms = (0 until shards).map { sh =>
+      struct(rendezvousWeight(col(idCol), sh).as("w"),
+        lit(-sh.toLong).as("ns"))
+    }
+    val best =
+      if (arms.size == 1) arms.head else greatest(arms: _*)
+    df.withColumn(outCol, (-best.getField("ns")).cast("int"))
+  }
+
+  /** Hilbert-curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * space-filling layout key whose CONSECUTIVE indices are always
+    * grid-NEIGHBORS (Manhattan distance exactly 1), unlike the Morton
+    * [[zValue]] whose curve jumps across the space at every power-of-two
+    * boundary. Same write-time economics as [[writeZOrdered]], strictly
+    * better worst-case box tightness per file; the price is the deeper
+    * key expression. Standard iterative xy2d transform (per-level
+    * reflect-and-swap) unrolled into `bits` levels of named intermediate
+    * columns — declarative, codegen'd, no UDF. Precondition per column:
+    * 0 ≤ value < 2^bits (rebase first, the [[zValue]] contract).
+    * [[hilbertCtesSql]] renders the identical transform as a SQL CTE
+    * chain so an external engine reproduces every index bit-for-bit. */
+  def hilbertValue(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, outCol: String = "hilbert"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 16, s"hilbertValue needs 1 <= bits <= 16: $bits")
+    var cur = df.withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+      cur = cur
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0L,
+            when(col("__rx") === 1L, lit(s - 1) - col("__hy"))
+              .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0L,
+            when(col("__rx") === 1L, lit(s - 1) - col("__hx"))
+              .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+    }
+    cur.withColumn(outCol, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
+  }
+
+  /** The [[hilbertValue]] transform as a SQL CTE chain (DuckDB/ANSI
+    * dialect): emits `h0 AS (...), h1 AS (...), …` reading `x`/`y` from
+    * relation `src`, leaving the index in column `hd` of CTE
+    * `h{bits}` — splice into a WITH clause. Level k's state columns are
+    * suffixed k so the chain is linear-sized (no expression blow-up). */
+  def hilbertCtesSql(src: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 16, s"hilbertCtesSql needs 1 <= bits <= 16: $bits")
+    val b = new StringBuilder
+    b ++= s"h0 AS (SELECT *, CAST(x AS BIGINT) AS hx0, " +
+      s"CAST(y AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 FROM $src)"
+    var lvl = 0
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val (p, n) = (lvl, lvl + 1)
+      b ++= s""",
+         |h$n AS (SELECT * EXCLUDE (hx$p, hy$p, hd$p),
+         |  hd$p + ${s * s} * xor(3 * (CASE WHEN (hx$p & $s) > 0 THEN 1 ELSE 0 END),
+         |                        (CASE WHEN (hy$p & $s) > 0 THEN 1 ELSE 0 END)) AS hd$n,
+         |  CASE WHEN (hy$p & $s) = 0 THEN
+         |    (CASE WHEN (hx$p & $s) > 0 THEN ${s - 1} - hy$p ELSE hy$p END)
+         |  ELSE hx$p END AS hx$n,
+         |  CASE WHEN (hy$p & $s) = 0 THEN
+         |    (CASE WHEN (hx$p & $s) > 0 THEN ${s - 1} - hx$p ELSE hx$p END)
+         |  ELSE hy$p END AS hy$n
+         |FROM h$p)""".stripMargin
+      lvl = n
+    }
+    b.result().linesIterator.mkString("\n")
+  }
+
+  /** [[zorderStats]]' sibling audit for the Hilbert key: per-stripe row
+    * count and min-max box over the [[hilbertValue]] index — same
+    * adaptive stripe width, same map-only + one-fold shape. */
+  def hilbertStats(df: DataFrame, x: String, y: String,
+                   bits: Int, stripes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stripes >= 1, s"hilbertStats needs >= 1 stripes, got $stripes")
+    val h = hilbertValue(df.select(col(x), col(y)), x, y, bits, "__h")
+    val hm = h.agg(max("__h").as("__hmax"))
+    h.crossJoin(broadcast(hm))
+      .groupBy(expr(s"__h div (__hmax div $stripes + 1)").as("stripe"))
+      .agg(count(lit(1)).as("n"),
+        min(x).as(s"min_$x"), max(x).as(s"max_$x"),
+        min(y).as(s"min_$y"), max(y).as(s"max_$y"))
+  }
 }

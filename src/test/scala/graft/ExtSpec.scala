@@ -3539,4 +3539,151 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(math.abs(got(1).getAs[Double]("var_share") - 0.8) < 2e-6)
     assert(got.map(_.getAs[Long]("n")).toSeq === Seq(3L, 3L))
   }
+
+  test("ksTwoSample: hand-computed sup; tie in the gap names the smallest value") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4,5}: gaps (x9) are 3,6,6,3,0 -> sup 6/9 at v=2
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (4L, "b"), (5L, "b"))
+      .toDF("v", "g")
+    val r = Profile.ksTwoSample(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_a") === 3L && r(0).getAs[Long]("n_b") === 3L)
+    assert(r(0).getAs[Double]("d_stat") === 0.666667)
+    assert(r(0).getAs[Long]("at_v") === 2L)
+    // identical samples -> D = 0
+    val same = Seq((1L, true), (1L, false), (7L, true), (7L, false)).toDF("v", "a")
+    assert(Profile.ksTwoSample(same, col("v"), col("a"), !col("a"))
+      .collect()(0).getAs[Double]("d_stat") === 0.0)
+  }
+
+  test("benfordDigits: string first digit, nonpositives excluded, exact dev_num") {
+    import spark.implicits._
+    val df = (1L to 9L).map(identity).toDF("v")
+      .union(Seq(10L, 95L, -5L, 0L).toDF("v"))
+    val got = Profile.benfordDigits(df, col("v")).orderBy("digit").collect()
+    assert(got.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    assert(got.map(_.getAs[Long]("n")).distinct.toSeq === Seq(11L))
+    assert(got(0).getAs[Long]("n_obs") === 2L) // 1 and 10
+    assert(got(8).getAs[Long]("n_obs") === 2L) // 9 and 95
+    // digit 1: |2*1e6 - 11*301030| = 1311330, exact
+    assert(got(0).getAs[Long]("dev_num") === 1311330L)
+    assert(got(0).getAs[Double]("exp_share") === 0.30103)
+  }
+
+  test("heavyHittersExact: MG candidates lose no heavy hitter; threshold is strict") {
+    import spark.implicits._
+    // 60 a's + 25 b's + 15 singletons, n = 100, k = 3 -> threshold n/4 = 25:
+    // a (60 > 25) is a hitter, b (25 > 25 is FALSE) is not
+    val items = (Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      (1 to 15).map(i => s"s$i"))
+    val df = items.toDF("w").repartition(4) // exercise per-partition MG + union
+    val got = Sketches.heavyHittersExact(df, col("w"), k = 3).collect()
+    assert(got.map(_.getAs[String]("item")).toSeq === Seq("a"))
+    assert(got(0).getAs[Long]("freq") === 60L && got(0).getAs[Long]("n") === 100L)
+    assert(got(0).getAs[Double]("share") === 0.6)
+  }
+
+  test("rendezvousShard: deterministic, and removing the last shard moves ONLY its keys") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = graft.ops.Partitioning.rendezvousShard(ids, "doc_id", 8)
+    val b = graft.ops.Partitioning.rendezvousShard(a, "doc_id", 7, "shard7")
+    val moved = b.filter(col("shard") =!= col("shard7"))
+    assert(moved.filter(col("shard") =!= 7).count() === 0L,
+      "a key not on the removed shard must keep its assignment")
+    assert(b.filter(col("shard") === 7).count() === moved.count())
+    // every shard id in range; 1-shard degenerate case pins to 0
+    assert(b.agg(min("shard"), max("shard")).collect()(0).toSeq === Seq(0, 7))
+    assert(graft.ops.Partitioning.rendezvousShard(ids, "doc_id", 1)
+      .agg(max("shard")).collect()(0).getInt(0) === 0)
+  }
+
+  test("quantileBins: type-1 edges; all ties of a value land in one bin") {
+    import spark.implicits._
+    val df = (1L to 8L).toDF("v")
+    val got = Profile.quantileBins(df, col("v"), bins = 4)
+      .groupBy("bin").agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Int]("bin")).toSeq === Seq(1, 2, 3, 4))
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(got.map(_.getAs[Long]("mx")).toSeq === Seq(2L, 4L, 6L, 8L))
+    // massive tie at one value: the tied value occupies ONE bin
+    val tied = (Seq.fill(10)(5L) ++ Seq(1L, 9L)).toDF("v")
+    val bins = Profile.quantileBins(tied, col("v"), bins = 4)
+      .filter(col("v") === 5L).select("bin").distinct().collect()
+    assert(bins.length === 1)
+  }
+
+  test("paretoFront: strict domination; duplicates of a frontier point all survive") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (1L, 5L), (2L, 3L), (3L, 3L), (2L, 7L), (5L, 1L))
+      .toDF("x", "y")
+    val got = Profile.paretoFront(pts, col("x"), col("y"))
+      .orderBy("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (3,3) dominated by (2,3); (2,7) dominated by (1,5); dup (1,5) kept twice
+    assert(got.toSeq === Seq((1L, 5L), (1L, 5L), (2L, 3L), (5L, 1L)))
+    // a single point is its own frontier
+    assert(Profile.paretoFront(Seq((9L, 9L)).toDF("x", "y"),
+      col("x"), col("y")).count() === 1L)
+  }
+
+  test("hilbertValue: known order-2 sequence; unit-step + bijection laws at order 3") {
+    import spark.implicits._
+    // the canonical 4x4 Hilbert walk, positions 0..15
+    val walk = Seq((0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3),
+      (1, 2), (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0))
+    val df = walk.zipWithIndex.map { case ((x, y), i) => (x.toLong, y.toLong, i.toLong) }
+      .toDF("x", "y", "expected")
+    val got = graft.ops.Partitioning.hilbertValue(df, "x", "y", 2, "h")
+      .filter(col("h") =!= col("expected")).count()
+    assert(got === 0L, "order-2 indices must match the canonical walk")
+    // order 3: bijection on 0..63 and every consecutive step a grid neighbor
+    val grid = (for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)).toDF("x", "y")
+    val h3 = graft.ops.Partitioning.hilbertValue(grid, "x", "y", 3, "h")
+      .orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h3.map(_._3).toSeq === (0L until 64L))
+    val steps = h3.sliding(2).map { case Array((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }
+    assert(steps.forall(_ === 1L), "consecutive Hilbert cells must be neighbors")
+  }
+
+  test("resampleFfill: grid to global max, fill carries, in-bucket argmax by (ts, tie)") {
+    import spark.implicits._
+    val b = 10L // bucketMs
+    val ev = Seq(
+      ("u1", 1L, 1L, 1.0), ("u1", 25L, 2L, 2.0),
+      // u2: two events in bucket 1 — later ts wins; then same-ts tie
+      ("u2", 12L, 3L, 5.0), ("u2", 15L, 4L, 6.0), ("u2", 15L, 1L, 7.0))
+      .toDF("user_id", "ts_ms", "event_id", "value")
+    val got = Events.resampleFfill(ev, "user_id", "ts_ms", col("value"),
+        "event_id", bucketMs = b)
+      .orderBy("key", "bucket").collect()
+    val u1 = got.filter(_.getString(0) == "u1")
+    assert(u1.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 1L, 2L))
+    assert(u1.map(_.getAs[Long]("filled_v6")).toSeq ===
+      Seq(1000000L, 1000000L, 2000000L))
+    assert(u1.map(_.getAs[Boolean]("is_observed")).toSeq ===
+      Seq(true, false, true))
+    val u2 = got.filter(_.getString(0) == "u2")
+    // bucket 1 representative: ts 15 beats 12; at ts 15, tie 4 beats 1 -> 6.0
+    assert(u2.map(_.getAs[Long]("bucket")).toSeq === Seq(1L, 2L))
+    assert(u2.map(_.getAs[Long]("filled_v6")).toSeq === Seq(6000000L, 6000000L))
+  }
+
+  test("containmentPairs: asymmetric scores; prefix candidates lose nothing") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 0.6)
+      .orderBy("doc_a", "doc_b").collect()
+    // S(1) = {abc,bcd,cde} subset of S(2) (5 shingles): C(1,2)=1, C(2,1)=0.6
+    assert(got.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Double]("containment"))).toSeq ===
+      Seq((1L, 2L, 1.0), (2L, 1L, 0.6)))
+    assert(got.map(_.getAs[Long]("n_inter")).toSeq === Seq(3L, 3L))
+    // tighter threshold drops the asymmetric partner
+    assert(Dedup.containmentPairs(d, "doc_id", "text", 0.7)
+      .collect().map(_.getAs[Long]("doc_a")).toSeq === Seq(1L))
+  }
 }

@@ -1151,6 +1151,11 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj <= 2, s"only the 1-row weights broadcast may cross:\n$p")
     assert(p.contains("partial_max") || p.contains("partial_sum"),
       s"estimator + pivot must fold map-side:\n$p")
+    // the 33M-pair ground-truth fold must stay inside WholeStageCodegen:
+    // the exploded-rows re-pivot used to evaluate it INTERPRETED (~50x)
+    assert(p.linesIterator.exists(l => l.contains("*(") &&
+        l.contains("partial_sum(CASE WHEN (levenshtein")),
+      s"the levenshtein partial fold lost codegen:\n$p")
   }
 
   test("q233 RBO: ranking-sized equi-joins only — no product anywhere") {
@@ -1201,5 +1206,90 @@ class PlanSpec extends SparkTestBase {
       s"the moment sums must fold map-side:\n$p")
     assert(!p.contains("vec_id#"),
       s"the scan must prune vec_id (only embedding is read):\n$p")
+  }
+
+  test("q236 KS drift: value-keyed partial fold, never a raw-row sort") {
+    val df = SparkEntry.queries("q236_ks_drift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the per-value counts must fold map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("event_id#")),
+      s"the cumulative curve sorts distinct values, never raw rows:\n$p")
+  }
+
+  test("q238 heavy hitters: MG candidates broadcast onto the recount; no full-domain pre-shuffle") {
+    val df = SparkEntry.queries("q238_heavy_hitters")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate recount must equi-join against the broadcast set:\n$p")
+    assert(p.contains("partial_count"),
+      s"the recount must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the candidate set is bounded — a sort-merge join means the " +
+        s"broadcast guard was lost:\n$p")
+  }
+
+  test("q239 rendezvous: the assignment itself is MAP-ONLY — no exchange, no join, no window") {
+    // pin the operator's own plan (pre-aggregation): pure projection
+    val ids = graft.ops.Ingest.table(spark, dir, "documents").select("doc_id")
+    val assigned = graft.ops.Partitioning.rendezvousShard(ids, "doc_id", 8)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"HRW assignment must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"HRW assignment is a per-row expression:\n$p")
+  }
+
+  test("q240 quantile bins: edges from counts-of-counts; assignment is a broadcast of (bins-1) edges") {
+    val df = SparkEntry.queries("q240_quantile_bins")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // exactly two bounded nest-loops exist — the 1-row total broadcast
+    // inside the edge derivation and the 1-row edge-array broadcast onto
+    // the rows — and AQE prints each up to twice (stage + inline reuse)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4, s"only the total + edge-array broadcasts may cross:\n$p")
+    assert(p.contains("partial_count"),
+      s"the value fold must reduce map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("l_orderkey#")),
+      s"binning must never sort the raw lineitem rows:\n$p")
+  }
+
+  test("q241 pareto front: distinct-x folds + prefix window — never a pair join") {
+    val df = SparkEntry.queries("q241_pareto_front")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"domination must factor through x, not a self-product:\n$p")
+    assert(p.contains("partial_min"),
+      s"the per-x minima must fold map-side:\n$p")
+  }
+
+  test("q243 resample ffill: per-key window; only the 1-row grid-max broadcast crosses") {
+    val df = SparkEntry.queries("q243_resample_ffill")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the 1-row global-max broadcast may cross:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_min"),
+      s"the per-bucket argmax must fold map-side:\n$p")
+  }
+
+  test("q244 containment: prefix candidates via shingle equi-join — no pair product") {
+    val df = SparkEntry.queries("q244_containment")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"candidates must come from the shingle equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"intersection counts must partial-aggregate map-side:\n$p")
   }
 }
