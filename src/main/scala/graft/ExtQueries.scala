@@ -3920,6 +3920,145 @@ object ExtQueries {
     "q244_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")),
+
+    // Train/test leakage audit — the eval-integrity gate: assign the
+    // q228 stratified split, then find every TEST doc with an exact
+    // near-duplicate (Jaccard >= 0.8) in TRAIN via the prefix-filtered
+    // exact cross-corpus join. Per language: test size, leaked count,
+    // leaked-id checksum, worst overlap. The oracle re-derives split
+    // AND all-pairs Jaccard from scratch.
+    "q245_split_leakage" -> ((s, dir) => {
+      val sp = TextAnalysis.stratifiedSplit(docs(s, dir), "lang", "doc_id",
+        trainPm = 800, valPm = 100, salt = "split-v1")
+      val test = sp.filter(col("split") === "test")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val train = sp.filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val leaks = Dedup.allPairsExactAgainst(test, train,
+          "doc_id", "text", minJaccard = 0.8)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("__n_dups"), max("jaccard").as("__max_j"))
+      test.join(leaks, Seq("doc_id"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("__n_dups").isNotNull, 1L).otherwise(0L))
+            .as("n_leaked"),
+          coalesce(sum(when(col("__n_dups").isNotNull,
+            (col("doc_id") * 2654435761L) % 1000000007L)), lit(0L))
+            .as("leak_id_sum"),
+          max("__max_j").as("max_jaccard"))
+        .orderBy("lang")
+    }),
+
+    // Full precision-recall sweep of the q235 stopword-hits language
+    // classifier: one row per distinct score, integer cores, the whole
+    // tuning curve in one pass instead of one operating point.
+    "q246_pr_curve" -> ((s, dir) =>
+      Profile.prCurve(docs(s, dir),
+        TextAnalysis.stopwordHits(TextAnalysis.tokens(col("text")), "en"),
+        col("lang") === "en")
+        .orderBy("threshold")),
+
+    // Graded ranking metrics (nDCG@10, MRR) for a deterministic
+    // ranking: per language, docs ranked by English-stopword hits
+    // (k-bounded fold, no window), graded against gain = doc_id % 4 —
+    // the retrieval-eval report recallAtK doesn't cover. Oracle
+    // rebuilds ranking, DCG, ideal DCG, and first-hit rank.
+    "q247_rank_metrics" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang").as("query_id"), col("doc_id"),
+        TextAnalysis.stopwordHits(TextAnalysis.tokens(col("text")), "en")
+          .cast("long").as("score"))
+      val ranked = graft.ops.TopK.groupedTopK(d, Seq("query_id"),
+          col("score"), col("doc_id"), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rnk"))
+      val gains = docs(s, dir).select(col("lang").as("query_id"),
+        col("doc_id"), (col("doc_id") % 4).as("gain"))
+      Retrieval.rankMetrics(ranked, gains, k = 10).orderBy("query_id")
+    }),
+
+    // Centroid silhouette of the embedding labels: which clusters are
+    // coherent enough to trust for cell-scoped dedup. Distances and
+    // per-point scores 6-dp-rounded before any compare; per-cell mean
+    // is a DECIMAL sum with one division.
+    "q248_silhouette" -> ((s, dir) =>
+      SimSearch.centroidSilhouette(t(s, dir, "embeddings"), "label")
+        .orderBy("cell")),
+
+    // Homoglyph-evasion dedup: inject deterministic Cyrillic-swap
+    // twins (every doc_id % 7 == 0, id + 10^6), then dedup on the
+    // confusable SKELETON next to raw-text dedup — the skeleton must
+    // catch every injected twin the raw hash misses. One translate op
+    // per row; both engines run the identical confusable map.
+    "q249_confusables" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val evaded = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeopc", "аеорс").as("text"))
+      val corpus = base.unionByName(evaded)
+      def dupDocs(key: org.apache.spark.sql.Column) =
+        corpus.groupBy(md5(key).as("__g"))
+        .agg((count(lit(1)) - 1L).as("__d")).agg(sum("__d").as("n"))
+      val caught = evaded.select((col("doc_id") - 1000000L).as("doc_id"),
+          col("text").as("__et"))
+        .join(base, "doc_id")
+        .agg(count(lit(1)).as("n_injected"),
+          sum(when(TextAnalysis.confusableSkeleton(col("__et")) ===
+            TextAnalysis.confusableSkeleton(col("text")), 1L).otherwise(0L))
+            .as("n_caught_skeleton"),
+          sum(when(col("__et") === col("text"), 1L).otherwise(0L))
+            .as("n_caught_raw"))
+      caught
+        .crossJoin(broadcast(dupDocs(col("text"))
+          .select(col("n").as("raw_dup_docs"))))
+        .crossJoin(broadcast(dupDocs(
+          TextAnalysis.confusableSkeleton(col("text")))
+          .select(col("n").as("skel_dup_docs"))))
+    }),
+
+    // Seasonal anomaly screen: hour-of-day exact-median baseline
+    // (24-row broadcast off a per-slot counts-of-counts fold),
+    // residuals, then the Hampel median/MAD flag on the residuals —
+    // an evening peak is only an outlier against ITS OWN hour.
+    "q250_seasonal_outliers" -> ((s, dir) => {
+      val res = Events.seasonalResiduals(
+        Ingest.eventsWithTs(s, dir), "ts_ms", col("value"))
+      Profile.robustOutliers(res, col("resid_v6"), k = 3)
+        .groupBy("hour").agg(count(lit(1)).as("n"),
+          max("hour_median_v6").as("hour_median_v6"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          coalesce(sum(when(col("is_outlier"),
+            (col("event_id") * 2654435761L) % 1000000007L)), lit(0L))
+            .as("out_id_sum"))
+        .orderBy("hour")
+    }),
+
+    // SymSpell delete-1 exact DL<=1 self-join over supplier names: the
+    // candidate index is provably complete at distance 1, the verify
+    // kernel exact — and the oracle is the UNFILTERED all-pairs
+    // damerau_levenshtein scan, so a lost candidate hash-mismatches.
+    "q251_symspell_dl1" -> ((s, dir) =>
+      Blocking.delete1SelfJoin(t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy("id_a", "id_b")),
+
+    // Inclusion-dependency discovery over candidate column pairs: the
+    // true TPC-H foreign keys read containment 1.0, the decoys read
+    // their true partial overlaps — the schema-inference report that
+    // feeds Contract's declared-FK checks.
+    "q252_fk_discovery" -> ((s, dir) => {
+      def cand(lbl: String, ct: String, cc: String, pt: String, pc: String) =
+        Profile.inclusionRatio(t(s, dir, ct), cc, t(s, dir, pt), pc, lbl)
+      cand("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionByName(cand("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"))
+        .unionByName(cand("lineitem.l_suppkey->supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .unionByName(cand("customer.c_custkey->orders.o_custkey",
+          "customer", "c_custkey", "orders", "o_custkey"))
+        .unionByName(cand("part.p_size->nation.n_nationkey",
+          "part", "p_size", "nation", "n_nationkey"))
+        .orderBy("candidate")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -7576,6 +7715,236 @@ object ExtQueries {
            |       JOIN sz sb ON sb.doc_id = doc_b
            |WHERE CAST(n_inter AS DOUBLE) / sa.n >= 0.6
            |ORDER BY doc_a, doc_b""".stripMargin
+      }) +
+      // split leakage: split AND cross-split Jaccard both re-derived
+      // from scratch (q228 split formula + q127 shingle machinery)
+      ("q245_split_leakage" -> {
+        val h = TextAnalysis.h60Sql("'split-v1:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH r AS (SELECT doc_id, lang, text,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id)
+           |      AS rk,
+           |    count(*) OVER (PARTITION BY lang) AS n FROM documents),
+           |sp AS (SELECT doc_id, lang, text,
+           |    CASE WHEN rk <= (800 * n) // 1000 THEN 'train'
+           |         WHEN rk <= (900 * n) // 1000 THEN 'val'
+           |         ELSE 'test' END AS split FROM r),
+           |toks AS (SELECT doc_id, split, $toksSql AS t FROM sp
+           |         WHERE split IN ('train', 'test')),
+           |sh AS (SELECT DISTINCT doc_id, split,
+           |    unnest(list_transform(range(1, len(t)-1),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |    count(*) AS ni
+           |  FROM sh a JOIN sh b ON a.sh = b.sh
+           |  WHERE a.split = 'test' AND b.split = 'train' GROUP BY 1, 2),
+           |leak AS (SELECT da AS doc_id,
+           |    max(round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 6)) AS mx
+           |  FROM inter JOIN sizes za ON za.doc_id = da
+           |             JOIN sizes zb ON zb.doc_id = db
+           |  WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.8
+           |  GROUP BY 1),
+           |tst AS (SELECT doc_id, lang FROM sp WHERE split = 'test')
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaked,
+           |  CAST(coalesce(sum((tst.doc_id * 2654435761) % 1000000007)
+           |    FILTER (WHERE leak.doc_id IS NOT NULL), 0) AS BIGINT)
+           |    AS leak_id_sum,
+           |  max(mx) AS max_jaccard
+           |FROM tst LEFT JOIN leak ON tst.doc_id = leak.doc_id
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }) +
+      // PR curve: same counts-of-counts cumulative, every distinct
+      // threshold
+      ("q246_pr_curve" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH sc AS (SELECT ${hits("en")} AS s, (lang = 'en') AS y
+           |  FROM (SELECT lang, $toksSql AS t FROM documents)),
+           |c AS (SELECT s, count(*) AS n,
+           |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM sc GROUP BY 1),
+           |cum AS (SELECT s, sum(n) OVER (ORDER BY s DESC) AS cn,
+           |    sum(p) OVER (ORDER BY s DESC) AS cp FROM c),
+           |tt AS (SELECT CAST(sum(p) AS BIGINT) AS ptot FROM c)
+           |SELECT CAST(s AS BIGINT) AS threshold,
+           |  CAST(cn AS BIGINT) AS n_flagged, CAST(cp AS BIGINT) AS tp,
+           |  ${r6("CAST(cp AS DOUBLE) / cn")} AS precision,
+           |  ${r6("CAST(cp AS DOUBLE) / ptot")} AS recall,
+           |  CASE WHEN cp > 0 THEN
+           |    ${r6("(2.0 * cp) / (cn + ptot)")} END AS f1
+           |FROM cum, tt WHERE ptot > 0 ORDER BY threshold""".stripMargin
+      }) +
+      // rank metrics: ranking, DCG, ideal DCG, first-hit rank all
+      // rebuilt with windows
+      ("q247_rank_metrics" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        def term(g: String, pos: String) = r6(
+          s"CAST($g AS DOUBLE) / (ln(CAST($pos AS DOUBLE) + 1.0) " +
+            "/ 0.6931471805599453)")
+        s"""WITH d AS (SELECT lang AS query_id, doc_id,
+           |    CAST(${hits("en")} AS BIGINT) AS score
+           |  FROM (SELECT lang, doc_id, $toksSql AS t FROM documents)),
+           |rk AS (SELECT query_id, doc_id, row_number() OVER
+           |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+           |  FROM d),
+           |top AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 10),
+           |g AS (SELECT lang AS query_id, doc_id, doc_id % 4 AS gain
+           |  FROM documents),
+           |dc AS (SELECT t.query_id,
+           |    CAST(sum(CAST(${term("coalesce(g.gain, 0)", "t.rnk")}
+           |      AS DECIMAL(24, 6))) AS DOUBLE) AS dcg,
+           |    min(CASE WHEN coalesce(g.gain, 0) > 0 THEN t.rnk END)
+           |      AS fst
+           |  FROM top t LEFT JOIN g
+           |    ON t.query_id = g.query_id AND t.doc_id = g.doc_id
+           |  GROUP BY 1),
+           |ig AS (SELECT query_id, gain, row_number() OVER
+           |    (PARTITION BY query_id ORDER BY gain DESC, doc_id) AS i
+           |  FROM g WHERE gain > 0),
+           |ic AS (SELECT query_id,
+           |    CAST(sum(CAST(${term("gain", "i")} AS DECIMAL(24, 6)))
+           |      AS DOUBLE) AS idcg,
+           |    CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM ig WHERE i <= 10 GROUP BY 1)
+           |SELECT dc.query_id, coalesce(n_rel, 0) AS n_rel,
+           |  ${r6("dcg")} AS dcg, ${r6("idcg")} AS idcg,
+           |  CASE WHEN idcg > 0.0 THEN ${r6("dcg / idcg")} END AS ndcg,
+           |  coalesce(${r6("1.0 / fst")}, 0.0) AS mrr
+           |FROM dc LEFT JOIN ic ON dc.query_id = ic.query_id
+           |ORDER BY dc.query_id""".stripMargin
+      }) +
+      // silhouette: centroids, distances, per-point scores, per-cell
+      // means all recomputed (q33-style rounded-mean centroids)
+      ("q248_silhouette" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        def cosD(a: String, b: String) =
+          s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) " +
+            s"* sqrt(list_inner_product($b, $b))))"
+        s"""WITH e AS (SELECT vec_id, label AS cell,
+           |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |cm AS (SELECT cell, pos, avg(v) AS m FROM
+           |    (SELECT cell, unnest(emb) AS v,
+           |       generate_subscripts(emb, 1) AS pos FROM e)
+           |  GROUP BY 1, 2),
+           |c AS (SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+           |  FROM cm GROUP BY cell),
+           |d AS (SELECT e.vec_id, e.cell, c.cell AS oc,
+           |    ${r6("1.0 - " + cosD("e.emb", "c.centroid"))} AS dist
+           |  FROM e CROSS JOIN c),
+           |ab AS (SELECT vec_id, cell,
+           |    max(CASE WHEN oc = cell THEN dist END) AS a,
+           |    min(CASE WHEN oc <> cell THEN dist END) AS b
+           |  FROM d GROUP BY 1, 2),
+           |s AS (SELECT cell,
+           |    CASE WHEN b IS NULL THEN NULL
+           |         WHEN greatest(a, b) = 0.0 THEN 0.0
+           |         ELSE ${r6("(b - a) / greatest(a, b)")} END AS sil
+           |  FROM ab)
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           |  CASE WHEN count(sil) > 0 THEN
+           |    ${r6("CAST(sum(CAST(sil AS DECIMAL(24, 6))) AS DOUBLE) " +
+              "/ count(sil)")} END AS mean_sil
+           |FROM s GROUP BY cell ORDER BY cell""".stripMargin
+      }) +
+      // confusables: identical translate map (shared literals), md5
+      // group folds rebuilt from scratch
+      ("q249_confusables" -> {
+        val f = TextAnalysis.ConfusableFrom
+        val t = TextAnalysis.ConfusableTo
+        def skel(e: String) = s"translate(lower($e), '$f', '$t')"
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |ev AS (SELECT doc_id + 1000000 AS doc_id,
+           |    translate(text, 'aeopc', 'аеорс') AS text
+           |  FROM base WHERE doc_id % 7 = 0),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM ev),
+           |caught AS (SELECT CAST(count(*) AS BIGINT) AS n_injected,
+           |    CAST(sum(CASE WHEN ${skel("e.text")} = ${skel("o.text")}
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_skeleton,
+           |    CAST(sum(CASE WHEN e.text = o.text THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_caught_raw
+           |  FROM ev e JOIN base o ON e.doc_id - 1000000 = o.doc_id),
+           |rd AS (SELECT CAST(sum(c - 1) AS BIGINT) AS raw_dup_docs FROM
+           |  (SELECT count(*) AS c FROM corpus GROUP BY md5(text))),
+           |sd AS (SELECT CAST(sum(c - 1) AS BIGINT) AS skel_dup_docs FROM
+           |  (SELECT count(*) AS c FROM corpus
+           |   GROUP BY md5(${skel("text")})))
+           |SELECT * FROM caught, rd, sd""".stripMargin
+      }) +
+      // seasonal outliers: per-hour medians, residuals, global
+      // median/MAD, flags — all counts-of-counts mirrors
+      ("q250_seasonal_outliers" ->
+        """WITH src AS (SELECT event_id,
+          |    CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour,
+          |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          |  FROM events),
+          |hc AS (SELECT hour, v, count(*) AS nk FROM src GROUP BY 1, 2),
+          |ht AS (SELECT hour, CAST(sum(nk) AS BIGINT) AS n
+          |  FROM hc GROUP BY 1),
+          |hm AS (SELECT cumt.hour, min(v) AS med FROM
+          |    (SELECT hour, v, sum(nk) OVER (PARTITION BY hour
+          |       ORDER BY v) AS cum FROM hc) cumt
+          |  JOIN ht ON cumt.hour = ht.hour
+          |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+          |r AS (SELECT event_id, src.hour, med, v - med AS resid
+          |  FROM src JOIN hm ON src.hour = hm.hour),
+          |rc AS (SELECT resid, count(*) AS nk FROM r GROUP BY 1),
+          |rt AS (SELECT CAST(sum(nk) AS BIGINT) AS n FROM rc),
+          |rm AS (SELECT min(resid) AS rmed FROM
+          |  (SELECT resid, sum(nk) OVER (ORDER BY resid) AS cum FROM rc),
+          |  rt WHERE cum >= (n + 1) // 2),
+          |d AS (SELECT event_id, hour, med, abs(resid - rmed) AS dev
+          |  FROM r, rm),
+          |dc AS (SELECT dev, count(*) AS nk FROM d GROUP BY 1),
+          |dm AS (SELECT min(dev) AS mad FROM
+          |  (SELECT dev, sum(nk) OVER (ORDER BY dev) AS cum FROM dc),
+          |  rt WHERE cum >= (n + 1) // 2)
+          |SELECT hour, CAST(count(*) AS BIGINT) AS n,
+          |  max(med) AS hour_median_v6,
+          |  CAST(count(*) FILTER (WHERE dev > 3 * mad) AS BIGINT)
+          |    AS n_outliers,
+          |  CAST(coalesce(sum((event_id * 2654435761) % 1000000007)
+          |    FILTER (WHERE dev > 3 * mad), 0) AS BIGINT) AS out_id_sum
+          |FROM d, dm GROUP BY hour ORDER BY hour""".stripMargin) +
+      // symspell: UNFILTERED all-pairs DL ground truth — a lost
+      // delete-1 candidate would hash-mismatch
+      ("q251_symspell_dl1" ->
+        """SELECT a.s_suppkey AS id_a, a.s_name AS s_a,
+          |  b.s_suppkey AS id_b, b.s_name AS s_b,
+          |  CAST(damerau_levenshtein(a.s_name, b.s_name) AS INT) AS dl
+          |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+          |WHERE damerau_levenshtein(a.s_name, b.s_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin) +
+      // FK discovery: distinct sets + anti counts per candidate
+      ("q252_fk_discovery" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        def block(lbl: String, ct: String, cc: String,
+                  pt: String, pc: String) =
+          s"""SELECT '$lbl' AS candidate,
+             |  CAST(n_cd AS BIGINT) AS n_child_distinct,
+             |  CAST(n_miss AS BIGINT) AS n_missing,
+             |  CASE WHEN n_cd > 0 THEN
+             |    ${r6("CAST(n_cd - n_miss AS DOUBLE) / n_cd")} END
+             |    AS containment,
+             |  (n_miss = 0 AND n_cd > 0) AS is_inclusion
+             |FROM (SELECT count(*) AS n_cd,
+             |    count(*) FILTER (WHERE p.v IS NULL) AS n_miss
+             |  FROM (SELECT DISTINCT CAST($cc AS VARCHAR) AS v FROM $ct
+             |        WHERE $cc IS NOT NULL) c
+             |  LEFT JOIN (SELECT DISTINCT CAST($pc AS VARCHAR) AS v
+             |        FROM $pt WHERE $pc IS NOT NULL) p ON c.v = p.v)"""
+            .stripMargin
+        Seq(
+          block("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          block("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          block("lineitem.l_suppkey->supplier.s_suppkey",
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          block("customer.c_custkey->orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey"),
+          block("part.p_size->nation.n_nationkey",
+            "part", "p_size", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
       }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->

@@ -652,6 +652,26 @@ object Events {
     * one per-key window over grid rows for the fill. The window
     * partitions by key — corpus-parallel, state bounded by the
     * per-key grid. */
+  /** Seasonal (hour-of-day) median baseline + residuals: each event's
+    * value against the EXACT median of its hour-of-day slot — the
+    * detrend step that keeps a daily-rhythm metric from flagging every
+    * evening peak as an anomaly. Slot medians come from
+    * [[Profile.exactMedianBy]]'s per-key counts-of-counts (state is
+    * distinct values per slot, never rows) and broadcast back as a
+    * 24-row table; the residual is a map-only integer subtract, ready
+    * for [[Profile.robustOutliers]]. Values quantize to v6 first. */
+  def seasonalResiduals(events: DataFrame, tsMsCol: String,
+                        value: Column): DataFrame = {
+    val src = events
+      .withColumn("__v6", floor(value * 1e6 + 0.5).cast("long"))
+      .withColumn("hour",
+        expr(s"(CAST($tsMsCol AS BIGINT) div 3600000) % 24").cast("int"))
+    val med = Profile.exactMedianBy(src, col("hour"), col("__v6"))
+      .select(col("key").as("hour"), col("median").as("hour_median_v6"))
+    src.join(broadcast(med), "hour")
+      .withColumn("resid_v6", col("__v6") - col("hour_median_v6"))
+  }
+
   def resampleFfill(events: DataFrame, keyCol: String, tsMsCol: String,
                     valueCol: Column, tieCol: String,
                     bucketMs: Long): DataFrame = {

@@ -139,6 +139,27 @@ object Profile {
       .groupBy("n").agg(min("__v").as("median"))
   }
 
+  /** Per-GROUP [[exactMedian]]: the lower median of `value` within each
+    * key — same counts-of-counts economics, with the running window
+    * partitioned BY KEY over the distinct (key, value) table, so state
+    * is Σ|distinct values per key| and every group computes in
+    * parallel. Returns (key, n, median) — one row per key, ready to
+    * broadcast back (seasonal profiles, per-segment baselines). */
+  def exactMedianBy(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val counts = df.select(key.as("__k"), value.cast("long").as("__v"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__nk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val tots = counts.groupBy("__k").agg(sum("__nk").as("n"))
+    counts.withColumn("__cum", sum("__nk").over(run))
+      .join(tots, "__k")
+      .filter(col("__cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("__k").as("key"), col("n"))
+      .agg(min("__v").as("median"))
+      .select(col("key"), col("n"), col("median"))
+  }
+
   /** Robust outlier screen by median/MAD (Hampel filter): a row is an
     * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
     * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot
@@ -232,6 +253,71 @@ object Profile {
           .as("recall"),
         TextAnalysis.round6Portable(col("b.__cp") / col("b.__cn"))
           .as("precision"))
+  }
+
+  /** Full precision-recall sweep — [[operatingPoint]]'s big sibling:
+    * one row per DISTINCT score value s, reporting the classifier
+    * "flag everything scoring ≥ s" (n_flagged, true positives,
+    * precision, recall, F1). The whole curve in one pass: the model-
+    * selection report a linker/filter tuning session reads, instead of
+    * re-running one operating point per candidate threshold.
+    *
+    * Same counts-of-counts economics as [[operatingPoint]]: one
+    * score-keyed fold with map-side partials, one distinct-score-sized
+    * descending running window, one 1-row totals broadcast. Integer
+    * cores; each output float is one IEEE division (F1: one more
+    * divide) rounded at 6 dp. Score must be integer-typed (quantize
+    * first). Curve length = |distinct scores| — bounded by the score
+    * domain, never by rows. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val c = df.select(score.cast("long").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("__s").agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__s").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cum = c.withColumn("__cn", sum("__n").over(w))
+      .withColumn("__cp", sum("__p").over(w))
+    val tot = c.agg(sum("__p").as("__ptot"))
+    val prec = col("__cp").cast("double") / col("__cn")
+    val rec = col("__cp").cast("double") / col("__ptot")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__ptot") > 0)
+      .select(col("__s").as("threshold"),
+        col("__cn").as("n_flagged"), col("__cp").as("tp"),
+        TextAnalysis.round6Portable(prec).as("precision"),
+        TextAnalysis.round6Portable(rec).as("recall"),
+        when(col("__cp") > 0, TextAnalysis.round6Portable(
+          lit(2.0) * col("__cp") / (col("__cn") + col("__ptot"))))
+          .as("f1"))
+  }
+
+  /** Inclusion-dependency ratio — the DISCOVERY half of
+    * [[Contract]]'s declared-ForeignKey check: how much of `child`'s
+    * distinct value set lives inside `parent`'s. containment = 1 marks
+    * a candidate FK an undocumented dataset drop actually honors;
+    * partial ratios expose lookalike columns that merely overlap. Both
+    * sides profile through their STRING form (one comparison semantics
+    * across physical types, the profileColumns rule). Shape: two
+    * DISTINCT folds (map-side partials, distinct-value-sized) and one
+    * LEFT ANTI join between the distinct sets; 1 row out. */
+  def inclusionRatio(child: DataFrame, childCol: String,
+                     parent: DataFrame, parentCol: String,
+                     label: String): DataFrame = {
+    val c = child.select(col(childCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+    val p = parent.select(col(parentCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+    val n = c.agg(count(lit(1)).as("n_child_distinct"))
+    val miss = c.join(p, Seq("__v"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    n.crossJoin(miss).select(lit(label).as("candidate"),
+      col("n_child_distinct"), col("n_missing"),
+      when(col("n_child_distinct") > 0, TextAnalysis.round6Portable(
+        (col("n_child_distinct") - col("n_missing")).cast("double") /
+          col("n_child_distinct"))).as("containment"),
+      (col("n_missing") === 0 && col("n_child_distinct") > 0)
+        .as("is_inclusion"))
   }
 
   /** Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..5 — the

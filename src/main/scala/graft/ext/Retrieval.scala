@@ -296,4 +296,53 @@ object Retrieval {
         coalesce(max(when(col("__d") === depth, col("__ov"))), lit(0L))
           .as(s"overlap_$depth"))
   }
+
+  /** Graded ranking-quality metrics — nDCG@k and MRR@k, the numbers a
+    * retrieval eval harness reports next to [[SimSearch.recallAtK]]'s
+    * set recall. `ranked` is any ranking (query_id, rnk 1-based,
+    * doc_id); `gains` holds integer relevance grades (query_id, doc_id,
+    * gain ≥ 0) — docs absent from `gains` count as gain 0.
+    *
+    * DCG = Σ gain_i/log2(i+1) over the top k; IDCG re-ranks the QUERY'S
+    * OWN gains descending (ties by doc_id) — so nDCG = 1 means "the
+    * ranking ordered the graded docs perfectly", independent of scale.
+    * MRR = 1/(first rank with gain > 0), 0 when none surfaces.
+    * Portability: each DCG term rounds at 6 dp then sums as DECIMAL
+    * (the PSI/entropy ln rule — log2 is the one non-exact op); the
+    * final nDCG is ONE division, MRR one reciprocal, both 6-dp. Shape:
+    * metrics are ranking-sized (≤ k rows per query per side); the IDCG
+    * window partitions per query over the graded docs. A query with
+    * zero graded docs reports null ndcg (0/0), not 1. */
+  def rankMetrics(ranked: DataFrame, gains: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"rankMetrics needs k >= 1, got $k")
+    val ln2 = 0.6931471805599453
+    def dcgTerm(g: Column, pos: Column): Column =
+      TextAnalysis.round6Portable(
+        g.cast("double") / (log(pos.cast("double") + 1.0) / ln2))
+        .cast(DecimalType(24, 6))
+    val topK = ranked.filter(col("rnk") <= k)
+      .join(gains, Seq("query_id", "doc_id"), "left")
+      .withColumn("__g", coalesce(col("gain"), lit(0L)))
+    val dcg = topK
+      .groupBy("query_id")
+      .agg(sum(dcgTerm(col("__g"), col("rnk"))).cast("double").as("dcg"),
+        min(when(col("__g") > 0, col("rnk"))).as("__first"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("gain").desc, col("doc_id"))
+    val idcg = gains.filter(col("gain") > 0)
+      .withColumn("__i", row_number().over(iw))
+      .filter(col("__i") <= k)
+      .groupBy("query_id")
+      .agg(sum(dcgTerm(col("gain"), col("__i"))).cast("double").as("idcg"),
+        count(lit(1)).as("n_rel"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        TextAnalysis.round6Portable(col("dcg")).as("dcg"),
+        TextAnalysis.round6Portable(col("idcg")).as("idcg"),
+        when(col("idcg") > 0.0, TextAnalysis.round6Portable(
+          col("dcg") / col("idcg"))).as("ndcg"),
+        coalesce(TextAnalysis.round6Portable(
+          lit(1.0) / col("__first")), lit(0.0)).as("mrr"))
+  }
 }

@@ -850,4 +850,45 @@ object SimSearch {
       .select("probe_id", "vec_id")
     rerankExact(cand, probes, corpus, k)
   }
+
+  /** Centroid-based silhouette — the clustering-quality audit for a cell
+    * assignment (IVF cells, labels, semdedup groups): per point, cosine
+    * distance a to its OWN cell centroid and b to the NEAREST other
+    * centroid; s = (b − a)/max(a, b) ∈ [−1, 1]. Positive = the point
+    * sits with its cluster; negative = it would rather live elsewhere —
+    * read per cell, this is the "which labels are incoherent" report a
+    * curation pass consults before trusting cell-scoped dedup.
+    *
+    * Full silhouette is pairwise (Σ|cell|² — the reason nobody runs it
+    * at corpus scale); the centroid form is the standard linear-time
+    * surrogate: one broadcast of the (bounded, [[centroids]]-contract)
+    * centroid table, a |cells|-way fan-out per point, two conditional
+    * folds. Determinism: distances round at 6 dp BEFORE the min/compare
+    * (the rank-boundary rule), the per-point s rounds at 6 dp, and the
+    * per-cell mean is a DECIMAL sum with ONE final division. A corpus
+    * with a single cell has no "other" centroid — its silhouette is
+    * null, not 0. Returns (cell, n, mean_sil). */
+  def centroidSilhouette(corpus: DataFrame, cellCol: String): DataFrame = {
+    val cents = centroids(corpus, cellCol)
+    val scored = corpus
+      .select(col("vec_id"), col(cellCol).as("cell"), col("embedding"))
+      .crossJoin(broadcast(
+        cents.select(col("cell").as("__c"), col("centroid"))))
+      .withColumn("__d", TextAnalysis.round6Portable(
+        lit(1.0) - cosine(col("embedding"), col("centroid"))))
+    val ab = scored.groupBy("vec_id", "cell").agg(
+      max(when(col("cell") === col("__c"), col("__d"))).as("__a"),
+      min(when(col("cell") =!= col("__c"), col("__d"))).as("__b"))
+    val denom = greatest(col("__a"), col("__b"))
+    val sil = when(col("__b").isNull, lit(null).cast("double"))
+      .when(denom === 0.0, lit(0.0))
+      .otherwise(TextAnalysis.round6Portable(
+        (col("__b") - col("__a")) / denom))
+    ab.withColumn("__sil", sil)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        when(count(col("__sil")) > 0, TextAnalysis.round6Portable(
+          sum(col("__sil").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+            .cast("double") / count(col("__sil")))).as("mean_sil"))
+  }
 }

@@ -73,6 +73,24 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(
       array(stopwords(lang).map(lit): _*), t)))
 
+  /** Homoglyph confusables: visually-identical Cyrillic/Greek lowercase
+    * code points mapped to their Latin lookalikes — the characters a
+    * dedup-evasion or spam pass swaps in because `а` (U+0430) renders
+    * exactly like `a` (U+0061). 1:1 code-point pairs so ONE `translate`
+    * call (codegen'd; DuckDB has the identical function) applies the
+    * whole map. Curated from the Unicode confusables list's
+    * highest-frequency Latin-script collisions. */
+  val ConfusableFrom = "аеорсху" +
+    "іјѕԛԝνο"
+  val ConfusableTo = "aeopcxyijsqwvo"
+
+  /** Confusable skeleton: lowercase + homoglyph fold. Two texts with
+    * equal skeletons but different raw bytes are the signature of
+    * script-swap dedup evasion — dedup on the skeleton, compare raw to
+    * flag the evasion. Map-only, one translate op. */
+  def confusableSkeleton(c: Column): Column =
+    translate(lower(c), ConfusableFrom, ConfusableTo)
+
   /** argmax over language scores with a fixed precedence tiebreak
     * (en > es > fr > de > zh), expressed as a CASE chain so DuckDB computes
     * the identical decision. */

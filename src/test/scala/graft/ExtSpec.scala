@@ -3686,4 +3686,136 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(Dedup.containmentPairs(d, "doc_id", "text", 0.7)
       .collect().map(_.getAs[Long]("doc_a")).toSeq === Seq(1L))
   }
+
+  test("prCurve: hand-computed sweep; one row per distinct score") {
+    import spark.implicits._
+    val df = Seq((3L, true), (2L, false), (2L, true), (1L, false))
+      .toDF("s", "y")
+    val got = Profile.prCurve(df, col("s"), col("y"))
+      .orderBy("threshold").collect()
+    assert(got.map(_.getAs[Long]("threshold")).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Long]("n_flagged")).toSeq === Seq(4L, 3L, 1L))
+    assert(got.map(_.getAs[Long]("tp")).toSeq === Seq(2L, 2L, 1L))
+    assert(got.map(_.getAs[Double]("precision")).toSeq ===
+      Seq(0.5, 0.666667, 1.0))
+    assert(got.map(_.getAs[Double]("recall")).toSeq === Seq(1.0, 1.0, 0.5))
+    assert(got.map(_.getAs[Double]("f1")).toSeq ===
+      Seq(0.666667, 0.8, 0.666667))
+  }
+
+  test("rankMetrics: DCG/IDCG/MRR hand-checked; no-relevant query nulls ndcg") {
+    import spark.implicits._
+    val ranked = Seq(("q1", 1, 1L), ("q1", 2, 2L), ("q1", 3, 3L),
+      ("q2", 1, 9L)).toDF("query_id", "rnk", "doc_id")
+    val gains = Seq(("q1", 2L, 2L), ("q1", 3L, 1L), ("q1", 7L, 3L))
+      .toDF("query_id", "doc_id", "gain")
+    val got = Retrieval.rankMetrics(ranked, gains, k = 10)
+      .orderBy("query_id").collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ln2 = 0.6931471805599453
+    def t(g: Double, i: Int) = r6(g / (math.log(i + 1.0) / ln2))
+    // q1 DCG: rank1 gain 0, rank2 gain 2, rank3 gain 1
+    val dcg = t(2, 2) + t(1, 3)
+    // ideal: gains (3, 2, 1) at positions 1, 2, 3 (doc 7 unranked but graded)
+    val idcg = t(3, 1) + t(2, 2) + t(1, 3)
+    assert(got(0).getAs[Double]("dcg") === r6(dcg))
+    assert(got(0).getAs[Double]("idcg") === r6(idcg))
+    assert(got(0).getAs[Double]("ndcg") === r6(dcg / idcg))
+    assert(got(0).getAs[Double]("mrr") === 0.5) // first hit at rank 2
+    assert(got(0).getAs[Long]("n_rel") === 3L)
+    // q2: nothing graded -> null ndcg, mrr 0
+    assert(got(1).isNullAt(got(1).fieldIndex("ndcg")))
+    assert(got(1).getAs[Double]("mrr") === 0.0)
+    assert(got(1).getAs[Long]("n_rel") === 0L)
+  }
+
+  test("centroidSilhouette: tight separated clusters score 1; single cell is null") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimSearch.centroidSilhouette(e, "label")
+      .orderBy("cell").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    // a = 0 (on centroid), b = 1 (orthogonal) -> s = 1 for every point
+    assert(got.map(_.getAs[Double]("mean_sil")).toSeq === Seq(1.0, 1.0))
+    val one = SimSearch.centroidSilhouette(e.filter(col("label") === 0), "label")
+      .collect()
+    assert(one.length === 1 && one(0).isNullAt(one(0).fieldIndex("mean_sil")))
+  }
+
+  test("confusableSkeleton: homoglyph + case fold; raw bytes stay distinct") {
+    import spark.implicits._
+    val df = Seq(("Sample text", "Sаmple text"), ("ПРИВЕТ", "ПРИВЕТ"))
+      .toDF("a", "b")
+    val r = df.select(
+      (TextAnalysis.confusableSkeleton(col("a")) ===
+        TextAnalysis.confusableSkeleton(col("b"))).as("skel_eq"),
+      (col("a") === col("b")).as("raw_eq")).collect()
+    assert(r(0).getBoolean(0) && !r(0).getBoolean(1),
+      "Cyrillic а must fold onto latin a while raw text differs")
+    assert(r(1).getBoolean(0) && r(1).getBoolean(1))
+  }
+
+  test("exactMedianBy: per-key lower medians from one partitioned fold") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 9L), ("b", 5L), ("b", 7L))
+      .toDF("k", "v")
+    val got = Profile.exactMedianBy(df, col("k"), col("v"))
+      .orderBy("key").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 3L, 2L), ("b", 2L, 5L)))
+  }
+
+  test("delete1Keys covers DL<=1; delete1SelfJoin finds sub/del/transposition, not DL2") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "acb"), (4L, "ab"),
+      (5L, "xyz"), (6L, "")).toDF("id", "s")
+    val keys = df.filter(col("id") === 1)
+      .select(explode(graft.ext.Blocking.delete1Keys(col("s"))).as("k"))
+      .collect().map(_.getString(0)).sorted
+    assert(keys.toSeq === Seq("ab", "abc", "ac", "bc"))
+    val got = graft.ext.Blocking.delete1SelfJoin(df, "id", "s")
+      .select("id_a", "id_b", "dl").orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // abc~abd (sub), abc~acb (transposition), abc~ab (del), abd~ab (del),
+    // acb~ab (del); abd~acb is DL 2 and must NOT appear
+    assert(got.toSeq === Seq((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1),
+      (2L, 4L, 1), (3L, 4L, 1)))
+    // empty string keeps only itself as key
+    assert(df.filter(col("id") === 6)
+      .select(graft.ext.Blocking.delete1Keys(col("s"))).collect()(0)
+      .getSeq[String](0) === Seq(""))
+  }
+
+  test("inclusionRatio: partial overlap, true inclusion, empty child") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 3L, 3L).toDF("c")
+    val parent = Seq(1L, 2L, 9L).toDF("p")
+    val r = Profile.inclusionRatio(child, "c", parent, "p", "t").collect()(0)
+    assert(r.getAs[Long]("n_child_distinct") === 3L)
+    assert(r.getAs[Long]("n_missing") === 1L)
+    assert(r.getAs[Double]("containment") === 0.666667)
+    assert(!r.getAs[Boolean]("is_inclusion"))
+    val full = Profile.inclusionRatio(
+      Seq(1L, 2L).toDF("c"), "c", parent, "p", "t").collect()(0)
+    assert(full.getAs[Boolean]("is_inclusion"))
+    val empty = Profile.inclusionRatio(
+      child.filter(col("c") > 99), "c", parent, "p", "t").collect()(0)
+    assert(empty.isNullAt(empty.fieldIndex("containment")) &&
+      !empty.getAs[Boolean]("is_inclusion"))
+  }
+
+  test("seasonalResiduals: hour slots and per-slot median baselines") {
+    import spark.implicits._
+    // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2
+    val ev = Seq((1L, 3600000L, 10.0), (2L, 3660000L, 20.0),
+      (3L, 7200000L, 5.0)).toDF("event_id", "ts_ms", "value")
+    val got = Events.seasonalResiduals(ev, "ts_ms", col("value"))
+      .orderBy("event_id")
+      .select("hour", "hour_median_v6", "resid_v6").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1, 10000000L, 0L), (1, 10000000L, 10000000L), (2, 5000000L, 0L)))
+  }
 }

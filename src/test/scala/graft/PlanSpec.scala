@@ -1292,4 +1292,83 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"),
       s"intersection counts must partial-aggregate map-side:\n$p")
   }
+
+  test("q245 split leakage: cross-split candidates via shingle equi-join — no pair product") {
+    val df = SparkEntry.queries("q245_split_leakage")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"test x train must come from the prefix equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"Jaccard counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("q246 PR curve: score-keyed fold — never a raw-row sort") {
+    val df = SparkEntry.queries("q246_pr_curve")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-score counts must fold map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("doc_id#")),
+      s"the curve sorts distinct scores, never raw docs:\n$p")
+  }
+
+  test("q247 rank metrics: ranking via the k-bounded fold, metrics ranking-sized") {
+    val df = SparkEntry.queries("q247_rank_metrics")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"metrics must join ranking-sized tables:\n$p")
+    assert(p.toLowerCase.contains("topkagg"),
+      s"the ranking must come from the k-bounded partial fold:\n$p")
+  }
+
+  test("q248 silhouette: one bounded centroid broadcast; point folds partial-aggregate") {
+    val df = SparkEntry.queries("q248_silhouette")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the bounded centroid table may cross:\n$p")
+    assert(p.contains("partial_avg") || p.contains("partial_max") ||
+      p.contains("partial_min"),
+      s"centroid/distance folds must reduce map-side:\n$p")
+  }
+
+  test("q250 seasonal: hour medians broadcast back as an equi-join; no raw-row sort") {
+    val df = SparkEntry.queries("q250_seasonal_outliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    // the median/MAD chain carries FOUR 1-row broadcasts (n, median,
+    // MAD-n, MAD-median), each printed several times by AQE — pin the
+    // SHAPE (broadcast build side) rather than the print count
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")),
+      s"every cross must broadcast its bounded build side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("event_id#")),
+      s"medians must sort distinct values, never raw events:\n$p")
+  }
+
+  test("q251 symspell: delete-1 candidates via hash equi-join — never a pair product") {
+    val df = SparkEntry.queries("q251_symspell_dl1")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"DL candidates must come from the delete-1 key join:\n$p")
+  }
+
+  test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
+    val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"),
+      s"missing-value counts must come from an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"distinct folds must partial-aggregate:\n$p")
+  }
 }
