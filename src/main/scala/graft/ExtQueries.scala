@@ -4059,6 +4059,48 @@ object ExtQueries {
           "part", "p_size", "nation", "n_nationkey"))
         .orderBy("candidate")
     }),
+
+    // Per-type value trend: exact OLS over (hour, v6) — slope,
+    // intercept, r, r² from DECIMAL moment sums, one IEEE expression
+    // per float. "Is this event type's value drifting" as one fold.
+    "q253_trend" -> ((s, dir) => {
+      val ev = Ingest.eventsWithTs(s, dir).select(col("event_type"),
+        expr("CAST(ts_ms AS BIGINT) div 3600000").as("xh"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      Profile.olsBy(ev, col("event_type"), col("xh"), col("v6"))
+        .orderBy("key")
+    }),
+
+    // Lag-1 autocorrelation of the hourly event-count series per type:
+    // adjacent-hour count pairs through the same exact-OLS machinery —
+    // r IS the autocorrelation, burstiness as one number per type.
+    "q254_autocorr" -> ((s, dir) => {
+      val c = Ingest.eventsWithTs(s, dir)
+        .select(col("event_type"),
+          expr("CAST(ts_ms AS BIGINT) div 3600000").as("xh"))
+        .groupBy("event_type", "xh").agg(count(lit(1)).as("y"))
+      val pairs = c.select(col("event_type"), col("xh"), col("y").as("y0"))
+        .join(c.select(col("event_type"), (col("xh") - 1).as("xh"),
+          col("y").as("y1")), Seq("event_type", "xh"))
+      Profile.olsBy(pairs, col("event_type"), col("y0"), col("y1"))
+        .orderBy("key")
+    }),
+
+    // Dictionary phrase scan as a token-position equi-join (no per-row
+    // regex loop, no substring false positives): per phrase, matching
+    // docs, occurrences, and the doc-id checksum.
+    "q255_phrase_match" -> ((s, dir) =>
+      TextAnalysis.phraseMatches(docs(s, dir), "doc_id", "text",
+        Seq("hash join", "slow query", "batch scan", "merge join",
+          "row group"))
+        .orderBy("phrase")),
+
+    // Exact quantity-weighted median price (cents): the price where
+    // half the shipped QUANTITY sits — weighted counts-of-counts, no
+    // row sort.
+    "q256_weighted_median" -> ((s, dir) =>
+      Profile.exactWeightedMedian(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5), col("l_quantity"))),
   )
 
   // ------------------------------------------------------------------
@@ -4240,6 +4282,36 @@ object ExtQueries {
   }
 
   /** shared CTE: distinct 3-token shingles per doc */
+  /** Shared mirror of [[graft.ext.Profile.olsBy]]: HUGEINT moment sums
+    * over a (key, x, y) source query, then the IDENTICAL fixed float
+    * expressions (slope consumed already-6dp inside intercept). */
+  private def olsOracleSql(srcSql: String): String = {
+    def r6(e: String) = TextAnalysis.round6PortableSql(e)
+    val slope = r6("num / dxx")
+    s"""WITH src AS ($srcSql),
+       |g AS (SELECT key, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM src GROUP BY 1),
+       |d AS (SELECT key, n,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS dyy,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+       |    CAST(n AS DOUBLE) AS nd FROM g)
+       |SELECT key, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN dxx > 0 THEN $slope END AS slope,
+       |  CASE WHEN dxx > 0 THEN
+       |    ${r6(s"(syd - $slope * sxd) / nd")} END AS intercept,
+       |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+       |    ${r6("num / (sqrt(dxx) * sqrt(dyy))")} END AS r,
+       |  CASE WHEN dxx > 0 AND dyy > 0 THEN
+       |    ${r6("(num / dxx) * (num / dyy)")} END AS r2
+       |FROM d ORDER BY key""".stripMargin
+  }
+
   private val shinglesCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
@@ -7946,6 +8018,56 @@ object ExtQueries {
             "part", "p_size", "nation", "n_nationkey"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
       }) +
+      // OLS / autocorrelation: HUGEINT moment sums, the same fixed
+      // float expressions over the exact cores
+      ("q253_trend" -> olsOracleSql(
+        """SELECT event_type AS key, epoch_ms(ts) // 3600000 AS x,
+          |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+          |  FROM events""".stripMargin)) +
+      ("q254_autocorr" -> olsOracleSql(
+        """WITH c AS (SELECT event_type AS key,
+          |    epoch_ms(ts) // 3600000 AS xh, count(*) AS y
+          |  FROM events GROUP BY 1, 2)
+          |SELECT a.key, a.y AS x, b.y AS y
+          |FROM c a JOIN c b ON a.key = b.key AND b.xh = a.xh + 1"""
+          .stripMargin)) +
+      // phrase scan: token-aligned positions re-derived via list
+      // slices — same alignment semantics, independent construction
+      ("q255_phrase_match" -> {
+        val phr = Seq("hash join", "slow query", "batch scan",
+          "merge join", "row group")
+          .map { p =>
+            val ws = p.split(' ').map(w => s"'$w'").mkString(", ")
+            s"('$p', [$ws])"
+          }.mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |ph(phrase, w) AS (VALUES $phr),
+           |pos0 AS (SELECT phrase, doc_id, t, w,
+           |    range(1, greatest(len(t) - len(w) + 2, 1)) AS idxs
+           |  FROM tk, ph),
+           |pos AS (SELECT phrase, doc_id, t, w, unnest(idxs) AS i
+           |  FROM pos0),
+           |m AS (SELECT phrase, doc_id, count(*) AS c FROM pos
+           |  WHERE t[i : i + len(w) - 1] = w GROUP BY 1, 2)
+           |SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(c) AS BIGINT) AS n_hits,
+           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |    AS doc_id_sum
+           |FROM m GROUP BY phrase ORDER BY phrase""".stripMargin
+      }) +
+      // weighted median: weight-cumulative counts-of-counts
+      ("q256_weighted_median" ->
+        """WITH src AS (SELECT
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+          |    CAST(l_quantity AS BIGINT) AS w
+          |  FROM lineitem WHERE l_quantity > 0),
+          |c AS (SELECT v, CAST(sum(w) AS BIGINT) AS wk FROM src
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(sum(wk) AS BIGINT) AS total_w FROM c),
+          |cum AS (SELECT v, sum(wk) OVER (ORDER BY v) AS cw FROM c)
+          |SELECT total_w, min(v) AS wmedian
+          |FROM cum, t WHERE cw * 2 >= total_w GROUP BY total_w"""
+          .stripMargin) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

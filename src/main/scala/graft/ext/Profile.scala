@@ -160,6 +160,70 @@ object Profile {
       .select(col("key"), col("n"), col("median"))
   }
 
+  /** Per-group EXACT ordinary-least-squares fit + Pearson correlation
+    * of two INTEGER columns (quantize to v6 first): slope, intercept,
+    * r, and r² per key from the five moment sums n, Σx, Σy, Σxy, Σx²,
+    * Σy² — the per-segment trend detector ("is quality drifting down
+    * within each source") and, pointed at (y_{t−1}, y_t) lag pairs, the
+    * autocorrelation estimator.
+    *
+    * Every moment accumulates in DECIMAL(38,0) — EXACT, order-free, so
+    * the cores agree bit-for-bit across engines (at v6 scale the xy
+    * products pass 2^63 long before 10^38). Each reported float is a
+    * fixed expression over the exact cores: slope = num/sxx (one IEEE
+    * division of two decimal→double casts), r = num/(√sxx·√syy),
+    * r² = (num/sxx)·(num/syy), intercept = (Σy − slope·Σx)/n consuming
+    * the ALREADY-6dp slope — identical op order both engines, then
+    * 6-dp. Degenerate variance (constant x or y) nulls the affected
+    * outputs. ONE groupBy fold with map-side partials; output is
+    * key-count-sized. */
+  def olsBy(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.select(key.as("key"),
+        x.cast("long").cast(dec).as("__x"), y.cast("long").cast(dec).as("__y"))
+      .groupBy("key")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = when(dxx > 0.0, TextAnalysis.round6Portable(num / dxx))
+    g.select(col("key"), col("n").cast("long").as("n"),
+      slope.as("slope"),
+      when(dxx > 0.0, TextAnalysis.round6Portable(
+        (col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double"))).as("intercept"),
+      when(dxx > 0.0 && dyy > 0.0, TextAnalysis.round6Portable(
+        num / (sqrt(dxx) * sqrt(dyy)))).as("r"),
+      when(dxx > 0.0 && dyy > 0.0, TextAnalysis.round6Portable(
+        (num / dxx) * (num / dyy))).as("r2"))
+  }
+
+  /** Exact lower WEIGHTED median of an INTEGER column with INTEGER
+    * weights: the smallest value whose cumulative weight reaches half
+    * the total (2·cumW ≥ totW) — "the price where half the QUANTITY
+    * sits", robust where the row-median ignores row mass. Same
+    * counts-of-counts shape as [[exactMedian]] with weight sums instead
+    * of row counts; state is |distinct values|. Returns one row
+    * (total_w, wmedian). Rows with weight ≤ 0 are excluded. */
+  def exactWeightedMedian(df: DataFrame, value: Column,
+                          weight: Column): DataFrame = {
+    val counts = df.select(value.cast("long").as("__v"),
+        weight.cast("long").as("__w"))
+      .filter(col("__w") > 0L)
+      .groupBy("__v").agg(sum("__w").as("__wk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    counts.withColumn("__cum", sum("__wk").over(run))
+      .crossJoin(broadcast(counts.agg(sum("__wk").as("total_w"))))
+      .filter(col("__cum").cast("decimal(38,0)") * 2 >= col("total_w"))
+      .groupBy("total_w").agg(min("__v").as("wmedian"))
+  }
+
   /** Robust outlier screen by median/MAD (Hampel filter): a row is an
     * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
     * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot

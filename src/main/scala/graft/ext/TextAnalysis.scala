@@ -84,6 +84,44 @@ object TextAnalysis {
     "іјѕԛԝνο"
   val ConfusableTo = "aeopcxyijsqwvo"
 
+  /** Token-aligned dictionary phrase matching — the blocklist/taxonomy
+    * scan ("flag docs mentioning any of these k phrases") built as a
+    * JOIN instead of k regexes per row: explode (doc, position, token),
+    * hash-equi-join on each phrase's FIRST word (the selective probe —
+    * most tokens match no phrase and drop immediately), then verify the
+    * full phrase with one bounded array-slice compare. Token-aligned by
+    * construction, so "rehash join" does NOT match "hash join" — the
+    * substring false positive a naive LIKE scan ships. Phrase list
+    * broadcasts (require: ≤ 10k phrases); cost is one scan + a
+    * broadcast join, independent of k for the non-matching majority.
+    * Occurrences may overlap (each start position counts once).
+    * Returns (phrase, n_docs, n_hits, doc_id_sum). */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.size <= 10000,
+      s"phrase list must be 1..10000 entries, got ${phrases.size}")
+    val split = phrases.map { p =>
+      val ws = p.split(' ').filter(_.nonEmpty).toSeq
+      require(ws.nonEmpty, s"blank phrase in dictionary: '$p'")
+      (p, ws)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = split.map { case (p, ws) => (p, ws.head, ws, ws.size) }
+      .toDF("phrase", "__w1", "__ws", "__len")
+    val toksP = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("__p", "__w")))
+    val perDoc = toksP
+      .join(broadcast(dict), col("__w") === col("__w1"))
+      .filter(slice(col("__t"), col("__p") + 1, col("__len")) === col("__ws"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("phrase").agg(
+      count(lit(1)).as("n_docs"), sum("__c").as("n_hits"),
+      sum((col("doc_id") * 2654435761L) % 1000000007L).as("doc_id_sum"))
+  }
+
   /** Confusable skeleton: lowercase + homoglyph fold. Two texts with
     * equal skeletons but different raw bytes are the signature of
     * script-swap dedup evasion — dedup on the skeleton, compare raw to

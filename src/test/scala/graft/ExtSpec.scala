@@ -3807,6 +3807,46 @@ class LinkageSplitSpec extends SparkTestBase {
       !empty.getAs[Boolean]("is_inclusion"))
   }
 
+  test("olsBy: exact line recovered; constant x nulls the fit; r signs") {
+    import spark.implicits._
+    // key a: y = 2x + 3 exactly; key b: y = -x (r = -1); key c: constant x
+    val df = (Seq(("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L)) ++
+      Seq(("b", 1L, -1L), ("b", 2L, -2L), ("b", 3L, -3L)) ++
+      Seq(("c", 4L, 1L), ("c", 4L, 9L))).toDF("k", "x", "y")
+    val got = Profile.olsBy(df, col("k"), col("x"), col("y"))
+      .orderBy("key").collect()
+    assert(got(0).getAs[Double]("slope") === 2.0)
+    assert(got(0).getAs[Double]("intercept") === 3.0)
+    assert(got(0).getAs[Double]("r") === 1.0 && got(0).getAs[Double]("r2") === 1.0)
+    assert(got(1).getAs[Double]("r") === -1.0 && got(1).getAs[Double]("r2") === 1.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("slope")) &&
+      got(2).isNullAt(got(2).fieldIndex("r")))
+  }
+
+  test("exactWeightedMedian: weight mass decides; lower-median ties; nonpositive weights drop") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 10L)).toDF("v", "w")
+    val r = Profile.exactWeightedMedian(df, col("v"), col("w")).collect()(0)
+    assert(r.getAs[Long]("total_w") === 12L && r.getAs[Long]("wmedian") === 3L)
+    val even = Seq((1L, 1L), (2L, 1L), (9L, 0L), (9L, -5L)).toDF("v", "w")
+    val e = Profile.exactWeightedMedian(even, col("v"), col("w")).collect()(0)
+    assert(e.getAs[Long]("total_w") === 2L && e.getAs[Long]("wmedian") === 1L)
+  }
+
+  test("phraseMatches: token-aligned, overlapping starts, no substring false positive") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b"), (2L, "rehash join only"), (3L, "hash join x hash join"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseMatches(d, "doc_id", "text",
+      Seq("a a", "hash join")).orderBy("phrase").collect()
+    // "a a" occurs at positions 1 and 2 of doc 1 (overlap counts both)
+    assert(got(0).getAs[String]("phrase") === "a a" &&
+      got(0).getAs[Long]("n_docs") === 1L && got(0).getAs[Long]("n_hits") === 2L)
+    // "rehash join" must NOT match "hash join"; doc 3 has two hits
+    assert(got(1).getAs[String]("phrase") === "hash join" &&
+      got(1).getAs[Long]("n_docs") === 1L && got(1).getAs[Long]("n_hits") === 2L)
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2

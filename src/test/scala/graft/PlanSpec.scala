@@ -1361,6 +1361,42 @@ class PlanSpec extends SparkTestBase {
       s"DL candidates must come from the delete-1 key join:\n$p")
   }
 
+  test("q253/q254 OLS: one moment fold with map-side partials, no product") {
+    for (q <- Seq("q253_trend", "q254_autocorr")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"$q: moment sums must fold, never pair up:\n$p")
+      assert(p.contains("partial_sum"),
+        s"$q: moments must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("q255 phrase match: first-word broadcast equi-join, no per-row dictionary loop") {
+    val df = SparkEntry.queries("q255_phrase_match")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"tokens must probe the broadcast dictionary by first word:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"no token x dictionary product:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc hit counts must fold map-side:\n$p")
+  }
+
+  test("q256 weighted median: weight-cumulative counts-of-counts — never a raw-row sort") {
+    val df = SparkEntry.queries("q256_weighted_median")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"weight sums must fold map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("l_orderkey#")),
+      s"the cumulative sorts distinct values, never raw lineitem rows:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
