@@ -4101,6 +4101,52 @@ object ExtQueries {
     "q256_weighted_median" -> ((s, dir) =>
       Profile.exactWeightedMedian(t(s, dir, "lineitem"),
         floor(col("l_extendedprice") * 100 + 0.5), col("l_quantity"))),
+
+    // Majority-vote reconciliation across three derived replicas (two
+    // corrupt the name on overlapping id strata, one corrupts the
+    // segment): per column, conflict/unresolved censuses plus the
+    // resolved-value h60 checksum — where two replicas agree on the
+    // SAME corruption (id % 35) the majority is honestly wrong, and
+    // the checksum proves both engines resolve identically.
+    "q257_majority_vote" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val b = c.withColumn("c_name",
+        when(col("c_custkey") % 5 === 0, concat(lit("X-"), col("c_name")))
+          .otherwise(col("c_name")))
+      val c3 = c.withColumn("c_name",
+          when(col("c_custkey") % 7 === 0, concat(lit("X-"), col("c_name")))
+            .otherwise(col("c_name")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 3 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")))
+      Blocking.majorityVote(c.unionByName(b).unionByName(c3),
+          "c_custkey", Seq("c_name", "c_nationkey", "c_mktsegment"))
+        .groupBy("column").agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n_distinct") > 1, 1L).otherwise(0L))
+            .as("n_conflicts"),
+          sum(when(col("n_top") === 1 && col("n_distinct") === 3, 1L)
+            .otherwise(0L)).as("n_unresolved"),
+          sum(TextAnalysis.h60(col("resolved")) % 1000000007L)
+            .as("resolved_sum"))
+        .orderBy("column")
+    }),
+
+    // Exact trailing-24h distinct users per active hour — the sliding
+    // DAU/velocity metric, exact instead of HLL-approximate: distinct
+    // (user, hour) pairs fan out to the 24 anchors they cover.
+    "q258_rolling_distinct" -> ((s, dir) =>
+      Events.rollingDistinct(Ingest.eventsWithTs(s, dir), "ts_ms",
+          "user_id", windowBuckets = 24, bucketMs = 3600000L)
+        .orderBy("anchor")),
+
+    // 5%-each-side exact trimmed mean of price cents next to the raw
+    // mean: per-value kept-mass from rank-interval overlap — integer
+    // arithmetic, no row sort, one division per output.
+    "q259_trimmed_mean" -> ((s, dir) =>
+      Profile.trimmedMean(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5), trimPm = 50)),
   )
 
   // ------------------------------------------------------------------
@@ -8068,6 +8114,78 @@ object ExtQueries {
           |SELECT total_w, min(v) AS wmedian
           |FROM cum, t WHERE cw * 2 >= total_w GROUP BY total_w"""
           .stripMargin) +
+      // majority vote: replicas re-derived by the same CASE formulas,
+      // votes and argmax rebuilt with a window, identical h60 checksum
+      ("q257_majority_vote" -> {
+        val h = TextAnalysis.h60Sql("resolved")
+        s"""WITH base AS (SELECT c_custkey AS key, c_name,
+           |    CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+           |    c_mktsegment FROM customer),
+           |rep AS (
+           |  SELECT key, c_name, c_nationkey, c_mktsegment FROM base
+           |  UNION ALL
+           |  SELECT key,
+           |    CASE WHEN key % 5 = 0 THEN 'X-' || c_name
+           |         ELSE c_name END,
+           |    c_nationkey, c_mktsegment FROM base
+           |  UNION ALL
+           |  SELECT key,
+           |    CASE WHEN key % 7 = 0 THEN 'X-' || c_name
+           |         ELSE c_name END,
+           |    c_nationkey,
+           |    CASE WHEN key % 3 = 0 THEN 'UNKNOWN'
+           |         ELSE c_mktsegment END FROM base),
+           |kv AS (SELECT key, 'c_name' AS col, c_name AS v FROM rep
+           |  UNION ALL SELECT key, 'c_nationkey', c_nationkey FROM rep
+           |  UNION ALL SELECT key, 'c_mktsegment', c_mktsegment FROM rep),
+           |votes AS (SELECT key, col, v, count(*) AS n
+           |  FROM kv WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+           |res AS (SELECT key, col, v AS resolved, n AS n_top,
+           |    count(*) OVER (PARTITION BY key, col) AS n_distinct,
+           |    row_number() OVER (PARTITION BY key, col
+           |      ORDER BY n DESC, v DESC) AS rk
+           |  FROM votes)
+           |SELECT col AS "column", CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(count(*) FILTER (WHERE n_distinct > 1) AS BIGINT)
+           |    AS n_conflicts,
+           |  CAST(count(*) FILTER (WHERE n_top = 1 AND n_distinct = 3)
+           |    AS BIGINT) AS n_unresolved,
+           |  CAST(sum($h % 1000000007) AS BIGINT) AS resolved_sum
+           |FROM res WHERE rk = 1 GROUP BY col ORDER BY col""".stripMargin
+      }) +
+      // rolling distinct: anchor set + range join rebuilt directly
+      ("q258_rolling_distinct" ->
+        """WITH pairs AS (SELECT DISTINCT user_id AS id,
+          |    epoch_ms(ts) // 3600000 AS b FROM events),
+          |obs AS (SELECT DISTINCT b AS anchor FROM pairs)
+          |SELECT anchor,
+          |  CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids
+          |FROM obs JOIN pairs
+          |  ON pairs.b BETWEEN obs.anchor - 23 AND obs.anchor
+          |GROUP BY anchor ORDER BY anchor""".stripMargin) +
+      // trimmed mean: same rank-interval overlap arithmetic
+      ("q259_trimmed_mean" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH src AS (SELECT
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           |  FROM lineitem),
+           |c AS (SELECT v, count(*) AS nk FROM src GROUP BY 1),
+           |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+           |    sum(CAST(v AS HUGEINT) * nk) AS sall FROM c),
+           |cum AS (SELECT v, nk, sum(nk) OVER (ORDER BY v) AS cm FROM c),
+           |kp AS (SELECT v, greatest(0,
+           |    least(cm, n - k) - greatest(cm - nk, k)) AS kept, n, k,
+           |    sall
+           |  FROM (SELECT v, nk, cm, n, sall, (n * 50) // 1000 AS k
+           |        FROM cum, t))
+           |SELECT n, CAST(k AS BIGINT) AS k_trimmed_each,
+           |  CAST(n - 2 * k AS BIGINT) AS n_kept,
+           |  ${r6("CAST(sall AS DOUBLE) / n")} AS mean,
+           |  CASE WHEN n - 2 * k > 0 THEN
+           |    ${r6("CAST(sum(CAST(v AS HUGEINT) * kept) AS DOUBLE) " +
+              "/ CAST(n - 2 * k AS DOUBLE)")} END AS trimmed_mean
+           |FROM kp GROUP BY n, k, sall""".stripMargin
+      }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

@@ -216,6 +216,35 @@ object Blocking {
   private def fsW(p: Column, q: Column): Column =
     TextAnalysis.round6Portable((log(p) - log(q)) / 0.6931471805599453)
 
+  /** Majority-vote reconciliation across replicas — [[goldenRecord]]'s
+    * sibling for the N-COPIES regime (three ingestion mirrors, a
+    * re-crawl beside two cached copies): per (key, column), the value
+    * the most replicas agree on. Ties (including all-distinct) break
+    * to the LARGEST candidate value string — deterministic and
+    * engine-portable — and are flagged: n_top = votes for the winner,
+    * n_distinct = candidate count, so a 2-1 split (n_distinct 2) and
+    * an unresolved 1-1-1 (n_distinct 3, n_top 1) are visible to the
+    * caller's quorum policy. NULLs don't vote. Shape: one explode to
+    * (key, column, value) — map-only — then TWO key-domain folds with
+    * map-side partials ((key, col, value) counts → argmax); never a
+    * window, never a replica×replica join. Returns one row per
+    * (key, column): (key, column, resolved, n_top, n_distinct). */
+  def majorityVote(replicas: DataFrame, keyCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "majorityVote needs at least one column")
+    val kv = replicas.select(col(keyCol).as("key"), explode(map(
+      valueCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("column", "value")))
+      .filter(col("value").isNotNull)
+    kv.groupBy("key", "column", "value").agg(count(lit(1)).as("__n"))
+      .groupBy("key", "column")
+      .agg(max(struct(col("__n"), col("value"))).as("__top"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("key"), col("column"),
+        col("__top.value").as("resolved"),
+        col("__top.__n").as("n_top"), col("n_distinct"))
+  }
+
   /** The SymSpell delete-1 neighborhood of a string: the string itself
     * plus every single-code-point deletion — |s|+1 keys. Two strings at
     * Damerau–Levenshtein ≤ 1 ALWAYS share a key (equal → s itself;

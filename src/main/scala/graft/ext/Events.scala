@@ -672,6 +672,38 @@ object Events {
       .withColumn("resid_v6", col("__v6") - col("hour_median_v6"))
   }
 
+  /** EXACT rolling-window distinct count — "distinct users in the
+    * trailing 24 hours, per hour": the DAU/abuse-velocity metric a
+    * sliding HLL only approximates. Reduce to distinct (id, bucket)
+    * pairs first (ONE shuffle — collapses any event volume to active
+    * pairs), then each pair contributes to the `windowBuckets` anchors
+    * it covers via a sequence explode, distinct again, count. Anchors
+    * are restricted to buckets that actually contain events (broadcast
+    * semi-join of the observed-bucket set).
+    *
+    * Honest cost model: the explode multiplies the ACTIVE-PAIR stream
+    * by the window length — exactness over a sliding set has no free
+    * lunch (the mergeable alternative is per-bucket HLL registers
+    * folded over the window, q55's machinery, when ±5% is acceptable).
+    * Window length is capped to keep the fan-out deliberate. */
+  def rollingDistinct(events: DataFrame, tsMsCol: String, idCol: String,
+                      windowBuckets: Int, bucketMs: Long): DataFrame = {
+    require(windowBuckets >= 1 && windowBuckets <= 168,
+      s"windowBuckets must be in [1,168]: $windowBuckets")
+    require(bucketMs >= 1L, s"bucketMs must be >= 1: $bucketMs")
+    val pairs = events.select(col(idCol).as("id"),
+        expr(s"CAST($tsMsCol AS BIGINT) div $bucketMs").as("b"))
+      .distinct()
+    val observed = pairs.select(col("b").as("anchor")).distinct()
+    pairs.select(col("id"),
+        explode(sequence(col("b"), col("b") + (windowBuckets - 1)))
+          .as("anchor"))
+      .join(graft.ops.Guards.broadcastIfSmall(observed), Seq("anchor"),
+        "left_semi")
+      .distinct()
+      .groupBy("anchor").agg(count(lit(1)).as("n_distinct_ids"))
+  }
+
   def resampleFfill(events: DataFrame, keyCol: String, tsMsCol: String,
                     valueCol: Column, tieCol: String,
                     bucketMs: Long): DataFrame = {

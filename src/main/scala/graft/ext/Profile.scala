@@ -224,6 +224,47 @@ object Profile {
       .groupBy("total_w").agg(min("__v").as("wmedian"))
   }
 
+  /** EXACT trimmed mean of an INTEGER column: drop the k smallest and
+    * k largest rows, k = (n·trimPm) div 1000, average the rest — the
+    * robust location estimate between the mean (trimPm 0) and the
+    * median, immune to the tail a plain mean chases. Entirely from the
+    * counts-of-counts fold: each distinct value keeps
+    * max(0, min(cum, n−k) − max(cum_prev, k)) of its copies (the
+    * overlap of its rank interval with the kept band) — integer
+    * arithmetic, no row ever sorts; the kept-mass sum accumulates in
+    * DECIMAL and divides ONCE. Returns one row
+    * (n, k_trimmed_each, n_kept, mean, trimmed_mean); degenerate
+    * n_kept = 0 nulls the trimmed mean. */
+  def trimmedMean(df: DataFrame, value: Column, trimPm: Int): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500,
+      s"trimPm must be in [0,500): $trimPm")
+    val counts = df.select(value.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__nk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val tot = counts.agg(sum("__nk").as("n"),
+      sum(col("__v").cast("decimal(38,0)") * col("__nk")).as("__sall"))
+    val dec = "decimal(38,0)"
+    val kept = greatest(lit(0L).cast(dec),
+      least(col("__cum"), col("n") - col("__k")).cast(dec) -
+        greatest(col("__cum") - col("__nk"), col("__k")).cast(dec))
+    counts.withColumn("__cum", sum("__nk").over(run))
+      .crossJoin(broadcast(tot))
+      .withColumn("__k", expr(s"(n * $trimPm) div 1000"))
+      .withColumn("__kept", kept)
+      .agg(max("n").as("n"), max("__k").as("k_trimmed_each"),
+        max(col("n") - col("__k") * 2).as("n_kept"),
+        max("__sall").as("__sa"),
+        sum(col("__v").cast(dec) * col("__kept")).as("__st"))
+      .select(col("n"), col("k_trimmed_each"), col("n_kept"),
+        TextAnalysis.round6Portable(
+          col("__sa").cast("double") / col("n")).as("mean"),
+        when(col("n_kept") > 0, TextAnalysis.round6Portable(
+          col("__st").cast("double") / col("n_kept").cast("double")))
+          .as("trimmed_mean"))
+  }
+
   /** Robust outlier screen by median/MAD (Hampel filter): a row is an
     * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
     * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot

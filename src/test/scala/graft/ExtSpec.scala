@@ -3847,6 +3847,45 @@ class LinkageSplitSpec extends SparkTestBase {
       got(1).getAs[Long]("n_docs") === 1L && got(1).getAs[Long]("n_hits") === 2L)
   }
 
+  test("majorityVote: majority wins, ties break to largest value, nulls don't vote") {
+    import spark.implicits._
+    val rep = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, null), (3L, null)).toDF("k", "v")
+    val got = graft.ext.Blocking.majorityVote(rep, "k", Seq("v"))
+      .orderBy("key").collect()
+    assert(got.map(r => (r.getLong(0), r.getAs[String]("resolved"),
+      r.getAs[Long]("n_top"), r.getAs[Long]("n_distinct"))).toSeq ===
+      Seq((1L, "a", 2L, 2L), (2L, "c", 1L, 3L), (3L, "a", 1L, 1L)))
+  }
+
+  test("rollingDistinct: trailing-window membership over active anchors only") {
+    import spark.implicits._
+    val ev = Seq((10L, 0L), (20L, 3600000L), (10L, 25L * 3600000L))
+      .toDF("user_id", "ts_ms")
+    val got = Events.rollingDistinct(ev, "ts_ms", "user_id", 24, 3600000L)
+      .orderBy("anchor").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // anchors are the three active hours; hour 1 sees both users,
+    // hour 25 sees only u1's second visit (hour 1 fell out of window)
+    assert(got.toSeq === Seq((0L, 1L), (1L, 2L), (25L, 1L)))
+  }
+
+  test("trimmedMean: exact rank-interval trimming kills the tail") {
+    import spark.implicits._
+    val df = ((1L to 10L) :+ 1000L).toDF("v")
+    val r = Profile.trimmedMean(df, col("v"), trimPm = 100).collect()(0)
+    assert(r.getAs[Long]("n") === 11L)
+    assert(r.getAs[Long]("k_trimmed_each") === 1L)
+    assert(r.getAs[Long]("n_kept") === 9L)
+    assert(r.getAs[Double]("trimmed_mean") === 6.0) // mean of 2..10
+    assert(r.getAs[Double]("mean") === 95.909091)
+    // trimPm 0 degenerates to the plain mean
+    val z = Profile.trimmedMean(df, col("v"), trimPm = 0).collect()(0)
+    assert(z.getAs[Double]("trimmed_mean") === z.getAs[Double]("mean"))
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2

@@ -1397,6 +1397,43 @@ class PlanSpec extends SparkTestBase {
       s"the cumulative sorts distinct values, never raw lineitem rows:\n$p")
   }
 
+  test("q257 majority vote: two key-domain folds, no window, no replica product") {
+    val df = SparkEntry.queries("q257_majority_vote")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"replicas must union + fold, never pair:\n$p")
+    assert(!p.contains("Window"),
+      s"the vote argmax must be a max(struct) fold, not a rank window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      s"vote counts must fold map-side:\n$p")
+  }
+
+  test("q258 rolling distinct: pair reduction first, anchor fan-out semi-joined to active hours") {
+    val df = SparkEntry.queries("q258_rolling_distinct")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"anchors must restrict to observed buckets via a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"the window fan-out is a sequence explode, never a range product:\n$p")
+    assert(p.contains("partial_count"),
+      s"distinct counts must partial-aggregate:\n$p")
+  }
+
+  test("q259 trimmed mean: counts-of-counts band arithmetic — never a raw-row sort") {
+    val df = SparkEntry.queries("q259_trimmed_mean")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")),
+      s"only the 1-row totals broadcast may cross:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("l_orderkey#")),
+      s"trimming sorts distinct values, never raw lineitem rows:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
