@@ -4147,6 +4147,36 @@ object ExtQueries {
     "q259_trimmed_mean" -> ((s, dir) =>
       Profile.trimmedMean(t(s, dir, "lineitem"),
         floor(col("l_extendedprice") * 100 + 0.5), trimPm = 50)),
+
+    // Stratified 5-fold CV assignment: per (lang, fold) census with id
+    // checksums — fold sizes within each stratum differ by at most
+    // one, and the assignment is pure salted-hash arithmetic both
+    // engines replay.
+    "q260_cv_folds" -> ((s, dir) =>
+      TextAnalysis.cvFolds(docs(s, dir), "lang", "doc_id",
+          k = 5, salt = "cv-v1")
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"),
+          sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"))
+        .orderBy("lang", "fold")),
+
+    // Time-weighted average value per sampled user: holding-time
+    // weights (exact v6·ms products, DECIMAL sum, one division) —
+    // the exposure average, not the tick average.
+    "q261_twap" -> ((s, dir) =>
+      Events.twap(
+        Ingest.eventsWithTs(s, dir).filter(col("user_id") % 10 === 0),
+        "user_id", "ts_ms", col("value"), "event_id")
+        .orderBy("key")),
+
+    // Exact cross-source quantile normalization of document lengths:
+    // each source's n_chars maps onto the global value at the same
+    // rank — rank arithmetic exact, the rank->value lookup one merged
+    // window over distinct values. The oracle re-derives every mapping
+    // with a correlated min over the global cumulative — maximally
+    // independent of the engine's union-stream construction.
+    "q262_quantile_normalize" -> ((s, dir) =>
+      Profile.quantileNormalize(docs(s, dir), "source", col("n_chars"))
+        .orderBy("source", "v")),
   )
 
   // ------------------------------------------------------------------
@@ -8186,6 +8216,54 @@ object ExtQueries {
               "/ CAST(n - 2 * k AS DOUBLE)")} END AS trimmed_mean
            |FROM kp GROUP BY n, k, sall""".stripMargin
       }) +
+      // CV folds: q228's split formula with modular fold assignment
+      ("q260_cv_folds" -> {
+        val h = TextAnalysis.h60Sql("'cv-v1:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH r AS (SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id)
+           |      AS rk FROM documents)
+           |SELECT lang, CAST((rk - 1) % 5 AS INT) AS fold,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |    AS id_sum
+           |FROM r GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin
+      }) +
+      // TWAP: same lead() holding windows, HUGEINT weight sums
+      ("q261_twap" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH src AS (SELECT user_id AS key, epoch_ms(ts) AS t,
+           |    event_id AS tie,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE user_id % 10 = 0),
+           |l AS (SELECT key, v,
+           |    lead(t) OVER (PARTITION BY key ORDER BY t, tie) - t AS dt
+           |  FROM src)
+           |SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+           |  CAST(sum(dt) AS BIGINT) AS span_ms,
+           |  CASE WHEN sum(dt) > 0 THEN
+           |    ${r6("CAST(sum(CAST(v AS HUGEINT) * dt) AS DOUBLE) " +
+              "/ CAST(sum(dt) AS DOUBLE) / 1000000.0")} END AS twap
+           |FROM l GROUP BY key ORDER BY key""".stripMargin
+      }) +
+      // quantile normalization: every mapping re-derived by a
+      // correlated min over the global cumulative — integer
+      // cross-multiplied rank relation, no union-stream mirror
+      ("q262_quantile_normalize" ->
+        """WITH src AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+          |  FROM documents),
+          |gc AS (SELECT v, count(*) AS nk FROM src GROUP BY 1),
+          |g AS (SELECT v, sum(nk) OVER (ORDER BY v) AS gcum FROM gc),
+          |gt AS (SELECT CAST(sum(nk) AS BIGINT) AS gtot FROM gc),
+          |sc AS (SELECT grp, v, count(*) AS snk FROM src GROUP BY 1, 2),
+          |s AS (SELECT grp, v, snk, sum(snk) OVER (PARTITION BY grp
+          |    ORDER BY v) AS scum FROM sc),
+          |st AS (SELECT grp, CAST(sum(snk) AS BIGINT) AS stot
+          |  FROM sc GROUP BY 1)
+          |SELECT s.grp AS source, s.v, CAST(snk AS BIGINT) AS n_rows,
+          |  (SELECT min(g.v) FROM g, gt
+          |   WHERE g.gcum * st.stot >= s.scum * gt.gtot) AS v_norm
+          |FROM s JOIN st ON s.grp = st.grp
+          |ORDER BY source, v""".stripMargin) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

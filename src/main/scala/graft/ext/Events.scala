@@ -672,6 +672,39 @@ object Events {
       .withColumn("resid_v6", col("__v6") - col("hour_median_v6"))
   }
 
+  /** Time-weighted average (TWAP) per key: each observation's value
+    * holds until the NEXT observation, so the average weighs values by
+    * HOLDING TIME, not by tick count — the difference between "average
+    * quoted price" and "average price you were actually exposed to".
+    * Exact core: Σ v6·Δms in DECIMAL (order-free) over the observed
+    * span [first, last), ONE division at the end; the last observation
+    * bounds the window and carries no weight (standard left-closed
+    * convention). A key with < 2 observations has no span — null twap,
+    * reported with n_obs for the caller's minimum-support filter.
+    * Shape: one per-key lead() window ordered by (ts, tie) + one
+    * key fold; corpus-parallel, state bounded per key. */
+  def twap(events: DataFrame, keyCol: String, tsMsCol: String,
+           value: Column, tieCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    events
+      .select(col(keyCol).as("key"), col(tsMsCol).cast("long").as("__t"),
+        col(tieCol).as("__tie"),
+        floor(value * 1e6 + 0.5).cast("long").as("__v6"))
+      .withColumn("__dt", lead(col("__t"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("__t", "__tie")) - col("__t"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__dt").isNotNull,
+          col("__v6").cast(dec) * col("__dt"))).as("__wsum"),
+        sum(col("__dt")).as("__span"))
+      .select(col("key"), col("n_obs"),
+        col("__span").as("span_ms"),
+        when(col("__span") > 0, TextAnalysis.round6Portable(
+          col("__wsum").cast("double") / col("__span").cast("double") / 1e6))
+          .as("twap"))
+  }
+
   /** EXACT rolling-window distinct count — "distinct users in the
     * trailing 24 hours, per hour": the DAU/abuse-velocity metric a
     * sliding HLL only approximates. Reduce to distinct (id, bucket)

@@ -265,6 +265,61 @@ object Profile {
           .as("trimmed_mean"))
   }
 
+  /** Exact quantile normalization of an INTEGER feature ACROSS GROUPS:
+    * map each group's value onto the GLOBAL value at the same rank —
+    * v′ = min global u with gcdf(u) ≥ cdf_g(v) — so after mapping,
+    * every group's distribution matches the pooled corpus (up to value
+    * discreteness). The feature-alignment step for multi-source
+    * training data: "source B's quality scores run hot" becomes a
+    * rank-preserving recalibration instead of a hand-tuned offset.
+    *
+    * Exact integer rank arithmetic: the target global rank is
+    * ceil(scum·gtot / stot) — and `gcum ≥ ceil(x)` ⟺
+    * `gcum·stot ≥ scum·gtot` over integers, which is the relation the
+    * oracle checks with a correlated min, independent of this plan.
+    * The rank→value lookup is NOT an inequality join: global cum rows
+    * (rank = gcum, value u) and per-group targets (rank = target)
+    * UNION into one stream ordered by (rank, tag) — targets before
+    * globals at equal rank — and v′ = first following global u, one
+    * window over a DISTINCT-VALUES-sized table (the counts-of-counts
+    * contract; never the rows). Output: one row per (group, distinct
+    * v): (group, v, n_rows, v_norm), monotone in v within each group. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        value: Column): DataFrame = {
+    val src = df.select(col(groupCol).as("grp"), value.cast("long").as("__v"))
+    val gCounts = src.groupBy("__v").agg(count(lit(1)).as("__nk"))
+    val runG = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val g = gCounts.withColumn("__gcum", sum("__nk").over(runG))
+    val gt = gCounts.agg(sum("__nk").as("__gtot"))
+    val sCounts = src.groupBy("grp", "__v").agg(count(lit(1)).as("__snk"))
+    val runS = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val st = sCounts.groupBy("grp").agg(sum("__snk").as("__stot"))
+    val targets = sCounts.withColumn("__scum", sum("__snk").over(runS))
+      .join(st, "grp").crossJoin(broadcast(gt))
+      .withColumn("__rank",
+        expr("(__scum * __gtot + __stot - 1) div __stot"))
+    // one ordered stream: global rows carry the value, target rows
+    // pick up the first following (or equal-rank) global value
+    val globalRows = g.select(lit(null).cast("string").as("grp"),
+      lit(null).cast("long").as("__v"), lit(null).cast("long").as("__snk"),
+      col("__gcum").as("__rank"), lit(1).as("__tag"), col("__v").as("__u"))
+    val targetRows = targets.select(col("grp").cast("string").as("grp"),
+      col("__v"), col("__snk"), col("__rank"), lit(0).as("__tag"),
+      lit(null).cast("long").as("__u"))
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("__rank"), col("__tag"))
+      .rowsBetween(0, Long.MaxValue)
+    globalRows.unionByName(targetRows)
+      .withColumn("__vnorm", first(col("__u"), ignoreNulls = true).over(wNext))
+      .filter(col("__tag") === 0)
+      .select(col("grp").as(groupCol), col("__v").as("v"),
+        col("__snk").as("n_rows"), col("__vnorm").as("v_norm"))
+  }
+
   /** Robust outlier screen by median/MAD (Hampel filter): a row is an
     * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
     * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot

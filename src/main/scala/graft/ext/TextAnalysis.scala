@@ -473,6 +473,24 @@ object TextAnalysis {
       .drop("__n", "__rk")
   }
 
+  /** Stratified k-fold cross-validation assignment — the eval sibling
+    * of [[stratifiedSplit]]: fold = (stratum rank − 1) mod k under the
+    * salted hash order, so every stratum's folds differ by at most one
+    * row, every fold is usable as a held-out set, and re-deriving fold
+    * j on any engine/partitioning/rerun yields the identical
+    * assignment (no RNG). Same shape: one per-stratum window over the
+    * hash order + nothing else; appends `fold` (0..k−1). */
+  def cvFolds(df: DataFrame, stratumCol: String, keyCol: String,
+              k: Int, salt: String): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000]: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(h60(concat(lit(salt + ":"), col(keyCol).cast("string"))),
+        col(keyCol))
+    df.withColumn("fold",
+      ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   def exactQuotaSample(df: DataFrame, groupCol: String, keyCol: String,
                        quota: Int, salt: String): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")

@@ -3886,6 +3886,54 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(z.getAs[Double]("trimmed_mean") === z.getAs[Double]("mean"))
   }
 
+  test("cvFolds: near-equal stratum folds, deterministic, exhaustive") {
+    import spark.implicits._
+    val df = (1L to 23L).map(i => (if (i <= 13) "a" else "b", i))
+      .toDF("lang", "doc_id")
+    val f = TextAnalysis.cvFolds(df, "lang", "doc_id", k = 5, salt = "t")
+    val sizes = f.groupBy("lang", "fold").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // 13 rows -> folds of 3,3,3,2,2; 10 rows -> all 2
+    assert(sizes.filter(_._1._1 == "a").values.toSeq.sorted === Seq(2L, 2L, 3L, 3L, 3L))
+    assert(sizes.filter(_._1._1 == "b").values.toSeq.sorted === Seq(2L, 2L, 2L, 2L, 2L))
+    assert(f.count() === 23L && f.agg(min("fold"), max("fold"))
+      .collect()(0).toSeq === Seq(0, 4))
+    // identical on re-derivation
+    val g = TextAnalysis.cvFolds(df, "lang", "doc_id", k = 5, salt = "t")
+    assert(f.exceptAll(g).count() === 0L)
+  }
+
+  test("twap: holding-time weights, last tick unweighted, single obs nulls") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 1L, 1.0), (1L, 10L, 2L, 3.0), (1L, 30L, 3L, 2.0),
+      (2L, 5L, 4L, 9.0)).toDF("user_id", "ts_ms", "event_id", "value")
+    val got = Events.twap(ev, "user_id", "ts_ms", col("value"), "event_id")
+      .orderBy("key").collect()
+    // u1: 1.0 for 10ms + 3.0 for 20ms over span 30 -> 70/30
+    assert(got(0).getAs[Long]("n_obs") === 3L)
+    assert(got(0).getAs[Long]("span_ms") === 30L)
+    assert(got(0).getAs[Double]("twap") === 2.333333)
+    assert(got(1).getAs[Long]("n_obs") === 1L &&
+      got(1).isNullAt(got(1).fieldIndex("twap")))
+  }
+
+  test("quantileNormalize: rank mapping onto the pooled scale; identity on one group") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 10L), ("B", 20L), ("B", 30L)).toDF("src", "x")
+    val got = Profile.quantileNormalize(df, "src", col("x"))
+      .orderBy("src", "v").collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("v")),
+        r.getLong(r.fieldIndex("v_norm"))))
+    assert(got.toSeq === Seq(("A", 1L, 2L), ("A", 2L, 10L), ("A", 3L, 30L),
+      ("B", 10L, 2L), ("B", 20L, 10L), ("B", 30L, 30L)))
+    // a single group maps onto itself
+    val one = Profile.quantileNormalize(df.filter(col("src") === "A"),
+      "src", col("x")).collect()
+    assert(one.forall(r => r.getLong(r.fieldIndex("v")) ===
+      r.getLong(r.fieldIndex("v_norm"))))
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2

@@ -1434,6 +1434,24 @@ class PlanSpec extends SparkTestBase {
       s"trimming sorts distinct values, never raw lineitem rows:\n$p")
   }
 
+  test("q262 quantile normalize: merged-stream lookup — no inequality join, no raw-row sort") {
+    val df = SparkEntry.queries("q262_quantile_normalize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the rank->value lookup must be the union-stream window, " +
+        s"never a range product:\n$p")
+    // the one nest-loop is the 1-row global-total broadcast
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")),
+      s"only the 1-row gtot broadcast may cross:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"value counts must fold map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && l.contains("doc_id#")),
+      s"all sorts are over distinct-value tables, never raw docs:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
