@@ -4177,6 +4177,43 @@ object ExtQueries {
     "q262_quantile_normalize" -> ((s, dir) =>
       Profile.quantileNormalize(docs(s, dir), "source", col("n_chars"))
         .orderBy("source", "v")),
+
+    // Anonymization ladder: coarsen n_chars through widths 1 / 10 /
+    // 100 / 1000 / suppressed until every (lang, bucket) class reaches
+    // k = 5 — the census per rung plus the minimal-loss chosen rung.
+    "q263_anonymize_ladder" -> ((s, dir) =>
+      Profile.generalizationLadder(docs(s, dir), "lang", col("n_chars"),
+        widths = Seq(1L, 10L, 100L, 1000L, 0L), k = 5)
+        .orderBy("level")),
+
+    // Neyman optimal allocation of a 10k sample budget across event
+    // types (weight = N_h·sigma_h = sqrt of the exact variance
+    // numerator) next to plain proportional apportionment — variance-
+    // heavy strata draw visibly larger quotas; both columns integerize
+    // by largest remainder and sum to the budget exactly.
+    "q264_neyman" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val ev = Ingest.eventsWithTs(s, dir).select(col("event_type"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+      val w = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"),
+        floor(sqrt((count(lit(1)).cast(dec) *
+          sum(col("v6").cast(dec) * col("v6")) -
+          sum(col("v6").cast(dec)) * sum(col("v6").cast(dec)))
+          .cast("double")) + 0.5).cast("long").as("weight"))
+      TextAnalysis.apportionWeighted(w, "event_type", "weight", 10000L)
+        .join(w.select(col("event_type"), col("n_rows")), "event_type")
+        .join(TextAnalysis.apportion(ev, "event_type", 10000L)
+          .select(col("event_type"), col("quota").as("prop_quota")),
+          "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Embedding whitening audit: summed off-diagonal corr² over all
+    // dim pairs from exact DECIMAL moment cores — how much feature
+    // mass is cross-dimension redundancy, and which pair is worst.
+    "q265_corr_audit" -> ((s, dir) =>
+      Profile.correlationAudit(t(s, dir, "embeddings"))),
   )
 
   // ------------------------------------------------------------------
@@ -8264,6 +8301,99 @@ object ExtQueries {
           |   WHERE g.gcum * st.stot >= s.scum * gt.gtot) AS v_norm
           |FROM s JOIN st ON s.grp = st.grp
           |ORDER BY source, v""".stripMargin) +
+      // anonymization ladder: per-rung censuses via UNION ALL, argmin
+      // qualifying rung
+      ("q263_anonymize_ladder" -> {
+        val lvls = Seq(1L, 10L, 100L, 1000L, 0L).zipWithIndex.map {
+          case (w, l) =>
+            val b = if (w == 0L) "0" else s"(n_chars // $w) * $w"
+            s"SELECT $l AS level, CAST($w AS BIGINT) AS width, lang, " +
+              s"$b AS b FROM documents"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH lv AS ($lvls),
+           |cs AS (SELECT level, width, lang, b, count(*) AS n
+           |  FROM lv GROUP BY 1, 2, 3, 4),
+           |cen AS (SELECT level, width,
+           |    CAST(count(*) AS BIGINT) AS n_classes,
+           |    CAST(min(n) AS BIGINT) AS min_class
+           |  FROM cs GROUP BY 1, 2),
+           |best AS (SELECT min(level) AS bl FROM cen WHERE min_class >= 5)
+           |SELECT level, width, n_classes, min_class,
+           |  min_class >= 5 AS qualifies, level = bl AS chosen
+           |FROM cen, best ORDER BY level""".stripMargin
+      }) +
+      // Neyman + proportional: exact variance numerators, sqrt weight,
+      // two largest-remainder distributions
+      ("q264_neyman" ->
+        """WITH src AS (SELECT event_type,
+          |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+          |  FROM events),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(floor(sqrt(CAST(count(*) * sum(CAST(v AS HUGEINT) * v)
+          |      - sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT))
+          |      AS DOUBLE)) + 0.5) AS BIGINT) AS weight
+          |  FROM src GROUP BY 1),
+          |wt AS (SELECT sum(weight) AS tot FROM g),
+          |nb AS (SELECT event_type, n_rows, weight,
+          |    (10000 * weight) // tot AS fl,
+          |    10000 * weight - ((10000 * weight) // tot) * tot AS rem
+          |  FROM g, wt),
+          |nk AS (SELECT 10000 - sum(fl) AS k FROM nb),
+          |nr AS (SELECT *, row_number() OVER
+          |    (ORDER BY rem DESC, event_type) AS rk FROM nb, nk),
+          |ney AS (SELECT event_type, n_rows, weight,
+          |    CAST(fl + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT)
+          |      AS quota FROM nr),
+          |pt AS (SELECT sum(n_rows) AS tot FROM g),
+          |pb AS (SELECT event_type, (10000 * n_rows) // tot AS fl,
+          |    10000 * n_rows - ((10000 * n_rows) // tot) * tot AS rem
+          |  FROM g, pt),
+          |pk AS (SELECT 10000 - sum(fl) AS k FROM pb),
+          |pr AS (SELECT *, row_number() OVER
+          |    (ORDER BY rem DESC, event_type) AS rk FROM pb, pk),
+          |prop AS (SELECT event_type,
+          |    CAST(fl + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT)
+          |      AS prop_quota FROM pr)
+          |SELECT ney.event_type, ney.weight, ney.quota, ney.n_rows,
+          |  prop.prop_quota
+          |FROM ney JOIN prop ON ney.event_type = prop.event_type
+          |ORDER BY ney.event_type""".stripMargin) +
+      // correlation audit: HUGEINT pair moments, identical corr chain,
+      // argmax by ordered pick
+      ("q265_corr_audit" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH ex AS (SELECT vec_id AS r, CAST(pos - 1 AS INT) AS i,
+           |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           |      AS x
+           |  FROM (SELECT vec_id, unnest(embedding) AS v,
+           |        generate_subscripts(embedding, 1) AS pos
+           |        FROM embeddings)),
+           |mom AS (SELECT a.i AS i, b.i AS j,
+           |    CAST(count(*) AS HUGEINT) AS n,
+           |    sum(CAST(a.x AS HUGEINT)) AS sx,
+           |    sum(CAST(b.x AS HUGEINT)) AS sy,
+           |    sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+           |  FROM ex a JOIN ex b ON a.r = b.r AND a.i < b.i
+           |  GROUP BY 1, 2),
+           |vars AS (SELECT i, CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+           |    - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT))
+           |    AS DOUBLE) AS vr
+           |  FROM ex GROUP BY 1),
+           |c2t AS (SELECT m.i, m.j,
+           |    ${r6("(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) " +
+              "/ sqrt(vi.vr) / sqrt(vj.vr)) * " +
+              "(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) " +
+              "/ sqrt(vi.vr) / sqrt(vj.vr))")} AS c2
+           |  FROM mom m JOIN vars vi ON vi.i = m.i
+           |             JOIN vars vj ON vj.i = m.j
+           |  WHERE vi.vr > 0 AND vj.vr > 0),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    ${r6("CAST(sum(CAST(c2 AS DECIMAL(24, 6))) AS DOUBLE)")}
+           |      AS offdiag_corr2 FROM c2t),
+           |mx AS (SELECT c2 AS max_corr2, i AS max_i, j AS max_j
+           |  FROM c2t ORDER BY c2 DESC, i ASC, j ASC LIMIT 1)
+           |SELECT * FROM agg, mx""".stripMargin
+      }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

@@ -837,6 +837,98 @@ object Profile {
       .withColumn("violates_k", col("class_size") < k)
   }
 
+  /** Generalization ladder to k-anonymity — the FIXER half of
+    * [[kAnonymity]]'s check: coarsen the numeric quasi-identifier
+    * through successively wider buckets (width 1 = raw, …, the last
+    * rung suppressing it entirely via one global bucket) and report
+    * each rung's equivalence-class census; `chosen` marks the FIRST
+    * rung whose smallest class reaches k — the minimal information
+    * loss that satisfies the bound. Rungs evaluate in ONE pass (a
+    * per-row explode of the ladder, then a (rung, stratum, bucket)
+    * fold with map-side partials); the chosen-rung pick is an argmin
+    * over the rung-count-sized summary. Width 0 encodes "suppress".
+    * Returns one row per rung: (level, width, n_classes, min_class,
+    * qualifies, chosen). */
+  def generalizationLadder(df: DataFrame, stratumCol: String,
+                           value: Column, widths: Seq[Long],
+                           k: Int): DataFrame = {
+    require(widths.nonEmpty, "ladder needs at least one width")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val rungs = widths.zipWithIndex.map { case (w, l) =>
+      struct(lit(l).as("level"), lit(w).as("width"),
+        (if (w == 0L) lit(0L) else (value.cast("long") - pmod(value.cast("long"), lit(w)))).as("bucket"))
+    }
+    val census = df
+      .select(col(stratumCol).as("__s"), explode(array(rungs: _*)).as("__r"))
+      .groupBy(col("__r.level").as("level"), col("__r.width").as("width"),
+        col("__s"), col("__r.bucket").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("level", "width")
+      .agg(count(lit(1)).as("n_classes"), min("__n").as("min_class"))
+      .withColumn("qualifies", col("min_class") >= k)
+    val best = census.filter(col("qualifies"))
+      .agg(min("level").as("__best"))
+    census.crossJoin(broadcast(best))
+      .withColumn("chosen", col("level") === col("__best"))
+      .drop("__best")
+  }
+
+  /** Off-diagonal correlation audit of an embedding matrix — the
+    * whitening report [[dimProfile]]'s per-dim variances can't see:
+    * how much of the feature mass lives in CROSS-dimension structure.
+    * For every dim pair i < j, corr²(i, j) from EXACT DECIMAL moment
+    * cores (cov_num = n·Σxy − Σx·Σy, var_num per dim), each corr²
+    * computed as the fixed chain r = cov/√var_i/√var_j, r·r, 6-dp,
+    * summed as DECIMAL — order-free. Reports the pair count, the
+    * summed off-diagonal corr² (0 = perfectly white, n_pairs = fully
+    * redundant), the max |corr| pair and its dims. Shape: one
+    * posexplode self-join per vector (dim²/2 fan-out — dim-bounded,
+    * never row-bounded), one (i, j)-keyed fold, a dim-sized variance
+    * broadcast. */
+  def correlationAudit(embs: DataFrame, idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ex = embs.select(col(idCol).as("__row"),
+        posexplode(col(embCol)).as(Seq("__i", "__xv")))
+      .select(col("__row"), col("__i"),
+        floor(col("__xv").cast("double") * 1e6 + 0.5).cast("long").as("__x"))
+    val pairs = ex.select(col("__row"), col("__i"), col("__x"))
+      .join(ex.select(col("__row"), col("__i").as("__j"),
+        col("__x").as("__y")), "__row")
+      .filter(col("__i") < col("__j"))
+    val mom = pairs.groupBy("__i", "__j")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("__x").cast(dec)).as("sx"),
+        sum(col("__y").cast(dec)).as("sy"),
+        sum(col("__x").cast(dec) * col("__y")).as("sxy"))
+    val vars = ex.groupBy("__i")
+      .agg(count(lit(1)).cast(dec).as("vn"),
+        sum(col("__x").cast(dec)).as("vs"),
+        sum(col("__x").cast(dec) * col("__x")).as("vss"))
+      .select(col("__i"),
+        (col("vn") * col("vss") - col("vs") * col("vs"))
+          .cast("double").as("__var"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val corr = cov / sqrt(col("__vi")) / sqrt(col("__vj"))
+    val corr2 = TextAnalysis.round6Portable(corr * corr)
+    mom
+      .join(broadcast(vars.select(col("__i"), col("__var").as("__vi"))), "__i")
+      .join(broadcast(vars.select(col("__i").as("__j"),
+        col("__var").as("__vj"))), "__j")
+      .filter(col("__vi") > 0.0 && col("__vj") > 0.0)
+      .withColumn("__c2", corr2)
+      .agg(count(lit(1)).as("n_pairs"),
+        TextAnalysis.round6Portable(
+          sum(col("__c2").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+            .cast("double")).as("offdiag_corr2"),
+        max(struct(col("__c2").as("c2"), (-col("__i")).as("ni"),
+          (-col("__j")).as("nj"))).as("__mx"))
+      .select(col("n_pairs"), col("offdiag_corr2"),
+        col("__mx.c2").as("max_corr2"),
+        (-col("__mx.ni")).cast("int").as("max_i"),
+        (-col("__mx.nj")).cast("int").as("max_j"))
+  }
+
   /** Distribution drift between two corpus snapshots over ONE scalar
     * feature — the release gate that catches "the new drop's length
     * profile moved" before a model trains on it. Bins both sides into a

@@ -439,6 +439,32 @@ object TextAnalysis {
         .as("quota"))
   }
 
+  /** [[apportion]] generalized to CALLER-SUPPLIED integer weights —
+    * quota_g ∝ weight_g, largest-remainder integerization, Σ quota ==
+    * budget exactly. The statistical-design entry point: feed
+    * weight_g = N_g·σ_g and this is Neyman optimal allocation (sample
+    * variance-heavy strata harder); feed counts and it degenerates to
+    * [[apportion]]. Input: one row per group (group, weight ≥ 0);
+    * same bounded groups-sized rank shape. */
+  def apportionWeighted(weights: DataFrame, groupCol: String,
+                        weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = weights.select(col(groupCol), col(weightCol).cast("long").as("__w"))
+    val tot = g.agg(sum("__w").as("__tot"))
+    val based = g.crossJoin(broadcast(tot))
+      .withColumn("__floor", expr(s"($budget * __w) div __tot"))
+      .withColumn("__rem",
+        lit(budget) * col("__w") - col("__floor") * col("__tot"))
+    val short = based.agg((lit(budget) - sum("__floor")).as("__k"))
+    based.crossJoin(broadcast(short))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(groupCol).asc)))
+      .select(col(groupCol), col("__w").as(weightCol),
+        (col("__floor") + when(col("__rk") <= col("__k"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
   /** Deterministic stratified train/val/test assignment with EXACT
     * per-stratum proportions: within each stratum, rows rank by the
     * salted portable hash (h60 — an engine-reproducible shuffle, the

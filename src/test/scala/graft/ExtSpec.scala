@@ -3934,6 +3934,41 @@ class LinkageSplitSpec extends SparkTestBase {
       r.getLong(r.fieldIndex("v_norm"))))
   }
 
+  test("apportionWeighted: largest remainder over weights, exact budget, tie by group") {
+    import spark.implicits._
+    val w = Seq(("a", 3L), ("b", 1L)).toDF("g", "wt")
+    val got = TextAnalysis.apportionWeighted(w, "g", "wt", budget = 10L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(2)))
+    // floors 7/2, one seat short, remainders tie at 2 -> group asc wins
+    assert(got.toSeq === Seq(("a", 8L), ("b", 2L)))
+    assert(got.map(_._2).sum === 10L)
+  }
+
+  test("generalizationLadder: first qualifying rung chosen; suppression always qualifies") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 11L, 12L).map(("a", _)).toDF("lang", "v")
+    val got = Profile.generalizationLadder(df, "lang", col("v"),
+      widths = Seq(1L, 10L, 0L), k = 2).orderBy("level").collect()
+    assert(got.map(_.getAs[Boolean]("qualifies")).toSeq ===
+      Seq(false, true, true))
+    assert(got.map(_.getAs[Boolean]("chosen")).toSeq ===
+      Seq(false, true, false))
+    assert(got(1).getAs[Long]("n_classes") === 2L &&
+      got(1).getAs[Long]("min_class") === 2L)
+  }
+
+  test("correlationAudit: perfectly correlated pair scores 1; zero-variance dims drop") {
+    import spark.implicits._
+    val e = Seq((1L, Array(1.0f, 2.0f, 5.0f)), (2L, Array(2.0f, 4.0f, 5.0f)),
+      (3L, Array(3.0f, 6.0f, 5.0f))).toDF("vec_id", "embedding")
+    val r = Profile.correlationAudit(e).collect()(0)
+    // dim2 is constant (var 0) -> only the (0,1) pair survives, corr2 = 1
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Double]("offdiag_corr2") === 1.0)
+    assert(r.getAs[Double]("max_corr2") === 1.0)
+    assert(r.getAs[Int]("max_i") === 0 && r.getAs[Int]("max_j") === 1)
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2

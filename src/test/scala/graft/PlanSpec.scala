@@ -1452,6 +1452,29 @@ class PlanSpec extends SparkTestBase {
       s"all sorts are over distinct-value tables, never raw docs:\n$p")
   }
 
+  test("q263 ladder: one explode pass, rung folds partial-aggregate") {
+    val df = SparkEntry.queries("q263_anonymize_ladder")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"class censuses must fold map-side:\n$p")
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")),
+      s"only the 1-row chosen-rung broadcast may cross:\n$p")
+  }
+
+  test("q265 correlation audit: dim-sized variance broadcasts, pair moments fold map-side") {
+    val df = SparkEntry.queries("q265_corr_audit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim-variance tables must broadcast onto the pair moments:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair moments must partial-aggregate:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
