@@ -4214,6 +4214,31 @@ object ExtQueries {
     // mass is cross-dimension redundancy, and which pair is worst.
     "q265_corr_audit" -> ((s, dir) =>
       Profile.correlationAudit(t(s, dir, "embeddings"))),
+
+    // Mutual information between the language label and the length
+    // bucket — does length leak the label: exact cell/marginal counts,
+    // 6-dp ln terms DECIMAL-summed, entropies + normalized MI.
+    "q266_mutual_info" -> ((s, dir) =>
+      Profile.mutualInformation(docs(s, dir),
+        col("lang"), expr("n_chars div 500"))),
+
+    // Decision-stump triage: Gini impurity decrease of three metadata
+    // features against the language label — which column is worth a
+    // model's attention, as one fold per feature.
+    "q267_stump_scores" -> ((s, dir) =>
+      Profile.giniStumpScores(docs(s, dir), col("lang"), Seq(
+        "source" -> col("source"),
+        "len_bucket" -> expr("n_chars div 500"),
+        "byte_bucket" -> expr("length(text) div 2000")))
+        .orderBy("feature")),
+
+    // Keyword-in-context: every token-aligned "slow query" occurrence
+    // with two context tokens per side — the reviewer view behind a
+    // q255 blocklist hit.
+    "q268_kwic" -> ((s, dir) =>
+      TextAnalysis.kwic(docs(s, dir), "doc_id", "text", "slow query",
+          ctx = 2)
+        .orderBy("doc_id", "pos")),
   )
 
   // ------------------------------------------------------------------
@@ -8394,6 +8419,85 @@ object ExtQueries {
            |  FROM c2t ORDER BY c2 DESC, i ASC, j ASC LIMIT 1)
            |SELECT * FROM agg, mx""".stripMargin
       }) +
+      // mutual information: exact counts, identical 6-dp ln chains
+      ("q266_mutual_info" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        def ent(src: String, nc: String, out: String) = {
+          val term = r6(s"(CAST($nc AS DOUBLE) / n) * " +
+            s"(-ln(CAST($nc AS DOUBLE) / n))")
+          s"SELECT ${r6(s"CAST(sum(CAST($term AS DECIMAL(24, 6))) " +
+            "AS DOUBLE)")} AS $out FROM $src, t"
+        }
+        val miTerm = r6("(CAST(nxy AS DOUBLE) / n) * " +
+          "ln(CAST(nxy AS DOUBLE) * n / " +
+          "(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))")
+        s"""WITH cells AS (SELECT CAST(lang AS VARCHAR) AS x,
+           |    CAST(n_chars // 500 AS VARCHAR) AS y, count(*) AS nxy
+           |  FROM documents GROUP BY 1, 2),
+           |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+           |  FROM cells GROUP BY 1),
+           |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+           |  FROM cells GROUP BY 1),
+           |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+           |mi AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+           |    ${r6(s"CAST(sum(CAST($miTerm AS DECIMAL(24, 6))) AS DOUBLE)")}
+           |      AS mi
+           |  FROM cells JOIN mx ON cells.x = mx.x
+           |             JOIN my ON cells.y = my.y, t),
+           |hx AS (${ent("mx", "nx", "h_x")}),
+           |hy AS (${ent("my", "ny", "h_y")})
+           |SELECT n, n_cells, mi, h_x, h_y,
+           |  CASE WHEN least(h_x, h_y) > 0 THEN
+           |    ${r6("mi / least(h_x, h_y)")} END AS nmi
+           |FROM mi, hx, hy""".stripMargin
+      }) +
+      // stump scores: same per-bucket impurity chains
+      ("q267_stump_scores" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        val term = r6("(CAST(nb AS DOUBLE) - " +
+          "CAST(ssq AS DOUBLE) / nb) / n")
+        s"""WITH kv AS (
+           |  SELECT lang AS l, 'source' AS feature,
+           |    CAST(source AS VARCHAR) AS b FROM documents
+           |  UNION ALL SELECT lang, 'len_bucket',
+           |    CAST(n_chars // 500 AS VARCHAR) FROM documents
+           |  UNION ALL SELECT lang, 'byte_bucket',
+           |    CAST(length(text) // 2000 AS VARCHAR) FROM documents),
+           |cc AS (SELECT feature, b, l, count(*) AS nbc
+           |  FROM kv GROUP BY 1, 2, 3),
+           |bk AS (SELECT feature, b, CAST(sum(nbc) AS BIGINT) AS nb,
+           |    sum(CAST(nbc AS HUGEINT) * nbc) AS ssq
+           |  FROM cc GROUP BY 1, 2),
+           |tt AS (SELECT feature, CAST(sum(nb) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_buckets
+           |  FROM bk GROUP BY 1),
+           |wg AS (SELECT bk.feature, n_buckets,
+           |    ${r6(s"CAST(sum(CAST($term AS DECIMAL(24, 6))) AS DOUBLE)")}
+           |      AS weighted_gini
+           |  FROM bk JOIN tt ON bk.feature = tt.feature
+           |  GROUP BY 1, 2),
+           |lc AS (SELECT lang, count(*) AS nc FROM documents GROUP BY 1),
+           |lt AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM lc),
+           |pg AS (SELECT ${r6("CAST(sum(CAST(" +
+              r6("CAST(nc AS DOUBLE) / n * (1.0 - CAST(nc AS DOUBLE) / n)") +
+              " AS DECIMAL(24, 6))) AS DOUBLE)")} AS parent_gini
+           |  FROM lc, lt)
+           |SELECT feature, n_buckets, parent_gini, weighted_gini,
+           |  ${r6("parent_gini - weighted_gini")} AS gini_decrease
+           |FROM wg, pg ORDER BY feature""".stripMargin
+      }) +
+      // KWIC: same aligned positions, list-slice contexts
+      ("q268_kwic" ->
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |pos0 AS (SELECT doc_id, t,
+           |    range(1, greatest(len(t), 1)) AS idxs FROM tk),
+           |pos AS (SELECT doc_id, t, unnest(idxs) AS i FROM pos0),
+           |m AS (SELECT doc_id, i AS pos,
+           |    array_to_string(t[greatest(i - 2, 1) : i + 3], ' ')
+           |      AS context
+           |  FROM pos WHERE t[i : i + 1] = ['slow', 'query'])
+           |SELECT doc_id, CAST(pos AS INT) AS pos, context
+           |FROM m ORDER BY doc_id, pos""".stripMargin) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

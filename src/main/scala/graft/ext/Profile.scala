@@ -929,6 +929,103 @@ object Profile {
         (-col("__mx.nj")).cast("int").as("max_j"))
   }
 
+  /** Mutual information (nats) between two discrete columns — the
+    * feature-dependence report behind "does document length leak the
+    * language label": MI = Σ_xy p_xy·ln(p_xy/(p_x·p_y)), plus both
+    * marginal entropies and the normalized MI/min(H_x, H_y) ∈ [0, 1].
+    * Portability: counts are exact; each cell term is the FIXED chain
+    * (n_xy/n)·ln(n_xy·n/(n_x·n_y)) rounded at 6 dp then DECIMAL-summed
+    * (the PSI/entropy ln rule), entropies likewise. Shape: one
+    * (x, y)-keyed fold + two marginal folds (all map-side partials),
+    * joined cell→marginals (joint-domain-sized tables), 1 row out. */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(24, 6)
+    val cells = df.select(x.cast("string").as("__x"),
+        y.cast("string").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__nxy"))
+    val mx = cells.groupBy("__x").agg(sum("__nxy").as("__nx"))
+    val my = cells.groupBy("__y").agg(sum("__nxy").as("__ny"))
+    val tot = cells.agg(sum("__nxy").as("__n"))
+    def entropy(m: DataFrame, nCol: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(TextAnalysis.round6Portable(
+          (col(nCol).cast("double") / col("__n")) *
+            -log(col(nCol).cast("double") / col("__n"))).cast(dec6)
+          .as("__h"))
+        .agg(TextAnalysis.round6Portable(sum("__h").cast("double")).as("h"))
+    val miTerm = TextAnalysis.round6Portable(
+      (col("__nxy").cast("double") / col("__n")) *
+        log(col("__nxy").cast("double") * col("__n") /
+          (col("__nx").cast("double") * col("__ny")))).cast(dec6)
+    val mi = cells.join(mx, "__x").join(my, "__y")
+      .crossJoin(broadcast(tot))
+      .agg(max("__n").as("n"), count(lit(1)).as("n_cells"),
+        TextAnalysis.round6Portable(sum(miTerm).cast("double")).as("mi"))
+    mi.crossJoin(broadcast(entropy(mx, "__nx")
+        .select(col("h").as("h_x"))))
+      .crossJoin(broadcast(entropy(my, "__ny")
+        .select(col("h").as("h_y"))))
+      .select(col("n"), col("n_cells"), col("mi"), col("h_x"), col("h_y"),
+        when(least(col("h_x"), col("h_y")) > 0.0,
+          TextAnalysis.round6Portable(
+            col("mi") / least(col("h_x"), col("h_y")))).as("nmi"))
+  }
+
+  /** Gini-impurity decrease of candidate split features against a
+    * label — decision-stump feature scoring, the "which metadata
+    * column actually predicts the label" triage before any model:
+    * decrease_f = gini(label) − Σ_b (n_b/n)·gini_b. Counts are exact;
+    * each bucket contributes the FIXED chain
+    * (n_b − Σ_c n_bc²/n_b)/n rounded at 6 dp then DECIMAL-summed, so
+    * engines agree term for term; the parent impurity runs the same
+    * chain with one bucket. Shape: one explode to (feature, bucket,
+    * label) — map-only — then two keyed folds with partials; output is
+    * feature-count-sized. */
+  def giniStumpScores(df: DataFrame, label: Column,
+                      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "giniStumpScores needs >= 1 feature")
+    val dec6 = org.apache.spark.sql.types.DecimalType(24, 6)
+    val dec = "decimal(38,0)"
+    val kv = df.select(label.cast("string").as("__l"), explode(map(
+        features.flatMap { case (nm, c) =>
+          Seq(lit(nm), c.cast("string")) }: _*))
+        .as(Seq("feature", "__b")))
+      .filter(col("__l").isNotNull && col("__b").isNotNull)
+    val cellCounts = kv.groupBy("feature", "__b", "__l")
+      .agg(count(lit(1)).as("__nbc"))
+    val buckets = cellCounts.groupBy("feature", "__b")
+      .agg(sum("__nbc").as("__nb"),
+        sum(col("__nbc").cast(dec) * col("__nbc")).as("__ssq"))
+    val tot = buckets.groupBy("feature")
+      .agg(sum("__nb").as("__n"), count(lit(1)).as("n_buckets"))
+    val term = TextAnalysis.round6Portable(
+      (col("__nb").cast("double") -
+        col("__ssq").cast("double") / col("__nb")) / col("__n"))
+      .cast(dec6)
+    val weighted = buckets.join(tot, "feature")
+      .groupBy("feature", "n_buckets")
+      .agg(TextAnalysis.round6Portable(sum(term).cast("double"))
+        .as("weighted_gini"))
+    // parent impurity: the same chain over label counts alone
+    val lab = df.select(label.cast("string").as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy("__l").agg(count(lit(1)).as("__nc"))
+    val parent = lab
+      .crossJoin(broadcast(lab.agg(sum("__nc").as("__n"))))
+      .select(TextAnalysis.round6Portable(
+        col("__nc").cast("double") / col("__n") *
+          (lit(1.0) - col("__nc").cast("double") / col("__n"))).cast(dec6)
+        .as("__t"))
+      .agg(TextAnalysis.round6Portable(sum("__t").cast("double"))
+        .as("parent_gini"))
+    weighted.crossJoin(broadcast(parent))
+      .select(col("feature"), col("n_buckets"), col("parent_gini"),
+        col("weighted_gini"),
+        TextAnalysis.round6Portable(
+          col("parent_gini") - col("weighted_gini")).as("gini_decrease"))
+  }
+
   /** Distribution drift between two corpus snapshots over ONE scalar
     * feature — the release gate that catches "the new drop's length
     * profile moved" before a model trains on it. Bins both sides into a

@@ -122,6 +122,31 @@ object TextAnalysis {
       sum((col("doc_id") * 2654435761L) % 1000000007L).as("doc_id_sum"))
   }
 
+  /** Keyword-in-context (KWIC) extraction: for every token-aligned
+    * occurrence of `phrase`, the surrounding window of `ctx` tokens on
+    * each side joined back to a string — what a curation reviewer
+    * actually reads when deciding whether a blocklist hit is real.
+    * Same candidate shape as [[phraseMatches]] (first-word probe +
+    * slice verify), plus one bounded slice for the context. Emits
+    * (doc_id, pos — 1-based first-token position, context). */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+           phrase: String, ctx: Int): DataFrame = {
+    require(ctx >= 0 && ctx <= 50, s"ctx must be in [0,50]: $ctx")
+    val ws = phrase.split(' ').filter(_.nonEmpty).toSeq
+    require(ws.nonEmpty, s"blank phrase: '$phrase'")
+    val toksP = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("__p", "__w")))
+      .filter(col("__w") === ws.head)
+      .filter(slice(col("__t"), col("__p") + 1, lit(ws.size)) ===
+        typedlit(ws))
+    val start = greatest(col("__p") + 1 - ctx, lit(1))
+    val len = col("__p") + ws.size + ctx - start + 1
+    toksP.select(col("doc_id"), (col("__p") + 1).as("pos"),
+      array_join(slice(col("__t"), start, len), " ").as("context"))
+  }
+
   /** Confusable skeleton: lowercase + homoglyph fold. Two texts with
     * equal skeletons but different raw bytes are the signature of
     * script-swap dedup evasion — dedup on the skeleton, compare raw to

@@ -3969,6 +3969,49 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(r.getAs[Int]("max_i") === 0 && r.getAs[Int]("max_j") === 1)
   }
 
+  test("mutualInformation: zero for independent columns, H(x) for a copy") {
+    import spark.implicits._
+    // uniform over the 2x3 grid -> independent
+    val ind = (0L until 6L).map(i => (i % 2, i % 3)).toDF("a", "b")
+    val r = Profile.mutualInformation(ind, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Double]("mi") === 0.0 && r.getAs[Long]("n_cells") === 6L)
+    assert(r.getAs[Double]("nmi") === 0.0)
+    // y = x -> MI = H(X), NMI = 1
+    val dep = Seq(0L, 0L, 1L, 1L).map(v => (v, v)).toDF("a", "b")
+    val d = Profile.mutualInformation(dep, col("a"), col("b")).collect()(0)
+    assert(d.getAs[Double]("mi") === d.getAs[Double]("h_x"))
+    assert(d.getAs[Double]("nmi") === 1.0)
+  }
+
+  test("giniStumpScores: perfect feature zeroes impurity, constant feature decreases nothing") {
+    import spark.implicits._
+    val df = Seq(("x", 1L, "l1"), ("x", 2L, "l1"), ("y", 3L, "l2"),
+      ("y", 4L, "l2")).toDF("f", "id", "lab")
+    val got = Profile.giniStumpScores(df, col("lab"), Seq(
+      "perfect" -> col("f"), "constant" -> lit("k")))
+      .orderBy("feature").collect()
+    val const = got(0); val perfect = got(1)
+    assert(perfect.getAs[String]("feature") === "perfect" &&
+      perfect.getAs[Double]("weighted_gini") === 0.0 &&
+      perfect.getAs[Double]("gini_decrease") ===
+        perfect.getAs[Double]("parent_gini"))
+    assert(const.getAs[String]("feature") === "constant" &&
+      const.getAs[Double]("gini_decrease") === 0.0)
+    assert(perfect.getAs[Double]("parent_gini") === 0.5)
+  }
+
+  test("kwic: centered context, clamped at text start, 1-based positions") {
+    import spark.implicits._
+    val d = Seq((1L, "a b slow query c d"), (2L, "slow query x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kwic(d, "doc_id", "text", "slow query", ctx = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("pos") === 3 &&
+      got(0).getAs[String]("context") === "a b slow query c d")
+    assert(got(1).getAs[Int]("pos") === 1 &&
+      got(1).getAs[String]("context") === "slow query x")
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2

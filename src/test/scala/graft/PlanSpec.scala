@@ -1475,6 +1475,20 @@ class PlanSpec extends SparkTestBase {
       s"pair moments must partial-aggregate:\n$p")
   }
 
+  test("q266/q267 info-theory folds: cell counts partial-aggregate, only 1-row totals cross") {
+    for (q <- Seq("q266_mutual_info", "q267_stump_scores")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: no raw cartesian:\n$p")
+      assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .forall(_.contains("BuildRight")),
+        s"$q: only bounded totals may cross:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: cell counts must fold map-side:\n$p")
+    }
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
