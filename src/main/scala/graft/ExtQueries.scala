@@ -4239,6 +4239,18 @@ object ExtQueries {
       TextAnalysis.kwic(docs(s, dir), "doc_id", "text", "slow query",
           ctx = 2)
         .orderBy("doc_id", "pos")),
+
+    // Heaps'-law growth curve + fitted log-log slope: vocabulary at 8
+    // corpus prefixes from ONE first-occurrence fold (never a
+    // per-prefix rescan), exact-OLS beta broadcast onto the curve.
+    "q269_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(docs(s, dir), "doc_id", "text")),
+
+    // Zipf rank-frequency fit over the top-100 tokens: log-log slope
+    // (≈ -1 on natural text) from a TakeOrderedAndProject top-k and
+    // the exact-OLS cores.
+    "q270_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), "text", k = 100)),
   )
 
   // ------------------------------------------------------------------
@@ -8498,6 +8510,62 @@ object ExtQueries {
            |  FROM pos WHERE t[i : i + 1] = ['slow', 'query'])
            |SELECT doc_id, CAST(pos AS INT) AS pos, context
            |FROM m ORDER BY doc_id, pos""".stripMargin) +
+      // Heaps: first-occurrence fold + threshold counts + inline OLS
+      ("q269_heaps_law" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH ids AS (SELECT doc_id AS d FROM documents),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ids),
+           |rk AS (SELECT d, row_number() OVER (ORDER BY d) AS r
+           |  FROM ids),
+           |th AS (SELECT pm, (pm * nd) // 1000 AS m, min(d) AS thd
+           |  FROM rk, nn,
+           |    (SELECT unnest([125, 250, 375, 500, 625, 750, 875, 1000])
+           |       AS pm)
+           |  WHERE r >= (pm * nd) // 1000 AND (pm * nd) // 1000 >= 1
+           |  GROUP BY 1, 2),
+           |fd AS (SELECT w, min(doc_id) AS f FROM
+           |  (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+           |  GROUP BY 1),
+           |curve AS (SELECT pm, CAST(m AS BIGINT) AS m_docs,
+           |    CAST(count(*) AS BIGINT) AS vocab
+           |  FROM th JOIN fd ON fd.f <= th.thd GROUP BY 1, 2),
+           |pts AS (SELECT
+           |    CAST(floor(ln(CAST(m_docs AS DOUBLE)) * 1000000 + 0.5)
+           |      AS BIGINT) AS x,
+           |    CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5)
+           |      AS BIGINT) AS y FROM curve),
+           |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy FROM pts),
+           |ft AS (SELECT
+           |    CASE WHEN dxx > 0 THEN ${r6("num / dxx")} END AS beta,
+           |    CASE WHEN dxx > 0 AND dyy > 0 THEN
+           |      ${r6("(num / dxx) * (num / dyy)")} END AS r2
+           |  FROM (SELECT CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+           |        CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+           |        CAST(n * syy - sy * sy AS DOUBLE) AS dyy FROM mo))
+           |SELECT CAST(pm AS INT) AS pm, m_docs, vocab, beta, r2
+           |FROM curve, ft ORDER BY pm""".stripMargin
+      }) +
+      // Zipf: TakeOrdered mirror + the shared OLS chain
+      ("q270_zipf_fit" -> {
+        val src =
+          s"""WITH fr AS (SELECT w, count(*) AS c FROM
+             |    (SELECT unnest($toksSql) AS w FROM documents)
+             |  GROUP BY 1),
+             |top AS (SELECT w, c FROM fr ORDER BY c DESC, w LIMIT 100),
+             |rnk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w)
+             |  AS r FROM top)
+             |SELECT 1 AS key,
+             |  CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+             |    AS BIGINT) AS x,
+             |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+             |    AS BIGINT) AS y FROM rnk""".stripMargin
+        s"""SELECT n AS n_ranked, slope, intercept, r2 FROM (
+           |${olsOracleSql(src)})""".stripMargin
+      }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->
         """WITH src AS (SELECT event_id,

@@ -147,6 +147,83 @@ object TextAnalysis {
       array_join(slice(col("__t"), start, len), " ").as("context"))
   }
 
+  /** Heaps'-law vocabulary growth curve: distinct vocabulary V(m) at
+    * corpus prefixes of m documents (per-mille checkpoints of the doc
+    * count, docs ordered by id), plus the fitted log-log slope β —
+    * V ≈ K·mᵝ, the law every real corpus follows (β ≈ 0.4–0.6) and a
+    * synthetic/templated corpus visibly violates. The curve costs ONE
+    * token fold: V(m) counts tokens whose FIRST document (min doc id)
+    * falls inside the prefix — min-per-token, then a
+    * checkpoint-threshold count; never a per-prefix rescan. Thresholds
+    * derive from the doc-id rank cumulative (counts-of-counts); the
+    * fit feeds (ln m, ln V) — each ln 6-dp-quantized to v6 — through
+    * [[Profile.olsBy]]'s exact cores. Returns one row per checkpoint:
+    * (pm, m_docs, vocab, beta, r2) with the fit broadcast onto every
+    * row. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               pms: Seq[Int] = Seq(125, 250, 375, 500, 625, 750, 875, 1000))
+      : DataFrame = {
+    require(pms.nonEmpty && pms.forall(p => p >= 1 && p <= 1000),
+      s"checkpoints must be per-mille in [1,1000]: $pms")
+    val ids = docs.select(col(idCol).cast("long").as("__d"))
+    val nDocs = ids.agg(count(lit(1)).as("__n"))
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__d")
+      .rowsBetween(Long.MinValue, 0)
+    // threshold doc id at rank m = (pm * n) div 1000, per checkpoint
+    val th = ids.withColumn("__rk", count(lit(1)).over(runW))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__d"), col("__rk"), col("__n"),
+        explode(array(pms.map(p => lit(p)): _*)).as("pm"))
+      .withColumn("__m", expr("(pm * __n) div 1000"))
+      .filter(col("__rk") >= col("__m") && col("__m") >= 1)
+      .groupBy("pm", "__m").agg(min("__d").as("__th"))
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("__d"),
+        explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(min("__d").as("__fd"))
+    val curve = th.join(
+      firstDoc.crossJoin(graft.ops.Guards.broadcastIfSmall(
+          th.select(col("pm").as("__pm2"), col("__th").as("__th2"))))
+        .filter(col("__fd") <= col("__th2"))
+        .groupBy(col("__pm2").as("pm")).agg(count(lit(1)).as("vocab")),
+      Seq("pm"))
+      .select(col("pm"), col("__m").as("m_docs"), col("vocab"))
+    val pts = curve.select(lit(1).as("__k"),
+      floor(log(col("m_docs").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("__x"),
+      floor(log(col("vocab").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("__y"))
+    val fit = Profile.olsBy(pts, col("__k"), col("__x"), col("__y"))
+      .select(col("slope").as("beta"), col("r2"))
+    curve.crossJoin(broadcast(fit)).orderBy("pm")
+  }
+
+  /** Zipf rank-frequency fit over the top-k tokens: the log-log slope
+    * of frequency against rank (≈ −1 on natural language; templated or
+    * synthetic text bends it) plus the fit quality. Top-k comes from a
+    * TakeOrderedAndProject (never a full vocabulary sort), rank is a
+    * k-bounded window, each ln is v6-quantized, and the fit runs
+    * through [[Profile.olsBy]]'s exact cores. One summary row:
+    * (n_ranked, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 3 && k <= 100000, s"k must be in [3,100000]: $k")
+    val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val top = freq.orderBy(col("__c").desc, col("__w").asc).limit(k)
+    val ranked = top.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("__c").desc, col("__w").asc)))
+    val pts = ranked.select(lit(1).as("__k"),
+      floor(log(col("__r").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("__x"),
+      floor(log(col("__c").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("__y"))
+    Profile.olsBy(pts, col("__k"), col("__x"), col("__y"))
+      .select(col("n").as("n_ranked"), col("slope"), col("intercept"),
+        col("r2"))
+  }
+
   /** Confusable skeleton: lowercase + homoglyph fold. Two texts with
     * equal skeletons but different raw bytes are the signature of
     * script-swap dedup evasion — dedup on the skeleton, compare raw to

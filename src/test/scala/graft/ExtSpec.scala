@@ -4012,6 +4012,30 @@ class LinkageSplitSpec extends SparkTestBase {
       got(1).getAs[String]("context") === "slow query x")
   }
 
+  test("heapsLaw: V = m exactly gives beta 1; curve rides one fold") {
+    import spark.implicits._
+    // doc m introduces exactly one new token -> V(m) = m
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(d, "doc_id", "text",
+      pms = Seq(250, 500, 750, 1000)).orderBy("pm").collect()
+    assert(got.map(_.getAs[Long]("m_docs")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_.getAs[Long]("vocab")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_.getAs[Double]("beta")).distinct.toSeq === Seq(1.0))
+    assert(got.map(_.getAs[Double]("r2")).distinct.toSeq === Seq(1.0))
+  }
+
+  test("zipfFit: decaying frequencies fit a negative log-log slope") {
+    import spark.implicits._
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(d, "text", k = 10).collect()(0)
+    assert(r.getAs[Long]("n_ranked") === 4L)
+    assert(r.getAs[Double]("slope") < 0.0)
+    assert(r.getAs[Double]("r2") > 0.9)
+  }
+
   test("seasonalResiduals: hour slots and per-slot median baselines") {
     import spark.implicits._
     // two events at hour 1 (values 10, 20 -> lower median 10), one at hour 2
