@@ -987,11 +987,14 @@ object Profile {
     require(features.nonEmpty, "giniStumpScores needs >= 1 feature")
     val dec6 = org.apache.spark.sql.types.DecimalType(24, 6)
     val dec = "decimal(38,0)"
+    // a null feature value is its OWN bucket (not a dropped row):
+    // dropping would make the weighted impurity's row base differ from
+    // the parent's and bias the decrease for sparse features
     val kv = df.select(label.cast("string").as("__l"), explode(map(
         features.flatMap { case (nm, c) =>
-          Seq(lit(nm), c.cast("string")) }: _*))
+          Seq(lit(nm), coalesce(c.cast("string"), lit("__null__"))) }: _*))
         .as(Seq("feature", "__b")))
-      .filter(col("__l").isNotNull && col("__b").isNotNull)
+      .filter(col("__l").isNotNull)
     val cellCounts = kv.groupBy("feature", "__b", "__l")
       .agg(count(lit(1)).as("__nbc"))
     val buckets = cellCounts.groupBy("feature", "__b")

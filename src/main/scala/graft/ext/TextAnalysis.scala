@@ -157,9 +157,12 @@ object TextAnalysis {
     * checkpoint-threshold count; never a per-prefix rescan. Thresholds
     * derive from the doc-id rank cumulative (counts-of-counts); the
     * fit feeds (ln m, ln V) — each ln 6-dp-quantized to v6 — through
-    * [[Profile.olsBy]]'s exact cores. Returns one row per checkpoint:
-    * (pm, m_docs, vocab, beta, r2) with the fit broadcast onto every
-    * row. */
+    * [[Profile.olsBy]]'s exact cores. Scale note: the checkpoint
+    * thresholds rank the doc-id table through one global running
+    * window (id-table-sized); at corpus scale derive them with
+    * [[graft.ops.Partitioning.contiguousIds]]' bucket-offset pattern
+    * instead. Returns one row per checkpoint: (pm, m_docs, vocab,
+    * beta, r2) with the fit broadcast onto every row. */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
                pms: Seq[Int] = Seq(125, 250, 375, 500, 625, 750, 875, 1000))
       : DataFrame = {
@@ -547,7 +550,9 @@ object TextAnalysis {
     * weight_g = N_g·σ_g and this is Neyman optimal allocation (sample
     * variance-heavy strata harder); feed counts and it degenerates to
     * [[apportion]]. Input: one row per group (group, weight ≥ 0);
-    * same bounded groups-sized rank shape. */
+    * same bounded groups-sized rank shape. An ALL-ZERO weight total
+    * makes the allocation undefined — quotas come back null rather
+    * than silently proportional; gate upstream if reachable. */
   def apportionWeighted(weights: DataFrame, groupCol: String,
                         weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")

@@ -3998,6 +3998,14 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(const.getAs[String]("feature") === "constant" &&
       const.getAs[Double]("gini_decrease") === 0.0)
     assert(perfect.getAs[Double]("parent_gini") === 0.5)
+    // a null feature value is its own bucket, not a dropped row: a
+    // feature that is null exactly on one label still separates it
+    val withNull = Seq((Some("x"), "l1"), (Some("x"), "l1"),
+      (None, "l2"), (None, "l2")).toDF("f", "lab")
+    val nb = Profile.giniStumpScores(withNull, col("lab"),
+      Seq("nullable" -> col("f"))).collect()(0)
+    assert(nb.getAs[Long]("n_buckets") === 2L &&
+      nb.getAs[Double]("weighted_gini") === 0.0)
   }
 
   test("kwic: centered context, clamped at text start, 1-based positions") {
