@@ -4251,6 +4251,14 @@ object ExtQueries {
     // the exact-OLS cores.
     "q270_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(docs(s, dir), "text", k = 100)),
+
+    // Winsorized mean of price cents (5% each side) — the clamping
+    // sibling of q259's trimmed mean: tail rows keep their vote but
+    // lose their leverage. Same counts-of-counts economics, two rank
+    // lookups for the clamp bounds, one division.
+    "q271_winsorized_mean" -> ((s, dir) =>
+      Profile.winsorizedMean(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5), trimPm = 50)),
   )
 
   // ------------------------------------------------------------------
@@ -8565,6 +8573,30 @@ object ExtQueries {
              |    AS BIGINT) AS y FROM rnk""".stripMargin
         s"""SELECT n AS n_ranked, slope, intercept, r2 FROM (
            |${olsOracleSql(src)})""".stripMargin
+      }) +
+      // winsorized mean: same cumulative, rank-lookup clamp bounds
+      ("q271_winsorized_mean" -> {
+        def r6(e: String) = TextAnalysis.round6PortableSql(e)
+        s"""WITH src AS (SELECT
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           |  FROM lineitem),
+           |c AS (SELECT v, count(*) AS nk FROM src GROUP BY 1),
+           |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+           |    sum(CAST(v AS HUGEINT) * nk) AS sall FROM c),
+           |cum AS (SELECT v, nk, sum(nk) OVER (ORDER BY v) AS cm FROM c),
+           |kb AS (SELECT n, (n * 50) // 1000 AS k, sall FROM t),
+           |bd AS (SELECT n, CAST(k AS BIGINT) AS k_each, sall,
+           |    min(CASE WHEN cm >= k + 1 THEN v END) AS lo,
+           |    min(CASE WHEN cm >= n - k THEN v END) AS hi
+           |  FROM cum, kb GROUP BY n, k, sall),
+           |ws AS (SELECT CAST(sum(CAST(greatest(least(v, hi), lo)
+           |    AS HUGEINT) * nk) AS HUGEINT) AS w
+           |  FROM cum, bd GROUP BY hi, lo)
+           |SELECT n, k_each, lo, hi,
+           |  ${r6("CAST(sall AS DOUBLE) / n")} AS mean,
+           |  ${r6("CAST(w AS DOUBLE) / CAST(n AS DOUBLE)")}
+           |    AS winsorized_mean
+           |FROM bd, ws""".stripMargin
       }) +
       // Hampel screen: same counts-of-counts medians, same integer flag
       ("q231_robust_outliers" ->

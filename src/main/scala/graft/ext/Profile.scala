@@ -320,6 +320,45 @@ object Profile {
         col("__snk").as("n_rows"), col("__vnorm").as("v_norm"))
   }
 
+  /** EXACT winsorized mean — [[trimmedMean]]'s clamping sibling: the
+    * k smallest rows count AS the (k+1)-th value and the k largest AS
+    * the (n−k)-th, k = (n·trimPm) div 1000, so tail rows keep their
+    * vote but lose their leverage (the convention when row COUNT
+    * matters — rates, averages-of-averages). The clamp bounds are two
+    * rank lookups off the same counts-of-counts cumulative (lo = value
+    * at rank k+1, hi = value at rank n−k, both 1-row broadcasts); the
+    * winsorized sum is Σ clamp(v)·count(v) in DECIMAL with ONE final
+    * division. Returns (n, k_each, lo, hi, mean, winsorized_mean). */
+  def winsorizedMean(df: DataFrame, value: Column, trimPm: Int): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500,
+      s"trimPm must be in [0,500): $trimPm")
+    val dec = "decimal(38,0)"
+    val counts = df.select(value.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__nk"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = counts.withColumn("__cum", sum("__nk").over(run))
+      .crossJoin(broadcast(counts.agg(sum("__nk").as("n"),
+        sum(col("__v").cast(dec) * col("__nk")).as("__sall"))))
+      .withColumn("__k", expr(s"(n * $trimPm) div 1000"))
+    val bounds = cum
+      .agg(max("n").as("n"), max("__k").as("k_each"), max("__sall").as("__sa"),
+        min(when(col("__cum") >= col("__k") + 1, col("__v"))).as("lo"),
+        min(when(col("__cum") >= col("n") - col("__k"), col("__v"))).as("hi"))
+    cum.crossJoin(broadcast(bounds.select(col("lo").as("__lo"),
+        col("hi").as("__hi"))))
+      .agg(sum(greatest(least(col("__v"), col("__hi")), col("__lo"))
+        .cast(dec) * col("__nk")).as("__ws"))
+      .crossJoin(broadcast(bounds))
+      .select(col("n"), col("k_each"), col("lo"), col("hi"),
+        TextAnalysis.round6Portable(
+          col("__sa").cast("double") / col("n")).as("mean"),
+        TextAnalysis.round6Portable(
+          col("__ws").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"))
+  }
+
   /** Robust outlier screen by median/MAD (Hampel filter): a row is an
     * outlier when |x − median| > k·MAD, with MAD = median(|x − median|).
     * Unlike mean/stddev z-scores, the 50%-breakdown median pair cannot

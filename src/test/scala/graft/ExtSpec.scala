@@ -3886,6 +3886,19 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(z.getAs[Double]("trimmed_mean") === z.getAs[Double]("mean"))
   }
 
+  test("winsorizedMean: tails clamp to the rank bounds, rows keep their vote") {
+    import spark.implicits._
+    val df = ((1L to 10L) :+ 1000L).toDF("v")
+    val r = Profile.winsorizedMean(df, col("v"), trimPm = 100).collect()(0)
+    // k = 1: clamp 1 -> 2 and 1000 -> 10; sum = 2 + 2..10 + 10 = 66
+    assert(r.getAs[Long]("k_each") === 1L)
+    assert(r.getAs[Long]("lo") === 2L && r.getAs[Long]("hi") === 10L)
+    assert(r.getAs[Double]("winsorized_mean") === 6.0)
+    // trimPm 0: lo/hi are the extremes, clamp is the identity
+    val z = Profile.winsorizedMean(df, col("v"), trimPm = 0).collect()(0)
+    assert(z.getAs[Double]("winsorized_mean") === z.getAs[Double]("mean"))
+  }
+
   test("cvFolds: near-equal stratum folds, deterministic, exhaustive") {
     import spark.implicits._
     val df = (1L to 23L).map(i => (if (i <= 13) "a" else "b", i))
