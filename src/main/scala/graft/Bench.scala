@@ -50,7 +50,15 @@ object Bench {
       if (errors.contains(name)) None
       else try {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // Full-width action (VERDICT r13 #4): count() rewrites the plan
+        // to a count aggregate, letting Catalyst PRUNE expensive projected
+        // columns — bench numbers were a lower bound on materialization
+        // cost (q232 was found 14x slow only because correctness runs
+        // don't prune). Executing the plan's own RDD forces every output
+        // column through the pipeline (the optimizer must honor the full
+        // output schema), with no serialization overhead and no type
+        // restrictions (map/binary columns hash-agg can't take).
+        fn(spark, sfDir).queryExecution.toRdd.count()
         val t = (System.nanoTime() - t0) / 1e9
         // Each rep constructs its query fresh, so an internal persist
         // (topK's ranked join) would register a NEW cache entry per rep —

@@ -1517,17 +1517,20 @@ object ExtQueries {
     // rule: no UDF in a pairwise hot path), semantics pinned to
     // DuckDB's jaro_winkler_similarity (floored half-transpositions,
     // 0.7 boost threshold, 4-char prefix cap); round(6) BEFORE the
-    // rank per the rank-stability rule. Exact JW top-k admits no length
-    // band (a 1-char string can score 0.7+ vs a 4-char one), so this is
-    // a DOUBLY-GUARDED nested loop — probe side broadcast-bounded, data
-    // side capped with an error naming topKJaroWinklerBanded (the exact
-    // certified-bound two-phase) as the corpus-scale alternative.
+    // rank per the rank-stability rule. Round 14 (VERDICT r13 #2):
+    // answered by topKJaroWinklerBanded — the certified length-ratio
+    // two-phase engine — not the raw guarded product. banded == exact
+    // is a theorem (bound proof at topKJaroWinkler) AND a pinned
+    // ScalaTest identity (FuzzyJoinSpec "banded == raw on strong AND
+    // weak matches"), so the raw product now lives only as that
+    // spec-level exactness oracle on a bounded sample; the suite
+    // benches the plan you'd actually run at corpus scale.
     "q149_fuzzy_jw_topk" -> ((s, dir) => {
       val search = t(s, dir, "supplier")
         .select(col("s_name").as("search_val")).distinct()
       val data = t(s, dir, "part")
         .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
-      graft.ops.FuzzyJoin.topKJaroWinkler(search, data, k = 3)
+      graft.ops.FuzzyJoin.topKJaroWinklerBanded(search, data, k = 3)
         .select("search_val", "rnk", "match_val", "data_id", "sim")
         .orderBy("search_val", "rnk")
     }),
@@ -3550,7 +3553,7 @@ object ExtQueries {
     // law), language mixing (exactQuotaSample, the q77 operator), and
     // sequence packing (packSequences, the q82 operator) — and emits a
     // per-stage audit row: surviving doc count plus an ORDER-FREE id
-    // checksum (sum of (doc_id·2654435761) mod 1e9+7 — exact BIGINT in
+    // checksum (sum of ((doc_id mod 1e9+7)·2654435761) mod 1e9+7 — exact BIGINT in
     // both engines), so the oracle catches a wrong SET even when the
     // count matches. The oracle recomputes every stage from the source
     // tables in one SQL chain; no engine value is echoed.
@@ -3565,7 +3568,7 @@ object ExtQueries {
     // persist at this size; a production run would checkpoint stage D.
     "q225_curation_capstone" -> ((s, dir) => {
       val d = docs(s, dir)
-      val chk = sum((col("doc_id") * 2654435761L) % 1000000007L)
+      val chk = sum((pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L)
       def audit(df: DataFrame, name: String): DataFrame =
         df.agg(count(lit(1)).as("n_docs"), chk.as("id_sum"))
           .select(lit(name).as("stage"), col("n_docs"), col("id_sum"),
@@ -3621,9 +3624,9 @@ object ExtQueries {
       def side(tag: String) = p.select(
         col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
         col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
-        expr("length(p_name) div 4").as("band"))
+        expr("length(p_name) div 2").as("band"))
       // spread the probe stream: the small parquet arrives as ONE scan
-      // partition, which would run the 33M-pair levenshtein fold on one
+      // partition, which would run the banded levenshtein fold on one
       // core (the compute-heavy-small-input trap Partitioning.spread
       // exists for)
       val pairs = graft.ops.Partitioning.spread(
@@ -3661,7 +3664,7 @@ object ExtQueries {
           trainPm = 800, valPm = 100, salt = "split-v1")
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
-          sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"))
+          sum((pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L).as("id_sum"))
         .orderBy("lang", "split")
     }),
 
@@ -3696,7 +3699,7 @@ object ExtQueries {
           max("mad").as("mad_v6"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
           coalesce(sum(when(col("is_outlier"),
-            (col("event_id") * 2654435761L) % 1000000007L)), lit(0L))
+            (pmod(col("event_id"), lit(1000000007L)) * 2654435761L) % 1000000007L)), lit(0L))
             .as("out_id_sum"))
     }),
 
@@ -3712,12 +3715,12 @@ object ExtQueries {
       def side(tag: String) = p.select(
         col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
         col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
-        expr("length(p_name) div 4").as("band"))
+        expr("length(p_name) div 2").as("band"))
       val labeled = graft.ops.Partitioning.spread(
           side("a").filter(col("ka") % 5 === 0))
         .join(side("b"), "band").filter(col("ka") < col("kb"))
       // the 1-row pivoted estimator (NOT a max(CASE) re-pivot of the
-      // per-field rows — that explode+re-aggregate knocks the 33M-pair
+      // per-field rows — that explode+re-aggregate knocks the banded-pair
       // levenshtein fold out of whole-stage codegen)
       val w1 = Blocking.fsWeightsWide(labeled,
         levenshtein(col("na"), col("nb")) <= 2,
@@ -3837,7 +3840,7 @@ object ExtQueries {
       val a7 = graft.ops.Partitioning.rendezvousShard(a8, "doc_id", 7, "shard7")
       a7.groupBy("shard").agg(
         count(lit(1)).as("n_keys"),
-        sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"),
+        sum((pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L).as("id_sum"),
         sum(when(col("shard") =!= col("shard7"), 1L).otherwise(0L))
           .as("n_moved"))
         .orderBy("shard")
@@ -3944,7 +3947,7 @@ object ExtQueries {
           sum(when(col("__n_dups").isNotNull, 1L).otherwise(0L))
             .as("n_leaked"),
           coalesce(sum(when(col("__n_dups").isNotNull,
-            (col("doc_id") * 2654435761L) % 1000000007L)), lit(0L))
+            (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L)), lit(0L))
             .as("leak_id_sum"),
           max("__max_j").as("max_jaccard"))
         .orderBy("lang")
@@ -4027,7 +4030,7 @@ object ExtQueries {
           max("hour_median_v6").as("hour_median_v6"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
           coalesce(sum(when(col("is_outlier"),
-            (col("event_id") * 2654435761L) % 1000000007L)), lit(0L))
+            (pmod(col("event_id"), lit(1000000007L)) * 2654435761L) % 1000000007L)), lit(0L))
             .as("out_id_sum"))
         .orderBy("hour")
     }),
@@ -4156,7 +4159,7 @@ object ExtQueries {
       TextAnalysis.cvFolds(docs(s, dir), "lang", "doc_id",
           k = 5, salt = "cv-v1")
         .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"),
-          sum((col("doc_id") * 2654435761L) % 1000000007L).as("id_sum"))
+          sum((pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L).as("id_sum"))
         .orderBy("lang", "fold")),
 
     // Time-weighted average value per sampled user: holding-time
@@ -7472,16 +7475,16 @@ object ExtQueries {
        |          - n_chars) // 4096 AS pack_bin
        |  FROM packed)
        |SELECT 'a_exact' AS stage, count(*) AS n_docs,
-       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT) AS id_sum,
+       |       CAST(SUM(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT) AS id_sum,
        |       CAST(-1 AS BIGINT) AS extra FROM a
        |UNION ALL SELECT 'b_quality', count(*),
-       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM b
+       |       CAST(SUM(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT), -1 FROM b
        |UNION ALL SELECT 'c_semantic', count(*),
-       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM c
+       |       CAST(SUM(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT), -1 FROM c
        |UNION ALL SELECT 'd_mix', count(*),
-       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT), -1 FROM d
+       |       CAST(SUM(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT), -1 FROM d
        |UNION ALL SELECT 'e_pack', count(*),
-       |       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT),
+       |       CAST(SUM(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT),
        |       count(DISTINCT (pack_bucket, pack_bin)) FROM bins
        |ORDER BY stage""".stripMargin
   }
@@ -7513,7 +7516,7 @@ object ExtQueries {
          |FROM f""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_type,
-       |    length(p_name) // 4 AS band FROM part),
+       |    length(p_name) // 2 AS band FROM part),
        |pairs AS (
        |  SELECT a.p_name AS na, b.p_name AS nb, a.p_brand AS ba,
        |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
@@ -7617,7 +7620,7 @@ object ExtQueries {
     val agreeSum = fields.map { case (_, (_, cp)) =>
       s"CASE WHEN $cp THEN 1 ELSE 0 END" }.mkString(" + ")
     s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_type,
-       |    length(p_name) // 4 AS band FROM part),
+       |    length(p_name) // 2 AS band FROM part),
        |pairs AS (
        |  SELECT a.p_name AS na, b.p_name AS nb, a.p_brand AS ba,
        |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
@@ -7722,7 +7725,7 @@ object ExtQueries {
            |       WHEN rk <= (900 * n) // 1000 THEN 'val'
            |       ELSE 'test' END AS split,
            |  CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |  CAST(sum(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT)
            |    AS id_sum
            |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
       }) +
@@ -7838,7 +7841,7 @@ object ExtQueries {
           |  (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
           |     ORDER BY wt DESC, s ASC) AS rn FROM w7) WHERE rn = 1)
           |SELECT shard, CAST(count(*) AS BIGINT) AS n_keys,
-          |  CAST(sum((a8.doc_id * 2654435761) % 1000000007) AS BIGINT)
+          |  CAST(sum(((a8.doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT)
           |    AS id_sum,
           |  CAST(count(*) FILTER (WHERE shard <> shard7) AS BIGINT)
           |    AS n_moved
@@ -7978,7 +7981,7 @@ object ExtQueries {
            |tst AS (SELECT doc_id, lang FROM sp WHERE split = 'test')
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
            |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaked,
-           |  CAST(coalesce(sum((tst.doc_id * 2654435761) % 1000000007)
+           |  CAST(coalesce(sum(((tst.doc_id % 1000000007) * 2654435761) % 1000000007)
            |    FILTER (WHERE leak.doc_id IS NOT NULL), 0) AS BIGINT)
            |    AS leak_id_sum,
            |  max(mx) AS max_jaccard
@@ -8132,7 +8135,7 @@ object ExtQueries {
           |  max(med) AS hour_median_v6,
           |  CAST(count(*) FILTER (WHERE dev > 3 * mad) AS BIGINT)
           |    AS n_outliers,
-          |  CAST(coalesce(sum((event_id * 2654435761) % 1000000007)
+          |  CAST(coalesce(sum(((event_id % 1000000007) * 2654435761) % 1000000007)
           |    FILTER (WHERE dev > 3 * mad), 0) AS BIGINT) AS out_id_sum
           |FROM d, dm GROUP BY hour ORDER BY hour""".stripMargin) +
       // symspell: UNFILTERED all-pairs DL ground truth — a lost
@@ -8209,7 +8212,7 @@ object ExtQueries {
            |  WHERE t[i : i + len(w) - 1] = w GROUP BY 1, 2)
            |SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(c) AS BIGINT) AS n_hits,
-           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |  CAST(sum(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT)
            |    AS doc_id_sum
            |FROM m GROUP BY phrase ORDER BY phrase""".stripMargin
       }) +
@@ -8306,7 +8309,7 @@ object ExtQueries {
            |      AS rk FROM documents)
            |SELECT lang, CAST((rk - 1) % 5 AS INT) AS fold,
            |  CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+           |  CAST(sum(((doc_id % 1000000007) * 2654435761) % 1000000007) AS BIGINT)
            |    AS id_sum
            |FROM r GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin
       }) +
@@ -8616,7 +8619,7 @@ object ExtQueries {
           |SELECT n, med AS median_v6, mad AS mad_v6,
           |  CAST(count(*) FILTER (WHERE dev > 3 * mad) AS BIGINT)
           |    AS n_outliers,
-          |  CAST(coalesce(sum((event_id * 2654435761) % 1000000007)
+          |  CAST(coalesce(sum(((event_id % 1000000007) * 2654435761) % 1000000007)
           |    FILTER (WHERE dev > 3 * mad), 0) AS BIGINT) AS out_id_sum
           |FROM d, t, m, md GROUP BY n, med, mad""".stripMargin) +
       ("q232_linkage_pipeline" -> linkagePipelineOracleSql) +

@@ -633,25 +633,6 @@ object Events {
         col("is_current")): _*)
   }
 
-  /** Batch resample-to-grid with forward fill — the feature-serving
-    * twin of the streaming ffill (StreamOps): per key, one row per
-    * fixed-width time bucket from the key's FIRST observation to the
-    * corpus-wide LAST bucket, carrying the latest observed value
-    * forward through empty buckets. What a training pipeline joins
-    * against to get "sensor state at every hour" without nulls.
-    *
-    * Determinism: the per-bucket representative is the LAST event in
-    * the bucket, ties on ts_ms broken by largest `tieCol` — one
-    * max(struct) fold, engine-portable. Values quantize to v6 BEFORE
-    * the argmax so the carried value is exact.
-    *
-    * Shape at scale: one (key, bucket) fold with map-side partials,
-    * ONE 1-row global-max broadcast, a `sequence()` explode that is
-    * calendar-sized per key (grid = span/width buckets — bounded by
-    * the calendar, never by event count; the q124/q189 contract), and
-    * one per-key window over grid rows for the fill. The window
-    * partitions by key — corpus-parallel, state bounded by the
-    * per-key grid. */
   /** Seasonal (hour-of-day) median baseline + residuals: each event's
     * value against the EXACT median of its hour-of-day slot — the
     * detrend step that keeps a daily-rhythm metric from flagging every
@@ -737,6 +718,25 @@ object Events {
       .groupBy("anchor").agg(count(lit(1)).as("n_distinct_ids"))
   }
 
+  /** Batch resample-to-grid with forward fill — the feature-serving
+    * twin of the streaming ffill (StreamOps): per key, one row per
+    * fixed-width time bucket from the key's FIRST observation to the
+    * corpus-wide LAST bucket, carrying the latest observed value
+    * forward through empty buckets. What a training pipeline joins
+    * against to get "sensor state at every hour" without nulls.
+    *
+    * Determinism: the per-bucket representative is the LAST event in
+    * the bucket, ties on ts_ms broken by largest `tieCol` — one
+    * max(struct) fold, engine-portable. Values quantize to v6 BEFORE
+    * the argmax so the carried value is exact.
+    *
+    * Shape at scale: one (key, bucket) fold with map-side partials,
+    * ONE 1-row global-max broadcast, a `sequence()` explode that is
+    * calendar-sized per key (grid = span/width buckets — bounded by
+    * the calendar, never by event count; the q124/q189 contract), and
+    * one per-key window over grid rows for the fill. The window
+    * partitions by key — corpus-parallel, state bounded by the
+    * per-key grid. */
   def resampleFfill(events: DataFrame, keyCol: String, tsMsCol: String,
                     valueCol: Column, tieCol: String,
                     bucketMs: Long): DataFrame = {

@@ -119,7 +119,7 @@ object TextAnalysis {
       .groupBy("phrase", "doc_id").agg(count(lit(1)).as("__c"))
     perDoc.groupBy("phrase").agg(
       count(lit(1)).as("n_docs"), sum("__c").as("n_hits"),
-      sum((col("doc_id") * 2654435761L) % 1000000007L).as("doc_id_sum"))
+      sum((pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L).as("doc_id_sum"))
   }
 
   /** Keyword-in-context (KWIC) extraction: for every token-aligned
@@ -559,10 +559,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val g = weights.select(col(groupCol), col(weightCol).cast("long").as("__w"))
     val tot = g.agg(sum("__w").as("__tot"))
+    // budget·weight in decimal(38,0): any long·long product fits in 38
+    // digits (< 8.5e37), where raw Long arithmetic silently wraps in
+    // Spark (and errors in DuckDB) once weight = N_g·σ_g reaches corpus
+    // scale (ADVICE r13). Same for the floor·total remainder term.
     val based = g.crossJoin(broadcast(tot))
-      .withColumn("__floor", expr(s"($budget * __w) div __tot"))
-      .withColumn("__rem",
-        lit(budget) * col("__w") - col("__floor") * col("__tot"))
+      .withColumn("__bw", lit(budget).cast("decimal(19,0)") *
+        col("__w").cast("decimal(19,0)"))
+      .withColumn("__floor", expr("__bw div __tot"))
+      .withColumn("__rem", col("__bw") -
+        col("__floor").cast("decimal(19,0)") * col("__tot").cast("decimal(19,0)"))
     val short = based.agg((lit(budget) - sum("__floor")).as("__k"))
     based.crossJoin(broadcast(short))
       .withColumn("__rk", row_number().over(

@@ -83,28 +83,36 @@ object Web {
     * are small — see object scaladoc for the unbounded variant). Adds
     * `action` and `matched_prefix`.
     *
-    * Rows carry a surrogate id through the explode→max fold, so exact
-    * duplicate input rows keep their multiplicity and non-groupable
-    * column types (map) pass through untouched; only (id, path)
-    * explodes, the payload re-joins once per row at the end. */
+    * The verdict is a pure function of the PATH VALUE, so it is
+    * computed once per DISTINCT path and re-joined on the path itself
+    * (null-safe, so null paths get the default like any unmatched row).
+    * Round 14 (ADVICE r13): the previous form tagged rows with
+    * monotonically_increasing_id() and self-joined two evaluations of
+    * the same plan — the id is partition/order-dependent, so an
+    * upstream shuffle or stage retry could assign DIFFERENT ids to the
+    * two evaluations and silently hand rows the wrong action. Keying on
+    * the deterministic path value removes the hazard, keeps duplicate
+    * rows' multiplicity (each joins its path's single verdict row), and
+    * lets non-groupable payload types (map) pass through untouched —
+    * and it explodes |distinct paths| rows instead of |rows|. */
   def blocklistVerdict(df: DataFrame, pathCol: String, rules: DataFrame,
                        defaultAction: String = "allow",
                        maxDepth: Int = 16): DataFrame = {
     require(!df.columns.contains("action") &&
         !df.columns.contains("matched_prefix"),
       "blocklistVerdict adds `action`/`matched_prefix` — input already has one")
-    val tagged = df.withColumn("__rid", monotonically_increasing_id())
-    val exploded = tagged.select(col("__rid"), col(pathCol))
-      .withColumn("__pfx", explode_outer(pathPrefixes(col(pathCol), maxDepth)))
+    val paths = df.select(col(pathCol).as("__path")).distinct()
+    val exploded = paths
+      .withColumn("__pfx", explode_outer(pathPrefixes(col("__path"), maxDepth)))
     val hit = exploded.join(broadcast(rules.withColumnRenamed("prefix", "__pfx")),
       Seq("__pfx"), "left")
-    val verdict = hit.groupBy("__rid")
+    val verdict = hit.groupBy("__path")
       .agg(max(when(col("action").isNotNull,
         struct(length(col("__pfx")).as("l"), col("__pfx").as("p"),
           col("action").as("a")))).as("__m"))
-    tagged.join(verdict, Seq("__rid"), "left")
+    df.join(verdict, col(pathCol) <=> col("__path"), "left")
       .withColumn("action", coalesce(col("__m.a"), lit(defaultAction)))
       .withColumn("matched_prefix", coalesce(col("__m.p"), lit("")))
-      .drop("__m", "__rid")
+      .drop("__m", "__path")
   }
 }

@@ -311,18 +311,41 @@ object TextKernels {
   private val scratch = new ThreadLocal[MetricScratch] {
     override def initialValue(): MetricScratch = new MetricScratch
   }
-  private def fillCps(s: String, buf0: Array[Int]): (Array[Int], Int) = {
-    var buf = buf0
-    if (buf.length < s.length) buf = new Array[Int](s.length)
+  /** Decode `u`'s code points straight from its UTF-8 bytes into `buf`
+    * (caller guarantees `buf.length >= u.numBytes`) and return the code
+    * point count. The round-13 form went through `u.toString`, which
+    * allocates a String + decoded char[] PER CALL — ~4 heap objects per
+    * scored pair, i.e. ~10^8 allocations on a 20M-pair JW product. That
+    * was invisible in isolated benches (TLAB-cheap) but made the kernel
+    * hypersensitive to suite-level heap pressure (VERDICT r13: q149
+    * 4.8s isolated vs 33.7s cohesive — young-gen churn, not arithmetic).
+    * Direct byte decode makes the kernel genuinely allocation-free.
+    * Assumes valid UTF-8 (parquet/UTF8String contract); a truncated
+    * trailing sequence is consumed defensively rather than read OOB. */
+  private def fillCps(u: UTF8String, buf: Array[Int]): Int = {
+    val nb = u.numBytes()
     var i = 0
     var n = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      buf(n) = cp
-      n += 1
-      i += Character.charCount(cp)
+    while (i < nb) {
+      val b0 = u.getByte(i)
+      val len = UTF8String.numBytesForFirstByte(b0)
+      if (i + len > nb) { buf(n) = b0 & 0xff; n += 1; i = nb }
+      else {
+        buf(n) =
+          if (len == 1) b0 & 0xff
+          else if (len == 2)
+            ((b0 & 0x1f) << 6) | (u.getByte(i + 1) & 0x3f)
+          else if (len == 3)
+            ((b0 & 0x0f) << 12) | ((u.getByte(i + 1) & 0x3f) << 6) |
+              (u.getByte(i + 2) & 0x3f)
+          else
+            ((b0 & 0x07) << 18) | ((u.getByte(i + 1) & 0x3f) << 12) |
+              ((u.getByte(i + 2) & 0x3f) << 6) | (u.getByte(i + 3) & 0x3f)
+        n += 1
+        i += len
+      }
     }
-    (buf, n)
+    n
   }
 
   /** Standard Jaro–Winkler similarity (Winkler 1990) over code points:
@@ -337,8 +360,12 @@ object TextKernels {
     * path (thread-local scratch — see [[MetricScratch]]). */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
     val sc = scratch.get()
-    val (s, la) = fillCps(ua.toString, sc.cpA); sc.cpA = s
-    val (t, lb) = fillCps(ub.toString, sc.cpB); sc.cpB = t
+    if (sc.cpA.length < ua.numBytes) sc.cpA = new Array[Int](ua.numBytes)
+    if (sc.cpB.length < ub.numBytes) sc.cpB = new Array[Int](ub.numBytes)
+    val s = sc.cpA
+    val t = sc.cpB
+    val la = fillCps(ua, s)
+    val lb = fillCps(ub, t)
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     if (sc.mA.length < la) sc.mA = new Array[Boolean](la)
@@ -393,8 +420,12 @@ object TextKernels {
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
     if (ua.equals(ub)) return 0
     val sc = scratch.get()
-    val (a, la) = fillCps(ua.toString, sc.cpA); sc.cpA = a
-    val (b, lb) = fillCps(ub.toString, sc.cpB); sc.cpB = b
+    if (sc.cpA.length < ua.numBytes) sc.cpA = new Array[Int](ua.numBytes)
+    if (sc.cpB.length < ub.numBytes) sc.cpB = new Array[Int](ub.numBytes)
+    val a = sc.cpA
+    val b = sc.cpB
+    val la = fillCps(ua, a)
+    val lb = fillCps(ub, b)
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb

@@ -303,8 +303,21 @@ object Partitioning {
     import org.apache.spark.sql.functions._
     require(shards >= 1 && shards <= 4096,
       s"shards must be in [1,4096]: $shards")
+    // Loud-guard (ADVICE r13): a non-numeric id silently casts to null
+    // in rendezvousWeight's cast("long"), nulling every arm's weight and
+    // emitting a null shard for every row. String keys route through the
+    // portable h60 hash instead; anything else is a schema error.
+    val idType = df.schema(idCol).dataType
+    val idNum: org.apache.spark.sql.Column = idType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol)
+      case org.apache.spark.sql.types.StringType =>
+        graft.ext.TextAnalysis.h60(col(idCol))
+      case other => throw new IllegalArgumentException(
+        s"rendezvousShard: id column `$idCol` must be numeric or string " +
+          s"(strings hash through h60), got $other")
+    }
     val arms = (0 until shards).map { sh =>
-      struct(rendezvousWeight(col(idCol), sh).as("w"),
+      struct(rendezvousWeight(idNum, sh).as("w"),
         lit(-sh.toLong).as("ns"))
     }
     val best =

@@ -633,15 +633,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q149 jaro-winkler: probe broadcasts, scorer stays inside whole-stage codegen") {
+  test("q149 jaro-winkler: banded engine — band phase equi-joins, scorer stays inside whole-stage codegen (VERDICT r13 #2)") {
     val df = SparkEntry.queries("q149_fuzzy_jw_topk")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "the bounded probe list must broadcast; the corpus streams:\n" + p)
+    // round 14: q149 is answered by topKJaroWinklerBanded (the raw
+    // guarded product is a FuzzyJoinSpec-level identity oracle only), so
+    // phase 1 must plan a hash EQUI-join on the exact length band key —
+    // the corpus is never cross-joined except in the residual fallback
+    assert(p.contains("BroadcastHashJoin [m_len"),
+      "JW band candidates must come from a hash EQUI-join on the exact " +
+        "length band key:\n" + p)
     assert(!p.contains("SortMergeJoin"))
     assert(p.linesIterator.exists(l => l.contains("jaro_winkler") && l.contains("*(")),
       s"jaro_winkler must appear inside a WholeStageCodegen stage:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may rank the scored product — TopK.groupedTopK only:\n$p")
   }
 
   test("q150 damerau top-k: band phase plans a hash equi-join on the length key (VERDICT r10 #2)") {
