@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.{Blocking, Dedup, Events, Multimodal, Profile, Retrieval, SimSearch, Sketches, TextAnalysis}
+import graft.ext.{Blocking, Dedup, Events, Multimodal, Profile, Retrieval, SimSearch, Sketches, TextAnalysis, Unigram}
 import graft.ops.Ingest
 
 /** Extension operators (SURVEY.md §7.5 / the north-star surface): dedup,
@@ -4333,6 +4333,59 @@ object ExtQueries {
         .select(col("shard"), col("key"), col("ext"), col("size"),
           md5(col("payload")).as("payload_md5"))
         .orderBy("key", "ext")
+    }),
+
+    // Unigram-LM tokenizer, stage 1 — SEED vocabulary (Kudo 2018 §3;
+    // VERDICT r13 #8, BPE's probabilistic sibling): all substrings of
+    // length <= 4 counted corpus-weighted, top-40 multi-char by
+    // (count desc, piece) plus every single char, Laplace-scored to
+    // v6-quantized integer log-probs. One corpus pass (the word-freq
+    // groupBy), then vocab-sized work; the oracle re-derives the pool,
+    // the top-k cut, and every lp6 from the table.
+    "q274_unigram_seed" -> ((s, dir) => {
+      import s.implicits._
+      Unigram.seedVocab(Unigram.wordFreq(docs(s, dir), "text"),
+          maxLen = 4, topK = 40)
+        .map(p => (p.piece, p.n, p.lp6)).toDF("piece", "n", "lp6")
+        .orderBy("piece")
+    }),
+
+    // Unigram-LM tokenizer, stage 2 — hard-EM TRAINING: two Viterbi-EM
+    // iterations (E: exact best-path segmentation under current lp6
+    // scores, LONG-sum DP with the pinned struct(s, j) tie convention;
+    // M: prune zero-count multi-char pieces, Laplace re-score). The
+    // oracle replays the ENTIRE chain in SQL — seed, two DP/backtrack/
+    // count/rescore rounds via list_reduce folds — so a drift anywhere
+    // (tie-break, prune rule, quantized score) breaks the hash. The
+    // engine's interpreted HOF folds run over the DISTINCT-WORD table
+    // only (the house rule); driver state is the vocab (topK+alphabet).
+    "q275_unigram_em" -> ((s, dir) => {
+      import s.implicits._
+      // ONE corpus pass: the EM loop's E-step collects re-execute their
+      // input, so the word table materializes once (the BPE-s0 pattern)
+      val words = graft.ops.Materialize.stable(
+        Unigram.wordFreq(docs(s, dir), "text"), "unigram-words")
+      Unigram.emTrain(words, maxLen = 4, topK = 40, iters = 2)
+        .map(p => (p.piece, p.n, p.lp6)).toDF("piece", "n", "lp6")
+        .orderBy("piece")
+    }),
+
+    // Unigram-LM tokenizer, stage 3 — ENCODE + the q213-style roundtrip
+    // law: every distinct word segmented under the trained vocabulary;
+    // `ok` pins concat(pieces) == word for EVERY row (single chars are
+    // never pruned, so coverage is total — the law the oracle also
+    // recomputes rather than assumes), and n_pieces/seg expose the
+    // fertility profile a tokenizer consumer actually reads.
+    "q276_unigram_encode" -> ((s, dir) => {
+      val words = graft.ops.Materialize.stable(
+        Unigram.wordFreq(docs(s, dir), "text"), "unigram-words")
+      val vocab = Unigram.emTrain(words, maxLen = 4, topK = 40, iters = 2)
+      Unigram.segment(words, vocab, maxLen = 4)
+        .select(col("w"), col("freq"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          array_join(col("pieces"), " ").as("seg"),
+          (array_join(col("pieces"), "") === col("w")).as("ok"))
+        .orderBy("w")
     }),
   )
 
@@ -8729,6 +8782,35 @@ object ExtQueries {
           |  FROM src)
           |SELECT shard, key, ext, CAST(size AS BIGINT) AS size, payload_md5
           |FROM m ORDER BY key, ext""".stripMargin) +
+      // unigram-LM tokenizer: the whole seed/EM/encode chain re-derived
+      // in SQL (list_reduce Viterbi folds) — no engine value echoed
+      ("q274_unigram_seed" -> {
+        val wordsSql = s"SELECT unnest($toksSql) AS w FROM documents"
+        s"""WITH ${Unigram.seedSql(wordsSql, 4, 40)}
+           |SELECT piece, n, lp6 FROM v0 ORDER BY piece""".stripMargin
+      }) +
+      ("q275_unigram_em" -> {
+        val wordsSql = s"SELECT unnest($toksSql) AS w FROM documents"
+        s"""WITH ${Unigram.seedSql(wordsSql, 4, 40)},
+           |${Unigram.viterbiCntSql("i1", "words", "v0", 4)},
+           |${Unigram.rescoreSql("i1", "v0")},
+           |${Unigram.viterbiCntSql("i2", "words", "i1v", 4)},
+           |${Unigram.rescoreSql("i2", "i1v")}
+           |SELECT piece, n, lp6 FROM i2v ORDER BY piece""".stripMargin
+      }) +
+      ("q276_unigram_encode" -> {
+        val wordsSql = s"SELECT unnest($toksSql) AS w FROM documents"
+        s"""WITH ${Unigram.seedSql(wordsSql, 4, 40)},
+           |${Unigram.viterbiCntSql("i1", "words", "v0", 4)},
+           |${Unigram.rescoreSql("i1", "v0")},
+           |${Unigram.viterbiCntSql("i2", "words", "i1v", 4)},
+           |${Unigram.rescoreSql("i2", "i1v")},
+           |${Unigram.viterbiCntSql("f", "words", "i2v", 4)}
+           |SELECT w, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
+           |  array_to_string(pieces, ' ') AS seg,
+           |  (array_to_string(pieces, '') = w) AS ok
+           |FROM fseg ORDER BY w""".stripMargin
+      }) +
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q147_kcore" -> kCoreOracleSql(2, 8)) +
