@@ -45,7 +45,6 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    var runsSinceGc = 0
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       if (errors.contains(name)) None
       else try {
@@ -76,11 +75,16 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         // Broadcast blocks are cleaned only after the driver GCs their
-        // TorrentBroadcast handles; nudge the collector every 25 runs
-        // (untimed) so the ContextCleaner can actually drain inside the
-        // ~20-min bench instead of at the 30-min periodic-GC default.
-        runsSinceGc += 1
-        if (runsSinceGc >= 25) { runsSinceGc = 0; System.gc() }
+        // TorrentBroadcast handles, so heap debris from one query lands on
+        // whichever queries RUN AFTER it — the r13 cohesive run measured
+        // q149 at 23.8s while the PLAN-IDENTICAL q155 took 5.6s in the
+        // same run, purely from the q14x block's leftover churn. JMH-style
+        // hygiene instead: one untimed System.gc() after EVERY run, the
+        // same protocol for every query (VERDICT r13 #1), so the
+        // ContextCleaner drains each query's broadcasts before the next
+        // query is timed. Post-clearCache live set is small; the GC costs
+        // ~0.1-0.3s untimed per run.
+        System.gc()
         Some(t)
       } catch {
         case e: Throwable =>

@@ -4387,6 +4387,60 @@ object ExtQueries {
           (array_join(col("pieces"), "") === col("w")).as("ok"))
         .orderBy("w")
     }),
+
+    // Kneser-Ney bigram scoring — the smoothing KenLM actually ships
+    // (absolute discount + CONTINUATION-count lower order), vs q95's
+    // Jelinek-Mercer mixture. Same one-materialized-gram-stream
+    // economics; N1+ type counts come off the distinct-bigram table,
+    // so every model input stays an exact integer.
+    "q277_kn_bigram" -> ((s, dir) =>
+      TextAnalysis.kneserNeyLogProb(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_scored", "avg_lp")),
+
+    // Good-Turing re-estimation over the corpus unigram table:
+    // r* = (r+1)·N_{r+1}/N_r per observed count r, plus the unseen
+    // mass p0 = N_1/N — Katz backoff's foundation and the classic
+    // smoothness probe on a corpus's frequency spectrum. Pure
+    // counts-of-counts: output is |distinct r| rows.
+    "q278_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(docs(s, dir), "text")),
+
+    // Mann-Whitney U between click and view event values — the
+    // nonparametric drift test beside q236's KS and q221's z-test:
+    // exact midranks over v6-quantized values, tie-corrected variance,
+    // rank-biserial effect size. Counts-of-counts end-to-end.
+    "q279_mann_whitney" -> ((s, dir) =>
+      Profile.mannWhitneyU(t(s, dir, "events"),
+        floor(col("value") * 1e6 + 0.5), col("event_type"),
+        "click", "view")),
+
+    // CUPED variance reduction: per-user pre-period (Jan 1-15) value
+    // totals as the covariate for experiment-period (Jan 16+) totals,
+    // variant = user_id % 2, θ = cov/var pooled from decimal(38,0)
+    // sufficient statistics. The adjusted means and the ρ² factor are
+    // what an experimentation readout actually reports.
+    "q280_cuped" -> ((s, dir) =>
+      Profile.cuped(Ingest.eventsWithTs(s, dir), col("user_id"),
+        pmod(col("user_id"), lit(2)), floor(col("value") * 1e6 + 0.5),
+        col("ts_ms") < lit(1705363200000L))),
+
+    // Jensen-Shannon divergence between the unigram distributions of
+    // four sources, every pair — the bounded symmetric mix diagnostic
+    // mixture designers read before setting sampling weights. Pair
+    // fan-out on the count table only; integer-picounit contributions
+    // long-sum so the divergence is order-independent.
+    "q281_js_divergence" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(docs(s, dir), "source", "text",
+        Seq("src0", "src1", "src2", "src3"))),
+
+    // l-diversity audit one rung past q263's k-anonymity ladder:
+    // per (nation, segment) QI group over customers, distinct-l and
+    // entropy of the acctbal-bucket sensitive attribute — a group
+    // where everyone shares one bucket leaks it at ANY k.
+    "q282_l_diversity" -> ((s, dir) =>
+      Profile.lDiversity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), l = 3)),
   )
 
   // ------------------------------------------------------------------
@@ -8811,6 +8865,176 @@ object ExtQueries {
            |  (array_to_string(pieces, '') = w) AS ok
            |FROM fseg ORDER BY w""".stripMargin
       }) +
+      // Kneser-Ney: every model table re-derived from the same bigram
+      // stream; N1+ counts are COUNT(*) over distinct bigrams — types
+      ("q277_kn_bigram" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |bg AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(t)),
+           |      i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+           |dbg AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+           |cbg AS (SELECT g, CAST(sum(n) AS BIGINT) AS c_bg FROM dbg GROUP BY 1),
+           |cctx AS (SELECT string_split(g, ' ')[1] AS ctx,
+           |    CAST(sum(c_bg) AS BIGINT) AS c_ctx, count(*) AS n1p_ctx
+           |  FROM cbg GROUP BY 1),
+           |ccont AS (SELECT string_split(g, ' ')[2] AS cur,
+           |    count(*) AS n1p_cur FROM cbg GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_types FROM cbg),
+           |lp AS (
+           |  SELECT dbg.doc_id, dbg.n,
+           |    CAST(round(ln(
+           |      greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / c_ctx
+           |      + 0.75 * CAST(n1p_ctx AS DOUBLE) / c_ctx
+           |        * (CAST(n1p_cur AS DOUBLE) / n_types)), 6)
+           |      AS DECIMAL(20,6)) AS lp
+           |  FROM dbg
+           |  JOIN cbg USING (g)
+           |  JOIN cctx ON cctx.ctx = string_split(g, ' ')[1]
+           |  JOIN ccont ON ccont.cur = string_split(g, ' ')[2]
+           |  CROSS JOIN tot)
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_scored,
+           |  ${r6("CAST(sum(n * lp) AS DOUBLE) / sum(n)")} AS avg_lp
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) +
+      // Good-Turing: counts-of-counts, 1-offset self-join, one totals row
+      ("q278_good_turing" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH terms AS (SELECT t, count(*) AS c
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1),
+           |cofc AS (SELECT c AS r, count(*) AS n_r FROM terms GROUP BY 1),
+           |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+           |    CAST(sum(n_r) AS BIGINT) AS n_types,
+           |    max(CASE WHEN r = 1 THEN n_r END) AS n1 FROM cofc)
+           |SELECT r, n_r, coalesce(n_next, 0) AS n_next,
+           |  CASE WHEN coalesce(n_next, 0) > 0 THEN
+           |    ${r6("CAST(r + 1 AS DOUBLE) * n_next / n_r")} END AS r_star,
+           |  n_tokens, n_types,
+           |  ${r6("CAST(coalesce(n1, 0) AS DOUBLE) / n_tokens")} AS p0
+           |FROM cofc
+           |LEFT JOIN (SELECT r - 1 AS r, n_r AS n_next FROM cofc) nx USING (r)
+           |CROSS JOIN tot ORDER BY r""".stripMargin
+      }) +
+      // Mann-Whitney: doubled midranks keep the rank-sum core integer;
+      // the halving to U and the sigma/z division are the only floats
+      ("q279_mann_whitney" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH src AS (SELECT
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    event_type = 'click' AS isa
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |c AS (SELECT v,
+           |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+           |    sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+           |  FROM src GROUP BY 1),
+           |w AS (SELECT v, na, nb, na + nb AS t,
+           |    sum(na + nb) OVER (ORDER BY v) AS cum FROM c),
+           |s AS (SELECT CAST(sum(na) AS HUGEINT) AS n_a,
+           |    CAST(sum(nb) AS HUGEINT) AS n_b,
+           |    sum(CAST(na AS HUGEINT) * ((cum - t) * 2 + t + 1)) AS ra2,
+           |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt FROM w),
+           |u AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |    CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a, tt,
+           |    CAST(n_a + n_b AS BIGINT) AS n FROM s)
+           |SELECT n_a, n_b, u_a,
+           |  ${r6("1.0 - u_a * 2 / (CAST(n_a AS DOUBLE) * n_b)")}
+           |    AS rank_biserial,
+           |  ${r6("""(u_a - CAST(n_a AS DOUBLE) * n_b / 2)
+           |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+           |      * (CAST(n + 1 AS DOUBLE)
+           |         - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))""")}
+           |    AS z
+           |FROM u""".stripMargin
+      }) +
+      // CUPED: decimal-exact sufficient statistics, textbook
+      // n·Σxy − Σx·Σy cores, one final double division for θ
+      ("q280_cuped" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH units AS (SELECT user_id, user_id % 2 AS variant,
+           |    coalesce(sum(CASE WHEN pre THEN v END), 0) AS x,
+           |    coalesce(sum(CASE WHEN NOT pre THEN v END), 0) AS y
+           |  FROM (SELECT user_id,
+           |      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |      epoch_ms(ts) < 1705363200000 AS pre FROM events)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy FROM units),
+           |g AS (SELECT
+           |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+           |    CAST(n * sxy - sx * sy AS DOUBLE)
+           |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta_raw,
+           |    ${r6("""CAST(n * sxy - sx * sy AS DOUBLE)
+           |      / CAST(n * sxx - sx * sx AS DOUBLE)""")} AS theta,
+           |    ${r6("""CAST(n * sxy - sx * sy AS DOUBLE)
+           |      * CAST(n * sxy - sx * sy AS DOUBLE)
+           |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+           |         * CAST(n * syy - sy * sy AS DOUBLE))""")} AS rho2
+           |  FROM st)
+           |SELECT variant, count(*) AS n_units,
+           |  ${r6("CAST(sum(y) AS DOUBLE) / count(*) / 1000000.0")} AS mean_y,
+           |  ${r6("""(CAST(sum(y) AS DOUBLE) / count(*)
+           |    - any_value(theta_raw)
+           |      * (CAST(sum(x) AS DOUBLE) / count(*) - any_value(mx)))
+           |    / 1000000.0""")} AS mean_y_adj,
+           |  any_value(theta) AS theta, any_value(rho2) AS rho2
+           |FROM units CROSS JOIN g
+           |GROUP BY variant ORDER BY variant""".stripMargin
+      }) +
+      // JSD: pair fan-out on the count table, picounit-quantized
+      // per-term contributions LONG-summed — order-independent
+      ("q281_js_divergence" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val pairs = Seq("src0", "src1", "src2", "src3")
+        val pairVals = pairs.zipWithIndex.flatMap { case (a, i) =>
+          pairs.drop(i + 1).map(b => s"('$a', '$b')") }.mkString(", ")
+        s"""WITH cnt AS (SELECT source AS src, t, count(*) AS c
+           |  FROM (SELECT source, unnest($toksSql) AS t FROM documents
+           |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+           |pairs(sa, sb) AS (VALUES $pairVals),
+           |pt AS (SELECT sa, sb, t,
+           |    sum(CASE WHEN src = sa THEN c END) AS ca,
+           |    sum(CASE WHEN src = sb THEN c END) AS cb
+           |  FROM cnt JOIN pairs ON src = sa OR src = sb
+           |  GROUP BY 1, 2, 3),
+           |p AS (SELECT sa, sb, ca, cb,
+           |    CAST(ca AS DOUBLE) / ta.n AS pa, CAST(cb AS DOUBLE) / tb.n AS pb
+           |  FROM pt JOIN tot ta ON ta.src = sa JOIN tot tb ON tb.src = sb),
+           |e AS (SELECT sa, sb, ca, cb,
+           |    CAST(floor((
+           |      coalesce(CASE WHEN ca > 0 THEN 0.5 * pa
+           |        * ln(pa / ((coalesce(pa, 0.0) + coalesce(pb, 0.0)) / 2)) END,
+           |        0.0)
+           |      + coalesce(CASE WHEN cb > 0 THEN 0.5 * pb
+           |        * ln(pb / ((coalesce(pa, 0.0) + coalesce(pb, 0.0)) / 2)) END,
+           |        0.0)) * 1e12 + 0.5) AS BIGINT) AS c12
+           |  FROM p)
+           |SELECT sa, sb, count(*) AS n_terms_union,
+           |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_terms_shared,
+           |  ${r6("CAST(sum(c12) AS DOUBLE) / 1e12")} AS jsd
+           |FROM e GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+      }) +
+      // l-diversity: nested (QI, sensitive) then QI aggregation; q95's
+      // round-to-decimal-then-exact-sum discipline for the entropy
+      ("q282_l_diversity" ->
+        """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS s, count(*) AS c
+          |  FROM customer GROUP BY 1, 2, 3),
+          |k AS (SELECT c_nationkey, c_mktsegment, c,
+          |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k
+          |  FROM cells)
+          |SELECT c_nationkey, c_mktsegment, CAST(max(k) AS BIGINT) AS k,
+          |  count(*) AS l_distinct,
+          |  CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / k
+          |      * ln(CAST(c AS DOUBLE) / k)), 6) AS DECIMAL(20,6)))
+          |    AS DOUBLE) AS entropy,
+          |  count(*) >= 3 AS meets_l
+          |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q139_triangles" -> triangleOracleSql) +
       ("q140_corpus_diff" -> corpusDiffOracleSql) +
       ("q147_kcore" -> kCoreOracleSql(2, 8)) +

@@ -1708,4 +1708,149 @@ object Profile {
         (size(filter(col("__edges"), e => col("__v") > e)) + 1))
       .drop("__edges", "__v")
   }
+
+  /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * labeled samples of an INTEGER metric — the nonparametric sibling of
+    * q236's KS drift and q221's z-test: "did source B's quality scores
+    * shift relative to A", with no normality assumption and exact
+    * handling of ties via midranks and the tie-corrected variance
+    *   σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    * Also emits the rank-biserial effect size r = 1 − 2U_a/(n_a·n_b),
+    * the drift magnitude a monitoring dashboard actually thresholds on.
+    *
+    * Counts-of-counts discipline end-to-end: one (value → n_a, n_b)
+    * conditional aggregation over the pooled rows, a running-total
+    * window over DISTINCT VALUES only, and exact integer cores — the
+    * midrank 2·cum_before + t + 1 is kept DOUBLED so the rank-sum core
+    * stays an exact decimal(38,0) integer (one halving to U_a happens in
+    * double, at the end); tie cubes go through decimal(38,0) too (a
+    * single tied value can hold ~1e9 rows at corpus scale, so t³
+    * overflows long). Floats appear only in U, σ and z. */
+  def mannWhitneyU(df: DataFrame, value: Column, groupCol: Column,
+                   groupA: String, groupB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(groupCol.isin(groupA, groupB))
+      .select(value.cast("long").as("__v"),
+        (groupCol === groupA).as("__isa"))
+    val counts = src.groupBy("__v")
+      .agg(sum(when(col("__isa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__isa"), 0L).otherwise(1L)).as("__nb"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val t = col("__na") + col("__nb")
+    counts
+      .withColumn("__cum", sum(col("__na") + col("__nb")).over(run))
+      // doubled midrank of every row tied at __v: 2·(rows before) + t + 1
+      .withColumn("__mr2", (col("__cum") - t) * 2 + t + 1)
+      .agg(sum("__na").cast(dec).as("n_a"), sum("__nb").cast(dec).as("n_b"),
+        sum(col("__na").cast(dec) * col("__mr2")).as("__ra2"),
+        sum(t.cast(dec) * t * t - t).as("__tt"))
+      .select(
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        ((col("__ra2") - col("n_a") * (col("n_a") + 1)).cast("double") / 2)
+          .as("u_a"),
+        col("__tt"),
+        (col("n_a") + col("n_b")).cast("long").as("__n"))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        round6Portable(lit(1.0) - col("u_a").cast("double") * 2 /
+          (col("n_a").cast("double") * col("n_b"))).as("rank_biserial"),
+        round6Portable(
+          (col("u_a").cast("double") -
+            col("n_a").cast("double") * col("n_b") / 2) /
+            sqrt(col("n_a").cast("double") * col("n_b") / 12 *
+              ((col("__n") + lit(1)).cast("double") -
+                col("__tt").cast("double") /
+                  (col("__n").cast("double") * (col("__n") - 1))))).as("z"))
+  }
+  private def round6Portable(c: Column) = TextAnalysis.round6Portable(c)
+
+  /** CUPED variance reduction (Deng et al. WSDM 2013) — the adjustment
+    * every large experimentation platform applies before reading an A/B
+    * metric: regress the experiment-period metric Y on the PRE-period
+    * metric X of the same unit, and report Y_adj = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) estimated pooled (pre-period data is
+    * assignment-independent, so θ is unbiased under both arms). Emits
+    * per-variant n, raw and adjusted means, plus the pooled θ and the
+    * variance-reduction factor ρ² = cov²/（var_x·var_y) — the fraction
+    * of metric variance the covariate removed.
+    *
+    * Shape at scale: one conditional-sum aggregation per unit (the only
+    * corpus shuffle), then sufficient statistics — Σx, Σy, Σxy, Σx²,
+    * Σy² in decimal(38,0) over v6-quantized longs (x·y reaches ~1e21 at
+    * real per-user totals, past long) — collapse to ONE row; per-variant
+    * means re-aggregate the same unit table. θ uses the textbook
+    * n·Σxy − Σx·Σy form so every input to the final double division is
+    * an exact integer. */
+  def cuped(df: DataFrame, unitCol: Column, variantCol: Column,
+            metric: Column, isPre: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val units = graft.ops.Materialize.stable(
+      df.groupBy(unitCol.as("__u"), variantCol.as("variant"))
+        .agg(coalesce(sum(when(isPre, metric.cast("long"))), lit(0L)).as("__x"),
+          coalesce(sum(when(!isPre, metric.cast("long"))), lit(0L)).as("__y")),
+      "cuped-units")
+    val x = col("__x").cast(dec)
+    val y = col("__y").cast(dec)
+    val stats = units.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val sxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val sxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val syy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val glob = broadcast(stats.select(
+      (col("__sx").cast("double") / col("__n").cast("double")).as("__mx"),
+      (sxy / sxx).as("__theta"),
+      round6Portable(sxy / sxx).as("theta"),
+      round6Portable(sxy * sxy / (sxx * syy)).as("rho2")))
+    units.crossJoin(glob)
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_units"),
+        round6Portable(sum(y).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_y"),
+        round6Portable(
+          (sum(y).cast("double") / count(lit(1)) -
+            first(col("__theta")) *
+              (sum(x).cast("double") / count(lit(1)) - first(col("__mx"))))
+            / 1e6).as("mean_y_adj"),
+        first(col("theta")).as("theta"), first(col("rho2")).as("rho2"))
+      .orderBy("variant")
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. ICDE 2006) — the privacy
+    * check ONE RUNG past q263's k-anonymity ladder: a quasi-identifier
+    * group where everyone shares the same sensitive value leaks that
+    * value at ANY k, so each group is scored by how diverse its
+    * sensitive attribute actually is. Emits per-QI-group: k (group
+    * size), distinct-l, and entropy H = −Σ p·ln p over the group's
+    * sensitive-value histogram (entropy-l-diversity holds iff
+    * H ≥ ln l); `meets_l` flags distinct-l ≥ the required l.
+    *
+    * Two nested aggregations on the same keys — (QI, sensitive) counts,
+    * then QI rollup — so the second group-by is shuffle-free under the
+    * first's partitioning. Entropy terms round to 6 dp and sum as
+    * DECIMAL (the q95 discipline), everything else exact integers. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+                 l: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1, s"need QI cols and l >= 1")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*)
+    val p = col("__c").cast("double") / col("__k")
+    cells
+      .withColumn("__k", sum("__c").over(run))
+      .withColumn("__h", round(-(p * log(p)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .groupBy(qi: _*)
+      .agg(max("__k").as("k"), count(lit(1)).as("l_distinct"),
+        sum("__h").cast("double").as("entropy"))
+      .withColumn("meets_l", col("l_distinct") >= l)
+      .orderBy(qi: _*)
+  }
 }

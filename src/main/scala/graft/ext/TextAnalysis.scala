@@ -1223,4 +1223,165 @@ object TextAnalysis {
         round6Portable(col("sum_lp").cast("double") / col("n_scored")))
       .drop("sum_lp")
   }
+
+  /** Interpolated Kneser-Ney bigram score — the smoothing that actually
+    * ships in KenLM (Heafield 2011) and every n-gram LM used for corpus
+    * quality filtering, vs [[bigramLogProb]]'s Jelinek-Mercer mixture:
+    *   p_KN(cur|ctx) = (c(ctx,cur) − D)/c(ctx·)
+    *                 + D·N1+(ctx,·)/c(ctx·) · N1+(·,cur)/N1+(·,·)
+    * The lower-order term is the CONTINUATION probability — how many
+    * distinct contexts a word follows, not how often it occurs — which is
+    * exactly what separates "Francisco" (frequent, one context) from a
+    * genuinely productive word. Self-scored against the corpus every
+    * bigram has c ≥ 1 > D, so the discounted term never clips; the
+    * max(·,0) guard still matters under an external `model`.
+    *
+    * Shape at scale: identical economics to [[bigramLogProb]] — ONE
+    * materialized (doc, gram, n) count stream; the model tables (bigram
+    * counts, context totals + distinct-continuation counts, word
+    * continuation counts, one global type count) are all re-aggregations
+    * of that compact table; all scoring joins UNHINTED (web-scale bigram
+    * vocabulary, the tf-idf rule). N1+ counts are COUNT(*) over the
+    * distinct-bigram table — types, not tokens — so every model input is
+    * an exact integer and the only floats are the final per-position
+    * probability and its 6-dp-rounded log, summed as DECIMAL. */
+  def kneserNeyLogProb(docs: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val toks = tokens(col(textCol))
+    val docBg = graft.ops.Materialize.stable(
+      docs.select(col(idCol), explode(shingles(toks, 2)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("__n")),
+      "kn-bigrams")
+    // model tables: all re-aggregations of the compact per-doc count table;
+    // the distinct-bigram table itself has FOUR consumers (context totals,
+    // continuation counts, type count, the scoring join) — materialize it
+    // once at vocabulary size rather than re-shuffling docBg per branch
+    val cbg = graft.ops.Materialize.stable(
+      docBg.groupBy("g").agg(sum("__n").as("c_bg")), "kn-bigram-types")
+    // distinct-bigram rows grouped by context: token count AND type count
+    val cctx = cbg.withColumn("ctx", split(col("g"), " ")(0))
+      .groupBy("ctx")
+      .agg(sum("c_bg").as("c_ctx"), count(lit(1)).as("n1p_ctx"))
+    val ccont = cbg.select(split(col("g"), " ")(1).as("cur"))
+      .groupBy("cur").agg(count(lit(1)).as("n1p_cur"))
+    val ntypes = cbg.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    docBg
+      .withColumn("ctx", split(col("g"), " ")(0))
+      .withColumn("cur", split(col("g"), " ")(1))
+      .join(cbg, "g")
+      .join(cctx, "ctx")
+      .join(ccont, "cur")
+      .crossJoin(broadcast(ntypes))
+      .withColumn("__lp", round(log(
+        greatest(col("c_bg").cast("double") - d, lit(0.0)) / col("c_ctx") +
+          d * col("n1p_ctx").cast("double") / col("c_ctx") *
+            (col("n1p_cur").cast("double") / col("n_types"))), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_scored"), sum(col("__n") * col("__lp")).as("sum_lp"))
+      .withColumn("avg_lp",
+        round6Portable(col("sum_lp").cast("double") / col("n_scored")))
+      .drop("sum_lp")
+      .orderBy(col(idCol))
+  }
+
+  /** Good-Turing frequency re-estimation (Good 1953) over the corpus
+    * unigram table: for each observed count r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, where N_r = number of DISTINCT tokens seen
+    * exactly r times — plus the unseen-mass estimate p0 = N_1/N that
+    * every open-vocabulary LM hands to its OOV bucket. The foundation
+    * under Katz backoff and the classic sanity probe for synthetic or
+    * template-heavy corpora (natural text's N_r decays smoothly; a
+    * boilerplate corpus shows holes that zero out r*).
+    *
+    * Pure counts-of-counts economics: one token-count shuffle, one
+    * count-of-counts regroup (output is |distinct r| rows — hundreds at
+    * any corpus size), a 1-row-offset self-join on r+1 and one broadcast
+    * totals row. Every input to the r* division is an exact integer;
+    * r* where N_{r+1} = 0 is NULL (the classic estimator is undefined
+    * there — smoothing the N_r curve is a modeling choice, not this
+    * audit's job). */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val terms = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val cofc = graft.ops.Materialize.stable(
+      terms.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r")),
+      "gt-cofc")
+    val tot = cofc.agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum("n_r").as("n_types"),
+      max(when(col("r") === 1, col("n_r"))).as("__n1"))
+    cofc.join(cofc.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .na.fill(0L, Seq("n_next"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_next"),
+        when(col("n_next") > 0, round6Portable(
+          (col("r") + lit(1)).cast("double") * col("n_next") / col("n_r")))
+          .as("r_star"),
+        col("n_tokens"), col("n_types"),
+        round6Portable(coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("n_tokens")).as("p0"))
+      .orderBy("r")
+  }
+
+  /** Jensen-Shannon divergence between per-source unigram distributions,
+    * for every pair of the given sources — the bounded, symmetric
+    * corpus-mix diagnostic (0 = identical token mix, ln 2 = disjoint
+    * vocabularies) that mixture designers read before setting sampling
+    * weights, where KL would be infinite on any one-sided token.
+    * JSD(a,b) = ½Σ p_a·ln(p_a/m) + ½Σ p_b·ln(p_b/m), m = (p_a+p_b)/2;
+    * one-sided terms contribute ½p·ln 2 through the same formula (the
+    * other side's p is exactly 0), so no term is dropped.
+    *
+    * Shape at scale: ONE (source, token, c) count shuffle over the
+    * corpus, filtered to the requested sources; the pair fan-out happens
+    * on the COUNT table (|pairs|·vocab rows, never corpus rows) via a
+    * broadcast pair list, and per-(pair, token) both sides collapse in
+    * one conditional aggregation — no self-join of the corpus. Per-term
+    * contributions are quantized to integer picounits (floor(x·1e12+0.5)
+    * — exact in doubles for |x| ≤ ln 2) and LONG-summed, so the final
+    * divergence is order-independent and engine-identical. */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
+                   groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      s"need >= 2 distinct groups, got $groups")
+    val cnt = graft.ops.Materialize.stable(
+      docs.filter(col(groupCol).isin(groups: _*))
+        .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
+        .groupBy("src", "t").agg(count(lit(1)).as("c")),
+      "jsd-counts")
+    val totals = cnt.groupBy("src").agg(sum("c").as("n"))
+    val sorted = groups.sorted
+    val pairs = sorted.zipWithIndex.flatMap { case (a, i) =>
+      sorted.drop(i + 1).map(b => (a, b)) }
+    import docs.sparkSession.implicits._
+    val pairDf = broadcast(pairs.toDF("sa", "sb"))
+    // fan out counts to the (tiny) pair list, collapse both sides per term
+    val perTerm = cnt.join(pairDf,
+        col("src") === col("sa") || col("src") === col("sb"))
+      .groupBy("sa", "sb", "t")
+      .agg(sum(when(col("src") === col("sa"), col("c"))).as("ca"),
+        sum(when(col("src") === col("sb"), col("c"))).as("cb"))
+    val withTot = perTerm
+      .join(broadcast(totals.select(col("src").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(totals.select(col("src").as("sb"), col("n").as("nb"))), "sb")
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val m = (coalesce(pa, lit(0.0)) + coalesce(pb, lit(0.0))) / 2
+    val contrib =
+      coalesce(when(col("ca") > 0, lit(0.5) * pa * log(pa / m)), lit(0.0)) +
+        coalesce(when(col("cb") > 0, lit(0.5) * pb * log(pb / m)), lit(0.0))
+    withTot
+      .withColumn("__c12", floor(contrib * 1e12 + 0.5).cast("long"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_terms_union"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_terms_shared"),
+        round6Portable(sum("__c12").cast("double") / 1e12).as("jsd"))
+      .orderBy("sa", "sb")
+  }
 }

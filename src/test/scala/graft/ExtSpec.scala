@@ -4068,4 +4068,104 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((1, 10000000L, 0L), (1, 10000000L, 10000000L), (2, 5000000L, 0L)))
   }
+
+  test("kneserNeyLogProb: discounted bigram + continuation lower order, hand-checked") {
+    import spark.implicits._
+    // c(a b)=2, c(a c)=1; ctx a: c=3, N1+=2; cont b/c: N1+=1 each; types=2
+    // p(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3 -> ln = -0.405465
+    // p(c|a) = (1-.75)/3 + .25        = 1/3 -> ln = -1.098612
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogProb(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 1L, -0.405465), (2L, 1L, -1.098612),
+      (3L, 1L, -0.405465)))
+    // a doc with < 2 tokens contributes no bigram rows
+    assert(TextAnalysis.kneserNeyLogProb(
+      Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 1L)
+  }
+
+  test("goodTuring: r* = (r+1)N_{r+1}/N_r; top count has no estimate; p0 = N1/N") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1 -> N_1 = N_2 = N_3 = 1
+    val d = Seq("a a a b b c").toDF("text")
+    val got = TextAnalysis.goodTuring(d, "text").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_next") === 1L)
+    assert(r1.getAs[Double]("r_star") === 2.0) // (1+1)*1/1
+    assert(r1.getAs[Long]("n_tokens") === 6L)
+    assert(r1.getAs[Long]("n_types") === 3L)
+    assert(r1.getAs[Double]("p0") === 0.166667)
+    assert(got(1).getAs[Double]("r_star") === 3.0) // (2+1)*1/1
+    assert(got(2).isNullAt(got(2).fieldIndex("r_star"))) // N_4 = 0
+  }
+
+  test("jsDivergence: hand-checked two-source divergence; one-sided terms ride ln 2") {
+    import spark.implicits._
+    // a: x x y (p_x=2/3, p_y=1/3); b: x z (1/2, 1/2)
+    // JSD = (1/3)ln(8/7) + (1/4)ln(6/7) + (1/6)ln2 + (1/4)ln2 = 0.294784
+    val d = Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text")
+    val r = TextAnalysis.jsDivergence(d, "source", "text", Seq("a", "b"))
+      .collect()(0)
+    assert(r.getAs[String]("sa") === "a" && r.getAs[String]("sb") === "b")
+    assert(r.getAs[Long]("n_terms_union") === 3L)
+    assert(r.getAs[Long]("n_terms_shared") === 1L)
+    assert(r.getAs[Double]("jsd") === 0.294784)
+    // identical distributions diverge by exactly zero
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    assert(TextAnalysis.jsDivergence(same, "source", "text", Seq("a", "b"))
+      .collect()(0).getAs[Double]("jsd") === 0.0)
+  }
+
+  test("mannWhitneyU: midranks with ties, tie-corrected z, rank-biserial") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,4}: R_a = 1 + 2.5 + 4 = 7.5, U_a = 1.5
+    // sigma^2 = (6/12)(6 - 6/20) = 2.85, z = -1.5/sqrt(2.85) = -0.888523
+    val d = Seq((1L, "A"), (2L, "A"), (3L, "A"), (2L, "B"), (4L, "B"))
+      .toDF("v", "g")
+    val r = Profile.mannWhitneyU(d, col("v"), col("g"), "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u_a") === 1.5)
+    assert(r.getAs[Double]("rank_biserial") === 0.5) // 1 - 2*1.5/6
+    assert(r.getAs[Double]("z") === -0.888523)
+  }
+
+  test("cuped: perfect covariate equalizes arms; theta and rho2 exact") {
+    import spark.implicits._
+    // y = 2x per user -> theta 2, rho2 1; both adjusted means land on 5.0
+    val rows = Seq(
+      (1L, true, 1000000L), (1L, false, 2000000L),
+      (2L, true, 2000000L), (2L, false, 4000000L),
+      (3L, true, 3000000L), (3L, false, 6000000L),
+      (4L, true, 4000000L), (4L, false, 8000000L))
+      .toDF("u", "pre", "v")
+    val got = Profile.cuped(rows, col("u"), pmod(col("u"), lit(2)),
+      col("v"), col("pre")).collect()
+    val byVar = got.map(r => r.getLong(0) -> r).toMap
+    assert(byVar(0L).getAs[Double]("mean_y") === 6.0) // users 2, 4
+    assert(byVar(1L).getAs[Double]("mean_y") === 4.0) // users 1, 3
+    got.foreach { r =>
+      assert(r.getAs[Double]("mean_y_adj") === 5.0)
+      assert(r.getAs[Double]("theta") === 2.0)
+      assert(r.getAs[Double]("rho2") === 1.0)
+    }
+  }
+
+  test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
+    import spark.implicits._
+    val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
+      ("g2", 1L), ("g2", 1L), ("g2", 1L)).toDF("qi", "s")
+    val got = Profile.lDiversity(d, Seq("qi"), col("s"), l = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getAs[Long]("k") === 4L && g1.getAs[Long]("l_distinct") === 2L)
+    // two terms of round6(-(0.5 ln 0.5)) = 0.346574 each
+    assert(g1.getAs[Double]("entropy") === 0.693148)
+    assert(g1.getAs[Boolean]("meets_l"))
+    val g2 = got("g2")
+    assert(g2.getAs[Long]("l_distinct") === 1L)
+    assert(g2.getAs[Double]("entropy") === 0.0)
+    assert(!g2.getAs[Boolean]("meets_l"))
+  }
 }
