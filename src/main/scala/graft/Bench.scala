@@ -33,6 +33,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The default codegen class cache holds 100 entries; a ~300-query
+      // suite cycles far past that, so by the time a query's next rep
+      // arrives its generated classes are evicted and every rep re-pays
+      // 2-8s of Janino compilation on complex plans (q149/q155 measured
+      // ~2x their isolated medians cohesively AFTER the GC hygiene fix).
+      // Long-lived executors in production keep their codegen warm;
+      // recompilation per rep is a harness artifact, not a plan cost.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed global warmup: session init, file listing, common codegen.

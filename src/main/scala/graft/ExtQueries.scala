@@ -4441,6 +4441,60 @@ object ExtQueries {
       Profile.lDiversity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long"), l = 3)),
+
+    // Smith-Waterman local alignment over sorted-neighborhood candidate
+    // pairs: the shared-verbatim-fragment signal the global edit-distance
+    // family can't see (a common token scores the same whether or not
+    // junk surrounds it). Codegen'd integer DP kernel on the engine; the
+    // oracle replays the SAME DP in SQL as a nested list_reduce fold —
+    // the Viterbi-mirror discipline from q275 applied to alignment.
+    "q283_smith_waterman" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(t(s, dir, "supplier"),
+          "s_name", "s_suppkey", w = 3)
+        .withColumn("sw", graft.functions.TextExprs.smithWaterman(
+          col("key_a"), col("key_b")))
+        .withColumn("sim", TextAnalysis.round6Portable(
+          col("sw").cast("double") /
+            (lit(2.0) * least(length(col("key_a")), length(col("key_b"))))))
+        .select("id_a", "id_b", "key_a", "key_b", "gap", "sw", "sim")
+        .orderBy("id_a", "id_b")),
+
+    // Gries' deviation-of-proportions dispersion: which terms BURST from
+    // few sources vs spread like the corpus — the term-level complement
+    // to q281's source-level JSD. Absent cells fold closed-form.
+    "q284_dispersion" -> ((s, dir) =>
+      TextAnalysis.dispersion(docs(s, dir), "source", "text",
+        minCount = 20, topK = 50)),
+
+    // McNemar's paired test: do the length rule and the token-count rule
+    // disagree on WHICH documents they get right (lang='en' as truth)?
+    // Only discordant pairs vote; continuity-corrected chi-square.
+    "q285_mcnemar" -> ((s, dir) =>
+      Profile.mcNemar(docs(s, dir), col("lang") === "en",
+        col("n_chars") >= 300,
+        size(TextAnalysis.tokens(col("text"))) >= 60)),
+
+    // Spearman rank correlation between n_chars and token count:
+    // midrank-exact, doubled-integer rank cores, one final division —
+    // the monotone-association audit beside q265's Pearson matrix.
+    "q286_spearman" -> ((s, dir) =>
+      Profile.spearman(docs(s, dir), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"))),
+
+    // Corpus predictability in one row: H(cur|ctx), H(cur), and their
+    // difference — the token-level mutual information. Natural text
+    // carries 1-2 nats of MI; shuffled text ~0; template spam rides
+    // near H(cur). Picounit-quantized per-type terms, long-summed.
+    "q287_cond_entropy" -> ((s, dir) =>
+      TextAnalysis.conditionalEntropy(docs(s, dir), "text")),
+
+    // Kendall tau-b between quantity and price cents, on a 32-bin
+    // equi-width sketch: pair concordance from the B^2-cell joint
+    // histogram self-join — work bounded by sketch geometry, not rows;
+    // within-bin pairs land in the tie terms. Exact on the bins.
+    "q288_kendall_binned" -> ((s, dir) =>
+      Profile.kendallTauBinned(t(s, dir, "lineitem"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + 0.5), bins = 32)),
   )
 
   // ------------------------------------------------------------------
@@ -9018,6 +9072,175 @@ object ExtQueries {
            |    AS n_terms_shared,
            |  ${r6("CAST(sum(c12) AS DOUBLE) / 1e12")} AS jsd
            |FROM e GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+      }) +
+      // Smith-Waterman: the SAME integer DP replayed row-by-row as a
+      // RECURSIVE CTE (one iteration per character of key_a; the state
+      // list hb = [H-row, best]). No list_reduce — DuckDB 1.0 misaligns
+      // rows inside it (the q275 lesson); only the verified-row-stable
+      // list_transform / list_max are used. The intra-row left-gap
+      // dependency is eliminated by the prefix-max identity
+      //   H[j] = max_{k<=j} (G(k) - (j - k)) = max_k(G(k) + k) - j,
+      // G(k) = max(0, diag, up) — so every cell is a pure transform.
+      ("q283_smith_waterman" -> {
+        // one DP row: H[j] for j = 1..|key_b| off the previous row `hb`
+        // (hb[k] = H[i-1][k-1]; hb[m+2] = running best, never indexed here)
+        val hList =
+          """list_transform(range(1, CAST(length(key_b) AS BIGINT) + 1), j ->
+            |      list_max(list_transform(range(1, j + 1), k ->
+            |        greatest(CAST(0 AS BIGINT),
+            |          hb[k] + CASE WHEN substring(key_a, CAST(i AS INT) + 1, 1)
+            |              = substring(key_b, CAST(k AS INT), 1)
+            |            THEN 2 ELSE -1 END,
+            |          hb[k + 1] - 1) + k)) - j)""".stripMargin
+        s"""WITH RECURSIVE r AS (SELECT s_suppkey, s_name,
+           |    row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS g
+           |  FROM supplier),
+           |pr AS (SELECT a.s_suppkey AS id_a, a.s_name AS key_a,
+           |    b.s_suppkey AS id_b, b.s_name AS key_b, b.g - a.g AS gap
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 3),
+           |dp AS (
+           |  SELECT id_a, id_b, key_a, key_b, gap, CAST(0 AS BIGINT) AS i,
+           |    list_transform(range(0, CAST(length(key_b) AS BIGINT) + 2),
+           |      z -> CAST(0 AS BIGINT)) AS hb
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT id_a, id_b, key_a, key_b, gap, i + 1,
+           |    list_append(
+           |      list_prepend(CAST(0 AS BIGINT), $hList),
+           |      greatest(hb[-1], list_max($hList)))
+           |  FROM dp WHERE i < length(key_a))
+           |SELECT id_a, id_b, key_a, key_b, gap,
+           |  CAST(hb[-1] AS INTEGER) AS sw,
+           |  ${TextAnalysis.round6PortableSql(
+          "CAST(hb[-1] AS DOUBLE) / (2.0 * least(length(key_a), length(key_b)))")}
+           |    AS sim
+           |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
+      }) +
+      // dispersion: absent cells fold closed-form (1 - sum of present
+      // shares); picounit quantization matches the engine bit-for-bit
+      ("q284_dispersion" -> {
+        s"""WITH cnt AS (SELECT source AS src, t, count(*) AS c
+           |  FROM (SELECT source, unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+           |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM st),
+           |tm AS (SELECT t, CAST(sum(c) AS BIGINT) AS c_t FROM cnt
+           |  GROUP BY 1 HAVING sum(c) >= 20),
+           |cell AS (SELECT cnt.t, c_t,
+           |    CAST(floor(abs(CAST(c AS DOUBLE) / c_t
+           |      - CAST(n_s AS DOUBLE) / n_total) * 1e12 + 0.5) AS BIGINT)
+           |      AS d12,
+           |    CAST(floor(CAST(n_s AS DOUBLE) / n_total * 1e12 + 0.5)
+           |      AS BIGINT) AS w12
+           |  FROM cnt JOIN tm USING (t) JOIN st USING (src) CROSS JOIN tt)
+           |SELECT t AS term, c_t, count(*) AS n_sources,
+           |  ${TextAnalysis.round6PortableSql(
+          "CAST(sum(d12) + (1000000000000 - sum(w12)) AS DOUBLE) / 1e12 / 2")}
+           |    AS dp
+           |FROM cell GROUP BY 1, 2 ORDER BY dp DESC, term LIMIT 50""".stripMargin
+      }) +
+      // McNemar: discordant counts only; clamped continuity correction
+      ("q285_mcnemar" -> {
+        s"""WITH src AS (SELECT (lang = 'en') AS lbl,
+           |    (n_chars >= 300) AS pa, (len($toksSql) >= 60) AS pb
+           |  FROM documents),
+           |s AS (SELECT count(*) AS n,
+           |    CAST(sum(CASE WHEN pa = lbl AND NOT (pb = lbl)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN NOT (pa = lbl) AND pb = lbl
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+           |  FROM src)
+           |SELECT n, b, c,
+           |  CASE WHEN b + c > 0 THEN ${TextAnalysis.round6PortableSql(
+          """CAST(greatest(abs(b - c) - 1, 0)
+            |    * greatest(abs(b - c) - 1, 0) AS DOUBLE) / (b + c)""".stripMargin)}
+           |  END AS chi2
+           |FROM s""".stripMargin
+      }) +
+      // Spearman: doubled midranks from distinct-value windows, exact
+      // HUGEINT sufficient statistics, the Pearson ratio at the end
+      ("q286_spearman" -> {
+        s"""WITH src AS (SELECT CAST(n_chars AS BIGINT) AS x,
+           |    CAST(len($toksSql) AS BIGINT) AS y FROM documents),
+           |xr AS (SELECT x, (cum - nk) * 2 + nk + 1 AS rx FROM (
+           |    SELECT x, nk, sum(nk) OVER (ORDER BY x) AS cum FROM (
+           |      SELECT x, count(*) AS nk FROM src GROUP BY 1))),
+           |yr AS (SELECT y, (cum - nk) * 2 + nk + 1 AS ry FROM (
+           |    SELECT y, nk, sum(nk) OVER (ORDER BY y) AS cum FROM (
+           |      SELECT y, count(*) AS nk FROM src GROUP BY 1))),
+           |j AS (SELECT rx, ry FROM src JOIN xr USING (x) JOIN yr USING (y)),
+           |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+           |    sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+           |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+           |    sum(CAST(ry AS HUGEINT) * ry) AS syy FROM j)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  ${TextAnalysis.round6PortableSql(
+          """CAST(n * sxy - sx * sy AS DOUBLE)
+            |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            |      * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin)} AS rho
+           |FROM s""".stripMargin
+      }) +
+      // conditional entropy: every probability a ratio of exact counts,
+      // per-type picounit terms summed as integers in both engines
+      ("q287_cond_entropy" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+           |    i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+           |cbg AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+           |cctx AS (SELECT string_split(g, ' ')[1] AS ctx,
+           |    CAST(sum(c) AS BIGINT) AS c_ctx FROM cbg GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS b,
+           |    count(*) AS n_types FROM cbg),
+           |hc AS (SELECT CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / b
+           |      * ln(CAST(c AS DOUBLE) / c_ctx)) * 1e12 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS hc12
+           |  FROM cbg JOIN cctx ON cctx.ctx = string_split(g, ' ')[1]
+           |  CROSS JOIN tot),
+           |hm AS (SELECT CAST(sum(CAST(floor(-(CAST(c_cur AS DOUBLE) / b
+           |      * ln(CAST(c_cur AS DOUBLE) / b)) * 1e12 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS hm12
+           |  FROM (SELECT string_split(g, ' ')[2] AS cur,
+           |      CAST(sum(c) AS BIGINT) AS c_cur FROM cbg GROUP BY 1)
+           |  CROSS JOIN tot)
+           |SELECT b AS n_bigrams, n_types,
+           |  ${r6("CAST(hm12 AS DOUBLE) / 1e12")} AS h_cur,
+           |  ${r6("CAST(hc12 AS DOUBLE) / 1e12")} AS h_cond,
+           |  ${r6("CAST(hm12 - hc12 AS DOUBLE) / 1e12")} AS mi
+           |FROM tot, hc, hm""".stripMargin
+      }) +
+      // binned Kendall: B^2-cell joint histogram, strict-order cell-pair
+      // sums; ties live only in the denominator
+      ("q288_kendall_binned" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           |  FROM lineitem),
+           |ext AS (SELECT min(x) AS xlo, max(x) AS xhi,
+           |    min(y) AS ylo, max(y) AS yhi FROM src),
+           |cells AS (SELECT ((x - xlo) * 32) // (xhi - xlo + 1) AS bx,
+           |    ((y - ylo) * 32) // (yhi - ylo + 1) AS by, count(*) AS nc
+           |  FROM src CROSS JOIN ext GROUP BY 1, 2),
+           |cd AS (SELECT
+           |    coalesce(CAST(sum(CASE WHEN b.by < a.by
+           |      THEN CAST(a.nc AS HUGEINT) * b.nc END) AS HUGEINT),
+           |      0) AS cp,
+           |    coalesce(CAST(sum(CASE WHEN b.by > a.by
+           |      THEN CAST(a.nc AS HUGEINT) * b.nc END) AS HUGEINT),
+           |      0) AS dpr
+           |  FROM cells a JOIN cells b ON b.bx < a.bx),
+           |nn AS (SELECT CAST(sum(nc) AS HUGEINT) AS n FROM cells),
+           |tx AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS n1x2 FROM
+           |  (SELECT CAST(sum(nc) AS HUGEINT) AS t FROM cells GROUP BY bx)),
+           |ty AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS n2x2 FROM
+           |  (SELECT CAST(sum(nc) AS HUGEINT) AS t FROM cells GROUP BY by))
+           |SELECT CAST(n AS BIGINT) AS n, CAST(cp AS DOUBLE) AS c_pairs,
+           |  CAST(dpr AS DOUBLE) AS d_pairs,
+           |  ${r6("""CAST(cp - dpr AS DOUBLE)
+           |    / sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE) / 2
+           |      * (CAST(n * (n - 1) - n2x2 AS DOUBLE) / 2))""")} AS tau_b
+           |FROM cd, nn, tx, ty""".stripMargin
       }) +
       // l-diversity: nested (QI, sensitive) then QI aggregation; q95's
       // round-to-decimal-then-exact-sum discipline for the entropy

@@ -1821,6 +1821,131 @@ object Profile {
       .orderBy("variant")
   }
 
+  /** McNemar's test (McNemar 1947) on PAIRED classifier decisions — the
+    * eval-integrity check for "is rule B actually better than rule A on
+    * the SAME documents": only the discordant pairs vote (b = A right &
+    * B wrong, c = A wrong & B right), χ² = (max(|b−c|−1, 0))²/(b+c) with
+    * the Edwards continuity correction clamped at zero (the b = c case
+    * reads as exactly no evidence, not 1/(b+c)). A two-proportion z-test
+    * on the same rows would double-count the concordant mass; McNemar is
+    * the correct paired form. One conditional-count aggregation — four
+    * integers off one scan, a single final division. */
+  def mcNemar(df: DataFrame, label: Column, predA: Column,
+              predB: Column): DataFrame = {
+    val aRight = predA === label
+    val bRight = predB === label
+    df.agg(count(lit(1)).as("n"),
+        sum(when(aRight && !bRight, 1L).otherwise(0L)).as("b"),
+        sum(when(!aRight && bRight, 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0, TextAnalysis.round6Portable(
+          (greatest(abs(col("b") - col("c")) - 1, lit(0L)) *
+            greatest(abs(col("b") - col("c")) - 1, lit(0L))).cast("double") /
+            (col("b") + col("c")))).as("chi2"))
+  }
+
+  /** Spearman rank correlation between two INTEGER metrics — the
+    * monotone-association complement to a Pearson audit: outlier-robust,
+    * scale-free, exactly what "does length track token count across the
+    * corpus" should be measured with. Midranks for ties, then the
+    * Pearson formula over ranks.
+    *
+    * Counts-of-counts ranks (one distinct-values window per variable,
+    * joined back by value — never a row-level sort), kept DOUBLED so
+    * every rank is an exact integer; the five sufficient statistics
+    * accumulate in decimal(38,0) (doubled ranks reach 2n, their products
+    * 4n², sums 4n³ — past long at corpus scale). The constant factor 2
+    * cancels in the correlation, so no de-doubling ever happens; floats
+    * appear only in the final ratio. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+    def ranks(vc: String): DataFrame = {
+      val counts = src.groupBy(col(vc).as("__v"))
+        .agg(count(lit(1)).as("__nk"))
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy("__v")
+        .rowsBetween(Long.MinValue, 0)
+      counts.withColumn("__cum", sum("__nk").over(run))
+        .select(col("__v").as(vc),
+          ((col("__cum") - col("__nk")) * 2 + col("__nk") + 1).as(vc + "r"))
+    }
+    val rx = col("__xr").cast(dec)
+    val ry = col("__yr").cast(dec)
+    src.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(rx).as("__sx"), sum(ry).as("__sy"), sum(rx * ry).as("__sxy"),
+        sum(rx * rx).as("__sxx"), sum(ry * ry).as("__syy"))
+      .select(col("__n").cast("long").as("n"),
+        TextAnalysis.round6Portable(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double") *
+              (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+                .cast("double"))).as("rho"))
+  }
+
+  /** Kendall tau-b on EQUI-WIDTH-BINNED values — the pair-concordance
+    * association measure, made corpus-scale by the binning sketch: raw
+    * Kendall is Θ(n log n) at best and pair-enumeration in SQL, but on
+    * B bins the concordant/discordant counts come from a B²-cell joint
+    * histogram self-join — bounded by the SKETCH GEOMETRY (≤ B⁴ cell
+    * pairs), independent of row count, with within-bin pairs correctly
+    * landing in the tie terms of the tau-b denominator
+    * (C−D)/√((n₀−n₁)(n₀−n₂)). Exact ON THE BINNED VALUES (the
+    * estimator's bias is the binning, stated, not a sampling artifact);
+    * finer B trades cell-join size for fidelity.
+    *
+    * Everything before the final ratio is exact integers: bin ids by
+    * integer arithmetic over the broadcast min/max, pair counts as
+    * decimal(38,0) products of cell counts (n(n−1)/2 alone overflows
+    * long past n ~ 6e9 rows). */
+  def kendallTauBinned(df: DataFrame, xCol: Column, yCol: Column,
+                       bins: Int = 32): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"bins must be in [2,1024]: $bins")
+    val dec = "decimal(38,0)"
+    val src = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+    val ext = broadcast(src.agg(
+      min("__x").as("__xlo"), max("__x").as("__xhi"),
+      min("__y").as("__ylo"), max("__y").as("__yhi")))
+    // `div`, not `/`: Spark's Column `/` is ALWAYS double division, and a
+    // double round-trip mis-bins values near bin edges at large magnitudes
+    val cells = graft.ops.Materialize.stable(
+      src.crossJoin(ext)
+        .select(
+          expr(s"((__x - __xlo) * $bins) div (__xhi - __xlo + 1)").as("bx"),
+          expr(s"((__y - __ylo) * $bins) div (__yhi - __ylo + 1)").as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("nc")),
+      "kendall-cells")
+    val a = cells.select(col("bx").as("bxa"), col("by").as("bya"),
+      col("nc").cast(dec).as("na"))
+    val b = cells.select(col("bx").as("bxb"), col("by").as("byb"),
+      col("nc").cast(dec).as("nb"))
+    // every unordered cell pair once (strict bx order); same-bx pairs are
+    // x-ties and belong to the denominator, never to C or D
+    val cd = a.join(b, col("bxb") < col("bxa"))
+      .agg(coalesce(sum(when(col("byb") < col("bya"),
+        col("na") * col("nb"))), lit(0).cast(dec)).as("c_pairs"),
+        coalesce(sum(when(col("byb") > col("bya"),
+          col("na") * col("nb"))), lit(0).cast(dec)).as("d_pairs"))
+    val n = cells.agg(sum(col("nc").cast(dec)).as("__n"))
+    val tx = cells.groupBy("bx").agg(sum(col("nc").cast(dec)).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1)).as("__n1x2"))
+    val ty = cells.groupBy("by").agg(sum(col("nc").cast(dec)).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1)).as("__n2x2"))
+    cd.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("__n").cast("long").as("n"),
+        col("c_pairs").cast("double").as("c_pairs"),
+        col("d_pairs").cast("double").as("d_pairs"),
+        TextAnalysis.round6Portable(
+          (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt((col("__n") * (col("__n") - 1) - col("__n1x2")).cast("double") /
+              2 *
+              ((col("__n") * (col("__n") - 1) - col("__n2x2")).cast("double") /
+                2))).as("tau_b"))
+  }
+
   /** l-diversity audit (Machanavajjhala et al. ICDE 2006) — the privacy
     * check ONE RUNG past q263's k-anonymity ladder: a quasi-identifier
     * group where everyone shares the same sensitive value leaks that

@@ -1384,4 +1384,90 @@ object TextAnalysis {
         round6Portable(sum("__c12").cast("double") / 1e12).as("jsd"))
       .orderBy("sa", "sb")
   }
+
+  /** Conditional entropy of the token stream: H(cur|ctx) over corpus
+    * bigrams, beside the marginal H(cur) and their difference — the
+    * mutual information I(ctx;cur), i.e. how many nats the previous
+    * token buys about the next one. THE corpus-level predictability
+    * number (natural text ~1-2 nats of MI; shuffled text ~0; template
+    * spam near H(cur) itself), complementing q277's per-document score
+    * with one corpus row and q266's label-MI with a token-level twin.
+    *
+    * One bigram-count shuffle (the q95/q277 gram stream), then
+    * type-table aggregations: every probability is a ratio of exact
+    * integer counts, every per-type term quantizes to integer picounits
+    * and LONG-sums (order-independent, engine-identical; |terms| ≤
+    * bigram-type count keeps the quantization error ≤ types·5e-13). */
+  def conditionalEntropy(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cbg = graft.ops.Materialize.stable(
+      docs.select(explode(shingles(toks, 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c")),
+      "condent-bigrams")
+    val cctx = cbg.withColumn("ctx", split(col("g"), " ")(0))
+      .groupBy("ctx").agg(sum("c").as("c_ctx"))
+    val tot = broadcast(cbg.agg(sum("c").as("b"), count(lit(1)).as("n_types")))
+    // H(cur|ctx) = -sum (c/B)·ln(c/c_ctx), per bigram type
+    val hcond = cbg.withColumn("ctx", split(col("g"), " ")(0))
+      .join(cctx, "ctx").crossJoin(tot)
+      .withColumn("__t12", floor(-(col("c").cast("double") / col("b") *
+        log(col("c").cast("double") / col("c_ctx"))) * 1e12 + 0.5).cast("long"))
+      .agg(max("b").as("n_bigrams"), max("n_types").as("n_types"),
+        sum("__t12").as("__hc12"))
+    // H(cur) = -sum (c_cur/B)·ln(c_cur/B), per continuation type
+    val hcur = cbg.select(split(col("g"), " ")(1).as("cur"), col("c"))
+      .groupBy("cur").agg(sum("c").as("c_cur"))
+      .crossJoin(tot)
+      .withColumn("__t12", floor(-(col("c_cur").cast("double") / col("b") *
+        log(col("c_cur").cast("double") / col("b"))) * 1e12 + 0.5).cast("long"))
+      .agg(sum("__t12").as("__hm12"))
+    hcond.crossJoin(broadcast(hcur))
+      .select(col("n_bigrams"), col("n_types"),
+        round6Portable(col("__hm12").cast("double") / 1e12).as("h_cur"),
+        round6Portable(col("__hc12").cast("double") / 1e12).as("h_cond"),
+        round6Portable((col("__hm12") - col("__hc12")).cast("double") / 1e12)
+          .as("mi"))
+  }
+
+  /** Gries' deviation-of-proportions dispersion (Gries 2008): per term,
+    * DP = ½·Σ_s |c_{t,s}/c_t − w_s| with w_s = source s's token share —
+    * 0 when the term's occurrences mirror the corpus layout, →1 when it
+    * bursts from one source. THE corpus-linguistics complement to raw
+    * frequency ("whale" can out-count "however" from one Moby-Dick
+    * shard), and the burstiness triage a mixture designer reads next to
+    * q281's JSD: JSD says two SOURCES differ, DP names WHICH TERMS.
+    *
+    * Sources a term never appears in contribute |0 − w_s| = w_s, summed
+    * CLOSED-FORM as 1 − Σ_{present} w_s — the absent cells are never
+    * materialized, so the work stays |present cells|, not |terms|·|sources|.
+    * Per-cell deviations and the source shares quantize to integer
+    * picounits and LONG-sum (the q281 discipline): order-independent,
+    * engine-identical. Output: the `topK` most-bursting terms at
+    * count ≥ minCount, (dp DESC, term) deterministic. */
+  def dispersion(docs: DataFrame, groupCol: String, textCol: String,
+                 minCount: Long = 20, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount, $topK")
+    val cnt = graft.ops.Materialize.stable(
+      docs.select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
+        .groupBy("src", "t").agg(count(lit(1)).as("c")),
+      "dispersion-counts")
+    val srcTot = cnt.groupBy("src").agg(sum("c").as("n_s"))
+    val tot = srcTot.agg(sum("n_s").as("n_total"))
+    val termTot = cnt.groupBy("t").agg(sum("c").as("c_t"))
+    val w = col("n_s").cast("double") / col("n_total")
+    val dev = abs(col("c").cast("double") / col("c_t") - w)
+    cnt
+      .join(termTot.filter(col("c_t") >= minCount), "t")
+      .join(broadcast(srcTot), "src")
+      .crossJoin(broadcast(tot))
+      .withColumn("__d12", floor(dev * 1e12 + 0.5).cast("long"))
+      .withColumn("__w12", floor(w * 1e12 + 0.5).cast("long"))
+      .groupBy(col("t").as("term"), col("c_t"))
+      .agg(count(lit(1)).as("n_sources"),
+        (sum("__d12") + (lit(1000000000000L) - sum("__w12"))).as("__dp12"))
+      .select(col("term"), col("c_t"), col("n_sources"),
+        round6Portable(col("__dp12").cast("double") / 1e12 / 2).as("dp"))
+      .orderBy(col("dp").desc, col("term"))
+      .limit(topK)
+  }
 }

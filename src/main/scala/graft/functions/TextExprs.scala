@@ -534,6 +534,46 @@ object TextKernels {
     }
     true
   }
+
+  /** Smith–Waterman local-alignment score (Smith & Waterman 1981) with
+    * linear gap costs — the BEST-scoring pair of substrings under
+    * (match, mismatch, gap) scoring, never negative. Where the global
+    * Levenshtein family charges a short shared fragment for everything
+    * around it, local alignment finds "these two names share the token
+    * 'S09FTX' verbatim" — the contamination / near-verbatim-span signal.
+    * Classic two-row integer DP over CODE POINTS (DuckDB's substring is
+    * code-point addressed, so the oracle fold sees the same alphabet);
+    * all-int arithmetic, no allocation beyond the two rows. */
+  def smithWaterman(ua: UTF8String, ub: UTF8String,
+                    matchScore: Int, mismatchScore: Int, gapScore: Int): Int = {
+    val x = ua.toString.codePoints().toArray
+    val y = ub.toString.codePoints().toArray
+    val m = y.length
+    if (x.length == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var best = 0
+    var i = 1
+    while (i <= x.length) {
+      val ca = x(i - 1)
+      var j = 1
+      while (j <= m) {
+        val diag = prev(j - 1) +
+          (if (ca == y(j - 1)) matchScore else mismatchScore)
+        val up = prev(j) + gapScore
+        val left = cur(j - 1) + gapScore
+        var h = if (diag > up) diag else up
+        if (left > h) h = left
+        if (h < 0) h = 0
+        cur(j) = h
+        if (h > best) best = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    best
+  }
 }
 
 /** `distinct_word_shingles(text, k)`: the DISTINCT set of k-token shingles
@@ -664,10 +704,50 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `smith_waterman(a, b)`: integer local-alignment score — see
+  * [[TextKernels.smithWaterman]]. Codegen'd for the same candidate-pair
+  * hot-path reason as [[JaroWinklerExpr]]; the scoring constants are plan
+  * literals, baked into the generated call site. */
+case class SmithWatermanExpr(left: Expression, right: Expression,
+                             matchScore: Int, mismatchScore: Int,
+                             gapScore: Int) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "smith_waterman"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.smithWaterman(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], matchScore, mismatchScore, gapScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.smithWaterman($a, $b, " +
+        s"$matchScore, $mismatchScore, $gapScore)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   /** Column API for [[JaroWinklerExpr]]. */
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinklerExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API for [[SmithWatermanExpr]]: +2 match, −1 mismatch, −1 gap
+    * by default (the classic toy-DNA weights; max score = 2·min(|a|,|b|),
+    * which normalizers divide by). */
+  def smithWaterman(a: Column, b: Column, matchScore: Int = 2,
+                    mismatchScore: Int = -1, gapScore: Int = -1): Column =
+    bridge.column(SmithWatermanExpr(bridge.expression(a),
+      bridge.expression(b), matchScore, mismatchScore, gapScore))
 
   /** Column API for [[DamerauLevenshteinExpr]]. */
   def damerauLevenshtein(a: Column, b: Column): Column =

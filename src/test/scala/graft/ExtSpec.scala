@@ -4152,6 +4152,101 @@ class LinkageSplitSpec extends SparkTestBase {
     }
   }
 
+  test("smithWaterman kernel: local fragments score free of their surroundings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def sw(a: String, b: String) =
+      graft.functions.TextKernels.smithWaterman(u(a), u(b), 2, -1, -1)
+    assert(sw("abc", "abc") === 6)       // full match
+    assert(sw("xabcy", "zabcw") === 6)   // local "abc", junk costs nothing
+    assert(sw("abXcd", "abYcd") === 7)   // substitute (2+2-1+2+2) beats gapping
+    assert(sw("aa", "bb") === 0)         // clamped at zero
+    assert(sw("", "x") === 0 && sw("ab", "") === 0)
+    assert(sw("ab", "ba") === 2)         // best single-char anchor
+    // column API matches the kernel
+    import spark.implicits._
+    val r = Seq(("xabcy", "zabcw")).toDF("a", "b")
+      .select(graft.functions.TextExprs.smithWaterman(col("a"), col("b")))
+      .head.getInt(0)
+    assert(r === 6)
+  }
+
+  test("dispersion: one-source burst scores 1/2 under even shares; absent cells fold") {
+    import spark.implicits._
+    // shares: a = b = 1/2. 'x': 4/5 vs 1/5 -> DP 0.3; 'y': only b -> DP 0.5
+    val d = Seq(("a", "x x x x"), ("b", "y y x y")).toDF("source", "text")
+    val got = TextAnalysis.dispersion(d, "source", "text",
+        minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(("y", 3L, 1L, 0.5), ("x", 5L, 2L, 0.3)))
+  }
+
+  test("mcNemar: only discordant pairs vote; clamped continuity correction") {
+    import spark.implicits._
+    // b = 3 (A right, B wrong), c = 1, 2 concordant -> chi2 = (2-1)^2/4
+    val d = Seq(
+      (true, true, false), (true, true, false), (true, true, false),
+      (true, false, true),
+      (true, true, true), (false, false, false)).toDF("lbl", "pa", "pb")
+    val r = Profile.mcNemar(d, col("lbl"), col("pa"), col("pb")).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("b") === 3L && r.getAs[Long]("c") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.25)
+    // b = c = 0: no discordance, no statistic
+    val z = Profile.mcNemar(d.filter(col("pa") === col("pb")),
+      col("lbl"), col("pa"), col("pb")).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("chi2")))
+  }
+
+  test("spearman: monotone = 1 regardless of shape; midrank ties hand-checked") {
+    import spark.implicits._
+    val mono = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L), (5L, 25L))
+      .toDF("x", "y")
+    assert(Profile.spearman(mono, col("x"), col("y"))
+      .collect()(0).getAs[Double]("rho") === 1.0)
+    assert(Profile.spearman(mono, col("x"), -col("y"))
+      .collect()(0).getAs[Double]("rho") === -1.0)
+    // ties: ranks x (1, 2.5, 2.5, 4), y (1..4) -> 18/sqrt(18*20)
+    val tied = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)).toDF("x", "y")
+    val r = Profile.spearman(tied, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("rho") === 0.948683)
+  }
+
+  test("conditionalEntropy: hand-checked H(cur|ctx), H(cur), and their MI") {
+    import spark.implicits._
+    // bigrams: "a b" x2, "b a", "a c" -> B=4; ctx a: 3, ctx b: 1
+    // H(cur|ctx) = -( (2/4)ln(2/3) + (1/4)ln(1/3) + (1/4)ln 1 ) = 0.477386
+    // H(cur) = 3 x (1/4)ln 4 + ... = 0.5 ln 2 + 0.25 ln 4 + 0.25 ln 4 = 1.039721
+    val d = Seq("a b a b", "a c").toDF("text")
+    val r = TextAnalysis.conditionalEntropy(d, "text").collect()(0)
+    assert(r.getAs[Long]("n_bigrams") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Double]("h_cur") === 1.039721)
+    assert(r.getAs[Double]("h_cond") === 0.477386)
+    assert(r.getAs[Double]("mi") === 0.562335)
+  }
+
+  test("kendallTauBinned: monotone = +/-1; crossed pairs cancel to 0") {
+    import spark.implicits._
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val up = Profile.kendallTauBinned(mono, col("x"), col("y"), bins = 4)
+      .collect()(0)
+    assert(up.getAs[Long]("n") === 4L)
+    assert(up.getAs[Double]("c_pairs") === 6.0 &&
+      up.getAs[Double]("d_pairs") === 0.0)
+    assert(up.getAs[Double]("tau_b") === 1.0)
+    assert(Profile.kendallTauBinned(mono, col("x"), -col("y"), bins = 4)
+      .collect()(0).getAs[Double]("tau_b") === -1.0)
+    // 2x2 checkerboard: one concordant, one discordant -> tau 0
+    val cross = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val z = Profile.kendallTauBinned(cross, col("x"), col("y"), bins = 2)
+      .collect()(0)
+    assert(z.getAs[Double]("c_pairs") === 1.0 &&
+      z.getAs[Double]("d_pairs") === 1.0)
+    assert(z.getAs[Double]("tau_b") === 0.0)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
