@@ -4495,6 +4495,45 @@ object ExtQueries {
     "q288_kendall_binned" -> ((s, dir) =>
       Profile.kendallTauBinned(t(s, dir, "lineitem"), col("l_quantity"),
         floor(col("l_extendedprice") * 100 + 0.5), bins = 32)),
+
+    // Monge-Elkan second-stage linkage scorer: per-token best-match
+    // Jaro-Winkler averaged per side — reorder-tolerant where whole-
+    // string metrics drown. Inner scores round to 6dp BEFORE the max
+    // (the cross-engine rank rule); DuckDB's own jaro_winkler_similarity
+    // re-derives every inner score in the oracle.
+    "q289_monge_elkan" -> ((s, dir) =>
+      Blocking.mongeElkan(Blocking.sortedNeighborhood(
+          t(s, dir, "part"), "p_name", "p_partkey", w = 2))
+        .orderBy("id_a", "id_b")),
+
+    // Weighted (multiset) Jaccard rescore of the q21 LSH candidates:
+    // token COUNTS, not sets — repetition-aware near-dup scoring via
+    // the sum-min/sum-max identity (union never materialized).
+    "q290_weighted_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.weightedJaccard(d, "doc_id", "text",
+        Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5)
+          .select("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Difference-in-differences over the events panel: treated arm's
+    // pre->post movement minus control's — shared trends cancel; the
+    // observational sibling of q280's CUPED.
+    "q291_diff_in_diff" -> ((s, dir) =>
+      Profile.diffInDiff(Ingest.eventsWithTs(s, dir), col("user_id"),
+        pmod(col("user_id"), lit(2)) === 1,
+        col("ts_ms") >= lit(1705363200000L),
+        floor(col("value") * 1e6 + 0.5))),
+
+    // Jenks natural breaks over price cents: the variance-OPTIMAL
+    // 5-way classing (vs q240's quantile bins), DP on a 64-bin sketch —
+    // corpus pays one stats pass, the O(k·B²) DP runs on bounded
+    // driver geometry; the oracle replays the same quantized DP as
+    // list_transform levels over one row.
+    "q292_jenks" -> ((s, dir) =>
+      Profile.jenksBreaks(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + 0.5), k = 5, bins = 64)),
   )
 
   // ------------------------------------------------------------------
@@ -7933,6 +7972,73 @@ object ExtQueries {
        |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  /** Unrolled DuckDB mirror of [[Profile.jenksBreaks]]: bin-stat lists on
+    * ONE row, prefix-sum lists, k DP levels as chained CTEs (two per
+    * level: the {e, j} struct argmin, then its e/backpointer projections
+    * — never a lateral-alias chain, never list_reduce), k backtrack
+    * CTEs, and a k-way UNION for the class rows. The segment cost is the
+    * identical double formula quantized to floor(x/1e6 + 0.5) longs, so
+    * both engines run the DP over the same integer table. */
+  private def jenksOracleSql(valueSql: String, table: String,
+                             k: Int, bins: Int): String = {
+    val r6 = TextAnalysis.round6PortableSql _
+    // quantized SSE over 1-based inclusive positions [a, b]; prefix(i)
+    // lives at list index i + 1
+    def sse(a: String, b: String) =
+      s"""CAST(floor((CAST(c2[$b + 1] - c2[$a] AS DOUBLE)
+         |      - CAST(c1[$b + 1] - c1[$a] AS DOUBLE)
+         |        * CAST(c1[$b + 1] - c1[$a] AS DOUBLE)
+         |        / CAST(cn[$b + 1] - cn[$a] AS DOUBLE)) / 1e6 + 0.5)
+         |    AS BIGINT)""".stripMargin
+    val levels = (2 to k).map { c =>
+      s"""jb$c AS (SELECT *, list_transform(range(1, m + 1), i ->
+         |    CASE WHEN i >= $c THEN list_min(list_transform(range(${c - 1}, i),
+         |      j -> {'e': e${c - 1}[j] + ${sse("(j + 1)", "i")},
+         |            'j': j})) END) AS be$c
+         |  FROM jk${c - 1}),
+         |jk$c AS (SELECT *, list_transform(be$c, s -> s['e']) AS e$c,
+         |    list_transform(be$c, s -> s['j']) AS bp$c FROM jb$c)""".stripMargin
+    }.mkString(",\n")
+    val backs = (k - 1 to 1 by -1).map { c =>
+      val jc = if (c == 1) "CAST(0 AS BIGINT)"
+      else s"bp$c[CAST(j${c + 1} AS INT)]"
+      s"""bt$c AS (SELECT *, j${c + 1} AS i$c, $jc AS j$c FROM bt${c + 1})"""
+    }.mkString(",\n")
+    val classes = (1 to k).map { c =>
+      s"""SELECT CAST($c AS INTEGER) AS class,
+         |  bl[CAST(j$c AS INT) + 1] AS bin_lo, bl[CAST(i$c AS INT)] AS bin_hi,
+         |  CAST(cn[i$c + 1] - cn[j$c + 1] AS BIGINT) AS n_rows,
+         |  ${r6(s"""CAST(c1[i$c + 1] - c1[j$c + 1] AS DOUBLE)
+         |    / CAST(cn[i$c + 1] - cn[j$c + 1] AS DOUBLE)""")} AS mean,
+         |  ${sse(s"(j$c + 1)", s"i$c")} AS sse6
+         |FROM bt1""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH src AS (SELECT $valueSql AS v FROM $table),
+       |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+       |bs AS (SELECT ((v - lo) * $bins) // (hi - lo + 1) AS b, count(*) AS n,
+       |    sum(CAST(v AS HUGEINT)) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2
+       |  FROM src CROSS JOIN ext GROUP BY 1),
+       |l0 AS (SELECT count(*) AS m, list(b ORDER BY b) AS bl,
+       |    list(CAST(n AS HUGEINT) ORDER BY b) AS nl,
+       |    list(s1 ORDER BY b) AS s1l, list(s2 ORDER BY b) AS s2l
+       |  FROM bs),
+       |pf AS (SELECT m, bl,
+       |    list_transform(range(0, m + 1),
+       |      i -> coalesce(list_sum(nl[1:CAST(i AS INT)]), 0)) AS cn,
+       |    list_transform(range(0, m + 1),
+       |      i -> coalesce(list_sum(s1l[1:CAST(i AS INT)]), 0)) AS c1,
+       |    list_transform(range(0, m + 1),
+       |      i -> coalesce(list_sum(s2l[1:CAST(i AS INT)]), 0)) AS c2
+       |  FROM l0),
+       |jk1 AS (SELECT *, list_transform(range(1, m + 1),
+       |    i -> ${sse("1", "i")}) AS e1 FROM pf),
+       |$levels,
+       |bt$k AS (SELECT *, CAST(m AS BIGINT) AS i$k,
+       |    bp$k[CAST(m AS INT)] AS j$k FROM jk$k),
+       |$backs
+       |SELECT * FROM ($classes) ORDER BY class""".stripMargin
+  }
+
   val oracleSql: Map[String, String] =
     baseOracleSql +
       ("q225_curation_capstone" -> curationCapstoneOracleSql) +
@@ -9179,6 +9285,100 @@ object ExtQueries {
           """CAST(n * sxy - sx * sy AS DOUBLE)
             |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
             |      * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin)} AS rho
+           |FROM s""".stripMargin
+      }) +
+      // Jenks: the SAME quantized DP (micro-unit SSE, smallest-split
+      // ties) replayed as unrolled list_transform levels; list_min over
+      // {e, j} structs IS the argmin with the tie convention
+      ("q292_jenks" -> jenksOracleSql(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)", "lineitem",
+        k = 5, bins = 64)) +
+      // Monge-Elkan: DuckDB's native jaro_winkler_similarity is the
+      // independent inner scorer (the q149 oracle discipline)
+      ("q289_monge_elkan" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        def tk(c: String) =
+          s"list_filter(string_split($c, ' '), x -> length(x) > 0)"
+        s"""WITH r AS (SELECT p_partkey, p_name,
+           |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS g
+           |  FROM part),
+           |pr AS (SELECT a.p_partkey AS id_a, a.p_name AS key_a,
+           |    b.p_partkey AS id_b, b.p_name AS key_b
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 2),
+           |tka AS (SELECT id_a, id_b, unnest(${tk("key_a")}) AS ta, key_b
+           |  FROM pr),
+           |sc AS (SELECT id_a, id_b, ta, tb,
+           |    CAST(round(jaro_winkler_similarity(ta, tb), 6)
+           |      AS DECIMAL(20,6)) AS jw
+           |  FROM (SELECT id_a, id_b, ta, unnest(${tk("key_b")}) AS tb
+           |        FROM tka)),
+           |ab AS (SELECT id_a, id_b,
+           |    ${r6("CAST(sum(m) AS DOUBLE) / count(*)")} AS me_ab
+           |  FROM (SELECT id_a, id_b, ta, max(jw) AS m FROM sc
+           |        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+           |ba AS (SELECT id_a, id_b,
+           |    ${r6("CAST(sum(m) AS DOUBLE) / count(*)")} AS me_ba
+           |  FROM (SELECT id_a, id_b, tb, max(jw) AS m FROM sc
+           |        GROUP BY 1, 2, 3) GROUP BY 1, 2)
+           |SELECT id_a, id_b, me_ab, me_ba,
+           |  ${r6("(me_ab + me_ba) / 2")} AS me
+           |FROM ab JOIN ba USING (id_a, id_b) ORDER BY id_a, id_b""".stripMargin
+      }) +
+      // weighted Jaccard: q21's LSH mirror supplies the pairs; counts,
+      // totals, and the sum-min/sum-max identity re-derived from scratch
+      ("q290_weighted_jaccard" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH pairs AS (SELECT doc_a, doc_b
+           |  FROM (${baseOracleSql("q21_minhash_lsh")})),
+           |cnt AS (SELECT doc_id AS id, t, count(*) AS c
+           |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS tot FROM cnt
+           |  GROUP BY 1),
+           |sh AS (SELECT doc_a, doc_b,
+           |    CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS sum_min
+           |  FROM pairs JOIN cnt ca ON ca.id = doc_a
+           |  JOIN cnt cb ON cb.id = doc_b AND cb.t = ca.t
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, coalesce(sum_min, 0) AS sum_min,
+           |  ta.tot AS tot_a, tb.tot AS tot_b,
+           |  ${r6("""CAST(coalesce(sum_min, 0) AS DOUBLE)
+           |    / (ta.tot + tb.tot - coalesce(sum_min, 0))""")} AS wjac
+           |FROM pairs LEFT JOIN sh USING (doc_a, doc_b)
+           |JOIN tot ta ON ta.id = doc_a JOIN tot tb ON tb.id = doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) +
+      // DiD: four conditional cells off one unit-period aggregation
+      ("q291_diff_in_diff" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH units AS (SELECT user_id, (user_id % 2 = 1) AS t,
+           |    (epoch_ms(ts) >= 1705363200000) AS p,
+           |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+           |      AS HUGEINT) AS y
+           |  FROM events GROUP BY 1, 2, 3),
+           |s AS (SELECT
+           |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_tpre,
+           |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_tpost,
+           |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_cpre,
+           |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_cpost,
+           |    sum(CASE WHEN t AND NOT p THEN y END) AS stpre,
+           |    sum(CASE WHEN t AND p THEN y END) AS stpost,
+           |    sum(CASE WHEN NOT t AND NOT p THEN y END) AS scpre,
+           |    sum(CASE WHEN NOT t AND p THEN y END) AS scpost
+           |  FROM units)
+           |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+           |  ${r6("CAST(stpre AS DOUBLE) / n_tpre / 1e6")} AS mean_tpre,
+           |  ${r6("CAST(stpost AS DOUBLE) / n_tpost / 1e6")} AS mean_tpost,
+           |  ${r6("CAST(scpre AS DOUBLE) / n_cpre / 1e6")} AS mean_cpre,
+           |  ${r6("CAST(scpost AS DOUBLE) / n_cpost / 1e6")} AS mean_cpost,
+           |  ${r6("""((CAST(stpost AS DOUBLE) / n_tpost
+           |    - CAST(stpre AS DOUBLE) / n_tpre)
+           |    - (CAST(scpost AS DOUBLE) / n_cpost
+           |      - CAST(scpre AS DOUBLE) / n_cpre)) / 1e6""")} AS did
            |FROM s""".stripMargin
       }) +
       // conditional entropy: every probability a ratio of exact counts,

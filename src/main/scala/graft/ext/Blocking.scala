@@ -326,4 +326,42 @@ object Blocking {
       .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
         (col("__gb") - col("__ga")).as("gap"))
   }
+
+  /** Monge–Elkan hybrid similarity (Monge & Elkan 1996) over candidate
+    * pairs: tokenize both keys, score every token pair with the inner
+    * metric (Jaro–Winkler here), take each left token's BEST right match
+    * and average — so "Smith John" vs "John A. Smith" scores near 1
+    * where whole-string edit distance drowns in the reordering. THE
+    * standard second-stage scorer in record linkage, asymmetric by
+    * construction; both directions and their mean are emitted.
+    *
+    * Input `pairs` carries (id_a, key_a, id_b, key_b) — a sorted-
+    * neighborhood or banded candidate set, never a product. Per pair
+    * the token cross is |a|·|b| (names: a handful); inner JW scores
+    * round to 6 dp and max/avg as DECIMAL (the cross-engine rank rule:
+    * round BEFORE the argmax, or libm ulps flip which token wins). */
+  def mongeElkan(pairs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    // both direction aggregations consume the scored cross — materialize
+    // it once (the bigram-stream rule) instead of re-running JW per branch
+    val toks = graft.ops.Materialize.stable(
+      pairs.select(col("id_a"), col("id_b"),
+          explode(TextAnalysis.tokens(col("key_a"))).as("ta"),
+          TextAnalysis.tokens(col("key_b")).as("__tbs"))
+        .select(col("id_a"), col("id_b"), col("ta"),
+          explode(col("__tbs")).as("tb"))
+        .withColumn("__jw", round(
+          graft.functions.TextExprs.jaroWinkler(col("ta"), col("tb")), 6)
+          .cast(dec)),
+      "monge-elkan-cross")
+    def side(tok: String, out: String): DataFrame = toks
+      .groupBy(col("id_a"), col("id_b"), col(tok))
+      .agg(max("__jw").as("__best"))
+      .groupBy("id_a", "id_b")
+      .agg(TextAnalysis.round6Portable(
+        sum("__best").cast("double") / count(lit(1))).as(out))
+    side("ta", "me_ab").join(side("tb", "me_ba"), Seq("id_a", "id_b"))
+      .withColumn("me", TextAnalysis.round6Portable(
+        (col("me_ab") + col("me_ba")) / 2))
+  }
 }

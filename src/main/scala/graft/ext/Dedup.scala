@@ -1098,4 +1098,39 @@ object Dedup {
           array_sort(collect_list(when(keep, struct(col("chunk_pos"), col("chunk"))))),
           s => s.getField("chunk")), " ").as("kept_text"))
   }
+
+  /** Weighted (multiset) Jaccard rescore of candidate pairs:
+    * J_w = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) over token
+    * COUNTS — the set form (q21/q23) calls a doc and its self-
+    * concatenation identical; the multiset form is what near-dup
+    * scoring over templated/repetitive text should use. Identity
+    * Σmax = tot_a + tot_b − Σmin turns the union into two broadcast-free
+    * lookups plus ONE inner join on (pair, token) over the SHARED
+    * tokens — absent tokens are never materialized. Exact integers to
+    * the final division. Pairs with no shared token score 0. */
+  def weightedJaccard(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame): DataFrame = {
+    val cnt = graft.ops.Materialize.stable(
+      docs.select(col(idCol).as("__id"),
+          explode(TextAnalysis.tokens(col(textCol))).as("t"))
+        .groupBy("__id", "t").agg(count(lit(1)).as("c")),
+      "wjac-counts")
+    val tot = cnt.groupBy("__id").agg(sum("c").as("tot"))
+    val shared = pairs
+      .join(cnt.select(col("__id").as("doc_a"), col("t"), col("c").as("ca")),
+        "doc_a")
+      .join(cnt.select(col("__id").as("doc_b"), col("t"), col("c").as("cb")),
+        Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("sum_min"))
+    pairs.select("doc_a", "doc_b")
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("sum_min"))
+      .join(tot.select(col("__id").as("doc_a"), col("tot").as("tot_a")), "doc_a")
+      .join(tot.select(col("__id").as("doc_b"), col("tot").as("tot_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sum_min"),
+        col("tot_a"), col("tot_b"),
+        TextAnalysis.round6Portable(col("sum_min").cast("double") /
+          (col("tot_a") + col("tot_b") - col("sum_min"))).as("wjac"))
+  }
 }

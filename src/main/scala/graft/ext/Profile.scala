@@ -1885,6 +1885,122 @@ object Profile {
                 .cast("double"))).as("rho"))
   }
 
+  /** Jenks natural breaks (Fisher 1958 / Jenks 1967): the OPTIMAL
+    * 1-D classing — k contiguous classes minimizing total within-class
+    * squared error — where q240's quantile bins optimize nothing and
+    * equal-width bins ignore the data entirely. The layout primitive
+    * behind choosing file-split boundaries, histogram legends, and
+    * skew-aware range partitions.
+    *
+    * Scale shape: the corpus contributes ONE pass of bin statistics
+    * (n, Σv, Σv² per equi-width pre-bin — the sketch); the O(k·B²) DP
+    * runs on the DRIVER over ≤ `bins` rows (the bounded-geometry rule:
+    * same class as IVF centroids). Exactness contract: the DP cost is
+    * the within-segment SSE = Σv² − (Σv)²/n computed in DOUBLE from
+    * exact decimal sums and quantized to floor(x/1e6 + 0.5) longs —
+    * both engines build the identical quantized table, so argmin and
+    * breaks match bit-for-bit (ties take the smallest split). Optimal
+    * on the BINNED data; `bins` trades sketch fidelity for DP size. */
+  def jenksBreaks(df: DataFrame, value: Column, k: Int = 5,
+                  bins: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 16 && bins >= k && bins <= 256,
+      s"need 2 <= k <= 16 <= bins <= 256, got k=$k bins=$bins")
+    val dec = "decimal(38,0)"
+    val src = df.select(value.cast("long").as("__v"))
+    val ext = broadcast(src.agg(min("__v").as("__lo"), max("__v").as("__hi")))
+    val stats = src.crossJoin(ext)
+      .select(expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)").as("b"),
+        col("__v"))
+      .groupBy("b").agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("s1"),
+        sum(col("__v").cast(dec) * col("__v")).as("s2"))
+      .orderBy("b")
+      .collect() // <= bins rows: bounded driver geometry, never corpus rows
+    val m = stats.length
+    require(m >= k, s"only $m occupied bins for $k classes")
+    val bl = stats.map(_.getAs[Long]("b"))
+    val cn, c1, c2 = new Array[BigInt](m + 1)
+    cn(0) = BigInt(0); c1(0) = BigInt(0); c2(0) = BigInt(0)
+    for (i <- 1 to m) {
+      cn(i) = cn(i - 1) + BigInt(stats(i - 1).getAs[Long]("n"))
+      c1(i) = c1(i - 1) +
+        BigInt(stats(i - 1).getAs[java.math.BigDecimal]("s1").toBigInteger)
+      c2(i) = c2(i - 1) +
+        BigInt(stats(i - 1).getAs[java.math.BigDecimal]("s2").toBigInteger)
+    }
+    // quantized segment cost over 1-based inclusive bin positions [a, b]
+    def sse6(a: Int, b: Int): Long = {
+      val n = (cn(b) - cn(a - 1)).toDouble
+      val s1 = (c1(b) - c1(a - 1)).toDouble
+      val s2 = (c2(b) - c2(a - 1)).toDouble
+      math.floor((s2 - s1 * s1 / n) / 1e6 + 0.5).toLong
+    }
+    val e = Array.ofDim[Long](k + 1, m + 1)
+    val bp = Array.ofDim[Int](k + 1, m + 1)
+    for (i <- 1 to m) e(1)(i) = sse6(1, i)
+    for (c <- 2 to k; i <- c to m) {
+      var bestE = Long.MaxValue; var bestJ = -1
+      for (j <- (c - 1) until i) {
+        val cand = e(c - 1)(j) + sse6(j + 1, i)
+        if (cand < bestE) { bestE = cand; bestJ = j } // ties keep smallest j
+      }
+      e(c)(i) = bestE; bp(c)(i) = bestJ
+    }
+    val hi = new Array[Int](k + 1); val lo = new Array[Int](k + 1)
+    hi(k) = m
+    for (c <- k to 1 by -1) {
+      lo(c) = if (c == 1) 0 else bp(c)(hi(c))
+      if (c > 1) hi(c - 1) = lo(c)
+    }
+    val out = (1 to k).map { c =>
+      val n = (cn(hi(c)) - cn(lo(c))).toDouble
+      val s1 = (c1(hi(c)) - c1(lo(c))).toDouble
+      (c, bl(lo(c)), bl(hi(c) - 1), (cn(hi(c)) - cn(lo(c))).toLong,
+        math.floor(s1 / n * 1e6 + 0.5) / 1e6, sse6(lo(c) + 1, hi(c)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("class", "bin_lo", "bin_hi", "n_rows", "mean", "sse6")
+  }
+
+  /** Difference-in-differences (the Card–Krueger design): the treated
+    * arm's pre→post movement minus the control arm's — so any shared
+    * trend (seasonality, platform drift) cancels and what remains is
+    * the treatment effect under the parallel-trends assumption. The
+    * observational sibling of [[cuped]]'s randomized adjustment. Means
+    * are over OBSERVED unit-period cells (a unit silent in one period
+    * contributes no cell — stated, not imputed). One unit-cell
+    * aggregation (the only corpus shuffle), then four conditional sums
+    * into a single row; v6-quantized metric, exact decimal cores, four
+    * mirrored double divisions at the end. */
+  def diffInDiff(df: DataFrame, unitCol: Column, treatedCol: Column,
+                 postCol: Column, metric: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val units = df.groupBy(unitCol.as("__u"), treatedCol.as("__t"),
+        postCol.as("__p"))
+      .agg(sum(metric.cast("long")).as("__y"))
+    def cell(t: Boolean, p: Boolean, out: String) = Seq(
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+        .as("n_" + out),
+      sum(when(col("__t") === t && col("__p") === p, col("__y").cast(dec)))
+        .as("__s" + out))
+    def mean(out: String): Column = TextAnalysis.round6Portable(
+      col("__s" + out).cast("double") / col("n_" + out) / 1e6)
+      .as("mean_" + out)
+    val aggs = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    units.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_tpre") +: col("n_tpost") +: col("n_cpre") +:
+        col("n_cpost") +: mean("tpre") +: mean("tpost") +: mean("cpre") +:
+        mean("cpost") +:
+        TextAnalysis.round6Portable(
+          ((col("__stpost").cast("double") / col("n_tpost") -
+            col("__stpre").cast("double") / col("n_tpre")) -
+            (col("__scpost").cast("double") / col("n_cpost") -
+              col("__scpre").cast("double") / col("n_cpre"))) / 1e6)
+          .as("did") +: Nil: _*)
+  }
+
   /** Kendall tau-b on EQUI-WIDTH-BINNED values — the pair-concordance
     * association measure, made corpus-scale by the binning sketch: raw
     * Kendall is Θ(n log n) at best and pair-enumeration in SQL, but on

@@ -4247,6 +4247,65 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(z.getAs[Double]("tau_b") === 0.0)
   }
 
+  test("mongeElkan: reordered tokens score 1 from the long side, junk dilutes the short") {
+    import spark.implicits._
+    val pairs = Seq((1L, "john smith", 2L, "smith john a"))
+      .toDF("id_a", "key_a", "id_b", "key_b")
+    val r = graft.ext.Blocking.mongeElkan(pairs).collect()(0)
+    // every a-token has an exact twin -> 1.0; 'a' finds no match -> 2/3
+    assert(r.getAs[Double]("me_ab") === 1.0)
+    assert(r.getAs[Double]("me_ba") === 0.666667)
+    assert(r.getAs[Double]("me") === 0.833334)
+  }
+
+  test("weightedJaccard: multiset min/max; disjoint pair scores 0") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a b b"), (3L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.weightedJaccard(d, "doc_id", "text", pairs)
+      .orderBy("doc_a", "doc_b").collect()
+    // {a:2,b:1} vs {a:1,b:2}: min 2, max 4 -> 0.5
+    assert(got(0).getAs[Long]("sum_min") === 2L)
+    assert(got(0).getAs[Double]("wjac") === 0.5)
+    assert(got(1).getAs[Long]("sum_min") === 0L)
+    assert(got(1).getAs[Double]("wjac") === 0.0)
+  }
+
+  test("diffInDiff: shared trend cancels, treatment delta remains") {
+    import spark.implicits._
+    // treated u1: 10 -> 30; control u2: 20 -> 25 => did = 20 - 5 = 15
+    val ev = Seq(
+      (1L, false, 10000000L), (1L, true, 30000000L),
+      (2L, false, 20000000L), (2L, true, 25000000L)).toDF("u", "p", "v")
+    val r = graft.ext.Profile.diffInDiff(ev, col("u"), col("u") === 1,
+      col("p"), col("v")).collect()(0)
+    assert(r.getAs[Long]("n_tpre") === 1L && r.getAs[Long]("n_cpost") === 1L)
+    assert(r.getAs[Double]("mean_tpre") === 10.0)
+    assert(r.getAs[Double]("mean_tpost") === 30.0)
+    assert(r.getAs[Double]("mean_cpre") === 20.0)
+    assert(r.getAs[Double]("mean_cpost") === 25.0)
+    assert(r.getAs[Double]("did") === 15.0)
+  }
+
+  test("jenksBreaks: DP picks the variance-optimal split, not the greedy one") {
+    import spark.implicits._
+    // occupied bins: {10k,20k}, {30k}, {40k}, {100k}; k=2 optimum keeps
+    // 10k-40k together (sse6 500) and isolates 100k — splits at j=1 or
+    // j=2 cost 2917 / 2000 (hand-computed)
+    val d = Seq(10000L, 20000L, 30000L, 40000L, 100000L).toDF("v")
+    val got = graft.ext.Profile.jenksBreaks(d, col("v"), k = 2, bins = 8)
+      .orderBy("class").collect()
+    assert(got(0).getAs[Long]("bin_lo") === 0L)
+    assert(got(0).getAs[Long]("bin_hi") === 2L)
+    assert(got(0).getAs[Long]("n_rows") === 4L)
+    assert(got(0).getAs[Double]("mean") === 25000.0)
+    assert(got(0).getAs[Long]("sse6") === 500L)
+    assert(got(1).getAs[Long]("bin_lo") === 7L)
+    assert(got(1).getAs[Long]("n_rows") === 1L)
+    assert(got(1).getAs[Double]("mean") === 100000.0)
+    assert(got(1).getAs[Long]("sse6") === 0L)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
