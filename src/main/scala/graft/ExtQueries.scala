@@ -4534,6 +4534,39 @@ object ExtQueries {
     "q292_jenks" -> ((s, dir) =>
       Profile.jenksBreaks(t(s, dir, "lineitem"),
         floor(col("l_extendedprice") * 100 + 0.5), k = 5, bins = 64)),
+
+    // Vocabulary richness: Chao1's unseen-type lower bound and Good's
+    // coverage — where the vocabulary is HEADING, beside q269's Heaps
+    // growth fit. Counts-of-counts, two divisions.
+    "q293_vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(docs(s, dir), "text")),
+
+    // Lincoln-Petersen capture-recapture over two independent dup
+    // screens (MinHash-LSH vs SimHash): how many near-dup pairs the
+    // corpus holds BEYOND what either method caught — the recall
+    // honesty meter that needs no brute-force ground truth.
+    "q294_capture_recapture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.captureRecapture(
+        Dedup.minhashLsh(d, "doc_id", "text", minJaccard = 0.5),
+        Dedup.simhashNearDup(d, "doc_id", "text"))
+    }),
+
+    // Needleman-Wunsch global alignment on the q283 candidate pairs:
+    // end-to-end equivalence where SW forgives surrounding junk —
+    // emitting both lets a linker read local-vs-global disagreement
+    // as the "shared fragment inside different names" signal.
+    "q295_needleman_wunsch" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(t(s, dir, "supplier"),
+          "s_name", "s_suppkey", w = 3)
+        .withColumn("nw", graft.functions.TextExprs.needlemanWunsch(
+          col("key_a"), col("key_b")))
+        .withColumn("nw_sim", TextAnalysis.round6Portable(
+          col("nw").cast("double") /
+            (lit(2.0) * greatest(length(col("key_a")),
+              length(col("key_b"))))))
+        .select("id_a", "id_b", "key_a", "key_b", "gap", "nw", "nw_sim")
+        .orderBy("id_a", "id_b")),
   )
 
   // ------------------------------------------------------------------
@@ -9293,6 +9326,76 @@ object ExtQueries {
       ("q292_jenks" -> jenksOracleSql(
         "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)", "lineitem",
         k = 5, bins = 64)) +
+      // Chao1 + Good coverage off the counts-of-counts table
+      ("q293_vocab_richness" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH tc AS (SELECT t, count(*) AS c
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1),
+           |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    count(*) AS vocab,
+           |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           |  FROM tc)
+           |SELECT n_tokens, vocab, n1, n2,
+           |  CASE WHEN n2 > 0 THEN ${r6(
+          "vocab + CAST(n1 AS DOUBLE) * n1 / (2 * n2)")} END AS chao1,
+           |  ${r6("1.0 - CAST(n1 AS DOUBLE) / n_tokens")} AS coverage
+           |FROM s""".stripMargin
+      }) +
+      // capture-recapture: both pair screens re-derived from their own
+      // mirrors, three counts, one division
+      ("q294_capture_recapture" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH pa AS (SELECT doc_a, doc_b
+           |  FROM (${baseOracleSql("q21_minhash_lsh")})),
+           |pb AS (SELECT doc_a, doc_b
+           |  FROM (${baseOracleSql("q25_simhash_neardup")})),
+           |s AS (SELECT (SELECT count(*) FROM pa) AS n_a,
+           |    (SELECT count(*) FROM pb) AS n_b,
+           |    (SELECT count(*) FROM pa JOIN pb USING (doc_a, doc_b))
+           |      AS n_both)
+           |SELECT n_a, n_b, n_both,
+           |  CASE WHEN n_both > 0 THEN ${r6(
+          "CAST(n_a AS DOUBLE) * n_b / n_both")} END AS est_total
+           |FROM s""".stripMargin
+      }) +
+      // Needleman-Wunsch: the q283 recursive-CTE mirror without the
+      // zero clamp; gap-priced boundaries ride the prefix-max as the
+      // k = 0 term (F[i][0] = -i prepended before the max)
+      ("q295_needleman_wunsch" -> {
+        val hList =
+          """list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1), j ->
+            |      CASE WHEN j = 0 THEN -(i + 1) ELSE
+            |        list_max(list_prepend(-(i + 1),
+            |          list_transform(range(1, j + 1), k ->
+            |            greatest(
+            |              hb[k] + CASE WHEN
+            |                  substring(key_a, CAST(i AS INT) + 1, 1)
+            |                  = substring(key_b, CAST(k AS INT), 1)
+            |                THEN 2 ELSE -1 END,
+            |              hb[k + 1] - 1) + k))) - j END)""".stripMargin
+        s"""WITH RECURSIVE r AS (SELECT s_suppkey, s_name,
+           |    row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS g
+           |  FROM supplier),
+           |pr AS (SELECT a.s_suppkey AS id_a, a.s_name AS key_a,
+           |    b.s_suppkey AS id_b, b.s_name AS key_b, b.g - a.g AS gap
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 3),
+           |dp AS (
+           |  SELECT id_a, id_b, key_a, key_b, gap, CAST(0 AS BIGINT) AS i,
+           |    list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1),
+           |      z -> -z) AS hb
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT id_a, id_b, key_a, key_b, gap, i + 1, $hList
+           |  FROM dp WHERE i < length(key_a))
+           |SELECT id_a, id_b, key_a, key_b, gap,
+           |  CAST(hb[CAST(length(key_b) AS INT) + 1] AS INTEGER) AS nw,
+           |  ${TextAnalysis.round6PortableSql(
+          """CAST(hb[CAST(length(key_b) AS INT) + 1] AS DOUBLE)
+            |    / (2.0 * greatest(length(key_a), length(key_b)))""".stripMargin)}
+           |    AS nw_sim
+           |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
+      }) +
       // Monge-Elkan: DuckDB's native jaro_winkler_similarity is the
       // independent inner scorer (the q149 oracle discipline)
       ("q289_monge_elkan" -> {

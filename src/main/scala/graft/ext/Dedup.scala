@@ -1099,6 +1099,28 @@ object Dedup {
           s => s.getField("chunk")), " ").as("kept_text"))
   }
 
+  /** Lincoln–Petersen capture–recapture estimate of the TRUE duplicate-
+    * pair population from two independent detectors: if method A finds
+    * n_a pairs, method B finds n_b, and they agree on n_both, then
+    * N̂ = n_a·n_b / n_both — the classic mark-recapture argument, here
+    * answering "how many near-dup pairs does the corpus actually hold
+    * beyond what either screen caught". The honesty meter for any
+    * single-method dedup recall claim; read it beside q126's LSH recall
+    * audit (which needs brute-force ground truth this estimator avoids).
+    * Three counts and one division; the pair join is candidate-sized. */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select("doc_a", "doc_b")
+    val b = pairsB.select("doc_a", "doc_b")
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(a.join(b, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_both")))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        when(col("n_both") > 0, TextAnalysis.round6Portable(
+          col("n_a").cast("double") * col("n_b") / col("n_both")))
+          .as("est_total"))
+  }
+
   /** Weighted (multiset) Jaccard rescore of candidate pairs:
     * J_w = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) over token
     * COUNTS — the set form (q21/q23) calls a doc and its self-

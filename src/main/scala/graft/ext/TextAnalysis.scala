@@ -1328,6 +1328,29 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** Vocabulary-richness summary: Chao1's lower-bound estimate of the
+    * TRUE vocabulary size (Chao 1984: V + N1²/2N2 — the singletons and
+    * doubletons predict how many types the corpus hasn't seen yet) and
+    * Good's coverage estimate 1 − N1/N ("what fraction of the next
+    * shard's tokens will be known words"). The two numbers a corpus
+    * grower reads beside q269's Heaps fit: Heaps says how vocabulary
+    * GROWS, Chao1 says where it's heading, coverage says how much is
+    * already banked. One counts-of-counts pass; all exact integers into
+    * two final divisions. */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        when(col("n2") > 0, round6Portable(
+          col("vocab") + col("n1").cast("double") * col("n1") /
+            (lit(2) * col("n2")))).as("chao1"),
+        round6Portable(lit(1.0) -
+          col("n1").cast("double") / col("n_tokens")).as("coverage"))
+  }
+
   /** Jensen-Shannon divergence between per-source unigram distributions,
     * for every pair of the given sources — the bounded, symmetric
     * corpus-mix diagnostic (0 = identical token mix, ln 2 = disjoint

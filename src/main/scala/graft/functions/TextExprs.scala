@@ -574,6 +574,42 @@ object TextKernels {
     }
     best
   }
+
+  /** Needleman–Wunsch GLOBAL alignment score (Needleman & Wunsch 1970),
+    * linear gaps — [[smithWaterman]] without the zero clamp and with
+    * gap-priced boundaries, so the WHOLE of both strings must align:
+    * end-to-end name equivalence where SW's local score forgives
+    * surrounding junk. Same two-row integer DP over code points. */
+  def needlemanWunsch(ua: UTF8String, ub: UTF8String,
+                      matchScore: Int, mismatchScore: Int,
+                      gapScore: Int): Int = {
+    val x = ua.toString.codePoints().toArray
+    val y = ub.toString.codePoints().toArray
+    val m = y.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j * gapScore; j += 1 }
+    var i = 1
+    while (i <= x.length) {
+      val ca = x(i - 1)
+      cur(0) = i * gapScore
+      j = 1
+      while (j <= m) {
+        val diag = prev(j - 1) +
+          (if (ca == y(j - 1)) matchScore else mismatchScore)
+        val up = prev(j) + gapScore
+        val left = cur(j - 1) + gapScore
+        var h = if (diag > up) diag else up
+        if (left > h) h = left
+        cur(j) = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
 }
 
 /** `distinct_word_shingles(text, k)`: the DISTINCT set of k-token shingles
@@ -736,10 +772,48 @@ case class SmithWatermanExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `needleman_wunsch(a, b)`: integer global-alignment score — see
+  * [[TextKernels.needlemanWunsch]]. Codegen'd like [[SmithWatermanExpr]]. */
+case class NeedlemanWunschExpr(left: Expression, right: Expression,
+                               matchScore: Int, mismatchScore: Int,
+                               gapScore: Int) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "needleman_wunsch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.needlemanWunsch(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], matchScore, mismatchScore, gapScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.needlemanWunsch($a, $b, " +
+        s"$matchScore, $mismatchScore, $gapScore)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   /** Column API for [[JaroWinklerExpr]]. */
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinklerExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API for [[NeedlemanWunschExpr]] (same default weights as
+    * [[smithWaterman]]; score of identical strings = 2·|s|, floor
+    * −gap·(|a|+|b|), so normalizers divide by 2·max(|a|,|b|)). */
+  def needlemanWunsch(a: Column, b: Column, matchScore: Int = 2,
+                      mismatchScore: Int = -1, gapScore: Int = -1): Column =
+    bridge.column(NeedlemanWunschExpr(bridge.expression(a),
+      bridge.expression(b), matchScore, mismatchScore, gapScore))
 
   /** Column API for [[SmithWatermanExpr]]: +2 match, −1 mismatch, −1 gap
     * by default (the classic toy-DNA weights; max score = 2·min(|a|,|b|),

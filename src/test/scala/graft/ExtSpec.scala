@@ -4306,6 +4306,51 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(got(1).getAs[Long]("sse6") === 0L)
   }
 
+  test("vocabRichness: Chao1 lower bound and Good coverage, hand-checked") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1, d=1 -> V=4, N1=2, N2=1, N=7
+    // chao1 = 4 + 4/2 = 6; coverage = 1 - 2/7 = 0.714286
+    val d = Seq("a a a b b c d").toDF("text")
+    val r = TextAnalysis.vocabRichness(d, "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 7L && r.getAs[Long]("vocab") === 4L)
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 1L)
+    assert(r.getAs[Double]("chao1") === 6.0)
+    assert(r.getAs[Double]("coverage") === 0.714286)
+    // no doubletons: the estimator is undefined, not infinite
+    val z = TextAnalysis.vocabRichness(Seq("a b").toDF("text"), "text")
+      .collect()(0)
+    assert(z.isNullAt(z.fieldIndex("chao1")))
+  }
+
+  test("captureRecapture: Lincoln-Petersen from two pair screens") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.captureRecapture(a, b).collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Long]("n_both") === 2L)
+    assert(r.getAs[Double]("est_total") === 6.0) // 3*4/2
+    // disjoint screens: no overlap, no estimate
+    val z = Dedup.captureRecapture(a,
+      Seq((6L, 7L)).toDF("doc_a", "doc_b")).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("est_total")))
+  }
+
+  test("needlemanWunsch kernel: global ends pay gaps; SW's junk is not free") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def nw(a: String, b: String) =
+      graft.functions.TextKernels.needlemanWunsch(u(a), u(b), 2, -1, -1)
+    assert(nw("abc", "abc") === 6)
+    assert(nw("abc", "abd") === 3)  // 2 + 2 - 1
+    assert(nw("abc", "bc") === 3)   // leading gap -1, then 2 + 2
+    assert(nw("", "ab") === -2 && nw("ab", "") === -2)
+    assert(nw("ab", "ba") === 0)    // one anchor match, two gaps
+    // vs SW on shared-fragment-in-junk: local 6, global punishes
+    def sw(a: String, b: String) =
+      graft.functions.TextKernels.smithWaterman(u(a), u(b), 2, -1, -1)
+    assert(sw("xabcy", "zabcw") === 6 && nw("xabcy", "zabcw") === 4)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
