@@ -3628,10 +3628,17 @@ object ExtQueries {
       // spread the probe stream: the small parquet arrives as ONE scan
       // partition, which would run the banded levenshtein fold on one
       // core (the compute-heavy-small-input trap Partitioning.spread
-      // exists for)
-      val pairs = graft.ops.Partitioning.spread(
-          side("a").filter(col("ka") % 5 === 0))
-        .join(side("b"), "band").filter(col("ka") < col("kb"))
+      // exists for). Strides are n/target (not fixed fractions) so the
+      // training pair volume stays bounded at any scale — the q232
+      // round-14 sf1 lesson; at sf0.01 they resolve to the original
+      // 5 and 1, bit-identical behavior.
+      val np = broadcast(p.agg(count(lit(1)).as("__np")))
+      def thinned(tag: String, target: Int) = side(tag).crossJoin(np)
+        .filter(pmod(col(s"k$tag"),
+          greatest(lit(1L), expr(s"__np div $target"))) === 0)
+        .drop("__np")
+      val pairs = graft.ops.Partitioning.spread(thinned("a", 400))
+        .join(thinned("b", 2000), "band").filter(col("ka") < col("kb"))
       Blocking.fsWeights(pairs,
         levenshtein(col("na"), col("nb")) <= 2,
         Seq(
@@ -3716,9 +3723,19 @@ object ExtQueries {
         col("p_partkey").as(s"k$tag"), col("p_name").as(s"n$tag"),
         col("p_brand").as(s"b$tag"), col("p_type").as(s"t$tag"),
         expr("length(p_name) div 2").as("band"))
-      val labeled = graft.ops.Partitioning.spread(
-          side("a").filter(col("ka") % 5 === 0))
-        .join(side("b"), "band").filter(col("ka") < col("kb"))
+      // Scale-adaptive training sample (round-14 sf1 audit: fixed 1-in-5
+      // probe thinning left the weight-estimation join quadratic — 37x
+      // at 10x data). The FS estimator needs a BOUNDED training set, not
+      // a constant FRACTION: stride each side by n/target so the labeled
+      // pair volume stays ~sf0.01-sized at ANY scale (at sf0.01 the
+      // strides are 5 and 1 — bit-identical to the old behavior).
+      val np = broadcast(p.agg(count(lit(1)).as("__np")))
+      def thinned(tag: String, target: Int) = side(tag).crossJoin(np)
+        .filter(pmod(col(s"k$tag"),
+          greatest(lit(1L), expr(s"__np div $target"))) === 0)
+        .drop("__np")
+      val labeled = graft.ops.Partitioning.spread(thinned("a", 400))
+        .join(thinned("b", 2000), "band").filter(col("ka") < col("kb"))
       // the 1-row pivoted estimator (NOT a max(CASE) re-pivot of the
       // per-field rows — that explode+re-aggregate knocks the banded-pair
       // levenshtein fold out of whole-stage codegen)
@@ -7827,7 +7844,10 @@ object ExtQueries {
        |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
        |         (levenshtein(a.p_name, b.p_name) <= 2) AS m
        |  FROM p a JOIN p b ON a.band = b.band AND a.p_partkey < b.p_partkey
-       |  WHERE a.p_partkey % 5 = 0),
+       |  WHERE a.p_partkey
+       |          % greatest(1, (SELECT count(*) FROM part) // 400) = 0
+       |    AND b.p_partkey
+       |          % greatest(1, (SELECT count(*) FROM part) // 2000) = 0),
        |f AS (SELECT
        |  CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_m,
        |  CAST(count(*) FILTER (WHERE NOT m) AS BIGINT) AS n_u,
@@ -7931,7 +7951,10 @@ object ExtQueries {
        |         b.p_brand AS bb, a.p_type AS ta, b.p_type AS tb,
        |         (levenshtein(a.p_name, b.p_name) <= 2) AS m
        |  FROM p a JOIN p b ON a.band = b.band AND a.p_partkey < b.p_partkey
-       |  WHERE a.p_partkey % 5 = 0),
+       |  WHERE a.p_partkey
+       |          % greatest(1, (SELECT count(*) FROM part) // 400) = 0
+       |    AND b.p_partkey
+       |          % greatest(1, (SELECT count(*) FROM part) // 2000) = 0),
        |f AS (SELECT
        |  count(*) FILTER (WHERE m) AS n_m,
        |  count(*) FILTER (WHERE NOT m) AS n_u,
