@@ -4584,6 +4584,25 @@ object ExtQueries {
               length(col("key_b"))))))
         .select("id_a", "id_b", "key_a", "key_b", "gap", "nw", "nw_sim")
         .orderBy("id_a", "id_b")),
+
+    // Wasserstein-1 between click and view event values: the TOTAL
+    // distribution shift in metric units (sum of CDF gaps x value gap),
+    // where q236's KS reads only the worst point — the thresholdable
+    // drift number. Counts-of-counts + one distinct-values window.
+    "q296_wasserstein" -> ((s, dir) =>
+      Profile.wasserstein1(t(s, dir, "events"),
+        floor(col("value") * 1e6 + 0.5), col("event_type"),
+        "click", "view")),
+
+    // Population Stability Index, pre vs post period over event values
+    // (10 equi-width cells, Laplace-smoothed shares): the score risk
+    // teams actually log, beside W1's metric-unit and KS's worst-point
+    // answers.
+    "q297_psi" -> ((s, dir) =>
+      Profile.psi(Ingest.eventsWithTs(s, dir),
+        floor(col("value") * 1e6 + 0.5),
+        when(col("ts_ms") < lit(1705363200000L), "pre").otherwise("post"),
+        "pre", "post", bins = 10)),
   )
 
   // ------------------------------------------------------------------
@@ -9506,6 +9525,50 @@ object ExtQueries {
            |    - (CAST(scpost AS DOUBLE) / n_cpost
            |      - CAST(scpre AS DOUBLE) / n_cpre)) / 1e6""")} AS did
            |FROM s""".stripMargin
+      }) +
+      // W1: CDF-gap x value-gap steps over distinct values, micro-unit
+      // quantized and integer-summed
+      ("q296_wasserstein" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        s"""WITH src AS (SELECT
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    event_type = 'click' AS isa
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |c AS (SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+           |    sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+           |  FROM src GROUP BY 1),
+           |w AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+           |    sum(nb) OVER (ORDER BY v) AS cb,
+           |    coalesce(lead(v, 1) OVER (ORDER BY v) - v, 0) AS gap FROM c),
+           |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b FROM c)
+           |SELECT n_a, n_b,
+           |  ${r6("""CAST(sum(CAST(floor(abs(CAST(ca AS DOUBLE) / n_a
+           |    - CAST(cb AS DOUBLE) / n_b) * gap * 1e6 + 0.5) AS BIGINT))
+           |    AS DOUBLE) / 1e6""")} AS w1
+           |FROM w CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
+      }) +
+      // PSI: Laplace-smoothed cell shares, picounit terms integer-summed
+      ("q297_psi" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val paS = "CAST(ca + 1 AS DOUBLE) / (n_a + 10)"
+        val pbS = "CAST(cb + 1 AS DOUBLE) / (n_b + 10)"
+        s"""WITH src AS (SELECT
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    epoch_ms(ts) < 1705363200000 AS isa
+           |  FROM events),
+           |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+           |cells AS (SELECT ((v - lo) * 10) // (hi - lo + 1) AS b,
+           |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+           |  FROM src CROSS JOIN ext GROUP BY 1),
+           |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           |    CAST(sum(cb) AS BIGINT) AS n_b FROM cells)
+           |SELECT n_a, n_b, count(*) AS n_cells,
+           |  ${r6(s"""CAST(sum(CAST(floor(($paS - $pbS)
+           |    * ln(($paS) / ($pbS)) * 1e12 + 0.5) AS BIGINT))
+           |    AS DOUBLE) / 1e12""")} AS psi
+           |FROM cells CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
       }) +
       // conditional entropy: every probability a ratio of exact counts,
       // per-type picounit terms summed as integers in both engines

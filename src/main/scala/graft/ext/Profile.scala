@@ -1821,6 +1821,77 @@ object Profile {
       .orderBy("variant")
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two labeled samples
+    * of an INTEGER metric: W₁ = Σ |F_a(v) − F_b(v)|·Δv over the pooled
+    * distinct values — the TOTAL distribution shift in metric units,
+    * where q236's KS reads only the worst single point. The number a
+    * drift dashboard can threshold in dollars/chars/tokens directly.
+    *
+    * Counts-of-counts: one conditional aggregation to per-value counts,
+    * one running-total window + lead over DISTINCT values, per-step
+    * contributions quantized to integer micro-units and LONG-summed
+    * (order-independent, engine-identical). */
+  def wasserstein1(df: DataFrame, value: Column, groupCol: Column,
+                   groupA: String, groupB: String): DataFrame = {
+    val src = df.filter(groupCol.isin(groupA, groupB))
+      .select(value.cast("long").as("__v"),
+        (groupCol === groupA).as("__isa"))
+    val counts = src.groupBy("__v")
+      .agg(sum(when(col("__isa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__isa"), 0L).otherwise(1L)).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__v")
+    val run = w.rowsBetween(Long.MinValue, 0)
+    val tot = counts.agg(sum("__na").as("n_a"), sum("__nb").as("n_b"))
+    counts
+      .withColumn("__ca", sum("__na").over(run))
+      .withColumn("__cb", sum("__nb").over(run))
+      .withColumn("__gap",
+        coalesce(lead("__v", 1).over(w) - col("__v"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t6", floor(abs(col("__ca").cast("double") / col("n_a") -
+        col("__cb").cast("double") / col("n_b")) * col("__gap") * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy("n_a", "n_b")
+      .agg(TextAnalysis.round6Portable(sum("__t6").cast("double") / 1e6)
+        .as("w1"))
+      .select("n_a", "n_b", "w1")
+  }
+
+  /** Population Stability Index — THE model-monitoring drift score
+    * (PSI = Σ (p_a − p_b)·ln(p_a/p_b) over fixed bins; folklore gates:
+    * < 0.1 stable, > 0.25 investigate) — beside W₁'s metric-unit answer
+    * and KS's worst-point answer, PSI is what risk teams actually log.
+    * `bins` equi-width cells over the pooled range; Laplace-smoothed
+    * cell shares so empty cells stay finite and the score is defined
+    * for every split. Per-cell terms quantize to picounits and
+    * LONG-sum. */
+  def psi(df: DataFrame, value: Column, groupCol: Column,
+          groupA: String, groupB: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"bins in [2,1024]: $bins")
+    val src = df.filter(groupCol.isin(groupA, groupB))
+      .select(value.cast("long").as("__v"),
+        (groupCol === groupA).as("__isa"))
+    val ext = broadcast(src.agg(min("__v").as("__lo"), max("__v").as("__hi")))
+    val cells = src.crossJoin(ext)
+      .select(expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)").as("b"),
+        col("__isa"))
+      .groupBy("b")
+      .agg(sum(when(col("__isa"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__isa"), 0L).otherwise(1L)).as("__cb"))
+    val tot = cells.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    val pa = (col("__ca") + lit(1)).cast("double") / (col("n_a") + bins)
+    val pb = (col("__cb") + lit(1)).cast("double") / (col("n_b") + bins)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__t12",
+        floor((pa - pb) * log(pa / pb) * 1e12 + 0.5).cast("long"))
+      .groupBy("n_a", "n_b")
+      .agg(count(lit(1)).as("n_cells"),
+        TextAnalysis.round6Portable(sum("__t12").cast("double") / 1e12)
+          .as("psi"))
+      .select("n_a", "n_b", "n_cells", "psi")
+  }
+
   /** McNemar's test (McNemar 1947) on PAIRED classifier decisions — the
     * eval-integrity check for "is rule B actually better than rule A on
     * the SAME documents": only the discordant pairs vote (b = A right &

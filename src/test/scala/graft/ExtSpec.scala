@@ -4351,6 +4351,33 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(sw("xabcy", "zabcw") === 6 && nw("xabcy", "zabcw") === 4)
   }
 
+  test("wasserstein1: shift by a constant = that constant; identical = 0") {
+    import spark.implicits._
+    // B = A + 5: W1 is exactly 5 regardless of shape
+    val d = Seq((1L, "A"), (4L, "A"), (9L, "A"),
+      (6L, "B"), (9L, "B"), (14L, "B")).toDF("v", "g")
+    val r = Profile.wasserstein1(d, col("v"), col("g"), "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("w1") === 5.0)
+    val same = Seq((1L, "A"), (2L, "A"), (1L, "B"), (2L, "B")).toDF("v", "g")
+    assert(Profile.wasserstein1(same, col("v"), col("g"), "A", "B")
+      .collect()(0).getAs[Double]("w1") === 0.0)
+  }
+
+  test("psi: identical distributions score 0; disjoint masses score high") {
+    import spark.implicits._
+    val same = Seq((1L, "A"), (9L, "A"), (1L, "B"), (9L, "B")).toDF("v", "g")
+    val r0 = Profile.psi(same, col("v"), col("g"), "A", "B", bins = 2)
+      .collect()(0)
+    assert(r0.getAs[Long]("n_cells") === 2L)
+    assert(r0.getAs[Double]("psi") === 0.0)
+    // all of A low, all of B high: strong drift, well past the 0.25 gate
+    val split = Seq((1L, "A"), (2L, "A"), (8L, "B"), (9L, "B")).toDF("v", "g")
+    val r1 = Profile.psi(split, col("v"), col("g"), "A", "B", bins = 2)
+      .collect()(0)
+    assert(r1.getAs[Double]("psi") > 1.0)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
