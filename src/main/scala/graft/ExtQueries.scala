@@ -4603,6 +4603,30 @@ object ExtQueries {
         floor(col("value") * 1e6 + 0.5),
         when(col("ts_ms") < lit(1705363200000L), "pre").otherwise("post"),
         "pre", "post", bins = 10)),
+
+    // Categorical association card for lang x source: chi-square,
+    // Cramer's V, and both Theil uncertainty coefficients — the
+    // classical normalizations beside q266's MI/NMI, asymmetry
+    // included (V hides which column explains which).
+    "q298_assoc_card" -> ((s, dir) =>
+      Profile.categoricalAssociation(docs(s, dir),
+        col("lang"), col("source"))),
+
+    // Murphy decomposition of the Brier score for an integer-percent
+    // length-based forecast of lang='en': reliability / resolution /
+    // uncertainty — one number per failure mode instead of q199's
+    // curve to eyeball. Cells = distinct forecast values.
+    "q299_brier" -> ((s, dir) =>
+      Profile.brierDecomposition(docs(s, dir),
+        least(lit(100L), floor(col("n_chars") / 5)),
+        col("lang") === "en")),
+
+    // Pairwise Wasserstein-1 matrix over four sources on n_chars: the
+    // drift matrix in metric units beside q281's JSD matrix — pair
+    // fan-out on the value-count table, one corpus aggregation total.
+    "q300_w1_matrix" -> ((s, dir) =>
+      Profile.wasserstein1Matrix(docs(s, dir), col("n_chars"),
+        col("source"), Seq("src0", "src1", "src2", "src3"))),
   )
 
   // ------------------------------------------------------------------
@@ -9569,6 +9593,100 @@ object ExtQueries {
            |    * ln(($paS) / ($pbS)) * 1e12 + 0.5) AS BIGINT))
            |    AS DOUBLE) / 1e12""")} AS psi
            |FROM cells CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
+      }) +
+      // association card: one contingency table, shared picounit
+      // quantization across all three entropies so I = Ha + Hb - Hab
+      // stays integer arithmetic
+      ("q298_assoc_card" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        def h12(cnt: String) =
+          s"""CAST(sum(CAST(floor(-(CAST($cnt AS DOUBLE) / n
+             |    * ln(CAST($cnt AS DOUBLE) / n)) * 1e12 + 0.5) AS BIGINT))
+             |  AS BIGINT)""".stripMargin
+        val e = "CAST(rc AS DOUBLE) * cc / n"
+        s"""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS rc FROM cells
+           |  GROUP BY 1),
+           |cbm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM cells
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    count(DISTINCT a) AS da, count(DISTINCT b) AS db FROM cells),
+           |ha AS (SELECT ${h12("rc")} AS ha12 FROM ra CROSS JOIN t),
+           |hb AS (SELECT ${h12("cc")} AS hb12 FROM cbm CROSS JOIN t),
+           |hab AS (SELECT ${h12("c")} AS hab12 FROM cells CROSS JOIN t),
+           |chi AS (SELECT CAST(sum(CAST(floor(
+           |      ((c - $e) * (c - $e) / ($e) - $e) * 1e12 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS chi12
+           |  FROM cells JOIN ra USING (a) JOIN cbm USING (b) CROSS JOIN t)
+           |SELECT n,
+           |  ${r6("CAST(chi12 AS DOUBLE) / 1e12 + n")} AS chi2,
+           |  ${r6("""sqrt((CAST(chi12 AS DOUBLE) / 1e12 + n)
+           |    / (n * (least(da, db) - 1)))""")} AS cramers_v,
+           |  ${r6("CAST(ha12 + hb12 - hab12 AS DOUBLE) / ha12")}
+           |    AS theil_u_a,
+           |  ${r6("CAST(ha12 + hb12 - hab12 AS DOUBLE) / hb12")}
+           |    AS theil_u_b
+           |FROM t, ha, hb, hab, chi""".stripMargin
+      }) +
+      // Brier decomposition: exact integer raw score (denominator
+      // 10^4 n); REL/RES picounit-quantized per forecast cell
+      ("q299_brier" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val yk = "CAST(sk AS DOUBLE) / nk"
+        val pd = "CAST(p AS DOUBLE) / 100"
+        s"""WITH src AS (SELECT least(100, n_chars // 5) AS p,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+           |cells AS (SELECT p, count(*) AS nk, CAST(sum(y) AS BIGINT) AS sk
+           |  FROM src GROUP BY 1),
+           |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+           |    CAST(sum(sk) AS BIGINT) AS s FROM cells)
+           |SELECT n, count(*) AS n_cells,
+           |  ${r6("""CAST(sum(CAST(nk AS HUGEINT) * p * p
+           |    - CAST(sk AS HUGEINT) * p * 200
+           |    + CAST(sk AS HUGEINT) * 10000) AS DOUBLE)
+           |    / (10000.0 * n)""")} AS brier,
+           |  ${r6(s"""CAST(sum(CAST(floor(nk * ($pd - $yk) * ($pd - $yk)
+           |    * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / n""")}
+           |    AS reliability,
+           |  ${r6(s"""CAST(sum(CAST(floor(nk
+           |    * ($yk - CAST(s AS DOUBLE) / n)
+           |    * ($yk - CAST(s AS DOUBLE) / n)
+           |    * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / n""")}
+           |    AS resolution,
+           |  ${r6("""(CAST(s AS DOUBLE) / n)
+           |    * (1.0 - CAST(s AS DOUBLE) / n)""")} AS uncertainty
+           |FROM cells CROSS JOIN t GROUP BY n, s""".stripMargin
+      }) +
+      // W1 matrix: the q281 pair-fan-out on value counts, per-pair
+      // windows, micro-unit integer steps
+      ("q300_w1_matrix" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val srcs = Seq("src0", "src1", "src2", "src3")
+        val pairVals = srcs.zipWithIndex.flatMap { case (a, i) =>
+          srcs.drop(i + 1).map(b => s"('$a', '$b')") }.mkString(", ")
+        s"""WITH cnt AS (SELECT source AS src, CAST(n_chars AS BIGINT) AS v,
+           |    count(*) AS c FROM documents
+           |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2),
+           |pairs(sa, sb) AS (VALUES $pairVals),
+           |pv AS (SELECT sa, sb, v,
+           |    sum(CASE WHEN src = sa THEN c ELSE 0 END) AS na,
+           |    sum(CASE WHEN src = sb THEN c ELSE 0 END) AS nb
+           |  FROM cnt JOIN pairs ON src = sa OR src = sb GROUP BY 1, 2, 3),
+           |w AS (SELECT sa, sb, v, na, nb,
+           |    sum(na) OVER (PARTITION BY sa, sb ORDER BY v) AS ca,
+           |    sum(nb) OVER (PARTITION BY sa, sb ORDER BY v) AS cb,
+           |    coalesce(lead(v, 1) OVER (PARTITION BY sa, sb ORDER BY v) - v,
+           |      0) AS gap
+           |  FROM pv),
+           |t AS (SELECT sa, sb, CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b FROM pv GROUP BY 1, 2)
+           |SELECT sa, sb, n_a, n_b,
+           |  ${r6("""CAST(sum(CAST(floor(abs(CAST(ca AS DOUBLE) / n_a
+           |    - CAST(cb AS DOUBLE) / n_b) * gap * 1e6 + 0.5) AS BIGINT))
+           |    AS DOUBLE) / 1e6""")} AS w1
+           |FROM w JOIN t USING (sa, sb) GROUP BY sa, sb, n_a, n_b
+           |ORDER BY sa, sb""".stripMargin
       }) +
       // conditional entropy: every probability a ratio of exact counts,
       // per-type picounit terms summed as integers in both engines

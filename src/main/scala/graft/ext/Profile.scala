@@ -1892,6 +1892,155 @@ object Profile {
       .select("n_a", "n_b", "n_cells", "psi")
   }
 
+  /** Categorical-association card for two discrete columns: χ²,
+    * Cramér's V = √(χ²/(n·(min(r,c)−1))) — the 0..1 strength number a
+    * profiler can threshold — and BOTH Theil's uncertainty coefficients
+    * U(a|b) = I(a;b)/H(a), U(b|a) = I/H(b), the asymmetric "how much of
+    * a does b explain" that V (symmetric) hides. Complements q266's
+    * MI/NMI with the classical normalizations.
+    *
+    * One contingency aggregation (cells = |a|·|b| — counts-of-counts);
+    * χ² terms and entropy terms quantize to picounits off exact count
+    * ratios and LONG-sum; H(a), H(b), H(a,b) share one quantization so
+    * I = H(a)+H(b)−H(ab) is integer arithmetic until the final
+    * divisions. */
+  def categoricalAssociation(df: DataFrame, aCol: Column,
+                             bCol: Column): DataFrame = {
+    val cells = graft.ops.Materialize.stable(
+      df.groupBy(aCol.as("__a"), bCol.as("__b"))
+        .agg(count(lit(1)).as("__c")),
+      "assoc-cells")
+    val ra = cells.groupBy("__a").agg(sum("__c").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__c").as("__cb"))
+    val tot = broadcast(cells.agg(sum("__c").as("n"),
+      countDistinct("__a").as("__da"), countDistinct("__b").as("__db")))
+    def h12(cnt: Column, n: Column): Column =
+      floor(-(cnt.cast("double") / n * log(cnt.cast("double") / n)) *
+        1e12 + 0.5).cast("long")
+    val ha = ra.crossJoin(tot).agg(sum(h12(col("__ra"), col("n"))).as("h"))
+      .select(col("h").as("__ha12"))
+    val hb = cb.crossJoin(tot).agg(sum(h12(col("__cb"), col("n"))).as("h"))
+      .select(col("h").as("__hb12"))
+    val hab = cells.crossJoin(tot).agg(sum(h12(col("__c"), col("n"))).as("h"))
+      .select(col("h").as("__hab12"))
+    // chi-square over a SPARSE contingency table: zero cells are never
+    // materialized, but each contributes (0−e)²/e = e, and Σ_all e = n —
+    // so fold per-observed-cell (o−e)²/e − e and add n back at the end
+    // (one deterministic double add, no order-dependent e summation)
+    val e = col("__ra").cast("double") * col("__cb") / col("n")
+    val chi = cells.join(ra, "__a").join(cb, "__b").crossJoin(tot)
+      .withColumn("__x12", floor(
+        ((col("__c") - e) * (col("__c") - e) / e - e) * 1e12 + 0.5)
+        .cast("long"))
+      .agg(max("n").as("n"), max("__da").as("__da"), max("__db").as("__db"),
+        sum("__x12").as("__chi12"))
+    val chi2d = col("__chi12").cast("double") / 1e12 + col("n")
+    val mi12 = col("__ha12") + col("__hb12") - col("__hab12")
+    chi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(hab))
+      .select(col("n"),
+        TextAnalysis.round6Portable(chi2d).as("chi2"),
+        TextAnalysis.round6Portable(sqrt(chi2d /
+            (col("n") * (least(col("__da"), col("__db")) - 1))))
+          .as("cramers_v"),
+        TextAnalysis.round6Portable(
+          mi12.cast("double") / col("__ha12")).as("theil_u_a"),
+        TextAnalysis.round6Portable(
+          mi12.cast("double") / col("__hb12")).as("theil_u_b"))
+  }
+
+  /** Murphy decomposition of the Brier score over an integer-percent
+    * forecast: reliability (calibration error the forecaster can fix),
+    * resolution (discrimination the forecaster earned), uncertainty
+    * (the base rate's floor), with BS = REL − RES + UNC. The
+    * eval-integrity companion to q199's calibration bins: one number
+    * per failure mode instead of a curve to eyeball.
+    *
+    * Forecasts arrive as integer percent (0..100), so cells are the
+    * ≤ 101 distinct forecast values — counts-of-counts — and the raw
+    * Brier score is EXACT integer arithmetic over denominator 10⁴·n;
+    * only REL/RES quantize (picounits per cell). */
+  def brierDecomposition(df: DataFrame, pctCol: Column,
+                         label: Column): DataFrame = {
+    val cells = df.select(pctCol.cast("long").as("__p"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("__p").agg(count(lit(1)).as("__nk"), sum("__y").as("__sk"))
+    val tot = broadcast(cells.agg(sum("__nk").as("n"), sum("__sk").as("__s")))
+    val dec = "decimal(38,0)"
+    val yk = col("__sk").cast("double") / col("__nk")
+    val ybar = col("__s").cast("double") / col("n")
+    cells.crossJoin(tot)
+      .withColumn("__bs", (col("__nk").cast(dec) * col("__p") * col("__p") -
+        col("__sk").cast(dec) * col("__p") * 200 +
+        col("__sk").cast(dec) * 10000))
+      .withColumn("__rel12", floor(col("__nk") *
+        (col("__p").cast("double") / 100 - yk) *
+        (col("__p").cast("double") / 100 - yk) * 1e12 + 0.5).cast("long"))
+      .withColumn("__res12", floor(col("__nk") * (yk - ybar) * (yk - ybar) *
+        1e12 + 0.5).cast("long"))
+      .groupBy("n", "__s")
+      .agg(count(lit(1)).as("n_cells"), sum("__bs").as("__bsum"),
+        sum("__rel12").as("__rel"), sum("__res12").as("__res"))
+      .select(col("n"), col("n_cells"),
+        TextAnalysis.round6Portable(col("__bsum").cast("double") /
+          (lit(10000.0) * col("n"))).as("brier"),
+        TextAnalysis.round6Portable(col("__rel").cast("double") / 1e12 /
+          col("n")).as("reliability"),
+        TextAnalysis.round6Portable(col("__res").cast("double") / 1e12 /
+          col("n")).as("resolution"),
+        TextAnalysis.round6Portable(
+          (col("__s").cast("double") / col("n")) *
+            (lit(1.0) - col("__s").cast("double") / col("n")))
+          .as("uncertainty"))
+  }
+
+  /** Pairwise [[wasserstein1]] for every pair of the given groups — the
+    * drift MATRIX a mixture designer reads next to q281's JSD matrix,
+    * in metric units. Pair fan-out happens on the per-group VALUE COUNT
+    * table (the q281 discipline): one corpus aggregation, then
+    * |pairs|·|distinct values| window work, never a rescan per pair. */
+  def wasserstein1Matrix(df: DataFrame, value: Column, groupCol: Column,
+                         groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      s"need >= 2 distinct groups: $groups")
+    val cnt = graft.ops.Materialize.stable(
+      df.filter(groupCol.isin(groups: _*))
+        .select(groupCol.as("src"), value.cast("long").as("__v"))
+        .groupBy("src", "__v").agg(count(lit(1)).as("c")),
+      "w1m-counts")
+    val sorted = groups.sorted
+    val prs = sorted.zipWithIndex.flatMap { case (a, i) =>
+      sorted.drop(i + 1).map(b => (a, b)) }
+    import df.sparkSession.implicits._
+    val pairDf = broadcast(prs.toDF("sa", "sb"))
+    val perVal = cnt.join(pairDf,
+        col("src") === col("sa") || col("src") === col("sb"))
+      .groupBy("sa", "sb", "__v")
+      .agg(sum(when(col("src") === col("sa"), col("c")).otherwise(0L))
+        .as("__na"),
+        sum(when(col("src") === col("sb"), col("c")).otherwise(0L))
+          .as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy("__v")
+    val run = w.rowsBetween(Long.MinValue, 0)
+    val tots = perVal.groupBy("sa", "sb")
+      .agg(sum("__na").as("n_a"), sum("__nb").as("n_b"))
+    perVal
+      .withColumn("__ca", sum("__na").over(run))
+      .withColumn("__cb", sum("__nb").over(run))
+      .withColumn("__gap",
+        coalesce(lead("__v", 1).over(w) - col("__v"), lit(0L)))
+      .join(broadcast(tots), Seq("sa", "sb"))
+      .withColumn("__t6", floor(abs(col("__ca").cast("double") / col("n_a") -
+        col("__cb").cast("double") / col("n_b")) * col("__gap") * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy("sa", "sb")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        TextAnalysis.round6Portable(sum("__t6").cast("double") / 1e6)
+          .as("w1"))
+      .orderBy("sa", "sb")
+  }
+
   /** McNemar's test (McNemar 1947) on PAIRED classifier decisions — the
     * eval-integrity check for "is rule B actually better than rule A on
     * the SAME documents": only the discordant pairs vote (b = A right &

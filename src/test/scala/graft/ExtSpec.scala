@@ -4378,6 +4378,54 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(r1.getAs[Double]("psi") > 1.0)
   }
 
+  test("categoricalAssociation: perfect copy scores 1 everywhere, independence 0") {
+    import spark.implicits._
+    val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val rp = Profile.categoricalAssociation(perfect, col("a"), col("b"))
+      .collect()(0)
+    assert(rp.getAs[Double]("chi2") === 4.0)
+    assert(rp.getAs[Double]("cramers_v") === 1.0)
+    assert(rp.getAs[Double]("theil_u_a") === 1.0)
+    assert(rp.getAs[Double]("theil_u_b") === 1.0)
+    val indep = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val ri = Profile.categoricalAssociation(indep, col("a"), col("b"))
+      .collect()(0)
+    assert(ri.getAs[Double]("chi2") === 0.0)
+    assert(ri.getAs[Double]("cramers_v") === 0.0)
+    assert(ri.getAs[Double]("theil_u_a") === 0.0)
+  }
+
+  test("brierDecomposition: perfect forecast = resolution; overconfident = reliability") {
+    import spark.implicits._
+    val perfect = Seq((0L, false), (100L, true)).toDF("p", "y")
+    val rp = Profile.brierDecomposition(perfect, col("p"), col("y"))
+      .collect()(0)
+    assert(rp.getAs[Double]("brier") === 0.0)
+    assert(rp.getAs[Double]("reliability") === 0.0)
+    assert(rp.getAs[Double]("resolution") === 0.25)
+    assert(rp.getAs[Double]("uncertainty") === 0.25)
+    val wrong = Seq((100L, false)).toDF("p", "y")
+    val rw = Profile.brierDecomposition(wrong, col("p"), col("y"))
+      .collect()(0)
+    assert(rw.getAs[Double]("brier") === 1.0)
+    assert(rw.getAs[Double]("reliability") === 1.0)
+    assert(rw.getAs[Double]("resolution") === 0.0)
+  }
+
+  test("wasserstein1Matrix: pairwise shifts come out in metric units") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("b", 6L), ("c", 11L)).toDF("g", "v")
+    val got = Profile.wasserstein1Matrix(d, col("v"), col("g"),
+        Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("w1"))).toMap
+    assert(got(("a", "b")) === 5.0)
+    assert(got(("a", "c")) === 10.0)
+    assert(got(("b", "c")) === 5.0)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
