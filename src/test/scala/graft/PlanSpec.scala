@@ -1097,9 +1097,13 @@ class PlanSpec extends SparkTestBase {
     val df = SparkEntry.queries("q226_fs_weights")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"the pair stream must join on the length band, never a product:\n$p")
+    // the scale-adaptive stride (round 14) broadcasts the 1-row part
+    // COUNT onto each side before its modulus filter — those two 1-row
+    // crosses (AQE may print each twice) are the only nest-loops allowed
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4, s"only the two 1-row count broadcasts may cross:\n$p")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"the conditional-agg estimator must fold map-side:\n$p")
   }
@@ -1152,10 +1156,11 @@ class PlanSpec extends SparkTestBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
-    // the only nest-loop is the 1-row pivoted-weights broadcast (AQE can
-    // print it twice: stage + inline reuse)
+    // 1-row nest-loops only: the pivoted-weights broadcast plus the two
+    // scale-adaptive stride COUNT broadcasts (round 14); AQE can print
+    // each twice (stage + inline reuse)
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 2, s"only the 1-row weights broadcast may cross:\n$p")
+    assert(bnlj <= 6, s"only 1-row broadcasts (weights + strides) may cross:\n$p")
     assert(p.contains("partial_max") || p.contains("partial_sum"),
       s"estimator + pivot must fold map-side:\n$p")
     // the 33M-pair ground-truth fold must stay inside WholeStageCodegen:
