@@ -4627,6 +4627,35 @@ object ExtQueries {
     "q300_w1_matrix" -> ((s, dir) =>
       Profile.wasserstein1Matrix(docs(s, dir), col("n_chars"),
         col("source"), Seq("src0", "src1", "src2", "src3"))),
+
+    // Approximate substring matching (Sellers): edit distance from the
+    // left name's first token to its BEST substring of the right name —
+    // fuzzy CONTAINS, the contamination-span primitive exact contains
+    // can't express. Free top row / min over bottom row; recursive-CTE
+    // oracle via the min-plus prefix identity.
+    "q301_substring_edit" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(t(s, dir, "part"),
+          "p_name", "p_partkey", w = 2)
+        .withColumn("pat", split(col("key_a"), " ").getItem(0))
+        .withColumn("sed", graft.functions.TextExprs.substringEditDistance(
+          col("pat"), col("key_b")))
+        .select("id_a", "id_b", "pat", "key_b", "gap", "sed")
+        .orderBy("id_a", "id_b")),
+
+    // Longest common subsequence + ratio on the supplier candidate
+    // pairs: diff's underlying measure as a scalar — the order-
+    // preserving shared-content core beside SW (free junk) and NW
+    // (gap-priced junk).
+    "q302_lcs" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(t(s, dir, "supplier"),
+          "s_name", "s_suppkey", w = 3)
+        .withColumn("lcs", graft.functions.TextExprs.lcsLength(
+          col("key_a"), col("key_b")))
+        .withColumn("lcs_ratio", TextAnalysis.round6Portable(
+          lit(2.0) * col("lcs").cast("double") /
+            (length(col("key_a")) + length(col("key_b")))))
+        .select("id_a", "id_b", "key_a", "key_b", "gap", "lcs", "lcs_ratio")
+        .orderBy("id_a", "id_b")),
   )
 
   // ------------------------------------------------------------------
@@ -9687,6 +9716,71 @@ object ExtQueries {
            |    AS DOUBLE) / 1e6""")} AS w1
            |FROM w JOIN t USING (sa, sb) GROUP BY sa, sb, n_a, n_b
            |ORDER BY sa, sb""".stripMargin
+      }) +
+      // substring edit: q283's recursive-CTE discipline with the
+      // MIN-PLUS prefix identity D[j] = min_k(G(k) - k) + j; the free
+      // top row is the zero init, the free end is list_min at the end
+      ("q301_substring_edit" -> {
+        val hList =
+          """list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1), j ->
+            |      CASE WHEN j = 0 THEN i + 1 ELSE
+            |        list_min(list_prepend(i + 1,
+            |          list_transform(range(1, j + 1), k ->
+            |            least(
+            |              hb[k] + CASE WHEN
+            |                  substring(pat, CAST(i AS INT) + 1, 1)
+            |                  = substring(key_b, CAST(k AS INT), 1)
+            |                THEN 0 ELSE 1 END,
+            |              hb[k + 1] + 1) - k))) + j END)""".stripMargin
+        s"""WITH RECURSIVE r AS (SELECT p_partkey, p_name,
+           |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS g
+           |  FROM part),
+           |pr AS (SELECT a.p_partkey AS id_a,
+           |    split_part(a.p_name, ' ', 1) AS pat,
+           |    b.p_partkey AS id_b, b.p_name AS key_b, b.g - a.g AS gap
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 2),
+           |dp AS (
+           |  SELECT id_a, id_b, pat, key_b, gap, CAST(0 AS BIGINT) AS i,
+           |    list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1),
+           |      z -> CAST(0 AS BIGINT)) AS hb
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT id_a, id_b, pat, key_b, gap, i + 1, $hList
+           |  FROM dp WHERE i < length(pat))
+           |SELECT id_a, id_b, pat, key_b, gap,
+           |  CAST(list_min(hb) AS INTEGER) AS sed
+           |FROM dp WHERE i = length(pat) ORDER BY id_a, id_b""".stripMargin
+      }) +
+      // LCS: plain prefix-max (no decay), zero floor as the k = 0 term
+      ("q302_lcs" -> {
+        val hList =
+          """list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1), j ->
+            |      CASE WHEN j = 0 THEN CAST(0 AS BIGINT) ELSE
+            |        list_max(list_prepend(CAST(0 AS BIGINT),
+            |          list_transform(range(1, j + 1), k ->
+            |            CASE WHEN substring(key_a, CAST(i AS INT) + 1, 1)
+            |                = substring(key_b, CAST(k AS INT), 1)
+            |              THEN hb[k] + 1 ELSE hb[k + 1] END))) END)""".stripMargin
+        s"""WITH RECURSIVE r AS (SELECT s_suppkey, s_name,
+           |    row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS g
+           |  FROM supplier),
+           |pr AS (SELECT a.s_suppkey AS id_a, a.s_name AS key_a,
+           |    b.s_suppkey AS id_b, b.s_name AS key_b, b.g - a.g AS gap
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 3),
+           |dp AS (
+           |  SELECT id_a, id_b, key_a, key_b, gap, CAST(0 AS BIGINT) AS i,
+           |    list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1),
+           |      z -> CAST(0 AS BIGINT)) AS hb
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT id_a, id_b, key_a, key_b, gap, i + 1, $hList
+           |  FROM dp WHERE i < length(key_a))
+           |SELECT id_a, id_b, key_a, key_b, gap,
+           |  CAST(hb[CAST(length(key_b) AS INT) + 1] AS INTEGER) AS lcs,
+           |  ${TextAnalysis.round6PortableSql(
+          """2.0 * CAST(hb[CAST(length(key_b) AS INT) + 1] AS DOUBLE)
+            |    / (length(key_a) + length(key_b))""".stripMargin)} AS lcs_ratio
+           |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
       }) +
       // conditional entropy: every probability a ratio of exact counts,
       // per-type picounit terms summed as integers in both engines

@@ -575,6 +575,70 @@ object TextKernels {
     best
   }
 
+  /** Edit distance from `pattern` to its BEST-matching substring of
+    * `text` (Sellers 1980 approximate string matching): the top DP row
+    * is free (a match may start anywhere) and the answer is the MIN of
+    * the last row (it may end anywhere) — "does this name/phrase appear
+    * in that text, up to k edits", the primitive behind contamination
+    * span checks that exact `contains` can't do. Two-row integer DP. */
+  def substringEditDistance(pattern: UTF8String, text: UTF8String): Int = {
+    val p = pattern.toString.codePoints().toArray
+    val t = text.toString.codePoints().toArray
+    val m = t.length
+    if (p.length == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= p.length) {
+      val cp = p(i - 1)
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val diag = prev(j - 1) + (if (cp == t(j - 1)) 0 else 1)
+        val up = prev(j) + 1
+        val left = cur(j - 1) + 1
+        var d = if (diag < up) diag else up
+        if (left < d) d = left
+        cur(j) = d
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    var best = prev(0)
+    var j = 1
+    while (j <= m) { if (prev(j) < best) best = prev(j); j += 1 }
+    best
+  }
+
+  /** Longest-common-subsequence LENGTH — the order-preserving shared
+    * content between two strings (diff's underlying measure; the
+    * visual-trace family's F2 walks one specific LCS alignment, this
+    * returns its size as a scalar similarity core). Two-row integer
+    * DP over code points. */
+  def lcsLength(ua: UTF8String, ub: UTF8String): Int = {
+    val x = ua.toString.codePoints().toArray
+    val y = ub.toString.codePoints().toArray
+    val m = y.length
+    if (x.length == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= x.length) {
+      val ca = x(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (ca == y(j - 1)) prev(j - 1) + 1
+          else { val u = prev(j); val l = cur(j - 1); if (u > l) u else l }
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Needleman–Wunsch GLOBAL alignment score (Needleman & Wunsch 1970),
     * linear gaps — [[smithWaterman]] without the zero clamp and with
     * gap-priced boundaries, so the WHOLE of both strings must align:
@@ -802,10 +866,74 @@ case class NeedlemanWunschExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `substring_edit_distance(pattern, text)` — see
+  * [[TextKernels.substringEditDistance]]. Codegen'd like its siblings. */
+case class SubstringEditDistanceExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "substring_edit_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.substringEditDistance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.substringEditDistance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lcs_length(a, b)` — see [[TextKernels.lcsLength]]. */
+case class LcsLengthExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcs_length"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.lcsLength(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.lcsLength($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   /** Column API for [[JaroWinklerExpr]]. */
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinklerExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API for [[SubstringEditDistanceExpr]]. */
+  def substringEditDistance(pattern: Column, text: Column): Column =
+    bridge.column(SubstringEditDistanceExpr(
+      bridge.expression(pattern), bridge.expression(text)))
+
+  /** Column API for [[LcsLengthExpr]]. */
+  def lcsLength(a: Column, b: Column): Column =
+    bridge.column(LcsLengthExpr(bridge.expression(a), bridge.expression(b)))
 
   /** Column API for [[NeedlemanWunschExpr]] (same default weights as
     * [[smithWaterman]]; score of identical strings = 2·|s|, floor

@@ -4426,6 +4426,30 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(got(("b", "c")) === 5.0)
   }
 
+  test("substringEditDistance: free start/end, edits only inside the match") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def sed(p: String, t: String) =
+      graft.functions.TextKernels.substringEditDistance(u(p), u(t))
+    assert(sed("abc", "xxabcyy") === 0) // exact substring, junk free
+    assert(sed("abc", "xabzcy") === 1)  // one insert inside the span
+    assert(sed("abc", "") === 3)        // nothing to match against
+    assert(sed("abc", "def") === 3)
+    assert(sed("ab", "b") === 1)
+    assert(sed("", "xyz") === 0)        // empty pattern matches anywhere
+  }
+
+  test("lcsLength: classic cases; ratio is the diff-style similarity") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def lcs(a: String, b: String) =
+      graft.functions.TextKernels.lcsLength(u(a), u(b))
+    assert(lcs("abcde", "ace") === 3)
+    assert(lcs("ABCBDAB", "BDCABA") === 4)
+    assert(lcs("abc", "") === 0 && lcs("", "abc") === 0)
+    assert(lcs("abc", "abc") === 3)
+    // order matters: a reversal shares only one preserved run
+    assert(lcs("abcd", "dcba") === 1)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
