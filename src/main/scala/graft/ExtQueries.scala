@@ -4656,6 +4656,20 @@ object ExtQueries {
             (length(col("key_a")) + length(col("key_b")))))
         .select("id_a", "id_b", "key_a", "key_b", "gap", "lcs", "lcs_ratio")
         .orderBy("id_a", "id_b")),
+
+    // Pairwise cosine between source TF vectors — the angular companion
+    // to q281's JSD (a scaled-up copy is cosine-1 but JSD > 0): exact
+    // decimal dot/norms off the shared-term join only.
+    "q303_cosine_matrix" -> ((s, dir) =>
+      TextAnalysis.cosineMatrix(docs(s, dir), "source", "text",
+        Seq("src0", "src1", "src2", "src3"))),
+
+    // Pairwise vocabulary overlap: Dice + overlap coefficient at the
+    // TYPE level — two sources can share all words but weight them
+    // apart (Dice 1, JSD > 0), or nest exactly (overlap 1, Dice < 1).
+    "q304_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlapMatrix(docs(s, dir), "source", "text",
+        Seq("src0", "src1", "src2", "src3"))),
   )
 
   // ------------------------------------------------------------------
@@ -9781,6 +9795,55 @@ object ExtQueries {
           """2.0 * CAST(hb[CAST(length(key_b) AS INT) + 1] AS DOUBLE)
             |    / (length(key_a) + length(key_b))""".stripMargin)} AS lcs_ratio
            |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
+      }) +
+      // cosine matrix: exact hugeint dot/norms, one sqrt per pair
+      ("q303_cosine_matrix" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val srcs = Seq("src0", "src1", "src2", "src3")
+        val pairVals = srcs.zipWithIndex.flatMap { case (a, i) =>
+          srcs.drop(i + 1).map(b => s"('$a', '$b')") }.mkString(", ")
+        s"""WITH cnt AS (SELECT source AS src, t, count(*) AS c
+           |  FROM (SELECT source, unnest($toksSql) AS t FROM documents
+           |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+           |  GROUP BY 1, 2),
+           |norms AS (SELECT src, sum(CAST(c AS HUGEINT) * c) AS n2
+           |  FROM cnt GROUP BY 1),
+           |pairs(sa, sb) AS (VALUES $pairVals),
+           |pt AS (SELECT sa, sb, t,
+           |    sum(CASE WHEN src = sa THEN c END) AS ca,
+           |    sum(CASE WHEN src = sb THEN c END) AS cb
+           |  FROM cnt JOIN pairs ON src = sa OR src = sb GROUP BY 1, 2, 3),
+           |d AS (SELECT sa, sb, count(*) AS n_shared,
+           |    sum(CAST(ca AS HUGEINT) * cb) AS dot
+           |  FROM pt WHERE ca IS NOT NULL AND cb IS NOT NULL GROUP BY 1, 2)
+           |SELECT sa, sb, n_shared,
+           |  ${r6("""CAST(dot AS DOUBLE)
+           |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))""")}
+           |    AS cosine
+           |FROM d JOIN norms na ON na.src = sa JOIN norms nb ON nb.src = sb
+           |ORDER BY sa, sb""".stripMargin
+      }) +
+      // vocab overlap: distinct-(src, term) table, pair fan-out, a
+      // term present on both sides counts exactly 2
+      ("q304_vocab_overlap" -> {
+        val r6 = TextAnalysis.round6PortableSql _
+        val srcs = Seq("src0", "src1", "src2", "src3")
+        val pairVals = srcs.zipWithIndex.flatMap { case (a, i) =>
+          srcs.drop(i + 1).map(b => s"('$a', '$b')") }.mkString(", ")
+        s"""WITH ty AS (SELECT DISTINCT source AS src, t
+           |  FROM (SELECT source, unnest($toksSql) AS t FROM documents
+           |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+           |sizes AS (SELECT src, count(*) AS v FROM ty GROUP BY 1),
+           |pairs(sa, sb) AS (VALUES $pairVals),
+           |cm AS (SELECT sa, sb, count(*) AS n_common FROM (
+           |    SELECT sa, sb, t FROM ty
+           |    JOIN pairs ON src = sa OR src = sb
+           |    GROUP BY 1, 2, 3 HAVING count(*) = 2) GROUP BY 1, 2)
+           |SELECT sa, sb, a.v AS v_a, b.v AS v_b, n_common,
+           |  ${r6("2.0 * n_common / (a.v + b.v)")} AS dice,
+           |  ${r6("CAST(n_common AS DOUBLE) / least(a.v, b.v)")} AS overlap
+           |FROM cm JOIN sizes a ON a.src = sa JOIN sizes b ON b.src = sb
+           |ORDER BY sa, sb""".stripMargin
       }) +
       // conditional entropy: every probability a ratio of exact counts,
       // per-type picounit terms summed as integers in both engines

@@ -1452,6 +1452,87 @@ object TextAnalysis {
           .as("mi"))
   }
 
+  /** Pairwise COSINE similarity between source term-frequency vectors —
+    * the angular companion to [[jsDivergence]] (JSD reads probability
+    * mass, cosine reads direction; a source that is a scaled-up copy of
+    * another is cosine-1 but JSD > 0 when their lengths differ). Dot
+    * products and norms are exact decimal integers off the shared-term
+    * join (the sum-min discipline: the union is never materialized);
+    * one sqrt per pair at the end. */
+  def cosineMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                   groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      s"need >= 2 distinct groups: $groups")
+    val dec = "decimal(38,0)"
+    val cnt = graft.ops.Materialize.stable(
+      docs.filter(col(groupCol).isin(groups: _*))
+        .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
+        .groupBy("src", "t").agg(count(lit(1)).as("c")),
+      "cosine-counts")
+    val norms = cnt.groupBy("src")
+      .agg(sum(col("c").cast(dec) * col("c")).as("n2"))
+    val sorted = groups.sorted
+    val prs = sorted.zipWithIndex.flatMap { case (a, i) =>
+      sorted.drop(i + 1).map(b => (a, b)) }
+    import docs.sparkSession.implicits._
+    val pairDf = broadcast(prs.toDF("sa", "sb"))
+    cnt.join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
+      .groupBy("sa", "sb", "t")
+      .agg(sum(when(col("src") === col("sa"), col("c"))).as("ca"),
+        sum(when(col("src") === col("sb"), col("c"))).as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("ca").cast(dec) * col("cb")).as("__dot"))
+      .join(broadcast(norms.select(col("src").as("sa"), col("n2").as("__na"))),
+        "sa")
+      .join(broadcast(norms.select(col("src").as("sb"), col("n2").as("__nb"))),
+        "sb")
+      .select(col("sa"), col("sb"), col("n_shared"),
+        round6Portable(col("__dot").cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+          .as("cosine"))
+      .orderBy("sa", "sb")
+  }
+
+  /** Pairwise VOCABULARY overlap between sources: |Va ∩ Vb|, Sørensen–
+    * Dice 2|∩|/(|Va|+|Vb|) and the overlap coefficient |∩|/min(|Va|,|Vb|)
+    * — the TYPE-level mix audit beside the token-level cosine/JSD: two
+    * sources can share all their words yet weight them differently
+    * (Dice 1, JSD > 0), or share a sublanguage exactly (overlap 1,
+    * Dice < 1). Set sizes are exact counts off the distinct-(src, term)
+    * table. */
+  def vocabOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                         groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.distinct.size == groups.size,
+      s"need >= 2 distinct groups: $groups")
+    val cnt = graft.ops.Materialize.stable(
+      docs.filter(col(groupCol).isin(groups: _*))
+        .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
+        .distinct(),
+      "vocab-types")
+    val sizes = cnt.groupBy("src").agg(count(lit(1)).as("v"))
+    val sorted = groups.sorted
+    val prs = sorted.zipWithIndex.flatMap { case (a, i) =>
+      sorted.drop(i + 1).map(b => (a, b)) }
+    import docs.sparkSession.implicits._
+    val pairDf = broadcast(prs.toDF("sa", "sb"))
+    cnt.join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
+      .groupBy("sa", "sb", "t").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 2)
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("src").as("sa"), col("v").as("v_a"))),
+        "sa")
+      .join(broadcast(sizes.select(col("src").as("sb"), col("v").as("v_b"))),
+        "sb")
+      .select(col("sa"), col("sb"), col("v_a"), col("v_b"), col("n_common"),
+        round6Portable(lit(2.0) * col("n_common") / (col("v_a") + col("v_b")))
+          .as("dice"),
+        round6Portable(col("n_common").cast("double") /
+          least(col("v_a"), col("v_b"))).as("overlap"))
+      .orderBy("sa", "sb")
+  }
+
   /** Gries' deviation-of-proportions dispersion (Gries 2008): per term,
     * DP = ½·Σ_s |c_{t,s}/c_t − w_s| with w_s = source s's token share —
     * 0 when the term's occurrences mirror the corpus layout, →1 when it

@@ -4450,6 +4450,34 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(lcs("abcd", "dcba") === 1)
   }
 
+  test("cosineMatrix: scaled copy is cosine-1; orthogonal vocabularies are 0") {
+    import spark.implicits._
+    val d = Seq(("a", "x x y"), ("b", "x x x x y y"), ("c", "z w"))
+      .toDF("source", "text")
+    val got = TextAnalysis.cosineMatrix(d, "source", "text",
+        Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("cosine"))).toMap
+    assert(got(("a", "b")) === 1.0) // b = 2x a: same direction
+    assert(!got.contains(("a", "c"))) // no shared term -> no pair row
+    // dissimilar but overlapping: x-only vs x+y
+    val e = Seq(("a", "x"), ("b", "x y")).toDF("source", "text")
+    val r = TextAnalysis.cosineMatrix(e, "source", "text", Seq("a", "b"))
+      .collect()(0)
+    assert(r.getAs[Double]("cosine") === 0.707107) // 1/sqrt(2)
+  }
+
+  test("vocabOverlapMatrix: nested vocabulary has overlap 1, Dice < 1") {
+    import spark.implicits._
+    val d = Seq(("a", "x y"), ("b", "x y z w")).toDF("source", "text")
+    val r = TextAnalysis.vocabOverlapMatrix(d, "source", "text",
+      Seq("a", "b")).collect()(0)
+    assert(r.getAs[Long]("v_a") === 2L && r.getAs[Long]("v_b") === 4L)
+    assert(r.getAs[Long]("n_common") === 2L)
+    assert(r.getAs[Double]("overlap") === 1.0)
+    assert(r.getAs[Double]("dice") === 0.666667) // 4/6
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
