@@ -4670,6 +4670,20 @@ object ExtQueries {
     "q304_vocab_overlap" -> ((s, dir) =>
       TextAnalysis.vocabOverlapMatrix(docs(s, dir), "source", "text",
         Seq("src0", "src1", "src2", "src3"))),
+
+    // Affine-gap local alignment (Gotoh) on the supplier pairs: a
+    // dropped word costs open + ext, not per-character — the scoring
+    // model real aligners ship, beside q283's linear-gap SW. The
+    // oracle's within-row gap lane rides the same prefix identity
+    // (E[j] = max_k<j (G(k) + k) − open − (j−1), valid when
+    // open >= ext, proven by gap-merging dominance).
+    "q305_sw_affine" -> ((s, dir) =>
+      Blocking.sortedNeighborhood(t(s, dir, "supplier"),
+          "s_name", "s_suppkey", w = 3)
+        .withColumn("swa", graft.functions.TextExprs.smithWatermanAffine(
+          col("key_a"), col("key_b")))
+        .select("id_a", "id_b", "key_a", "key_b", "gap", "swa")
+        .orderBy("id_a", "id_b")),
   )
 
   // ------------------------------------------------------------------
@@ -9794,6 +9808,57 @@ object ExtQueries {
            |  ${TextAnalysis.round6PortableSql(
           """2.0 * CAST(hb[CAST(length(key_b) AS INT) + 1] AS DOUBLE)
             |    / (length(key_a) + length(key_b))""".stripMargin)} AS lcs_ratio
+           |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
+      }) +
+      // Gotoh affine-gap SW: state = [H row, F row, best]; the E lane
+      // needs no storage — it folds through the prefix identity (valid
+      // at open >= ext); G is the O(1) prev-row cell max, evaluated
+      // inline per (j, k)
+      ("q305_sw_affine" -> {
+        def g(idx: String) =
+          s"""greatest(CAST(0 AS BIGINT),
+             |        st[CAST($idx AS INT)]
+             |          + CASE WHEN substring(key_a, CAST(i AS INT) + 1, 1)
+             |              = substring(key_b, CAST($idx AS INT), 1)
+             |            THEN 2 ELSE -1 END,
+             |        greatest(st[CAST($idx AS INT) + 1] - 2,
+             |          st[CAST(m + 1 + $idx AS INT)] - 1))""".stripMargin
+        val hList =
+          s"""list_transform(range(1, m + 1), j ->
+             |      greatest(${g("j")},
+             |        list_max(list_prepend(CAST(-1000000 AS BIGINT),
+             |          list_transform(range(1, j), k -> ${g("k")} + k)))
+             |          - 2 - (j - 1)))""".stripMargin
+        val step =
+          s"""list_concat(list_concat(
+             |    list_prepend(CAST(0 AS BIGINT), $hList),
+             |    list_transform(range(1, m + 1), j ->
+             |      greatest(st[CAST(j AS INT) + 1] - 2,
+             |        st[CAST(m + 1 + j AS INT)] - 1))),
+             |    [greatest(st[CAST(2 * m + 2 AS INT)],
+             |      list_max(list_prepend(CAST(0 AS BIGINT), $hList)))])"""
+            .stripMargin
+        s"""WITH RECURSIVE r AS (SELECT s_suppkey, s_name,
+           |    row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS g
+           |  FROM supplier),
+           |pr AS (SELECT a.s_suppkey AS id_a, a.s_name AS key_a,
+           |    b.s_suppkey AS id_b, b.s_name AS key_b, b.g - a.g AS gap
+           |  FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 3),
+           |dp AS (
+           |  SELECT id_a, id_b, key_a, key_b, gap,
+           |    CAST(length(key_b) AS BIGINT) AS m, CAST(0 AS BIGINT) AS i,
+           |    list_concat(list_concat(
+           |      list_transform(range(0, CAST(length(key_b) AS BIGINT) + 1),
+           |        z -> CAST(0 AS BIGINT)),
+           |      list_transform(range(1, CAST(length(key_b) AS BIGINT) + 1),
+           |        z -> CAST(-1000000 AS BIGINT))),
+           |      [CAST(0 AS BIGINT)]) AS st
+           |  FROM pr
+           |  UNION ALL
+           |  SELECT id_a, id_b, key_a, key_b, gap, m, i + 1, $step
+           |  FROM dp WHERE i < length(key_a))
+           |SELECT id_a, id_b, key_a, key_b, gap,
+           |  CAST(st[CAST(2 * m + 2 AS INT)] AS INTEGER) AS swa
            |FROM dp WHERE i = length(key_a) ORDER BY id_a, id_b""".stripMargin
       }) +
       // cosine matrix: exact hugeint dot/norms, one sqrt per pair

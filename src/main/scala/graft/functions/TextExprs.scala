@@ -639,6 +639,56 @@ object TextKernels {
     prev(m)
   }
 
+  /** Smith–Waterman with AFFINE gaps (Gotoh 1982): opening a gap costs
+    * `gapOpen`, extending it only `gapExt` — so one long insertion
+    * (a word dropped from a name, a clause spliced into a document)
+    * costs little more than a short one, where linear gaps charge per
+    * character and shred the alignment around it. The scoring model
+    * real local aligners ship. Three-lane two-row integer DP
+    * (H = best ending in match, E = in horizontal gap, F = in
+    * vertical gap), clamped at zero, best cell anywhere. */
+  def smithWatermanAffine(ua: UTF8String, ub: UTF8String,
+                          matchScore: Int, mismatchScore: Int,
+                          gapOpen: Int, gapExt: Int): Int = {
+    val x = ua.toString.codePoints().toArray
+    val y = ub.toString.codePoints().toArray
+    val m = y.length
+    if (x.length == 0 || m == 0) return 0
+    val NEG = Int.MinValue / 4
+    var hPrev = new Array[Int](m + 1)
+    var hCur = new Array[Int](m + 1)
+    var fPrev = Array.fill(m + 1)(NEG)
+    var fCur = new Array[Int](m + 1)
+    var best = 0
+    var i = 1
+    while (i <= x.length) {
+      val ca = x(i - 1)
+      var e = NEG
+      var j = 1
+      while (j <= m) {
+        val f0 = hPrev(j) - gapOpen
+        val f1 = fPrev(j) - gapExt
+        val f = if (f0 > f1) f0 else f1
+        fCur(j) = f
+        val e0 = hCur(j - 1) - gapOpen
+        val e1 = e - gapExt
+        e = if (e0 > e1) e0 else e1
+        val diag = hPrev(j - 1) +
+          (if (ca == y(j - 1)) matchScore else mismatchScore)
+        var h = if (diag > e) diag else e
+        if (f > h) h = f
+        if (h < 0) h = 0
+        hCur(j) = h
+        if (h > best) best = h
+        j += 1
+      }
+      var t = hPrev; hPrev = hCur; hCur = t
+      t = fPrev; fPrev = fCur; fCur = t
+      i += 1
+    }
+    best
+  }
+
   /** Needleman–Wunsch GLOBAL alignment score (Needleman & Wunsch 1970),
     * linear gaps — [[smithWaterman]] without the zero clamp and with
     * gap-priced boundaries, so the WHOLE of both strings must align:
@@ -866,6 +916,37 @@ case class NeedlemanWunschExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `smith_waterman_affine(a, b)` — see
+  * [[TextKernels.smithWatermanAffine]]. Codegen'd like its siblings. */
+case class SmithWatermanAffineExpr(left: Expression, right: Expression,
+                                   matchScore: Int, mismatchScore: Int,
+                                   gapOpen: Int, gapExt: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "smith_waterman_affine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.smithWatermanAffine(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], matchScore, mismatchScore, gapOpen, gapExt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.smithWatermanAffine($a, $b, " +
+        s"$matchScore, $mismatchScore, $gapOpen, $gapExt)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `substring_edit_distance(pattern, text)` — see
   * [[TextKernels.substringEditDistance]]. Codegen'd like its siblings. */
 case class SubstringEditDistanceExpr(left: Expression, right: Expression)
@@ -930,6 +1011,14 @@ object TextExprs {
   def substringEditDistance(pattern: Column, text: Column): Column =
     bridge.column(SubstringEditDistanceExpr(
       bridge.expression(pattern), bridge.expression(text)))
+
+  /** Column API for [[SmithWatermanAffineExpr]]: +2 match, −1 mismatch,
+    * −2 to open a gap, −1 to extend it. */
+  def smithWatermanAffine(a: Column, b: Column, matchScore: Int = 2,
+                          mismatchScore: Int = -1, gapOpen: Int = 2,
+                          gapExt: Int = 1): Column =
+    bridge.column(SmithWatermanAffineExpr(bridge.expression(a),
+      bridge.expression(b), matchScore, mismatchScore, gapOpen, gapExt))
 
   /** Column API for [[LcsLengthExpr]]. */
   def lcsLength(a: Column, b: Column): Column =

@@ -4478,6 +4478,25 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(r.getAs[Double]("dice") === 0.666667) // 4/6
   }
 
+  test("smithWatermanAffine: long gaps cost open + ext, not per-char") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def swa(a: String, b: String) =
+      graft.functions.TextKernels.smithWatermanAffine(u(a), u(b), 2, -1, 2, 1)
+    assert(swa("abc", "abc") === 6)
+    assert(swa("xabcy", "zabcw") === 6)    // local junk still free
+    assert(swa("abXcd", "abYcd") === 7)    // substitution, no gap
+    assert(swa("abXYcd", "abcd") === 5)    // 2-gap: 8 - (2+1)
+    assert(swa("abXYZcd", "abcd") === 4)   // 3-gap: 8 - (2+1+1)
+    assert(swa("ab", "ba") === 2)
+    assert(swa("", "x") === 0 && swa("ab", "") === 0)
+    // vs linear SW: the long gap shreds linear (8-3 gaps at -1 = 5 too at
+    // 3 chars; at 4 chars affine wins: 8-5 = 3 vs affine 8-(2+3) = 3...)
+    // the defining check: affine >= linear-with-open-cost always
+    def sw(a: String, b: String) =
+      graft.functions.TextKernels.smithWaterman(u(a), u(b), 2, -1, -1)
+    assert(swa("abWXYZcd", "abcd") >= sw("abWXYZcd", "abcd") - 1)
+  }
+
   test("lDiversity: distinct-l and entropy per QI group; homogeneous group fails l") {
     import spark.implicits._
     val d = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
