@@ -69,23 +69,27 @@ object SparkEntry {
         .select("search_val", "match_val", "data_id", "distance", "bucket")
         .orderBy("search_val", "bucket", "distance", "data_id", "match_val")),
 
-    // F2 + F4/F5: visual alignment trace + diff splices (UDFs; no SQL
-    // equivalent -> rows-only check, unit-tested in DistanceSpec). The
-    // classification underneath uses the pruned engine (identical rows).
-    // Array outputs are projected to driver-hashable scalars: the symbol
-    // trace as a '1'/'0' string, the splices as their JSON encoding (the
-    // full arrays stay asserted in DistanceSpec).
+    // F2 + F4/F5: visual alignment trace + diff splices, emitted in the
+    // q272 canonical serialization (round 15 — VERDICT r14 #4):
+    // vis_canon = "<dist>:<'1'/'0' walk>", spl_canon = "flag:text|…".
+    // Both are now FULLY hash-oracled: the DuckDB side replays the DP
+    // matrix (recursive CTE, prefix-min row identity), the greedy
+    // forward walk (same branch ORDER as main.py:49-70 — tie-break
+    // fidelity lives in the CASE order), and the greedy substring
+    // chaining + gap interleave (main.py:130-166, 290-300) from
+    // scratch. The raw arrays stay asserted in DistanceSpec.
     "q03_visual_diff" -> ((s, dir) => {
       val best = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
         .select("search_val", "match_val", "data_id", "distance", "bucket")
         .filter(col("bucket") === "best")
       best
         .withColumn("vis", Distance.visualLevenshteinUdf(col("search_val"), col("match_val")))
-        .withColumn("splices", Distance.diffSplicesUdf(col("search_val"), col("match_val")))
+        .withColumn("spl", Distance.diffSplicesUdf(col("search_val"), col("match_val")))
         .select(col("search_val"), col("match_val"), col("distance"),
-          col("vis._1").as("vis_distance"),
-          array_join(col("vis._2").cast("array<string>"), "").as("symbols_str"),
-          to_json(col("splices")).as("splices_json"))
+          concat(col("vis._1").cast("string"), lit(":"),
+            array_join(col("vis._2").cast("array<string>"), "")).as("vis_canon"),
+          array_join(expr("transform(spl, x -> concat(x._1, ':', x._2))"),
+            "|").as("spl_canon"))
         .orderBy("search_val", "match_val", "distance")
     }),
 
@@ -492,7 +496,138 @@ object SparkEntry {
            |       TRUE AS law_len, TRUE AS law_match_cap, TRUE AS law_prefix_dist
            |FROM pairs
            |ORDER BY search_val, match_val""".stripMargin,
-      // q03_visual_diff: UDF trace output, not SQL-expressible (rows-only).
+      // q03: the full trace oracle (round 15 — the suite's last
+      // formerly-rows-only row). DuckDB re-derives, per best pair:
+      //   mat — the unit-cost Levenshtein DP matrix as a recursive CTE
+      //         over rows, the within-row left-to-right dependency
+      //         folded through the prefix-min identity
+      //         d[i][j] = j + min(i, min_{k<=j}(t[k]-k)) with
+      //         t[k] = min(prev[k]+1, prev[k-1]+cost) (the q283/q295
+      //         DP-oracle discipline; list_reduce avoided per the
+      //         round-14 DuckDB hazard);
+      //   wk  — the greedy forward walk (main.py:49-70): branch CASE
+      //         order = the reference's if/elif order, so tie-breaks
+      //         (match > substitution > deletion > insertion) replay
+      //         byte-identically;
+      //   sw  — the greedy substring chaining (main.py:130-166): the
+      //         grow-while-found inner loop collapses to max-found-
+      //         length L (prefix containment makes found(l) monotone),
+      //         skipNeed collapses to the idx += L jump; gaps
+      //         interleave inline (main.py:290-300), head/tail gaps
+      //         and the empty-match whole-string-gap guard included.
+      "q03_visual_diff" ->
+        s"""WITH RECURSIVE search AS (SELECT DISTINCT p_name AS search_val FROM part),
+           |scored AS (
+           |  SELECT s.search_val, p.p_name AS match_val,
+           |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
+           |  FROM search s CROSS JOIN part p),
+           |mins AS (
+           |  SELECT search_val,
+           |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos
+           |  FROM scored GROUP BY search_val),
+           |best AS (
+           |  SELECT sc.search_val, sc.match_val, sc.distance
+           |  FROM scored sc JOIN mins m USING (search_val)
+           |  WHERE sc.distance > 0 AND sc.distance <= $T AND sc.distance = m.min_pos),
+           |tp AS (SELECT DISTINCT search_val, match_val FROM best),
+           |tpn AS (SELECT search_val, match_val,
+           |    ${norm("search_val")} AS cs, ${norm("match_val")} AS ct,
+           |    CAST(length(${norm("search_val")}) AS BIGINT) AS n,
+           |    CAST(length(${norm("match_val")}) AS BIGINT) AS m
+           |  FROM tp),
+           |mat AS (
+           |  SELECT search_val, match_val, cs, ct, n, m,
+           |    CAST(0 AS BIGINT) AS i,
+           |    list_transform(range(0, m + 1), j -> j) AS st
+           |  FROM tpn
+           |  UNION ALL
+           |  SELECT search_val, match_val, cs, ct, n, m, i + 1,
+           |    list_prepend(i + 1, list_transform(range(1, m + 1), j ->
+           |      j + least(i + 1,
+           |        list_min(list_transform(range(1, j + 1), k ->
+           |          least(st[CAST(k AS INT) + 1] + 1,
+           |                st[CAST(k AS INT)] +
+           |                  CASE WHEN substring(cs, CAST(i AS INT) + 1, 1)
+           |                       = substring(ct, CAST(k AS INT), 1)
+           |                  THEN 0 ELSE 1 END) - k)))))
+           |  FROM mat WHERE i < n),
+           |wk AS (
+           |  SELECT search_val, match_val, cs, ct, n, m,
+           |    CAST(0 AS BIGINT) AS si, CAST(0 AS BIGINT) AS ti, '' AS sym
+           |  FROM tpn
+           |  UNION ALL
+           |  SELECT w.search_val, w.match_val, w.cs, w.ct, w.n, w.m,
+           |    CASE WHEN substring(w.cs, CAST(w.si AS INT) + 1, 1)
+           |              = substring(w.ct, CAST(w.ti AS INT) + 1, 1)
+           |           THEN w.si + 1
+           |         WHEN r2.st[CAST(w.ti AS INT) + 2]
+           |              = r1.st[CAST(w.ti AS INT) + 1] + 1 THEN w.si + 1
+           |         WHEN r2.st[CAST(w.ti AS INT) + 2]
+           |              = r2.st[CAST(w.ti AS INT) + 1] + 1 THEN w.si + 1
+           |         ELSE w.si END,
+           |    CASE WHEN substring(w.cs, CAST(w.si AS INT) + 1, 1)
+           |              = substring(w.ct, CAST(w.ti AS INT) + 1, 1)
+           |           THEN w.ti + 1
+           |         WHEN r2.st[CAST(w.ti AS INT) + 2]
+           |              = r1.st[CAST(w.ti AS INT) + 1] + 1 THEN w.ti + 1
+           |         WHEN r2.st[CAST(w.ti AS INT) + 2]
+           |              = r2.st[CAST(w.ti AS INT) + 1] + 1 THEN w.ti
+           |         ELSE w.ti + 1 END,
+           |    w.sym || CASE WHEN substring(w.cs, CAST(w.si AS INT) + 1, 1)
+           |                       = substring(w.ct, CAST(w.ti AS INT) + 1, 1)
+           |             THEN '1' ELSE '0' END
+           |  FROM wk w
+           |  JOIN mat r1 ON r1.search_val = w.search_val
+           |    AND r1.match_val = w.match_val AND r1.i = w.si
+           |  JOIN mat r2 ON r2.search_val = w.search_val
+           |    AND r2.match_val = w.match_val AND r2.i = w.si + 1
+           |  WHERE w.si < w.n AND w.ti < w.m),
+           |vis AS (SELECT search_val, match_val, sym FROM wk
+           |        WHERE si >= n OR ti >= m),
+           |sw AS (
+           |  SELECT search_val, match_val,
+           |    CAST(length(search_val) AS BIGINT) AS n1,
+           |    CAST(length(match_val) AS BIGINT) AS n2,
+           |    CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS mi, '' AS acc
+           |  FROM tp
+           |  UNION ALL
+           |  SELECT search_val, match_val, n1, n2,
+           |    CASE WHEN bl IS NULL THEN idx + 1 ELSE idx + bl END,
+           |    CASE WHEN bl IS NULL THEN mi ELSE mi + rel + bl END,
+           |    CASE WHEN bl IS NULL THEN acc ELSE acc ||
+           |      CASE WHEN rel > 0 THEN '|0:' ||
+           |        substr(match_val, CAST(mi AS INT) + 1, CAST(rel AS INT))
+           |      ELSE '' END ||
+           |      '|1:' || substr(search_val, CAST(idx AS INT) + 1,
+           |                      CAST(bl AS INT)) END
+           |  FROM (
+           |    SELECT *, CASE WHEN bl IS NULL THEN NULL
+           |      ELSE strpos(substr(match_val, CAST(mi AS INT) + 1),
+           |             substr(search_val, CAST(idx AS INT) + 1,
+           |                    CAST(bl AS INT))) - 1 END AS rel
+           |    FROM (
+           |      SELECT *, list_max(list_filter(range(2, n1 - idx + 1),
+           |          l -> strpos(substr(match_val, CAST(mi AS INT) + 1),
+           |                 substr(search_val, CAST(idx AS INT) + 1,
+           |                        CAST(l AS INT))) > 0)) AS bl
+           |      FROM sw WHERE idx < n1 - 1))),
+           |spl AS (
+           |  SELECT search_val, match_val,
+           |    CASE WHEN acc = '' THEN
+           |           CASE WHEN n2 > 0 THEN '0:' || match_val ELSE '' END
+           |         ELSE substr(acc, 2) ||
+           |           CASE WHEN mi < n2 THEN '|0:' ||
+           |             substr(match_val, CAST(mi AS INT) + 1)
+           |           ELSE '' END
+           |    END AS spl_canon
+           |  FROM sw WHERE idx >= n1 - 1)
+           |SELECT b.search_val, b.match_val, b.distance,
+           |  CAST(b.distance AS VARCHAR) || ':' || v.sym AS vis_canon,
+           |  sp.spl_canon
+           |FROM best b
+           |JOIN vis v USING (search_val, match_val)
+           |JOIN spl sp USING (search_val, match_val)
+           |ORDER BY search_val, match_val, distance""".stripMargin,
       // q09 proves the trace's distance channel: vis_distance must equal the
       // normalized Levenshtein DuckDB computes itself on the 'best' pairs.
       "q09_visual_distance" ->

@@ -339,7 +339,18 @@ object Blocking {
     * neighborhood or banded candidate set, never a product. Per pair
     * the token cross is |a|·|b| (names: a handful); inner JW scores
     * round to 6 dp and max/avg as DECIMAL (the cross-engine rank rule:
-    * round BEFORE the argmax, or libm ulps flip which token wins). */
+    * round BEFORE the argmax, or libm ulps flip which token wins).
+    *
+    * DISTINCT-token semantics, by design (ADVICE r14): the per-side mean
+    * averages over each side's distinct token VALUES (the groupBy on the
+    * token collapses duplicates), not the textbook multiset mean — a
+    * repeated token contributes its best-match score once, so
+    * "john john smith" scores like "john smith". For linkage keys this
+    * is the robust choice (token repetition is noise, not evidence); a
+    * multiset-mean variant would just weight the explode by its count.
+    * Pairs where EITHER key tokenizes to nothing (empty / whitespace-only
+    * strings — tokens split on spaces) are kept with null scores rather
+    * than dropped — the caller sees every candidate it asked about. */
   def mongeElkan(pairs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(20, 6)
     // both direction aggregations consume the scored cross — materialize
@@ -360,7 +371,12 @@ object Blocking {
       .groupBy("id_a", "id_b")
       .agg(TextAnalysis.round6Portable(
         sum("__best").cast("double") / count(lit(1))).as(out))
-    side("ta", "me_ab").join(side("tb", "me_ba"), Seq("id_a", "id_b"))
+    // left join from the ORIGINAL pair list: a pair whose key tokenizes
+    // to nothing never enters the token cross (inner explode) — emit it
+    // with null scores instead of silently dropping it (ADVICE r14)
+    pairs.select("id_a", "id_b").distinct()
+      .join(side("ta", "me_ab"), Seq("id_a", "id_b"), "left")
+      .join(side("tb", "me_ba"), Seq("id_a", "id_b"), "left")
       .withColumn("me", TextAnalysis.round6Portable(
         (col("me_ab") + col("me_ba")) / 2))
   }

@@ -1864,8 +1864,20 @@ object Profile {
     * and KS's worst-point answer, PSI is what risk teams actually log.
     * `bins` equi-width cells over the pooled range; Laplace-smoothed
     * cell shares so empty cells stay finite and the score is defined
-    * for every split. Per-cell terms quantize to picounits and
-    * LONG-sum. */
+    * for every split. ALL `bins` cells fold — including cells empty in
+    * both groups, whose smoothed shares 1/(n+B) still differ between
+    * unequal-sized groups (ADVICE r14) — so the smoothed distributions
+    * each sum to exactly 1 and n_cells always reads `bins`. Per-cell
+    * terms quantize to picounits and LONG-sum. */
+  /** Equi-width bin id for a long value against broadcast extrema — the
+    * product runs in DECIMAL(38,0) so a value range approaching
+    * Long.MaxValue/bins cannot overflow into negative ids (ADVICE r14);
+    * `div` (not `/`) keeps exact integer division — a double round-trip
+    * mis-bins values near bin edges at large magnitudes. */
+  private def binId(v: String, lo: String, hi: String, bins: Int) =
+    expr(s"((CAST($v AS DECIMAL(38,0)) - $lo) * $bins) div " +
+      s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
+
   def psi(df: DataFrame, value: Column, groupCol: Column,
           groupA: String, groupB: String, bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1024, s"bins in [2,1024]: $bins")
@@ -1873,12 +1885,18 @@ object Profile {
       .select(value.cast("long").as("__v"),
         (groupCol === groupA).as("__isa"))
     val ext = broadcast(src.agg(min("__v").as("__lo"), max("__v").as("__hi")))
-    val cells = src.crossJoin(ext)
-      .select(expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)").as("b"),
-        col("__isa"))
+    val observed = src.crossJoin(ext)
+      .select(binId("__v", "__lo", "__hi", bins).as("b"), col("__isa"))
       .groupBy("b")
       .agg(sum(when(col("__isa"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__isa"), 0L).otherwise(1L)).as("__cb"))
+    // EVERY cell id participates in the smoothed fold (ADVICE r14): bins
+    // empty in BOTH groups still carry (1/(n_a+B) − 1/(n_b+B))·ln terms
+    // when n_a ≠ n_b, and the smoothed shares must sum to 1 — generate
+    // the full id range and left-join the observed counts onto it
+    val cells = df.sparkSession.range(bins).select(col("id").as("b"))
+      .join(observed, Seq("b"), "left")
+      .na.fill(0L, Seq("__ca", "__cb"))
     val tot = cells.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
     val pa = (col("__ca") + lit(1)).cast("double") / (col("n_a") + bins)
     val pb = (col("__cb") + lit(1)).cast("double") / (col("n_b") + bins)
@@ -1998,11 +2016,17 @@ object Profile {
     * drift MATRIX a mixture designer reads next to q281's JSD matrix,
     * in metric units. Pair fan-out happens on the per-group VALUE COUNT
     * table (the q281 discipline): one corpus aggregation, then
-    * |pairs|·|distinct values| window work, never a rescan per pair. */
+    * |pairs|·|distinct values| window work, never a rescan per pair.
+    * COST IS |groups|² PAIRS — `maxGroups` is the loud guard; preselect
+    * top-m sources by volume or raise it deliberately. */
   def wasserstein1Matrix(df: DataFrame, value: Column, groupCol: Column,
-                         groups: Seq[String]): DataFrame = {
+                         groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,
       s"need >= 2 distinct groups: $groups")
+    require(groups.size <= maxGroups,
+      s"wasserstein1Matrix fans out |groups|^2 = ${groups.size * groups.size} " +
+        s"CDF walks (> maxGroups=$maxGroups pairs base); preselect top-m " +
+        "sources by volume or raise maxGroups deliberately")
     val cnt = graft.ops.Materialize.stable(
       df.filter(groupCol.isin(groups: _*))
         .select(groupCol.as("src"), value.cast("long").as("__v"))
@@ -2129,8 +2153,7 @@ object Profile {
     val src = df.select(value.cast("long").as("__v"))
     val ext = broadcast(src.agg(min("__v").as("__lo"), max("__v").as("__hi")))
     val stats = src.crossJoin(ext)
-      .select(expr(s"((__v - __lo) * $bins) div (__hi - __lo + 1)").as("b"),
-        col("__v"))
+      .select(binId("__v", "__lo", "__hi", bins).as("b"), col("__v"))
       .groupBy("b").agg(count(lit(1)).as("n"),
         sum(col("__v").cast(dec)).as("s1"),
         sum(col("__v").cast(dec) * col("__v")).as("s2"))
@@ -2244,13 +2267,11 @@ object Profile {
     val ext = broadcast(src.agg(
       min("__x").as("__xlo"), max("__x").as("__xhi"),
       min("__y").as("__ylo"), max("__y").as("__yhi")))
-    // `div`, not `/`: Spark's Column `/` is ALWAYS double division, and a
-    // double round-trip mis-bins values near bin edges at large magnitudes
     val cells = graft.ops.Materialize.stable(
       src.crossJoin(ext)
         .select(
-          expr(s"((__x - __xlo) * $bins) div (__xhi - __xlo + 1)").as("bx"),
-          expr(s"((__y - __ylo) * $bins) div (__yhi - __ylo + 1)").as("by"))
+          binId("__x", "__xlo", "__xhi", bins).as("bx"),
+          binId("__y", "__ylo", "__yhi", bins).as("by"))
         .groupBy("bx", "by").agg(count(lit(1)).as("nc")),
       "kendall-cells")
     val a = cells.select(col("bx").as("bxa"), col("by").as("bya"),

@@ -1369,9 +1369,13 @@ object TextAnalysis {
     * — exact in doubles for |x| ≤ ln 2) and LONG-summed, so the final
     * divergence is order-independent and engine-identical. */
   def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
-                   groups: Seq[String]): DataFrame = {
+                   groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,
       s"need >= 2 distinct groups, got $groups")
+    require(groups.size <= maxGroups,
+      s"jsDivergence fans out |groups|^2 = ${groups.size * groups.size} " +
+        s"shared-vocab folds (> maxGroups=$maxGroups pairs base); preselect " +
+        "top-m sources by volume or raise maxGroups deliberately")
     val cnt = graft.ops.Materialize.stable(
       docs.filter(col(groupCol).isin(groups: _*))
         .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
@@ -1458,11 +1462,23 @@ object TextAnalysis {
     * another is cosine-1 but JSD > 0 when their lengths differ). Dot
     * products and norms are exact decimal integers off the shared-term
     * join (the sum-min discipline: the union is never materialized);
-    * one sqrt per pair at the end. */
+    * one sqrt per pair at the end.
+    *
+    * COST IS |groups|² PAIRS, each a shared-term join over the two
+    * sources' type tables — fine at survey-scale source counts, 10⁶
+    * pairs at 10³ sources; `maxGroups` is the loud guard (raise it
+    * knowingly, or preselect top-m sources by volume first). Every pair
+    * is EMITTED even when the two groups share no tokens or a group has
+    * no docs (cosine 0, n_shared 0) — callers iterate a full matrix,
+    * never missing cells (ADVICE r14). */
   def cosineMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                   groups: Seq[String]): DataFrame = {
+                   groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,
       s"need >= 2 distinct groups: $groups")
+    require(groups.size <= maxGroups,
+      s"cosineMatrix fans out |groups|^2 = ${groups.size * groups.size} " +
+        s"shared-term joins (> maxGroups=$maxGroups pairs base); preselect " +
+        "top-m sources by volume or raise maxGroups deliberately")
     val dec = "decimal(38,0)"
     val cnt = graft.ops.Materialize.stable(
       docs.filter(col(groupCol).isin(groups: _*))
@@ -1476,22 +1492,28 @@ object TextAnalysis {
       sorted.drop(i + 1).map(b => (a, b)) }
     import docs.sparkSession.implicits._
     val pairDf = broadcast(prs.toDF("sa", "sb"))
-    cnt.join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
+    val cells = cnt
+      .join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
       .groupBy("sa", "sb", "t")
       .agg(sum(when(col("src") === col("sa"), col("c"))).as("ca"),
         sum(when(col("src") === col("sb"), col("c"))).as("cb"))
       .filter(col("ca").isNotNull && col("cb").isNotNull)
       .groupBy("sa", "sb")
-      .agg(count(lit(1)).as("n_shared"),
+      .agg(count(lit(1)).as("__ns"),
         sum(col("ca").cast(dec) * col("cb")).as("__dot"))
       .join(broadcast(norms.select(col("src").as("sa"), col("n2").as("__na"))),
         "sa")
       .join(broadcast(norms.select(col("src").as("sb"), col("n2").as("__nb"))),
         "sb")
-      .select(col("sa"), col("sb"), col("n_shared"),
+      .select(col("sa"), col("sb"), col("__ns"),
         round6Portable(col("__dot").cast("double") /
           sqrt(col("__na").cast("double") * col("__nb").cast("double")))
-          .as("cosine"))
+          .as("__cos"))
+    // full matrix: token-disjoint or empty-group pairs emit 0, not a hole
+    pairDf.join(cells, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        coalesce(col("__ns"), lit(0L)).as("n_shared"),
+        coalesce(col("__cos"), lit(0.0)).as("cosine"))
       .orderBy("sa", "sb")
   }
 
@@ -1501,11 +1523,19 @@ object TextAnalysis {
     * sources can share all their words yet weight them differently
     * (Dice 1, JSD > 0), or share a sublanguage exactly (overlap 1,
     * Dice < 1). Set sizes are exact counts off the distinct-(src, term)
-    * table. */
+    * table.
+    *
+    * COST IS |groups|² PAIRS (see [[cosineMatrix]] — same guard, same
+    * full-matrix contract: disjoint or empty pairs emit 0 cells, never
+    * holes). */
   def vocabOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                         groups: Seq[String]): DataFrame = {
+                         groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,
       s"need >= 2 distinct groups: $groups")
+    require(groups.size <= maxGroups,
+      s"vocabOverlapMatrix fans out |groups|^2 = ${groups.size * groups.size} " +
+        s"type-table joins (> maxGroups=$maxGroups pairs base); preselect " +
+        "top-m sources by volume or raise maxGroups deliberately")
     val cnt = graft.ops.Materialize.stable(
       docs.filter(col(groupCol).isin(groups: _*))
         .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("t"))
@@ -1517,19 +1547,29 @@ object TextAnalysis {
       sorted.drop(i + 1).map(b => (a, b)) }
     import docs.sparkSession.implicits._
     val pairDf = broadcast(prs.toDF("sa", "sb"))
-    cnt.join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
+    val inter = cnt
+      .join(pairDf, col("src") === col("sa") || col("src") === col("sb"))
       .groupBy("sa", "sb", "t").agg(count(lit(1)).as("__n"))
       .filter(col("__n") === 2)
-      .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select(col("src").as("sa"), col("v").as("v_a"))),
-        "sa")
-      .join(broadcast(sizes.select(col("src").as("sb"), col("v").as("v_b"))),
-        "sb")
+      .groupBy("sa", "sb").agg(count(lit(1)).as("__nc"))
+    // full matrix: pairs with no shared types (or an empty group) emit
+    // 0-cells; degenerate 0/0 ratios read 0, not null
+    pairDf.join(inter, Seq("sa", "sb"), "left")
+      .join(broadcast(sizes.select(col("src").as("sa"), col("v").as("__va"))),
+        Seq("sa"), "left")
+      .join(broadcast(sizes.select(col("src").as("sb"), col("v").as("__vb"))),
+        Seq("sb"), "left")
+      .select(col("sa"), col("sb"),
+        coalesce(col("__va"), lit(0L)).as("v_a"),
+        coalesce(col("__vb"), lit(0L)).as("v_b"),
+        coalesce(col("__nc"), lit(0L)).as("n_common"))
       .select(col("sa"), col("sb"), col("v_a"), col("v_b"), col("n_common"),
-        round6Portable(lit(2.0) * col("n_common") / (col("v_a") + col("v_b")))
-          .as("dice"),
-        round6Portable(col("n_common").cast("double") /
-          least(col("v_a"), col("v_b"))).as("overlap"))
+        round6Portable(when(col("v_a") + col("v_b") > 0,
+          lit(2.0) * col("n_common") / (col("v_a") + col("v_b")))
+          .otherwise(lit(0.0))).as("dice"),
+        round6Portable(when(least(col("v_a"), col("v_b")) > 0,
+          col("n_common").cast("double") / least(col("v_a"), col("v_b")))
+          .otherwise(lit(0.0))).as("overlap"))
       .orderBy("sa", "sb")
   }
 

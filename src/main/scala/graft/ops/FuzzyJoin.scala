@@ -421,8 +421,10 @@ object FuzzyJoin {
       "jaro-winkler top-k data side (exact JW has no length-band prune; " +
         "this is an unpruned nested loop)",
       "FuzzyJoin.topKJaroWinklerBanded (exact, certified length-ratio " +
-        "two-phase) when matches are strong, or embedding/MinHash " +
-        "candidates (graft.ext) scored by JW afterwards", maxDataRows)
+        "two-phase) when matches are strong, or " +
+        "FuzzyJoin.topKJaroWinklerPrescreened (approximate, rare-q-gram " +
+        "candidates, per-probe cost bounded by maxCandidates, recall " +
+        "measured by jwPrescreenRecall) when they are weak", maxDataRows)
     requireUniqueDataIds(data, "topKJaroWinkler")
     val scored = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
@@ -475,7 +477,12 @@ object FuzzyJoin {
     * semantic: with strong matches (sim > bound for k rows per probe,
     * e.g. deduplicated name registries at ρ = 0.5 ⟹ bound 0.9) the
     * corpus-sized cross product never runs; with weak matches every
-    * probe falls through and the band phase was wasted work. */
+    * probe falls through and the band phase was wasted work — measured
+    * at sf1: 78× the sf0.1 time on weak probes (SCALING.md round 14).
+    * For weak-match probe sets at scale call
+    * [[topKJaroWinklerPrescreened]] instead (approximate, per-probe cost
+    * bounded, recall measured by [[jwPrescreenRecall]]); this exact tier
+    * is then the spec-level ground truth the audit compares against. */
   def topKJaroWinklerBanded(search: DataFrame, data: DataFrame, k: Int,
                             minRatio: Double = 0.5,
                             onCache: DataFrame => Unit = _ => (),
@@ -543,5 +550,146 @@ object FuzzyJoin {
         col("s_norm"), col("m_norm")), 6)))
 
     joinMatchVal(filledTopK.unionByName(fallbackTopK), data)
+  }
+
+  /** Distinct character q-grams of a normalized string, first-occurrence
+    * order; strings shorter than q contribute themselves as their single
+    * "gram" so short keys stay indexable. Shared by the prescreened JW
+    * tier and its DuckDB oracle replay (same definition in SQL). */
+  private def charGrams(c: Column, q: Int): Column =
+    when(length(c) < q, array(c)).otherwise(
+      array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
+        i => c.substr(i, lit(q)))))
+
+  /** APPROXIMATE Jaro–Winkler top-k via a rare-q-gram prescreen — the
+    * scale tier for WEAK-match probe sets, where both exact engines
+    * degenerate to the probe × data product ([[topKJaroWinklerBanded]]'s
+    * certificate only prunes probes whose k-th match clears 0.8 + 0.2ρ;
+    * exact JW admits no candidate certificate below that — see
+    * [[topKJaroWinkler]]). Measured at sf1: the exact banded tier runs
+    * 78× its sf0.1 time on weak probes (SCALING.md round 14); this tier
+    * bounds per-probe work by `maxCandidates` instead, trading recall —
+    * which [[jwPrescreenRecall]] measures instead of assuming.
+    *
+    * Pipeline (every stage deterministic, so the whole operator is
+    * SQL-replayable by the oracle — no RNG, no heuristics hidden in
+    * executor state):
+    *   1. Posting table: distinct q-grams per data key; grams whose
+    *      document frequency exceeds `maxDf` are stop-grams (dropped —
+    *      they carry no selectivity and their postings dominate cost).
+    *   2. Probe gram budget: each probe ranks ITS grams by (df ASC,
+    *      gram ASC) against the data-side df table and keeps the maximal
+    *      rare prefix whose CUMULATIVE df fits `maxCandidates` (always
+    *      at least its single rarest gram) — per-probe candidate volume
+    *      is therefore ≈ maxCandidates by construction, the knob that
+    *      keeps 10× data from becoming 100× pairs.
+    *   3. Candidates: posting ⋈ probe-gram equi-join; a pair colliding
+    *      on g shared grams is kept once via the smallest-shared-gram
+    *      filter (the [[fuzzyMatchPrunedQgram]] channel-C discipline — a
+    *      filter, not a dedup shuffle).
+    *   4. Verify: exact JW (codegen'd [[graft.functions.TextExprs.jaroWinkler]],
+    *      round 6 dp) on survivors only, then the k-bounded partial fold
+    *      ([[TopK.groupedTopK]]) — nothing product-sized ever shuffles.
+    *
+    * Output shape matches the exact tiers (search_val, rnk, data_id,
+    * sim, match_val). Contract differences, both deliberate: rows are
+    * the top-k OF THE CANDIDATE SET (a probe sharing no indexed gram
+    * with the corpus emits no rows), and a true top-k row can be missed
+    * when it shares no rare gram with the probe — run
+    * [[jwPrescreenRecall]] on a probe sample to measure, don't guess.
+    *
+    * Shuffle shape: gram-df aggregation (gram-type-sized, tiny — the
+    * q-gram alphabet bounds it), the probe-side windows (probe-sized,
+    * probes are guarded broadcastable), and the k-bounded fold
+    * (probes · k · partitions). The corpus is scanned map-only: both
+    * gram joins broadcast the small side onto the posting stream. */
+  def topKJaroWinklerPrescreened(search: DataFrame, data: DataFrame, k: Int,
+                                 q: Int = 3, maxDf: Long = 100000L,
+                                 maxCandidates: Long = 2000L,
+                                 maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
+    require(maxDf >= 1 && maxCandidates >= 1,
+      s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
+    guard(search, maxProbeRows)
+    requireUniqueDataIds(data, "topKJaroWinklerPrescreened")
+    val dataN = Partitioning.spread(data)
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+      .withColumn("m_grams", charGrams(col("m_norm"), q))
+    // document frequency per gram, stop-grams dropped; the gram-type
+    // table is alphabet-bounded (≤ 36^q distinct keys) — broadcastable
+    val dfTab = dataN.select(col("data_id"), explode(col("m_grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // probe rare-gram budget: rank by (df, g), keep while cumulative df
+    // fits the candidate budget (rarest gram always kept)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("search_val").orderBy("df", "g")
+    val rare = search
+      .withColumn("s_norm", Normalize.norm(col("search_val")))
+      .select(col("search_val"), col("s_norm"),
+        explode(charGrams(col("s_norm"), q)).as("g"))
+      .join(broadcast(dfTab), "g")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cum", sum("df").over(w.rowsBetween(Long.MinValue, 0)))
+      .filter(col("__rk") === 1 || col("__cum") <= maxCandidates)
+      .groupBy("search_val", "s_norm")
+      .agg(sort_array(collect_set(col("g"))).as("s_rare"))
+    val sGram = rare.withColumn("g", explode(col("s_rare")))
+    // postings stream (map-only over the corpus), exactly-once collision
+    // via smallest shared gram — s_rare ⊆ the non-stop gram set, so every
+    // shared gram produced a collision and the min is always present
+    val cand = dataN
+      .select(col("data_id"), col("m_norm"), col("m_grams"),
+        explode(col("m_grams")).as("g"))
+      .join(broadcast(dfTab.select("g")), "g")
+      .join(broadcast(sGram), "g")
+      .filter(col("g") ===
+        array_min(array_intersect(col("s_rare"), col("m_grams"))))
+    val scored = cand
+      .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
+        col("s_norm"), col("m_norm")), 6))
+      .select(col("search_val"), col("sim"), col("data_id"))
+    joinMatchVal(
+      TopK.groupedTopK(scored, Seq("search_val"), col("sim"), col("data_id"), k)
+        .withColumnRenamed("id", "data_id")
+        .withColumnRenamed("score", "sim"),
+      data)
+  }
+
+  /** Recall audit for [[topKJaroWinklerPrescreened]]: run BOTH tiers on
+    * an ALREADY-SAMPLED probe set (the caller picks a deterministic,
+    * oracle-replayable sample rule — the q74_ann_recall discipline) and
+    * report overlap@k of the data_id sets. The exact side is
+    * [[topKJaroWinkler]]'s product scan, so the sample is what keeps the
+    * audit bounded: cost = |sample| · |data|, chosen by the caller, not
+    * the operator. Recall is the MICRO-average (total hits / total exact
+    * rows — exact integers until one final division, engine-identical);
+    * n_full_recall counts perfectly-recalled probes. This is the honesty
+    * meter the prescreened tier's contract points at. */
+  def jwPrescreenRecall(sampleProbes: DataFrame, data: DataFrame, k: Int,
+                        q: Int = 3, maxDf: Long = 100000L,
+                        maxCandidates: Long = 2000L): DataFrame = {
+    val exact = topKJaroWinkler(sampleProbes, data, k)
+      .select(col("search_val"), col("data_id"))
+    // rename BOTH approx keys: the two tiers share the probe lineage, so
+    // joining on same-named columns would resolve trivially-true
+    val approx = topKJaroWinklerPrescreened(sampleProbes, data, k,
+        q, maxDf, maxCandidates)
+      .select(col("search_val").as("a_sv"), col("data_id").as("a_id"))
+    val perProbe = exact
+      .join(approx, col("search_val") === col("a_sv") &&
+        col("data_id") === col("a_id"), "left")
+      .groupBy(col("search_val"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("__hit"))
+    perProbe.agg(
+      count(lit(1)).cast("long").as("n_probes"),
+      lit(k).cast("int").as("k"),
+      sum("__hit").as("n_hits"),
+      sum("__n").as("n_exact"),
+      graft.ext.TextAnalysis.round6Portable(
+        sum("__hit").cast("double") / sum("__n")).as("recall_at_k"),
+      sum(when(col("__hit") === col("__n"), 1L).otherwise(0L))
+        .as("n_full_recall"))
   }
 }

@@ -4258,6 +4258,25 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(r.getAs[Double]("me") === 0.833334)
   }
 
+  test("mongeElkan: duplicate tokens collapse (distinct semantics); empty-token pairs kept as null") {
+    import spark.implicits._
+    // distinct-token mean: 'john john smith' scores like 'john smith'
+    val dup = Seq((1L, "john john smith", 2L, "john smith"))
+      .toDF("id_a", "key_a", "id_b", "key_b")
+    val rd = graft.ext.Blocking.mongeElkan(dup).collect()(0)
+    assert(rd.getAs[Double]("me_ab") === 1.0)
+    assert(rd.getAs[Double]("me") === 1.0)
+    // a pair whose key tokenizes to nothing survives with null scores
+    // (ADVICE r14 — the inner explode used to drop it silently)
+    val pairs = Seq((1L, "john smith", 2L, "smith john"),
+      (3L, "   ", 4L, "smith")).toDF("id_a", "key_a", "id_b", "key_b")
+    val got = graft.ext.Blocking.mongeElkan(pairs).orderBy("id_a").collect()
+    assert(got.length === 2, "the empty-token pair must not vanish")
+    assert(got(1).getAs[Long]("id_a") === 3L)
+    assert(got(1).isNullAt(got(1).fieldIndex("me_ab")) &&
+      got(1).isNullAt(got(1).fieldIndex("me")))
+  }
+
   test("weightedJaccard: multiset min/max; disjoint pair scores 0") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "a b b"), (3L, "z")).toDF("doc_id", "text")
@@ -4459,7 +4478,9 @@ class LinkageSplitSpec extends SparkTestBase {
       .collect().map(r => ((r.getString(0), r.getString(1)),
         r.getAs[Double]("cosine"))).toMap
     assert(got(("a", "b")) === 1.0) // b = 2x a: same direction
-    assert(!got.contains(("a", "c"))) // no shared term -> no pair row
+    // full-matrix contract (ADVICE r14): token-disjoint pairs emit a
+    // 0-cell, never a hole — callers iterate the complete matrix
+    assert(got(("a", "c")) === 0.0 && got(("b", "c")) === 0.0)
     // dissimilar but overlapping: x-only vs x+y
     val e = Seq(("a", "x"), ("b", "x y")).toDF("source", "text")
     val r = TextAnalysis.cosineMatrix(e, "source", "text", Seq("a", "b"))

@@ -206,6 +206,58 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(banded === exact)
   }
 
+  test("prescreened tier == exact tier when every true match shares a rare gram") {
+    def rows(df: DataFrame): Set[(String, Int, Long)] =
+      df.select("search_val", "rnk", "data_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val strongData = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
+      (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")
+    val strongSearch = Seq("jellyfish co").toDF("search_val")
+    assert(rows(FuzzyJoin.topKJaroWinklerPrescreened(
+        strongSearch, strongData, 3, q = 2)) ===
+      rows(FuzzyJoin.topKJaroWinkler(strongSearch, strongData, 3)))
+  }
+
+  test("prescreened tier: maxCandidates budget keeps only the rarest-gram prefix") {
+    // probe grams vs data df: 'xy' appears once, 'ab' five times, 'bx'
+    // never. With maxCandidates = 1 the cumulative budget admits ONLY
+    // the rarest gram ('xy', df 1), so the sole candidate — and thus the
+    // whole output — is the xy-string, even though an ab-string is the
+    // better JW match. That is the documented trade: bounded work,
+    // recall measured (not assumed) by jwPrescreenRecall.
+    val d = Seq((1L, "abcdef"), (2L, "abdedf"), (3L, "abeeef"),
+      (4L, "abffff"), (5L, "abgggg"), (6L, "qqxyqq")).toDF("data_id", "match_val")
+    val s = Seq("abxy").toDF("search_val")
+    val out = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
+        maxCandidates = 1)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(6L), "only the rarest-gram candidate may survive")
+    // with budget for both grams, the ab-strings join the candidate set
+    // (k = 6 so the whole candidate set surfaces, not just the top-3)
+    val wide = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 6, q = 2,
+        maxCandidates = 100)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    assert(wide.contains(6L) && wide.exists(_ <= 5L))
+  }
+
+  test("prescreened tier: probe sharing no indexed gram emits no rows, no crash") {
+    val d = Seq((1L, "aaaa"), (2L, "aabb")).toDF("data_id", "match_val")
+    val s = Seq("zzzz").toDF("search_val")
+    assert(FuzzyJoin.topKJaroWinklerPrescreened(s, d, 2, q = 2).count() === 0L)
+  }
+
+  test("jwPrescreenRecall: perfect recall on covered probes, micro-average arithmetic") {
+    val d = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
+      (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")
+    val s = Seq("jellyfish co", "jellyfish ink").toDF("search_val")
+    val r = FuzzyJoin.jwPrescreenRecall(s, d, 3, q = 2).collect()(0)
+    assert(r.getAs[Long]("n_probes") === 2L)
+    assert(r.getAs[Long]("n_exact") === 6L)
+    assert(r.getAs[Long]("n_hits") === 6L)
+    assert(r.getAs[Double]("recall_at_k") === 1.0)
+    assert(r.getAs[Long]("n_full_recall") === 2L)
+  }
+
   test("topKJaroWinkler corpus-side guard fires, naming the banded alternative") {
     val e = intercept[IllegalArgumentException](
       FuzzyJoin.topKJaroWinkler(search, data, 2, maxDataRows = 2))

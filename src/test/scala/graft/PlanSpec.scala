@@ -12,6 +12,42 @@ class PlanSpec extends SparkTestBase {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  // ---- structural nest-loop audit (ADVICE r14: line counts were a weak
+  // proxy — a genuine large-input nested loop printing few lines passed).
+  // Traverse the EXECUTED plan (through AQE stages / reuse nodes) and
+  // demand that every BroadcastNestedLoopJoin builds from a 1-row frame:
+  // an aggregate with NO grouping keys produces exactly one row, which is
+  // the count/weights-broadcast pattern these plans are allowed. ----
+  import org.apache.spark.sql.execution.SparkPlan
+  private def flattenPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenPlan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: flattenPlan(r.child)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
+  private def assertNestLoopsBuildOneRow(df: org.apache.spark.sql.DataFrame,
+                                         what: String): Unit = {
+    val bnljs = flattenPlan(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnljs.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      val oneRow = flattenPlan(build).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.isEmpty
+        case _ => false
+      }
+      assert(oneRow, s"$what: a BroadcastNestedLoopJoin builds from a frame " +
+        s"that is NOT a 1-row (no-grouping) aggregate — a real product:\n$j")
+    }
+  }
+
   test("q10: shipdate filter is pushed to the parquet scan; unused columns pruned") {
     val p = plan("q10_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -1100,10 +1136,10 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       s"the pair stream must join on the length band, never a product:\n$p")
     // the scale-adaptive stride (round 14) broadcasts the 1-row part
-    // COUNT onto each side before its modulus filter — those two 1-row
-    // crosses (AQE may print each twice) are the only nest-loops allowed
-    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 4, s"only the two 1-row count broadcasts may cross:\n$p")
+    // COUNT onto each side before its modulus filter — nest-loops are
+    // allowed ONLY when they build from such a 1-row aggregate
+    // (structural check, not a line count — ADVICE r14)
+    assertNestLoopsBuildOneRow(df, "q226")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"the conditional-agg estimator must fold map-side:\n$p")
   }
@@ -1157,10 +1193,9 @@ class PlanSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"no raw cartesian:\n$p")
     // 1-row nest-loops only: the pivoted-weights broadcast plus the two
-    // scale-adaptive stride COUNT broadcasts (round 14); AQE can print
-    // each twice (stage + inline reuse)
-    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 6, s"only 1-row broadcasts (weights + strides) may cross:\n$p")
+    // scale-adaptive stride COUNT broadcasts (round 14) — each must
+    // build from a no-grouping aggregate (structural check, ADVICE r14)
+    assertNestLoopsBuildOneRow(df, "q232")
     assert(p.contains("partial_max") || p.contains("partial_sum"),
       s"estimator + pivot must fold map-side:\n$p")
     // the 33M-pair ground-truth fold must stay inside WholeStageCodegen:
@@ -1499,6 +1534,21 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("partial_count") || p.contains("partial_sum"),
         s"$q: cell counts must fold map-side:\n$p")
     }
+  }
+
+  test("q306 prescreened JW: corpus side map-only — gram equi-joins broadcast, no product") {
+    val df = SparkEntry.queries("q306_fuzzy_jw_prescreened")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be a gram/id equi-join, never a product:\n$p")
+    // the probe rare-gram budget is the only window work, probe-sized
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.forall(_.contains("windowspecdefinition(search_val")),
+      s"only the per-probe gram-budget windows may plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"the gram-df table must fold map-side:\n$p")
   }
 
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
