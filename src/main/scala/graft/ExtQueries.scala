@@ -4738,6 +4738,55 @@ object ExtQueries {
           "recall_at_k", "n_full_recall")
         .orderBy("pairing")
     }),
+
+    // Mergeable QUANTILE sketch (VERDICT r14 #7): bottom-k row sample
+    // by pinned h60 — chosen over KLL/t-digest because their compaction
+    // is arrival-order state, which breaks distributed partial-agg
+    // determinism AND the cross-engine oracle (Sketches.scala scaladoc
+    // carries the full trade). Per event type: the k=256 sample's
+    // p50/p90/p99 BESIDE the exact counts-of-counts percentiles — the
+    // rank error is displayed, not assumed.
+    "q308_kmv_quantiles" -> ((s, dir) => {
+      val v6 = floor(col("value") * 1e6 + 0.5).cast("long")
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), v6.as("__v"))
+      val est = Sketches.kmvQuantiles(
+        Sketches.kmvSketch(ev, Seq("event_type"), col("event_id"),
+          col("__v"), k = 256),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99))
+      val counts = ev.groupBy("event_type", "__v")
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("__v")
+      val cum = counts
+        .withColumn("__cum", sum("__c").over(w.rowsBetween(Long.MinValue, 0)))
+        .join(counts.groupBy("event_type").agg(sum("__c").as("__nt")),
+          "event_type")
+      def exact(q: Double, nm: String) = cum
+        .filter(col("__cum") >= ceil(lit(q) * col("__nt")))
+        .groupBy("event_type").agg(min("__v").as(nm))
+      est.join(exact(0.5, "p50_exact"), "event_type")
+        .join(exact(0.9, "p90_exact"), "event_type")
+        .join(exact(0.99, "p99_exact"), "event_type")
+        .orderBy("event_type")
+    }),
+
+    // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
+    // sketches merge into one corpus sketch on the Spark side; DuckDB
+    // never builds a shard — it bottom-k's the whole corpus directly.
+    // A hash match means merge(sketch parts) == sketch(union) exactly,
+    // the property KLL only holds distributionally.
+    "q309_kmv_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("__v"),
+        pmod(col("event_id"), lit(8)).as("__shard"))
+      Sketches.kmvQuantiles(
+        Sketches.kmvMergeAgg(
+          Sketches.kmvSketch(ev, Seq("__shard"), col("event_id"),
+            col("__v"), k = 256),
+          Nil, k = 256),
+        Nil, Seq(0.5, 0.9, 0.99))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -10020,6 +10069,53 @@ object ExtQueries {
            |${jwRecallOracleCtes("c_", "cross_noise")}
            |SELECT * FROM (SELECT * FROM c_rec UNION ALL SELECT * FROM s_rec)
            |ORDER BY pairing""".stripMargin) +
+      // KMV quantile sketch: DuckDB rebuilds the identical bottom-k
+      // sample (ORDER BY h, v LIMIT k) and both quantile rules
+      ("q308_kmv_quantiles" -> {
+        val h = TextAnalysis.h60Sql("'kmv:' || CAST(event_id AS VARCHAR)")
+        s"""WITH src AS (SELECT event_type, event_id,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    $h AS h
+           |  FROM events),
+           |rk AS (SELECT event_type, v,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS r
+           |  FROM src),
+           |samp AS (SELECT event_type, list_sort(list(v)) AS vs,
+           |    CAST(count(*) AS BIGINT) AS m
+           |  FROM rk WHERE r <= 256 GROUP BY 1),
+           |exv AS (SELECT event_type, list_sort(list(v)) AS va,
+           |    CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1)
+           |SELECT s.event_type, x.n, s.m,
+           |  s.vs[greatest(1, CAST(ceil(0.50 * s.m) AS INT))] AS p50,
+           |  s.vs[greatest(1, CAST(ceil(0.90 * s.m) AS INT))] AS p90,
+           |  s.vs[greatest(1, CAST(ceil(0.99 * s.m) AS INT))] AS p99,
+           |  x.va[greatest(1, CAST(ceil(0.50 * x.n) AS INT))] AS p50_exact,
+           |  x.va[greatest(1, CAST(ceil(0.90 * x.n) AS INT))] AS p90_exact,
+           |  x.va[greatest(1, CAST(ceil(0.99 * x.n) AS INT))] AS p99_exact
+           |FROM samp s JOIN exv x ON s.event_type = x.event_type
+           |ORDER BY s.event_type""".stripMargin
+      }) +
+      // KMV merge law: the oracle NEVER builds a shard — it bottom-k's
+      // the whole corpus; a hash match proves merge == sketch-of-union
+      ("q309_kmv_merge" -> {
+        val h = TextAnalysis.h60Sql("'kmv:' || CAST(event_id AS VARCHAR)")
+        s"""WITH src AS (SELECT event_id,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    $h AS h
+           |  FROM events),
+           |rk AS (SELECT v, row_number() OVER (ORDER BY h, v) AS r,
+           |    count(*) OVER () AS nt
+           |  FROM src),
+           |samp AS (SELECT list_sort(list(v)) AS vs,
+           |    CAST(count(*) AS BIGINT) AS m,
+           |    CAST(max(nt) AS BIGINT) AS n
+           |  FROM rk WHERE r <= 256)
+           |SELECT n, m,
+           |  vs[greatest(1, CAST(ceil(0.50 * m) AS INT))] AS p50,
+           |  vs[greatest(1, CAST(ceil(0.90 * m) AS INT))] AS p90,
+           |  vs[greatest(1, CAST(ceil(0.99 * m) AS INT))] AS p99
+           |FROM samp""".stripMargin
+      }) +
       // cosine matrix: exact hugeint dot/norms, one sqrt per pair
       ("q303_cosine_matrix" -> {
         val r6 = TextAnalysis.round6PortableSql _

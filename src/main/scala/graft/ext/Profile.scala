@@ -2018,7 +2018,13 @@ object Profile {
     * table (the q281 discipline): one corpus aggregation, then
     * |pairs|·|distinct values| window work, never a rescan per pair.
     * COST IS |groups|² PAIRS — `maxGroups` is the loud guard; preselect
-    * top-m sources by volume or raise it deliberately. */
+    * top-m sources by volume or raise it deliberately.
+    *
+    * Degenerate contract (deliberately NOT the cosine/vocab 0-fill):
+    * a pair whose side has no rows emits nothing — W₁ against an empty
+    * sample is undefined, and a 0-fill would read as "identical
+    * distributions", the one wrong answer. Check group presence
+    * upstream if every cell must exist. */
   def wasserstein1Matrix(df: DataFrame, value: Column, groupCol: Column,
                          groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,
@@ -2098,7 +2104,9 @@ object Profile {
     * joined back by value — never a row-level sort), kept DOUBLED so
     * every rank is an exact integer; the five sufficient statistics
     * accumulate in decimal(38,0) (doubled ranks reach 2n, their products
-    * 4n², sums 4n³ — past long at corpus scale). The constant factor 2
+    * 4n², sums 4n³ — past long at corpus scale; decimal(38,0) itself
+    * holds 4n³ up to n ≈ 2.9e12 rows — beyond that Spark nulls the
+    * overflowing sum loudly rather than wrapping). The constant factor 2
     * cancels in the correlation, so no de-doubling ever happens; floats
     * appear only in the final ratio. */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {

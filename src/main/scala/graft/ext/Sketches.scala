@@ -663,4 +663,71 @@ object Sketches {
         TextAnalysis.round6Portable(
           col("freq").cast("double") / col("n")).as("share"))
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable quantile sketch (VERDICT r14 #7): bottom-k row sample by
+  // pinned hash (KMV-style).
+  //
+  // WHY NOT KLL / t-digest: their compaction state depends on ARRIVAL
+  // ORDER, so (a) a distributed partial aggregation over arbitrary
+  // splits is nondeterministic run-to-run, and (b) no SQL oracle can
+  // replay the sketch — both against this engine's core discipline
+  // (every operator hash-gated cross-engine). The bottom-k-by-h60
+  // sample is a deterministic FUNCTION OF THE ROW SET: min-k of a
+  // union == min-k of per-part min-k's, so the merge law holds
+  // EXACTLY (KLL's only holds distributionally), partial aggregation
+  // is k-bounded map-side, and DuckDB rebuilds the identical sample
+  // with ORDER BY (h, v) LIMIT k. The price is rank error
+  // O(sqrt(q(1-q)/k)) whp over the (fixed, pinned) hash — one
+  // sqrt-factor worse than KLL's O(1/k·polylog) at equal state. At
+  // k = 256 that is ~±3% rank error at the median: the drift-gate
+  // regime this engine's sketches serve ([[histQuantiles]] remains
+  // the fixed-bin alternative; exact counts-of-counts percentiles
+  // remain the exact path, at distinct-value shuffle cost).
+  // ------------------------------------------------------------------
+
+  /** Per-group bottom-k quantile sketch: `sample` = the k (h60(rowKey),
+    * value) pairs with smallest hashes, ascending; `n` = group row
+    * count. `rowKey` must be row-unique (duplicated keys would
+    * under-weight their rows in the sample — the uniformity the rank
+    * error bound rides on). Map-side k-bounded fold; the shuffle
+    * carries ≤ k · partitions rows per group, never the values. */
+  def kmvSketch(df: DataFrame, keys: Seq[String], rowKey: Column,
+                value: Column, k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
+    graft.ops.TopK.groupedBottomK(df, keys,
+      TextAnalysis.h60(concat(lit("kmv:"), rowKey.cast("string"))),
+      value, k)
+  }
+
+  /** Merge sketch rows down to coarser keys (or one row with keys = Nil):
+    * flatten + sort + first k — EXACTLY the sketch of the union (the KMV
+    * merge law). State is sketch-sized, never data-sized. */
+  def kmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
+    val grouped =
+      if (keys.isEmpty) df.groupBy()
+      else df.groupBy(keys.map(col): _*)
+    grouped
+      .agg(slice(array_sort(flatten(collect_list(col("sample")))), 1, k)
+        .as("sample"), sum("n").as("n"))
+  }
+
+  /** Type-1 empirical quantiles off the sample: for each q, the sample
+    * value at 1-based rank max(1, ceil(q·m)) in value order. Emits
+    * m (sample size) and one `p<100q>` column per requested quantile.
+    * All integer/array arithmetic — both engines replay it exactly. */
+  def kmvQuantiles(sketch: DataFrame, keys: Seq[String],
+                   qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles in (0, 1]: $qs")
+    val vs = array_sort(expr("transform(sample, x -> x.v)"))
+    val m = size(col("sample"))
+    val cols = keys.map(col) ++ Seq(col("n"), m.cast("long").as("m")) ++
+      qs.map { q =>
+        val name = "p" + math.round(q * 100).toString
+        element_at(vs, greatest(lit(1), ceil(lit(q) * m)).cast("int"))
+          .as(name)
+      }
+    sketch.select(cols: _*)
+  }
 }

@@ -1367,7 +1367,12 @@ object TextAnalysis {
     * one conditional aggregation — no self-join of the corpus. Per-term
     * contributions are quantized to integer picounits (floor(x·1e12+0.5)
     * — exact in doubles for |x| ≤ ln 2) and LONG-summed, so the final
-    * divergence is order-independent and engine-identical. */
+    * divergence is order-independent and engine-identical.
+    *
+    * COST IS |groups|² PAIRS (`maxGroups` guards, as in [[cosineMatrix]]).
+    * Degenerate contract: a pair whose side has no tokens emits nothing —
+    * JSD against an empty sample is undefined (its p's are not a
+    * distribution), and a fill value would misread as a real divergence. */
   def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
                    groups: Seq[String], maxGroups: Int = 64): DataFrame = {
     require(groups.size >= 2 && groups.distinct.size == groups.size,

@@ -583,13 +583,17 @@ object FuzzyJoin {
     *      at least its single rarest gram) — per-probe candidate volume
     *      is therefore ≈ maxCandidates by construction, the knob that
     *      keeps 10× data from becoming 100× pairs.
-    *   3. Candidates: posting ⋈ probe-gram equi-join; a pair colliding
-    *      on g shared grams is kept once via the smallest-shared-gram
-    *      filter (the [[fuzzyMatchPrunedQgram]] channel-C discipline — a
-    *      filter, not a dedup shuffle).
+    *   3. Candidates: NARROW posting stream (data_id, m_norm, gram —
+    *      never the gram set; round 15 measured the array-carrying
+    *      variant at 54× for 10× data purely from payload + per-row
+    *      array intersects) ⋈ broadcast probe-gram equi-join.
     *   4. Verify: exact JW (codegen'd [[graft.functions.TextExprs.jaroWinkler]],
-    *      round 6 dp) on survivors only, then the k-bounded partial fold
-    *      ([[TopK.groupedTopK]]) — nothing product-sized ever shuffles.
+    *      round 6 dp) per collision row, folded through the
+    *      duplicate-collapsing k-bounded aggregate
+    *      ([[TopK.groupedTopKDistinct]]): a pair colliding on several
+    *      shared grams dies inside the ≤ k buffer — top-k of the
+    *      DISTINCT pair set, with no dedup shuffle and nothing
+    *      product-sized ever exchanged.
     *
     * Output shape matches the exact tiers (search_val, rnk, data_id,
     * sim, match_val). Contract differences, both deliberate: rows are
@@ -614,14 +618,16 @@ object FuzzyJoin {
     requireUniqueDataIds(data, "topKJaroWinklerPrescreened")
     val dataN = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
-      .withColumn("m_grams", charGrams(col("m_norm"), q))
     // document frequency per gram, stop-grams dropped; the gram-type
     // table is alphabet-bounded (≤ 36^q distinct keys) — broadcastable
-    val dfTab = dataN.select(col("data_id"), explode(col("m_grams")).as("g"))
+    val dfTab = dataN
+      .select(col("data_id"), explode(charGrams(col("m_norm"), q)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // probe rare-gram budget: rank by (df, g), keep while cumulative df
-    // fits the candidate budget (rarest gram always kept)
+    // fits the candidate budget (rarest gram always kept). Rare grams
+    // are a subset of dfTab, so joining them alone also enforces the
+    // stop-gram cut on the posting stream.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("search_val").orderBy("df", "g")
     val rare = search
@@ -632,25 +638,20 @@ object FuzzyJoin {
       .withColumn("__rk", row_number().over(w))
       .withColumn("__cum", sum("df").over(w.rowsBetween(Long.MinValue, 0)))
       .filter(col("__rk") === 1 || col("__cum") <= maxCandidates)
-      .groupBy("search_val", "s_norm")
-      .agg(sort_array(collect_set(col("g"))).as("s_rare"))
-    val sGram = rare.withColumn("g", explode(col("s_rare")))
-    // postings stream (map-only over the corpus), exactly-once collision
-    // via smallest shared gram — s_rare ⊆ the non-stop gram set, so every
-    // shared gram produced a collision and the min is always present
-    val cand = dataN
-      .select(col("data_id"), col("m_norm"), col("m_grams"),
-        explode(col("m_grams")).as("g"))
-      .join(broadcast(dfTab.select("g")), "g")
-      .join(broadcast(sGram), "g")
-      .filter(col("g") ===
-        array_min(array_intersect(col("s_rare"), col("m_grams"))))
-    val scored = cand
+      .select("g", "search_val", "s_norm")
+    // narrow posting stream (map-only over the corpus) ⋈ broadcast rare
+    // grams; one JW per collision row, duplicates (a pair sharing
+    // several rare grams) collapse inside the k-bounded distinct fold
+    val scored = dataN
+      .select(col("data_id"), col("m_norm"),
+        explode(charGrams(col("m_norm"), q)).as("g"))
+      .join(broadcast(rare), "g")
       .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
         col("s_norm"), col("m_norm")), 6))
       .select(col("search_val"), col("sim"), col("data_id"))
     joinMatchVal(
-      TopK.groupedTopK(scored, Seq("search_val"), col("sim"), col("data_id"), k)
+      TopK.groupedTopKDistinct(scored, Seq("search_val"), col("sim"),
+          col("data_id"), k)
         .withColumnRenamed("id", "data_id")
         .withColumnRenamed("score", "sim"),
       data)

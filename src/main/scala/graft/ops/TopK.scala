@@ -63,6 +63,110 @@ object TopK {
     def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
   }
 
+  /** One sampled row for the KMV quantile sketch: `h` the pinned row
+    * hash (the sampling priority), `v` the long-quantized metric. */
+  case class HashedVal(h: Long, v: Long)
+
+  private val hvOrd: Ordering[HashedVal] =
+    Ordering.by((x: HashedVal) => (x.h, x.v))
+
+  /** Bottom-k-by-hash buffer — [[TopKAgg]]'s economics (k-bounded
+    * partial state, map-side fold before any exchange) with MIN-(h, v)
+    * order: the k rows with the smallest pinned hashes form a uniform
+    * row sample, which is what makes the sketch EXACTLY mergeable
+    * (min-k of a union == min-k of min-k's — no arrival-order state,
+    * unlike KLL/t-digest compaction). */
+  class BottomKAgg(k: Int) extends Aggregator[HashedVal, Seq[HashedVal], Seq[HashedVal]] {
+    require(k >= 1, s"bottom-k needs k >= 1, got $k")
+    def zero: Seq[HashedVal] = Vector.empty
+    private def insertSorted(b: Seq[HashedVal], a: HashedVal): Seq[HashedVal] = {
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (hvOrd.lt(a, b(mid))) hi = mid else lo = mid + 1
+      }
+      b.patch(lo, Seq(a), 0)
+    }
+    def reduce(b: Seq[HashedVal], a: HashedVal): Seq[HashedVal] =
+      if (b.size < k) insertSorted(b, a)
+      else if (hvOrd.lt(a, b.last)) insertSorted(b.init, a)
+      else b
+    def merge(x: Seq[HashedVal], y: Seq[HashedVal]): Seq[HashedVal] =
+      (x ++ y).sorted(hvOrd).take(k)
+    def finish(r: Seq[HashedVal]): Seq[HashedVal] = r
+    def bufferEncoder: Encoder[Seq[HashedVal]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedVal]]()
+    def outputEncoder: Encoder[Seq[HashedVal]] = bufferEncoder
+  }
+
+  /** [[TopKAgg]] with SET semantics on exact (score, id) duplicates: an
+    * element already in the buffer is skipped (O(log k) membership probe
+    * off the same binary search), and partial-buffer merges dedupe. Use
+    * when the input stream carries structural duplicates of identical
+    * scored rows (e.g. a candidate pair colliding on several join keys)
+    * — the duplicates die inside the k-bounded fold, so no dedup
+    * SHUFFLE ever materializes the candidate stream (round 15: this
+    * replaced the prescreened-JW array-payload dedup filter, which
+    * dragged each posting row's full gram set through the collision
+    * join). Output == top-k of the DISTINCT (score, id) set, exactly. */
+  class TopKDistinctAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    def zero: Seq[ScoredId] = Vector.empty
+    // insertion point; a duplicate sits immediately before it
+    private def lowerBound(b: Seq[ScoredId], a: ScoredId): Int = {
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(a, b(mid))) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    private def insertDistinct(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+      val lo = lowerBound(b, a)
+      if (lo > 0 && b(lo - 1) == a) b else b.patch(lo, Seq(a), 0)
+    }
+    def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+      if (b.size < k) insertDistinct(b, a)
+      else if (ord.lt(a, b.last)) insertDistinct(b, a).take(k)
+      else b
+    def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
+      (x ++ y).distinct.sorted(ord).take(k)
+    def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+    def bufferEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
+  }
+
+  /** [[groupedTopK]] with duplicate-collapsing [[TopKDistinctAgg]]. */
+  def groupedTopKDistinct(df: DataFrame, groupCols: Seq[String], score: Column,
+                          id: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new TopKDistinctAgg(k))
+    df.filter(score.isNotNull && id.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(score.cast("double"), id.cast("long")).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__p", "__r")): _*)
+      .select(groupCols.map(col) :+ (col("__p") + 1).cast("int").as("rnk") :+
+        col("__r.id").as("id") :+ col("__r.s").as("score"): _*)
+  }
+
+  /** Bottom-k (h, v) pairs per group as one sorted array column `sample`
+    * (ascending (h, v)) beside the group's total row count `n`. Null
+    * hash/value rows are excluded loudly rather than decoded as zeros. */
+  def groupedBottomK(df: DataFrame, groupCols: Seq[String], hash: Column,
+                     value: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new BottomKAgg(k))
+    df.filter(hash.isNotNull && value.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(hash.cast("long"), value.cast("long")).as("sample"),
+        count(lit(1)).as("n"))
+  }
+
   /** Top `k` rows per group: returns (groupCols*, rnk, id, score) with
     * rnk 1-based in (score DESC, id ASC) order. `score` must be rounded
     * upstream; `id` is the Long tiebreak/payload key (join the original

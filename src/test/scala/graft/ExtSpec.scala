@@ -2400,6 +2400,40 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sketches.equiDepthBucket(Seq((1L, 5.0)).toDF("id", "v"), $"v", k = 2) }
   }
+
+  test("kmvSketch: EXACT merge law — merge(per-shard sketches) == sketch(union)") {
+    val rows = (1L to 500L).map(i => (i, i % 7, (i * 37) % 1000))
+      .toDF("id", "shard", "v")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(explode(expr("transform(sample, x -> concat(x.h, ':', x.v))"))
+        .as("e")).as[String].collect().toSeq
+    val direct = Sketches.kmvSketch(rows.withColumn("g", lit(1)),
+      Seq("g"), col("id"), col("v"), k = 64)
+    val merged = Sketches.kmvMergeAgg(
+      Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"), k = 64),
+      Nil, k = 64)
+    assert(canon(direct) === canon(merged),
+      "KMV must merge EXACTLY (min-k of union == min-k of min-k's)")
+    assert(merged.select("n").as[Long].collect()(0) === 500L)
+    // determinism under physical repartition: the sample is a function
+    // of the row SET, never of arrival order
+    val re = Sketches.kmvMergeAgg(
+      Sketches.kmvSketch(rows.repartition(13), Seq("shard"), col("id"),
+        col("v"), k = 64), Nil, k = 64)
+    assert(canon(re) === canon(merged))
+  }
+
+  test("kmvQuantiles: exhaustive sample (k >= n) reproduces exact type-1 quantiles") {
+    val rows = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("g", lit(1))
+    val q = Sketches.kmvQuantiles(
+      Sketches.kmvSketch(rows, Seq("g"), col("id"), col("v"), k = 256),
+      Seq("g"), Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(q.getAs[Long]("m") === 100L)
+    assert(q.getAs[Long]("p50") === 50L)
+    assert(q.getAs[Long]("p90") === 90L)
+    assert(q.getAs[Long]("p99") === 99L)
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {
