@@ -7995,8 +7995,16 @@ object ExtQueries {
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |    FROM ${p}sg JOIN ${p}dftab USING (g))
        |  WHERE rk = 1 OR cum <= 2000),
+       |${p}runi AS (SELECT DISTINCT g FROM ${p}rare),
+       |${p}pcap AS (SELECT g, data_id FROM (
+       |    SELECT d.g, d.data_id,
+       |      row_number() OVER (PARTITION BY d.g ORDER BY
+       |        ${TextAnalysis.h60Sql("'jwb:' || CAST(d.data_id AS VARCHAR)")},
+       |        d.data_id) AS rb
+       |    FROM ${p}dg d JOIN ${p}runi USING (g))
+       |  WHERE rb <= 2000),
        |${p}cand AS (SELECT DISTINCT r.search_val, r.s_norm, p.data_id
-       |         FROM ${p}rare r JOIN ${p}dg p USING (g)),
+       |         FROM ${p}rare r JOIN ${p}pcap p USING (g)),
        |${p}pscored AS (SELECT c.search_val, d.match_val, d.data_id,
        |    round(jaro_winkler_similarity(c.s_norm, d.m_norm), 6) AS sim
        |  FROM ${p}cand c JOIN ${p}dn d USING (data_id)),

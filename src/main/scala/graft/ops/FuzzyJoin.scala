@@ -580,9 +580,17 @@ object FuzzyJoin {
     *   2. Probe gram budget: each probe ranks ITS grams by (df ASC,
     *      gram ASC) against the data-side df table and keeps the maximal
     *      rare prefix whose CUMULATIVE df fits `maxCandidates` (always
-    *      at least its single rarest gram) — per-probe candidate volume
-    *      is therefore ≈ maxCandidates by construction, the knob that
-    *      keeps 10× data from becoming 100× pairs.
+    *      at least its single rarest gram).
+    *   2b. Bucket cap: every selected gram contributes at most
+    *      `maxCandidates` postings — the ones with the smallest pinned
+    *      h60(data_id), i.e. a deterministic UNIFORM sample of the
+    *      bucket (the KMV discipline). Together with the budget this
+    *      makes per-probe work ≤ 2·maxCandidates — a HARD bound: the
+    *      rank-1-always rule would otherwise leave a floor of
+    *      df(rarest gram), which round 15 measured growing linearly on
+    *      closed-vocabulary corpora (SCALING.md). The cap's rank
+    *      window shuffles only rare-universe postings and each gram's
+    *      bucket is ≤ maxDf on its reducer — bounded by construction.
     *   3. Candidates: NARROW posting stream (data_id, m_norm, gram —
     *      never the gram set; round 15 measured the array-carrying
     *      variant at 54× for 10× data purely from payload + per-row
@@ -630,7 +638,10 @@ object FuzzyJoin {
     // stop-gram cut on the posting stream.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("search_val").orderBy("df", "g")
-    val rare = search
+    // materialized ONCE (probe-sized): both the bucket-cap universe and
+    // the scored join consume it — without the barrier each consumer
+    // would re-run the corpus-wide gram-df aggregation buried inside
+    val rare = graft.ops.Materialize.stable(search
       .withColumn("s_norm", Normalize.norm(col("search_val")))
       .select(col("search_val"), col("s_norm"),
         explode(charGrams(col("s_norm"), q)).as("g"))
@@ -638,13 +649,29 @@ object FuzzyJoin {
       .withColumn("__rk", row_number().over(w))
       .withColumn("__cum", sum("df").over(w.rowsBetween(Long.MinValue, 0)))
       .filter(col("__rk") === 1 || col("__cum") <= maxCandidates)
-      .select("g", "search_val", "s_norm")
-    // narrow posting stream (map-only over the corpus) ⋈ broadcast rare
-    // grams; one JW per collision row, duplicates (a pair sharing
-    // several rare grams) collapse inside the k-bounded distinct fold
-    val scored = dataN
+      .select("g", "search_val", "s_norm"),
+      "jw-prescreen-rare")
+    // narrow posting stream (map-only over the corpus), restricted to
+    // the rare-gram universe, then bucket-capped: per gram keep the
+    // maxCandidates postings with smallest h60(data_id) (+ id
+    // tie-break) — a deterministic uniform sample of oversized buckets.
+    // The rank window's shuffle carries only rare-universe postings and
+    // no gram exceeds maxDf rows on its reducer.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("__h", "data_id")
+    val capped = dataN
       .select(col("data_id"), col("m_norm"),
         explode(charGrams(col("m_norm"), q)).as("g"))
+      .join(broadcast(rare.select("g").distinct()), "g")
+      .withColumn("__h", graft.ext.TextAnalysis.h60(
+        concat(lit("jwb:"), col("data_id").cast("string"))))
+      .withColumn("__rb", row_number().over(wB))
+      .filter(col("__rb") <= maxCandidates)
+      .select("g", "data_id", "m_norm")
+    // broadcast rare grams onto the capped stream; one JW per collision
+    // row, duplicates (a pair sharing several rare grams) collapse
+    // inside the k-bounded distinct fold
+    val scored = capped
       .join(broadcast(rare), "g")
       .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
         col("s_norm"), col("m_norm")), 6))

@@ -1543,12 +1543,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"every join must be a gram/id equi-join, never a product:\n$p")
-    // the probe rare-gram budget is the only window work, probe-sized
+    // window work is the probe-sized rare-gram budget (search_val) and
+    // the per-gram bucket cap (g — each gram's bucket ≤ maxDf rows)
     val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
-    assert(windows.forall(_.contains("windowspecdefinition(search_val")),
-      s"only the per-probe gram-budget windows may plan:\n$p")
-    assert(p.contains("partial_count"),
-      s"the gram-df table must fold map-side:\n$p")
+    assert(windows.forall(w => w.contains("windowspecdefinition(search_val") ||
+        w.contains("windowspecdefinition(g#")),
+      s"only the gram-budget and bucket-cap windows may plan:\n$p")
+    // the gram-df fold sits behind the probe-sized Materialize barrier
+    // (round 15: rare is consumed twice — once materialized, the final
+    // plan reads the checkpointed RDD); the fold itself is asserted by
+    // the barrier being probe-sized, the top plan by the checks above
+    assert(p.contains("ExistingRDD") || p.contains("partial_count"),
+      s"the rare-gram table must come from the materialized barrier " +
+        s"or fold map-side:\n$p")
   }
 
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
