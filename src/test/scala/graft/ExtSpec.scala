@@ -4431,6 +4431,26 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(r1.getAs[Double]("psi") > 1.0)
   }
 
+  test("psi: ALL bins fold (ADVICE r14) — both-empty cells count, smoothed shares sum to 1") {
+    import spark.implicits._
+    // values 0 and 9 over 10 bins: bins 1..8 are empty in BOTH groups;
+    // n_cells must still read 10, and with n_a != n_b those empty cells
+    // carry (1/(n_a+10) - 1/(n_b+10))*ln terms — psi strictly above the
+    // two-occupied-cells-only fold
+    val df = (Seq.fill(30)((0L, "A")) ++ Seq.fill(30)((9L, "A")) ++
+      Seq.fill(5)((0L, "B")) ++ Seq.fill(5)((9L, "B"))).toDF("v", "g")
+    val r = Profile.psi(df, col("v"), col("g"), "A", "B", bins = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n_cells") === 10L,
+      "every cell id participates, occupied or not")
+    // hand fold (n_a=60, n_b=10, B=10): occupied cells pa=(30+1)/70,
+    // pb=(5+1)/20; empty cells pa=1/70, pb=1/20
+    val t = (pa: Double, pb: Double) => (pa - pb) * math.log(pa / pb)
+    val expected = 2 * t(31.0 / 70, 6.0 / 20) + 8 * t(1.0 / 70, 1.0 / 20)
+    assert(math.abs(r.getAs[Double]("psi") - expected) < 1e-5,
+      s"got ${r.getAs[Double]("psi")}, want ~$expected")
+  }
+
   test("categoricalAssociation: perfect copy scores 1 everywhere, independence 0") {
     import spark.implicits._
     val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
