@@ -246,6 +246,38 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(FuzzyJoin.topKJaroWinklerPrescreened(s, d, 2, q = 2).count() === 0L)
   }
 
+  test("prescreened tier: stop-gram cut (maxDf) drops ubiquitous grams from the index") {
+    // 'ab' appears in every data string (df 4 > maxDf 3) -> stop-gram;
+    // the probe's only other gram 'bz' appears once -> its string is
+    // the sole candidate. With the default maxDf the same probe sees
+    // every string through 'ab'.
+    val d = Seq((1L, "abcc"), (2L, "abdd"), (3L, "abee"), (4L, "abzz"))
+      .toDF("data_id", "match_val")
+    val s = Seq("abz").toDF("search_val")
+    val capped = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 4, q = 2,
+        maxDf = 3)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(4L), "only the rare-gram candidate may survive")
+    val open = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 4, q = 2)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    assert(open === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("prescreened tier: per-gram bucket cap keeps the h60-smallest postings") {
+    // one shared gram 'qq' with df 5 > maxCandidates 2: the candidate
+    // set must be the 2 data ids with smallest h60('jwb:' || id) — the
+    // deterministic uniform bucket sample the oracle replays
+    val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
+      (5L, "qqe")).toDF("data_id", "match_val")
+    val s = Seq("qqz").toDF("search_val")
+    val got = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 5, q = 2,
+        maxCandidates = 2)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    val expect = (1L to 5L).sortBy(id => (
+        graft.ext.TextAnalysis.h60Local("jwb:" + id), id)).take(2).toSet
+    assert(got === expect, s"bucket sample must follow pinned h60 order")
+  }
+
   test("jwPrescreenRecall: perfect recall on covered probes, micro-average arithmetic") {
     val d = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
       (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")
