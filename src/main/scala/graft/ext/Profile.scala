@@ -1869,14 +1869,25 @@ object Profile {
     * unequal-sized groups (ADVICE r14) — so the smoothed distributions
     * each sum to exactly 1 and n_cells always reads `bins`. Per-cell
     * terms quantize to picounits and LONG-sum. */
-  /** Equi-width bin id for a long value against broadcast extrema — the
-    * product runs in DECIMAL(38,0) so a value range approaching
-    * Long.MaxValue/bins cannot overflow into negative ids (ADVICE r14);
+  /** Equi-width bin id for a long value against broadcast extrema.
     * `div` (not `/`) keeps exact integer division — a double round-trip
-    * mis-bins values near bin edges at large magnitudes. */
-  private def binId(v: String, lo: String, hi: String, bins: Int) =
-    expr(s"((CAST($v AS DECIMAL(38,0)) - $lo) * $bins) div " +
-      s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
+    * mis-bins values near bin edges at large magnitudes. Overflow
+    * discipline (ADVICE r14): when the value span approaches
+    * Long.MaxValue/bins the (v − lo)·bins product runs in
+    * DECIMAL(38,0) so it cannot wrap into negative ids — but ONLY
+    * then: the unconditional decimal form tripled q288's bench line
+    * (Decimal allocation per row vs codegen'd long arithmetic), so the
+    * common case keeps the long path and a double-space span guard
+    * (conservative 2⁷-wide margin, far above double's ulp at that
+    * magnitude) routes borderline ranges to decimal. Both paths agree
+    * wherever both are valid. */
+  private def binId(v: String, lo: String, hi: String, bins: Int) = {
+    val safe = java.lang.Long.MAX_VALUE / bins / 128
+    expr(s"CASE WHEN CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE) < ${safe}D " +
+      s"THEN (($v - $lo) * $bins) div ($hi - $lo + 1) " +
+      s"ELSE ((CAST($v AS DECIMAL(38,0)) - $lo) * $bins) div " +
+      s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1) END")
+  }
 
   def psi(df: DataFrame, value: Column, groupCol: Column,
           groupA: String, groupB: String, bins: Int = 10): DataFrame = {

@@ -4451,6 +4451,22 @@ class LinkageSplitSpec extends SparkTestBase {
       s"got ${r.getAs[Double]("psi")}, want ~$expected")
   }
 
+  test("psi bin ids: near-Long.MaxValue span routes to the decimal path, no negative ids") {
+    import spark.implicits._
+    // span ~ Long.MaxValue: the long product (v - lo) * bins would wrap;
+    // the guard must route to DECIMAL and every row must land in a
+    // valid cell (a negative id would fall off the all-bins join and
+    // silently drop its count from n_a/n_b)
+    val df = Seq((Long.MinValue / 2, "A"), (Long.MaxValue / 2, "A"),
+      (0L, "B"), (Long.MaxValue / 2, "B")).toDF("v", "g")
+    val r = Profile.psi(df, col("v"), col("g"), "A", "B", bins = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L,
+      "every row must reach a valid cell")
+    assert(r.getAs[Long]("n_cells") === 10L)
+    assert(!r.getAs[Double]("psi").isNaN)
+  }
+
   test("categoricalAssociation: perfect copy scores 1 everywhere, independence 0") {
     import spark.implicits._
     val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
