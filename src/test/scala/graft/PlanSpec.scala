@@ -1558,6 +1558,22 @@ class PlanSpec extends SparkTestBase {
         s"or fold map-side:\n$p")
   }
 
+  test("q309 KMV merge: k-bounded partial folds, no product, sketch-sized merge") {
+    val df = SparkEntry.queries("q309_kmv_merge")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the sketch pipeline joins nothing: $p")
+    // the per-shard sample folds partially map-side (the aggregator's
+    // buffer is <= k before any exchange), as does the final merge
+    assert(p.contains("partial_bottomkagg") || p.contains("BottomKAgg") ||
+      p.contains("partial_"), s"sketch folds must partial-aggregate:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") &&
+        l.contains("__v#")),
+      s"no row-level sort — quantiles come from the k-sized sample:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
