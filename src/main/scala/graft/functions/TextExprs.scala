@@ -52,6 +52,36 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL distinct character q-grams in first-occurrence order; a string
+    * shorter than q (including empty) contributes ITSELF as its single
+    * "gram" so short keys stay indexable — bit-compatible with the HOF
+    * chain `when(length < q, array(s)).otherwise(array_distinct(
+    * transform(sequence(1, length-q+1), i -> substr(s, i, q))))`, which
+    * ran INTERPRETED (a closure per gram per row) and dominated the
+    * prescreened-JW corpus pass (round 15). Code POINTS, not UTF-16
+    * units: Spark's substr and DuckDB's substr both count code points,
+    * so a supplementary-plane char is one gram position in all three
+    * formulations. */
+  def charGrams(text: UTF8String, q: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < q) return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val m = n - q + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i < m) {
+      seen.add(UTF8String.fromString(new String(cps, i, q)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (p < out.length) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ALL k-token shingles in positional order (the non-distinct sibling of
     * [[distinctShingles]] — duplicatedSpans needs every window START, so
     * dedup would break run detection). Same tokenization, same space join,
@@ -1065,6 +1095,10 @@ object TextExprs {
   def prefixQGrams(text: Column, q: Int, prefixLen: Int): Column =
     bridge.column(PrefixQGrams(bridge.expression(text), q, prefixLen))
 
+  /** Column API for [[CharGrams]]. */
+  def charGrams(text: Column, q: Int): Column =
+    bridge.column(CharGrams(bridge.expression(text), q))
+
   /** Column API for [[WinnowFingerprint]]. */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
@@ -1210,6 +1244,30 @@ case class PrefixQGrams(child: Expression, q: Int, prefixLen: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernels.prefixQGrams($c, $q, $prefixLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_grams(text, q)`: all distinct character q-grams,
+  * first-occurrence order; sub-q strings yield themselves — see
+  * [[TextKernels.charGrams]]. */
+case class CharGrams(child: Expression, q: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charGrams(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.charGrams($c, $q)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -555,11 +555,13 @@ object FuzzyJoin {
   /** Distinct character q-grams of a normalized string, first-occurrence
     * order; strings shorter than q contribute themselves as their single
     * "gram" so short keys stay indexable. Shared by the prescreened JW
-    * tier and its DuckDB oracle replay (same definition in SQL). */
+    * tier and its DuckDB oracle replay (same definition in SQL). The
+    * compiled kernel ([[graft.functions.TextExprs.charGrams]]) replaces
+    * the equivalent HOF chain, which ran interpreted — a closure per
+    * gram per corpus row on the prescreen's hottest pass;
+    * FuzzyJoinSpec pins kernel == chain. */
   private def charGrams(c: Column, q: Int): Column =
-    when(length(c) < q, array(c)).otherwise(
-      array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
-        i => c.substr(i, lit(q)))))
+    graft.functions.TextExprs.charGrams(c, q)
 
   /** APPROXIMATE Jaro–Winkler top-k via a rare-q-gram prescreen — the
     * scale tier for WEAK-match probe sets, where both exact engines

@@ -290,6 +290,33 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_full_recall") === 2L)
   }
 
+  test("charGrams kernel == the interpreted HOF chain (incl. short, empty, unicode)") {
+    import org.apache.spark.sql.functions._
+    val gen = org.scalacheck.Gen.listOfN(14, org.scalacheck.Gen.frequency(
+      (8, org.scalacheck.Gen.alphaNumChar),
+      (2, org.scalacheck.Gen.oneOf('a', 'b')), // repetition -> duplicate grams
+      (1, org.scalacheck.Gen.oneOf('é', '中'))) // lone surrogates excluded:
+    ).map(_.mkString)                           // malformed UTF-8 is not a contract
+    var seed = org.scalacheck.rng.Seed(7L)
+    val samples = (0 until 200).flatMap { _ =>
+      val s = gen.apply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next; s
+    } ++ Seq("", "a", "ab", "aaaa", "😀😀a")
+    for (q <- Seq(2, 3)) {
+      val df = samples.toDF("s")
+      def chain(c: org.apache.spark.sql.Column) =
+        when(length(c) < q, array(c)).otherwise(
+          array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
+            i => c.substr(i, lit(q)))))
+      val bad = df.select(col("s"),
+          graft.functions.TextExprs.charGrams(col("s"), q).as("k"),
+          chain(col("s")).as("h"))
+        .filter(not(col("k") <=> col("h")))
+        .collect()
+      assert(bad.isEmpty, s"q=$q kernel != chain on: ${bad.take(3).toSeq}")
+    }
+  }
+
   test("topKJaroWinkler corpus-side guard fires, naming the banded alternative") {
     val e = intercept[IllegalArgumentException](
       FuzzyJoin.topKJaroWinkler(search, data, 2, maxDataRows = 2))
