@@ -687,8 +687,10 @@ object Sketches {
   // ------------------------------------------------------------------
 
   /** Per-group bottom-k quantile sketch: `sample` = the k (h60(rowKey),
-    * value) pairs with smallest hashes, ascending; `n` = group row
-    * count. `rowKey` must be row-unique (duplicated keys would
+    * value) pairs with smallest hashes, ascending; `n` = the group's
+    * count of rows with BOTH rowKey and value non-null (null rows can
+    * neither hash nor rank, so they are outside the sketched
+    * population). `rowKey` must be row-unique (duplicated keys would
     * under-weight their rows in the sample — the uniformity the rank
     * error bound rides on). Map-side k-bounded fold; the shuffle
     * carries ≤ k · partitions rows per group, never the values. */
