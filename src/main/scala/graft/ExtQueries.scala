@@ -4771,6 +4771,22 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // The prescreen's DEFAULT configuration (q = 3 trigrams), which
+    // q306's closed-vocabulary fixture cannot exercise: supplier names
+    // probing the supplier corpus share digit-bearing trigrams, so the
+    // rare-gram budget, bucket cap, and verify all run on the shipping
+    // defaults — self top-3 has real signal (exact self-match at sim 1
+    // plus near-ids), the big-corpus workload the q=3 default targets.
+    "q310_jw_prescreened_trigram" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val search = sup.select(col("s_name").as("search_val")).distinct()
+      val data = sup.select(col("s_suppkey").as("data_id"),
+        col("s_name").as("match_val"))
+      graft.ops.FuzzyJoin.topKJaroWinklerPrescreened(search, data, k = 3)
+        .select("search_val", "rnk", "match_val", "data_id", "sim")
+        .orderBy("search_val", "rnk")
+    }),
+
     // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
     // sketches merge into one corpus sketch on the Spark side; DuckDB
     // never builds a shard — it bottom-k's the whole corpus directly.
@@ -7967,7 +7983,10 @@ object ExtQueries {
     * `pranked`; `probeCte` supplies the probe set (full for q306, the
     * s_suppkey % 7 sample for q307). */
   private def jwPrescreenOracleCtes(probeCte: String, q: Int = 2,
-                                    p: String = ""): String = {
+                                    p: String = "",
+                                    dataCte: String =
+                                      "SELECT p_partkey AS data_id, " +
+                                      "p_name AS match_val FROM part"): String = {
     val n = graft.ops.Normalize.normSql _
     def grams(s: String) =
       s"""CASE WHEN length($s) < $q THEN [$s]
@@ -7975,8 +7994,7 @@ object ExtQueries {
          |            range(1, length($s) - ${q - 2}),
          |            i -> substr($s, CAST(i AS INT), $q))) END""".stripMargin
     s"""${p}search AS ($probeCte),
-       |${p}data AS (SELECT p_partkey AS data_id, p_name AS match_val
-       |             FROM part),
+       |${p}data AS ($dataCte),
        |${p}dn AS (SELECT data_id, match_val, ${n("match_val")} AS m_norm
        |       FROM ${p}data),
        |${p}dg AS (SELECT data_id, unnest(${grams("m_norm")}) AS g
@@ -10077,6 +10095,16 @@ object ExtQueries {
            |${jwRecallOracleCtes("c_", "cross_noise")}
            |SELECT * FROM (SELECT * FROM c_rec UNION ALL SELECT * FROM s_rec)
            |ORDER BY pairing""".stripMargin) +
+      // the prescreen's q=3 DEFAULT over the supplier self-join —
+      // digit-bearing trigrams, same full replay
+      ("q310_jw_prescreened_trigram" ->
+        s"""WITH ${jwPrescreenOracleCtes(
+               "SELECT DISTINCT s_name AS search_val FROM supplier", 3, "",
+               "SELECT s_suppkey AS data_id, s_name AS match_val " +
+               "FROM supplier")}
+           |SELECT search_val, rnk, match_val, data_id, sim
+           |FROM pranked WHERE rnk <= 3
+           |ORDER BY search_val, rnk""".stripMargin) +
       // KMV quantile sketch: DuckDB rebuilds the identical bottom-k
       // sample (ORDER BY h, v LIMIT k) and both quantile rules
       ("q308_kmv_quantiles" -> {
