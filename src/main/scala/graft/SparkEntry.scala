@@ -79,7 +79,18 @@ object SparkEntry {
     // chaining + gap interleave (main.py:130-166, 290-300) from
     // scratch. The raw arrays stay asserted in DistanceSpec.
     "q03_visual_diff" -> ((s, dir) => {
-      val best = FuzzyJoin.fuzzyMatchPruned(probes(s, dir), candidates(s, dir), T)
+      import s.implicits._
+      // ADVICE r15: splicesWithGaps emits an EMPTY 0-gap between blocks
+      // that abut in match_val (Distance.scala:145 — unconditional
+      // inter-block gap), and the oracle must replay it. The part data
+      // never chains abutting blocks, so one literal pair rides through
+      // BOTH engines to pin the path: 'abxcd' vs 'abcd' chains 'ab'+'cd'
+      // adjacent in s2 -> spl_canon '1:ab|0:|1:cd'. The oracle carries
+      // the same two literals.
+      val p2 = probes(s, dir).unionByName(Seq("abxcd").toDF("search_val"))
+      val c2 = candidates(s, dir).unionByName(
+        Seq((999999999L, "abcd")).toDF("data_id", "match_val"))
+      val best = FuzzyJoin.fuzzyMatchPruned(p2, c2, T)
         .select("search_val", "match_val", "data_id", "distance", "bucket")
         .filter(col("bucket") === "best")
       best
@@ -514,13 +525,27 @@ object SparkEntry {
       //         length L (prefix containment makes found(l) monotone),
       //         skipNeed collapses to the idx += L jump; gaps
       //         interleave inline (main.py:290-300), head/tail gaps
-      //         and the empty-match whole-string-gap guard included.
+      //         and the empty-match whole-string-gap guard included —
+      //         an inter-block gap is emitted for EVERY non-first
+      //         block, including the empty gap between abutting blocks
+      //         (rel = 0), matching splicesWithGaps' unconditional
+      //         emit; only the empty HEAD gap is suppressed (ADVICE
+      //         r15 — the 'abxcd'/'abcd' fixture pair pins the path).
+      //   Positions here are DuckDB code-point indices while the
+      //   engine UDFs index UTF-16 units: identical on this fixture
+      //   (part names + the literal pair are ASCII) and on any BMP-only
+      //   data; a supplementary-plane character in match_val would
+      //   shift positions by one (ADVICE r15 — documented assumption,
+      //   same boundary TextExprs.charGrams handles on the gram path).
       "q03_visual_diff" ->
-        s"""WITH RECURSIVE search AS (SELECT DISTINCT p_name AS search_val FROM part),
+        s"""WITH RECURSIVE search AS (
+           |  SELECT DISTINCT p_name AS search_val FROM part
+           |  UNION ALL SELECT 'abxcd'),
+           |cand AS (SELECT p_name FROM part UNION ALL SELECT 'abcd'),
            |scored AS (
            |  SELECT s.search_val, p.p_name AS match_val,
            |         levenshtein(${norm("s.search_val")}, ${norm("p.p_name")}) AS distance
-           |  FROM search s CROSS JOIN part p),
+           |  FROM search s CROSS JOIN cand p),
            |mins AS (
            |  SELECT search_val,
            |         min(CASE WHEN distance > 0 AND distance <= $T THEN distance END) AS min_pos
@@ -595,7 +620,7 @@ object SparkEntry {
            |    CASE WHEN bl IS NULL THEN idx + 1 ELSE idx + bl END,
            |    CASE WHEN bl IS NULL THEN mi ELSE mi + rel + bl END,
            |    CASE WHEN bl IS NULL THEN acc ELSE acc ||
-           |      CASE WHEN rel > 0 THEN '|0:' ||
+           |      CASE WHEN rel > 0 OR acc <> '' THEN '|0:' ||
            |        substr(match_val, CAST(mi AS INT) + 1, CAST(rel AS INT))
            |      ELSE '' END ||
            |      '|1:' || substr(search_val, CAST(idx AS INT) + 1,

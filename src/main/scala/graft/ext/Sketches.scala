@@ -692,7 +692,14 @@ object Sketches {
     * neither hash nor rank, so they are outside the sketched
     * population). `rowKey` must be row-unique (duplicated keys would
     * under-weight their rows in the sample — the uniformity the rank
-    * error bound rides on). Map-side k-bounded fold; the shuffle
+    * error bound rides on). That contract is deliberately UNENFORCED
+    * (VERDICT r15 #3, decided loudly): checking it exactly is a
+    * distinct-count shuffle over the data — the cost this sketch exists
+    * to avoid — and a sketched check would be circular. Callers own it
+    * the way [[graft.ops.TopK.groupedTopK]] callers own pre-rounded
+    * scores. A violated contract degrades RANK ACCURACY only: duplicate
+    * keys hash identically on every shard, so determinism and the exact
+    * merge law are unaffected. Map-side k-bounded fold; the shuffle
     * carries ≤ k · partitions rows per group, never the values. */
   def kmvSketch(df: DataFrame, keys: Seq[String], rowKey: Column,
                 value: Column, k: Int = 256): DataFrame = {
@@ -703,30 +710,63 @@ object Sketches {
   }
 
   /** Merge sketch rows down to coarser keys (or one row with keys = Nil):
-    * flatten + sort + first k — EXACTLY the sketch of the union (the KMV
-    * merge law). State is sketch-sized, never data-sized. */
+    * explode every input sketch's (h, v) pairs and RE-FOLD them through
+    * the k-bounded [[graft.ops.TopK.BottomKAgg]] — output == bottom-k of
+    * the union (the KMV merge law: min-k(union) == min-k of min-k's), so
+    * this is value-identical to flatten + sort + first-k, but the merge
+    * STATE is genuinely sketch-sized everywhere: partial (map-side)
+    * buffers hold ≤ k pairs before any exchange, so the keys = Nil total
+    * merge of 10⁵ partition-sketches costs its one reducer a k-row
+    * buffer — not a collect_list of every input sample, which was
+    * O(#sketches · k) on that reducer (VERDICT r15 #2; TopKSpec pins
+    * refold == collect-reference). `n` rides the same aggregate as a
+    * plain sum over each input row's count (taken once per row, off the
+    * sample's first element). Requires every input row's `sample`
+    * non-empty: [[kmvSketch]] only emits groups holding ≥ 1 sampled row
+    * and merging preserves non-emptiness, so the inner posexplode drops
+    * no row's `n`. */
   def kmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new graft.ops.TopK.BottomKAgg(k))
+    val ex = df.select(keys.map(col) :+ col("n") :+
+      posexplode(col("sample")).as(Seq("__p", "__e")): _*)
     val grouped =
-      if (keys.isEmpty) df.groupBy()
-      else df.groupBy(keys.map(col): _*)
-    grouped
-      .agg(slice(array_sort(flatten(collect_list(col("sample")))), 1, k)
-        .as("sample"), sum("n").as("n"))
+      if (keys.isEmpty) ex.groupBy()
+      else ex.groupBy(keys.map(col): _*)
+    grouped.agg(
+      agg(col("__e.h"), col("__e.v")).as("sample"),
+      sum(when(col("__p") === 0, col("n")).otherwise(lit(0L))).as("n"))
+  }
+
+  /** p-column name for a requested quantile: integral percents stay
+    * `p<int>` (p50, p99); fractional percents keep the fraction with an
+    * underscore (0.995 → p99_5, 0.549 → p54_9) instead of rounding —
+    * rounding let distinct requests collide into one duplicate column
+    * name (0.995 and 1.0 both "p100"; ADVICE r15). Percent rendered at
+    * 4 dp then zero-stripped, so binary noise (0.55·100 =
+    * 55.000000000000007) still names p55. */
+  private def pName(q: Double): String = {
+    val s = f"${q * 100}%.4f".reverse.dropWhile(_ == '0').reverse
+      .stripSuffix(".")
+    "p" + s.replace('.', '_')
   }
 
   /** Type-1 empirical quantiles off the sample: for each q, the sample
     * value at 1-based rank max(1, ceil(q·m)) in value order. Emits
-    * m (sample size) and one `p<100q>` column per requested quantile.
+    * m (sample size) and one [[pName]] column per requested quantile.
     * All integer/array arithmetic — both engines replay it exactly. */
   def kmvQuantiles(sketch: DataFrame, keys: Seq[String],
                    qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles in (0, 1]: $qs")
+    val names = qs.map(pName)
+    require(names.distinct.size == names.size,
+      s"quantile column names collide: ${qs.zip(names)}")
     val vs = array_sort(expr("transform(sample, x -> x.v)"))
     val m = size(col("sample"))
     val cols = keys.map(col) ++ Seq(col("n"), m.cast("long").as("m")) ++
-      qs.map { q =>
-        val name = "p" + math.round(q * 100).toString
+      qs.zip(names).map { case (q, name) =>
         element_at(vs, greatest(lit(1), ceil(lit(q) * m)).cast("int"))
           .as(name)
       }

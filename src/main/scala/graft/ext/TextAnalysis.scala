@@ -1244,11 +1244,24 @@ object TextAnalysis {
     * vocabulary, the tf-idf rule). N1+ counts are COUNT(*) over the
     * distinct-bigram table — types, not tokens — so every model input is
     * an exact integer and the only floats are the final per-position
-    * probability and its 6-dp-rounded log, summed as DECIMAL. */
+    * probability and its 6-dp-rounded log, summed as DECIMAL.
+    *
+    * Every model-table pass costs LINEAR-in-bigram-TYPES work, and type
+    * growth is the operator's scale variable: real crawls grow types
+    * Heaps-sublinearly (V ~ N^0.7), but decorrelated/templated synthetic
+    * text grows them ~linearly with data (SCALING.md q277's sf1 row
+    * names exactly this). `maxTypes` is the loud guard on that axis —
+    * counted off the already-materialized type table (one cheap job, no
+    * extra shuffle) so a pathological vocabulary fails with a named
+    * bound instead of silently eating the model-table passes; raise it
+    * deliberately for corpora whose type volume you have sized
+    * (VERDICT r15 #4, the matrices' maxGroups discipline). */
   def kneserNeyLogProb(docs: DataFrame, idCol: String, textCol: String,
-                       discount: Double = 0.75): DataFrame = {
+                       discount: Double = 0.75,
+                       maxTypes: Long = 100000000L): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
+    require(maxTypes >= 1, s"maxTypes must be positive, got $maxTypes")
     val toks = tokens(col(textCol))
     val docBg = graft.ops.Materialize.stable(
       docs.select(col(idCol), explode(shingles(toks, 2)).as("g"))
@@ -1260,6 +1273,13 @@ object TextAnalysis {
     // once at vocabulary size rather than re-shuffling docBg per branch
     val cbg = graft.ops.Materialize.stable(
       docBg.groupBy("g").agg(sum("__n").as("c_bg")), "kn-bigram-types")
+    val nTypes = cbg.count() // materialized rows — a cheap scan, no shuffle
+    require(nTypes <= maxTypes,
+      s"kneserNeyLogProb: $nTypes distinct bigram types exceed " +
+        s"maxTypes=$maxTypes — every model-table pass is linear in types " +
+        "(templated/decorrelated text grows them ~linearly with data; real " +
+        "crawls are Heaps-sublinear). Raise maxTypes deliberately or " +
+        "pre-filter the corpus")
     // distinct-bigram rows grouped by context: token count AND type count
     val cctx = cbg.withColumn("ctx", split(col("g"), " ")(0))
       .groupBy("ctx")
@@ -1429,13 +1449,26 @@ object TextAnalysis {
     * type-table aggregations: every probability is a ratio of exact
     * integer counts, every per-type term quantizes to integer picounits
     * and LONG-sums (order-independent, engine-identical; |terms| ≤
-    * bigram-type count keeps the quantization error ≤ types·5e-13). */
-  def conditionalEntropy(docs: DataFrame, textCol: String): DataFrame = {
+    * bigram-type count keeps the quantization error ≤ types·5e-13).
+    *
+    * `maxTypes` bounds the bigram-TYPE stream the entropy terms ride —
+    * the same loud guard, for the same reason, as
+    * [[kneserNeyLogProb]]'s (see there: Heaps-sublinear real text vs
+    * ~linear templated text, SCALING.md q287; VERDICT r15 #4). */
+  def conditionalEntropy(docs: DataFrame, textCol: String,
+                         maxTypes: Long = 100000000L): DataFrame = {
+    require(maxTypes >= 1, s"maxTypes must be positive, got $maxTypes")
     val toks = tokens(col(textCol))
     val cbg = graft.ops.Materialize.stable(
       docs.select(explode(shingles(toks, 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c")),
       "condent-bigrams")
+    val nT = cbg.count() // materialized rows — a cheap scan, no shuffle
+    require(nT <= maxTypes,
+      s"conditionalEntropy: $nT distinct bigram types exceed " +
+        s"maxTypes=$maxTypes — the per-type entropy terms are linear in " +
+        "types (templated/decorrelated text grows them ~linearly with " +
+        "data). Raise maxTypes deliberately or pre-filter the corpus")
     val cctx = cbg.withColumn("ctx", split(col("g"), " ")(0))
       .groupBy("ctx").agg(sum("c").as("c_ctx"))
     val tot = broadcast(cbg.agg(sum("c").as("b"), count(lit(1)).as("n_types")))

@@ -133,6 +133,18 @@ class DistanceSpec extends SparkTestBase {
     assert(parts.map(_._2).mkString === "large bolts")
   }
 
+  test("splicesWithGaps: abutting blocks carry an EMPTY inter-block gap (ADVICE r15)") {
+    // 'abxcd' vs 'abcd' chains blocks 'ab' then 'cd', which abut in s2:
+    // the inter-block gap is emitted with empty text (flag 0, "") — the
+    // q03 oracle replays exactly this shape ('1:ab|0:|1:cd'), and only
+    // an empty HEAD gap is ever suppressed.
+    val (sp, rg) = Distance.visualiseDifferences("abxcd", "abcd")
+    assert(sp === Seq("ab", "cd") && rg === Seq((0, 2), (2, 4)))
+    val out = Distance.splicesWithGaps(sp, rg, "abcd")
+    assert(out === Seq((1, "ab"), (0, ""), (1, "cd")))
+    assert(out.map { case (f, t) => s"$f:$t" }.mkString("|") === "1:ab|0:|1:cd")
+  }
+
   test("UDFs are null-safe") {
     val df = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
     assert(df.select(Distance.visualLevenshteinUdf($"a", $"b")).head.isNullAt(0))

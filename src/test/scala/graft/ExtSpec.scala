@@ -2434,6 +2434,24 @@ class SketchesSpec extends SparkTestBase {
     assert(q.getAs[Long]("p90") === 90L)
     assert(q.getAs[Long]("p99") === 99L)
   }
+
+  test("kmvQuantiles: fractional percents keep distinct names; collisions fail loudly (ADVICE r15)") {
+    val rows = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("g", lit(1))
+    val sk = Sketches.kmvSketch(rows, Seq("g"), col("id"), col("v"), k = 256)
+    // 0.995 and 1.0 used to BOTH round to "p100"; 0.549/0.551 both to
+    // "p55" — fractional percents now encode the fraction instead
+    val q = Sketches.kmvQuantiles(sk, Seq("g"),
+      Seq(0.549, 0.551, 0.995, 1.0)).collect()(0)
+    assert(q.getAs[Long]("p54_9") === 55L)  // ceil(0.549*100) = 55
+    assert(q.getAs[Long]("p55_1") === 56L)
+    assert(q.getAs[Long]("p99_5") === 100L) // ceil(99.5) = 100
+    assert(q.getAs[Long]("p100") === 100L)
+    // a genuine name collision (indistinguishable at 4 dp) fails loudly
+    // instead of emitting a duplicate-named ambiguous schema
+    intercept[IllegalArgumentException] {
+      Sketches.kmvQuantiles(sk, Seq("g"), Seq(0.5500001, 0.55000011)) }
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {
@@ -4117,6 +4135,22 @@ class LinkageSplitSpec extends SparkTestBase {
     assert(TextAnalysis.kneserNeyLogProb(
       Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text"),
       "doc_id", "text").count() === 1L)
+    // the maxTypes guard fails LOUDLY with the type count named: 2
+    // bigram types (a b, a c) against a bound of 1 (VERDICT r15 #4)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyLogProb(d, "doc_id", "text", maxTypes = 1L) }
+    assert(ex.getMessage.contains("2 distinct bigram types"))
+  }
+
+  test("conditionalEntropy: the maxTypes guard fails loudly above the bound (VERDICT r15 #4)") {
+    import spark.implicits._
+    val d = Seq("a b", "a c", "b c").toDF("text") // 3 bigram types
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.conditionalEntropy(d, "text", maxTypes = 2L) }
+    assert(ex.getMessage.contains("3 distinct bigram types"))
+    // at the bound it runs (boundary inclusive)
+    assert(TextAnalysis.conditionalEntropy(d, "text", maxTypes = 3L)
+      .count() === 1L)
   }
 
   test("goodTuring: r* = (r+1)N_{r+1}/N_r; top count has no estimate; p0 = N1/N") {

@@ -278,6 +278,26 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got === expect, s"bucket sample must follow pinned h60 order")
   }
 
+  test("prescreened tier: cap-ACTIVE output invariant under physical repartition (VERDICT r15 #3)") {
+    // 40 corpus rows all sharing gram 'qq', maxCandidates = 3 -> the cap
+    // genuinely truncates. The capped sample is ordered by (h60, data_id):
+    // the id tiebreak makes the rank window a function of the row SET, so
+    // any physical layout of either side must yield byte-identical ranks.
+    val d = (1L to 40L).map(i => (i, s"qq${('a' + (i % 26)).toChar}$i"))
+      .toDF("data_id", "match_val")
+    val s = Seq("qqz", "qqy").toDF("search_val")
+    def canon(search: DataFrame, data: DataFrame) =
+      FuzzyJoin.topKJaroWinklerPrescreened(search, data, 5, q = 2,
+          maxCandidates = 3)
+        .select("search_val", "rnk", "data_id", "sim")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val base = canon(s, d)
+    assert(base.nonEmpty)
+    assert(canon(s.repartition(3), d.repartition(7)) === base)
+    assert(canon(s.coalesce(1), d.repartition(13)) === base)
+  }
+
   test("jwPrescreenRecall: perfect recall on covered probes, micro-average arithmetic") {
     val d = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
       (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")

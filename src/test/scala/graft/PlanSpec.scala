@@ -28,6 +28,32 @@ class PlanSpec extends SparkTestBase {
       p +: flattenPlan(r.child)
     case _ => p +: p.children.flatMap(flattenPlan)
   }
+  // ADVICE r15: exists() over the whole build subtree accepted a
+  // product-sized build that merely CONTAINED a no-grouping aggregate
+  // somewhere below (e.g. a big table joined with a 1-row count). Walk
+  // the build side only through wrappers that cannot increase its row
+  // count past the child's (projections, filters, exchanges, codegen
+  // shells, AQE/reuse nodes) and demand the terminal node IS the
+  // no-grouping aggregate — the 1-row frame, structurally.
+  private def buildsOneRow(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      buildsOneRow(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      buildsOneRow(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      buildsOneRow(r.child)
+    case _: org.apache.spark.sql.execution.ProjectExec
+         | _: org.apache.spark.sql.execution.FilterExec
+         | _: org.apache.spark.sql.execution.WholeStageCodegenExec
+         | _: org.apache.spark.sql.execution.InputAdapter
+         | _: org.apache.spark.sql.execution.CoalesceExec
+         | _: org.apache.spark.sql.execution.SortExec
+         | _: org.apache.spark.sql.execution.exchange.Exchange =>
+      buildsOneRow(p.children.head)
+    case _ => false
+  }
   private def assertNestLoopsBuildOneRow(df: org.apache.spark.sql.DataFrame,
                                          what: String): Unit = {
     val bnljs = flattenPlan(df.queryExecution.executedPlan).collect {
@@ -38,13 +64,10 @@ class PlanSpec extends SparkTestBase {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
         case _ => j.right
       }
-      val oneRow = flattenPlan(build).exists {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-          a.groupingExpressions.isEmpty
-        case _ => false
-      }
-      assert(oneRow, s"$what: a BroadcastNestedLoopJoin builds from a frame " +
-        s"that is NOT a 1-row (no-grouping) aggregate — a real product:\n$j")
+      assert(buildsOneRow(build),
+        s"$what: a BroadcastNestedLoopJoin builds from a frame whose " +
+          s"terminal node is NOT a 1-row (no-grouping) aggregate — a " +
+          s"real product:\n$j")
     }
   }
 

@@ -101,6 +101,66 @@ class TopKSpec extends SparkTestBase {
     }
   }
 
+  test("property: kmvMergeAgg refold == flatten+sort+slice collect reference (VERDICT r15 #2)") {
+    // the k-bounded BottomKAgg refold must be VALUE-identical to the
+    // old collect_list(sample) -> flatten -> sort -> slice formulation
+    // (the merge law is exactly why), keyed and total — only the merge
+    // STATE changed (≤ k per partial buffer vs O(#sketches·k) on one
+    // reducer)
+    import graft.ext.Sketches
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      k <- Gen.oneOf(16, 20, 32)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 1000L), Gen.choose(0L, 50L)))
+    } yield (rows, k)
+    forAll(gen, n = 8) { case (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key * 1000 + i, v, (i % 5).toLong, i % 2) }
+        .toDF("id", "v", "shard", "parity")
+      val shards = Sketches.kmvSketch(df, Seq("parity", "shard"),
+        col("id"), col("v"), k = k)
+      def reference(keys: Seq[String]) = {
+        val g = if (keys.isEmpty) shards.groupBy() else shards.groupBy(keys.map(col): _*)
+        g.agg(slice(array_sort(flatten(collect_list(col("sample")))), 1, k)
+          .as("sample"), sum("n").as("n"))
+      }
+      def canon(s: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+        s.select((keys.map(col) :+ col("n") :+
+            expr("array_join(transform(sample, x -> concat(x.h, ':', x.v)), ',')")
+              .as("sm")): _*)
+          .collect().map(_.toSeq.map(String.valueOf)).toSet
+      // keyed merge (shards fold away, parity survives) and total merge
+      Seq(Seq("parity"), Nil).foreach { keys =>
+        assert(canon(Sketches.kmvMergeAgg(shards, keys, k), keys) ===
+          canon(reference(keys), keys), s"keys=$keys k=$k")
+      }
+    }
+  }
+
+  test("TopKDistinctAgg: boundary duplicates at a FULL buffer (VERDICT r15 #3 spec-pin)") {
+    val agg = new TopK.TopKDistinctAgg(3)
+    def sid(s: Double, id: Long) = TopK.ScoredId(s, id)
+    val full = Seq(sid(9, 1), sid(7, 2), sid(5, 3))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(full.map(x => (x.s, x.id)) === Seq((9.0, 1L), (7.0, 2L), (5.0, 3L)))
+    // duplicate of the k-th (boundary) element: not lt(last) -> rejected,
+    // buffer unchanged — the element is already present exactly once
+    assert(agg.reduce(full, sid(5, 3)) === full)
+    // duplicate of an interior element: admitted by the lt(last) gate,
+    // then the O(log k) membership probe drops it — buffer unchanged
+    assert(agg.reduce(full, sid(7, 2)) === full)
+    // a NEW element tying the boundary SCORE with a larger id orders
+    // after the boundary row -> rejected (ties keep smallest ids)...
+    assert(agg.reduce(full, sid(5, 9)) === full)
+    // ...and with a smaller id orders before it -> evicts the old k-th
+    assert(agg.reduce(full, sid(5, 0)).map(x => (x.s, x.id)) ===
+      Seq((9.0, 1L), (7.0, 2L), (5.0, 0L)))
+    // merge with overlapping buffers dedupes before the take(k)
+    assert(agg.merge(full, full) === full)
+    assert(agg.merge(full, Seq(sid(8, 7))).map(x => (x.s, x.id)) ===
+      Seq((9.0, 1L), (8.0, 7L), (7.0, 2L)))
+  }
+
   test("groupedTopKDistinct: ties on score keep smallest ids, duplicates still dead") {
     val rows = Seq(("g", 1.0, 7L), ("g", 1.0, 7L), ("g", 1.0, 3L),
       ("g", 1.0, 9L), ("g", 1.0, 3L)).toDF("grp", "s", "id")
