@@ -4787,6 +4787,24 @@ object ExtQueries {
         .orderBy("search_val", "rnk")
     }),
 
+    // The prescreen's CHEAP honesty meter (VERDICT r15 #1): per-probe
+    // channel coverage with NO exact side and NO posting join — the
+    // frame a caller reads before trusting a prescreen configuration
+    // at scale. maxCandidates = 20 makes the bucket cap ACTIVE at the
+    // oracle-gated scale (sf0.01 part bigram dfs run into the
+    // hundreds), so the truncation branch of the shared selection CTEs
+    // is hash-proven HERE, in the driver's gate — not only at
+    // /tmp/sf1 (closing round 15's vacuous-small-SF annotation).
+    "q311_jw_prescreen_coverage" -> ((s, dir) => {
+      val data = t(s, dir, "part").select(col("p_partkey").as("data_id"),
+        col("p_name").as("match_val"))
+      val search = t(s, dir, "part")
+        .select(col("p_name").as("search_val")).distinct()
+      graft.ops.FuzzyJoin.jwPrescreenCoverage(search, data, q = 2,
+          maxCandidates = 20L)
+        .orderBy("search_val")
+    }),
+
     // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
     // sketches merge into one corpus sketch on the Spark side; DuckDB
     // never builds a shard — it bottom-k's the whole corpus directly.
@@ -7973,20 +7991,26 @@ object ExtQueries {
        |ORDER BY search_val, rnk""".stripMargin
   }
 
-  /** q306/q307's shared prescreen replay: the ENTIRE rare-q-gram
+  /** q306/q307/q311's shared prescreen replay: the ENTIRE rare-q-gram
     * candidate pipeline of FuzzyJoin.topKJaroWinklerPrescreened
-    * (maxDf=100000, maxCandidates=2000; gram length `q` — the fixture
-    * queries use bigrams, see q306's comment) re-derived in
-    * DuckDB — gram extraction, stop-gram df table, the per-probe
-    * cumulative rare-gram budget, candidate dedup, DuckDB's own
-    * jaro_winkler on survivors. Returns the CTE chain ending at
-    * `pranked`; `probeCte` supplies the probe set (full for q306, the
-    * s_suppkey % 7 sample for q307). */
+    * (gram length `q`, stop-gram cut `maxDf`, per-probe/per-gram
+    * budget `cap` = maxCandidates — the fixture queries use bigrams,
+    * see q306's comment) re-derived in DuckDB — gram extraction,
+    * stop-gram df table, the per-probe sum-of-min(df, cap) ≤ 2·cap
+    * gram budget (round 16: strict superset of the old raw-df rule at
+    * the same posting bound), the gram-SALTED h60 bucket cap,
+    * candidate dedup, DuckDB's own jaro_winkler on survivors. Returns
+    * the CTE chain ending at `pranked`; `probeCte` supplies the probe
+    * set (full for q306, the s_suppkey % 7 sample for q307). The
+    * `rare` CTE carries each selected gram's df so q311's coverage
+    * meter reads the same frame the candidate stages consume. */
   private def jwPrescreenOracleCtes(probeCte: String, q: Int = 2,
                                     p: String = "",
                                     dataCte: String =
                                       "SELECT p_partkey AS data_id, " +
-                                      "p_name AS match_val FROM part"): String = {
+                                      "p_name AS match_val FROM part",
+                                    maxDf: Long = 100000L,
+                                    cap: Long = 2000L): String = {
     val n = graft.ops.Normalize.normSql _
     def grams(s: String) =
       s"""CASE WHEN length($s) < $q THEN [$s]
@@ -8000,27 +8024,27 @@ object ExtQueries {
        |${p}dg AS (SELECT data_id, unnest(${grams("m_norm")}) AS g
        |           FROM ${p}dn),
        |${p}dftab AS (SELECT g, count(*) AS df FROM ${p}dg GROUP BY 1
-       |          HAVING count(*) <= 100000),
+       |          HAVING count(*) <= $maxDf),
        |${p}sn AS (SELECT search_val, ${n("search_val")} AS s_norm
        |           FROM ${p}search),
        |${p}sg AS (SELECT search_val, s_norm, unnest(${grams("s_norm")}) AS g
        |       FROM ${p}sn),
-       |${p}rare AS (SELECT search_val, s_norm, g FROM (
+       |${p}rare AS (SELECT search_val, s_norm, g, df FROM (
        |    SELECT search_val, s_norm, g, df,
-       |      row_number() OVER (PARTITION BY search_val ORDER BY df, g)
-       |        AS rk,
-       |      sum(df) OVER (PARTITION BY search_val ORDER BY df, g
+       |      sum(least(df, $cap)) OVER (PARTITION BY search_val
+       |        ORDER BY df, g
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |    FROM ${p}sg JOIN ${p}dftab USING (g))
-       |  WHERE rk = 1 OR cum <= 2000),
+       |  WHERE cum <= ${2 * cap}),
        |${p}runi AS (SELECT DISTINCT g FROM ${p}rare),
        |${p}pcap AS (SELECT g, data_id FROM (
        |    SELECT d.g, d.data_id,
        |      row_number() OVER (PARTITION BY d.g ORDER BY
-       |        ${TextAnalysis.h60Sql("'jwb:' || CAST(d.data_id AS VARCHAR)")},
+       |        ${TextAnalysis.h60Sql(
+                   "'jwb:' || d.g || ':' || CAST(d.data_id AS VARCHAR)")},
        |        d.data_id) AS rb
        |    FROM ${p}dg d JOIN ${p}runi USING (g))
-       |  WHERE rb <= 2000),
+       |  WHERE rb <= $cap),
        |${p}cand AS (SELECT DISTINCT r.search_val, r.s_norm, p.data_id
        |         FROM ${p}rare r JOIN ${p}pcap p USING (g)),
        |${p}pscored AS (SELECT c.search_val, d.match_val, d.data_id,
@@ -10105,6 +10129,24 @@ object ExtQueries {
            |SELECT search_val, rnk, match_val, data_id, sim
            |FROM pranked WHERE rnk <= 3
            |ORDER BY search_val, rnk""".stripMargin) +
+      // coverage meter: the SAME selection CTEs as q306 (cap = 20
+      // activates the bucket cap at sf0.01), aggregated per probe off
+      // the df-bearing rare CTE — best/worst channel retention
+      // min(1, cap/df), portable-rounded like the engine
+      ("q311_jw_prescreen_coverage" ->
+        s"""WITH ${jwPrescreenOracleCtes(
+               "SELECT DISTINCT p_name AS search_val FROM part", 2, "",
+               cap = 20L)}
+           |SELECT search_val,
+           |  CAST(count(*) AS BIGINT) AS n_sel,
+           |  CAST(coalesce(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_capped,
+           |  ${TextAnalysis.round6PortableSql(
+                 "max(least(1.0, 20.0 / df))")} AS best_cov,
+           |  ${TextAnalysis.round6PortableSql(
+                 "min(least(1.0, 20.0 / df))")} AS worst_cov
+           |FROM rare GROUP BY search_val
+           |ORDER BY search_val""".stripMargin) +
       // KMV quantile sketch: DuckDB rebuilds the identical bottom-k
       // sample (ORDER BY h, v LIMIT k) and both quantile rules
       ("q308_kmv_quantiles" -> {

@@ -579,20 +579,33 @@ object FuzzyJoin {
     *   1. Posting table: distinct q-grams per data key; grams whose
     *      document frequency exceeds `maxDf` are stop-grams (dropped —
     *      they carry no selectivity and their postings dominate cost).
-    *   2. Probe gram budget: each probe ranks ITS grams by (df ASC,
-    *      gram ASC) against the data-side df table and keeps the maximal
-    *      rare prefix whose CUMULATIVE df fits `maxCandidates` (always
-    *      at least its single rarest gram).
+    *   2. Probe gram budget (round 16): each probe ranks ITS grams by
+    *      (df ASC, gram ASC) against the data-side df table and keeps
+    *      the maximal rare prefix whose cumulative POST-CAP posting
+    *      count Σ min(df, maxCandidates) fits 2·maxCandidates. The
+    *      rarest gram is always kept (its min(df, cap) ≤ cap < 2·cap);
+    *      the per-probe posting bound is 2·maxCandidates EXACTLY by
+    *      construction. Round 15's rule (cumulative RAW df ≤ cap, plus
+    *      a rank-1 exception) had the same worst case but collapsed to
+    *      ONE channel whenever the rarest gram alone exceeded the
+    *      budget — on closed-vocabulary corpora that is every probe,
+    *      and the sf1 audit measured recall@3 = 0.26 (q=2) / 0.70
+    *      (q=3) through the single truncated channel (SCALING.md round
+    *      16). The sum-of-min rule selects a strict SUPERSET of grams
+    *      (min(df,cap) ≤ df, budget 2× larger) at the identical bound,
+    *      so truncated probes get a second decorrelated channel.
     *   2b. Bucket cap: every selected gram contributes at most
     *      `maxCandidates` postings — the ones with the smallest pinned
-    *      h60(data_id), i.e. a deterministic UNIFORM sample of the
-    *      bucket (the KMV discipline). Together with the budget this
-    *      makes per-probe work ≤ 2·maxCandidates — a HARD bound: the
-    *      rank-1-always rule would otherwise leave a floor of
-    *      df(rarest gram), which round 15 measured growing linearly on
-    *      closed-vocabulary corpora (SCALING.md). The cap's rank
-    *      window shuffles only rare-universe postings and each gram's
-    *      bucket is ≤ maxDf on its reducer — bounded by construction.
+    *      h60(gram : data_id), i.e. a deterministic UNIFORM sample of
+    *      the bucket (the KMV discipline). The hash is SALTED BY GRAM
+    *      (round 16): an unsalted h60(data_id) keeps the SAME ids in
+    *      every truncated bucket, so a second channel rescued nothing —
+    *      a true match with a high hash was dropped from all of them;
+    *      per-gram salting makes the bucket samples independent, so a
+    *      match missed by one truncated channel survives another with
+    *      probability ≈ cap/df per channel. The cap's rank window
+    *      shuffles only rare-universe postings and each gram's bucket
+    *      is ≤ maxDf on its reducer — bounded by construction.
     *   3. Candidates: NARROW posting stream (data_id, m_norm, gram —
     *      never the gram set; round 15 measured the array-carrying
     *      variant at 54× for 10× data purely from payload + per-row
@@ -606,11 +619,28 @@ object FuzzyJoin {
     *      product-sized ever exchanged.
     *
     * Output shape matches the exact tiers (search_val, rnk, data_id,
-    * sim, match_val). Contract differences, both deliberate: rows are
+    * sim, match_val). Contract differences, all deliberate: rows are
     * the top-k OF THE CANDIDATE SET (a probe sharing no indexed gram
-    * with the corpus emits no rows), and a true top-k row can be missed
-    * when it shares no rare gram with the probe — run
-    * [[jwPrescreenRecall]] on a probe sample to measure, don't guess.
+    * with the corpus emits no rows); a true top-k row can be missed
+    * when it shares no rare gram with the probe; and when every
+    * selected gram's bucket exceeds maxCandidates the candidate
+    * channel is a deterministic ≈ cap/df subsample, so recall follows
+    * it — measured at sf1 (SCALING.md round 16): recall@3 0.26 at
+    * q=2 / 0.70 at q=3 under the round-15 rule, 0.33 / 0.82 under
+    * this rule (the second channel helps less than independence would
+    * predict because the two rarest grams co-occur in the same data
+    * rows — candidate sets correlate through the DATA, the salt only
+    * decorrelates the hash), on a worst-case closed-vocabulary corpus
+    * where EVERY probe's every gram is truncated (real crawls hold
+    * rarer grams — Heaps — so their coverage is higher at equal
+    * settings). Run
+    * [[jwPrescreenCoverage]] (cheap, no exact side) for the per-probe
+    * coverage ratios before trusting a configuration at scale, and
+    * [[jwPrescreenRecall]] on a probe sample to measure true recall —
+    * never guess. `minCoverage` > 0 makes the coverage contract a
+    * LOUD guard: the operator fails if the mean best-channel coverage
+    * over covered probes falls below it (one probe-sized aggregation
+    * off the already-materialized gram table, no new shuffle).
     *
     * Shuffle shape: gram-df aggregation (gram-type-sized, tiny — the
     * q-gram alphabet bounds it), the probe-side windows (probe-sized,
@@ -620,45 +650,44 @@ object FuzzyJoin {
   def topKJaroWinklerPrescreened(search: DataFrame, data: DataFrame, k: Int,
                                  q: Int = 3, maxDf: Long = 100000L,
                                  maxCandidates: Long = 2000L,
-                                 maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+                                 maxProbeRows: Long = Guards.MaxBroadcastRows,
+                                 minCoverage: Double = 0.0): DataFrame = {
     require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
     require(maxDf >= 1 && maxCandidates >= 1,
       s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
+    require(minCoverage >= 0.0 && minCoverage <= 1.0,
+      s"minCoverage in [0,1]: $minCoverage")
     guard(search, maxProbeRows)
     requireUniqueDataIds(data, "topKJaroWinklerPrescreened")
     val dataN = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
-    // document frequency per gram, stop-grams dropped; the gram-type
-    // table is alphabet-bounded (≤ 36^q distinct keys) — broadcastable
-    val dfTab = dataN
-      .select(col("data_id"), explode(charGrams(col("m_norm"), q)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    // probe rare-gram budget: rank by (df, g), keep while cumulative df
-    // fits the candidate budget (rarest gram always kept). Rare grams
-    // are a subset of dfTab, so joining them alone also enforces the
-    // stop-gram cut on the posting stream.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("search_val").orderBy("df", "g")
-    // materialized ONCE (probe-sized): both the bucket-cap universe and
-    // the scored join consume it — without the barrier each consumer
-    // would re-run the corpus-wide gram-df aggregation buried inside
-    val rare = graft.ops.Materialize.stable(search
-      .withColumn("s_norm", Normalize.norm(col("search_val")))
-      .select(col("search_val"), col("s_norm"),
-        explode(charGrams(col("s_norm"), q)).as("g"))
-      .join(broadcast(dfTab), "g")
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__cum", sum("df").over(w.rowsBetween(Long.MinValue, 0)))
-      .filter(col("__rk") === 1 || col("__cum") <= maxCandidates)
-      .select("g", "search_val", "s_norm"),
+    // materialized ONCE (probe-sized): the bucket-cap universe, the
+    // scored join, and the optional coverage guard all consume it —
+    // without the barrier each consumer would re-run the corpus-wide
+    // gram-df aggregation buried inside
+    val rare = graft.ops.Materialize.stable(
+      rareGrams(search, dataN, q, maxDf, maxCandidates),
       "jw-prescreen-rare")
+    if (minCoverage > 0.0) {
+      val row = rare.groupBy("search_val")
+        .agg(max(least(lit(1.0),
+          lit(maxCandidates.toDouble) / col("df"))).as("__best"))
+        .agg(avg("__best"), count(lit(1))).head()
+      val mean = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+      require(mean >= minCoverage,
+        f"topKJaroWinklerPrescreened: mean best-channel coverage $mean%.4f " +
+          f"over ${row.getLong(1)} covered probes < minCoverage=$minCoverage " +
+          "— the bucket cap truncates this workload's candidate channels " +
+          "(recall tracks coverage; see jwPrescreenCoverage). Raise " +
+          "maxCandidates, raise q, or lower minCoverage deliberately")
+    }
     // narrow posting stream (map-only over the corpus), restricted to
     // the rare-gram universe, then bucket-capped: per gram keep the
-    // maxCandidates postings with smallest h60(data_id) (+ id
-    // tie-break) — a deterministic uniform sample of oversized buckets.
-    // The rank window's shuffle carries only rare-universe postings and
-    // no gram exceeds maxDf rows on its reducer.
+    // maxCandidates postings with smallest h60(gram : data_id) (+ id
+    // tie-break) — a deterministic uniform sample of oversized buckets,
+    // independent across grams (the per-gram salt). The rank window's
+    // shuffle carries only rare-universe postings and no gram exceeds
+    // maxDf rows on its reducer.
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN
@@ -666,7 +695,8 @@ object FuzzyJoin {
         explode(charGrams(col("m_norm"), q)).as("g"))
       .join(broadcast(rare.select("g").distinct()), "g")
       .withColumn("__h", graft.ext.TextAnalysis.h60(
-        concat(lit("jwb:"), col("data_id").cast("string"))))
+        concat(lit("jwb:"), col("g"), lit(":"),
+          col("data_id").cast("string"))))
       .withColumn("__rb", row_number().over(wB))
       .filter(col("__rb") <= maxCandidates)
       .select("g", "data_id", "m_norm")
@@ -674,7 +704,7 @@ object FuzzyJoin {
     // row, duplicates (a pair sharing several rare grams) collapse
     // inside the k-bounded distinct fold
     val scored = capped
-      .join(broadcast(rare), "g")
+      .join(broadcast(rare.select("g", "search_val", "s_norm")), "g")
       .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
         col("s_norm"), col("m_norm")), 6))
       .select(col("search_val"), col("sim"), col("data_id"))
@@ -684,6 +714,76 @@ object FuzzyJoin {
         .withColumnRenamed("id", "data_id")
         .withColumnRenamed("score", "sim"),
       data)
+  }
+
+  /** Stages 1–2 of the prescreen, shared verbatim by
+    * [[topKJaroWinklerPrescreened]] and [[jwPrescreenCoverage]] so the
+    * coverage meter can never drift from what the operator selects.
+    * Emits one row per (probe, selected gram) with the gram's corpus
+    * df — probe-sized output (each selected gram contributes ≥ 1 to a
+    * budget of 2·maxCandidates, so ≤ 2·maxCandidates rows per probe,
+    * and in practice ≤ |s_norm| grams). */
+  private def rareGrams(search: DataFrame, dataN: DataFrame, q: Int,
+                        maxDf: Long, maxCandidates: Long): DataFrame = {
+    // document frequency per gram, stop-grams dropped; the gram-type
+    // table is alphabet-bounded (≤ 36^q distinct keys) — broadcastable.
+    // Rare grams are a subset of dfTab, so joining them alone also
+    // enforces the stop-gram cut on the posting stream.
+    val dfTab = dataN
+      .select(col("data_id"), explode(charGrams(col("m_norm"), q)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("search_val").orderBy("df", "g")
+    search
+      .withColumn("s_norm", Normalize.norm(col("search_val")))
+      .select(col("search_val"), col("s_norm"),
+        explode(charGrams(col("s_norm"), q)).as("g"))
+      .join(broadcast(dfTab), "g")
+      .withColumn("__cum", sum(least(col("df"), lit(maxCandidates)))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .filter(col("__cum") <= 2 * maxCandidates)
+      .select("g", "search_val", "s_norm", "df")
+  }
+
+  /** The prescreen's CHEAP honesty meter (VERDICT r15 #1): per-probe
+    * coverage of the bucket-capped candidate channels, with NO exact
+    * side and NO posting join — just stages 1–2 ([[rareGrams]], the
+    * exact frame the operator selects from) aggregated per probe:
+    *   - n_sel / n_capped — selected grams, and how many of them the
+    *     per-gram bucket cap truncates (df > maxCandidates);
+    *   - best_cov / worst_cov — max/min over selected grams of
+    *     min(1, maxCandidates/df), the deterministic retention ratio
+    *     of each channel's h60 bucket sample.
+    * A probe whose every channel is truncated finds a given true match
+    * with probability ≈ its channel coverage (salted caps make the
+    * bucket samples independent; residual correlation comes only from
+    * gram co-occurrence in the data), so recall tracks these ratios —
+    * the sf1 audit measured recall@3 0.82 at mean best_cov 0.72
+    * (q=3) and 0.33 at 0.26 (q=2) on the worst-case all-truncated
+    * corpus (SCALING.md round 16). Probes sharing no indexed gram with the
+    * corpus emit no row (the operator's no-rows contract). Cost:
+    * ONE corpus gram pass (map-only into the gram-type-sized df
+    * aggregation) + probe-sized windows — runs anywhere the operator
+    * runs, at any corpus size. */
+  def jwPrescreenCoverage(search: DataFrame, data: DataFrame,
+                          q: Int = 3, maxDf: Long = 100000L,
+                          maxCandidates: Long = 2000L,
+                          maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
+    require(maxDf >= 1 && maxCandidates >= 1,
+      s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
+    guard(search, maxProbeRows)
+    requireUniqueDataIds(data, "jwPrescreenCoverage")
+    val dataN = Partitioning.spread(data)
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+    val cov = least(lit(1.0), lit(maxCandidates.toDouble) / col("df"))
+    rareGrams(search, dataN, q, maxDf, maxCandidates)
+      .groupBy("search_val")
+      .agg(count(lit(1)).cast("long").as("n_sel"),
+        sum(when(col("df") > maxCandidates, 1L).otherwise(0L)).as("n_capped"),
+        graft.ext.TextAnalysis.round6Portable(max(cov)).as("best_cov"),
+        graft.ext.TextAnalysis.round6Portable(min(cov)).as("worst_cov"))
   }
 
   /** Recall audit for [[topKJaroWinklerPrescreened]]: run BOTH tiers on

@@ -218,26 +218,32 @@ class FuzzyJoinSpec extends SparkTestBase {
       rows(FuzzyJoin.topKJaroWinkler(strongSearch, strongData, 3)))
   }
 
-  test("prescreened tier: maxCandidates budget keeps only the rarest-gram prefix") {
+  test("prescreened tier: sum-of-min budget — 2·maxCandidates postings, capped channels kept") {
     // probe grams vs data df: 'xy' appears once, 'ab' five times, 'bx'
-    // never. With maxCandidates = 1 the cumulative budget admits ONLY
-    // the rarest gram ('xy', df 1), so the sole candidate — and thus the
-    // whole output — is the xy-string, even though an ab-string is the
-    // better JW match. That is the documented trade: bounded work,
-    // recall measured (not assumed) by jwPrescreenRecall.
+    // never. With maxCandidates = 1 the round-16 budget admits grams
+    // while Σ min(df, cap) ≤ 2·cap = 2: 'xy' (min 1, cum 1) AND 'ab'
+    // (min 1, cum 2) — but the 'ab' CHANNEL is bucket-capped to its
+    // single smallest-h60 posting. Candidates = the xy-string plus
+    // exactly one deterministically sampled ab-string: two postings
+    // total, the 2·maxCandidates bound exactly. (The round-15 raw-df
+    // rule kept only 'xy' here — the sum-of-min rule is a strict
+    // superset at the same bound.)
     val d = Seq((1L, "abcdef"), (2L, "abdedf"), (3L, "abeeef"),
       (4L, "abffff"), (5L, "abgggg"), (6L, "qqxyqq")).toDF("data_id", "match_val")
     val s = Seq("abxy").toDF("search_val")
     val out = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
         maxCandidates = 1)
       .select("data_id").collect().map(_.getLong(0)).toSet
-    assert(out === Set(6L), "only the rarest-gram candidate may survive")
-    // with budget for both grams, the ab-strings join the candidate set
-    // (k = 6 so the whole candidate set surfaces, not just the top-3)
+    val abPick = (1L to 5L).minBy(id =>
+      (graft.ext.TextAnalysis.h60Local("jwb:ab:" + id), id))
+    assert(out === Set(6L, abPick),
+      "candidates must be the rare-gram string + ONE h60-sampled ab posting")
+    // with budget for both grams uncapped, all ab-strings join the
+    // candidate set (k = 6 so the whole candidate set surfaces)
     val wide = FuzzyJoin.topKJaroWinklerPrescreened(s, d, 6, q = 2,
         maxCandidates = 100)
       .select("data_id").collect().map(_.getLong(0)).toSet
-    assert(wide.contains(6L) && wide.exists(_ <= 5L))
+    assert(wide === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
   test("prescreened tier: probe sharing no indexed gram emits no rows, no crash") {
@@ -263,10 +269,13 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(open === Set(1L, 2L, 3L, 4L))
   }
 
-  test("prescreened tier: per-gram bucket cap keeps the h60-smallest postings") {
+  test("prescreened tier: per-gram bucket cap keeps the h60-smallest postings, SALTED by gram") {
     // one shared gram 'qq' with df 5 > maxCandidates 2: the candidate
-    // set must be the 2 data ids with smallest h60('jwb:' || id) — the
-    // deterministic uniform bucket sample the oracle replays
+    // set must be the 2 data ids with smallest h60('jwb:' || g || ':'
+    // || id) — the deterministic uniform bucket sample the oracle
+    // replays. The GRAM salt (round 16) makes each bucket's sample
+    // independent: unsalted, the same low-hash ids survived every
+    // truncated bucket and a second channel rescued nothing.
     val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
       (5L, "qqe")).toDF("data_id", "match_val")
     val s = Seq("qqz").toDF("search_val")
@@ -274,8 +283,8 @@ class FuzzyJoinSpec extends SparkTestBase {
         maxCandidates = 2)
       .select("data_id").collect().map(_.getLong(0)).toSet
     val expect = (1L to 5L).sortBy(id => (
-        graft.ext.TextAnalysis.h60Local("jwb:" + id), id)).take(2).toSet
-    assert(got === expect, s"bucket sample must follow pinned h60 order")
+        graft.ext.TextAnalysis.h60Local("jwb:qq:" + id), id)).take(2).toSet
+    assert(got === expect, s"bucket sample must follow pinned salted-h60 order")
   }
 
   test("prescreened tier: cap-ACTIVE output invariant under physical repartition (VERDICT r15 #3)") {
@@ -296,6 +305,27 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(base.nonEmpty)
     assert(canon(s.repartition(3), d.repartition(7)) === base)
     assert(canon(s.coalesce(1), d.repartition(13)) === base)
+  }
+
+  test("jwPrescreenCoverage: per-channel retention ratios; minCoverage guard fails loudly") {
+    val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
+      (5L, "qqxy")).toDF("data_id", "match_val")
+    val s = Seq("qqxyz", "qqq").toDF("search_val")
+    val cov = FuzzyJoin.jwPrescreenCoverage(s, d, q = 2, maxCandidates = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // 'qqq' has the single gram 'qq': df 5 capped at 2 -> 0.4 both ways;
+    // 'qqxyz' adds qx/xy at df 1 (full channels) -> best 1.0, worst 0.4
+    assert(cov === Seq(("qqq", 1L, 1L, 0.4, 0.4),
+      ("qqxyz", 3L, 1L, 1.0, 0.4)))
+    // the guard reads mean best-channel coverage = (0.4 + 1.0)/2 = 0.7
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.75) }
+    assert(ex.getMessage.contains("minCoverage"))
+    // below the mean it runs (and default 0.0 never guards)
+    assert(FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
+      maxCandidates = 2, minCoverage = 0.69).count() > 0L)
   }
 
   test("jwPrescreenRecall: perfect recall on covered probes, micro-average arithmetic") {
