@@ -4805,6 +4805,49 @@ object ExtQueries {
         .orderBy("search_val")
     }),
 
+    // WEIGHTED quantile sketch (VERDICT r15 #6): priority sampling
+    // (Duffield-Lund-Thorup) with the pinned-hash determinism
+    // discipline — "what size does the median BYTE live in", per
+    // source, the 100 TB layout question a uniform row sample cannot
+    // answer. The Spark side takes the MERGE path (8 doc_id shards →
+    // wkmvMergeAgg) while the oracle sketches the union directly, so
+    // the hash match proves the weighted merge law IN-query — no
+    // law-twin row (VERDICT r15 #8's bench-budget rule). k = 32 keeps
+    // the estimator branch ACTIVE at sf0.01 (>k docs per source, so
+    // τ > 0 and ŵ = max(w, τ) genuinely estimates); the exact
+    // weighted quantiles ride beside it, so the rank error is
+    // displayed, not assumed.
+    "q312_weighted_kmv" -> ((s, dir) => {
+      val K = 32
+      val pop = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull &&
+          col("n_chars") >= 1)
+      val est = Sketches.wkmvQuantiles(
+        Sketches.wkmvMergeAgg(
+          Sketches.wkmvSketch(
+            pop.withColumn("__shard", pmod(col("doc_id"), lit(8))),
+            Seq("source", "__shard"), col("doc_id"), col("n_chars"),
+            col("n_chars"), k = K),
+          Seq("source"), k = K),
+        Seq("source"), K, Seq(0.5, 0.9, 0.99))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars", "doc_id")
+      val cum = pop
+        .withColumn("__cw",
+          sum("n_chars").over(w.rowsBetween(Long.MinValue, 0)))
+        .join(pop.groupBy("source")
+          .agg(sum("n_chars").cast("long").as("__wt")), "source")
+      def exact(q: Double, nm: String) = cum
+        .filter(col("__cw").cast("double") >=
+          lit(q) * col("__wt").cast("double"))
+        .groupBy("source").agg(min("n_chars").as(nm))
+      est.join(exact(0.5, "p50_exact"), "source")
+        .join(exact(0.9, "p90_exact"), "source")
+        .join(exact(0.99, "p99_exact"), "source")
+        .orderBy("source")
+    }),
+
     // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
     // sketches merge into one corpus sketch on the Spark side; DuckDB
     // never builds a shard — it bottom-k's the whole corpus directly.
@@ -10172,6 +10215,70 @@ object ExtQueries {
            |  x.va[greatest(1, CAST(ceil(0.99 * x.n) AS INT))] AS p99_exact
            |FROM samp s JOIN exv x ON s.event_type = x.event_type
            |ORDER BY s.event_type""".stripMargin
+      }) +
+      // weighted KMV: the oracle sketches the UNION directly (the
+      // Spark side merged 8 shards), replaying priority p = w/u off
+      // the same pinned hash, tau = the (k+1)-th priority, the 1e-6-
+      // quantized hat-w walk, and the exact weighted quantiles
+      ("q312_weighted_kmv" -> {
+        val h = TextAnalysis.h60Sql("'wkmv:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH pop AS (SELECT source, doc_id, n_chars FROM documents
+           |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+           |    AND n_chars >= 1),
+           |pri AS (SELECT source, doc_id, n_chars,
+           |    CAST(n_chars AS DOUBLE) /
+           |      (CAST(($h) + 1 AS DOUBLE) /
+           |       CAST(1152921504606846976 AS DOUBLE)) AS p
+           |  FROM pop),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY p DESC, doc_id) AS r FROM pri),
+           |tau AS (SELECT source,
+           |    coalesce(max(CASE WHEN r = 33 THEN p END), 0.0) AS tau
+           |  FROM rk GROUP BY 1),
+           |kept AS (SELECT rk.source, rk.doc_id, rk.n_chars AS v,
+           |    CAST(floor(greatest(CAST(rk.n_chars AS DOUBLE), t.tau)
+           |      * 1000000 + 0.5) AS BIGINT) AS hw6
+           |  FROM rk JOIN tau t ON rk.source = t.source WHERE rk.r <= 32),
+           |cum AS (SELECT source, doc_id, v,
+           |    sum(hw6) OVER (PARTITION BY source ORDER BY v, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           |  FROM kept),
+           |cums AS (SELECT *, max(c) OVER (PARTITION BY source) AS tot
+           |  FROM cum),
+           |est AS (SELECT source,
+           |    min(CASE WHEN CAST(c AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+           |      THEN v END) AS p50,
+           |    min(CASE WHEN CAST(c AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
+           |      THEN v END) AS p90,
+           |    min(CASE WHEN CAST(c AS DOUBLE) >= 0.99 * CAST(tot AS DOUBLE)
+           |      THEN v END) AS p99
+           |  FROM cums GROUP BY 1),
+           |mrows AS (SELECT source, CAST(count(*) AS BIGINT) AS m
+           |  FROM kept GROUP BY 1),
+           |stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(n_chars) AS BIGINT) AS wtot FROM pop GROUP BY 1),
+           |exw AS (SELECT source, doc_id, n_chars,
+           |    sum(n_chars) OVER (PARTITION BY source
+           |      ORDER BY n_chars, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           |  FROM pop),
+           |exq AS (SELECT e.source,
+           |    min(CASE WHEN CAST(e.cw AS DOUBLE) >=
+           |      0.5 * CAST(s.wtot AS DOUBLE) THEN e.n_chars END)
+           |      AS p50_exact,
+           |    min(CASE WHEN CAST(e.cw AS DOUBLE) >=
+           |      0.9 * CAST(s.wtot AS DOUBLE) THEN e.n_chars END)
+           |      AS p90_exact,
+           |    min(CASE WHEN CAST(e.cw AS DOUBLE) >=
+           |      0.99 * CAST(s.wtot AS DOUBLE) THEN e.n_chars END)
+           |      AS p99_exact
+           |  FROM exw e JOIN stats s USING (source) GROUP BY 1)
+           |SELECT s.source, s.n, s.wtot, m.m,
+           |  est.p50, est.p90, est.p99,
+           |  exq.p50_exact, exq.p90_exact, exq.p99_exact
+           |FROM stats s JOIN mrows m USING (source)
+           |  JOIN est USING (source) JOIN exq USING (source)
+           |ORDER BY s.source""".stripMargin
       }) +
       // KMV merge law: the oracle NEVER builds a shard — it bottom-k's
       // the whole corpus; a hash match proves merge == sketch-of-union

@@ -772,4 +772,118 @@ object Sketches {
       }
     sketch.select(cols: _*)
   }
+
+  // ------------------------------------------------------------------
+  // WEIGHTED quantile sketch — priority sampling (Duffield, Lund,
+  // Thorup, "Priority sampling for estimation of arbitrary subset
+  // sums", JACM 2007) with the house determinism discipline: the
+  // uniform draw is the pinned row hash u = (h60('wkmv:'||id)+1)/2⁶⁰
+  // ∈ (0,1], priority p = w/u, keep the m = k+1 HIGHEST priorities.
+  // Every arithmetic step is a single correctly-rounded IEEE double
+  // op (long→double cast, one divide) — no libm (ln/pow), so BOTH
+  // engines produce bit-identical priorities and the sketch stays a
+  // pure FUNCTION OF THE ROW SET with the exact merge law
+  // (top-m of a union == top-m of per-shard top-m's), like [[kmvSketch]].
+  // The estimator: with τ = the (k+1)-th priority (0 if the group is
+  // exhaustive), each kept row represents weight ŵ = max(w, τ) —
+  // unbiased for any subset sum, hence for the weighted CDF; weighted
+  // quantiles walk the kept rows in (v, id) order until the running ŵ
+  // crosses q·Σŵ. Answers the 100 TB layout question ("what size does
+  // the median BYTE live in?") that the unweighted [[kmvSketch]]
+  // cannot: its uniform row sample under-represents exactly the rows
+  // that carry the mass.
+  // ------------------------------------------------------------------
+
+  /** Per-group weighted sketch: `sample` = the k+1 (p, id, v, w) rows
+    * with highest priority, (p DESC, id ASC); `wtot` / `n` = the
+    * group's exact total weight and row count. Population = rows with
+    * id, value, weight all non-null AND weight ≥ 1 (integer weights;
+    * a zero weight carries no mass and would break p = w/u's strict
+    * positivity). `id` must be row-unique — same deliberately
+    * unenforced contract, for the same reasons, as [[kmvSketch]]'s
+    * rowKey. k+1 rows (not k) so the merged sketch still carries the
+    * threshold τ the estimator needs. Map-side k-bounded fold; the
+    * payload (v, w) rides inside the buffer, so no data-sized rejoin. */
+  def wkmvSketch(df: DataFrame, keys: Seq[String], id: Column,
+                 value: Column, weight: Column, k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new graft.ops.TopK.WTopKAgg(k + 1))
+    val u = (TextAnalysis.h60(concat(lit("wkmv:"), id.cast("string"))) +
+      lit(1L)).cast("double") / lit(1152921504606846976L).cast("double")
+    df.filter(id.isNotNull && value.isNotNull && weight.isNotNull &&
+        weight >= 1)
+      .select(keys.map(col) :+ (weight.cast("double") / u).as("__p") :+
+        id.cast("long").as("__id") :+ value.cast("long").as("__v") :+
+        weight.cast("long").as("__w"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(agg(col("__p"), col("__id"), col("__v"), col("__w")).as("sample"),
+        sum("__w").cast("long").as("wtot"), count(lit(1)).as("n"))
+  }
+
+  /** Merge weighted sketches down to coarser keys — the same k-bounded
+    * explode-and-refold as [[kmvMergeAgg]] (partial buffers ≤ k+1
+    * everywhere; `wtot`/`n` ride the first sample element), exact by
+    * the same law. Requires non-empty samples, which [[wkmvSketch]]
+    * guarantees and merging preserves. */
+  def wkmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new graft.ops.TopK.WTopKAgg(k + 1))
+    val ex = df.select(keys.map(col) :+ col("wtot") :+ col("n") :+
+      posexplode(col("sample")).as(Seq("__i", "__e")): _*)
+    val grouped =
+      if (keys.isEmpty) ex.groupBy()
+      else ex.groupBy(keys.map(col): _*)
+    grouped.agg(
+      agg(col("__e.p"), col("__e.id"), col("__e.v"), col("__e.w"))
+        .as("sample"),
+      sum(when(col("__i") === 0, col("wtot")).otherwise(lit(0L)))
+        .cast("long").as("wtot"),
+      sum(when(col("__i") === 0, col("n")).otherwise(lit(0L))).as("n"))
+  }
+
+  /** WEIGHTED type-1 quantiles off the priority sample: τ = the
+    * (k+1)-th priority (0 when the group is exhaustive — then ŵ = w
+    * and the answer is EXACT), ŵ = max(w, τ) per kept row, walk kept
+    * rows in (v, id) order and emit the first v whose running ŵ
+    * reaches q·Σŵ. ŵ is quantized to 1e-6 and accumulated as exact
+    * LONGs (the house DECIMAL-sum discipline: a running DOUBLE sum is
+    * sequential in Spark but segment-tree-associated in DuckDB window
+    * aggregates, so its bits are not portable; the quantized walk is
+    * order-free and engine-identical, at an estimator perturbation of
+    * ≤ 1e-6 per row). Requires group total weight ≤ ~9.2e12 so
+    * Σŵ·1e6 fits a long — beyond that, rescale the weights. The
+    * crossing compares in double space (long < double promotes
+    * identically in both engines). Emits n, wtot (exact), m (kept
+    * rows) and one [[pName]] column per quantile. The walk runs over
+    * ≤ k rows per group — sketch-sized windows, nothing data-sized. */
+  def wkmvQuantiles(sketch: DataFrame, keys: Seq[String], k: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles in (0, 1]: $qs")
+    val names = qs.map(pName)
+    require(names.distinct.size == names.size,
+      s"quantile column names collide: ${qs.zip(names)}")
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__e.v"), col("__e.id"))
+    val ex = sketch
+      .withColumn("__tau", when(size(col("sample")) > k,
+        element_at(col("sample"), k + 1).getField("p")).otherwise(lit(0.0)))
+      .withColumn("m", least(size(col("sample")), lit(k)).cast("long"))
+      .select(keys.map(col) :+ col("wtot") :+ col("n") :+ col("m") :+
+        col("__tau") :+ explode(expr(s"slice(sample, 1, $k)")).as("__e"): _*)
+      .withColumn("__hw6", floor(greatest(col("__e.w").cast("double"),
+        col("__tau")) * 1e6 + 0.5).cast("long"))
+      .withColumn("__cum", sum("__hw6").over(wv.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__tot", max(col("__cum"))
+        .over(wv.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val aggs = qs.zip(names).map { case (q, name) =>
+      min(when(col("__cum").cast("double") >=
+        lit(q) * col("__tot").cast("double"), col("__e.v"))).as(name)
+    }
+    ex.groupBy((keys.map(col) :+ col("n") :+ col("wtot") :+ col("m")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -139,6 +139,44 @@ object TopK {
     def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
   }
 
+  /** One weighted-sample row for the priority-sampling sketch
+    * ([[graft.ext.Sketches.wkmvSketch]]): `p` the deterministic
+    * priority w/u (DESC order), `id` the tiebreak, `v` the metric,
+    * `w` the row's weight — the payload rides INSIDE the k-bounded
+    * buffer so no data-sized rejoin is ever needed. */
+  case class WRow(p: Double, id: Long, v: Long, w: Long)
+
+  private val wOrd: Ordering[WRow] =
+    Ordering.by((x: WRow) => (-x.p, x.id))
+
+  /** [[TopKAgg]]'s k-bounded economics for [[WRow]]s: keep the m
+    * HIGHEST-priority rows, (p DESC, id ASC). Same exact merge law as
+    * the bottom-k sampler (top-m of a union == top-m of top-m's), same
+    * map-side partial fold, buffer ≤ m everywhere. */
+  class WTopKAgg(m: Int) extends Aggregator[WRow, Seq[WRow], Seq[WRow]] {
+    require(m >= 1, s"top-m needs m >= 1, got $m")
+    def zero: Seq[WRow] = Vector.empty
+    private def insertSorted(b: Seq[WRow], a: WRow): Seq[WRow] = {
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (wOrd.lt(a, b(mid))) hi = mid else lo = mid + 1
+      }
+      b.patch(lo, Seq(a), 0)
+    }
+    def reduce(b: Seq[WRow], a: WRow): Seq[WRow] =
+      if (b.size < m) insertSorted(b, a)
+      else if (wOrd.lt(a, b.last)) insertSorted(b.init, a)
+      else b
+    def merge(x: Seq[WRow], y: Seq[WRow]): Seq[WRow] =
+      (x ++ y).sorted(wOrd).take(m)
+    def finish(r: Seq[WRow]): Seq[WRow] = r
+    def bufferEncoder: Encoder[Seq[WRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WRow]]()
+    def outputEncoder: Encoder[Seq[WRow]] = bufferEncoder
+  }
+
   /** [[groupedTopK]] with duplicate-collapsing [[TopKDistinctAgg]]. */
   def groupedTopKDistinct(df: DataFrame, groupCols: Seq[String], score: Column,
                           id: Column, k: Int): DataFrame = {

@@ -2452,6 +2452,58 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sketches.kmvQuantiles(sk, Seq("g"), Seq(0.5500001, 0.55000011)) }
   }
+
+  test("wkmvSketch: weighted merge law — merge(shards) == sketch(union); repartition-invariant") {
+    val rows = (1L to 300L).map(i => (i, (i * 13) % 97 + 1, i % 5))
+      .toDF("id", "v", "shard")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(explode(expr(
+        "transform(sample, x -> concat(x.p, ':', x.id, ':', x.v, ':', x.w))"))
+        .as("e")).as[String].collect().toSeq
+    val direct = Sketches.wkmvSketch(rows.withColumn("g", lit(1)),
+      Seq("g"), col("id"), col("v"), col("v"), k = 64)
+    val merged = Sketches.wkmvMergeAgg(
+      Sketches.wkmvSketch(rows, Seq("shard"), col("id"), col("v"),
+        col("v"), k = 64), Nil, k = 64)
+    assert(canon(direct) === canon(merged),
+      "weighted priority sampling must merge EXACTLY (top-m of union)")
+    assert(merged.select("wtot").as[Long].collect()(0) ===
+      rows.agg(sum("v")).collect()(0).getLong(0))
+    assert(merged.select("n").as[Long].collect()(0) === 300L)
+    val re = Sketches.wkmvMergeAgg(
+      Sketches.wkmvSketch(rows.repartition(13), Seq("shard"), col("id"),
+        col("v"), col("v"), k = 64), Nil, k = 64)
+    assert(canon(re) === canon(merged))
+  }
+
+  test("wkmvQuantiles: exhaustive sample == exact weighted quantiles; tau branch sane") {
+    // weights = values, 1..100: W = 5050. The weighted median ("where
+    // does the median unit of MASS live") is 71 (71·72/2 = 2556 ≥
+    // 2525), NOT the unweighted 50 — the question this sketch answers.
+    val rows = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .withColumn("g", lit(1))
+    val q = Sketches.wkmvQuantiles(
+      Sketches.wkmvSketch(rows, Seq("g"), col("id"), col("v"), col("v"),
+        k = 128),
+      Seq("g"), 128, Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(q.getAs[Long]("n") === 100L)
+    assert(q.getAs[Long]("wtot") === 5050L)
+    assert(q.getAs[Long]("m") === 100L) // exhaustive: tau = 0, exact
+    assert(q.getAs[Long]("p50") === 71L)
+    assert(q.getAs[Long]("p90") === 95L)  // 95·96/2 = 4560 ≥ 4545
+    assert(q.getAs[Long]("p99") === 100L)
+    // tau-ACTIVE branch (k = 16 < n): estimates stay monotone, in
+    // range, and m pins the kept-row count; n/wtot stay exact
+    val e = Sketches.wkmvQuantiles(
+      Sketches.wkmvSketch(rows, Seq("g"), col("id"), col("v"), col("v"),
+        k = 16),
+      Seq("g"), 16, Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(e.getAs[Long]("m") === 16L)
+    assert(e.getAs[Long]("n") === 100L && e.getAs[Long]("wtot") === 5050L)
+    val (a, b, c) = (e.getAs[Long]("p50"), e.getAs[Long]("p90"),
+      e.getAs[Long]("p99"))
+    assert(a >= 1L && c <= 100L && a <= b && b <= c)
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {
