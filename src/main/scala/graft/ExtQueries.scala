@@ -4805,6 +4805,31 @@ object ExtQueries {
         .orderBy("search_val")
     }),
 
+    // Top-k Levenshtein with an EXACT radius certificate + prescreen
+    // channels beyond it (VERDICT r15 #7): part-name probes have real
+    // in-radius neighborhoods (the exact phase-1 path), the supplier
+    // sample normalizes far from every part name (all residual — the
+    // prescreen path, mostly uncovered: digit trigrams don't index
+    // color words), and residual part probes exercise the capped
+    // channels (maxCandidates = 50 keeps the cap ACTIVE at sf0.01).
+    // The oracle replays BOTH phases: the full product within radius,
+    // the prescreen chain (salt 'lvb:') for residual probes, one
+    // DISTINCT union ranked (distance, data_id).
+    "q313_lev_prescreened_topk" -> ((s, dir) => {
+      val search = t(s, dir, "part")
+        .select(col("p_name").as("search_val"))
+        .unionByName(t(s, dir, "supplier")
+          .filter(col("s_suppkey") % 7 === 0)
+          .select(col("s_name").as("search_val")))
+        .distinct()
+      val data = t(s, dir, "part").select(col("p_partkey").as("data_id"),
+        col("p_name").as("match_val"))
+      graft.ops.FuzzyJoin.topKLevenshteinPrescreened(search, data, k = 3,
+          radius = 3, q = 3, maxCandidates = 50L)
+        .select("search_val", "rnk", "match_val", "data_id", "distance")
+        .orderBy("search_val", "rnk")
+    }),
+
     // WEIGHTED quantile sketch (VERDICT r15 #6): priority sampling
     // (Duffield-Lund-Thorup) with the pinned-hash determinism
     // discipline — "what size does the median BYTE live in", per
@@ -8053,7 +8078,8 @@ object ExtQueries {
                                       "SELECT p_partkey AS data_id, " +
                                       "p_name AS match_val FROM part",
                                     maxDf: Long = 100000L,
-                                    cap: Long = 2000L): String = {
+                                    cap: Long = 2000L,
+                                    salt: String = "jwb:"): String = {
     val n = graft.ops.Normalize.normSql _
     def grams(s: String) =
       s"""CASE WHEN length($s) < $q THEN [$s]
@@ -8084,7 +8110,7 @@ object ExtQueries {
        |    SELECT d.g, d.data_id,
        |      row_number() OVER (PARTITION BY d.g ORDER BY
        |        ${TextAnalysis.h60Sql(
-                   "'jwb:' || d.g || ':' || CAST(d.data_id AS VARCHAR)")},
+                   s"'$salt' || d.g || ':' || CAST(d.data_id AS VARCHAR)")},
        |        d.data_id) AS rb
        |    FROM ${p}dg d JOIN ${p}runi USING (g))
        |  WHERE rb <= $cap),
@@ -10215,6 +10241,46 @@ object ExtQueries {
            |  x.va[greatest(1, CAST(ceil(0.99 * x.n) AS INT))] AS p99_exact
            |FROM samp s JOIN exv x ON s.event_type = x.event_type
            |ORDER BY s.event_type""".stripMargin
+      }) +
+      // lev prescreen hybrid: full product within the radius (ground
+      // truth for the exact certificate), the l_-prefixed prescreen
+      // chain for residual probes, one DISTINCT union ranked
+      // (distance ASC, data_id ASC)
+      ("q313_lev_prescreened_topk" -> {
+        val n = graft.ops.Normalize.normSql _
+        s"""WITH base AS (
+           |  SELECT DISTINCT p_name AS search_val FROM part
+           |  UNION
+           |  SELECT DISTINCT s_name FROM supplier WHERE s_suppkey % 7 = 0),
+           |bd AS (SELECT p_partkey AS data_id, p_name AS match_val
+           |       FROM part),
+           |inr AS (SELECT b.search_val, d.data_id,
+           |    levenshtein(${n("b.search_val")}, ${n("d.match_val")})
+           |      AS dist
+           |  FROM base b CROSS JOIN bd d
+           |  WHERE levenshtein(${n("b.search_val")}, ${n("d.match_val")})
+           |    <= 3),
+           |rc AS (SELECT search_val, count(*) AS nn FROM inr GROUP BY 1),
+           |resid AS (SELECT b.search_val FROM base b
+           |  LEFT JOIN rc USING (search_val)
+           |  WHERE coalesce(nn, 0) < 3),
+           |${jwPrescreenOracleCtes("SELECT search_val FROM resid", 3, "l_",
+               cap = 50L, salt = "lvb:")},
+           |pp AS (SELECT c.search_val, c.data_id,
+           |    levenshtein(c.s_norm, d.m_norm) AS dist
+           |  FROM l_cand c JOIN l_dn d USING (data_id)),
+           |ap AS (SELECT DISTINCT search_val, data_id, dist FROM (
+           |  SELECT search_val, data_id, dist FROM inr
+           |  UNION ALL SELECT search_val, data_id, dist FROM pp)),
+           |rkd AS (SELECT search_val, data_id, dist,
+           |    CAST(row_number() OVER (PARTITION BY search_val
+           |      ORDER BY dist, data_id) AS INT) AS rnk
+           |  FROM ap)
+           |SELECT r.search_val, r.rnk, d.match_val, r.data_id,
+           |  CAST(r.dist AS BIGINT) AS distance
+           |FROM rkd r JOIN bd d USING (data_id)
+           |WHERE r.rnk <= 3
+           |ORDER BY r.search_val, r.rnk""".stripMargin
       }) +
       // weighted KMV: the oracle sketches the UNION directly (the
       // Spark side merged 8 shards), replaying priority p = w/u off

@@ -746,6 +746,89 @@ object FuzzyJoin {
       .select("g", "search_val", "s_norm", "df")
   }
 
+  /** Top-k LEVENSHTEIN with an EXACT radius certificate plus prescreen
+    * channels beyond it (VERDICT r15 #7) — the [[topKJaroWinklerPrescreened]]
+    * skeleton with the edit-distance verifier, where (unlike JW) the
+    * length-band certificate COMPOSES with the prescreen:
+    *
+    *   phase 1 — [[scoreBanded]] enumerates EVERY pair at distance ≤
+    *     `radius` for every probe (length-band hash equi-join + banded
+    *     Ukkonen levenshtein; result-identity to the full scan is the
+    *     q01/q02/q07 oracle family). This makes the strong half of the
+    *     contract PROVABLE: if a probe's true k-th neighbor sits within
+    *     `radius`, the output is its EXACT top-k — every better match
+    *     has d < radius and is in the enumeration.
+    *   phase 2 — probes with ≥ k in-radius matches are done. The
+    *     RESIDUAL probes (weak matches — where [[topK]]'s exact
+    *     fallback would degenerate to the probe × corpus product) go
+    *     through the rare-gram prescreen ([[rareGrams]], shared with
+    *     the JW tier: sum-of-min budget, 2·maxCandidates bound,
+    *     gram-salted 'lvb:' bucket cap) with the plain levenshtein
+    *     verifier. Beyond-radius rows are top-k OF THE CANDIDATE SET —
+    *     measured, not assumed, same contract as the JW tier
+    *     ([[jwPrescreenCoverage]] applies verbatim: pass the residual
+    *     probes).
+    *   phase 3 — both scored streams union into ONE duplicate-
+    *     collapsing k-bounded fold: a pair found by both phases has
+    *     identical (−distance, data_id) and dies inside the ≤ k
+    *     buffer. In-radius pairs are in the stream for EVERY probe, so
+    *     the certificate holds for residual probes too.
+    *
+    * Ranking is (distance ASC, data_id ASC); output matches [[topK]]
+    * (search_val, rnk, data_id, distance, match_val). Shuffle shape:
+    * phase 1 is the banded broadcast equi-join, phase 2 the prescreen's
+    * map-only corpus pass, the fold carries ≤ k · partitions rows per
+    * probe — nothing product-sized ever shuffles. */
+  def topKLevenshteinPrescreened(search: DataFrame, data: DataFrame, k: Int,
+                                 radius: Int = 3, q: Int = 3,
+                                 maxDf: Long = 100000L,
+                                 maxCandidates: Long = 2000L,
+                                 maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    require(radius >= 1 && radius <= 32, s"radius in [1,32]: $radius")
+    require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
+    require(maxDf >= 1 && maxCandidates >= 1,
+      s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
+    guard(search, maxProbeRows)
+    requireUniqueDataIds(data, "topKLevenshteinPrescreened")
+    val exactScored = scoreBanded(search, data, radius)
+      .select(col("search_val"), (-col("distance")).cast("double").as("s"),
+        col("data_id"))
+    val residual = search.join(
+      exactScored.groupBy("search_val").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k),
+      Seq("search_val"), "left_anti")
+    val dataN = Partitioning.spread(data)
+      .withColumn("m_norm", Normalize.norm(col("match_val")))
+    val rare = graft.ops.Materialize.stable(
+      rareGrams(residual, dataN, q, maxDf, maxCandidates),
+      "lev-prescreen-rare")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("__h", "data_id")
+    val capped = dataN
+      .select(col("data_id"), col("m_norm"),
+        explode(charGrams(col("m_norm"), q)).as("g"))
+      .join(broadcast(rare.select("g").distinct()), "g")
+      .withColumn("__h", graft.ext.TextAnalysis.h60(
+        concat(lit("lvb:"), col("g"), lit(":"),
+          col("data_id").cast("string"))))
+      .withColumn("__rb", row_number().over(wB))
+      .filter(col("__rb") <= maxCandidates)
+      .select("g", "data_id", "m_norm")
+    val presScored = capped
+      .join(broadcast(rare.select("g", "search_val", "s_norm")), "g")
+      .withColumn("s", (-levenshtein(col("s_norm"), col("m_norm")))
+        .cast("double"))
+      .select("search_val", "s", "data_id")
+    joinMatchVal(
+      TopK.groupedTopKDistinct(exactScored.unionByName(presScored),
+          Seq("search_val"), col("s"), col("data_id"), k)
+        .withColumnRenamed("id", "data_id")
+        .withColumn("distance", (-col("score")).cast("int"))
+        .drop("score"),
+      data)
+  }
+
   /** The prescreen's CHEAP honesty meter (VERDICT r15 #1): per-probe
     * coverage of the bucket-capped candidate channels, with NO exact
     * side and NO posting join — just stages 1–2 ([[rareGrams]], the

@@ -307,6 +307,35 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(canon(s.coalesce(1), d.repartition(13)) === base)
   }
 
+  test("lev prescreened hybrid: exact-within-radius certificate, prescreen beyond, dupes die") {
+    val d = Seq((1L, "abcd"), (2L, "abcx"), (3L, "abxd"), (4L, "axcd"),
+      (5L, "qqqqabzz"), (6L, "ppppabyy")).toDF("data_id", "match_val")
+    // probe with 4 neighbors at d <= 1: phase 1 alone answers, EXACT
+    val gotA = FuzzyJoin.topKLevenshteinPrescreened(
+        Seq("abcd").toDF("search_val"), d, 3, radius = 1, q = 2)
+      .select("rnk", "data_id", "distance").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(gotA === Seq((1, 1L, 0), (2, 2L, 1), (3, 3L, 1)))
+    // probe with NOTHING in radius 1: residual -> prescreen channels
+    // cover ids {1,2,3,5,6} via shared bigrams; top-3 are the d=2 rows
+    // BEYOND the radius, with exact distances
+    val gotB = FuzzyJoin.topKLevenshteinPrescreened(
+        Seq("abzz").toDF("search_val"), d, 3, radius = 1, q = 2)
+      .select("rnk", "data_id", "distance").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(gotB === Seq((1, 1L, 2), (2, 2L, 2), (3, 3L, 2)))
+    // probe whose ONE in-radius match (itself) is ALSO a prescreen
+    // candidate: the pair rides both streams and must rank exactly once
+    val gotC = FuzzyJoin.topKLevenshteinPrescreened(
+        Seq("qqqqabzz").toDF("search_val"), d, 3, radius = 1, q = 2)
+      .select("rnk", "data_id", "distance").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(gotC.head === ((1, 5L, 0)))
+    assert(gotC.map(_._2).distinct.size === gotC.size,
+      s"a both-path pair must die in the distinct fold: $gotC")
+    assert(gotC.map(_._1) === (1 to gotC.size), s"ranks contiguous: $gotC")
+  }
+
   test("jwPrescreenCoverage: per-channel retention ratios; minCoverage guard fails loudly") {
     val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
       (5L, "qqxy")).toDF("data_id", "match_val")
