@@ -858,7 +858,12 @@ object Sketches {
     * crossing compares in double space (long < double promotes
     * identically in both engines). Emits n, wtot (exact), m (kept
     * rows) and one [[pName]] column per quantile. The walk runs over
-    * ≤ k rows per group — sketch-sized windows, nothing data-sized. */
+    * ≤ k rows per group — sketch-sized windows, nothing data-sized.
+    * `k` MUST equal the k the sketch was built with: a LARGER k reads
+    * a truncated sample as exhaustive (τ = 0 — silently wrong); a
+    * smaller k merely tightens the sample. The sketch rows cannot
+    * carry their k (it is a build parameter, not data), so this is a
+    * caller contract like [[kmvSketch]]'s unique rowKey. */
   def wkmvQuantiles(sketch: DataFrame, keys: Seq[String], k: Int,
                     qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),

@@ -161,6 +161,24 @@ class TopKSpec extends SparkTestBase {
       Seq((9.0, 1L), (8.0, 7L), (7.0, 2L)))
   }
 
+  test("WTopKAgg property: any reduce/merge split order == sort-take-m reference") {
+    import org.scalacheck.Gen
+    // low-cardinality priorities force boundary ties; ids unique
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 9).map(_.toDouble),
+      Gen.choose(1L, 50L), Gen.choose(1L, 9L)))
+    val agg = new TopK.WTopKAgg(5)
+    forAll(rowGen, n = 20) { triples =>
+      val rows = triples.zipWithIndex.map { case ((p, v, w), i) =>
+        TopK.WRow(p, i.toLong, v, w) }
+      val want = rows.sortBy(x => (-x.p, x.id)).take(5)
+      val cut = (rows.hashCode.abs % (rows.size max 1)) max 1
+      val got = rows.grouped(cut).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(got) === want, s"split=$cut")
+    }
+  }
+
   test("groupedTopKDistinct: ties on score keep smallest ids, duplicates still dead") {
     val rows = Seq(("g", 1.0, 7L), ("g", 1.0, 7L), ("g", 1.0, 3L),
       ("g", 1.0, 9L), ("g", 1.0, 3L)).toDF("grp", "s", "id")
