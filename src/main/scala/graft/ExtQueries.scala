@@ -4856,11 +4856,18 @@ object ExtQueries {
             col("n_chars"), k = K),
           Seq("source"), k = K),
         Seq("source"), K, Seq(0.5, 0.9, 0.99))
+      // exact side rides the counts-of-counts discipline: fold rows to
+      // (source, n_chars) weight totals FIRST (map-side partial agg),
+      // then window over the distinct-value stream — the cum-weight
+      // crossing picks the same v as a row-level walk (cum at value v
+      // == row-cum at v's last row), at distinct-values window cost
+      // instead of a data-sized sort. The oracle stays row-level:
+      // identical values, hash-identical.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("n_chars", "doc_id")
-      val cum = pop
-        .withColumn("__cw",
-          sum("n_chars").over(w.rowsBetween(Long.MinValue, 0)))
+        .partitionBy("source").orderBy("n_chars")
+      val cum = pop.groupBy("source", "n_chars")
+        .agg((col("n_chars") * count(lit(1))).as("__wv"))
+        .withColumn("__cw", sum("__wv").over(w.rowsBetween(Long.MinValue, 0)))
         .join(pop.groupBy("source")
           .agg(sum("n_chars").cast("long").as("__wt")), "source")
       def exact(q: Double, nm: String) = cum

@@ -1597,6 +1597,52 @@ class PlanSpec extends SparkTestBase {
       s"no row-level sort — quantiles come from the k-sized sample:\n$p")
   }
 
+  test("q311 coverage meter: corpus gram pass map-only — df table broadcasts, no product, no posting join") {
+    val df = SparkEntry.queries("q311_jw_prescreen_coverage")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"coverage reads stages 1-2 only — no pair work, no data-sized join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the gram-type df table must broadcast onto the probe grams:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram document frequencies must partial-aggregate map-side:\n$p")
+  }
+
+  test("q312 weighted KMV: k-bounded partial folds; windows only over sketch/value-type streams") {
+    val df = SparkEntry.queries("q312_weighted_kmv")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the weighted sketch pipeline joins only by source:\n$p")
+    assert(p.contains("partial_"),
+      s"shard samples and weight totals must partial-aggregate map-side:\n$p")
+    // the exact-side cum-weight window runs over the (source, n_chars)
+    // DISTINCT-VALUE table (counts-of-counts discipline) — a window
+    // whose sort key includes doc_id would be a data-sized sort
+    assert(!p.contains("windowspecdefinition(source#") ||
+      !p.linesIterator.exists(l => l.contains("windowspecdefinition") &&
+        l.contains("doc_id#")),
+      s"no window may sort the row-level document stream:\n$p")
+  }
+
+  test("q313 lev hybrid: banded phase is a hash equi-join on the length key; no product anywhere") {
+    val df = SparkEntry.queries("q313_lev_prescreened_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [m_len"),
+      s"phase 1 must enumerate the radius via the length-band equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"neither phase may plan pairwise corpus work:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") && l.contains("partial_")),
+      s"the union fold must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window") || !p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition") && l.contains("search_val#")),
+      s"no probe-partitioned rank window — TopK.groupedTopKDistinct only:\n$p")
+  }
+
   test("q252 FK discovery: distinct sets probe via LEFT ANTI, counts fold map-side") {
     val df = SparkEntry.queries("q252_fk_discovery")(spark, dir)
     df.collect()
