@@ -146,8 +146,13 @@ object TopK {
     * buffer so no data-sized rejoin is ever needed. */
   case class WRow(p: Double, id: Long, v: Long, w: Long)
 
+  // TOTAL order: (v, w) break the (p, id) tie so that even a
+  // contract-violating duplicate id (ids are documented row-unique,
+  // like kmvSketch's rowKey) cannot make buffer contents depend on
+  // arrival order — the same hazard class the unique-id contract
+  // exists for, closed structurally where it is free to close.
   private val wOrd: Ordering[WRow] =
-    Ordering.by((x: WRow) => (-x.p, x.id))
+    Ordering.by((x: WRow) => (-x.p, x.id, x.v, x.w))
 
   /** [[TopKAgg]]'s k-bounded economics for [[WRow]]s: keep the m
     * HIGHEST-priority rows, (p DESC, id ASC). Same exact merge law as
