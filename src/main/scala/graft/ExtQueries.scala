@@ -4734,6 +4734,15 @@ object ExtQueries {
           graft.ops.FuzzyJoin.jwPrescreenRecall(crossSample, data, k = 3,
               q = 2)
             .withColumn("pairing", lit("cross_noise")))
+        // round 16: the CAP-ACTIVE pairing — maxCandidates = 20 makes
+        // the per-gram bucket cap genuinely truncate at sf0.01 (the
+        // default-cap pairings never do at small SF), so recall under
+        // truncation is MEASURED inside the driver's hash gate every
+        // round, calibrated against q311's coverage at the same cap.
+        .unionByName(
+          graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3,
+              q = 2, maxCandidates = 20L)
+            .withColumn("pairing", lit("self_capped")))
         .select("pairing", "n_probes", "k", "n_hits", "n_exact",
           "recall_at_k", "n_full_recall")
         .orderBy("pairing")
@@ -10192,8 +10201,13 @@ object ExtQueries {
            |${jwPrescreenOracleCtes(
                "SELECT DISTINCT s_name AS search_val FROM supplier " +
                "WHERE s_suppkey % 7 = 0", 2, "c_")},
-           |${jwRecallOracleCtes("c_", "cross_noise")}
-           |SELECT * FROM (SELECT * FROM c_rec UNION ALL SELECT * FROM s_rec)
+           |${jwRecallOracleCtes("c_", "cross_noise")},
+           |${jwPrescreenOracleCtes(
+               "SELECT DISTINCT p_name AS search_val FROM part " +
+               "WHERE p_partkey % 37 = 0", 2, "k_", cap = 20L)},
+           |${jwRecallOracleCtes("k_", "self_capped")}
+           |SELECT * FROM (SELECT * FROM c_rec UNION ALL SELECT * FROM s_rec
+           |               UNION ALL SELECT * FROM k_rec)
            |ORDER BY pairing""".stripMargin) +
       // the prescreen's q=3 DEFAULT over the supplier self-join —
       // digit-bearing trigrams, same full replay
