@@ -2504,6 +2504,22 @@ class SketchesSpec extends SparkTestBase {
       e.getAs[Long]("p99"))
     assert(a >= 1L && c <= 100L && a <= b && b <= c)
   }
+
+  test("wkmvSketch population: null ids/values and weights < 1 are outside the sketch") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 5L), (2L, 20L, 0L),   // zero weight: no mass, excluded
+      (3L, 30L, null),                // null weight
+      (null, 40L, 2L),                // null id cannot hash
+      (4L, null, 7L),                 // null value cannot rank
+      (5L, 50L, 3L)
+    ).toDF("id", "v", "w").withColumn("g", lit(1))
+    val sk = Sketches.wkmvSketch(rows, Seq("g"), col("id"), col("v"),
+      col("w"), k = 16).collect()(0)
+    assert(sk.getAs[Long]("n") === 2L)     // rows 1 and 5 only
+    assert(sk.getAs[Long]("wtot") === 8L)  // 5 + 3
+    assert(sk.getAs[Seq[org.apache.spark.sql.Row]]("sample").map(
+      _.getAs[Long]("id")).toSet === Set(1L, 5L))
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {

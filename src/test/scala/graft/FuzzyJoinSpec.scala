@@ -449,12 +449,36 @@ class FuzzyJoinSpec extends SparkTestBase {
       () => FuzzyJoin.fuzzyMatch(search, data, 3, maxProbeRows = 2),
       () => FuzzyJoin.fuzzyMatchPruned(search, data, 3, maxProbeRows = 2),
       () => FuzzyJoin.fuzzyMatchPrunedQgram(search, data, 3, maxProbeRows = 2),
-      () => FuzzyJoin.topK(search, data, 2, maxProbeRows = 2))) {
+      () => FuzzyJoin.topK(search, data, 2, maxProbeRows = 2),
+      () => FuzzyJoin.topKJaroWinklerPrescreened(search, data, 2,
+        maxProbeRows = 2),
+      () => FuzzyJoin.topKLevenshteinPrescreened(search, data, 2,
+        maxProbeRows = 2),
+      () => FuzzyJoin.jwPrescreenCoverage(search, data, maxProbeRows = 2))) {
       val e = intercept[IllegalArgumentException](f())
       assert(e.getMessage.contains("MinHash"),
         "the error must point at the scale-safe near-dup operators")
     }
     // at the default ceiling the probe set passes and results are unchanged
     assert(buckets(FuzzyJoin.fuzzyMatch(search, data, 3))(("abcdefgh", "exact")) === Set(1L))
+  }
+
+  test("round-16 tiers: empty inputs and uncovered probes yield empty results, no crash") {
+    val noSearch = spark.emptyDataFrame
+      .selectExpr("cast(null as string) as search_val").limit(0)
+    val noData = spark.emptyDataFrame
+      .selectExpr("cast(null as long) as data_id",
+        "cast(null as string) as match_val").limit(0)
+    assert(FuzzyJoin.topKLevenshteinPrescreened(noSearch, data, 2).count() === 0)
+    assert(FuzzyJoin.topKLevenshteinPrescreened(search, noData, 2).count() === 0)
+    assert(FuzzyJoin.jwPrescreenCoverage(noSearch, data).count() === 0)
+    assert(FuzzyJoin.jwPrescreenCoverage(search, noData).count() === 0)
+    // a probe with no indexed gram emits NO coverage row — the same
+    // no-rows contract as the operator itself
+    val covered = FuzzyJoin.jwPrescreenCoverage(
+      Seq("abcd", "zzzz").toDF("search_val"),
+      Seq((1L, "abcdef")).toDF("data_id", "match_val"), q = 2)
+    assert(covered.select("search_val").collect().map(_.getString(0)).toSeq
+      === Seq("abcd"))
   }
 }
