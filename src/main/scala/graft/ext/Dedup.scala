@@ -182,9 +182,14 @@ object Dedup {
       .reduce(_ + _)
     val est = a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"), nEq.cast("long").as("n_seed_eq"))
-    val srcSh = shingled(docs, idCol, textCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
-      .select("source", "sh").distinct()
+    // (source, shingle) distinct sets feed sizes + both sides of the
+    // intersection join — materialize once so the corpus shingle pass
+    // and the distinct shuffle run in ONE job (round 16)
+    val srcSh = graft.ops.Materialize.stable(
+      shingled(docs, idCol, textCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
+        .select("source", "sh").distinct(),
+      "source-shingles")
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = srcSh.select(col("source").as("src_a"), col("sh"))
       .join(srcSh.select(col("source").as("src_b"), col("sh")), "sh")
@@ -205,7 +210,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  minJaccard: Double = 0.5,
                  onCache: DataFrame => Unit = _ => ()): DataFrame = {
-    val sh = shingled(docs, idCol, textCol)
+    // verifyJaccard consumes the shingle stream three times (sizes +
+    // both pair sides) — one materialized pass instead of three
+    // (round 16; storage = one shingle-stream copy on executor-local
+    // blocks, vs re-running the tokenize/shingle kernel per branch,
+    // which the isolated bench measured as the dominant cost)
+    val sh = graft.ops.Materialize.stable(
+      shingled(docs, idCol, textCol), "lsh-shingles")
     val pairs = candidatePairs(bandKeysDirect(docs, idCol, textCol), onCache = onCache)
     verifyJaccard(pairs, sh).filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -225,8 +236,12 @@ object Dedup {
   def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
                         textCol: String, minJaccard: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
-    val shN = shingled(newDocs, idCol, textCol)
-    val shC = shingled(corpus, idCol, textCol)
+    // each side's shingle stream feeds its size table + a pair-side
+    // join — materialize each once (round 16)
+    val shN = graft.ops.Materialize.stable(
+      shingled(newDocs, idCol, textCol), "lsh-against-new")
+    val shC = graft.ops.Materialize.stable(
+      shingled(corpus, idCol, textCol), "lsh-against-corpus")
     val bkN = capBuckets(bandKeysDirect(newDocs, idCol, textCol), maxBucket)
     val bkC = capBuckets(bandKeysDirect(corpus, idCol, textCol), maxBucket)
     val cand = bkN.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
@@ -602,8 +617,13 @@ object Dedup {
       "pass at most one of maxTrainDf / maxTrainDfFrac")
     maxTrainDfFrac.foreach(f => require(f > 0 && f <= 1,
       s"maxTrainDfFrac must be in (0, 1], got $f"))
-    val testSh = test.select(col(benchCol).as("__bench"), col(idCol).as("doc_id"),
-      explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("sh"))
+    // the test-side shingle stream feeds totals AND the train-overlap
+    // join — one materialized pass (round 16)
+    val testSh = graft.ops.Materialize.stable(
+      test.select(col(benchCol).as("__bench"), col(idCol).as("doc_id"),
+        explode(graft.functions.TextExprs.distinctShingles(col(textCol), k))
+          .as("sh")),
+      "contamination-test-shingles")
     val trainSh0 = shingled(train, idCol, textCol, k)
     // shingled() emits per-doc DISTINCT shingles, so count(*) per shingle
     // IS its train document frequency.
@@ -795,7 +815,12 @@ object Dedup {
                     minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       s"allPairsExact needs 0 < minJaccard < 1, got $minJaccard")
-    val sh = shingled(docs, idCol, textCol)
+    // the shingle stream feeds FIVE plan branches (df table, sizes,
+    // both prefix sides, the verify joins) — materialize it once so
+    // the corpus tokenize/shingle chain runs in ONE job, not per
+    // branch (round 16; the q66/q94/q95 one-gram-stream discipline)
+    val sh = graft.ops.Materialize.stable(
+      shingled(docs, idCol, textCol), "allpairs-shingles")
     val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -844,7 +869,10 @@ object Dedup {
                        minContainment: Double): DataFrame = {
     require(minContainment > 0.0 && minContainment < 1.0,
       s"containmentPairs needs 0 < minContainment < 1, got $minContainment")
-    val sh = shingled(docs, idCol, textCol)
+    // SIX consumers (df table, sizes, prefix-a, full-b, two verify
+    // joins) — one materialized shingle pass instead of six scans
+    val sh = graft.ops.Materialize.stable(
+      shingled(docs, idCol, textCol), "containment-shingles")
     val dfTbl = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -891,8 +919,12 @@ object Dedup {
                            minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       s"allPairsExactAgainst needs 0 < minJaccard < 1, got $minJaccard")
-    val shN = shingled(newDocs, idCol, textCol)
-    val shC = shingled(corpus, idCol, textCol)
+    // both sides' shingle streams feed the shared df/size tables, their
+    // own prefixes, and the verify joins — materialize each once
+    val shN = graft.ops.Materialize.stable(
+      shingled(newDocs, idCol, textCol), "allpairs-against-new")
+    val shC = graft.ops.Materialize.stable(
+      shingled(corpus, idCol, textCol), "allpairs-against-corpus")
     val shAll = shN.unionByName(shC)
     val dfTbl = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
     val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("__n"))
