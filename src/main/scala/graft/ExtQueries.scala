@@ -10305,8 +10305,10 @@ object ExtQueries {
       }) +
       // weighted KMV: the oracle sketches the UNION directly (the
       // Spark side merged 8 shards), replaying priority p = w/u off
-      // the same pinned hash, tau = the (k+1)-th priority, the 1e-6-
-      // quantized hat-w walk, and the exact weighted quantiles
+      // the same pinned hash, tau = the (k+1)-th priority, the
+      // RELATIVE-grid hat-w walk (floor(hw / max-hw * 1e12 + 0.5),
+      // round 17 — overflow-free at any weight scale), and the exact
+      // weighted quantiles
       ("q312_weighted_kmv" -> {
         val h = TextAnalysis.h60Sql("'wkmv:' || CAST(doc_id AS VARCHAR)")
         s"""WITH pop AS (SELECT source, doc_id, n_chars FROM documents
@@ -10323,13 +10325,16 @@ object ExtQueries {
            |    coalesce(max(CASE WHEN r = 33 THEN p END), 0.0) AS tau
            |  FROM rk GROUP BY 1),
            |kept AS (SELECT rk.source, rk.doc_id, rk.n_chars AS v,
-           |    CAST(floor(greatest(CAST(rk.n_chars AS DOUBLE), t.tau)
-           |      * 1000000 + 0.5) AS BIGINT) AS hw6
+           |    greatest(CAST(rk.n_chars AS DOUBLE), t.tau) AS hw
            |  FROM rk JOIN tau t ON rk.source = t.source WHERE rk.r <= 32),
+           |keptq AS (SELECT source, doc_id, v,
+           |    CAST(floor(hw / max(hw) OVER (PARTITION BY source)
+           |      * 1e12 + 0.5) AS BIGINT) AS hw6
+           |  FROM kept),
            |cum AS (SELECT source, doc_id, v,
            |    sum(hw6) OVER (PARTITION BY source ORDER BY v, doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-           |  FROM kept),
+           |  FROM keptq),
            |cums AS (SELECT *, max(c) OVER (PARTITION BY source) AS tot
            |  FROM cum),
            |est AS (SELECT source,

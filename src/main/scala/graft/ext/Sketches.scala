@@ -700,13 +700,21 @@ object Sketches {
     * scores. A violated contract degrades RANK ACCURACY only: duplicate
     * keys hash identically on every shard, so determinism and the exact
     * merge law are unaffected. Map-side k-bounded fold; the shuffle
-    * carries ≤ k · partitions rows per group, never the values. */
+    * carries ≤ k · partitions rows per group, never the values.
+    *
+    * The sketch is SELF-DESCRIBING (VERDICT r16 #2): a constant `k`
+    * column rides beside `sample`/`n`, and [[kmvMergeAgg]] /
+    * [[wkmvQuantiles]] `require` it against their own k — a reader
+    * assuming a LARGER k than the build k would silently read a
+    * truncated sample as exhaustive; the column makes that misuse loud
+    * instead of wrong. */
   def kmvSketch(df: DataFrame, keys: Seq[String], rowKey: Column,
                 value: Column, k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
     graft.ops.TopK.groupedBottomK(df, keys,
       TextAnalysis.h60(concat(lit("kmv:"), rowKey.cast("string"))),
       value, k)
+      .withColumn("k", lit(k))
   }
 
   /** Merge sketch rows down to coarser keys (or one row with keys = Nil):
@@ -721,22 +729,46 @@ object Sketches {
     * O(#sketches · k) on that reducer (VERDICT r15 #2; TopKSpec pins
     * refold == collect-reference). `n` rides the same aggregate as a
     * plain sum over each input row's count (taken once per row, off the
-    * sample's first element). Requires every input row's `sample`
-    * non-empty: [[kmvSketch]] only emits groups holding ≥ 1 sampled row
-    * and merging preserves non-emptiness, so the inner posexplode drops
-    * no row's `n`. */
+    * sample's first element).
+    *
+    * Two contracts enforced LOUDLY in-plan (ADVICE r16 / VERDICT r16
+    * #2): the merge k must equal the sketch's build `k` column (a
+    * larger merge-k would emit a sketch whose sample is NOT bottom-k of
+    * the union — the inputs already truncated at the smaller k — and
+    * every downstream read would be silently wrong), and every input
+    * row's `sample` must be non-empty ([[kmvSketch]] guarantees it and
+    * merging preserves it, but a hand-built empty row would previously
+    * VANISH from the merged `n` — posexplode emitted nothing for it;
+    * now the outer explode routes it into a raise_error instead of an
+    * undercount). Both checks ride the per-row value expressions, so
+    * they cost nothing and cannot be pruned. */
   def kmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(df.columns.contains("k"),
+      "kmvMergeAgg: input sketch carries no `k` column — build it with " +
+        "kmvSketch (sketches are self-describing since round 17)")
     val agg = udaf(new graft.ops.TopK.BottomKAgg(k))
-    val ex = df.select(keys.map(col) :+ col("n") :+
-      posexplode(col("sample")).as(Seq("__p", "__e")): _*)
+    val ex = df
+      .select(keys.map(col) :+ col("n") :+ col("k").as("__bk") :+
+        posexplode_outer(col("sample")).as(Seq("__p", "__e")): _*)
+      .withColumn("__h", when(col("__p").isNull,
+          raise_error(lit("kmvMergeAgg: input sketch row with an EMPTY " +
+            "sample — kmvSketch never emits one; merging it would " +
+            "silently drop its n from the merged total")))
+        .otherwise(when(col("__bk") =!= lit(k),
+            raise_error(concat(lit(s"kmvMergeAgg: merge k=$k does not " +
+              "match the sketch's build k="), col("__bk").cast("string"),
+              lit(" — a mismatched merge reads truncated samples as " +
+                "exhaustive (silently wrong merged sketch)"))))
+          .otherwise(col("__e.h"))))
     val grouped =
       if (keys.isEmpty) ex.groupBy()
       else ex.groupBy(keys.map(col): _*)
     grouped.agg(
-      agg(col("__e.h"), col("__e.v")).as("sample"),
+      agg(col("__h"), col("__e.v")).as("sample"),
       sum(when(col("__p") === 0, col("n")).otherwise(lit(0L))).as("n"))
+      .withColumn("k", lit(k))
   }
 
   /** p-column name for a requested quantile: integral percents stay
@@ -755,7 +787,10 @@ object Sketches {
   /** Type-1 empirical quantiles off the sample: for each q, the sample
     * value at 1-based rank max(1, ceil(q·m)) in value order. Emits
     * m (sample size) and one [[pName]] column per requested quantile.
-    * All integer/array arithmetic — both engines replay it exactly. */
+    * All integer/array arithmetic — both engines replay it exactly.
+    * Needs no k: it reads whatever sample is present in full (rank
+    * error tracks the ACTUAL sample size m, which it reports) — the
+    * k contracts live on [[kmvMergeAgg]] and the weighted reader. */
   def kmvQuantiles(sketch: DataFrame, keys: Seq[String],
                    qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -803,7 +838,9 @@ object Sketches {
     * unenforced contract, for the same reasons, as [[kmvSketch]]'s
     * rowKey. k+1 rows (not k) so the merged sketch still carries the
     * threshold τ the estimator needs. Map-side k-bounded fold; the
-    * payload (v, w) rides inside the buffer, so no data-sized rejoin. */
+    * payload (v, w) rides inside the buffer, so no data-sized rejoin.
+    * Self-describing like [[kmvSketch]]: a constant `k` column rides
+    * beside the sample and the readers `require` it. */
   def wkmvSketch(df: DataFrame, keys: Seq[String], id: Column,
                  value: Column, weight: Column, k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
@@ -820,50 +857,76 @@ object Sketches {
       .groupBy(keys.map(col): _*)
       .agg(agg(col("__p"), col("__id"), col("__v"), col("__w")).as("sample"),
         sum("__w").cast("long").as("wtot"), count(lit(1)).as("n"))
+      .withColumn("k", lit(k))
   }
 
   /** Merge weighted sketches down to coarser keys — the same k-bounded
     * explode-and-refold as [[kmvMergeAgg]] (partial buffers ≤ k+1
     * everywhere; `wtot`/`n` ride the first sample element), exact by
-    * the same law. Requires non-empty samples, which [[wkmvSketch]]
-    * guarantees and merging preserves. */
+    * the same law, with the same two LOUD in-plan contracts: merge k
+    * must equal the sketch's build `k` column, and empty-sample rows
+    * (which [[wkmvSketch]] never emits) fail instead of silently
+    * dropping their `wtot`/`n` from the merged totals. */
   def wkmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(df.columns.contains("k"),
+      "wkmvMergeAgg: input sketch carries no `k` column — build it with " +
+        "wkmvSketch (sketches are self-describing since round 17)")
     val agg = udaf(new graft.ops.TopK.WTopKAgg(k + 1))
-    val ex = df.select(keys.map(col) :+ col("wtot") :+ col("n") :+
-      posexplode(col("sample")).as(Seq("__i", "__e")): _*)
+    val ex = df
+      .select(keys.map(col) :+ col("wtot") :+ col("n") :+
+        col("k").as("__bk") :+
+        posexplode_outer(col("sample")).as(Seq("__i", "__e")): _*)
+      .withColumn("__p0", when(col("__i").isNull,
+          raise_error(lit("wkmvMergeAgg: input sketch row with an EMPTY " +
+            "sample — wkmvSketch never emits one; merging it would " +
+            "silently drop its wtot/n from the merged totals")))
+        .otherwise(when(col("__bk") =!= lit(k),
+            raise_error(concat(lit(s"wkmvMergeAgg: merge k=$k does not " +
+              "match the sketch's build k="), col("__bk").cast("string"),
+              lit(" — a mismatched merge reads truncated samples as " +
+                "exhaustive (silently wrong merged sketch)"))))
+          .otherwise(col("__e.p"))))
     val grouped =
       if (keys.isEmpty) ex.groupBy()
       else ex.groupBy(keys.map(col): _*)
     grouped.agg(
-      agg(col("__e.p"), col("__e.id"), col("__e.v"), col("__e.w"))
+      agg(col("__p0"), col("__e.id"), col("__e.v"), col("__e.w"))
         .as("sample"),
       sum(when(col("__i") === 0, col("wtot")).otherwise(lit(0L)))
         .cast("long").as("wtot"),
       sum(when(col("__i") === 0, col("n")).otherwise(lit(0L))).as("n"))
+      .withColumn("k", lit(k))
   }
 
   /** WEIGHTED type-1 quantiles off the priority sample: τ = the
     * (k+1)-th priority (0 when the group is exhaustive — then ŵ = w
-    * and the answer is EXACT), ŵ = max(w, τ) per kept row, walk kept
-    * rows in (v, id) order and emit the first v whose running ŵ
-    * reaches q·Σŵ. ŵ is quantized to 1e-6 and accumulated as exact
-    * LONGs (the house DECIMAL-sum discipline: a running DOUBLE sum is
-    * sequential in Spark but segment-tree-associated in DuckDB window
-    * aggregates, so its bits are not portable; the quantized walk is
-    * order-free and engine-identical, at an estimator perturbation of
-    * ≤ 1e-6 per row). Requires group total weight ≤ ~9.2e12 so
-    * Σŵ·1e6 fits a long — beyond that, rescale the weights. The
-    * crossing compares in double space (long < double promotes
-    * identically in both engines). Emits n, wtot (exact), m (kept
-    * rows) and one [[pName]] column per quantile. The walk runs over
-    * ≤ k rows per group — sketch-sized windows, nothing data-sized.
-    * `k` MUST equal the k the sketch was built with: a LARGER k reads
-    * a truncated sample as exhaustive (τ = 0 — silently wrong); a
-    * smaller k merely tightens the sample. The sketch rows cannot
-    * carry their k (it is a build parameter, not data), so this is a
-    * caller contract like [[kmvSketch]]'s unique rowKey. */
+    * and the answer is EXACT up to the grid), ŵ = max(w, τ) per kept
+    * row, walk kept rows in (v, id) order and emit the first v whose
+    * running ŵ reaches q·Σŵ. ŵ is quantized to a RELATIVE grid —
+    * floor(ŵ / max-ŵ-in-group · 1e12 + 0.5) — and accumulated as
+    * exact LONGs (the house quantized-walk discipline: a running
+    * DOUBLE sum is sequential in Spark but segment-tree-associated in
+    * DuckDB window aggregates, so its bits are not portable; the
+    * quantized LONG walk is order-free and engine-identical). The
+    * grid divisor is the group's max ŵ (a window MAX — pure
+    * comparisons, order-free, exact), so per-row terms are ≤ 1e12 and
+    * the cum-sum of ≤ 65537 kept rows tops out below 2⁶⁶⁻ᵉ — NO
+    * weight-scale limit (ADVICE r16: the old absolute 1e-6 grid
+    * overflowed silently past group weight ~9.2e12, below the 100 TB
+    * use case this sketch exists for). Every step (one divide, one
+    * multiply, one add, floor) is a correctly-rounded IEEE op — no
+    * libm — so both engines quantize bit-identically; estimator
+    * perturbation ≤ 5e-13 · max-ŵ per row. The crossing compares in
+    * double space (long < double promotes identically in both
+    * engines). Emits n, wtot (exact), m (kept rows) and one [[pName]]
+    * column per quantile. The walk runs over ≤ k rows per group —
+    * sketch-sized windows, nothing data-sized. `k` MUST equal the
+    * build k, and since round 17 the sketch CARRIES its k, so the
+    * contract is enforced loudly in-plan (VERDICT r16 #2): a larger
+    * reader-k used to read a truncated sample as exhaustive (τ = 0 —
+    * silently wrong quantiles); now it raises. */
   def wkmvQuantiles(sketch: DataFrame, keys: Seq[String], k: Int,
                     qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -871,16 +934,31 @@ object Sketches {
     val names = qs.map(pName)
     require(names.distinct.size == names.size,
       s"quantile column names collide: ${qs.zip(names)}")
+    require(sketch.columns.contains("k"),
+      "wkmvQuantiles: input sketch carries no `k` column — build it with " +
+        "wkmvSketch (sketches are self-describing since round 17)")
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("__e.v"), col("__e.id"))
+    // unordered + frameless: the default frame over an unordered window
+    // is the ENTIRE partition, which is exactly the group-max we want
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
     val ex = sketch
-      .withColumn("__tau", when(size(col("sample")) > k,
-        element_at(col("sample"), k + 1).getField("p")).otherwise(lit(0.0)))
+      .withColumn("__tau", when(col("k") =!= lit(k),
+          raise_error(concat(lit(s"wkmvQuantiles: reader k=$k does not " +
+            "match the sketch's build k="), col("k").cast("string"),
+            lit(" — a larger reader k reads a truncated sample as " +
+              "exhaustive (tau=0, silently wrong quantiles)"))))
+        .otherwise(when(size(col("sample")) > k,
+          element_at(col("sample"), k + 1).getField("p"))
+          .otherwise(lit(0.0))))
       .withColumn("m", least(size(col("sample")), lit(k)).cast("long"))
       .select(keys.map(col) :+ col("wtot") :+ col("n") :+ col("m") :+
         col("__tau") :+ explode(expr(s"slice(sample, 1, $k)")).as("__e"): _*)
-      .withColumn("__hw6", floor(greatest(col("__e.w").cast("double"),
-        col("__tau")) * 1e6 + 0.5).cast("long"))
+      .withColumn("__hw", greatest(col("__e.w").cast("double"), col("__tau")))
+      .withColumn("__hw6",
+        floor(col("__hw") / max(col("__hw")).over(wg) * lit(1e12) + 0.5)
+          .cast("long"))
       .withColumn("__cum", sum("__hw6").over(wv.rowsBetween(Long.MinValue, 0)))
       .withColumn("__tot", max(col("__cum"))
         .over(wv.rowsBetween(Long.MinValue, Long.MaxValue)))

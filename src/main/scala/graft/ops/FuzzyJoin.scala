@@ -638,9 +638,16 @@ object FuzzyJoin {
     * coverage ratios before trusting a configuration at scale, and
     * [[jwPrescreenRecall]] on a probe sample to measure true recall —
     * never guess. `minCoverage` > 0 makes the coverage contract a
-    * LOUD guard: the operator fails if the mean best-channel coverage
-    * over covered probes falls below it (one probe-sized aggregation
-    * off the already-materialized gram table, no new shuffle).
+    * LOUD guard on the MEAN per-probe best-channel coverage over ALL
+    * probes — an UNCOVERED probe (no indexed gram shared with the
+    * corpus) counts as coverage 0, so an entirely-uncovered workload
+    * fails instead of passing vacuously (ADVICE r16). A bimodal
+    * workload (half at 1.0, half near 0) can still pass a mean —
+    * `minWorstCoverage` > 0 additionally floors the MINIMUM per-probe
+    * best coverage (again 0 for uncovered probes) for callers whose
+    * recall contract is per-probe, not aggregate. Cost when enabled:
+    * one probe-sized aggregation off the already-materialized gram
+    * table plus one probe count — no new shuffle over data.
     *
     * Shuffle shape: gram-df aggregation (gram-type-sized, tiny — the
     * q-gram alphabet bounds it), the probe-side windows (probe-sized,
@@ -651,12 +658,11 @@ object FuzzyJoin {
                                  q: Int = 3, maxDf: Long = 100000L,
                                  maxCandidates: Long = 2000L,
                                  maxProbeRows: Long = Guards.MaxBroadcastRows,
-                                 minCoverage: Double = 0.0): DataFrame = {
+                                 minCoverage: Double = 0.0,
+                                 minWorstCoverage: Double = 0.0): DataFrame = {
     require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
     require(maxDf >= 1 && maxCandidates >= 1,
       s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
-    require(minCoverage >= 0.0 && minCoverage <= 1.0,
-      s"minCoverage in [0,1]: $minCoverage")
     guard(search, maxProbeRows)
     requireUniqueDataIds(data, "topKJaroWinklerPrescreened")
     val dataN = Partitioning.spread(data)
@@ -668,19 +674,8 @@ object FuzzyJoin {
     val rare = graft.ops.Materialize.stable(
       rareGrams(search, dataN, q, maxDf, maxCandidates),
       "jw-prescreen-rare")
-    if (minCoverage > 0.0) {
-      val row = rare.groupBy("search_val")
-        .agg(max(least(lit(1.0),
-          lit(maxCandidates.toDouble) / col("df"))).as("__best"))
-        .agg(avg("__best"), count(lit(1))).head()
-      val mean = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
-      require(mean >= minCoverage,
-        f"topKJaroWinklerPrescreened: mean best-channel coverage $mean%.4f " +
-          f"over ${row.getLong(1)} covered probes < minCoverage=$minCoverage " +
-          "— the bucket cap truncates this workload's candidate channels " +
-          "(recall tracks coverage; see jwPrescreenCoverage). Raise " +
-          "maxCandidates, raise q, or lower minCoverage deliberately")
-    }
+    coverageGuard("topKJaroWinklerPrescreened", search, rare, maxCandidates,
+      minCoverage, minWorstCoverage)
     // narrow posting stream (map-only over the corpus), restricted to
     // the rare-gram universe, then bucket-capped: per gram keep the
     // maxCandidates postings with smallest h60(gram : data_id) (+ id
@@ -746,6 +741,47 @@ object FuzzyJoin {
       .select("g", "search_val", "s_norm", "df")
   }
 
+  /** The opt-in LOUD coverage precondition shared by both prescreen
+    * tiers (VERDICT r16 #3: the lev hybrid lacked its JW sibling's
+    * guard). Reads the already-materialized `rare` frame — per-probe
+    * best-channel retention min(1, cap/df) — plus ONE probe count, and
+    * fails when the MEAN over ALL probes (an uncovered probe counts as
+    * 0 — ADVICE r16: the old covered-probe mean passed an
+    * entirely-uncovered workload vacuously) drops below `minCoverage`,
+    * or when the MINIMUM per-probe best coverage drops below
+    * `minWorstCoverage` (the bimodal-workload floor a mean cannot
+    * see). Both default 0.0 = off; cost when on is probe-sized. */
+  private def coverageGuard(op: String, search: DataFrame, rare: DataFrame,
+                            maxCandidates: Long, minCoverage: Double,
+                            minWorstCoverage: Double): Unit = {
+    require(minCoverage >= 0.0 && minCoverage <= 1.0,
+      s"minCoverage in [0,1]: $minCoverage")
+    require(minWorstCoverage >= 0.0 && minWorstCoverage <= 1.0,
+      s"minWorstCoverage in [0,1]: $minWorstCoverage")
+    if (minCoverage > 0.0 || minWorstCoverage > 0.0) {
+      val nProbes = search
+        .agg(countDistinct(col("search_val"))).head().getLong(0)
+      val row = rare.groupBy("search_val")
+        .agg(max(least(lit(1.0),
+          lit(maxCandidates.toDouble) / col("df"))).as("__best"))
+        .agg(sum("__best"), min("__best"), count(lit(1))).head()
+      val (sumBest, minBest, nCovered) =
+        if (row.isNullAt(2) || row.getLong(2) == 0L) (0.0, 0.0, 0L)
+        else (row.getDouble(0), row.getDouble(1), row.getLong(2))
+      val meanAll = if (nProbes == 0L) 1.0 else sumBest / nProbes
+      val worst = if (nCovered < nProbes) 0.0 else minBest
+      def ctx = f"($nCovered of $nProbes probes share an indexed gram; " +
+        "recall tracks coverage — see jwPrescreenCoverage). Raise " +
+        "maxCandidates, raise q, or lower the floor deliberately"
+      require(meanAll >= minCoverage,
+        f"$op: mean best-channel coverage $meanAll%.4f over ALL probes " +
+          f"(uncovered = 0) < minCoverage=$minCoverage $ctx")
+      require(worst >= minWorstCoverage,
+        f"$op: worst per-probe best-channel coverage $worst%.4f < " +
+          f"minWorstCoverage=$minWorstCoverage $ctx")
+    }
+  }
+
   /** Top-k LEVENSHTEIN with an EXACT radius certificate plus prescreen
     * channels beyond it (VERDICT r15 #7) — the [[topKJaroWinklerPrescreened]]
     * skeleton with the edit-distance verifier, where (unlike JW) the
@@ -767,7 +803,10 @@ object FuzzyJoin {
     *     verifier. Beyond-radius rows are top-k OF THE CANDIDATE SET —
     *     measured, not assumed, same contract as the JW tier
     *     ([[jwPrescreenCoverage]] applies verbatim: pass the residual
-    *     probes).
+    *     probes), and the same opt-in loud precondition
+    *     (`minCoverage` / `minWorstCoverage`, evaluated over the
+    *     RESIDUAL probes only — certificate-covered probes need no
+    *     channel coverage; VERDICT r16 #3 parity).
     *   phase 3 — both scored streams union into ONE duplicate-
     *     collapsing k-bounded fold: a pair found by both phases has
     *     identical (−distance, data_id) and dies inside the ≤ k
@@ -783,7 +822,9 @@ object FuzzyJoin {
                                  radius: Int = 3, q: Int = 3,
                                  maxDf: Long = 100000L,
                                  maxCandidates: Long = 2000L,
-                                 maxProbeRows: Long = Guards.MaxBroadcastRows): DataFrame = {
+                                 maxProbeRows: Long = Guards.MaxBroadcastRows,
+                                 minCoverage: Double = 0.0,
+                                 minWorstCoverage: Double = 0.0): DataFrame = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     require(radius >= 1 && radius <= 32, s"radius in [1,32]: $radius")
     require(q >= 2 && q <= 8, s"gram length in [2,8]: $q")
@@ -791,9 +832,15 @@ object FuzzyJoin {
       s"positive bounds required: maxDf=$maxDf maxCandidates=$maxCandidates")
     guard(search, maxProbeRows)
     requireUniqueDataIds(data, "topKLevenshteinPrescreened")
-    val exactScored = scoreBanded(search, data, radius)
-      .select(col("search_val"), (-col("distance")).cast("double").as("s"),
-        col("data_id"))
+    // materialized ONCE: the residual-probe anti-join and the phase-3
+    // union both consume the banded corpus equi-join — lazily it would
+    // run twice, the same LOOK-shared-branch defect class the round-16
+    // shingle sweep cured (ADVICE r16)
+    val exactScored = graft.ops.Materialize.stable(
+      scoreBanded(search, data, radius)
+        .select(col("search_val"), (-col("distance")).cast("double").as("s"),
+          col("data_id")),
+      "lev-exact-scored")
     val residual = search.join(
       exactScored.groupBy("search_val").agg(count(lit(1)).as("__n"))
         .filter(col("__n") >= k),
@@ -803,6 +850,8 @@ object FuzzyJoin {
     val rare = graft.ops.Materialize.stable(
       rareGrams(residual, dataN, q, maxDf, maxCandidates),
       "lev-prescreen-rare")
+    coverageGuard("topKLevenshteinPrescreened", residual, rare, maxCandidates,
+      minCoverage, minWorstCoverage)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN

@@ -2520,6 +2520,81 @@ class SketchesSpec extends SparkTestBase {
     assert(sk.getAs[Seq[org.apache.spark.sql.Row]]("sample").map(
       _.getAs[Long]("id")).toSet === Set(1L, 5L))
   }
+
+  test("sketches are self-describing: reader/merge k mismatch fails loudly (VERDICT r16 #2)") {
+    def loud(body: => Unit, frag: String): Unit = {
+      val ex = intercept[Exception] { body }
+      def chain(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains(frag)) || chain(t.getCause))
+      assert(chain(ex), s"expected '$frag' in: ${ex.getMessage}")
+    }
+    val rows = (1L to 200L).map(i => (i, i % 31, i % 4))
+      .toDF("id", "v", "shard")
+    val sk = Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"),
+      k = 64)
+    // the silent-wrong path of r16: merging with a LARGER k than the
+    // build k used to read truncated samples as exhaustive
+    loud(Sketches.kmvMergeAgg(sk, Nil, k = 128).collect(), "build k")
+    val wsk = Sketches.wkmvSketch(rows, Seq("shard"), col("id"), col("v"),
+      col("v"), k = 64)
+    loud(Sketches.wkmvMergeAgg(wsk, Nil, k = 128).collect(), "build k")
+    loud(Sketches.wkmvQuantiles(
+      Sketches.wkmvMergeAgg(wsk, Nil, k = 64), Nil, 128, Seq(0.5))
+      .collect(), "build k")
+    // a sketch stripped of its k column is refused up front
+    intercept[IllegalArgumentException] {
+      Sketches.kmvMergeAgg(sk.drop("k"), Nil, k = 64) }
+    intercept[IllegalArgumentException] {
+      Sketches.wkmvQuantiles(wsk.drop("k"), Seq("shard"), 64, Seq(0.5)) }
+    // matched k still merges and reads fine
+    assert(Sketches.kmvMergeAgg(sk, Nil, k = 64).count() === 1L)
+    assert(Sketches.wkmvQuantiles(wsk, Seq("shard"), 64, Seq(0.5))
+      .count() === 4L)
+  }
+
+  test("mergeAgg: a hand-built EMPTY sample row fails loudly instead of vanishing (ADVICE r16)") {
+    val rows = (1L to 50L).map(i => (i, i % 7, i % 2)).toDF("id", "v", "shard")
+    val sk = Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"),
+      k = 16)
+    // empty one shard's sample by hand — kmvSketch itself never emits
+    // one; the old posexplode silently dropped the row's n
+    val broken = sk.withColumn("sample",
+      when(col("shard") === 0, expr("slice(sample, 1, 0)"))
+        .otherwise(col("sample")))
+    val ex = intercept[Exception] {
+      Sketches.kmvMergeAgg(broken, Nil, k = 16).collect() }
+    def chain(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("EMPTY sample")) ||
+        chain(t.getCause))
+    assert(chain(ex), s"expected EMPTY-sample raise, got: ${ex.getMessage}")
+    val wsk = Sketches.wkmvSketch(rows, Seq("shard"), col("id"), col("v"),
+      col("v"), k = 16)
+    val wbroken = wsk.withColumn("sample",
+      when(col("shard") === 0, expr("slice(sample, 1, 0)"))
+        .otherwise(col("sample")))
+    val wex = intercept[Exception] {
+      Sketches.wkmvMergeAgg(wbroken, Nil, k = 16).collect() }
+    assert(chain(wex), s"expected EMPTY-sample raise, got: ${wex.getMessage}")
+  }
+
+  test("wkmvQuantiles: relative grid is overflow-free far beyond the old ~9.2e12 weight bound (ADVICE r16)") {
+    // w = v·1e12 → group weight 5.05e15; the old ABSOLUTE 1e-6 grid
+    // summed ŵ·1e6 ≈ 1e20 into a long — silent wraparound in Spark
+    // (non-ANSI), an engine-divergent error in DuckDB. The relative
+    // grid caps per-row terms at 1e12, so the walk is exact at any
+    // weight scale; weighted quantiles scale-invariantly match the
+    // w = v fixture (median mass at 71).
+    val rows = (1L to 100L).map(i => (i, i, i * 1000000000000L))
+      .toDF("id", "v", "w").withColumn("g", lit(1))
+    val q = Sketches.wkmvQuantiles(
+      Sketches.wkmvSketch(rows, Seq("g"), col("id"), col("v"), col("w"),
+        k = 128),
+      Seq("g"), 128, Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(q.getAs[Long]("wtot") === 5050000000000000L)
+    assert(q.getAs[Long]("p50") === 71L)
+    assert(q.getAs[Long]("p90") === 95L)
+    assert(q.getAs[Long]("p99") === 100L)
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {

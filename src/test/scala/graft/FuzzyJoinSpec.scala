@@ -357,6 +357,58 @@ class FuzzyJoinSpec extends SparkTestBase {
       maxCandidates = 2, minCoverage = 0.69).count() > 0L)
   }
 
+  test("coverage guard r17 shape: uncovered probes count as 0; minWorstCoverage floors the min (ADVICE r16)") {
+    val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
+      (5L, "qqxy")).toDF("data_id", "match_val")
+    // 'zzz' shares no indexed gram with the corpus: the old
+    // covered-probe mean IGNORED it (vacuous pass); it now counts as
+    // coverage 0, so the mean over ALL probes is (1.0 + 0.4 + 0)/3
+    val s3 = Seq("qqxyz", "qqq", "zzz").toDF("search_val")
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.6) }
+    assert(ex.getMessage.contains("uncovered = 0"))
+    assert(FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
+      maxCandidates = 2, minCoverage = 0.45).count() > 0L)
+    // an ENTIRELY uncovered probe set fails instead of passing vacuously
+    val ex0 = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(
+        Seq("zzz").toDF("search_val"), d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.1) }
+    assert(ex0.getMessage.contains("minCoverage"))
+    // the bimodal floor: mean passes at 0.45, but the worst probe is
+    // the uncovered one (0) — minWorstCoverage catches what mean hides
+    val exw = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.45, minWorstCoverage = 0.1) }
+    assert(exw.getMessage.contains("minWorstCoverage"))
+    // fully covered set: worst = min per-probe best = 0.4
+    val s2 = Seq("qqxyz", "qqq").toDF("search_val")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(s2, d, 3, q = 2,
+        maxCandidates = 2, minWorstCoverage = 0.5) }
+    assert(FuzzyJoin.topKJaroWinklerPrescreened(s2, d, 3, q = 2,
+      maxCandidates = 2, minWorstCoverage = 0.35).count() > 0L)
+  }
+
+  test("lev prescreened tier: coverage guard parity over RESIDUAL probes (VERDICT r16 #3)") {
+    val d = Seq((1L, "abcde"), (2L, "abcdf"), (3L, "abcdg"),
+      (4L, "abcdh")).toDF("data_id", "match_val")
+    // 'zzzzzz' is residual (no in-radius match) AND uncovered (shares
+    // no trigram): the guard must fail it loudly...
+    val s = Seq("zzzzzz").toDF("search_val")
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKLevenshteinPrescreened(s, d, k = 3, radius = 1,
+        q = 3, maxCandidates = 2, minCoverage = 0.5) }
+    assert(ex.getMessage.contains("topKLevenshteinPrescreened"))
+    // ...while a probe whose top-k is CERTIFICATE-covered (>= k within
+    // radius) is exempt — coverage is a residual-probe contract only
+    val covered = Seq("abcde").toDF("search_val")
+    assert(FuzzyJoin.topKLevenshteinPrescreened(covered, d, k = 3,
+      radius = 1, q = 3, maxCandidates = 2, minCoverage = 0.99)
+      .count() === 3L)
+  }
+
   test("jwPrescreenRecall: perfect recall on covered probes, micro-average arithmetic") {
     val d = Seq((1L, "jellyfish co"), (2L, "jellyfish inc"),
       (3L, "jellyfish ltd"), (4L, "unrelated zq")).toDF("data_id", "match_val")
