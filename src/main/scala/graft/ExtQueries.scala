@@ -8077,17 +8077,20 @@ object ExtQueries {
 
   /** q306/q307/q311's shared prescreen replay: the ENTIRE rare-q-gram
     * candidate pipeline of FuzzyJoin.topKJaroWinklerPrescreened
-    * (gram length `q`, stop-gram cut `maxDf`, per-probe/per-gram
-    * budget `cap` = maxCandidates — the fixture queries use bigrams,
+    * (gram length `q`, stop-gram cut `maxDf`, posting budget B =
+    * 2·`cap` = 2·maxCandidates — the fixture queries use bigrams,
     * see q306's comment) re-derived in DuckDB — gram extraction,
-    * stop-gram df table, the per-probe sum-of-min(df, cap) ≤ 2·cap
-    * gram budget (round 16: strict superset of the old raw-df rule at
-    * the same posting bound), the gram-SALTED h60 bucket cap,
+    * stop-gram df table, the per-probe WATER-FILL allocation (round
+    * 17: channel depth b = min(df, B − Σ earlier df) in (df, g)
+    * order, selected while b ≥ 1 — at most one partial channel per
+    * probe, same hard posting bound), the gram-SALTED h60 bucket
+    * ranking with each probe reading its allocated rank prefix,
     * candidate dedup, DuckDB's own jaro_winkler on survivors. Returns
     * the CTE chain ending at `pranked`; `probeCte` supplies the probe
     * set (full for q306, the s_suppkey % 7 sample for q307). The
-    * `rare` CTE carries each selected gram's df so q311's coverage
-    * meter reads the same frame the candidate stages consume. */
+    * `rare` CTE carries each selected gram's df and depth b so q311's
+    * coverage meter reads the same frame the candidate stages
+    * consume. */
   private def jwPrescreenOracleCtes(probeCte: String, q: Int = 2,
                                     p: String = "",
                                     dataCte: String =
@@ -8114,24 +8117,25 @@ object ExtQueries {
        |           FROM ${p}search),
        |${p}sg AS (SELECT search_val, s_norm, unnest(${grams("s_norm")}) AS g
        |       FROM ${p}sn),
-       |${p}rare AS (SELECT search_val, s_norm, g, df FROM (
+       |${p}rare AS (SELECT search_val, s_norm, g, df, b FROM (
        |    SELECT search_val, s_norm, g, df,
-       |      sum(least(df, $cap)) OVER (PARTITION BY search_val
-       |        ORDER BY df, g
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      least(df, ${2 * cap} - coalesce(sum(df) OVER (
+       |        PARTITION BY search_val ORDER BY df, g
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS b
        |    FROM ${p}sg JOIN ${p}dftab USING (g))
-       |  WHERE cum <= ${2 * cap}),
+       |  WHERE b >= 1),
        |${p}runi AS (SELECT DISTINCT g FROM ${p}rare),
-       |${p}pcap AS (SELECT g, data_id FROM (
+       |${p}pcap AS (SELECT g, data_id, rb FROM (
        |    SELECT d.g, d.data_id,
        |      row_number() OVER (PARTITION BY d.g ORDER BY
        |        ${TextAnalysis.h60Sql(
                    s"'$salt' || d.g || ':' || CAST(d.data_id AS VARCHAR)")},
        |        d.data_id) AS rb
        |    FROM ${p}dg d JOIN ${p}runi USING (g))
-       |  WHERE rb <= $cap),
+       |  WHERE rb <= ${2 * cap}),
        |${p}cand AS (SELECT DISTINCT r.search_val, r.s_norm, p.data_id
-       |         FROM ${p}rare r JOIN ${p}pcap p USING (g)),
+       |         FROM ${p}rare r JOIN ${p}pcap p
+       |         ON r.g = p.g AND p.rb <= r.b),
        |${p}pscored AS (SELECT c.search_val, d.match_val, d.data_id,
        |    round(jaro_winkler_similarity(c.s_norm, d.m_norm), 6) AS sim
        |  FROM ${p}cand c JOIN ${p}dn d USING (data_id)),
@@ -10220,21 +10224,21 @@ object ExtQueries {
            |FROM pranked WHERE rnk <= 3
            |ORDER BY search_val, rnk""".stripMargin) +
       // coverage meter: the SAME selection CTEs as q306 (cap = 20
-      // activates the bucket cap at sf0.01), aggregated per probe off
-      // the df-bearing rare CTE — best/worst channel retention
-      // min(1, cap/df), portable-rounded like the engine
+      // activates budget truncation at sf0.01), aggregated per probe
+      // off the (df, b)-bearing rare CTE — best/worst channel
+      // retention b/df, portable-rounded like the engine
       ("q311_jw_prescreen_coverage" ->
         s"""WITH ${jwPrescreenOracleCtes(
                "SELECT DISTINCT p_name AS search_val FROM part", 2, "",
                cap = 20L)}
            |SELECT search_val,
            |  CAST(count(*) AS BIGINT) AS n_sel,
-           |  CAST(coalesce(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END), 0)
+           |  CAST(coalesce(sum(CASE WHEN b < df THEN 1 ELSE 0 END), 0)
            |    AS BIGINT) AS n_capped,
            |  ${TextAnalysis.round6PortableSql(
-                 "max(least(1.0, 20.0 / df))")} AS best_cov,
+                 "max(CAST(b AS DOUBLE) / df)")} AS best_cov,
            |  ${TextAnalysis.round6PortableSql(
-                 "min(least(1.0, 20.0 / df))")} AS worst_cov
+                 "min(CAST(b AS DOUBLE) / df)")} AS worst_cov
            |FROM rare GROUP BY search_val
            |ORDER BY search_val""".stripMargin) +
       // KMV quantile sketch: DuckDB rebuilds the identical bottom-k

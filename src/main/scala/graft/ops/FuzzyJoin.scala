@@ -579,32 +579,32 @@ object FuzzyJoin {
     *   1. Posting table: distinct q-grams per data key; grams whose
     *      document frequency exceeds `maxDf` are stop-grams (dropped —
     *      they carry no selectivity and their postings dominate cost).
-    *   2. Probe gram budget (round 16): each probe ranks ITS grams by
-    *      (df ASC, gram ASC) against the data-side df table and keeps
-    *      the maximal rare prefix whose cumulative POST-CAP posting
-    *      count Σ min(df, maxCandidates) fits 2·maxCandidates. The
-    *      rarest gram is always kept (its min(df, cap) ≤ cap < 2·cap);
-    *      the per-probe posting bound is 2·maxCandidates EXACTLY by
-    *      construction. Round 15's rule (cumulative RAW df ≤ cap, plus
-    *      a rank-1 exception) had the same worst case but collapsed to
-    *      ONE channel whenever the rarest gram alone exceeded the
-    *      budget — on closed-vocabulary corpora that is every probe,
-    *      and the sf1 audit measured recall@3 = 0.26 (q=2) / 0.70
-    *      (q=3) through the single truncated channel (SCALING.md round
-    *      16). The sum-of-min rule selects a strict SUPERSET of grams
-    *      (min(df,cap) ≤ df, budget 2× larger) at the identical bound,
-    *      so truncated probes get a second decorrelated channel.
-    *   2b. Bucket cap: every selected gram contributes at most
-    *      `maxCandidates` postings — the ones with the smallest pinned
-    *      h60(gram : data_id), i.e. a deterministic UNIFORM sample of
-    *      the bucket (the KMV discipline). The hash is SALTED BY GRAM
-    *      (round 16): an unsalted h60(data_id) keeps the SAME ids in
-    *      every truncated bucket, so a second channel rescued nothing —
-    *      a true match with a high hash was dropped from all of them;
-    *      per-gram salting makes the bucket samples independent, so a
-    *      match missed by one truncated channel survives another with
-    *      probability ≈ cap/df per channel. The cap's rank window
-    *      shuffles only rare-universe postings and each gram's bucket
+    *   2. Probe gram budget (round 17 — WATER-FILL, [[rareGrams]]):
+    *      each probe ranks ITS grams by (df ASC, gram ASC) against the
+    *      data-side df table and fills the posting budget B =
+    *      2·maxCandidates greedily: channel depth b = min(df, budget
+    *      remaining), selected while b ≥ 1. Every channel but the last
+    *      holds its gram's ENTIRE posting set (coverage 1); at most
+    *      ONE channel per probe is a partial bucket. The rarest gram
+    *      is always kept; the per-probe posting bound is exactly
+    *      min(B, Σ df). Round 16's rule (fixed per-channel cap
+    *      maxCandidates, keep grams while Σ min(df, cap) ≤ B) spent
+    *      the same budget on TWO cap-deep samples of — on closed
+    *      vocabularies — near-identical posting sets, whose overlap
+    *      subtracts instead of adding; survival is linear in bucket
+    *      depth, so concentrating depth on the rarest gram dominates
+    *      (sf1: recall@3 0.331 → 0.468 at q=2, 0.820 → 0.968 at q=3,
+    *      identical B; SCALING.md round 17).
+    *   2b. Bucket sampling: per gram the postings are ranked by the
+    *      pinned h60(gram : data_id) and a probe's channel reads the
+    *      rank prefix of its allocated depth b — a deterministic
+    *      UNIFORM sample of the bucket (the KMV discipline), with
+    *      shallower allocations prefixes of deeper ones. The hash
+    *      stays SALTED BY GRAM (round 16): probes share per-gram
+    *      buckets at different depths, and distinct partial channels
+    *      sample independently. The rank window keeps a global
+    *      2·maxCandidates prefix (deep enough for any allocation),
+    *      shuffles only rare-universe postings, and each gram's bucket
     *      is ≤ maxDf on its reducer — bounded by construction.
     *   3. Candidates: NARROW posting stream (data_id, m_norm, gram —
     *      never the gram set; round 15 measured the array-carrying
@@ -622,18 +622,16 @@ object FuzzyJoin {
     * sim, match_val). Contract differences, all deliberate: rows are
     * the top-k OF THE CANDIDATE SET (a probe sharing no indexed gram
     * with the corpus emits no rows); a true top-k row can be missed
-    * when it shares no rare gram with the probe; and when every
-    * selected gram's bucket exceeds maxCandidates the candidate
-    * channel is a deterministic ≈ cap/df subsample, so recall follows
-    * it — measured at sf1 (SCALING.md round 16): recall@3 0.26 at
-    * q=2 / 0.70 at q=3 under the round-15 rule, 0.33 / 0.82 under
-    * this rule (the second channel helps less than independence would
-    * predict because the two rarest grams co-occur in the same data
-    * rows — candidate sets correlate through the DATA, the salt only
-    * decorrelates the hash), on a worst-case closed-vocabulary corpus
-    * where EVERY probe's every gram is truncated (real crawls hold
-    * rarer grams — Heaps — so their coverage is higher at equal
-    * settings). Run
+    * when it shares no rare gram with the probe; and when the probe's
+    * rarest gram's df exceeds the budget B the one partial channel is
+    * a deterministic ≈ B/df subsample, so recall follows it —
+    * measured at sf1 (SCALING.md rounds 16–17): recall@3 at q=2 /
+    * q=3 went 0.26/0.70 (r15 single channel) → 0.33/0.82 (r16 two
+    * capped channels) → 0.47/0.97 (this water-fill rule), all at the
+    * identical B, on a worst-case closed-vocabulary corpus where
+    * EVERY probe's every gram is truncated (real crawls hold rarer
+    * grams — Heaps — so their coverage is higher at equal settings).
+    * Run
     * [[jwPrescreenCoverage]] (cheap, no exact side) for the per-probe
     * coverage ratios before trusting a configuration at scale, and
     * [[jwPrescreenRecall]] on a probe sample to measure true recall —
@@ -674,32 +672,41 @@ object FuzzyJoin {
     val rare = graft.ops.Materialize.stable(
       rareGrams(search, dataN, q, maxDf, maxCandidates),
       "jw-prescreen-rare")
-    coverageGuard("topKJaroWinklerPrescreened", search, rare, maxCandidates,
+    coverageGuard("topKJaroWinklerPrescreened", search, rare,
       minCoverage, minWorstCoverage)
     // narrow posting stream (map-only over the corpus), restricted to
-    // the rare-gram universe, then bucket-capped: per gram keep the
-    // maxCandidates postings with smallest h60(gram : data_id) (+ id
-    // tie-break) — a deterministic uniform sample of oversized buckets,
-    // independent across grams (the per-gram salt). The rank window's
-    // shuffle carries only rare-universe postings and no gram exceeds
-    // maxDf rows on its reducer.
+    // the rare-gram universe, then bucket-ranked: per gram rank
+    // postings by h60(gram : data_id) (+ id tie-break) and keep a
+    // GLOBAL prefix of depth 2·maxCandidates — deep enough for any
+    // probe's water-fill allocation; each probe then reads its OWN
+    // prefix of depth b (the per-channel allocation), so a bucket at
+    // depth b is a deterministic uniform sample of the gram's posting
+    // set, and shallower allocations are prefixes of deeper ones. The
+    // rank window's shuffle carries only rare-universe postings and no
+    // gram exceeds maxDf rows on its reducer.
+    // per-gram universe with the DEEPEST depth any probe allocated it:
+    // the global rank prefix streams only rows some probe will read
+    // (≤ 2·maxCandidates by construction, usually far less) — a pure
+    // pruning step, result-identical to ranking the full bucket
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN
       .select(col("data_id"), col("m_norm"),
         explode(charGrams(col("m_norm"), q)).as("g"))
-      .join(broadcast(rare.select("g").distinct()), "g")
+      .join(broadcast(rare.groupBy("g").agg(max("b").as("__bmax"))), "g")
       .withColumn("__h", graft.ext.TextAnalysis.h60(
         concat(lit("jwb:"), col("g"), lit(":"),
           col("data_id").cast("string"))))
       .withColumn("__rb", row_number().over(wB))
-      .filter(col("__rb") <= maxCandidates)
-      .select("g", "data_id", "m_norm")
-    // broadcast rare grams onto the capped stream; one JW per collision
-    // row, duplicates (a pair sharing several rare grams) collapse
-    // inside the k-bounded distinct fold
+      .filter(col("__rb") <= col("__bmax"))
+      .select("g", "data_id", "m_norm", "__rb")
+    // broadcast rare grams onto the ranked stream, each probe keeping
+    // its allocated prefix; one JW per collision row, duplicates (a
+    // pair sharing several rare grams) collapse inside the k-bounded
+    // distinct fold
     val scored = capped
-      .join(broadcast(rare.select("g", "search_val", "s_norm")), "g")
+      .join(broadcast(rare.select("g", "search_val", "s_norm", "b")), "g")
+      .filter(col("__rb") <= col("b"))
       .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
         col("s_norm"), col("m_norm")), 6))
       .select(col("search_val"), col("sim"), col("data_id"))
@@ -712,12 +719,36 @@ object FuzzyJoin {
   }
 
   /** Stages 1–2 of the prescreen, shared verbatim by
-    * [[topKJaroWinklerPrescreened]] and [[jwPrescreenCoverage]] so the
-    * coverage meter can never drift from what the operator selects.
-    * Emits one row per (probe, selected gram) with the gram's corpus
-    * df — probe-sized output (each selected gram contributes ≥ 1 to a
-    * budget of 2·maxCandidates, so ≤ 2·maxCandidates rows per probe,
-    * and in practice ≤ |s_norm| grams). */
+    * [[topKJaroWinklerPrescreened]], [[topKLevenshteinPrescreened]] and
+    * [[jwPrescreenCoverage]] so the coverage meter can never drift from
+    * what the operators select. Emits one row per (probe, selected
+    * gram) with the gram's corpus df AND the channel's allocated bucket
+    * depth `b` — probe-sized output (each selected gram takes ≥ 1 of a
+    * 2·maxCandidates posting budget, so ≤ 2·maxCandidates rows per
+    * probe, in practice ≤ |s_norm| grams).
+    *
+    * ALLOCATION (round 17 — VERDICT r16 #1): WATER-FILL the per-probe
+    * posting budget B = 2·maxCandidates over the probe's grams in
+    * ascending (df, g) order: b = min(df, B − Σ earlier df), selected
+    * while b ≥ 1. This replaces round 16's fixed per-channel cap
+    * (every selected gram truncated at maxCandidates), which provably
+    * wastes budget whenever it holds TWO truncated buckets: a target's
+    * survival is ≈ Σ b_g/df_g − overlap, linear in each bucket's
+    * depth, so under a fixed Σ b_g the greedy optimum fills the
+    * SMALLEST-df gram to its full posting before spending on the next
+    * — per probe at most ONE channel is ever partial, every earlier
+    * channel is the gram's ENTIRE posting set (coverage 1), and the
+    * correlated-truncated-bucket overlap loss (the r16 residual gap:
+    * the two rarest grams co-occur in the same data rows, so two
+    * cap-deep samples of near-identical posting sets overlap instead
+    * of adding) cannot occur at all. Measured at sf1 on the worst-case
+    * all-truncated corpus (SCALING.md round 17), identical B: recall@3
+    * 0.331 → 0.468 (q=2), 0.820 → 0.968 (q=3). The trade, stated
+    * honestly: a match sharing ONLY a commoner gram with the probe now
+    * reads a shallower bucket for it than r16's flat cap gave (budget
+    * went to the rarer gram's full posting first) — dominated in
+    * expectation, and on every measured workload, by the full-posting
+    * channels. */
   private def rareGrams(search: DataFrame, dataN: DataFrame, q: Int,
                         maxDf: Long, maxCandidates: Long): DataFrame = {
     // document frequency per gram, stop-grams dropped; the gram-type
@@ -735,10 +766,10 @@ object FuzzyJoin {
       .select(col("search_val"), col("s_norm"),
         explode(charGrams(col("s_norm"), q)).as("g"))
       .join(broadcast(dfTab), "g")
-      .withColumn("__cum", sum(least(col("df"), lit(maxCandidates)))
-        .over(w.rowsBetween(Long.MinValue, 0)))
-      .filter(col("__cum") <= 2 * maxCandidates)
-      .select("g", "search_val", "s_norm", "df")
+      .withColumn("b", least(col("df"), lit(2 * maxCandidates) -
+        coalesce(sum("df").over(w.rowsBetween(Long.MinValue, -1)), lit(0L))))
+      .filter(col("b") >= 1)
+      .select("g", "search_val", "s_norm", "df", "b")
   }
 
   /** The opt-in LOUD coverage precondition shared by both prescreen
@@ -752,7 +783,7 @@ object FuzzyJoin {
     * `minWorstCoverage` (the bimodal-workload floor a mean cannot
     * see). Both default 0.0 = off; cost when on is probe-sized. */
   private def coverageGuard(op: String, search: DataFrame, rare: DataFrame,
-                            maxCandidates: Long, minCoverage: Double,
+                            minCoverage: Double,
                             minWorstCoverage: Double): Unit = {
     require(minCoverage >= 0.0 && minCoverage <= 1.0,
       s"minCoverage in [0,1]: $minCoverage")
@@ -762,8 +793,7 @@ object FuzzyJoin {
       val nProbes = search
         .agg(countDistinct(col("search_val"))).head().getLong(0)
       val row = rare.groupBy("search_val")
-        .agg(max(least(lit(1.0),
-          lit(maxCandidates.toDouble) / col("df"))).as("__best"))
+        .agg(max(col("b").cast("double") / col("df")).as("__best"))
         .agg(sum("__best"), min("__best"), count(lit(1))).head()
       val (sumBest, minBest, nCovered) =
         if (row.isNullAt(2) || row.getLong(2) == 0L) (0.0, 0.0, 0L)
@@ -798,7 +828,7 @@ object FuzzyJoin {
     *     RESIDUAL probes (weak matches — where [[topK]]'s exact
     *     fallback would degenerate to the probe × corpus product) go
     *     through the rare-gram prescreen ([[rareGrams]], shared with
-    *     the JW tier: sum-of-min budget, 2·maxCandidates bound,
+    *     the JW tier: water-fill budget, 2·maxCandidates bound,
     *     gram-salted 'lvb:' bucket cap) with the plain levenshtein
     *     verifier. Beyond-radius rows are top-k OF THE CANDIDATE SET —
     *     measured, not assumed, same contract as the JW tier
@@ -850,22 +880,23 @@ object FuzzyJoin {
     val rare = graft.ops.Materialize.stable(
       rareGrams(residual, dataN, q, maxDf, maxCandidates),
       "lev-prescreen-rare")
-    coverageGuard("topKLevenshteinPrescreened", residual, rare, maxCandidates,
+    coverageGuard("topKLevenshteinPrescreened", residual, rare,
       minCoverage, minWorstCoverage)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN
       .select(col("data_id"), col("m_norm"),
         explode(charGrams(col("m_norm"), q)).as("g"))
-      .join(broadcast(rare.select("g").distinct()), "g")
+      .join(broadcast(rare.groupBy("g").agg(max("b").as("__bmax"))), "g")
       .withColumn("__h", graft.ext.TextAnalysis.h60(
         concat(lit("lvb:"), col("g"), lit(":"),
           col("data_id").cast("string"))))
       .withColumn("__rb", row_number().over(wB))
-      .filter(col("__rb") <= maxCandidates)
-      .select("g", "data_id", "m_norm")
+      .filter(col("__rb") <= col("__bmax"))
+      .select("g", "data_id", "m_norm", "__rb")
     val presScored = capped
-      .join(broadcast(rare.select("g", "search_val", "s_norm")), "g")
+      .join(broadcast(rare.select("g", "search_val", "s_norm", "b")), "g")
+      .filter(col("__rb") <= col("b"))
       .withColumn("s", (-levenshtein(col("s_norm"), col("m_norm")))
         .cast("double"))
       .select("search_val", "s", "data_id")
@@ -879,25 +910,25 @@ object FuzzyJoin {
   }
 
   /** The prescreen's CHEAP honesty meter (VERDICT r15 #1): per-probe
-    * coverage of the bucket-capped candidate channels, with NO exact
+    * coverage of the water-filled candidate channels, with NO exact
     * side and NO posting join — just stages 1–2 ([[rareGrams]], the
-    * exact frame the operator selects from) aggregated per probe:
+    * exact frame the operators select from) aggregated per probe:
     *   - n_sel / n_capped — selected grams, and how many of them the
-    *     per-gram bucket cap truncates (df > maxCandidates);
-    *   - best_cov / worst_cov — max/min over selected grams of
-    *     min(1, maxCandidates/df), the deterministic retention ratio
-    *     of each channel's h60 bucket sample.
-    * A probe whose every channel is truncated finds a given true match
-    * with probability ≈ its channel coverage (salted caps make the
-    * bucket samples independent; residual correlation comes only from
-    * gram co-occurrence in the data), so recall tracks these ratios —
-    * the sf1 audit measured recall@3 0.82 at mean best_cov 0.72
-    * (q=3) and 0.33 at 0.26 (q=2) on the worst-case all-truncated
-    * corpus (SCALING.md round 16). Probes sharing no indexed gram with the
-    * corpus emit no row (the operator's no-rows contract). Cost:
-    * ONE corpus gram pass (map-only into the gram-type-sized df
-    * aggregation) + probe-sized windows — runs anywhere the operator
-    * runs, at any corpus size. */
+    *     budget truncates below their full posting set (b < df; at
+    *     most ONE per probe under water-fill — the last channel);
+    *   - best_cov / worst_cov — max/min over selected grams of b/df,
+    *     the deterministic retention ratio of each channel's h60
+    *     bucket prefix (1.0 for every fully-filled channel).
+    * A probe finds a true match holding gram g with probability ≈
+    * b_g/df_g through that channel (1 for full channels), so recall
+    * tracks these ratios — the sf1 audit (SCALING.md rounds 16–17)
+    * measured recall@3 0.468 at mean best_cov 0.479 (q=2, every probe
+    * one partial channel) and 0.968 at 0.972 (q=3, most probes' rarest
+    * gram fully covered) on the worst-case all-truncated corpus.
+    * Probes sharing no indexed gram with the corpus emit no row (the
+    * operator's no-rows contract). Cost: ONE corpus gram pass
+    * (map-only into the gram-type-sized df aggregation) + probe-sized
+    * windows — runs anywhere the operator runs, at any corpus size. */
   def jwPrescreenCoverage(search: DataFrame, data: DataFrame,
                           q: Int = 3, maxDf: Long = 100000L,
                           maxCandidates: Long = 2000L,
@@ -909,11 +940,11 @@ object FuzzyJoin {
     requireUniqueDataIds(data, "jwPrescreenCoverage")
     val dataN = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
-    val cov = least(lit(1.0), lit(maxCandidates.toDouble) / col("df"))
+    val cov = col("b").cast("double") / col("df")
     rareGrams(search, dataN, q, maxDf, maxCandidates)
       .groupBy("search_val")
       .agg(count(lit(1)).cast("long").as("n_sel"),
-        sum(when(col("df") > maxCandidates, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("b") < col("df"), 1L).otherwise(0L)).as("n_capped"),
         graft.ext.TextAnalysis.round6Portable(max(cov)).as("best_cov"),
         graft.ext.TextAnalysis.round6Portable(min(cov)).as("worst_cov"))
   }

@@ -218,16 +218,13 @@ class FuzzyJoinSpec extends SparkTestBase {
       rows(FuzzyJoin.topKJaroWinkler(strongSearch, strongData, 3)))
   }
 
-  test("prescreened tier: sum-of-min budget — 2·maxCandidates postings, capped channels kept") {
+  test("prescreened tier: water-fill budget — 2·maxCandidates postings, rarest gram filled first") {
     // probe grams vs data df: 'xy' appears once, 'ab' five times, 'bx'
-    // never. With maxCandidates = 1 the round-16 budget admits grams
-    // while Σ min(df, cap) ≤ 2·cap = 2: 'xy' (min 1, cum 1) AND 'ab'
-    // (min 1, cum 2) — but the 'ab' CHANNEL is bucket-capped to its
-    // single smallest-h60 posting. Candidates = the xy-string plus
-    // exactly one deterministically sampled ab-string: two postings
-    // total, the 2·maxCandidates bound exactly. (The round-15 raw-df
-    // rule kept only 'xy' here — the sum-of-min rule is a strict
-    // superset at the same bound.)
+    // never. With maxCandidates = 1 the water-fill budget B = 2 fills
+    // ascending df: 'xy' takes its FULL posting (b = 1), the remaining
+    // budget gives 'ab' a depth-1 prefix of its salted-h60 bucket.
+    // Candidates = the xy-string plus exactly one deterministically
+    // sampled ab-string: two postings total, the bound exactly.
     val d = Seq((1L, "abcdef"), (2L, "abdedf"), (3L, "abeeef"),
       (4L, "abffff"), (5L, "abgggg"), (6L, "qqxyqq")).toDF("data_id", "match_val")
     val s = Seq("abxy").toDF("search_val")
@@ -269,13 +266,15 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(open === Set(1L, 2L, 3L, 4L))
   }
 
-  test("prescreened tier: per-gram bucket cap keeps the h60-smallest postings, SALTED by gram") {
-    // one shared gram 'qq' with df 5 > maxCandidates 2: the candidate
-    // set must be the 2 data ids with smallest h60('jwb:' || g || ':'
-    // || id) — the deterministic uniform bucket sample the oracle
-    // replays. The GRAM salt (round 16) makes each bucket's sample
-    // independent: unsalted, the same low-hash ids survived every
-    // truncated bucket and a second channel rescued nothing.
+  test("prescreened tier: a partial channel reads the h60-smallest posting prefix, SALTED by gram") {
+    // one shared gram 'qq' with df 5 > budget B = 2·maxCandidates = 4:
+    // water-fill gives the single channel the WHOLE budget, so the
+    // candidate set is the 4 data ids with smallest h60('jwb:' || g ||
+    // ':' || id) — the deterministic uniform bucket prefix the oracle
+    // replays (round 16's flat cap read only maxCandidates = 2 here;
+    // concentrating the budget into one deeper prefix is the round-17
+    // water-fill win). The GRAM salt keeps distinct partial channels
+    // sampling independently.
     val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
       (5L, "qqe")).toDF("data_id", "match_val")
     val s = Seq("qqz").toDF("search_val")
@@ -283,8 +282,8 @@ class FuzzyJoinSpec extends SparkTestBase {
         maxCandidates = 2)
       .select("data_id").collect().map(_.getLong(0)).toSet
     val expect = (1L to 5L).sortBy(id => (
-        graft.ext.TextAnalysis.h60Local("jwb:qq:" + id), id)).take(2).toSet
-    assert(got === expect, s"bucket sample must follow pinned salted-h60 order")
+        graft.ext.TextAnalysis.h60Local("jwb:qq:" + id), id)).take(4).toSet
+    assert(got === expect, s"bucket prefix must follow pinned salted-h60 order")
   }
 
   test("prescreened tier: cap-ACTIVE output invariant under physical repartition (VERDICT r15 #3)") {
@@ -343,18 +342,20 @@ class FuzzyJoinSpec extends SparkTestBase {
     val cov = FuzzyJoin.jwPrescreenCoverage(s, d, q = 2, maxCandidates = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
-    // 'qqq' has the single gram 'qq': df 5 capped at 2 -> 0.4 both ways;
-    // 'qqxyz' adds qx/xy at df 1 (full channels) -> best 1.0, worst 0.4
-    assert(cov === Seq(("qqq", 1L, 1L, 0.4, 0.4),
+    // 'qqq' has the single gram 'qq': df 5, water-filled to depth
+    // B = 4 -> 0.8 both ways; 'qqxyz' fills qx/xy at df 1 (full
+    // channels, b = df) then gives 'qq' the remaining 2 -> best 1.0,
+    // worst 2/5 = 0.4
+    assert(cov === Seq(("qqq", 1L, 1L, 0.8, 0.8),
       ("qqxyz", 3L, 1L, 1.0, 0.4)))
-    // the guard reads mean best-channel coverage = (0.4 + 1.0)/2 = 0.7
+    // the guard reads mean best-channel coverage = (0.8 + 1.0)/2 = 0.9
     val ex = intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
-        maxCandidates = 2, minCoverage = 0.75) }
+        maxCandidates = 2, minCoverage = 0.95) }
     assert(ex.getMessage.contains("minCoverage"))
     // below the mean it runs (and default 0.0 never guards)
     assert(FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
-      maxCandidates = 2, minCoverage = 0.69).count() > 0L)
+      maxCandidates = 2, minCoverage = 0.85).count() > 0L)
   }
 
   test("coverage guard r17 shape: uncovered probes count as 0; minWorstCoverage floors the min (ADVICE r16)") {
@@ -362,33 +363,33 @@ class FuzzyJoinSpec extends SparkTestBase {
       (5L, "qqxy")).toDF("data_id", "match_val")
     // 'zzz' shares no indexed gram with the corpus: the old
     // covered-probe mean IGNORED it (vacuous pass); it now counts as
-    // coverage 0, so the mean over ALL probes is (1.0 + 0.4 + 0)/3
+    // coverage 0, so the mean over ALL probes is (1.0 + 0.8 + 0)/3
     val s3 = Seq("qqxyz", "qqq", "zzz").toDF("search_val")
     val ex = intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
-        maxCandidates = 2, minCoverage = 0.6) }
+        maxCandidates = 2, minCoverage = 0.7) }
     assert(ex.getMessage.contains("uncovered = 0"))
     assert(FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
-      maxCandidates = 2, minCoverage = 0.45).count() > 0L)
+      maxCandidates = 2, minCoverage = 0.55).count() > 0L)
     // an ENTIRELY uncovered probe set fails instead of passing vacuously
     val ex0 = intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(
         Seq("zzz").toDF("search_val"), d, 3, q = 2,
         maxCandidates = 2, minCoverage = 0.1) }
     assert(ex0.getMessage.contains("minCoverage"))
-    // the bimodal floor: mean passes at 0.45, but the worst probe is
+    // the bimodal floor: mean passes at 0.55, but the worst probe is
     // the uncovered one (0) — minWorstCoverage catches what mean hides
     val exw = intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(s3, d, 3, q = 2,
-        maxCandidates = 2, minCoverage = 0.45, minWorstCoverage = 0.1) }
+        maxCandidates = 2, minCoverage = 0.55, minWorstCoverage = 0.1) }
     assert(exw.getMessage.contains("minWorstCoverage"))
-    // fully covered set: worst = min per-probe best = 0.4
+    // fully covered set: worst = min per-probe best = 0.8
     val s2 = Seq("qqxyz", "qqq").toDF("search_val")
     intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(s2, d, 3, q = 2,
-        maxCandidates = 2, minWorstCoverage = 0.5) }
+        maxCandidates = 2, minWorstCoverage = 0.9) }
     assert(FuzzyJoin.topKJaroWinklerPrescreened(s2, d, 3, q = 2,
-      maxCandidates = 2, minWorstCoverage = 0.35).count() > 0L)
+      maxCandidates = 2, minWorstCoverage = 0.7).count() > 0L)
   }
 
   test("lev prescreened tier: coverage guard parity over RESIDUAL probes (VERDICT r16 #3)") {

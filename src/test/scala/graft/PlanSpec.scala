@@ -1631,10 +1631,22 @@ class PlanSpec extends SparkTestBase {
     val df = SparkEntry.queries("q313_lev_prescreened_topk")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin [m_len"),
-      s"phase 1 must enumerate the radius via the length-band equi-join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
-      s"neither phase may plan pairwise corpus work:\n$p")
+    // phase 1 is materialized once (round 17, ADVICE r16 — the banded
+    // join fed two consumers lazily), so the hybrid's own plan reads
+    // its blocks; the band equi-join shape is pinned on the same
+    // engine the hybrid checkpoints, scoreBanded
+    val search = spark.read.parquet(s"$dir/part.parquet")
+      .selectExpr("p_name AS search_val").distinct()
+    val data = spark.read.parquet(s"$dir/part.parquet")
+      .selectExpr("p_partkey AS data_id", "p_name AS match_val")
+    val banded = graft.ops.FuzzyJoin.scoreBanded(search, data, 3)
+    banded.collect()
+    val bp = banded.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin [m_len"),
+      s"phase 1 must enumerate the radius via the length-band equi-join:\n$bp")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin") &&
+      !bp.contains("CartesianProduct") && !bp.contains("NestedLoopJoin"),
+      s"neither phase may plan pairwise corpus work:\n$p\n$bp")
     assert(p.linesIterator.exists(l =>
         l.contains("ObjectHashAggregate") && l.contains("partial_")),
       s"the union fold must partial-aggregate map-side:\n$p")
