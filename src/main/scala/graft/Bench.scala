@@ -40,7 +40,18 @@ object Bench {
       // ~2x their isolated medians cohesively AFTER the GC hygiene fix).
       // Long-lived executors in production keep their codegen warm;
       // recompilation per rep is a harness artifact, not a plan cost.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Round 17 (VERDICT r16 #4): the 2000-entry setting dated from the
+      // 147-query suite; a 310-query round generates ~6000 distinct
+      // codegen units (MEASURED via CodegenMetrics — the [bench] stderr
+      // line), so at 2000 the cache turned over completely mid-round:
+      // the timed round recompiled 5892 units vs 6228 cold. At 20000 it
+      // recompiles 534 (the residual = plans embedding run-varying
+      // literals such as stream checkpoint dirs), and the identical-
+      // code cohesive total dropped 359.3 -> 341.9s with broad
+      // -0.3..-1.5s wins on codegen-heavy lines (q01/q149/q03/q27).
+      // Env-tunable for A/B runs; see SCALING.md round 17.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed global warmup: session init, file listing, common codegen.
@@ -108,11 +119,22 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Cache-pressure diagnostic (VERDICT r16 #4): compilations counted
+    // per round on stderr. With the cache sized right, timed rounds
+    // compile ~nothing; a timed-round count near the warm round's means
+    // the cache is evicting mid-round and medians are paying Janino.
+    def compilations: Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val c0 = compilations
     for (_ <- 0 until warm; (name, fn) <- named) run(name, fn)
+    val cWarm = compilations
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 0 until reps; (name, fn) <- named)
       run(name, fn).foreach(t => samples(name) = samples(name) :+ t)
+    System.err.println(s"[bench] codegen compilations: warm=${cWarm - c0} " +
+      s"timed=${compilations - cWarm} (cache ${spark.conf.get(
+        "spark.sql.codegen.cache.maxEntries")})")
 
     // A query that failed in ANY round is excluded from the medians/total
     // even if earlier reps produced samples — partial timings of a broken

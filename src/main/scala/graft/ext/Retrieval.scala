@@ -190,6 +190,14 @@ object Retrieval {
     maxDf.foreach(m => require(m >= minDf, s"maxDf $m must be >= minDf $minDf"))
     maxDfFrac.foreach(f => require(f > 0 && f <= 1,
       s"maxDfFrac must be in (0, 1], got $f"))
+    // with a df ceiling the tf stream feeds TWO branches (df pre-pass +
+    // semi-joined postings side) — the r16 multi-consumer lens flags it,
+    // but materializing was MEASURED A WASH (q91 sf1 3.04 → 3.20s,
+    // sf0.1 flat; VERDICT r16 #5 sweep): the branch recompute is one
+    // tokenize map-pass while the checkpoint writes the corpus-row-sized
+    // tf stream, and the groupBy(term) shuffles dominate either way.
+    // Left lazy deliberately — the sweep rule is measure-then-decide,
+    // not materialize-everything.
     val tf = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))

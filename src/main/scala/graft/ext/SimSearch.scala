@@ -391,10 +391,16 @@ object SimSearch {
     val scored = left.join(right, Seq("cell"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
-    val topk = graft.ops.TopK.groupedTopK(scored, Seq("a"), col("cos"),
-        col("b"), k)
-      .select(col("a").cast("long").as("a"), col("id").as("b"),
-        col("score").as("cos"))
+    // materialized ONCE (k-bounded rows per vector): the mutuality check
+    // consumes the directed top-k TWICE (each direction of the pair);
+    // lazily both branches would re-run the Σ|cell|² cosine join + fold —
+    // the round-16 shingle-stream defect class (VERDICT r16 #5 sweep)
+    val topk = graft.ops.Materialize.stable(
+      graft.ops.TopK.groupedTopK(scored, Seq("a"), col("cos"),
+          col("b"), k)
+        .select(col("a").cast("long").as("a"), col("id").as("b"),
+          col("score").as("cos")),
+      "mutual-knn-topk")
     val rev = topk.filter(col("a") > col("b"))
       .select(col("b").as("a"), col("a").as("b"))
     topk.filter(col("a") < col("b")).join(rev, Seq("a", "b"))
@@ -476,7 +482,13 @@ object SimSearch {
     require(tau > 0 && tau <= 1, s"semDedup needs tau in (0, 1], got $tau")
     val assigned = kmeansAssign(corpus, k, iters, idCol, embCol, maxLiteralK)
       .select(col(idCol), col("cell"))
-    val emb = corpus.select(col(idCol), col(embCol)).join(assigned, idCol)
+    // materialized ONCE (corpus rows, id+cell+embedding): THREE branches
+    // consume the assigned corpus — both sides of the within-cell pair
+    // join and the final verdict join — and each would otherwise re-run
+    // the k-means assignment map over the corpus (VERDICT r16 #5 sweep)
+    val emb = graft.ops.Materialize.stable(
+      corpus.select(col(idCol), col(embCol)).join(assigned, idCol),
+      "semdedup-assigned")
     val removed = emb.select(col("cell"), col(idCol).as("__id_a"), col(embCol).as("__ea"))
       .join(emb.select(col("cell"), col(idCol).as("__id_b"), col(embCol).as("__eb")), "cell")
       .filter(col("__id_a") < col("__id_b"))

