@@ -4716,9 +4716,12 @@ object ExtQueries {
     // tier exists for; recall should be high), `cross_noise` replays
     // q306's supplier-vs-part pairing (exact top-3 of UNRELATED strings
     // is scattered-character noise no sublinear candidate scheme can
-    // find — recall ~0 is the honest reading, and exactly why the exact
-    // tier stays callable as ground truth). The audit is what licenses
-    // calling the prescreened tier at scales where exact JW cannot run.
+    // find AT SCALE — sf1 measured 0.024 with the round-17 two-family
+    // features; at sf0.01 the 2·maxCandidates budget covers the whole
+    // 2k-part corpus through the skip features, so the pairing reads
+    // 1.0 there — the budget-≥-corpus degenerate regime, and exactly
+    // why the exact tier stays callable as ground truth). The audit is
+    // what licenses the prescreened tier where exact JW cannot run.
     "q307_jw_prescreen_recall" -> ((s, dir) => {
       val data = t(s, dir, "part")
         .select(col("p_partkey").as("data_id"), col("p_name").as("match_val"))
@@ -4739,9 +4742,10 @@ object ExtQueries {
         // default-cap pairings never do at small SF), so recall under
         // truncation is MEASURED inside the driver's hash gate every
         // round, calibrated against q311's coverage at the same cap.
-        // Round 17's water-fill allocation lifted this pairing's
-        // recall 0.333 → 0.500 at the identical budget — the gain is
-        // hash-proven here per round (VERDICT r16 #6).
+        // Round 17 lifted this pairing's recall 0.333 → 0.500
+        // (water-fill) → 0.593 (two-family features) at the identical
+        // budget — the gain is hash-proven here per round (VERDICT
+        // r16 #6).
         .unionByName(
           graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3,
               q = 2, maxCandidates = 20L)
@@ -4821,9 +4825,10 @@ object ExtQueries {
     // channels beyond it (VERDICT r15 #7): part-name probes have real
     // in-radius neighborhoods (the exact phase-1 path), the supplier
     // sample normalizes far from every part name (all residual — the
-    // prescreen path, mostly uncovered: digit trigrams don't index
-    // color words), and residual part probes exercise the capped
-    // channels (maxCandidates = 50 keeps the cap ACTIVE at sf0.01).
+    // prescreen path; since round 17 the skip-gram family gives those
+    // probes real candidate channels where digit trigrams alone
+    // indexed nothing), and residual part probes exercise the capped
+    // channels (maxCandidates = 50 keeps the budget ACTIVE at sf0.01).
     // The oracle replays BOTH phases: the full product within radius,
     // the prescreen chain (salt 'lvb:') for residual probes, one
     // DISTINCT union ranked (distance, data_id).
@@ -8103,11 +8108,25 @@ object ExtQueries {
                                     cap: Long = 2000L,
                                     salt: String = "jwb:"): String = {
     val n = graft.ops.Normalize.normSql _
-    def grams(s: String) =
-      s"""CASE WHEN length($s) < $q THEN [$s]
-         |     ELSE list_distinct(list_transform(
-         |            range(1, length($s) - ${q - 2}),
-         |            i -> substr($s, CAST(i AS INT), $q))) END""".stripMargin
+    // the two-family prescreen feature set (round 17 — TextKernels.
+    // prescreenGrams): contiguous q-grams prefixed 'c:' (short-string
+    // fallback to the whole string), stride-2 skip-grams prefixed 's:'
+    // (span 2(q-1)+1, no fallback)
+    val span = 2 * (q - 1) + 1
+    def grams(s: String) = {
+      val skipChars = (0 until q)
+        .map(j => s"substr($s, CAST(i AS INT) + ${2 * j}, 1)")
+        .mkString(" || ")
+      s"""list_concat(
+         |  CASE WHEN length($s) < $q THEN ['c:' || $s]
+         |       ELSE list_distinct(list_transform(
+         |              range(1, length($s) - ${q - 2}),
+         |              i -> 'c:' || substr($s, CAST(i AS INT), $q))) END,
+         |  CASE WHEN length($s) < $span THEN []
+         |       ELSE list_distinct(list_transform(
+         |              range(1, length($s) - ${span - 2}),
+         |              i -> 's:' || $skipChars)) END)""".stripMargin
+    }
     s"""${p}search AS ($probeCte),
        |${p}data AS ($dataCte),
        |${p}dn AS (SELECT data_id, match_val, ${n("match_val")} AS m_norm

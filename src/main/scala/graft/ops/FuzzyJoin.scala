@@ -563,6 +563,13 @@ object FuzzyJoin {
   private def charGrams(c: Column, q: Int): Column =
     graft.functions.TextExprs.charGrams(c, q)
 
+  /** The prescreen tiers' feature stream (round 17): contiguous q-grams
+    * ("c:") plus stride-2 skip-grams ("s:") in one compiled pass — see
+    * [[graft.functions.TextKernels.prescreenGrams]] for the family
+    * contract and why the second family decorrelates the df space. */
+  private def featGrams(c: Column, q: Int): Column =
+    graft.functions.TextExprs.prescreenGrams(c, q)
+
   /** APPROXIMATE Jaro–Winkler top-k via a rare-q-gram prescreen — the
     * scale tier for WEAK-match probe sets, where both exact engines
     * degenerate to the probe × data product ([[topKJaroWinklerBanded]]'s
@@ -576,9 +583,17 @@ object FuzzyJoin {
     * Pipeline (every stage deterministic, so the whole operator is
     * SQL-replayable by the oracle — no RNG, no heuristics hidden in
     * executor state):
-    *   1. Posting table: distinct q-grams per data key; grams whose
-    *      document frequency exceeds `maxDf` are stop-grams (dropped —
-    *      they carry no selectivity and their postings dominate cost).
+    *   1. Posting table: the TWO-FAMILY feature set per data key
+    *      (round 17 — [[graft.functions.TextKernels.prescreenGrams]]):
+    *      distinct contiguous q-grams ('c:') plus distinct stride-2
+    *      skip-grams ('s:'). The skip family is built from ALTERNATING
+    *      code points, so its document frequencies are largely
+    *      decorrelated from the contiguous family's — on closed
+    *      vocabularies where every contiguous gram is budget-deep, the
+    *      rarest skip feature is often shallow enough for a FULL
+    *      posting channel. Features whose df exceeds `maxDf` are
+    *      stop-features (dropped — they carry no selectivity and their
+    *      postings dominate cost).
     *   2. Probe gram budget (round 17 — WATER-FILL, [[rareGrams]]):
     *      each probe ranks ITS grams by (df ASC, gram ASC) against the
     *      data-side df table and fills the posting budget B =
@@ -592,9 +607,11 @@ object FuzzyJoin {
     *      the same budget on TWO cap-deep samples of — on closed
     *      vocabularies — near-identical posting sets, whose overlap
     *      subtracts instead of adding; survival is linear in bucket
-    *      depth, so concentrating depth on the rarest gram dominates
-    *      (sf1: recall@3 0.331 → 0.468 at q=2, 0.820 → 0.968 at q=3,
-    *      identical B; SCALING.md round 17).
+    *      depth, so concentrating depth on the rarest features
+    *      dominates. Measured at sf1, identical B (SCALING.md round
+    *      17): recall@3 0.331 → 0.468 (q=2) / 0.820 → 0.968 (q=3)
+    *      from water-fill alone, then → 0.947 / 0.994 with the skip
+    *      family in the feature pool.
     *   2b. Bucket sampling: per gram the postings are ranked by the
     *      pinned h60(gram : data_id) and a probe's channel reads the
     *      rank prefix of its allocated depth b — a deterministic
@@ -627,10 +644,12 @@ object FuzzyJoin {
     * a deterministic ≈ B/df subsample, so recall follows it —
     * measured at sf1 (SCALING.md rounds 16–17): recall@3 at q=2 /
     * q=3 went 0.26/0.70 (r15 single channel) → 0.33/0.82 (r16 two
-    * capped channels) → 0.47/0.97 (this water-fill rule), all at the
+    * capped channels) → 0.47/0.97 (water-fill alone) → 0.95/0.99
+    * (water-fill over the two-family feature pool), all at the
     * identical B, on a worst-case closed-vocabulary corpus where
-    * EVERY probe's every gram is truncated (real crawls hold rarer
-    * grams — Heaps — so their coverage is higher at equal settings).
+    * EVERY probe's every contiguous gram is truncated (real crawls
+    * hold rarer grams — Heaps — so coverage is higher at equal
+    * settings).
     * Run
     * [[jwPrescreenCoverage]] (cheap, no exact side) for the per-probe
     * coverage ratios before trusting a configuration at scale, and
@@ -692,7 +711,7 @@ object FuzzyJoin {
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN
       .select(col("data_id"), col("m_norm"),
-        explode(charGrams(col("m_norm"), q)).as("g"))
+        explode(featGrams(col("m_norm"), q)).as("g"))
       .join(broadcast(rare.groupBy("g").agg(max("b").as("__bmax"))), "g")
       .withColumn("__h", graft.ext.TextAnalysis.h60(
         concat(lit("jwb:"), col("g"), lit(":"),
@@ -743,7 +762,8 @@ object FuzzyJoin {
     * cap-deep samples of near-identical posting sets overlap instead
     * of adding) cannot occur at all. Measured at sf1 on the worst-case
     * all-truncated corpus (SCALING.md round 17), identical B: recall@3
-    * 0.331 → 0.468 (q=2), 0.820 → 0.968 (q=3). The trade, stated
+    * 0.331 → 0.468 (q=2), 0.820 → 0.968 (q=3) — then → 0.947/0.994
+    * once the stride-2 skip family joined the pool. The trade, stated
     * honestly: a match sharing ONLY a commoner gram with the probe now
     * reads a shallower bucket for it than r16's flat cap gave (budget
     * went to the rarer gram's full posting first) — dominated in
@@ -756,7 +776,7 @@ object FuzzyJoin {
     // Rare grams are a subset of dfTab, so joining them alone also
     // enforces the stop-gram cut on the posting stream.
     val dfTab = dataN
-      .select(col("data_id"), explode(charGrams(col("m_norm"), q)).as("g"))
+      .select(col("data_id"), explode(featGrams(col("m_norm"), q)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = org.apache.spark.sql.expressions.Window
@@ -764,7 +784,7 @@ object FuzzyJoin {
     search
       .withColumn("s_norm", Normalize.norm(col("search_val")))
       .select(col("search_val"), col("s_norm"),
-        explode(charGrams(col("s_norm"), q)).as("g"))
+        explode(featGrams(col("s_norm"), q)).as("g"))
       .join(broadcast(dfTab), "g")
       .withColumn("b", least(col("df"), lit(2 * maxCandidates) -
         coalesce(sum("df").over(w.rowsBetween(Long.MinValue, -1)), lit(0L))))
@@ -886,7 +906,7 @@ object FuzzyJoin {
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN
       .select(col("data_id"), col("m_norm"),
-        explode(charGrams(col("m_norm"), q)).as("g"))
+        explode(featGrams(col("m_norm"), q)).as("g"))
       .join(broadcast(rare.groupBy("g").agg(max("b").as("__bmax"))), "g")
       .withColumn("__h", graft.ext.TextAnalysis.h60(
         concat(lit("lvb:"), col("g"), lit(":"),
@@ -922,9 +942,9 @@ object FuzzyJoin {
     * A probe finds a true match holding gram g with probability ≈
     * b_g/df_g through that channel (1 for full channels), so recall
     * tracks these ratios — the sf1 audit (SCALING.md rounds 16–17)
-    * measured recall@3 0.468 at mean best_cov 0.479 (q=2, every probe
-    * one partial channel) and 0.968 at 0.972 (q=3, most probes' rarest
-    * gram fully covered) on the worst-case all-truncated corpus.
+    * measured recall@3 0.947 at mean best_cov 0.951 (q=2) and 0.994
+    * at 0.994 (q=3) on the worst-case all-truncated corpus (the skip
+    * family usually supplies a full-posting channel there).
     * Probes sharing no indexed gram with the corpus emit no row (the
     * operator's no-rows contract). Cost: ONE corpus gram pass
     * (map-only into the gram-type-sized df aggregation) + probe-sized

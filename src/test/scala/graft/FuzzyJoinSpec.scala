@@ -232,7 +232,7 @@ class FuzzyJoinSpec extends SparkTestBase {
         maxCandidates = 1)
       .select("data_id").collect().map(_.getLong(0)).toSet
     val abPick = (1L to 5L).minBy(id =>
-      (graft.ext.TextAnalysis.h60Local("jwb:ab:" + id), id))
+      (graft.ext.TextAnalysis.h60Local("jwb:c:ab:" + id), id))
     assert(out === Set(6L, abPick),
       "candidates must be the rare-gram string + ONE h60-sampled ab posting")
     // with budget for both grams uncapped, all ab-strings join the
@@ -282,7 +282,7 @@ class FuzzyJoinSpec extends SparkTestBase {
         maxCandidates = 2)
       .select("data_id").collect().map(_.getLong(0)).toSet
     val expect = (1L to 5L).sortBy(id => (
-        graft.ext.TextAnalysis.h60Local("jwb:qq:" + id), id)).take(4).toSet
+        graft.ext.TextAnalysis.h60Local("jwb:c:qq:" + id), id)).take(4).toSet
     assert(got === expect, s"bucket prefix must follow pinned salted-h60 order")
   }
 
@@ -342,12 +342,13 @@ class FuzzyJoinSpec extends SparkTestBase {
     val cov = FuzzyJoin.jwPrescreenCoverage(s, d, q = 2, maxCandidates = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
-    // 'qqq' has the single gram 'qq': df 5, water-filled to depth
-    // B = 4 -> 0.8 both ways; 'qqxyz' fills qx/xy at df 1 (full
-    // channels, b = df) then gives 'qq' the remaining 2 -> best 1.0,
-    // worst 2/5 = 0.4
+    // 'qqq' indexes only c:qq (its skip-gram s:qq hits nothing): df 5,
+    // water-filled to depth B = 4 -> 0.8 both ways; 'qqxyz' fills FOUR
+    // df-1 channels (c:qx, c:xy, s:qx, s:qy — the round-17 skip family
+    // doubles its rare features), exhausting the budget before c:qq ->
+    // all-full channels, best = worst = 1.0
     assert(cov === Seq(("qqq", 1L, 1L, 0.8, 0.8),
-      ("qqxyz", 3L, 1L, 1.0, 0.4)))
+      ("qqxyz", 4L, 0L, 1.0, 1.0)))
     // the guard reads mean best-channel coverage = (0.8 + 1.0)/2 = 0.9
     val ex = intercept[IllegalArgumentException] {
       FuzzyJoin.topKJaroWinklerPrescreened(s, d, 3, q = 2,
@@ -443,6 +444,40 @@ class FuzzyJoinSpec extends SparkTestBase {
       val bad = df.select(col("s"),
           graft.functions.TextExprs.charGrams(col("s"), q).as("k"),
           chain(col("s")).as("h"))
+        .filter(not(col("k") <=> col("h")))
+        .collect()
+      assert(bad.isEmpty, s"q=$q kernel != chain on: ${bad.take(3).toSeq}")
+    }
+  }
+
+  test("prescreenGrams kernel == the interpreted two-family HOF chain (incl. short, empty, unicode)") {
+    import org.apache.spark.sql.functions._
+    val gen = org.scalacheck.Gen.listOfN(14, org.scalacheck.Gen.frequency(
+      (8, org.scalacheck.Gen.alphaNumChar),
+      (2, org.scalacheck.Gen.oneOf('a', 'b')),
+      (1, org.scalacheck.Gen.oneOf('é', '中')))
+    ).map(_.mkString)
+    var seed = org.scalacheck.rng.Seed(11L)
+    val samples = (0 until 200).flatMap { _ =>
+      val s = gen.apply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next; s
+    } ++ Seq("", "a", "ab", "abc", "abcd", "abcde", "aaaa", "😀😀a")
+    for (q <- Seq(2, 3)) {
+      val span = 2 * (q - 1) + 1
+      val df = samples.toDF("s")
+      def contig(c: org.apache.spark.sql.Column) =
+        when(length(c) < q, array(concat(lit("c:"), c))).otherwise(
+          array_distinct(transform(sequence(lit(1), length(c) - (q - 1)),
+            i => concat(lit("c:"), c.substr(i, lit(q))))))
+      def skip(c: org.apache.spark.sql.Column) =
+        when(length(c) < span,
+          array().cast("array<string>")).otherwise(
+          array_distinct(transform(sequence(lit(1), length(c) - (span - 1)),
+            i => concat((lit("s:") +: (0 until q).map(j =>
+              c.substr(i + lit(2 * j), lit(1)))): _*))))
+      val bad = df.select(col("s"),
+          graft.functions.TextExprs.prescreenGrams(col("s"), q).as("k"),
+          concat(contig(col("s")), skip(col("s"))).as("h"))
         .filter(not(col("k") <=> col("h")))
         .collect()
       assert(bad.isEmpty, s"q=$q kernel != chain on: ${bad.take(3).toSeq}")
