@@ -569,4 +569,32 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(covered.select("search_val").collect().map(_.getString(0)).toSeq
       === Seq("abcd"))
   }
+
+  test("water-fill edges: one partial channel max, per-probe prefix depths, exact tight budget") {
+    // seven corpus rows share c:qq (df 7); each contributes one df-1
+    // contiguous gram and one df-1 skip gram. maxCandidates = 3 -> B = 6.
+    val d = ('a' to 'g').zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, s"qq$c") }.toDF("data_id", "match_val")
+    // 'qqz' indexes ONLY c:qq: single channel at depth min(7, 6) = 6;
+    // 'qqa' fills c:qa and s:qa (df 1 each, full) then c:qq at the
+    // remaining 4 — exactly ONE partial channel per probe, budget
+    // spent to exactly min(B, sum df)
+    val cov = FuzzyJoin.jwPrescreenCoverage(
+        Seq("qqz", "qqa").toDF("search_val"), d, q = 2, maxCandidates = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(cov === Seq(
+      ("qqa", 3L, 1L, 1.0, 0.571429),   // 4/7, portable-rounded
+      ("qqz", 1L, 1L, 0.857143, 0.857143))) // 6/7
+    // the shared per-gram bucket serves BOTH depths as rank prefixes:
+    // qqz reads the 6-prefix of c:qq's salted order, qqa the 4-prefix
+    // (plus its own full df-1 channels — both postings are row 1)
+    val order = (1L to 7L).sortBy(id => (
+      graft.ext.TextAnalysis.h60Local("jwb:c:qq:" + id), id))
+    def got(p: String) = FuzzyJoin.topKJaroWinklerPrescreened(
+        Seq(p).toDF("search_val"), d, 7, q = 2, maxCandidates = 3)
+      .select("data_id").collect().map(_.getLong(0)).toSet
+    assert(got("qqz") === order.take(6).toSet)
+    assert(got("qqa") === (order.take(4).toSet + 1L))
+  }
 }
