@@ -756,7 +756,7 @@ object Sketches {
           raise_error(lit("kmvMergeAgg: input sketch row with an EMPTY " +
             "sample — kmvSketch never emits one; merging it would " +
             "silently drop its n from the merged total")))
-        .otherwise(when(col("__bk") =!= lit(k),
+        .otherwise(when(!(col("__bk") <=> lit(k)),
             raise_error(concat(lit(s"kmvMergeAgg: merge k=$k does not " +
               "match the sketch's build k="), col("__bk").cast("string"),
               lit(" — a mismatched merge reads truncated samples as " +
@@ -882,7 +882,7 @@ object Sketches {
           raise_error(lit("wkmvMergeAgg: input sketch row with an EMPTY " +
             "sample — wkmvSketch never emits one; merging it would " +
             "silently drop its wtot/n from the merged totals")))
-        .otherwise(when(col("__bk") =!= lit(k),
+        .otherwise(when(!(col("__bk") <=> lit(k)),
             raise_error(concat(lit(s"wkmvMergeAgg: merge k=$k does not " +
               "match the sketch's build k="), col("__bk").cast("string"),
               lit(" — a mismatched merge reads truncated samples as " +
@@ -944,7 +944,7 @@ object Sketches {
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
     val ex = sketch
-      .withColumn("__tau", when(col("k") =!= lit(k),
+      .withColumn("__tau", when(!(col("k") <=> lit(k)),
           raise_error(concat(lit(s"wkmvQuantiles: reader k=$k does not " +
             "match the sketch's build k="), col("k").cast("string"),
             lit(" — a larger reader k reads a truncated sample as " +
