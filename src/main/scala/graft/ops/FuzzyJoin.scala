@@ -694,19 +694,17 @@ object FuzzyJoin {
     coverageGuard("topKJaroWinklerPrescreened", search, rare,
       minCoverage, minWorstCoverage)
     // narrow posting stream (map-only over the corpus), restricted to
-    // the rare-gram universe, then bucket-ranked: per gram rank
-    // postings by h60(gram : data_id) (+ id tie-break) and keep a
-    // GLOBAL prefix of depth 2·maxCandidates — deep enough for any
-    // probe's water-fill allocation; each probe then reads its OWN
-    // prefix of depth b (the per-channel allocation), so a bucket at
-    // depth b is a deterministic uniform sample of the gram's posting
-    // set, and shallower allocations are prefixes of deeper ones. The
-    // rank window's shuffle carries only rare-universe postings and no
-    // gram exceeds maxDf rows on its reducer.
-    // per-gram universe with the DEEPEST depth any probe allocated it:
-    // the global rank prefix streams only rows some probe will read
-    // (≤ 2·maxCandidates by construction, usually far less) — a pure
-    // pruning step, result-identical to ranking the full bucket
+    // the rare-feature universe, then bucket-ranked: per feature rank
+    // postings by h60(feature : data_id) (+ id tie-break); each probe
+    // reads its OWN rank prefix of depth b (its water-fill allocation),
+    // so a bucket at depth b is a deterministic uniform sample of the
+    // feature's posting set and shallower allocations are prefixes of
+    // deeper ones. The stream keeps only rows SOME probe will read —
+    // the per-feature max allocated depth, broadcast from the rare
+    // table (≤ 2·maxCandidates by construction, usually far less; a
+    // pure pruning step, result-identical to ranking the full bucket).
+    // The rank window's shuffle carries only rare-universe postings
+    // and no feature exceeds maxDf rows on its reducer.
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("__h", "data_id")
     val capped = dataN

@@ -2595,6 +2595,28 @@ class SketchesSpec extends SparkTestBase {
     assert(q.getAs[Long]("p90") === 95L)
     assert(q.getAs[Long]("p99") === 100L)
   }
+
+  test("wkmvQuantiles: weight-scale invariance — w and w·2^20 give identical quantiles (tau active)") {
+    // the relative grid's defining law: a uniform power-of-two weight
+    // scale multiplies every priority, tau, and hat-w EXACTLY (mantissas
+    // untouched), so the kept set, the hw/max-hw ratios, and the whole
+    // quantized walk are bit-identical — only wtot changes. k = 16 < n
+    // keeps tau ACTIVE so the estimator branch (not just exact weights)
+    // is under test.
+    def quants(scale: Long) = Sketches.wkmvQuantiles(
+        Sketches.wkmvSketch(
+          (1L to 100L).map(i => (i, i, ((i * 13) % 97 + 1) * scale))
+            .toDF("id", "v", "w").withColumn("g", lit(1)),
+          Seq("g"), col("id"), col("v"), col("w"), k = 16),
+        Seq("g"), 16, Seq(0.5, 0.9, 0.99)).collect()(0)
+    val base = quants(1L)
+    val scaled = quants(1L << 20)
+    assert(base.getAs[Long]("m") === 16L)
+    for (c <- Seq("m", "n", "p50", "p90", "p99"))
+      assert(base.getAs[Long](c) === scaled.getAs[Long](c),
+        s"column $c must be scale-invariant")
+    assert(scaled.getAs[Long]("wtot") === base.getAs[Long]("wtot") * (1L << 20))
+  }
 }
 
 class JoinOpsSpec extends SparkTestBase {
