@@ -50,8 +50,17 @@ object Bench {
       // code cohesive total dropped 359.3 -> 341.9s with broad
       // -0.3..-1.5s wins on codegen-heavy lines (q01/q149/q03/q27).
       // Env-tunable for A/B runs; see SCALING.md round 17.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+      // Parsed + range-checked here (ADVICE r17) so a typo'd env var
+      // fails with a message naming SPARK_GRAFT_CODEGEN_CACHE instead
+      // of an opaque conf error deep inside session construction.
+      .config("spark.sql.codegen.cache.maxEntries", {
+        val raw = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000")
+        val v = raw.toLongOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_CODEGEN_CACHE must be an integer, got: '$raw'"))
+        require(v >= 0 && v <= 10000000,
+          s"SPARK_GRAFT_CODEGEN_CACHE in [0, 10000000], got: $v")
+        v.toString
+      })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed global warmup: session init, file listing, common codegen.

@@ -708,9 +708,24 @@ object Sketches {
     * assuming a LARGER k than the build k would silently read a
     * truncated sample as exhaustive; the column makes that misuse loud
     * instead of wrong. */
+  /** ADVICE r17: the sketch frames OWN the columns they emit beside the
+    * keys; a grouping key with one of those names would be silently
+    * OVERWRITTEN by withColumn (a user key literally named "k" would
+    * then "pass" the self-describing check with an unrelated meaning).
+    * Guarded up front in every builder/merger/reader. */
+  private def requireKeysAvoid(op: String, keys: Seq[String],
+                               reserved: Seq[String]): Unit = {
+    val clash = keys.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$op: grouping key(s) ${clash.mkString(", ")} collide with the " +
+        s"sketch's reserved output columns (${reserved.mkString(", ")}) " +
+        "— rename the key before sketching")
+  }
+
   def kmvSketch(df: DataFrame, keys: Seq[String], rowKey: Column,
                 value: Column, k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
+    requireKeysAvoid("kmvSketch", keys, Seq("sample", "n", "k"))
     graft.ops.TopK.groupedBottomK(df, keys,
       TextAnalysis.h60(concat(lit("kmv:"), rowKey.cast("string"))),
       value, k)
@@ -732,10 +747,14 @@ object Sketches {
     * sample's first element).
     *
     * Two contracts enforced LOUDLY in-plan (ADVICE r16 / VERDICT r16
-    * #2): the merge k must equal the sketch's build `k` column (a
+    * #2): the merge k must not EXCEED any input's build `k` column (a
     * larger merge-k would emit a sketch whose sample is NOT bottom-k of
     * the union — the inputs already truncated at the smaller k — and
-    * every downstream read would be silently wrong), and every input
+    * every downstream read would be silently wrong; a SMALLER merge-k
+    * is legal by the prefix property — bottom-k of bottom-k' samples
+    * with k ≤ k' IS bottom-k of the union — and the output `k` column
+    * is restamped to the merge k so the chain stays self-consistent;
+    * ADVICE r17), and every input
     * row's `sample` must be non-empty ([[kmvSketch]] guarantees it and
     * merging preserves it, but a hand-built empty row would previously
     * VANISH from the merged `n` — posexplode emitted nothing for it;
@@ -748,6 +767,7 @@ object Sketches {
     require(df.columns.contains("k"),
       "kmvMergeAgg: input sketch carries no `k` column — build it with " +
         "kmvSketch (sketches are self-describing since round 17)")
+    requireKeysAvoid("kmvMergeAgg", keys, Seq("sample", "n", "k"))
     val agg = udaf(new graft.ops.TopK.BottomKAgg(k))
     val ex = df
       .select(keys.map(col) :+ col("n") :+ col("k").as("__bk") :+
@@ -756,11 +776,14 @@ object Sketches {
           raise_error(lit("kmvMergeAgg: input sketch row with an EMPTY " +
             "sample — kmvSketch never emits one; merging it would " +
             "silently drop its n from the merged total")))
-        .otherwise(when(!(col("__bk") <=> lit(k)),
-            raise_error(concat(lit(s"kmvMergeAgg: merge k=$k does not " +
-              "match the sketch's build k="), col("__bk").cast("string"),
-              lit(" — a mismatched merge reads truncated samples as " +
-                "exhaustive (silently wrong merged sketch)"))))
+        .otherwise(when(col("__bk").isNull || col("__bk") < lit(k),
+            raise_error(concat(lit(s"kmvMergeAgg: merge k=$k EXCEEDS " +
+              "the sketch's build k="), col("__bk").cast("string"),
+              lit(" — the inputs already truncated below the merge k, " +
+                "so the merge would read truncated samples as " +
+                "exhaustive (silently wrong); re-sketch at the larger " +
+                "k instead (a merge k <= build k is legal and " +
+                "tightens the sample)"))))
           .otherwise(col("__e.h"))))
     val grouped =
       if (keys.isEmpty) ex.groupBy()
@@ -798,6 +821,8 @@ object Sketches {
     val names = qs.map(pName)
     require(names.distinct.size == names.size,
       s"quantile column names collide: ${qs.zip(names)}")
+    requireKeysAvoid("kmvQuantiles", keys,
+      Seq("sample", "n", "k", "m") ++ names)
     val vs = array_sort(expr("transform(sample, x -> x.v)"))
     val m = size(col("sample"))
     val cols = keys.map(col) ++ Seq(col("n"), m.cast("long").as("m")) ++
@@ -844,6 +869,7 @@ object Sketches {
   def wkmvSketch(df: DataFrame, keys: Seq[String], id: Column,
                  value: Column, weight: Column, k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
+    requireKeysAvoid("wkmvSketch", keys, Seq("sample", "wtot", "n", "k"))
     val spark = df.sparkSession
     import spark.implicits._
     val agg = udaf(new graft.ops.TopK.WTopKAgg(k + 1))
@@ -864,7 +890,9 @@ object Sketches {
     * explode-and-refold as [[kmvMergeAgg]] (partial buffers ≤ k+1
     * everywhere; `wtot`/`n` ride the first sample element), exact by
     * the same law, with the same two LOUD in-plan contracts: merge k
-    * must equal the sketch's build `k` column, and empty-sample rows
+    * must not exceed the sketch's build `k` column (smaller is legal —
+    * same prefix property — and restamps the output k; ADVICE r17),
+    * and empty-sample rows
     * (which [[wkmvSketch]] never emits) fail instead of silently
     * dropping their `wtot`/`n` from the merged totals. */
   def wkmvMergeAgg(df: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
@@ -873,6 +901,7 @@ object Sketches {
     require(df.columns.contains("k"),
       "wkmvMergeAgg: input sketch carries no `k` column — build it with " +
         "wkmvSketch (sketches are self-describing since round 17)")
+    requireKeysAvoid("wkmvMergeAgg", keys, Seq("sample", "wtot", "n", "k"))
     val agg = udaf(new graft.ops.TopK.WTopKAgg(k + 1))
     val ex = df
       .select(keys.map(col) :+ col("wtot") :+ col("n") :+
@@ -882,11 +911,14 @@ object Sketches {
           raise_error(lit("wkmvMergeAgg: input sketch row with an EMPTY " +
             "sample — wkmvSketch never emits one; merging it would " +
             "silently drop its wtot/n from the merged totals")))
-        .otherwise(when(!(col("__bk") <=> lit(k)),
-            raise_error(concat(lit(s"wkmvMergeAgg: merge k=$k does not " +
-              "match the sketch's build k="), col("__bk").cast("string"),
-              lit(" — a mismatched merge reads truncated samples as " +
-                "exhaustive (silently wrong merged sketch)"))))
+        .otherwise(when(col("__bk").isNull || col("__bk") < lit(k),
+            raise_error(concat(lit(s"wkmvMergeAgg: merge k=$k EXCEEDS " +
+              "the sketch's build k="), col("__bk").cast("string"),
+              lit(" — the inputs already truncated below the merge k, " +
+                "so the merge would read truncated samples as " +
+                "exhaustive (silently wrong); re-sketch at the larger " +
+                "k instead (a merge k <= build k is legal and " +
+                "tightens the sample)"))))
           .otherwise(col("__e.p"))))
     val grouped =
       if (keys.isEmpty) ex.groupBy()
@@ -922,11 +954,13 @@ object Sketches {
     * double space (long < double promotes identically in both
     * engines). Emits n, wtot (exact), m (kept rows) and one [[pName]]
     * column per quantile. The walk runs over ≤ k rows per group —
-    * sketch-sized windows, nothing data-sized. `k` MUST equal the
-    * build k, and since round 17 the sketch CARRIES its k, so the
+    * sketch-sized windows, nothing data-sized. `k` MUST NOT exceed
+    * the build k, and since round 17 the sketch CARRIES its k, so the
     * contract is enforced loudly in-plan (VERDICT r16 #2): a larger
     * reader-k used to read a truncated sample as exhaustive (τ = 0 —
-    * silently wrong quantiles); now it raises. */
+    * silently wrong quantiles); now it raises. A SMALLER reader k is
+    * legal (ADVICE r17): the top-(k+1) priority prefix of the stored
+    * sample is exactly the sketch that k would have built. */
   def wkmvQuantiles(sketch: DataFrame, keys: Seq[String], k: Int,
                     qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -937,6 +971,8 @@ object Sketches {
     require(sketch.columns.contains("k"),
       "wkmvQuantiles: input sketch carries no `k` column — build it with " +
         "wkmvSketch (sketches are self-describing since round 17)")
+    requireKeysAvoid("wkmvQuantiles", keys,
+      Seq("sample", "wtot", "n", "k", "m") ++ names)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("__e.v"), col("__e.id"))
     // unordered + frameless: the default frame over an unordered window
@@ -944,11 +980,13 @@ object Sketches {
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
     val ex = sketch
-      .withColumn("__tau", when(!(col("k") <=> lit(k)),
-          raise_error(concat(lit(s"wkmvQuantiles: reader k=$k does not " +
-            "match the sketch's build k="), col("k").cast("string"),
+      .withColumn("__tau", when(col("k").isNull || col("k") < lit(k),
+          raise_error(concat(lit(s"wkmvQuantiles: reader k=$k EXCEEDS " +
+            "the sketch's build k="), col("k").cast("string"),
             lit(" — a larger reader k reads a truncated sample as " +
-              "exhaustive (tau=0, silently wrong quantiles)"))))
+              "exhaustive (tau=0, silently wrong quantiles); re-sketch " +
+              "at the larger k (a reader k <= build k is legal — the " +
+              "top-(k+1) priority prefix IS the smaller-k sketch)"))))
         .otherwise(when(size(col("sample")) > k,
           element_at(col("sample"), k + 1).getField("p"))
           .otherwise(lit(0.0))))

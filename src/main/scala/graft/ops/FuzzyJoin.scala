@@ -777,17 +777,32 @@ object FuzzyJoin {
       .select(col("data_id"), explode(featGrams(col("m_norm"), q)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("search_val").orderBy("df", "g")
     search
       .withColumn("s_norm", Normalize.norm(col("search_val")))
       .select(col("search_val"), col("s_norm"),
         explode(featGrams(col("s_norm"), q)).as("g"))
       .join(broadcast(dfTab), "g")
-      .withColumn("b", least(col("df"), lit(2 * maxCandidates) -
-        coalesce(sum("df").over(w.rowsBetween(Long.MinValue, -1)), lit(0L))))
+      .withColumn("b", waterFillB(2 * maxCandidates))
       .filter(col("b") >= 1)
       .select("g", "search_val", "s_norm", "df", "b")
+  }
+
+  /** The water-fill depth expression over a (search_val, g, df) frame:
+    * b = min(df, budget − Σ earlier df) in ascending (df, g) order per
+    * probe; callers keep rows with b ≥ 1. Factored out of [[rareGrams]]
+    * so FuzzyJoinSpec can property-check the optimality claim (VERDICT
+    * r17 #4) against brute force on arbitrary df tables: greedy fill in
+    * ascending-df order maximizes expected survival Σ b_g/df_g under
+    * the hard posting bound Σ b_g ≤ budget, because each channel's
+    * marginal survival per posting is the constant 1/df_g — spend the
+    * budget where the rate is highest first (the fractional-knapsack
+    * argument; integrality is free since every rate segment has
+    * integer length df_g). */
+  private[graft] def waterFillB(budget: Long): Column = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("search_val").orderBy("df", "g")
+    least(col("df"), lit(budget) -
+      coalesce(sum("df").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
   }
 
   /** The opt-in LOUD coverage precondition shared by both prescreen
@@ -808,8 +823,16 @@ object FuzzyJoin {
     require(minWorstCoverage >= 0.0 && minWorstCoverage <= 1.0,
       s"minWorstCoverage in [0,1]: $minWorstCoverage")
     if (minCoverage > 0.0 || minWorstCoverage > 0.0) {
-      val nProbes = search
-        .agg(countDistinct(col("search_val"))).head().getLong(0)
+      // countDistinct ignores NULLs, but a null search_val IS a probe
+      // and is uncovered by construction (null normalizes to null,
+      // which yields no grams, hence no rare rows) — counting it as a
+      // distinct probe value with coverage 0 closes the vacuous pass
+      // an all-null probe set used to get (ADVICE r17).
+      val pr = search.agg(countDistinct(col("search_val")),
+        max(when(col("search_val").isNull, lit(1L)).otherwise(lit(0L))))
+        .head()
+      val nProbes = pr.getLong(0) +
+        (if (pr.isNullAt(1)) 0L else pr.getLong(1))
       val row = rare.groupBy("search_val")
         .agg(max(col("b").cast("double") / col("df")).as("__best"))
         .agg(sum("__best"), min("__best"), count(lit(1))).head()

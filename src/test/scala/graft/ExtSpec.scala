@@ -2552,6 +2552,62 @@ class SketchesSpec extends SparkTestBase {
       .count() === 4L)
   }
 
+  test("merge/reader k SMALLER than build k is legal and exact (prefix property, ADVICE r17)") {
+    val rows = (1L to 300L).map(i => (i, (i * 17) % 101, i % 4))
+      .toDF("id", "v", "shard")
+    // kmv: merging 64-sketches down at k = 32 == sketching at 32 directly
+    val sk64 = Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"),
+      k = 64)
+    val down = Sketches.kmvMergeAgg(sk64, Nil, k = 32).collect()(0)
+    val direct = Sketches.kmvMergeAgg(
+      Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"), k = 32),
+      Nil, k = 32).collect()(0)
+    assert(down.getAs[Int]("k") === 32)   // restamped to the merge k
+    assert(down.getAs[Long]("n") === direct.getAs[Long]("n"))
+    assert(down.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "sample").toSeq ===
+      direct.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "sample").toSeq)
+    // wkmv: reading a 64-sketch at k = 32 == quantiles of a 32-sketch
+    val wsk64 = Sketches.wkmvSketch(rows, Seq("shard"), col("id"),
+      col("v"), col("v") + 1, k = 64)
+    val wsk32 = Sketches.wkmvSketch(rows, Seq("shard"), col("id"),
+      col("v"), col("v") + 1, k = 32)
+    val qDown = Sketches.wkmvQuantiles(wsk64, Seq("shard"), 32,
+      Seq(0.5, 0.9)).orderBy("shard").collect()
+    val qDirect = Sketches.wkmvQuantiles(wsk32, Seq("shard"), 32,
+      Seq(0.5, 0.9)).orderBy("shard").collect()
+    assert(qDown.toSeq === qDirect.toSeq)
+    // and the weighted MERGE downsizes exactly too
+    val wDown = Sketches.wkmvMergeAgg(wsk64, Nil, k = 32).collect()(0)
+    val wDirect = Sketches.wkmvMergeAgg(wsk32, Nil, k = 32).collect()(0)
+    assert(wDown.getAs[Int]("k") === 32)
+    assert(wDown.getAs[Long]("wtot") === wDirect.getAs[Long]("wtot"))
+    assert(wDown.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "sample").toSeq ===
+      wDirect.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "sample").toSeq)
+  }
+
+  test("sketch APIs refuse grouping keys named after reserved outputs (ADVICE r17)") {
+    val rows = (1L to 40L).map(i => (i, i % 7, i % 2)).toDF("id", "v", "k")
+    def refused(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException] { body }
+      assert(ex.getMessage.contains("reserved"), ex.getMessage)
+    }
+    refused(Sketches.kmvSketch(rows, Seq("k"), col("id"), col("v"), k = 16))
+    refused(Sketches.wkmvSketch(rows, Seq("k"), col("id"), col("v"),
+      col("v") + 1, k = 16))
+    val ok = Sketches.kmvSketch(rows.withColumnRenamed("k", "shard"),
+      Seq("shard"), col("id"), col("v"), k = 16)
+    refused(Sketches.kmvMergeAgg(ok, Seq("sample"), k = 16))
+    refused(Sketches.kmvQuantiles(ok, Seq("m"), Seq(0.5)))
+    val wok = Sketches.wkmvSketch(rows.withColumnRenamed("k", "shard"),
+      Seq("shard"), col("id"), col("v"), col("v") + 1, k = 16)
+    refused(Sketches.wkmvMergeAgg(wok, Seq("wtot"), k = 16))
+    refused(Sketches.wkmvQuantiles(wok, Seq("p50"), 16, Seq(0.5)))
+  }
+
   test("mergeAgg: a hand-built EMPTY sample row fails loudly instead of vanishing (ADVICE r16)") {
     val rows = (1L to 50L).map(i => (i, i % 7, i % 2)).toDF("id", "v", "shard")
     val sk = Sketches.kmvSketch(rows, Seq("shard"), col("id"), col("v"),

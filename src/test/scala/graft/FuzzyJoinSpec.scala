@@ -393,6 +393,70 @@ class FuzzyJoinSpec extends SparkTestBase {
       maxCandidates = 2, minWorstCoverage = 0.7).count() > 0L)
   }
 
+  test("water-fill allocation achieves the brute-force optimum of sum(b/df) under the budget (VERDICT r17 #4)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions.col
+    // seeded property loop (the TopKSpec idiom — each rep runs a job)
+    def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+      var seed = org.scalacheck.rng.Seed(1818L)
+      (0 until n).foreach { _ =>
+        gen.apply(Gen.Parameters.default, seed).foreach(f)
+        seed = seed.next
+      }
+    }
+    val gen = for {
+      k <- Gen.choose(1, 7)
+      dfs <- Gen.listOfN(k, Gen.choose(1L, 12L))
+      b <- Gen.choose(1L, 40L)
+    } yield (dfs, b)
+    forAllN(gen, 18) { case (dfs, budget) =>
+      // the engine's allocation, via the exact expression rareGrams uses
+      val rows = dfs.zipWithIndex
+        .map { case (df, i) => ("p", f"g$i%02d", df) }
+        .toDF("search_val", "g", "df")
+      val alloc = rows.withColumn("b", FuzzyJoin.waterFillB(budget))
+        .filter(col("b") >= 1).select("b", "df").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(alloc.forall { case (b, df) => b >= 1 && b <= df })
+      assert(alloc.map(_._1).sum <= budget)   // hard posting bound
+      val got = alloc.map { case (b, df) => b.toDouble / df }.sum
+      // brute-force optimal integer allocation (DP over gram, budget)
+      val dfArr = dfs.toArray
+      val memo = collection.mutable.Map.empty[(Int, Long), Double]
+      def best(i: Int, rem: Long): Double =
+        if (i == dfArr.length || rem <= 0L) 0.0
+        else memo.getOrElseUpdate((i, rem),
+          (0L to math.min(dfArr(i), rem)).map(bi =>
+            bi.toDouble / dfArr(i) + best(i + 1, rem - bi)).max)
+      val opt = best(0, budget)
+      assert(math.abs(got - opt) < 1e-9,
+        s"dfs=$dfs budget=$budget greedy=$got optimal=$opt")
+    }
+  }
+
+  test("coverage guard: NULL search_val probes count as uncovered, not invisible (ADVICE r17)") {
+    val d = Seq((1L, "qqa"), (2L, "qqb"), (3L, "qqc"), (4L, "qqd"),
+      (5L, "qqxy")).toDF("data_id", "match_val")
+    // an ALL-NULL probe set: countDistinct saw 0 probes -> meanAll
+    // defaulted to 1.0 and the guard passed vacuously; null probes now
+    // count as one uncovered probe value (null normalizes to null -> no
+    // grams -> no coverage), so the guard fails loudly
+    val sNull = Seq[Option[String]](None, None).toDF("search_val")
+    val exn = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(sNull, d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.1) }
+    assert(exn.getMessage.contains("minCoverage"))
+    // mixed: covered 'qqxyz' (1.0) + 'qqq' (0.8) + one null probe (0)
+    // -> mean (1.0 + 0.8 + 0)/3 = 0.6: fails at 0.7, runs at 0.55
+    val sMix = Seq(Some("qqxyz"), Some("qqq"), None).toDF("search_val")
+    val exm = intercept[IllegalArgumentException] {
+      FuzzyJoin.topKJaroWinklerPrescreened(sMix, d, 3, q = 2,
+        maxCandidates = 2, minCoverage = 0.7) }
+    assert(exm.getMessage.contains("uncovered = 0"))
+    assert(FuzzyJoin.topKJaroWinklerPrescreened(sMix, d, 3, q = 2,
+      maxCandidates = 2, minCoverage = 0.55).count() > 0L)
+  }
+
   test("lev prescreened tier: coverage guard parity over RESIDUAL probes (VERDICT r16 #3)") {
     val d = Seq((1L, "abcde"), (2L, "abcdf"), (3L, "abcdg"),
       (4L, "abcdh")).toDF("data_id", "match_val")
