@@ -4717,10 +4717,12 @@ object ExtQueries {
     // q306's supplier-vs-part pairing (exact top-3 of UNRELATED strings
     // is scattered-character noise no sublinear candidate scheme can
     // find AT SCALE — sf1 measured 0.024 with the round-17 two-family
-    // features; at sf0.01 the 2·maxCandidates budget covers the whole
-    // 2k-part corpus through the skip features, so the pairing reads
-    // 1.0 there — the budget-≥-corpus degenerate regime, and exactly
-    // why the exact tier stays callable as ground truth). The audit is
+    // features at the DEFAULT budget; the gate arm runs at
+    // maxCandidates = 20 since round 18 because at sf0.01 the default
+    // budget covered the whole 2k-part corpus through the skip
+    // features and the row read a degenerate 1.0 — the capped arm
+    // keeps truncation active at every scale, so "noise stays
+    // unfindable" is hash-proven per round again). The audit is
     // what licenses the prescreened tier where exact JW cannot run.
     "q307_jw_prescreen_recall" -> ((s, dir) => {
       val data = t(s, dir, "part")
@@ -4733,9 +4735,18 @@ object ExtQueries {
         .select(col("p_name").as("search_val")).distinct()
       graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3, q = 2)
         .withColumn("pairing", lit("self_signal"))
+        // round 18 (VERDICT r17 #2): the cross arm runs CAPPED
+        // (maxCandidates = 20, like self_capped) — at sf0.01 the
+        // default budget exceeded the whole 2k-part corpus through the
+        // skip features, so the pairing read a degenerate 1.0 and the
+        // "noise stays unfindable" contract was documented (sf1 0.024)
+        // but no longer hash-proven per round. At cap 20 the budget is
+        // genuinely truncating at every scale, so the gate row
+        // discriminates again: sublinear candidate selection cannot
+        // recover exact top-3 of UNRELATED strings.
         .unionByName(
           graft.ops.FuzzyJoin.jwPrescreenRecall(crossSample, data, k = 3,
-              q = 2)
+              q = 2, maxCandidates = 20L)
             .withColumn("pairing", lit("cross_noise")))
         // round 16: the CAP-ACTIVE pairing — maxCandidates = 20 makes
         // the posting budget genuinely truncate at sf0.01 (the
@@ -4761,14 +4772,22 @@ object ExtQueries {
     // determinism AND the cross-engine oracle (Sketches.scala scaladoc
     // carries the full trade). Per event type: the k=256 sample's
     // p50/p90/p99 BESIDE the exact counts-of-counts percentiles — the
-    // rank error is displayed, not assumed.
+    // rank error is displayed, not assumed. Round 18 (VERDICT r17 #6,
+    // the q312 precedent): the Spark side takes the MERGE path — 8
+    // event_id shards sketched then kmvMergeAgg'd back to event_type —
+    // while the oracle sketches each type's union directly, so the
+    // hash match proves the KMV merge law IN-query and the former
+    // law-twin row (q309_kmv_merge) is retired at equal coverage.
     "q308_kmv_quantiles" -> ((s, dir) => {
       val v6 = floor(col("value") * 1e6 + 0.5).cast("long")
       val ev = t(s, dir, "events")
-        .select(col("event_type"), col("event_id"), v6.as("__v"))
+        .select(col("event_type"), col("event_id"), v6.as("__v"),
+          pmod(col("event_id"), lit(8)).as("__shard"))
       val est = Sketches.kmvQuantiles(
-        Sketches.kmvSketch(ev, Seq("event_type"), col("event_id"),
-          col("__v"), k = 256),
+        Sketches.kmvMergeAgg(
+          Sketches.kmvSketch(ev, Seq("event_type", "__shard"),
+            col("event_id"), col("__v"), k = 256),
+          Seq("event_type"), k = 256),
         Seq("event_type"), Seq(0.5, 0.9, 0.99))
       val counts = ev.groupBy("event_type", "__v")
         .agg(count(lit(1)).as("__c"))
@@ -4897,22 +4916,6 @@ object ExtQueries {
         .orderBy("source")
     }),
 
-    // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
-    // sketches merge into one corpus sketch on the Spark side; DuckDB
-    // never builds a shard — it bottom-k's the whole corpus directly.
-    // A hash match means merge(sketch parts) == sketch(union) exactly,
-    // the property KLL only holds distributionally.
-    "q309_kmv_merge" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_id"),
-        floor(col("value") * 1e6 + 0.5).cast("long").as("__v"),
-        pmod(col("event_id"), lit(8)).as("__shard"))
-      Sketches.kmvQuantiles(
-        Sketches.kmvMergeAgg(
-          Sketches.kmvSketch(ev, Seq("__shard"), col("event_id"),
-            col("__v"), k = 256),
-          Nil, k = 256),
-        Nil, Seq(0.5, 0.9, 0.99))
-    }),
   )
 
   // ------------------------------------------------------------------
@@ -10226,7 +10229,7 @@ object ExtQueries {
            |${jwRecallOracleCtes("s_", "self_signal")},
            |${jwPrescreenOracleCtes(
                "SELECT DISTINCT s_name AS search_val FROM supplier " +
-               "WHERE s_suppkey % 7 = 0", 2, "c_")},
+               "WHERE s_suppkey % 7 = 0", 2, "c_", cap = 20L)},
            |${jwRecallOracleCtes("c_", "cross_noise")},
            |${jwPrescreenOracleCtes(
                "SELECT DISTINCT p_name AS search_val FROM part " +
@@ -10397,27 +10400,6 @@ object ExtQueries {
            |FROM stats s JOIN mrows m USING (source)
            |  JOIN est USING (source) JOIN exq USING (source)
            |ORDER BY s.source""".stripMargin
-      }) +
-      // KMV merge law: the oracle NEVER builds a shard — it bottom-k's
-      // the whole corpus; a hash match proves merge == sketch-of-union
-      ("q309_kmv_merge" -> {
-        val h = TextAnalysis.h60Sql("'kmv:' || CAST(event_id AS VARCHAR)")
-        s"""WITH src AS (SELECT event_id,
-           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
-           |    $h AS h
-           |  FROM events),
-           |rk AS (SELECT v, row_number() OVER (ORDER BY h, v) AS r,
-           |    count(*) OVER () AS nt
-           |  FROM src),
-           |samp AS (SELECT list_sort(list(v)) AS vs,
-           |    CAST(count(*) AS BIGINT) AS m,
-           |    CAST(max(nt) AS BIGINT) AS n
-           |  FROM rk WHERE r <= 256)
-           |SELECT n, m,
-           |  vs[greatest(1, CAST(ceil(0.50 * m) AS INT))] AS p50,
-           |  vs[greatest(1, CAST(ceil(0.90 * m) AS INT))] AS p90,
-           |  vs[greatest(1, CAST(ceil(0.99 * m) AS INT))] AS p99
-           |FROM samp""".stripMargin
       }) +
       // cosine matrix: exact hugeint dot/norms, one sqrt per pair
       ("q303_cosine_matrix" -> {
