@@ -4916,6 +4916,26 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // The KMV merge law, hash-PROVEN through the oracle: 8 per-shard
+    // sketches merge into one corpus sketch on the Spark side; DuckDB
+    // never builds a shard — it bottom-k's the whole corpus directly.
+    // A hash match means merge(sketch parts) == sketch(union) exactly,
+    // the property KLL only holds distributionally. (Restored in round
+    // 18: q308 now exercises the merge path per-group too, but this row
+    // was part of the round-17 declared suite and declared queries must
+    // never disappear.)
+    "q309_kmv_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("__v"),
+        pmod(col("event_id"), lit(8)).as("__shard"))
+      Sketches.kmvQuantiles(
+        Sketches.kmvMergeAgg(
+          Sketches.kmvSketch(ev, Seq("__shard"), col("event_id"),
+            col("__v"), k = 256),
+          Nil, k = 256),
+        Nil, Seq(0.5, 0.9, 0.99))
+    }),
+
   )
 
   // ------------------------------------------------------------------
@@ -10331,6 +10351,27 @@ object ExtQueries {
            |FROM rkd r JOIN bd d USING (data_id)
            |WHERE r.rnk <= 3
            |ORDER BY r.search_val, r.rnk""".stripMargin
+      }) +
+      // KMV merge law: the oracle NEVER builds a shard — it bottom-k's
+      // the whole corpus; a hash match proves merge == sketch-of-union
+      ("q309_kmv_merge" -> {
+        val h = TextAnalysis.h60Sql("'kmv:' || CAST(event_id AS VARCHAR)")
+        s"""WITH src AS (SELECT event_id,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+           |    $h AS h
+           |  FROM events),
+           |rk AS (SELECT v, row_number() OVER (ORDER BY h, v) AS r,
+           |    count(*) OVER () AS nt
+           |  FROM src),
+           |samp AS (SELECT list_sort(list(v)) AS vs,
+           |    CAST(count(*) AS BIGINT) AS m,
+           |    CAST(max(nt) AS BIGINT) AS n
+           |  FROM rk WHERE r <= 256)
+           |SELECT n, m,
+           |  vs[greatest(1, CAST(ceil(0.50 * m) AS INT))] AS p50,
+           |  vs[greatest(1, CAST(ceil(0.90 * m) AS INT))] AS p90,
+           |  vs[greatest(1, CAST(ceil(0.99 * m) AS INT))] AS p99
+           |FROM samp""".stripMargin
       }) +
       // weighted KMV: the oracle sketches the UNION directly (the
       // Spark side merged 8 shards), replaying priority p = w/u off

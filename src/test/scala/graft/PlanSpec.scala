@@ -1597,9 +1597,23 @@ class PlanSpec extends SparkTestBase {
         s"or fold map-side:\n$p")
   }
 
+  test("q309 KMV merge: k-bounded partial folds, no product, sketch-sized merge") {
+    val df = SparkEntry.queries("q309_kmv_merge")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the sketch pipeline joins nothing: $p")
+    assert(p.contains("partial_bottomkagg") || p.contains("BottomKAgg") ||
+      p.contains("partial_"), s"sketch folds must partial-aggregate:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") &&
+        l.contains("__v#")),
+      s"no row-level sort — quantiles come from the k-sized sample:\n$p")
+  }
+
   test("q308 KMV merge path: k-bounded partial folds, no product, sketch-sized merge") {
-    // since round 18 the merge law rides INSIDE q308 (shards -> merge
-    // -> quantiles; the former q309 law-twin row is retired)
+    // since round 18 the merge law ALSO rides inside q308 (shards ->
+    // merge -> quantiles per event_type; q309 proves it corpus-wide)
     val df = SparkEntry.queries("q308_kmv_quantiles")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
