@@ -4733,7 +4733,19 @@ object ExtQueries {
       val selfSample = t(s, dir, "part")
         .filter(col("p_partkey") % 37 === 0)
         .select(col("p_name").as("search_val")).distinct()
-      graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3, q = 2)
+      // round 18 (optimization, guide §1.2): the self_signal and
+      // self_capped pairings share the IDENTICAL exact ground truth
+      // (topKJaroWinkler over the same sample/data/k) — materialize it
+      // once and hand it to both arms instead of re-running the
+      // |sample|·|data| JW product twice. Values unchanged by
+      // construction (the exact tier is deterministic); re-gated against
+      // the oracle.
+      val selfExact = graft.ops.Materialize.stable(
+        graft.ops.FuzzyJoin.topKJaroWinkler(selfSample, data, k = 3)
+          .select(col("search_val"), col("data_id")),
+        "q307-self-exact")
+      graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3, q = 2,
+          exactTopK = Some(selfExact))
         .withColumn("pairing", lit("self_signal"))
         // round 18 (VERDICT r17 #2): the cross arm runs CAPPED
         // (maxCandidates = 20, like self_capped) — at sf0.01 the
@@ -4759,7 +4771,7 @@ object ExtQueries {
         // r16 #6).
         .unionByName(
           graft.ops.FuzzyJoin.jwPrescreenRecall(selfSample, data, k = 3,
-              q = 2, maxCandidates = 20L)
+              q = 2, maxCandidates = 20L, exactTopK = Some(selfExact))
             .withColumn("pairing", lit("self_capped")))
         .select("pairing", "n_probes", "k", "n_hits", "n_exact",
           "recall_at_k", "n_full_recall")

@@ -542,12 +542,44 @@ object FuzzyJoin {
     // parallelizes over data splits and ships ≤ k rows per probe per
     // partition. The wrong-at-scale part of the old fallback (the
     // product-sized sort shuffle), not the arithmetic, is what is gone.
-    val fallbackTopK = topK(Partitioning.spread(data)
+    //
+    // Round 18 (guide §1.2 "don't compute things you throw away"): the
+    // residual scan no longer RE-SCORES in-band pairs. Phase 1's fold
+    // already holds every residual probe's in-band top-k under the same
+    // (sim DESC, data_id ASC) total order, and any in-band pair it
+    // dropped is preceded by k in-band pairs — it can never enter the
+    // global top-k. Band membership is a pure LENGTH predicate (unlike
+    // the Levenshtein tiers, where the kept-set is distance-dependent),
+    // so the fallback filters the product to OUT-of-band pairs with one
+    // integer comparison per pair BEFORE the JW kernel runs, and the
+    // final fold re-ranks (residual in-band top-k ∪ out-of-band scored)
+    // — bit-identical output (FuzzyJoinSpec pins banded == exact on
+    // strong AND weak matches). On weak-match workloads the band covers
+    // most of the corpus (ρ = 0.5 admits lengths [⌈L/2⌉, 2L]), so this
+    // removes most of the residual product's JW evaluations — the exact
+    // pairs enumerated are now |band| + |complement| = |product|, not
+    // |band| + |product|.
+    val residualInBandTop = top
+      .join(broadcast(certifiedProbes), Seq("search_val"), "left_anti")
+      .select(col("search_val"), col("sim"), col("data_id"))
+    val outOfBandScored = Partitioning.spread(data)
       .withColumn("m_norm", Normalize.norm(col("match_val")))
       .crossJoin(broadcast(residual
         .withColumn("s_norm", Normalize.norm(col("search_val")))))
+      // exact complement of the band join's exploded m_len range; a NULL
+      // bound (null-normalizing probe or match) fails the filter exactly
+      // as its sim would have failed groupedTopK's isNotNull gate
+      .filter(!length(col("m_norm")).between(
+        ceil(length(col("s_norm")) * minRatio).cast("int"),
+        floor(length(col("s_norm")) / minRatio).cast("int")))
       .withColumn("sim", round(graft.functions.TextExprs.jaroWinkler(
-        col("s_norm"), col("m_norm")), 6)))
+        col("s_norm"), col("m_norm")), 6))
+      .select(col("search_val"), col("sim"), col("data_id"))
+    val fallbackTopK = TopK.groupedTopK(
+        residualInBandTop.unionByName(outOfBandScored),
+        Seq("search_val"), col("sim"), col("data_id"), k)
+      .withColumnRenamed("id", "data_id")
+      .withColumnRenamed("score", "sim")
 
     joinMatchVal(filledTopK.unionByName(fallbackTopK), data)
   }
@@ -1002,8 +1034,16 @@ object FuzzyJoin {
     * meter the prescreened tier's contract points at. */
   def jwPrescreenRecall(sampleProbes: DataFrame, data: DataFrame, k: Int,
                         q: Int = 3, maxDf: Long = 100000L,
-                        maxCandidates: Long = 2000L): DataFrame = {
-    val exact = topKJaroWinkler(sampleProbes, data, k)
+                        maxCandidates: Long = 2000L,
+                        exactTopK: Option[DataFrame] = None): DataFrame = {
+    // `exactTopK`, when given, MUST be topKJaroWinkler(sampleProbes,
+    // data, k) (or a materialized handle to it) — the audit's ground
+    // truth is definitionally the exact tier, the parameter only lets a
+    // caller running SEVERAL pairings over the SAME (sample, data, k)
+    // share ONE exact product scan instead of re-paying the
+    // |sample|·|data| JW enumeration per pairing (round 18, guide §1.2:
+    // q307 ran the identical self-sample exact side twice).
+    val exact = exactTopK.getOrElse(topKJaroWinkler(sampleProbes, data, k))
       .select(col("search_val"), col("data_id"))
     // rename BOTH approx keys: the two tiers share the probe lineage, so
     // joining on same-named columns would resolve trivially-true
