@@ -61,6 +61,41 @@ object Bench {
           s"SPARK_GRAFT_CODEGEN_CACHE in [0, 10000000], got: $v")
         v.toString
       })
+      // Round 18 (opt guide §2.5/§2.2): AQE's partition coalescer sizes
+      // post-shuffle partitions by BYTES (parallelismFirst targets
+      // bytes/parallelism but floors at minPartitionSize = 1 MB), which
+      // serializes this engine's compute-heavy small-byte stages — the
+      // prescreen JW-verify stage ran 4M jaroWinkler calls in ONE task
+      // (q310 measured 9.6s → 4.4s from this floor alone), q244's
+      // candidate+verify joins collapsed to 5 tasks. 16 KB keeps
+      // coalescing ON (tiny stages still fold) while letting a
+      // compute-bound stage keep the cluster's parallelism. Scale note:
+      // at real shuffle sizes bytes/parallelism >> 1 MB, so this floor
+      // is inert on a production cluster — it only matters where bytes
+      // are small and per-row compute dominates, which is exactly this
+      // engine's verify/score stages. Env-tunable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16kb"))
+      // Round 18 (opt guide §1.2 per-task work): ObjectHashAggregateExec
+      // falls back to SORT-based aggregation once a partition sees more
+      // than 128 distinct groups — every grouped-top-k path (TopK udaf:
+      // q149/q155/q306/q310/q08/q150...) has |probes| >> 128 groups, so
+      // the partial fold was SORTING the full scored stream per
+      // partition instead of hash-folding it (q149 5.1 → 3.5s, q155
+      // 5.5 → 3.3s measured). The TopK/BottomK/WTopK buffers are
+      // k-BOUNDED by construction (≤ k rows per group), so the hash
+      // map's untracked memory is ~groups_per_partition · k · 24 B —
+      // at the 128 Ki floor that is ~20 MB per task worst case, far
+      // inside executor headroom; the sort fallback still exists above
+      // it. Env-tunable for A/B.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", {
+        val raw = sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072")
+        val v = raw.toLongOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_OBJ_AGG_FALLBACK must be an integer, got: '$raw'"))
+        require(v >= 1 && v <= 100000000,
+          s"SPARK_GRAFT_OBJ_AGG_FALLBACK in [1, 100000000], got: $v")
+        v.toString
+      })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed global warmup: session init, file listing, common codegen.

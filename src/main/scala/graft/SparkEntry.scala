@@ -288,15 +288,54 @@ object SparkEntry {
 
     // Exact percentiles (linear interpolation — same definition as DuckDB
     // quantile_cont, so the oracle hash-matches to 6 dp).
-    "q19_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
-        .orderBy("l_returnflag")),
+    //
+    // Round 18 rewrite (opt guide §1.2/§2.3, result-identical): the
+    // built-in `percentile` aggregate holds every group's FULL
+    // value→count OpenHashMap in one buffer — the partial buffers are
+    // value-domain-sized objects serialized per partition into a
+    // 3-reducer merge (measured 4.2s over 3-task stages at sf0.1), and
+    // at corpus scale one reducer materializes a group's whole value
+    // map in memory. The counts-of-counts form computes the SAME
+    // aggregated-counts structure relationally: groupBy(flag, value)
+    // partial-aggregates map-side (columnar, codegen'd), the cumulative
+    // window streams it with O(1) state, and the interpolation below
+    // replicates Percentile.getPercentile's arithmetic EXACTLY —
+    // position = (N−1)·q in double, lower/higher = floor/ceil, value at
+    // sorted index k = first value with cum ≥ k+1, the lowerKey early
+    // returns (no-fraction and equal-keys) taken BEFORE the
+    // interpolation expression, and the interpolation in the same
+    // (higher−pos)·vLo + (pos−lower)·vHi order — so the doubles are
+    // bit-identical to the old plan, not just 6-dp-close.
+    "q19_percentiles" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("l_returnflag").orderBy("__v")
+      val cum = counts
+        .withColumn("__cum", sum("__c").over(w.rowsBetween(Long.MinValue, 0)))
+        .join(counts.groupBy("l_returnflag").agg(sum("__c").as("__n")),
+          "l_returnflag")
+      val qdefs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      def pos(q: Double) = (col("__n") - 1).cast("double") * lit(q)
+      val prep = qdefs.foldLeft(cum) { case (d, (q, nm)) =>
+        d.withColumn(s"__lo_$nm", when(col("__cum") >= floor(pos(q)) + 1, col("__v")))
+          .withColumn(s"__hi_$nm", when(col("__cum") >= ceil(pos(q)) + 1, col("__v")))
+      }
+      val aggs = max(col("__n")).as("__n") +: qdefs.flatMap { case (_, nm) =>
+        Seq(min(col(s"__lo_$nm")).as(s"__vlo_$nm"),
+          min(col(s"__hi_$nm")).as(s"__vhi_$nm"))
+      }
+      val outs = col("l_returnflag") +: qdefs.map { case (q, nm) =>
+        val (lower, higher) = (floor(pos(q)), ceil(pos(q)))
+        val (vLo, vHi) = (col(s"__vlo_$nm"), col(s"__vhi_$nm"))
+        round(when(higher === lower || vHi === vLo, vLo)
+          .otherwise((higher - pos(q)) * vLo + (pos(q) - lower) * vHi), 6)
+          .as(nm)
+      }
+      prep.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+        .select(outs: _*)
+        .orderBy("l_returnflag")
+    }),
 
     // Distinct aggregation (two-phase: partial distinct then merge).
     "q16_distinct_users" -> ((s, dir) =>

@@ -62,7 +62,11 @@ object Blocking {
     val p = probes.select(s.as("s"), grams3(s).as("s_g3")).distinct()
       .filter(pmod(TextAnalysis.h60(col("s")), lit(probeHashMod)) === 0)
     val m = Normalize.norm(col(dataCol))
-    val d = data.select(m.as("m"), grams3(m).as("m_g3"))
+    // spread the streamed side (round 18, opt guide §2.5): a one-split
+    // data table pinned the whole probe × data predicate scan to one
+    // core (q174 measured 2.9s/1 task). No-op on multi-split inputs.
+    val d = graft.ops.Partitioning.spread(data)
+      .select(m.as("m"), grams3(m).as("m_g3"))
     // grams are precomputed per SIDE; per pair only the predicates run.
     val pairs = broadcast(p).crossJoin(d)
       .withColumn("im", levenshtein(col("s"), col("m")) <= threshold)

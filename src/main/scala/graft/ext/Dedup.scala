@@ -45,7 +45,11 @@ object Dedup {
     * `distinct()` (full shuffle of every shingle) would buy nothing, and the
     * fused codegen expression beats the interpreted HOF chain ~50x. */
   def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // spread BEFORE the shingle kernel (round 18, opt guide §2.5/§6): a
+    // small doc table is one scan split, so the fused tokenize+shingle
+    // explode — the expensive part — ran on one core (q120's three
+    // passes measured 2.7s/1 task each). No-op on multi-split inputs.
+    graft.ops.Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       explode(graft.functions.TextExprs.distinctShingles(col(textCol), k)).as("sh"))
 
   /** Wide minhash signatures: (doc_id, sig_0 .. sig_15). All 16 permutation

@@ -661,7 +661,10 @@ object Profile {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val entries = array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)
-    val stream = df.select(explode(entries).as("e"))
+    // spread before the per-column explode (round 18, opt guide §2.5):
+    // the stringify+explode fan-out is |cols|× the row count and ran on
+    // the input's scan splits (q132 measured 2.9s over 3 tasks).
+    val stream = graft.ops.Partitioning.spread(df).select(explode(entries).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
     val base = stream.groupBy("col_name").agg(
       count(lit(1)).as("n_rows"),
@@ -735,7 +738,10 @@ object Profile {
     require(cols.nonEmpty, "profileColumnsState needs at least one column")
     val entries = array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)
-    val stream = df.select(explode(entries).as("e"))
+    // spread before the per-column explode (round 18, opt guide §2.5):
+    // the stringify+explode fan-out is |cols|× the row count and ran on
+    // the input's scan splits (q132 measured 2.9s over 3 tasks).
+    val stream = graft.ops.Partitioning.spread(df).select(explode(entries).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
     val base = stream.groupBy("col_name").agg(
       count(lit(1)).as("n_rows"),
@@ -927,7 +933,10 @@ object Profile {
   def correlationAudit(embs: DataFrame, idCol: String = "vec_id",
                        embCol: String = "embedding"): DataFrame = {
     val dec = "decimal(38,0)"
-    val ex = embs.select(col(idCol).as("__row"),
+    // spread before the dim-explode + pair fan-out (round 18, opt guide
+    // §2.5): a one-split embeddings file serialized the dim²/2 pair
+    // stream (q265 measured 2.5s/1 task). No-op on multi-split inputs.
+    val ex = graft.ops.Partitioning.spread(embs).select(col(idCol).as("__row"),
         posexplode(col(embCol)).as(Seq("__i", "__xv")))
       .select(col("__row"), col("__i"),
         floor(col("__xv").cast("double") * 1e6 + 0.5).cast("long").as("__x"))

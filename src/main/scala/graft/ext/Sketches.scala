@@ -138,7 +138,12 @@ object Sketches {
   def cmsCounters(df: DataFrame, keys: Seq[String], value: Column,
                   width: Int = CMS_WIDTH): DataFrame = {
     val keyCols = keys.map(col)
-    df.select((keyCols :+ value.cast("string").as("__graft_cms_v")): _*)
+    // spread the (narrow) value stream before the depth-explode + h60
+    // pass (round 18, opt guide §2.5): a one-split input serialized the
+    // 4× hash fan-out on one core (q57 measured 2.5s/1 task). No-op on
+    // multi-split inputs.
+    graft.ops.Partitioning.spread(
+        df.select((keyCols :+ value.cast("string").as("__graft_cms_v")): _*))
       .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
       .withColumn("cms_bucket", TextAnalysis.h60(
         concat(col("cms_row").cast("string"), lit(":"), col("__graft_cms_v"))) % width)
@@ -565,17 +570,35 @@ object Sketches {
                    width: Int = CMS_WIDTH,
                    outCol: String = "value"): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val vals = df.select(value.cast("string").as(outCol))
-    val counters = cmsCounters(vals, Nil, col(outCol), width = width)
+    // Round 18 (opt guide §1.2/§2.3): ONE corpus pass instead of three.
+    // The old shape scanned `df` separately for the counter build, the
+    // default probe domain, and the exact recount (q120 measured three
+    // full shingle passes). Every one of those is a re-aggregation of
+    // the vocabulary count table groupBy(value).count — vocab-sized, the
+    // compact-table materialization contract — so build THAT once
+    // (spread first: a one-split input would serialize the only
+    // corpus-text pass) and derive counters (SUM of cnt per cell ==
+    // COUNT of rows per cell), probe domain (vc's keys ARE the distinct
+    // values), and the exact recount (vc filtered to the screen) from
+    // it. Results identical by construction; the screen math unchanged.
+    val vals = graft.ops.Partitioning.spread(df)
+      .select(value.cast("string").as(outCol))
+    val vc = graft.ops.Materialize.stable(
+      vals.groupBy(outCol).agg(count(lit(1)).as("cnt")), "hh-vocab")
+    val counters = vc
+      .withColumn("cms_row", explode(array((0 until CMS_DEPTH).map(lit(_)): _*)))
+      .withColumn("cms_bucket", TextAnalysis.h60(
+        concat(col("cms_row").cast("string"), lit(":"), col(outCol))) % width)
+      .groupBy(col("cms_row"), col("cms_bucket"))
+      .agg(sum("cnt").as("cms_cnt"))
     val probe = candidates.map(_.select(value.cast("string").as(outCol)).distinct())
-      .getOrElse(vals.distinct())
+      .getOrElse(vc.select(outCol))
     val screened = cmsEstimate(probe, counters, col(outCol), width = width)
       .filter(col("cms_est") >= minCount)
       .select(outCol)
-    vals.join(graft.ops.Guards.broadcastIfSmall(screened), Seq(outCol), "left_semi")
-      .groupBy(outCol)
-      .agg(count(lit(1)).as("cnt"))
+    vc.join(graft.ops.Guards.broadcastIfSmall(screened), Seq(outCol), "left_semi")
       .filter(col("cnt") >= minCount)
+      .select(col(outCol), col("cnt"))
   }
 
   /** HLL approximate distinct count of `value` per `keys` group, in one

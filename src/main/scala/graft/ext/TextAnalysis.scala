@@ -1064,13 +1064,16 @@ object TextAnalysis {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val toks = tokens(col(textCol))
-    val uni = docs.select(explode(toks).as("w"))
+    // one-split scan fix (round 18): all three tokenize passes below ran
+    // on one core each; spread is a no-op on multi-split inputs
+    val docsS = graft.ops.Partitioning.spread(docs)
+    val uni = docsS.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val nUni = uni.agg(sum("c_w").as("n_uni"))
-    val bg = docs.select(explode(shingles(toks, 2)).as("pair"))
+    val bg = docsS.select(explode(shingles(toks, 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
-    val nBg = docs.select((size(toks) - 1).as("m"))
+    val nBg = docsS.select((size(toks) - 1).as("m"))
       .filter(col("m") > 0).agg(sum("m").as("n_bg"))
     bg
       .withColumn("a", split(col("pair"), " ")(0))
@@ -1094,7 +1097,8 @@ object TextAnalysis {
   private def hashedGramStream(df: DataFrame, idCol: String, textCol: String,
                                buckets: Int, salt: String): DataFrame = {
     val toks = tokens(col(textCol))
-    df.select(col(idCol), explode(concat(toks, shingles(toks, 2))).as("__gram"))
+    graft.ops.Partitioning.spread(df) // one-split scan fix, round 18
+      .select(col(idCol), explode(concat(toks, shingles(toks, 2))).as("__gram"))
       .withColumn("bucket",
         (h60(concat(lit(salt + ":"), col("__gram"))) % buckets).cast("int"))
       .drop("__gram")
@@ -1189,8 +1193,12 @@ object TextAnalysis {
     // one tokenize + one shingle pass per corpus, materialized as counts
     def gramCounts(df: DataFrame, cols: Column*): DataFrame = {
       val toks = tokens(col(textCol))
+      // spread before the fused tokenize+shingle explode (round 18, opt
+      // guide §2.5): a single-split doc table serialized the one
+      // corpus-text pass on one core (q95 measured 3.1s/1 task).
       graft.ops.Materialize.stable(
-        df.select(cols :+ explode(concat(toks, shingles(toks, 2))).as("g"): _*)
+        graft.ops.Partitioning.spread(df)
+          .select(cols :+ explode(concat(toks, shingles(toks, 2))).as("g"): _*)
           .groupBy(cols :+ col("g"): _*).agg(count(lit(1)).as("__n")),
         "bigram-grams")
     }
@@ -1264,7 +1272,8 @@ object TextAnalysis {
     require(maxTypes >= 1, s"maxTypes must be positive, got $maxTypes")
     val toks = tokens(col(textCol))
     val docBg = graft.ops.Materialize.stable(
-      docs.select(col(idCol), explode(shingles(toks, 2)).as("g"))
+      graft.ops.Partitioning.spread(docs) // one-split scan fix, round 18
+        .select(col(idCol), explode(shingles(toks, 2)).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("__n")),
       "kn-bigrams")
     // model tables: all re-aggregations of the compact per-doc count table;
@@ -1460,7 +1469,8 @@ object TextAnalysis {
     require(maxTypes >= 1, s"maxTypes must be positive, got $maxTypes")
     val toks = tokens(col(textCol))
     val cbg = graft.ops.Materialize.stable(
-      docs.select(explode(shingles(toks, 2)).as("g"))
+      graft.ops.Partitioning.spread(docs) // one-split scan fix, round 18
+        .select(explode(shingles(toks, 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c")),
       "condent-bigrams")
     val nT = cbg.count() // materialized rows — a cheap scan, no shuffle

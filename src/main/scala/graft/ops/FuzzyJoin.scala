@@ -749,6 +749,21 @@ object FuzzyJoin {
       .withColumn("__rb", row_number().over(wB))
       .filter(col("__rb") <= col("__bmax"))
       .select("g", "data_id", "m_norm", "__rb")
+      // Round 18 (opt guide §2.5): re-spread the pruned posting sample
+      // before the verify join. The window stage is partitioned by `g`,
+      // whose distinct count can be SMALL (a noise workload shares few
+      // grams with the corpus) and whose byte size never reflects the
+      // verify stage's compute (each posting row fans out to every probe
+      // selecting its gram, then pays a JW kernel call) — so the verify
+      // stage inherited a handful of skewed partitions (q306's JW ran on
+      // 4 tasks, q310's on 1 after AQE byte-coalescing). (g, __rb) is
+      // unique per row, so the explicit hash exchange spreads the sample
+      // uniformly and pins the partition count (user-specified counts
+      // are exempt from AQE coalescing). Cost: one exchange of the
+      // BUDGET-BOUNDED sample (≤ Σ_g bmax ≤ rare-universe postings),
+      // which the verify fan-out dwarfs; result-identical.
+      .repartition(dataN.sparkSession.sparkContext.defaultParallelism,
+        col("g"), col("__rb"))
     // broadcast rare grams onto the ranked stream, each probe keeping
     // its allocated prefix; one JW per collision row, duplicates (a
     // pair sharing several rare grams) collapse inside the k-bounded
@@ -967,6 +982,9 @@ object FuzzyJoin {
       .withColumn("__rb", row_number().over(wB))
       .filter(col("__rb") <= col("__bmax"))
       .select("g", "data_id", "m_norm", "__rb")
+      // verify-stage re-spread — see topKJaroWinklerPrescreened (round 18)
+      .repartition(dataN.sparkSession.sparkContext.defaultParallelism,
+        col("g"), col("__rb"))
     val presScored = capped
       .join(broadcast(rare.select("g", "search_val", "s_norm", "b")), "g")
       .filter(col("__rb") <= col("b"))

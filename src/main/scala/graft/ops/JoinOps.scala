@@ -31,7 +31,10 @@ object JoinOps {
     // null-safe: a null rowKey must not null the salt (the row would then
     // silently vanish from an inner join the plain join keeps) — all such
     // rows land deterministically in one shard instead
-    val saltedBig = big.withColumn("__graft_salt",
+    // spread the big side (round 18, opt guide §2.5): a few-split scan
+    // pinned the salt hash + join map work to the file's split count
+    // (q71 measured 2.4s over 3 tasks). No-op on multi-split inputs.
+    val saltedBig = graft.ops.Partitioning.spread(big).withColumn("__graft_salt",
       pmod(graft.ext.TextAnalysis.h60(coalesce(rowKey.cast("string"), lit(""))),
         lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",

@@ -16,6 +16,11 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   def spread(df: DataFrame): DataFrame = {
+    // Streaming plans cannot be size-probed (optimizedPlan analysis is
+    // batch-only) and micro-batch parallelism is the trigger's concern —
+    // no-op so shared operators (round 18: cmsCounters et al.) stay
+    // usable on their streaming twins.
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     // Size-statistics probe, NOT df.rdd.getNumPartitions: the RDD conversion
